@@ -1,0 +1,67 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.FunctionRegistry.FunctionBuilder
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AnyValue, HyperLogLogPlusPlus}
+
+/** Presto-parity function layer.
+  *
+  * Installs (a) Presto-named aliases that map 1:1 onto Spark built-in
+  * Catalyst expressions (so Presto-dialect SQL runs unchanged through
+  * spark.sql — zero overhead, full codegen), and (b) custom scalar UDFs +
+  * sketch aggregates for the rest.
+  *
+  * Reference: presto-main/.../metadata/FunctionRegistry.java:419-660 (the
+  * master index of every SQL function; see SURVEY §2.9).
+  */
+object FunctionRegistry {
+
+  @volatile private var installedSessions = Set.empty[Int]
+
+  def installAll(spark: SparkSession): Unit = synchronized {
+    val key = spark.sessionState.hashCode()
+    if (!installedSessions.contains(key)) {
+      installAliases(spark)
+      ScalarFunctions.install(spark)
+      SketchAggregates.install(spark)
+      installedSessions += key
+    }
+  }
+
+  private def register(spark: SparkSession, name: String)(builder: FunctionBuilder): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(name, builder, "scala_udf")
+
+  /** Pure renames: Presto name -> Spark built-in Catalyst expression.
+    * All stay inside whole-stage codegen (no UDF boxing).
+    * Reference files: operator/scalar/StringFunctions.java,
+    * MathFunctions.java, DateTimeFunctions.java,
+    * ApproximateCountDistinctAggregation.java, ArbitraryAggregationFunction.java.
+    */
+  private def installAliases(spark: SparkSession): Unit = {
+    // strpos(haystack, needle) — StringFunctions.java stringPosition
+    register(spark, "strpos") { args => StringInstr(args(0), args(1)) }
+    // codepoint(ch) — StringFunctions.java codepoint
+    register(spark, "codepoint") { args => Ascii(args.head) }
+    // approx_distinct(x[, e]) — ApproximateCountDistinctAggregation.java:43
+    register(spark, "approx_distinct") { args =>
+      if (args.size >= 2) new HyperLogLogPlusPlus(args(0), args(1))
+      else new HyperLogLogPlusPlus(args(0))
+    }
+    // arbitrary(x) — ArbitraryAggregationFunction.java:48
+    register(spark, "arbitrary") { args => new AnyValue(args.head) }
+    // log2/log10 exist in Spark; Presto ln == Spark ln. nothing to do.
+    // is_nan — MathFunctions.java
+    register(spark, "is_nan") { args => IsNaN(args.head) }
+    // to_unixtime(ts) -> double seconds — DateTimeFunctions.java
+    register(spark, "to_unixtime") { args =>
+      Divide(
+        Cast(UnixMicros(Cast(args.head, org.apache.spark.sql.types.TimestampType)),
+          org.apache.spark.sql.types.DoubleType),
+        Literal(1000000.0))
+    }
+    // from_unixtime(secs) -> timestamp — Presto returns timestamp(3)
+    register(spark, "presto_from_unixtime") { args => SecondsToTimestamp(args.head) }
+  }
+}

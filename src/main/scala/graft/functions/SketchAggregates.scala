@@ -1,0 +1,208 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.aggregate.{BitXorAgg, TypedImperativeAggregate}
+import org.apache.spark.sql.catalyst.trees.UnaryLike
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Mergeable sketch aggregates — the reference's HyperLogLog / SetDigest /
+  * checksum surface (SURVEY §2.4), rebuilt as Spark
+  * `TypedImperativeAggregate`s so the partial/final split, shuffle of
+  * serialized buffers, and AQE all come from Spark.
+  *
+  * References: operator/aggregation/ApproximateSetAggregation.java,
+  * MergeHyperLogLogAggregation.java, HyperLogLogFunctions.java,
+  * type/setdigest/SetDigestFunctions.java (jaccard_index),
+  * ChecksumAggregationFunction.java:47.
+  *
+  * HLL implemented per Flajolet et al. 2007 (dense, p=12 → 4096 registers,
+  * ~1.6% rel. error); bounded 4 KB buffer per group — safe at 100 TB.
+  */
+object Hll {
+  val P = 12
+  val M = 1 << P // 4096 registers
+
+  def hashAny(v: Any): Long = v match {
+    case null => 0L
+    case l: Long => XXH64.hashLong(l, 42L)
+    case i: Int => XXH64.hashLong(i.toLong, 42L)
+    case s: UTF8String => XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes(), 42L)
+    case d: Double => XXH64.hashLong(java.lang.Double.doubleToLongBits(d), 42L)
+    case f: Float => XXH64.hashLong(java.lang.Float.floatToIntBits(f).toLong, 42L)
+    case b: Array[Byte] =>
+      XXH64.hashUnsafeBytes(b, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, b.length, 42L)
+    case other => XXH64.hashLong(other.hashCode().toLong, 42L)
+  }
+
+  def update(regs: Array[Byte], h: Long): Unit = {
+    val idx = (h >>> (64 - P)).toInt
+    val w = h << P
+    val rank = (if (w == 0) 64 - P else java.lang.Long.numberOfLeadingZeros(w)) + 1
+    if (rank > regs(idx)) regs(idx) = rank.toByte
+  }
+
+  def merge(a: Array[Byte], b: Array[Byte]): Unit = {
+    var i = 0
+    while (i < M) { if (b(i) > a(i)) a(i) = b(i); i += 1 }
+  }
+
+  def cardinality(regs: Array[Byte]): Long = {
+    val alpha = 0.7213 / (1.0 + 1.079 / M)
+    var sum = 0.0
+    var zeros = 0
+    var i = 0
+    while (i < M) {
+      sum += 1.0 / (1L << regs(i)).toDouble
+      if (regs(i) == 0) zeros += 1
+      i += 1
+    }
+    var e = alpha * M * M / sum
+    if (e <= 2.5 * M && zeros > 0) e = M * math.log(M.toDouble / zeros) // linear counting
+    math.round(e)
+  }
+}
+
+/** approx_set(x) / merge(hll): returns the serialized HLL sketch. */
+case class HllSketchAgg(
+    child: Expression,
+    mergeMode: Boolean, // true: child is an existing serialized sketch
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Array[Byte]] with UnaryLike[Expression] {
+
+  override def createAggregationBuffer(): Array[Byte] = new Array[Byte](Hll.M)
+
+  override def update(buf: Array[Byte], input: InternalRow): Array[Byte] = {
+    val v = child.eval(input)
+    if (v != null) {
+      if (mergeMode) Hll.merge(buf, v.asInstanceOf[Array[Byte]])
+      else Hll.update(buf, Hll.hashAny(v))
+    }
+    buf
+  }
+
+  override def merge(buf: Array[Byte], other: Array[Byte]): Array[Byte] = {
+    Hll.merge(buf, other); buf
+  }
+
+  override def eval(buf: Array[Byte]): Any = buf
+  override def serialize(buf: Array[Byte]): Array[Byte] = buf
+  override def deserialize(bytes: Array[Byte]): Array[Byte] = bytes
+
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = false
+  override def prettyName: String = if (mergeMode) "merge_hll" else "approx_set"
+  override protected def withNewChildInternal(newChild: Expression): HllSketchAgg =
+    copy(child = newChild)
+  override def withNewMutableAggBufferOffset(offset: Int): HllSketchAgg =
+    copy(mutableAggBufferOffset = offset)
+  override def withNewInputAggBufferOffset(offset: Int): HllSketchAgg =
+    copy(inputAggBufferOffset = offset)
+}
+
+/** Bottom-k set digest (k smallest distinct xxhash64 values) — mergeable
+  * minhash per Broder 1997; powers jaccard_index like the reference's
+  * SetDigest. Bounded k*8-byte buffer per group.
+  */
+object SetDigest {
+  val K = 256
+
+  def toBytes(s: java.util.TreeSet[java.lang.Long]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(4 + s.size * 8)
+    bb.putInt(s.size)
+    val it = s.iterator()
+    while (it.hasNext) bb.putLong(it.next())
+    bb.array()
+  }
+
+  def fromBytes(b: Array[Byte]): java.util.TreeSet[java.lang.Long] = {
+    val bb = java.nio.ByteBuffer.wrap(b)
+    val n = bb.getInt
+    val s = new java.util.TreeSet[java.lang.Long]()
+    var i = 0
+    while (i < n) { s.add(bb.getLong); i += 1 }
+    s
+  }
+
+  def add(s: java.util.TreeSet[java.lang.Long], h: Long): Unit = {
+    s.add(h)
+    while (s.size > K) s.pollLast()
+  }
+
+  /** Jaccard estimate from two bottom-k digests (Broder): among the k
+    * smallest of the union, the fraction present in both.
+    */
+  def jaccard(a: java.util.TreeSet[java.lang.Long], b: java.util.TreeSet[java.lang.Long]): Double = {
+    if (a.isEmpty && b.isEmpty) return 1.0
+    val union = new java.util.TreeSet[java.lang.Long](a)
+    union.addAll(b)
+    var kept = 0
+    var inBoth = 0
+    val it = union.iterator()
+    while (it.hasNext && kept < K) {
+      val h = it.next()
+      kept += 1
+      if (a.contains(h) && b.contains(h)) inBoth += 1
+    }
+    inBoth.toDouble / kept
+  }
+}
+
+case class SetDigestAgg(
+    child: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[java.util.TreeSet[java.lang.Long]] with UnaryLike[Expression] {
+
+  override def createAggregationBuffer(): java.util.TreeSet[java.lang.Long] =
+    new java.util.TreeSet[java.lang.Long]()
+
+  override def update(buf: java.util.TreeSet[java.lang.Long], input: InternalRow): java.util.TreeSet[java.lang.Long] = {
+    val v = child.eval(input)
+    if (v != null) SetDigest.add(buf, Hll.hashAny(v))
+    buf
+  }
+
+  override def merge(buf: java.util.TreeSet[java.lang.Long], other: java.util.TreeSet[java.lang.Long]): java.util.TreeSet[java.lang.Long] = {
+    val it = other.iterator()
+    while (it.hasNext) SetDigest.add(buf, it.next())
+    buf
+  }
+
+  override def eval(buf: java.util.TreeSet[java.lang.Long]): Any = SetDigest.toBytes(buf)
+  override def serialize(buf: java.util.TreeSet[java.lang.Long]): Array[Byte] = SetDigest.toBytes(buf)
+  override def deserialize(b: Array[Byte]): java.util.TreeSet[java.lang.Long] = SetDigest.fromBytes(b)
+
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = false
+  override def prettyName: String = "make_set_digest"
+  override protected def withNewChildInternal(newChild: Expression): SetDigestAgg =
+    copy(child = newChild)
+  override def withNewMutableAggBufferOffset(offset: Int): SetDigestAgg =
+    copy(mutableAggBufferOffset = offset)
+  override def withNewInputAggBufferOffset(offset: Int): SetDigestAgg =
+    copy(inputAggBufferOffset = offset)
+}
+
+object SketchAggregates {
+  def install(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("approx_set",
+      args => HllSketchAgg(args.head, mergeMode = false), "scala_udf")
+    reg.createOrReplaceTempFunction("merge_hll",
+      args => HllSketchAgg(args.head, mergeMode = true), "scala_udf")
+    reg.createOrReplaceTempFunction("make_set_digest",
+      args => SetDigestAgg(args.head), "scala_udf")
+    // checksum(x): order-independent xor of xxhash64 — stays fully native.
+    // Reference: ChecksumAggregationFunction.java:47.
+    reg.createOrReplaceTempFunction("checksum",
+      args => BitXorAgg(new XxHash64(args)), "scala_udf")
+
+    spark.udf.register("hll_cardinality", (b: Array[Byte]) => Hll.cardinality(b))
+    spark.udf.register("jaccard_index", (a: Array[Byte], b: Array[Byte]) =>
+      SetDigest.jaccard(SetDigest.fromBytes(a), SetDigest.fromBytes(b)))
+  }
+}

@@ -1,0 +1,33 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** One verifiable query: a Spark-side builder plus (optionally) the
+  * equivalent ANSI SQL for the DuckDB oracle. Column names/aliases MUST
+  * match between the two — the driver's comparator sorts columns by name
+  * before hashing.
+  */
+final case class Q(
+    name: String,
+    build: (SparkSession, String) => DataFrame,
+    oracle: Option[String]) {
+  def run(spark: SparkSession, dir: String): DataFrame = {
+    graft.engine.Engine.registerTables(spark, dir)
+    build(spark, dir)
+  }
+}
+
+object Q {
+  /** Query with a DuckDB oracle. */
+  def apply(name: String, oracle: String)(build: (SparkSession, String) => DataFrame): Q =
+    Q(name, build, Some(oracle))
+
+  /** Query with only a rows>0 check (non-SQL-expressible op). */
+  def noOracle(name: String)(build: (SparkSession, String) => DataFrame): Q =
+    Q(name, build, None)
+}
+
+/** A module of queries (one per SURVEY §2 area). */
+trait QueryModule {
+  def queries: Seq[Q]
+}
