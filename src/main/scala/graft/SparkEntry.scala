@@ -13,7 +13,7 @@ object SparkEntry {
 
   /** All query modules (one per SURVEY §2 area). */
   def modules: Seq[QueryModule] = Seq(
-    TpchQueries)
+    TpchQueries, JoinQueries, AggQueries, WindowQueries, SetOpQueries, ShapeQueries)
 
   private lazy val all: Seq[Q] = modules.flatMap(_.queries)
 

@@ -1,0 +1,198 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+/** Aggregation coverage (SURVEY §2.4): global + hash agg, DISTINCT
+  * aggregates, FILTER clause, GROUPING SETS / ROLLUP / CUBE + grouping(),
+  * min_by/max_by, statistics aggs, bool aggs, sorted array_agg.
+  *
+  * Reference: operator/AggregationOperator.java:35,
+  * HashAggregationOperator.java:47, GroupIdOperator.java:32,
+  * MarkDistinctOperator.java:35, aggregation/MinMaxByAggregations,
+  * VarianceAggregation.java, CentralMomentsAggregation.java.
+  *
+  * Spark handles partial/final split + spill; DISTINCT via Catalyst
+  * RewriteDistinctAggregates (= the reference's MarkDistinct machinery).
+  */
+object AggQueries extends QueryModule {
+
+  def queries: Seq[Q] = Seq(
+
+    Q("agg_global",
+      """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |  sum(l_quantity) AS sum_qty,
+        |  min(l_extendedprice) AS min_price,
+        |  max(l_extendedprice) AS max_price,
+        |  avg(l_extendedprice) AS avg_price,
+        |  min(l_shipdate) AS min_ship,
+        |  max(l_shipdate) AS max_ship
+        |FROM lineitem""".stripMargin) { (s, _) =>
+      s.table("lineitem").agg(
+        count(lit(1)).as("n_rows"),
+        sum("l_quantity").as("sum_qty"),
+        min("l_extendedprice").as("min_price"),
+        max("l_extendedprice").as("max_price"),
+        avg("l_extendedprice").as("avg_price"),
+        min("l_shipdate").as("min_ship"),
+        max("l_shipdate").as("max_ship"))
+    },
+
+    Q("agg_distinct",
+      """SELECT CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_parts,
+        |  CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_supps
+        |FROM lineitem""".stripMargin) { (s, _) =>
+      s.table("lineitem").agg(
+        countDistinct("l_partkey").as("n_parts"),
+        countDistinct("l_suppkey").as("n_supps"))
+    },
+
+    // Mixed distinct + plain aggregates per group — the reference's
+    // OptimizeMixedDistinctAggregations path.
+    Q("agg_mixed_distinct",
+      """SELECT l_returnflag,
+        |  CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_parts,
+        |  CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders,
+        |  sum(l_quantity) AS sum_qty
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin) { (s, _) =>
+      s.table("lineitem").groupBy("l_returnflag").agg(
+        countDistinct("l_partkey").as("n_parts"),
+        countDistinct("l_orderkey").as("n_orders"),
+        sum("l_quantity").as("sum_qty"))
+    },
+
+    // FILTER clause on aggregate arguments — ImplementFilteredAggregations.
+    Q("agg_filter_clause",
+      """SELECT l_linestatus,
+        |  sum(l_quantity) FILTER (WHERE l_returnflag = 'R') AS qty_returned,
+        |  sum(l_quantity) FILTER (WHERE l_returnflag <> 'R') AS qty_kept,
+        |  CAST(count(*) FILTER (WHERE l_discount > 0.05) AS BIGINT) AS n_discounted
+        |FROM lineitem GROUP BY l_linestatus""".stripMargin) { (s, _) =>
+      s.table("lineitem").groupBy("l_linestatus").agg(
+        sum(when(col("l_returnflag") === "R", col("l_quantity"))).as("qty_returned"),
+        sum(when(col("l_returnflag") =!= "R", col("l_quantity"))).as("qty_kept"),
+        count(when(col("l_discount") > 0.05, lit(1))).as("n_discounted"))
+    },
+
+    Q("agg_having",
+      """SELECT l_partkey, sum(l_quantity) AS total_qty
+        |FROM lineitem GROUP BY l_partkey HAVING sum(l_quantity) > 100""".stripMargin) { (s, _) =>
+      s.table("lineitem").groupBy("l_partkey")
+        .agg(sum("l_quantity").as("total_qty"))
+        .filter(col("total_qty") > 100)
+    },
+
+    Q("agg_rollup",
+      """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty,
+        |  CAST(count(*) AS BIGINT) AS cnt
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin) { (s, _) =>
+      s.table("lineitem").rollup("l_returnflag", "l_linestatus")
+        .agg(sum("l_quantity").as("sum_qty"), count(lit(1)).as("cnt"))
+    },
+
+    Q("agg_cube",
+      """SELECT o_orderstatus, o_orderpriority, sum(o_totalprice) AS total,
+        |  CAST(count(*) AS BIGINT) AS cnt
+        |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)""".stripMargin) { (s, _) =>
+      s.table("orders").cube("o_orderstatus", "o_orderpriority")
+        .agg(sum("o_totalprice").as("total"), count(lit(1)).as("cnt"))
+    },
+
+    // GROUPING SETS + grouping() marker — GroupIdOperator.java:32,
+    // GroupingOperationRewriter.java.
+    Q("agg_grouping_sets",
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(grouping(l_returnflag) AS INT) AS g_flag,
+        |  CAST(grouping(l_linestatus) AS INT) AS g_status,
+        |  sum(l_quantity) AS sum_qty
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), (l_returnflag, l_linestatus))""".stripMargin) { (s, _) =>
+      s.sql(
+        """SELECT l_returnflag, l_linestatus,
+          |  CAST(grouping(l_returnflag) AS INT) AS g_flag,
+          |  CAST(grouping(l_linestatus) AS INT) AS g_status,
+          |  sum(l_quantity) AS sum_qty
+          |FROM lineitem
+          |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), (l_returnflag, l_linestatus))""".stripMargin)
+    },
+
+    // min_by / max_by — minmaxby/ MaxByAggregationFunction (DuckDB: arg_*).
+    Q("agg_minmax_by",
+      """SELECT arg_max(c_name, c_acctbal) AS richest,
+        |  arg_min(c_name, c_acctbal) AS poorest,
+        |  max(c_acctbal) AS max_bal, min(c_acctbal) AS min_bal
+        |FROM customer""".stripMargin) { (s, _) =>
+      s.table("customer").agg(
+        max_by(col("c_name"), col("c_acctbal")).as("richest"),
+        min_by(col("c_name"), col("c_acctbal")).as("poorest"),
+        max("c_acctbal").as("max_bal"),
+        min("c_acctbal").as("min_bal"))
+    },
+
+    // Statistics aggregates — VarianceAggregation.java,
+    // DoubleCovarianceAggregation.java, DoubleCorrelationAggregation.java.
+    Q("agg_stats",
+      """SELECT var_samp(l_quantity) AS vs, var_pop(l_quantity) AS vp,
+        |  stddev_samp(l_quantity) AS ss, stddev_pop(l_quantity) AS sp,
+        |  corr(l_quantity, l_extendedprice) AS c,
+        |  covar_samp(l_quantity, l_extendedprice) AS cvs,
+        |  covar_pop(l_quantity, l_extendedprice) AS cvp
+        |FROM lineitem""".stripMargin) { (s, _) =>
+      s.table("lineitem").agg(
+        var_samp("l_quantity").as("vs"), var_pop("l_quantity").as("vp"),
+        stddev_samp("l_quantity").as("ss"), stddev_pop("l_quantity").as("sp"),
+        corr("l_quantity", "l_extendedprice").as("c"),
+        covar_samp("l_quantity", "l_extendedprice").as("cvs"),
+        covar_pop("l_quantity", "l_extendedprice").as("cvp"))
+    },
+
+    // skewness / kurtosis — CentralMomentsAggregation.java. Spark computes
+    // population moments (g1, excess g2); DuckDB's builtins use sample
+    // formulas, so the oracle computes the population moments explicitly.
+    Q("agg_skew_kurt",
+      """WITH m AS (SELECT avg(l_quantity) AS mu, CAST(count(*) AS DOUBLE) AS n FROM lineitem)
+        |SELECT
+        |  (sum(pow(l_quantity - mu, 3)) / any_value(n)) / pow(sum(pow(l_quantity - mu, 2)) / any_value(n), 1.5) AS skew,
+        |  (sum(pow(l_quantity - mu, 4)) / any_value(n)) / pow(sum(pow(l_quantity - mu, 2)) / any_value(n), 2.0) - 3.0 AS kurt
+        |FROM lineitem, m""".stripMargin) { (s, _) =>
+      s.table("lineitem").agg(
+        skewness("l_quantity").as("skew"),
+        kurtosis("l_quantity").as("kurt"))
+    },
+
+    Q("agg_bool",
+      """SELECT l_returnflag,
+        |  bool_and(l_discount <= 0.1) AS all_small_disc,
+        |  bool_or(l_quantity >= 49) AS any_big_qty
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin) { (s, _) =>
+      s.table("lineitem").groupBy("l_returnflag").agg(
+        bool_and(col("l_discount") <= 0.1).as("all_small_disc"),
+        bool_or(col("l_quantity") >= 49).as("any_big_qty"))
+    },
+
+    // count_if — CountIfAggregation.java.
+    Q("agg_count_if",
+      """SELECT o_orderstatus,
+        |  CAST(count_if(o_totalprice > 200000) AS BIGINT) AS n_big
+        |FROM orders GROUP BY o_orderstatus""".stripMargin) { (s, _) =>
+      s.table("orders").groupBy("o_orderstatus")
+        .agg(count_if(col("o_totalprice") > 200000).as("n_big"))
+    },
+
+    // Sorted array_agg — arrayagg/ + PruneOrderByInAggregation; Spark
+    // expresses ORDER BY inside agg as sort_array(collect_list(...)).
+    Q("agg_array_sorted",
+      """SELECT l_orderkey, array_agg(l_linenumber ORDER BY l_linenumber) AS line_numbers
+        |FROM lineitem WHERE l_orderkey <= 200 GROUP BY l_orderkey""".stripMargin) { (s, _) =>
+      s.table("lineitem").filter(col("l_orderkey") <= 200)
+        .groupBy("l_orderkey")
+        .agg(sort_array(collect_list("l_linenumber")).as("line_numbers"))
+    },
+
+    // geometric_mean — reference aggregation/GeometricMeanAggregations.
+    Q("agg_geometric_mean",
+      """SELECT l_returnflag, exp(avg(ln(l_quantity))) AS geo_mean_qty
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin) { (s, _) =>
+      s.table("lineitem").groupBy("l_returnflag")
+        .agg(exp(avg(log(col("l_quantity")))).as("geo_mean_qty"))
+    })
+}

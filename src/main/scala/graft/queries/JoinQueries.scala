@@ -1,0 +1,114 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+/** Join operator coverage — the reference's three join machines and all
+  * semantics they serve (SURVEY §2.3):
+  * hash join INNER/LEFT/RIGHT/FULL (operator/LookupJoinOperator.java:53,
+  * plan/JoinNode.java:178), semi/anti (HashSemiJoinOperator.java:32,
+  * SetBuilderOperator.java:36), nested-loop cross + theta
+  * (NestedLoopJoinOperator.java:36), broadcast vs partitioned distribution
+  * (plan/JoinNode.java:172).
+  *
+  * Spark-first: equi joins shuffle both sides on the key once (or
+  * broadcast the dim); theta joins use BroadcastNestedLoopJoin with the
+  * small side broadcast. At 100 TB the fact-fact joins (lineitem-orders)
+  * hash-partition; everything else broadcasts.
+  */
+object JoinQueries extends QueryModule {
+
+  def queries: Seq[Q] = Seq(
+
+    Q("join_inner_dims",
+      """SELECT s_name, n_name, r_name
+        |FROM supplier
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey""".stripMargin) { (s, _) =>
+      s.table("supplier")
+        .join(broadcast(s.table("nation")), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(s.table("region")), col("n_regionkey") === col("r_regionkey"))
+        .select("s_name", "n_name", "r_name")
+    },
+
+    Q("join_left_outer",
+      """SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS order_cnt
+        |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |GROUP BY c_custkey""".stripMargin) { (s, _) =>
+      s.table("customer")
+        .join(s.table("orders"), col("c_custkey") === col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(count("o_orderkey").as("order_cnt"))
+    },
+
+    Q("join_right_outer",
+      """SELECT p_partkey, CAST(count(l_orderkey) AS BIGINT) AS li_cnt
+        |FROM lineitem RIGHT JOIN part ON l_partkey = p_partkey
+        |GROUP BY p_partkey""".stripMargin) { (s, _) =>
+      s.table("lineitem")
+        .join(s.table("part"), col("l_partkey") === col("p_partkey"), "right")
+        .groupBy("p_partkey")
+        .agg(count("l_orderkey").as("li_cnt"))
+    },
+
+    Q("join_full_outer",
+      """SELECT coalesce(c.nk, s.nk) AS nationkey, c.customers AS customers, s.suppliers AS suppliers
+        |FROM (SELECT c_nationkey AS nk, CAST(count(*) AS BIGINT) AS customers FROM customer GROUP BY 1) c
+        |FULL JOIN (SELECT s_nationkey AS nk, CAST(count(*) AS BIGINT) AS suppliers FROM supplier GROUP BY 1) s
+        |  ON c.nk = s.nk""".stripMargin) { (s, _) =>
+      val cn = s.table("customer").groupBy(col("c_nationkey").as("nk_c"))
+        .agg(count(lit(1)).as("customers"))
+      val sn = s.table("supplier").groupBy(col("s_nationkey").as("nk_s"))
+        .agg(count(lit(1)).as("suppliers"))
+      cn.join(sn, col("nk_c") === col("nk_s"), "full_outer")
+        .select(coalesce(col("nk_c"), col("nk_s")).as("nationkey"),
+          col("customers"), col("suppliers"))
+    },
+
+    Q("join_semi",
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')""".stripMargin) { (s, _) =>
+      s.table("customer")
+        .join(s.table("orders").filter(col("o_orderpriority") === "1-URGENT"),
+          col("c_custkey") === col("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name")
+    },
+
+    Q("join_anti",
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin) { (s, _) =>
+      s.table("customer")
+        .join(s.table("orders"), col("c_custkey") === col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name")
+    },
+
+    Q("join_cross",
+      """SELECT r_name, n_name FROM region CROSS JOIN nation""".stripMargin) { (s, _) =>
+      s.table("region").crossJoin(s.table("nation")).select("r_name", "n_name")
+    },
+
+    // Theta (non-equi) band join — nested-loop in the reference; Spark
+    // broadcasts the 10-row supplier side (BroadcastNestedLoopJoin).
+    Q("join_theta_band",
+      """SELECT s_suppkey, c_custkey FROM supplier JOIN customer
+        |ON c_acctbal BETWEEN s_acctbal - 50 AND s_acctbal + 50""".stripMargin) { (s, _) =>
+      broadcast(s.table("supplier"))
+        .join(s.table("customer"),
+          col("c_acctbal").between(col("s_acctbal") - 50, col("s_acctbal") + 50))
+        .select("s_suppkey", "c_custkey")
+    },
+
+    // Self-join with inequality: pairs of orders by the same customer
+    // where the first strictly precedes the second.
+    Q("join_self_inequality",
+      """SELECT o1.o_custkey AS custkey, CAST(count(*) AS BIGINT) AS pair_cnt
+        |FROM orders o1 JOIN orders o2
+        |  ON o1.o_custkey = o2.o_custkey
+        | AND o1.o_orderdate < o2.o_orderdate
+        |GROUP BY o1.o_custkey""".stripMargin) { (s, _) =>
+      val o1 = s.table("orders").select(col("o_custkey"), col("o_orderdate").as("d1"))
+      val o2 = s.table("orders").select(col("o_custkey").as("ck2"), col("o_orderdate").as("d2"))
+      o1.join(o2, col("o_custkey") === col("ck2") && col("d1") < col("d2"))
+        .groupBy(col("o_custkey").as("custkey"))
+        .agg(count(lit(1)).as("pair_cnt"))
+    })
+}
