@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.queries._
+import graft.llm.{LlmQueries, MultimodalQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -13,7 +14,8 @@ object SparkEntry {
 
   /** All query modules (one per SURVEY §2 area). */
   def modules: Seq[QueryModule] = Seq(
-    TpchQueries, JoinQueries, AggQueries, WindowQueries, SetOpQueries, ShapeQueries)
+    TpchQueries, JoinQueries, AggQueries, WindowQueries, SetOpQueries, ShapeQueries,
+    FuncQueries, EventQueries, SketchQueries, LlmQueries, MultimodalQueries)
 
   private lazy val all: Seq[Q] = modules.flatMap(_.queries)
 

@@ -61,8 +61,7 @@ object Engine {
           val df =
             if (t == "events")
               df0.withColumn("ts",
-                org.apache.spark.sql.functions.timestamp_micros(
-                  (org.apache.spark.sql.functions.col("ts") / 1000L).cast("long")))
+                org.apache.spark.sql.functions.expr("timestamp_micros(ts DIV 1000)"))
             else df0
           df.createOrReplaceTempView(t)
         }

@@ -128,20 +128,21 @@ object Fns {
     * reference: operator/scalar/MathFunctions.java cosineSimilarity (maps).
     * dot(a,b) / (||a|| * ||b||), all via zip_with + aggregate (codegen'd).
     */
-  def cosineSim(a: Column, b: Column): Column = {
-    val dot = aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, x) => acc + x)
-    val na = sqrt(aggregate(a, lit(0.0d), (acc, x) => acc + x * x))
-    val nb = sqrt(aggregate(b, lit(0.0d), (acc, x) => acc + x * x))
-    dot / (na * nb)
-  }
+  def cosineSim(a: Column, b: Column): Column =
+    dot(a, b) / (l2norm(a) * l2norm(b))
 
-  /** Dot product of two numeric arrays. */
+  /** Dot product of two numeric arrays. Elements are cast to double
+    * BEFORE multiplying — float32 products would round differently from
+    * any double-precision reference.
+    */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, x) => acc + x)
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0d), (acc, x) => acc + x)
 
-  /** L2 norm. */
+  /** L2 norm (double accumulation). */
   def l2norm(a: Column): Column =
-    sqrt(aggregate(a, lit(0.0d), (acc, x) => acc + x * x))
+    sqrt(aggregate(a, lit(0.0d), (acc, x) => acc + x.cast("double") * x.cast("double")))
 
   /** ngrams(arr, n): array of n-element sub-arrays —
     * reference: operator/scalar/ArrayNgramsFunction.java.

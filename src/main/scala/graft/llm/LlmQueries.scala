@@ -1,0 +1,277 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.Fns
+import graft.queries.{Q, QueryModule}
+
+/** LLM training-data pipeline operators (the north star beyond the
+  * reference's own surface — BASELINE.json): deduplication (exact,
+  * n-gram Jaccard, MinHash+LSH, SimHash), embedding similarity search
+  * (brute-force + LSH-bucketed), text analysis (language ID, quality
+  * scoring, token counting, fingerprinting).
+  *
+  * Scale design (100 TB): every pipeline is shuffle-bounded —
+  * shingle explode → hash-partition on shingle → pair counts (no
+  * driver-side state); MinHash signatures are fixed 64-long arrays
+  * (bounded row width); LSH banding turns all-pairs O(n²) into
+  * per-bucket joins. The only O(n²) op is the brute-force KNN baseline,
+  * kept to a bounded query set (its scale path is the LSH variant).
+  */
+object LlmQueries extends QueryModule {
+
+  /** Distinct 5-word shingles per doc, as '_'-joined strings (docs with
+    * <5 words are dropped, matching the oracle).
+    */
+  private def shingleSets(s: SparkSession): DataFrame =
+    s.table("documents")
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .filter(size(col("w")) >= 5)
+      .select(col("doc_id"),
+        array_distinct(transform(
+          sequence(lit(1), size(col("w")) - 4),
+          i => concat_ws("_", slice(col("w"), i, lit(5))))).as("shingles"))
+
+  /** Exact pairwise 5-gram Jaccard >= threshold via shingle-key join —
+    * the SQL-exact near-dup detector (also the oracle's formulation).
+    */
+  private def exactJaccardPairs(s: SparkSession, threshold: Double): DataFrame = {
+    val sh = shingleSets(s)
+      .select(col("doc_id"), explode(col("shingles")).as("sh"))
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val a = sh.select(col("doc_id").as("d1"), col("sh"))
+    val b = sh.select(col("doc_id").as("d2"), col("sh"))
+    a.join(b, Seq("sh")).filter(col("d1") < col("d2"))
+      .groupBy("d1", "d2").agg(count(lit(1)).as("common"))
+      .join(sizes.select(col("doc_id").as("d1"), col("n").as("n1")), "d1")
+      .join(sizes.select(col("doc_id").as("d2"), col("n").as("n2")), "d2")
+      .select(col("d1").as("doc_a"), col("d2").as("doc_b"),
+        (col("common").cast("double") / (col("n1") + col("n2") - col("common"))).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** MinHash+LSH candidate pairs: 64-perm signature, 16 bands x 4 rows.
+    * Candidates = docs sharing any band hash; verified by signature-
+    * estimated Jaccard. Fully native (xxhash64/transform/array_min).
+    */
+  private def lshVerifiedPairs(s: SparkSession, estThreshold: Double): DataFrame = {
+    val sigs = shingleSets(s)
+      .select(col("doc_id"), Fns.minhashSignature(col("shingles"), 64).as("sig"))
+    val bands = sigs.select(col("doc_id"), col("sig"),
+      posexplode(transform(sequence(lit(0), lit(15)),
+        b => xxhash64(b, slice(col("sig"), b * lit(4) + 1, lit(4))))).as(Seq("band", "bhash")))
+    val l = bands.select(col("band"), col("bhash"), col("doc_id").as("d1"), col("sig").as("sig1"))
+    val r = bands.select(col("band"), col("bhash"), col("doc_id").as("d2"), col("sig").as("sig2"))
+    l.join(r, Seq("band", "bhash")).filter(col("d1") < col("d2"))
+      .select(col("d1"), col("d2"), col("sig1"), col("sig2")).distinct()
+      .select(col("d1").as("doc_a"), col("d2").as("doc_b"),
+        Fns.minhashJaccard(col("sig1"), col("sig2")).as("est_jaccard"))
+      .filter(col("est_jaccard") >= estThreshold)
+  }
+
+  def queries: Seq[Q] = Seq(
+
+    // ---- Deduplication ----
+
+    Q("llm_dedup_exact",
+      """SELECT md5(text) AS fp, CAST(count(*) AS BIGINT) AS copies,
+        |  min(doc_id) AS keeper
+        |FROM documents GROUP BY md5(text)""".stripMargin) { (s, _) =>
+      s.table("documents")
+        .groupBy(md5(col("text").cast("binary")).as("fp"))
+        .agg(count(lit(1)).as("copies"), min("doc_id").as("keeper"))
+    },
+
+    Q("llm_dedup_ngram_jaccard",
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents WHERE len(string_split(text, ' ')) >= 5),
+        |sh AS (SELECT doc_id, unnest(list_distinct([array_to_string(w[i:i+4], '_') for i in generate_series(1, len(w)-4)])) AS s FROM toks),
+        |sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM sh GROUP BY doc_id),
+        |pairs AS (SELECT a.doc_id AS d1, b.doc_id AS d2, CAST(count(*) AS BIGINT) AS common
+        |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
+        |SELECT d1 AS doc_a, d2 AS doc_b,
+        |  CAST(common AS DOUBLE) / (s1.n + s2.n - common) AS jaccard
+        |FROM pairs
+        |JOIN sizes s1 ON s1.doc_id = d1
+        |JOIN sizes s2 ON s2.doc_id = d2
+        |WHERE CAST(common AS DOUBLE) / (s1.n + s2.n - common) >= 0.8""".stripMargin) { (s, _) =>
+      exactJaccardPairs(s, 0.8)
+    },
+
+    // MinHash-LSH near-dup detection — contract-checked: (a) every exact
+    // pair at J>=0.8 is recovered (16x4 banding catches J=0.8 with
+    // p≈0.9998), (b) every verified candidate truly has J>=0.5
+    // (64-perm estimate at >=0.7 implies true J well above 0.5).
+    Q("llm_dedup_minhash_lsh",
+      """SELECT true AS recall_ok, true AS precision_ok""".stripMargin) { (s, _) =>
+      import s.implicits._
+      val exact = exactJaccardPairs(s, 0.8).select("doc_a", "doc_b")
+      val lsh = lshVerifiedPairs(s, 0.7).cache()
+      val missed = exact.join(lsh.select("doc_a", "doc_b"), Seq("doc_a", "doc_b"), "left_anti").count()
+      val falsePos = lsh.select("doc_a", "doc_b")
+        .join(exactJaccardPairs(s, 0.5).select("doc_a", "doc_b"), Seq("doc_a", "doc_b"), "left_anti")
+        .count()
+      lsh.unpersist()
+      Seq((missed == 0L, falsePos == 0L)).toDF("recall_ok", "precision_ok")
+    },
+
+    // SimHash near-dup: planted near-dup pairs (exact J>=0.8) must have a
+    // strictly smaller mean Hamming distance than random pairs.
+    Q("llm_dedup_simhash",
+      """SELECT true AS separates_dups""".stripMargin) { (s, _) =>
+      import s.implicits._
+      graft.functions.FunctionRegistry.installAll(s)
+      val withSig = s.table("documents")
+        .select(col("doc_id"), call_udf("simhash64", col("text")).as("sig"))
+      val sigs = withSig.select(col("doc_id").as("d1"), col("sig").as("sig1"))
+        .crossJoin(withSig.select(col("doc_id").as("d2"), col("sig").as("sig2")))
+        .filter(col("d1") < col("d2"))
+        .select(col("d1"), col("d2"),
+          bit_count(col("sig1").bitwiseXOR(col("sig2"))).as("hamming"))
+      val dupPairs = exactJaccardPairs(s, 0.8).select(
+        col("doc_a").as("d1"), col("doc_b").as("d2"))
+      val dupMean = sigs.join(dupPairs, Seq("d1", "d2"), "left_semi")
+        .agg(avg("hamming")).head().getDouble(0)
+      val allMean = sigs.agg(avg("hamming")).head().getDouble(0)
+      Seq(dupMean < allMean / 2).toDF("separates_dups")
+    },
+
+    // ---- Similarity search ----
+
+    // Brute-force cosine top-10 (the exactness baseline; O(Q*N) with the
+    // tiny query side broadcast).
+    Q("llm_knn_brute",
+      """WITH sims AS (
+        |  SELECT q.vec_id AS q_id, e.vec_id AS n_id,
+        |    (SELECT sum(CAST(a AS DOUBLE) * CAST(b AS DOUBLE))
+        |     FROM (SELECT unnest(q.embedding) AS a, unnest(e.embedding) AS b) z)
+        |    / (sqrt((SELECT sum(CAST(a AS DOUBLE) * CAST(a AS DOUBLE)) FROM (SELECT unnest(q.embedding) AS a) z2))
+        |     * sqrt((SELECT sum(CAST(b AS DOUBLE) * CAST(b AS DOUBLE)) FROM (SELECT unnest(e.embedding) AS b) z3))) AS sim
+        |  FROM embeddings q, embeddings e
+        |  WHERE q.vec_id < 5 AND e.vec_id <> q.vec_id),
+        |ranked AS (SELECT q_id, n_id, sim,
+        |  row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS rn FROM sims)
+        |SELECT q_id, n_id, sim, CAST(rn AS BIGINT) AS rn FROM ranked WHERE rn <= 10""".stripMargin) { (s, _) =>
+      val e = s.table("embeddings")
+      val q = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("embedding").as("qe"))
+      val sims = broadcast(q)
+        .crossJoin(e.select(col("vec_id").as("n_id"), col("embedding").as("ne")))
+        .filter(col("n_id") =!= col("q_id"))
+        .select(col("q_id"), col("n_id"), Fns.cosineSim(col("qe"), col("ne")).as("sim"))
+      val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("n_id"))
+      sims.select(col("q_id"), col("n_id"), col("sim"),
+          row_number().over(w).cast("long").as("rn"))
+        .filter(col("rn") <= 10)
+    },
+
+    // LSH-bucketed ANN (the scale path): 8 tables x 8 random-hyperplane
+    // bits; candidates share a (table, signature) bucket. Reports recall
+    // vs the brute-force baseline and the candidate-compression ratio —
+    // rows-only check (recall of random-hyperplane LSH is data-dependent).
+    Q.noOracle("llm_knn_lsh") { (s, _) =>
+      import s.implicits._
+      val e = s.table("embeddings")
+      // sign(t,b,i) in {-1,1} from xxhash64 — deterministic pseudo-planes
+      def planeBit(t: Int, b: Int): Column =
+        aggregate(
+          zip_with(col("embedding"), sequence(lit(0), size(col("embedding")) - 1),
+            (x, i) => x.cast("double") *
+              (pmod(xxhash64(lit(t * 512 + b * 64), i), lit(2)).cast("double") * 2.0 - 1.0)),
+          lit(0.0d), (acc, x) => acc + x) > 0
+      def tableSig(t: Int): Column =
+        (0 until 8).map(b => when(planeBit(t, b), 1 << b).otherwise(0)).reduce(_ + _)
+      val sigs = e.select(col("vec_id"), col("embedding"),
+        array((0 until 8).map(tableSig): _*).as("sigs"))
+      val buckets = sigs.select(col("vec_id"), col("embedding"),
+        posexplode(col("sigs")).as(Seq("tbl", "sig")))
+      val q = buckets.filter(col("vec_id") < 5)
+        .select(col("tbl"), col("sig"), col("vec_id").as("q_id"), col("embedding").as("qe"))
+      val cands = q.join(
+          buckets.select(col("tbl"), col("sig"), col("vec_id").as("n_id"), col("embedding").as("ne")),
+          Seq("tbl", "sig"))
+        .filter(col("n_id") =!= col("q_id"))
+        .select("q_id", "n_id", "qe", "ne").distinct()
+      val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("n_id"))
+      val top = cands
+        .select(col("q_id"), col("n_id"), Fns.cosineSim(col("qe"), col("ne")).as("sim"))
+        .select(col("q_id"), col("n_id"), col("sim"), row_number().over(w).as("rn"))
+        .filter(col("rn") <= 10).cache()
+      val nCand = cands.count().toDouble
+      val n = e.count().toDouble
+      val brute = queries.find(_.name == "llm_knn_brute").get.build(s, "")
+        .select(col("q_id"), col("n_id"))
+      val hit = top.select("q_id", "n_id").join(brute, Seq("q_id", "n_id"), "left_semi").count()
+      val res = Seq((hit / 50.0, nCand / (5 * (n - 1)), nCand.toLong))
+        .toDF("recall_at_10", "candidate_fraction", "n_candidates")
+      top.unpersist()
+      res
+    },
+
+    // ---- Text analysis ----
+
+    Q("llm_lang_id",
+      """SELECT doc_id,
+        |  CAST(len(list_filter(string_split(text, ' '),
+        |    t -> t IN ('the','a','and','of','in','to','is'))) AS DOUBLE)
+        |    / len(string_split(text, ' ')) AS en_ratio,
+        |  CASE WHEN CAST(len(list_filter(string_split(text, ' '),
+        |    t -> t IN ('the','a','and','of','in','to','is'))) AS DOUBLE)
+        |    / len(string_split(text, ' ')) >= 0.04 THEN 'en' ELSE 'unknown' END AS pred_lang
+        |FROM documents""".stripMargin) { (s, _) =>
+      val words = split(col("text"), " ")
+      val stop = Seq("the", "a", "and", "of", "in", "to", "is")
+      val ratio = size(filter(words, t => t.isInCollection(stop))).cast("double") / size(words)
+      s.table("documents").select(col("doc_id"),
+        ratio.as("en_ratio"),
+        when(ratio >= 0.04, "en").otherwise("unknown").as("pred_lang"))
+    },
+
+    Q("llm_quality_score",
+      """SELECT doc_id,
+        |  len(string_split(text, ' ')) AS n_words,
+        |  CAST(length(replace(text, ' ', '')) AS DOUBLE) / len(string_split(text, ' ')) AS avg_word_len,
+        |  least(1.0, len(string_split(text, ' ')) / 100.0) * 0.5
+        |    + least(CAST(len(list_filter(string_split(text, ' '),
+        |        t -> t IN ('the','a','and','of','in','to','is'))) AS DOUBLE)
+        |        / len(string_split(text, ' ')) * 5.0, 0.5) AS quality,
+        |  CASE WHEN least(1.0, len(string_split(text, ' ')) / 100.0) * 0.5
+        |    + least(CAST(len(list_filter(string_split(text, ' '),
+        |        t -> t IN ('the','a','and','of','in','to','is'))) AS DOUBLE)
+        |        / len(string_split(text, ' ')) * 5.0, 0.5) >= 0.6 THEN 'high'
+        |    WHEN least(1.0, len(string_split(text, ' ')) / 100.0) * 0.5
+        |    + least(CAST(len(list_filter(string_split(text, ' '),
+        |        t -> t IN ('the','a','and','of','in','to','is'))) AS DOUBLE)
+        |        / len(string_split(text, ' ')) * 5.0, 0.5) >= 0.3 THEN 'medium'
+        |    ELSE 'low' END AS bucket
+        |FROM documents""".stripMargin) { (s, _) =>
+      val words = split(col("text"), " ")
+      val stop = Seq("the", "a", "and", "of", "in", "to", "is")
+      val nWords = size(words)
+      val stopRatio = size(filter(words, t => t.isInCollection(stop))).cast("double") / nWords
+      val quality = least(lit(1.0), nWords / 100.0) * 0.5 + least(stopRatio * 5.0, lit(0.5))
+      s.table("documents").select(col("doc_id"),
+        nWords.as("n_words"),
+        (length(regexp_replace(col("text"), " ", "")).cast("double") / nWords).as("avg_word_len"),
+        quality.as("quality"),
+        when(quality >= 0.6, "high").when(quality >= 0.3, "medium").otherwise("low").as("bucket"))
+    },
+
+    Q("llm_token_count",
+      """SELECT doc_id,
+        |  CAST(len(string_split_regex(text, '\s+')) AS BIGINT) AS ws_tokens,
+        |  CAST(ceil(length(text) / 4.0) AS BIGINT) AS approx_bpe_tokens
+        |FROM documents""".stripMargin) { (s, _) =>
+      s.table("documents").select(col("doc_id"),
+        size(split(col("text"), "\\s+")).cast("long").as("ws_tokens"),
+        ceil(length(col("text")) / 4.0).cast("long").as("approx_bpe_tokens"))
+    },
+
+    Q("llm_fingerprint",
+      """SELECT doc_id,
+        |  md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp
+        |FROM documents""".stripMargin) { (s, _) =>
+      s.table("documents").select(col("doc_id"),
+        md5(lower(trim(regexp_replace(col("text"), "\\s+", " "))).cast("binary")).as("fp"))
+    })
+}

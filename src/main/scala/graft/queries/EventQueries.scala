@@ -1,0 +1,112 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+/** Time-window analytics over the `events` table. The reference is
+  * batch-only (SURVEY §2.10 — Kafka is a snapshot table,
+  * presto-kafka/.../KafkaRecordSet.java:53), so these are batch
+  * equivalents of the streaming shapes: tumbling windows, gap
+  * sessionization, JSON payload extraction, pivots.
+  *
+  * At 100 TB: the tumbling agg is a single hash agg on
+  * (window, event_type); sessionization shuffles once on user_id then
+  * sorts within partitions — both scale linearly with no driver state.
+  */
+object EventQueries extends QueryModule {
+
+  def queries: Seq[Q] = Seq(
+
+    // Tumbling 1-hour window — Spark's window() aligns to the epoch, same
+    // as date_trunc('hour').
+    Q("ev_tumbling_hourly",
+      """SELECT date_trunc('hour', ts) AS hour_start, event_type,
+        |  CAST(count(*) AS BIGINT) AS n_events,
+        |  sum(value) AS total_value
+        |FROM events GROUP BY 1, 2""".stripMargin) { (s, _) =>
+      s.table("events")
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"), sum("value").as("total_value"))
+        .select(col("window.start").as("hour_start"), col("event_type"),
+          col("n_events"), col("total_value"))
+    },
+
+    // Gap-based sessionization (30-min inactivity) via lag + running sum —
+    // the classic window-function sessionization; identical SQL runs on
+    // both engines.
+    Q("ev_sessionize",
+      """WITH flags AS (
+        |  SELECT user_id, ts, event_id,
+        |    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+        |           OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) > INTERVAL 30 MINUTE
+        |         THEN 1 ELSE 0 END AS is_new
+        |  FROM events),
+        |sessions AS (
+        |  SELECT user_id, ts, event_id,
+        |    sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  FROM flags)
+        |SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+        |  CAST(count(*) AS BIGINT) AS n_events,
+        |  min(ts) AS session_start, max(ts) AS session_end
+        |FROM sessions GROUP BY user_id, session_id""".stripMargin) { (s, _) =>
+      s.sql(
+        """WITH flags AS (
+          |  SELECT user_id, ts, event_id,
+          |    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+          |           OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) > INTERVAL 30 MINUTE
+          |         THEN 1 ELSE 0 END AS is_new
+          |  FROM events),
+          |sessions AS (
+          |  SELECT user_id, ts, event_id,
+          |    sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+          |  FROM flags)
+          |SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+          |  CAST(count(*) AS BIGINT) AS n_events,
+          |  min(ts) AS session_start, max(ts) AS session_end
+          |FROM sessions GROUP BY user_id, session_id""".stripMargin)
+    },
+
+    Q("ev_json_payload",
+      """SELECT event_type,
+        |  CAST(sum(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
+        |  CAST(count(*) AS BIGINT) AS cnt
+        |FROM events GROUP BY event_type""".stripMargin) { (s, _) =>
+      s.table("events").groupBy("event_type").agg(
+        sum(get_json_object(col("props"), "$.k").cast("int")).cast("long").as("sum_k"),
+        count(lit(1)).as("cnt"))
+    },
+
+    // Pivot (DataFrame-level; neither the reference nor ANSI has PIVOT) —
+    // oracle via conditional aggregation.
+    Q("ev_pivot_type_counts",
+      """SELECT user_id,
+        |  CAST(count(*) FILTER (WHERE event_type = 'click') AS BIGINT) AS click,
+        |  CAST(count(*) FILTER (WHERE event_type = 'error') AS BIGINT) AS error,
+        |  CAST(count(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS purchase,
+        |  CAST(count(*) FILTER (WHERE event_type = 'signup') AS BIGINT) AS signup,
+        |  CAST(count(*) FILTER (WHERE event_type = 'view') AS BIGINT) AS view
+        |FROM events GROUP BY user_id""".stripMargin) { (s, _) =>
+      s.table("events")
+        .groupBy("user_id")
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+    },
+
+    // Daily active users + value stats — the dashboard-style rollup.
+    Q("ev_daily_stats",
+      """SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS dau,
+        |  CAST(count(*) AS BIGINT) AS n_events,
+        |  avg(value) AS avg_value,
+        |  max(value) AS max_value
+        |FROM events GROUP BY 1""".stripMargin) { (s, _) =>
+      s.table("events")
+        .groupBy(date_trunc("day", col("ts")).as("day"))
+        .agg(countDistinct("user_id").as("dau"),
+          count(lit(1)).as("n_events"),
+          avg("value").as("avg_value"),
+          max("value").as("max_value"))
+    })
+}

@@ -1,0 +1,326 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+/** Scalar function surface (SURVEY §2.9): string, math, datetime, array,
+  * map, JSON, regex, hash/binary, bitwise, conditional/TRY, URL, and the
+  * custom functions (word_stem, normalize, to/from_base, ieee754, hmac).
+  *
+  * Reference: operator/scalar/StringFunctions.java, MathFunctions.java,
+  * DateTimeFunctions.java, the Array/Map/Json function classes,
+  * VarbinaryFunctions.java, BitwiseFunctions.java, UrlFunctions.java,
+  * TryFunction.java.
+  *
+  * Functions with engine-specific outputs that DuckDB cannot recompute
+  * (custom UDFs) are verified against published vectors / definitional
+  * literals in the oracle.
+  */
+object FuncQueries extends QueryModule {
+
+  def queries: Seq[Q] = Seq(
+
+    Q("func_string",
+      """SELECT p_partkey,
+        |  length(p_name) AS name_len,
+        |  upper(p_name) AS up,
+        |  lower(p_brand) AS lo,
+        |  substr(p_name, 3, 5) AS sub3,
+        |  lpad(p_brand, 12, '*') AS padded,
+        |  rpad(p_brand, 12, '.') AS rpadded,
+        |  replace(p_name, ' ', '_') AS underscored,
+        |  reverse(p_type) AS rev,
+        |  concat(p_brand, ':', p_type) AS brand_type,
+        |  split_part(p_name, ' ', 2) AS second_word,
+        |  instr(p_name, 'a') AS a_pos,
+        |  levenshtein(p_brand, 'Brand#25') AS lev,
+        |  trim(concat(' ', p_type, ' ')) AS trimmed,
+        |  p_name LIKE '%a%' AS has_a
+        |FROM part""".stripMargin) { (s, _) =>
+      s.table("part").select(col("p_partkey"),
+        length(col("p_name")).as("name_len"),
+        upper(col("p_name")).as("up"),
+        lower(col("p_brand")).as("lo"),
+        substring(col("p_name"), 3, 5).as("sub3"),
+        lpad(col("p_brand"), 12, "*").as("padded"),
+        rpad(col("p_brand"), 12, ".").as("rpadded"),
+        regexp_replace(col("p_name"), " ", "_").as("underscored"),
+        reverse(col("p_type")).as("rev"),
+        concat(col("p_brand"), lit(":"), col("p_type")).as("brand_type"),
+        split_part(col("p_name"), lit(" "), lit(2)).as("second_word"),
+        instr(col("p_name"), "a").as("a_pos"),
+        levenshtein(col("p_brand"), lit("Brand#25")).as("lev"),
+        trim(concat(lit(" "), col("p_type"), lit(" "))).as("trimmed"),
+        col("p_name").like("%a%").as("has_a"))
+    },
+
+    Q("func_math",
+      """SELECT l_orderkey, l_linenumber, l_quantity,
+        |  abs(l_discount - 0.05) AS abs_d,
+        |  ceil(l_extendedprice) AS ceil_p,
+        |  floor(l_extendedprice) AS floor_p,
+        |  round(l_extendedprice / 7.0, 3) AS round_q,
+        |  sqrt(l_quantity) AS sqrt_q,
+        |  exp(l_discount) AS exp_d,
+        |  ln(l_extendedprice) AS ln_p,
+        |  log10(l_extendedprice) AS log10_p,
+        |  pow(l_quantity, 2) AS qty_sq,
+        |  mod(l_orderkey, 7) AS mod7,
+        |  sign(l_discount - 0.05) AS sgn,
+        |  sin(l_discount) AS sin_d,
+        |  cos(l_discount) AS cos_d,
+        |  atan2(l_quantity, 3.0) AS at2,
+        |  degrees(l_discount) AS deg,
+        |  radians(l_quantity) AS rad,
+        |  greatest(l_quantity, l_discount * 300) AS gr,
+        |  least(l_quantity, l_discount * 300) AS ls
+        |FROM lineitem WHERE l_orderkey <= 300""".stripMargin) { (s, _) =>
+      s.table("lineitem").filter(col("l_orderkey") <= 300).select(
+        col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+        abs(col("l_discount") - 0.05).as("abs_d"),
+        ceil(col("l_extendedprice")).as("ceil_p"),
+        floor(col("l_extendedprice")).as("floor_p"),
+        round(col("l_extendedprice") / 7.0, 3).as("round_q"),
+        sqrt(col("l_quantity")).as("sqrt_q"),
+        exp(col("l_discount")).as("exp_d"),
+        log(col("l_extendedprice")).as("ln_p"),
+        log10(col("l_extendedprice")).as("log10_p"),
+        pow(col("l_quantity"), 2).as("qty_sq"),
+        (col("l_orderkey") % 7).as("mod7"),
+        signum(col("l_discount") - 0.05).as("sgn"),
+        sin(col("l_discount")).as("sin_d"),
+        cos(col("l_discount")).as("cos_d"),
+        atan2(col("l_quantity"), lit(3.0)).as("at2"),
+        degrees(col("l_discount")).as("deg"),
+        radians(col("l_quantity")).as("rad"),
+        greatest(col("l_quantity"), col("l_discount") * 300).as("gr"),
+        least(col("l_quantity"), col("l_discount") * 300).as("ls"))
+    },
+
+    Q("func_datetime",
+      """SELECT o_orderkey,
+        |  year(o_orderdate) AS y,
+        |  month(o_orderdate) AS mo,
+        |  day(o_orderdate) AS d,
+        |  quarter(o_orderdate) AS q,
+        |  dayofyear(o_orderdate) AS doy,
+        |  dayofweek(o_orderdate) + 1 AS dow,
+        |  CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
+        |  o_orderdate + INTERVAL 7 DAY AS plus_week,
+        |  date_diff('day', o_orderdate, TIMESTAMP '1998-01-01') AS days_to_98,
+        |  last_day(o_orderdate) AS eom,
+        |  epoch(o_orderdate) AS unix_secs
+        |FROM orders""".stripMargin) { (s, _) =>
+      s.table("orders").select(col("o_orderkey"),
+        year(col("o_orderdate")).as("y"),
+        month(col("o_orderdate")).as("mo"),
+        dayofmonth(col("o_orderdate")).as("d"),
+        quarter(col("o_orderdate")).as("q"),
+        dayofyear(col("o_orderdate")).as("doy"),
+        dayofweek(col("o_orderdate")).as("dow"), // Spark: 1=Sunday; DuckDB 0=Sunday (+1 in oracle)
+        date_trunc("month", col("o_orderdate")).as("month_start"),
+        (col("o_orderdate") + expr("INTERVAL 7 DAY")).as("plus_week"),
+        datediff(lit("1998-01-01").cast("date"), col("o_orderdate")).as("days_to_98"),
+        last_day(col("o_orderdate")).as("eom"),
+        unix_timestamp(col("o_orderdate")).as("unix_secs"))
+    },
+
+    Q("func_array",
+      """SELECT vec_id,
+        |  len(embedding) AS dim,
+        |  embedding[1] AS first_elem,
+        |  list_slice(embedding, 1, 3) AS first3,
+        |  list_aggregate(embedding, 'min') AS mn,
+        |  list_aggregate(embedding, 'max') AS mx,
+        |  (SELECT sum(CAST(x AS DOUBLE)) FROM unnest(embedding) t(x)) AS total,
+        |  (SELECT sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) FROM unnest(embedding) t(x)) AS sumsq,
+        |  len(list_filter(embedding, x -> x > 0)) AS n_pos,
+        |  list_contains(embedding, embedding[5]) AS has_5th,
+        |  list_position(embedding, embedding[5]) AS pos_5th
+        |FROM embeddings WHERE vec_id < 200""".stripMargin) { (s, _) =>
+      s.table("embeddings").filter(col("vec_id") < 200).select(col("vec_id"),
+        size(col("embedding")).as("dim"),
+        element_at(col("embedding"), 1).as("first_elem"),
+        slice(col("embedding"), 1, 3).as("first3"),
+        array_min(col("embedding")).as("mn"),
+        array_max(col("embedding")).as("mx"),
+        aggregate(col("embedding"), lit(0.0d), (acc, x) => acc + x).as("total"),
+        aggregate(col("embedding"), lit(0.0d), (acc, x) => acc + x.cast("double") * x.cast("double")).as("sumsq"),
+        size(filter(col("embedding"), x => x > 0)).as("n_pos"),
+        array_contains(col("embedding"), element_at(col("embedding"), 5)).as("has_5th"),
+        array_position(col("embedding"), element_at(col("embedding"), 5)).cast("int").as("pos_5th"))
+    },
+
+    // Literal-input array algebra: Spark semantics frozen as expected
+    // literals in the oracle (array_union keeps first-appearance order).
+    Q("func_array_algebra",
+      """SELECT [1,2,3] AS dist,
+        |  [1,2,3,4] AS uni,
+        |  [2,3] AS inter,
+        |  [1] AS exc,
+        |  '1-2-2-3' AS joined,
+        |  [1,2,3,4] AS flat,
+        |  [1,2,3,4,5] AS seq5,
+        |  [7,7,7] AS rep3,
+        |  [1,2,2,3] AS sorted_arr,
+        |  true AS overlaps""".stripMargin) { (s, _) =>
+      s.sql(
+        """SELECT
+          |  array_distinct(array(1,2,2,3)) AS dist,
+          |  array_union(array(1,2,2), array(3,4)) AS uni,
+          |  array_intersect(array(1,2,3), array(2,3,4)) AS inter,
+          |  array_except(array(1,2,3), array(2,3,4)) AS exc,
+          |  array_join(array(1,2,2,3), '-') AS joined,
+          |  flatten(array(array(1,2), array(3,4))) AS flat,
+          |  sequence(1, 5) AS seq5,
+          |  array_repeat(7, 3) AS rep3,
+          |  sort_array(array(3,1,2,2)) AS sorted_arr,
+          |  arrays_overlap(array(1,2), array(2,9)) AS overlaps""".stripMargin)
+    },
+
+    // Map surface on literals; scalar outputs (map-typed output kept out
+    // of the compare; subscript semantics differ — SURVEY §7.4 delta).
+    Q("func_map",
+      """SELECT 2 AS b_val, 3 AS n_keys, 'a,b,c' AS keys_joined, 12 AS b_plus10,
+        |  6 AS vals_total, 1 AS n_big""".stripMargin) { (s, _) =>
+      s.sql(
+        """SELECT
+          |  element_at(m, 'b') AS b_val,
+          |  cardinality(m) AS n_keys,
+          |  array_join(map_keys(m), ',') AS keys_joined,
+          |  element_at(transform_values(m, (k, v) -> v + 10), 'b') AS b_plus10,
+          |  aggregate(map_values(m), 0, (acc, x) -> acc + x) AS vals_total,
+          |  cardinality(map_filter(m, (k, v) -> v > 2)) AS n_big
+          |FROM (SELECT map_from_entries(array(struct('a', 1), struct('b', 2), struct('c', 3))) AS m)""".stripMargin)
+    },
+
+    Q("func_json",
+      """SELECT event_id,
+        |  json_extract_string(props, '$.k') AS k_str,
+        |  CAST(json_extract_string(props, '$.k') AS INT) AS k_int,
+        |  json_extract_string(props, '$.missing') AS missing_val
+        |FROM events WHERE event_id < 500""".stripMargin) { (s, _) =>
+      s.table("events").filter(col("event_id") < 500).select(col("event_id"),
+        get_json_object(col("props"), "$.k").as("k_str"),
+        get_json_object(col("props"), "$.k").cast("int").as("k_int"),
+        get_json_object(col("props"), "$.missing").as("missing_val"))
+    },
+
+    Q("func_regexp",
+      """SELECT p_partkey,
+        |  regexp_extract(p_name, '([a-z]+) ([a-z]+)', 2) AS second_word,
+        |  regexp_matches(p_name, 'a.*e') AS matches_ae,
+        |  regexp_replace(p_name, 'a', '@', 'g') AS at_name,
+        |  len(regexp_extract_all(p_name, '[aeiou]')) AS n_vowels,
+        |  len(string_split_regex(p_name, '\s+')) AS n_words
+        |FROM part""".stripMargin) { (s, _) =>
+      s.table("part").select(col("p_partkey"),
+        regexp_extract(col("p_name"), "([a-z]+) ([a-z]+)", 2).as("second_word"),
+        col("p_name").rlike("a.*e").as("matches_ae"),
+        regexp_replace(col("p_name"), "a", "@").as("at_name"),
+        size(regexp_extract_all(col("p_name"), lit("[aeiou]"), lit(0))).as("n_vowels"),
+        size(split(col("p_name"), "\\s+")).as("n_words"))
+    },
+
+    Q("func_hash_binary",
+      """SELECT p_partkey,
+        |  md5(p_name) AS name_md5,
+        |  sha256(p_name) AS name_sha256,
+        |  lower(hex(encode(p_brand))) AS brand_hex,
+        |  base64(encode(p_type)) AS type_b64,
+        |  decode(from_base64(base64(encode(p_name)))) = p_name AS b64_roundtrip
+        |FROM part WHERE p_partkey <= 100""".stripMargin) { (s, _) =>
+      s.table("part").filter(col("p_partkey") <= 100).select(col("p_partkey"),
+        md5(col("p_name").cast("binary")).as("name_md5"),
+        sha2(col("p_name").cast("binary"), 256).as("name_sha256"),
+        lower(hex(col("p_brand").cast("binary"))).as("brand_hex"),
+        base64(col("p_type").cast("binary")).as("type_b64"),
+        (unbase64(base64(col("p_name").cast("binary"))).cast("string") === col("p_name"))
+          .as("b64_roundtrip"))
+    },
+
+    Q("func_bitwise",
+      """SELECT l_orderkey,
+        |  l_orderkey & 255 AS band,
+        |  l_orderkey | 4096 AS bor,
+        |  xor(l_orderkey, 129) AS bxor,
+        |  ~l_orderkey AS bnot,
+        |  l_orderkey << 2 AS shl,
+        |  l_orderkey >> 1 AS shr,
+        |  bit_count(l_orderkey) AS bcnt
+        |FROM lineitem WHERE l_orderkey <= 300 GROUP BY l_orderkey""".stripMargin) { (s, _) =>
+      s.table("lineitem").filter(col("l_orderkey") <= 300)
+        .select("l_orderkey").distinct()
+        .select(col("l_orderkey"),
+          (col("l_orderkey").bitwiseAND(255)).as("band"),
+          (col("l_orderkey").bitwiseOR(4096)).as("bor"),
+          (col("l_orderkey").bitwiseXOR(129)).as("bxor"),
+          expr("~l_orderkey").as("bnot"),
+          shiftleft(col("l_orderkey"), 2).as("shl"),
+          shiftright(col("l_orderkey"), 1).as("shr"),
+          bit_count(col("l_orderkey")).as("bcnt"))
+    },
+
+    // TRY semantics (TryFunction.java / TryCastFunction.java): expression
+    // errors become NULL. Literal-input oracle.
+    Q("func_try",
+      """SELECT NULL AS bad_int, 42 AS good_int, NULL AS div0,
+        |  NULL AS overflow_add, NULL AS bad_date""".stripMargin) { (s, _) =>
+      s.sql(
+        """SELECT
+          |  try_cast('abc' AS INT) AS bad_int,
+          |  try_cast('42' AS INT) AS good_int,
+          |  try_divide(1, 0) AS div0,
+          |  try_add(9223372036854775807L, 1L) AS overflow_add,
+          |  try_cast('2020-13-45' AS DATE) AS bad_date""".stripMargin)
+    },
+
+    // URL functions — custom UDFs (UrlFunctions.java). parse_url is a
+    // Spark built-in; encode/decode are graft UDFs. Definitional oracle.
+    Q("func_url",
+      """SELECT 'https' AS proto, 'example.com' AS host, '/path/page' AS path,
+        |  'q=spark-sql&lang=en' AS query, 'spark-sql' AS q_param,
+        |  'a%20b%26c%3Dd' AS encoded, 'a b&c=d' AS decoded""".stripMargin) { (s, _) =>
+      graft.functions.FunctionRegistry.installAll(s)
+      s.sql(
+        """SELECT
+          |  parse_url(u, 'PROTOCOL') AS proto,
+          |  parse_url(u, 'HOST') AS host,
+          |  parse_url(u, 'PATH') AS path,
+          |  parse_url(u, 'QUERY') AS query,
+          |  parse_url(u, 'QUERY', 'q') AS q_param,
+          |  url_encode('a b&c=d') AS encoded,
+          |  url_decode('a%20b%26c%3Dd') AS decoded
+          |FROM (SELECT 'https://example.com/path/page?q=spark-sql&lang=en' AS u)""".stripMargin)
+    },
+
+    // Custom scalar functions vs published vectors: HMAC-SHA256 from
+    // RFC 4231-style test vector; IEEE754 bit patterns; base conversion;
+    // Porter stemmer on words with hand-traceable derivations.
+    Q("func_custom_scalars",
+      """SELECT
+        |  'f7bc83f430538424b13298e6aa6fb143ef4d59a14946175997479dbc2d1a3cd8' AS hmac_hex,
+        |  '3ff0000000000000' AS one_bits,
+        |  true AS ieee_roundtrip,
+        |  'ff' AS base16,
+        |  255 AS from_b16,
+        |  '10' AS base2_of_2,
+        |  'run' AS stem_running,
+        |  'cat' AS stem_cats,
+        |  'happi' AS stem_happy,
+        |  'agree' AS stem_agreed""".stripMargin) { (s, _) =>
+      graft.functions.FunctionRegistry.installAll(s)
+      s.sql(
+        """SELECT
+          |  lower(hex(hmac_sha256(encode('key', 'UTF-8'),
+          |    encode('The quick brown fox jumps over the lazy dog', 'UTF-8')))) AS hmac_hex,
+          |  lower(hex(to_ieee754_64(1.0D))) AS one_bits,
+          |  from_ieee754_64(to_ieee754_64(-2.5D)) = -2.5D AS ieee_roundtrip,
+          |  to_base(255L, 16) AS base16,
+          |  from_base('ff', 16) AS from_b16,
+          |  to_base(2L, 2) AS base2_of_2,
+          |  word_stem('running') AS stem_running,
+          |  word_stem('cats') AS stem_cats,
+          |  word_stem('happy') AS stem_happy,
+          |  word_stem('agreed') AS stem_agreed""".stripMargin)
+    })
+}

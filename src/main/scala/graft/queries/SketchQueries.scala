@@ -1,0 +1,107 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+/** Sketch aggregates (SURVEY §2.4 sketches): approx_distinct, HLL
+  * approx_set/merge/cardinality, SetDigest jaccard, approx_percentile,
+  * checksum. Sketch estimates are engine-specific, so DuckDB cannot
+  * hash-match raw values; instead each query asserts the sketch's
+  * *contract* (tolerance vs exact, mergeability, order-independence) and
+  * returns booleans the oracle states as literals. The exact values
+  * backing each boolean are computed in the same Spark job.
+  *
+  * Reference: ApproximateCountDistinctAggregation.java:43,
+  * ApproximateSetAggregation.java, MergeHyperLogLogAggregation.java,
+  * HyperLogLogFunctions.java, setdigest/SetDigestFunctions.java,
+  * ApproximateLongPercentileAggregations.java,
+  * ChecksumAggregationFunction.java:47.
+  */
+object SketchQueries extends QueryModule {
+
+  def queries: Seq[Q] = Seq(
+
+    // approx_distinct (Spark HLL++) within 5% of exact on two columns.
+    Q("sketch_approx_distinct",
+      """SELECT true AS parts_ok, true AS orders_ok""".stripMargin) { (s, _) =>
+      import s.implicits._
+      val r = s.table("lineitem").agg(
+        approx_count_distinct("l_partkey").as("apx_p"),
+        countDistinct("l_partkey").as("ex_p"),
+        approx_count_distinct("l_orderkey").as("apx_o"),
+        countDistinct("l_orderkey").as("ex_o")).head()
+      def ok(a: Long, e: Long): Boolean = math.abs(a - e).toDouble / e < 0.05
+      Seq((ok(r.getLong(0), r.getLong(1)), ok(r.getLong(2), r.getLong(3))))
+        .toDF("parts_ok", "orders_ok")
+    },
+
+    // Custom HLL: accuracy + mergeability. Merging per-group sketches
+    // must yield the same registers as one global sketch (register-max is
+    // associative/commutative), and both estimates must be within 5%.
+    Q("sketch_hll_merge",
+      """SELECT true AS accuracy_ok, true AS merge_consistent""".stripMargin) { (s, _) =>
+      import s.implicits._
+      graft.functions.FunctionRegistry.installAll(s)
+      val global = s.sql(
+        "SELECT hll_cardinality(approx_set(l_partkey)) AS est FROM lineitem").head().getLong(0)
+      val merged = s.sql(
+        """SELECT hll_cardinality(merge_hll(sk)) AS est FROM
+          |  (SELECT approx_set(l_partkey) AS sk FROM lineitem GROUP BY l_returnflag)""".stripMargin)
+        .head().getLong(0)
+      val exact = s.table("lineitem").agg(countDistinct("l_partkey")).head().getLong(0)
+      Seq((math.abs(global - exact).toDouble / exact < 0.05, global == merged))
+        .toDF("accuracy_ok", "merge_consistent")
+    },
+
+    // SetDigest bottom-k jaccard vs the exact Jaccard of two part-key
+    // sets (A = qty<25 is a subset of B = qty<30 => J = |A|/|B|).
+    Q("sketch_setdigest_jaccard",
+      """SELECT true AS jaccard_ok""".stripMargin) { (s, _) =>
+      import s.implicits._
+      graft.functions.FunctionRegistry.installAll(s)
+      val est = s.sql(
+        """SELECT jaccard_index(
+          |  (SELECT make_set_digest(l_partkey) FROM lineitem WHERE l_quantity < 25),
+          |  (SELECT make_set_digest(l_partkey) FROM lineitem WHERE l_quantity < 30)) AS j""".stripMargin)
+        .head().getDouble(0)
+      val exact = s.sql(
+        """SELECT CAST(count(DISTINCT CASE WHEN a AND b THEN k END) AS DOUBLE)
+          |     / count(DISTINCT CASE WHEN a OR b THEN k END) AS j
+          |FROM (SELECT l_partkey AS k, l_quantity < 25 AS a, l_quantity < 30 AS b FROM lineitem)""".stripMargin)
+        .head().getDouble(0)
+      Seq(math.abs(est - exact) < 0.15).toDF("jaccard_ok")
+    },
+
+    // approx_percentile within 1% of the exact quantiles.
+    Q("sketch_approx_percentile",
+      """SELECT true AS p50_ok, true AS p95_ok""".stripMargin) { (s, _) =>
+      import s.implicits._
+      val r = s.sql(
+        """SELECT
+          |  approx_percentile(o_totalprice, 0.5, 10000) AS ap50,
+          |  approx_percentile(o_totalprice, 0.95, 10000) AS ap95,
+          |  percentile(o_totalprice, 0.5) AS ex50,
+          |  percentile(o_totalprice, 0.95) AS ex95
+          |FROM orders""".stripMargin).head()
+      def ok(a: Double, e: Double): Boolean = math.abs(a - e) / e < 0.01
+      Seq((ok(r.getDouble(0), r.getDouble(2)), ok(r.getDouble(1), r.getDouble(3))))
+        .toDF("p50_ok", "p95_ok")
+    },
+
+    // checksum: order-independent (xor of xxhash64) — same result no
+    // matter how the input is partitioned/ordered, and sensitive to any
+    // changed row.
+    Q("sketch_checksum",
+      """SELECT true AS order_independent, true AS change_sensitive""".stripMargin) { (s, _) =>
+      import s.implicits._
+      graft.functions.FunctionRegistry.installAll(s)
+      s.table("lineitem").orderBy(col("l_extendedprice").desc)
+        .createOrReplaceTempView("lineitem_reordered")
+      val a = s.sql("SELECT checksum(l_orderkey * 31 + l_linenumber) AS c FROM lineitem")
+        .head().getLong(0)
+      val b = s.sql("SELECT checksum(l_orderkey * 31 + l_linenumber) AS c FROM lineitem_reordered")
+        .head().getLong(0)
+      val c = s.sql("SELECT checksum(l_orderkey * 31 + l_linenumber + 1) AS c FROM lineitem")
+        .head().getLong(0)
+      Seq((a == b, a != c)).toDF("order_independent", "change_sensitive")
+    })
+}
