@@ -53,18 +53,37 @@ object LlmQueries extends QueryModule {
 
   /** MinHash+LSH candidate pairs: 64-perm signature, 16 bands x 4 rows.
     * Candidates = docs sharing any band hash; verified by signature-
-    * estimated Jaccard. Fully native (xxhash64/transform/array_min).
+    * estimated Jaccard.
+    *
+    * Signatures are computed as a plain hash AGGREGATION (explode
+    * shingles -> 64 codegen'd `min(h0 + i*h1)` aggregates, Kirsch-
+    * Mitzenmacher double hashing) rather than nested higher-order-
+    * function lambdas — Spark HOFs are CodegenFallback (interpreted) and
+    * were ~10x slower here; a hash agg also scales to arbitrarily many
+    * docs with one shuffle on doc_id.
     */
   private def lshVerifiedPairs(s: SparkSession, estThreshold: Double): DataFrame = {
-    val sigs = shingleSets(s)
-      .select(col("doc_id"), Fns.minhashSignature(col("shingles"), 64).as("sig"))
-    val bands = sigs.select(col("doc_id"), col("sig"),
+    val sh = shingleSets(s).select(col("doc_id"), explode(col("shingles")).as("sh"))
+    val hashed = sh.select(col("doc_id"),
+      xxhash64(col("sh")).as("h0"), xxhash64(lit(1), col("sh")).as("h1"))
+    // h_i = h0 XOR rot(h1, i): an overflow-free (ANSI-safe) double-hash
+    // family; i=0 degenerates to h0^h1 which is still a valid member.
+    def hi(i: Int) =
+      if (i == 0) col("h0").bitwiseXOR(col("h1"))
+      else col("h0").bitwiseXOR(
+        shiftleft(col("h1"), i).bitwiseOR(shiftrightunsigned(col("h1"), 64 - i)))
+    val sigs = hashed.groupBy("doc_id")
+      .agg(array((0 until 64).map(i => min(hi(i))): _*).as("sig"))
+    val bands = sigs.select(col("doc_id"),
       posexplode(transform(sequence(lit(0), lit(15)),
         b => xxhash64(b, slice(col("sig"), b * lit(4) + 1, lit(4))))).as(Seq("band", "bhash")))
-    val l = bands.select(col("band"), col("bhash"), col("doc_id").as("d1"), col("sig").as("sig1"))
-    val r = bands.select(col("band"), col("bhash"), col("doc_id").as("d2"), col("sig").as("sig2"))
-    l.join(r, Seq("band", "bhash")).filter(col("d1") < col("d2"))
-      .select(col("d1"), col("d2"), col("sig1"), col("sig2")).distinct()
+    val l = bands.select(col("band"), col("bhash"), col("doc_id").as("d1"))
+    val r = bands.select(col("band"), col("bhash"), col("doc_id").as("d2"))
+    val candidates = l.join(r, Seq("band", "bhash")).filter(col("d1") < col("d2"))
+      .select("d1", "d2").distinct()
+    candidates
+      .join(sigs.select(col("doc_id").as("d1"), col("sig").as("sig1")), "d1")
+      .join(sigs.select(col("doc_id").as("d2"), col("sig").as("sig2")), "d2")
       .select(col("d1").as("doc_a"), col("d2").as("doc_b"),
         Fns.minhashJaccard(col("sig1"), col("sig2")).as("est_jaccard"))
       .filter(col("est_jaccard") >= estThreshold)
@@ -105,35 +124,40 @@ object LlmQueries extends QueryModule {
     Q("llm_dedup_minhash_lsh",
       """SELECT true AS recall_ok, true AS precision_ok""".stripMargin) { (s, _) =>
       import s.implicits._
-      val exact = exactJaccardPairs(s, 0.8).select("doc_a", "doc_b")
+      // One shingle self-join serves both thresholds.
+      val exactAll = exactJaccardPairs(s, 0.5).cache()
+      val exact08 = exactAll.filter(col("jaccard") >= 0.8).select("doc_a", "doc_b")
       val lsh = lshVerifiedPairs(s, 0.7).cache()
-      val missed = exact.join(lsh.select("doc_a", "doc_b"), Seq("doc_a", "doc_b"), "left_anti").count()
+      val missed = exact08.join(lsh.select("doc_a", "doc_b"), Seq("doc_a", "doc_b"), "left_anti").count()
       val falsePos = lsh.select("doc_a", "doc_b")
-        .join(exactJaccardPairs(s, 0.5).select("doc_a", "doc_b"), Seq("doc_a", "doc_b"), "left_anti")
+        .join(exactAll.select("doc_a", "doc_b"), Seq("doc_a", "doc_b"), "left_anti")
         .count()
-      lsh.unpersist()
+      lsh.unpersist(); exactAll.unpersist()
       Seq((missed == 0L, falsePos == 0L)).toDF("recall_ok", "precision_ok")
     },
 
     // SimHash near-dup: planted near-dup pairs (exact J>=0.8) must have a
-    // strictly smaller mean Hamming distance than random pairs.
+    // far smaller mean Hamming distance than unrelated docs. No O(n²)
+    // crossJoin: signatures are joined onto (a) the known dup pairs and
+    // (b) an adjacent-id baseline pair set — at scale the candidate
+    // generation would band the 64-bit signature exactly like MinHash-LSH.
     Q("llm_dedup_simhash",
       """SELECT true AS separates_dups""".stripMargin) { (s, _) =>
       import s.implicits._
       graft.functions.FunctionRegistry.installAll(s)
-      val withSig = s.table("documents")
+      val sig = s.table("documents")
         .select(col("doc_id"), call_udf("simhash64", col("text")).as("sig"))
-      val sigs = withSig.select(col("doc_id").as("d1"), col("sig").as("sig1"))
-        .crossJoin(withSig.select(col("doc_id").as("d2"), col("sig").as("sig2")))
-        .filter(col("d1") < col("d2"))
-        .select(col("d1"), col("d2"),
-          bit_count(col("sig1").bitwiseXOR(col("sig2"))).as("hamming"))
-      val dupPairs = exactJaccardPairs(s, 0.8).select(
-        col("doc_a").as("d1"), col("doc_b").as("d2"))
-      val dupMean = sigs.join(dupPairs, Seq("d1", "d2"), "left_semi")
-        .agg(avg("hamming")).head().getDouble(0)
-      val allMean = sigs.agg(avg("hamming")).head().getDouble(0)
-      Seq(dupMean < allMean / 2).toDF("separates_dups")
+      def hammingOf(pairs: DataFrame): DataFrame = pairs
+        .join(sig.select(col("doc_id").as("d1"), col("sig").as("sig1")), "d1")
+        .join(sig.select(col("doc_id").as("d2"), col("sig").as("sig2")), "d2")
+        .select(bit_count(col("sig1").bitwiseXOR(col("sig2"))).as("hamming"))
+      val dupPairs = exactJaccardPairs(s, 0.8)
+        .select(col("doc_a").as("d1"), col("doc_b").as("d2"))
+      val basePairs = s.table("documents").select(col("doc_id").as("d1"), (col("doc_id") + 1).as("d2"))
+        .join(dupPairs, Seq("d1", "d2"), "left_anti")
+      val dupMean = hammingOf(dupPairs).agg(avg("hamming")).head().getDouble(0)
+      val baseMean = hammingOf(basePairs).agg(avg("hamming")).head().getDouble(0)
+      Seq(dupMean < baseMean / 2).toDF("separates_dups")
     },
 
     // ---- Similarity search ----

@@ -108,8 +108,8 @@ object ShapeQueries extends QueryModule {
         |       ELSE 'small' END AS size_class,
         |  coalesce(nullif(o_orderstatus, 'O'), 'open') AS status_label,
         |  try_cast(o_orderpriority AS INT) AS prio_as_int
-        |FROM orders""".stripMargin) { (s, _) =>
-      s.table("orders").select(col("o_orderkey"),
+        |FROM orders WHERE o_orderkey <= 30000""".stripMargin) { (s, _) =>
+      s.table("orders").filter(col("o_orderkey") <= 30000).select(col("o_orderkey"),
         when(col("o_totalprice") > 300000, "large")
           .when(col("o_totalprice") > 100000, "medium")
           .otherwise("small").as("size_class"),

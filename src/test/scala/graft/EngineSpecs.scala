@@ -1,0 +1,129 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Engine-level specs — the analog of the reference's LocalQueryRunner
+  * corpus (presto-tests/.../AbstractTestQueries.java drives every §2
+  * feature through a single-JVM runner; SURVEY §5.1/§5.3).
+  *
+  * 1. every declared query executes at sf0.001 (DuckDB hash-matching is
+  *    the driver's t2 gate; here we gate execution + schema sanity),
+  * 2. plan-shape assertions: filter pushdown reaches the parquet scan,
+  *    dimension joins broadcast, no shuffle for scan-only plans — the
+  *    100 TB discipline checks.
+  */
+class EngineSpecs extends AnyFunSuite with BeforeAndAfterAll {
+
+  private val sfDir = "/root/testdata/sf0.001"
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = graft.engine.Engine.session("local[4]", shufflePartitions = 4)
+    graft.engine.Engine.registerTables(spark, sfDir)
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  // Queries whose result is legitimately empty at sf0.001.
+  private val mayBeEmpty = Set("llm_dedup_ngram_jaccard", "join_anti", "q18_large_volume_customer", "setop_except")
+
+  SparkEntry.modules.flatMap(_.queries).foreach { q =>
+    test(s"query ${q.name} executes with sane schema") {
+      val df = q.run(spark, sfDir)
+      val schema = df.schema
+      assert(schema.nonEmpty, "schema must not be empty")
+      assert(schema.fieldNames.map(_.toLowerCase).distinct.length == schema.size,
+        s"duplicate column names: ${schema.fieldNames.mkString(",")}")
+      val n = df.count()
+      if (!mayBeEmpty(q.name)) assert(n > 0, s"${q.name} returned 0 rows")
+    }
+  }
+
+  test("oracle map only names declared queries and every query is declared once") {
+    val names = SparkEntry.modules.flatMap(_.queries).map(_.name)
+    assert(names.distinct.length == names.length, "duplicate query names")
+    assert(SparkEntry.oracleSql.keySet.subsetOf(names.toSet))
+    assert(SparkEntry.queries.keySet == names.toSet)
+  }
+
+  // ---- plan-shape assertions (scale discipline) ----
+
+  private def executedPlan(df: org.apache.spark.sql.DataFrame): SparkPlan = {
+    df.collect() // materialize so AQE finalizes
+    df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+  }
+
+  private def planString(df: org.apache.spark.sql.DataFrame): String = {
+    df.collect()
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("q6 filter is pushed down to the parquet scan") {
+    val df = SparkEntry.queries("q6_forecast_revenue")(spark, sfDir)
+    val scanLine = planString(df)
+    assert(scanLine.contains("PushedFilters: ["), "expected pushdown metadata on scan")
+    assert(scanLine.contains("IsNotNull(l_shipdate)") || scanLine.contains("GreaterThanOrEqual(l_shipdate"),
+      s"expected shipdate filter pushed to scan")
+  }
+
+  test("q6 reads only the columns it needs") {
+    val df = SparkEntry.queries("q6_forecast_revenue")(spark, sfDir)
+    val s = planString(df)
+    val readSchema = s.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("l_extendedprice") && readSchema.contains("l_discount"),
+      "projected columns must be read")
+    assert(!readSchema.contains("l_tax") && !readSchema.contains("l_returnflag"),
+      s"unused columns must be pruned: $readSchema")
+  }
+
+  test("dimension join broadcasts the small side") {
+    val df = SparkEntry.queries("join_inner_dims")(spark, sfDir)
+    val s = planString(df)
+    assert(s.contains("BroadcastHashJoin") || s.contains("BroadcastExchange"),
+      "nation/region joins must broadcast, not shuffle")
+  }
+
+  test("scan-only projection plans contain no shuffle") {
+    import org.apache.spark.sql.functions._
+    val df = spark.table("lineitem").select("l_orderkey", "l_quantity")
+      .filter(col("l_quantity") > 10)
+    val plan = executedPlan(df)
+    def hasShuffle(p: SparkPlan): Boolean =
+      p.isInstanceOf[ShuffleExchangeExec] || p.children.exists(hasShuffle)
+    assert(!hasShuffle(plan), "pure scan+filter+project must not shuffle")
+  }
+
+  test("whole-stage codegen covers the q1 aggregation") {
+    import org.apache.spark.sql.execution.WholeStageCodegenExec
+    import org.apache.spark.sql.execution.adaptive.QueryStageExec
+    val df = SparkEntry.queries("q1_pricing_summary")(spark, sfDir)
+    val plan = executedPlan(df)
+    // AQE wraps finished stages in leaf QueryStageExec nodes; descend
+    // into their materialized plans too.
+    def hasCodegen(p: SparkPlan): Boolean = p match {
+      case _: WholeStageCodegenExec => true
+      case q: QueryStageExec => hasCodegen(q.plan)
+      case other => other.children.exists(hasCodegen)
+    }
+    assert(hasCodegen(plan), "agg pipeline should run inside whole-stage codegen")
+  }
+
+  test("hll sketch survives the partial/final shuffle split") {
+    // group-by forces partial aggregation -> serialize -> shuffle ->
+    // final merge; estimate must still be within tolerance.
+    val est = spark.sql(
+      """SELECT hll_cardinality(merge_hll(sk)) AS est FROM
+        |  (SELECT approx_set(l_partkey) AS sk FROM lineitem GROUP BY l_orderkey % 16)""".stripMargin)
+      .head().getLong(0)
+    val exact = spark.sql("SELECT count(DISTINCT l_partkey) FROM lineitem").head().getLong(0)
+    assert(math.abs(est - exact).toDouble / exact < 0.05, s"est=$est exact=$exact")
+  }
+}

@@ -1,0 +1,128 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.{Hll, ScalarFunctions, SetDigest}
+
+/** Unit specs for the custom function layer — the analog of the
+  * reference's AbstractTestFunctions harness (per-function edge cases,
+  * SURVEY §5.4), plus scalacheck properties for null/merge/accuracy
+  * invariants.
+  */
+class FunctionSpecs extends AnyFunSuite {
+
+  // ---- HLL (Flajolet et al. 2007) ----
+
+  test("hll estimates within 5% across magnitudes") {
+    for (n <- Seq(100, 10000, 200000)) {
+      val regs = new Array[Byte](Hll.M)
+      (0 until n).foreach(i => Hll.update(regs, Hll.hashAny(i.toLong)))
+      val est = Hll.cardinality(regs)
+      assert(math.abs(est - n).toDouble / n < 0.05, s"n=$n est=$est")
+    }
+  }
+
+  test("hll merge == union (register max is associative/commutative)") {
+    val a = new Array[Byte](Hll.M)
+    val b = new Array[Byte](Hll.M)
+    val u = new Array[Byte](Hll.M)
+    (0 until 5000).foreach { i => Hll.update(a, Hll.hashAny(i.toLong)); Hll.update(u, Hll.hashAny(i.toLong)) }
+    (2500 until 9000).foreach { i => Hll.update(b, Hll.hashAny(i.toLong)); Hll.update(u, Hll.hashAny(i.toLong)) }
+    Hll.merge(a, b)
+    assert(java.util.Arrays.equals(a, u))
+  }
+
+  test("hll hash is type-stable and null-safe") {
+    assert(Hll.hashAny(null) == 0L)
+    assert(Hll.hashAny(42L) == Hll.hashAny(42))
+  }
+
+  // ---- SetDigest (Broder bottom-k) ----
+
+  test("setdigest jaccard estimates overlap") {
+    def digest(xs: Range): java.util.TreeSet[java.lang.Long] = {
+      val s = new java.util.TreeSet[java.lang.Long]()
+      xs.foreach(i => SetDigest.add(s, Hll.hashAny(i.toLong)))
+      s
+    }
+    // |A∩B|/|A∪B| = 5000/15000 ≈ 0.333
+    val a = digest(0 until 10000)
+    val b = digest(5000 until 15000)
+    val j = SetDigest.jaccard(a, b)
+    assert(math.abs(j - 1.0 / 3.0) < 0.1, s"j=$j")
+    // identical sets
+    assert(SetDigest.jaccard(a, digest(0 until 10000)) == 1.0)
+  }
+
+  test("setdigest serialization round-trips") {
+    val s = new java.util.TreeSet[java.lang.Long]()
+    (0 until 1000).foreach(i => SetDigest.add(s, Hll.hashAny(i.toLong)))
+    assert(SetDigest.fromBytes(SetDigest.toBytes(s)) == s)
+    assert(s.size() == SetDigest.K)
+  }
+
+  // ---- Porter stemmer ----
+
+  test("porter stemmer known derivations") {
+    val cases = Map(
+      "running" -> "run", "cats" -> "cat", "happy" -> "happi",
+      "agreed" -> "agree", "ponies" -> "poni", "caresses" -> "caress",
+      "hopping" -> "hop", "falling" -> "fall")
+    cases.foreach { case (in, out) =>
+      assert(ScalarFunctions.porterStem(in) == out, s"stem($in)")
+    }
+    assert(ScalarFunctions.porterStem(null) == null)
+    assert(ScalarFunctions.porterStem("ab") == "ab") // too short to stem
+  }
+
+  // ---- SimHash ----
+
+  test("simhash is deterministic and separates similar from different") {
+    val base = "the quick brown fox jumps over the lazy dog again and again"
+    val near = "the quick brown fox jumps over the lazy cat again and again"
+    val far = "completely unrelated words about database engines and columnar storage"
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ScalarFunctions.simhash64(base) == ScalarFunctions.simhash64(base))
+    assert(hamming(ScalarFunctions.simhash64(base), ScalarFunctions.simhash64(near)) <
+      hamming(ScalarFunctions.simhash64(base), ScalarFunctions.simhash64(far)))
+  }
+
+  // ---- scalar conversions (property-based, replacing the reference's
+  // hand-enumerated cases) ----
+
+  test("to_base/from_base round-trip (seeded property sweep)") {
+    val rnd = new scala.util.Random(42)
+    (0 until 500).foreach { _ =>
+      val x = rnd.nextLong()
+      Seq(2, 8, 16, 36).foreach { r =>
+        assert(ScalarFunctions.fromBase(ScalarFunctions.toBase(x, r), r) == x)
+      }
+    }
+  }
+
+  test("ieee754 round-trip incl. specials (seeded property sweep)") {
+    val rnd = new scala.util.Random(42)
+    val specials = Seq(0.0, -0.0, Double.MaxValue, Double.MinPositiveValue,
+      Double.PositiveInfinity, Double.NegativeInfinity, Double.NaN)
+    (Seq.fill(500)(rnd.nextDouble() * math.pow(10, rnd.nextInt(200) - 100)) ++ specials)
+      .foreach { d =>
+        val back = ScalarFunctions.fromIeee754_64(ScalarFunctions.toIeee754_64(d))
+        assert(back == d || (back.isNaN && d.isNaN))
+      }
+  }
+
+  test("url encode/decode round-trip incl. unicode (seeded property sweep)") {
+    val rnd = new scala.util.Random(42)
+    val specials = Seq("", "a b", "a+b", "%20", "caf\u00e9 \u00fcber", "a&b=c?d#e/f")
+    (Seq.fill(300)(rnd.nextString(20)) ++ specials).foreach { s =>
+      assert(ScalarFunctions.urlDecode(ScalarFunctions.urlEncode(s)) == s)
+    }
+  }
+
+  test("hmac sha256 matches published vector") {
+    val out = ScalarFunctions.hmacSha256(
+      "key".getBytes("UTF-8"),
+      "The quick brown fox jumps over the lazy dog".getBytes("UTF-8"))
+    assert(out.map("%02x".format(_)).mkString ==
+      "f7bc83f430538424b13298e6aa6fb143ef4d59a14946175997479dbc2d1a3cd8")
+  }
+}
