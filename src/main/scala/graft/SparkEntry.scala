@@ -3,6 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.queries._
 import graft.llm.{LlmQueries, MultimodalQueries}
+import graft.sql.DdlQueries
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -15,7 +16,7 @@ object SparkEntry {
   /** All query modules (one per SURVEY §2 area). */
   def modules: Seq[QueryModule] = Seq(
     TpchQueries, JoinQueries, AggQueries, WindowQueries, SetOpQueries, ShapeQueries,
-    FuncQueries, EventQueries, SketchQueries, LlmQueries, MultimodalQueries)
+    FuncQueries, EventQueries, SketchQueries, LlmQueries, MultimodalQueries, DdlQueries)
 
   private lazy val all: Seq[Q] = modules.flatMap(_.queries)
 

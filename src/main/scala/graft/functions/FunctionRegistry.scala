@@ -26,6 +26,7 @@ object FunctionRegistry {
       installAliases(spark)
       ScalarFunctions.install(spark)
       SketchAggregates.install(spark)
+      QuantileSketchFunctions.install(spark)
       installedSessions += key
     }
   }

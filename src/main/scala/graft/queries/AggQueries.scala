@@ -188,6 +188,46 @@ object AggQueries extends QueryModule {
         .agg(sort_array(collect_list("l_linenumber")).as("line_numbers"))
     },
 
+    // min(x,n)/max(x,n) multi-value variants — MinNAggregationFunction via
+    // TypedHeap; Spark expresses them as slice(sort_array(collect_list)).
+    Q("agg_min_max_n",
+      """SELECT l_returnflag,
+        |  (list_sort(array_agg(l_extendedprice)))[1:5] AS min5_price,
+        |  (list_sort(array_agg(l_extendedprice), 'DESC'))[1:5] AS max5_price
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin) { (s, _) =>
+      s.table("lineitem").groupBy("l_returnflag").agg(
+        slice(sort_array(collect_list("l_extendedprice")), 1, 5).as("min5_price"),
+        slice(sort_array(collect_list("l_extendedprice"), asc = false), 1, 5).as("max5_price"))
+    },
+
+    // map_agg(k, v) — MapAggregationFunction.java:48. Rendered as sorted
+    // "k=v" strings so the compare is map-order-independent.
+    Q("agg_map_agg",
+      """SELECT array_to_string(list_sort(list_transform(map_entries(map_from_entries(
+        |    array_agg({'k': c_custkey, 'v': c_name}))), e -> CAST(e.key AS VARCHAR) || '=' || e.value)), ',') AS kv
+        |FROM customer WHERE c_custkey <= 20""".stripMargin) { (s, _) =>
+      s.table("customer").filter(col("c_custkey") <= 20).agg(
+        array_join(sort_array(transform(
+          map_entries(map_from_entries(collect_list(struct(col("c_custkey").as("k"), col("c_name").as("v"))))),
+          e => concat(e.getField("key").cast("string"), lit("="), e.getField("value")))), ",").as("kv"))
+    },
+
+    // histogram(x) — histogram/Histogram.java:48: value -> occurrence map,
+    // rendered as sorted "value:count" strings.
+    Q("agg_histogram",
+      """SELECT l_returnflag,
+        |  array_to_string(list_sort(list_transform(map_entries(histogram(CAST(l_quantity AS INT))),
+        |    e -> lpad(CAST(e.key AS VARCHAR), 2, '0') || ':' || CAST(e.value AS VARCHAR))), ',') AS qty_histogram
+        |FROM lineitem WHERE l_quantity <= 5 GROUP BY l_returnflag""".stripMargin) { (s, _) =>
+      val counts = s.table("lineitem").filter(col("l_quantity") <= 5)
+        .groupBy(col("l_returnflag"), col("l_quantity").cast("int").as("q"))
+        .agg(count(lit(1)).as("cnt"))
+      counts.groupBy("l_returnflag").agg(
+        array_join(sort_array(collect_list(
+          concat(lpad(col("q").cast("string"), 2, "0"), lit(":"), col("cnt")))), ",")
+          .as("qty_histogram"))
+    },
+
     // geometric_mean — reference aggregation/GeometricMeanAggregations.
     Q("agg_geometric_mean",
       """SELECT l_returnflag, exp(avg(ln(l_quantity))) AS geo_mean_qty

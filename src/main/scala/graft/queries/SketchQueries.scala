@@ -87,6 +87,23 @@ object SketchQueries extends QueryModule {
         .toDF("p50_ok", "p95_ok")
     },
 
+    // Custom mergeable quantile sketch (qdigest role): per-group sketches
+    // merged must answer within 2% of exact quantiles.
+    Q("sketch_qdigest",
+      """SELECT true AS p50_ok, true AS p90_ok""".stripMargin) { (s, _) =>
+      import s.implicits._
+      graft.functions.FunctionRegistry.installAll(s)
+      val merged = s.sql(
+        """SELECT qdigest_value_at(qdigest_agg(l_extendedprice), 0.5) AS q50,
+          |       qdigest_value_at(qdigest_agg(l_extendedprice), 0.9) AS q90
+          |FROM lineitem""".stripMargin).head()
+      val exact = s.sql(
+        "SELECT percentile(l_extendedprice, 0.5), percentile(l_extendedprice, 0.9) FROM lineitem").head()
+      def ok(a: Double, e: Double) = math.abs(a - e) / e < 0.02
+      Seq((ok(merged.getDouble(0), exact.getDouble(0)), ok(merged.getDouble(1), exact.getDouble(1))))
+        .toDF("p50_ok", "p90_ok")
+    },
+
     // checksum: order-independent (xor of xxhash64) — same result no
     // matter how the input is partitioned/ordered, and sensitive to any
     // changed row.

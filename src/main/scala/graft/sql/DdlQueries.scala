@@ -1,0 +1,81 @@
+package graft.sql
+
+import org.apache.spark.sql.functions._
+import graft.queries.{Q, QueryModule}
+
+/** DDL/DML subset (SURVEY §2.8 / §7.2.5): CREATE TABLE AS, INSERT INTO,
+  * temp views, SHOW/DESCRIBE/EXPLAIN passthrough. Transactions and
+  * grants are out of scope (documented — the reference's
+  * execution/ Task classes surface beyond this maps to catalog features
+  * Spark exposes elsewhere).
+  *
+  * Results are deterministic properties (the side effects themselves are
+  * exercised, then cleaned up), stated as literals in the oracle.
+  */
+object DdlQueries extends QueryModule {
+
+  def queries: Seq[Q] = Seq(
+
+    // CTAS + INSERT INTO a managed parquet table — CreateTableTask.java /
+    // TableWriterOperator.java:58 -> df.write / INSERT INTO.
+    Q("ddl_ctas_insert",
+      """SELECT 25 AS after_ctas, 50 AS after_insert, true AS schema_matches""".stripMargin) { (s, _) =>
+      import s.implicits._
+      s.sql("DROP TABLE IF EXISTS graft_ctas_nation")
+      s.sql("CREATE TABLE graft_ctas_nation USING PARQUET AS SELECT * FROM nation")
+      val afterCtas = s.table("graft_ctas_nation").count()
+      s.sql("INSERT INTO graft_ctas_nation SELECT * FROM nation")
+      val afterInsert = s.table("graft_ctas_nation").count()
+      val schemaMatches = s.table("graft_ctas_nation").schema == s.table("nation").schema
+      s.sql("DROP TABLE graft_ctas_nation")
+      Seq((afterCtas, afterInsert, schemaMatches))
+        .toDF("after_ctas", "after_insert", "schema_matches")
+    },
+
+    // CREATE [TEMP] VIEW + query through it — CreateViewTask.
+    Q("ddl_view",
+      """SELECT 5 AS n_regions, true AS view_dropped""".stripMargin) { (s, _) =>
+      import s.implicits._
+      s.sql("CREATE OR REPLACE TEMPORARY VIEW graft_v_region AS SELECT * FROM region WHERE r_regionkey >= 0")
+      val n = s.table("graft_v_region").count()
+      s.sql("DROP VIEW graft_v_region")
+      val dropped = !s.catalog.tableExists("graft_v_region")
+      Seq((n, dropped)).toDF("n_regions", "view_dropped")
+    },
+
+    // SHOW TABLES / DESCRIBE — ShowTablesTask / metadata queries.
+    Q("ddl_show_describe",
+      """SELECT true AS nation_listed, 3 AS nation_cols, true AS key_is_int""".stripMargin) { (s, _) =>
+      import s.implicits._
+      val listed = s.sql("SHOW TABLES").collect().exists(_.getString(1) == "nation")
+      val desc = s.sql("DESCRIBE nation").collect()
+      val keyType = desc.find(_.getString(0) == "n_nationkey").map(_.getString(1))
+      Seq((listed, desc.length, keyType.contains("int")))
+        .toDF("nation_listed", "nation_cols", "key_is_int")
+    },
+
+    // EXPLAIN passthrough — the reference's ExplainAnalyzeOperator.
+    Q("ddl_explain",
+      """SELECT true AS has_physical_plan, true AS mentions_scan""".stripMargin) { (s, _) =>
+      import s.implicits._
+      val plan = s.sql("EXPLAIN SELECT count(*) FROM lineitem WHERE l_quantity > 10")
+        .head().getString(0)
+      Seq((plan.contains("Physical Plan"), plan.toLowerCase.contains("parquet")))
+        .toDF("has_physical_plan", "mentions_scan")
+    },
+
+    // Presto-dialect SQL through the graft.sql front door.
+    Q("sql_presto_dialect",
+      """SELECT CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_custs,
+        |  CAST(min(o_orderdate + INTERVAL 3 DAY) AS TIMESTAMP) AS first_plus3,
+        |  CAST(max(date_diff('day', TIMESTAMP '1995-01-01', o_orderdate)) AS BIGINT) AS max_days,
+        |  CAST(instr('hello world', 'world') AS BIGINT) AS pos
+        |FROM orders""".stripMargin) { (s, _) =>
+      PrestoSql.sql(s,
+        """SELECT CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_custs,
+          |  min(date_add('day', 3, o_orderdate)) AS first_plus3,
+          |  max(date_diff('day', TIMESTAMP '1995-01-01', o_orderdate)) AS max_days,
+          |  CAST(strpos(CAST('hello world' AS VARCHAR), 'world') AS BIGINT) AS pos
+          |FROM orders""".stripMargin)
+    })
+}
