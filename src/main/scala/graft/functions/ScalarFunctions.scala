@@ -104,7 +104,55 @@ object ScalarFunctions {
     out
   }
 
+  /** MySQL-pattern date formatting (Presto's date_format /
+    * DateTimeFunctions.java uses MySQL patterns, not Java's). Translates
+    * the MySQL specifiers to DateTimeFormatter patterns.
+    */
+  private val mysqlToJava: Seq[(String, String)] = Seq(
+    "%Y" -> "yyyy", "%y" -> "yy", "%M" -> "MMMM", "%m" -> "MM", "%c" -> "M",
+    "%d" -> "dd", "%e" -> "d", "%H" -> "HH", "%k" -> "H", "%h" -> "hh",
+    "%i" -> "mm", "%s" -> "ss", "%S" -> "ss", "%f" -> "SSSSSS",
+    "%W" -> "EEEE", "%a" -> "EEE", "%b" -> "MMM", "%j" -> "DDD",
+    "%p" -> "a", "%T" -> "HH:mm:ss", "%%" -> "%")
+
+  def translateMysqlPattern(p: String): String = {
+    val sb = new StringBuilder
+    var i = 0
+    while (i < p.length) {
+      if (p(i) == '%' && i + 1 < p.length) {
+        val spec = p.substring(i, i + 2)
+        mysqlToJava.find(_._1 == spec) match {
+          case Some((_, j)) => sb.append(j)
+          case None => sb.append("'").append(p(i + 1)).append("'")
+        }
+        i += 2
+      } else if (p(i).isLetter) { sb.append("'").append(p(i)).append("'"); i += 1 }
+      else { sb.append(p(i)); i += 1 }
+    }
+    sb.toString
+  }
+
+  def dateFormatMysql(ts: java.sql.Timestamp, pattern: String): String = {
+    if (ts == null || pattern == null) return null
+    ts.toInstant.atZone(java.time.ZoneOffset.UTC)
+      .format(java.time.format.DateTimeFormatter.ofPattern(translateMysqlPattern(pattern)))
+  }
+
+  def dateParseMysql(s: String, pattern: String): java.sql.Timestamp = {
+    if (s == null || pattern == null) return null
+    val f = new java.time.format.DateTimeFormatterBuilder()
+      .appendPattern(translateMysqlPattern(pattern))
+      .parseDefaulting(java.time.temporal.ChronoField.HOUR_OF_DAY, 0)
+      .parseDefaulting(java.time.temporal.ChronoField.MINUTE_OF_HOUR, 0)
+      .parseDefaulting(java.time.temporal.ChronoField.SECOND_OF_MINUTE, 0)
+      .toFormatter()
+    java.sql.Timestamp.from(
+      java.time.LocalDateTime.parse(s, f).toInstant(java.time.ZoneOffset.UTC))
+  }
+
   def install(spark: SparkSession): Unit = {
+    spark.udf.register("date_format_mysql", (ts: java.sql.Timestamp, p: String) => dateFormatMysql(ts, p))
+    spark.udf.register("date_parse_mysql", (s: String, p: String) => dateParseMysql(s, p))
     spark.udf.register("word_stem", (s: String) => porterStem(s))
     spark.udf.register("url_encode", (s: String) => urlEncode(s))
     spark.udf.register("url_decode", (s: String) => urlDecode(s))
@@ -146,11 +194,15 @@ object Fns {
 
   /** ngrams(arr, n): array of n-element sub-arrays —
     * reference: operator/scalar/ArrayNgramsFunction.java.
+    * Guarded against Spark's descending sequence(1, 0): windows shorter
+    * than n (arrays with < n elements) are filtered out.
     */
   def ngrams(arr: Column, n: Int): Column =
-    transform(
-      sequence(lit(1), greatest(size(arr) - (n - 1), lit(0))),
-      i => slice(arr, i, lit(n)))
+    filter(
+      transform(
+        sequence(lit(1), greatest(size(arr) - (n - 1), lit(1))),
+        i => slice(arr, i, lit(n))),
+      g => size(g) === n)
 
   /** Distinct character shingles of length n over a lowercased string —
     * the standard MinHash preprocessing step (Broder 1997).

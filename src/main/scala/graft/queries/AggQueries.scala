@@ -228,6 +228,16 @@ object AggQueries extends QueryModule {
           .as("qty_histogram"))
     },
 
+    // multimap_agg(k, v) -> map k -> array<v> — multimapagg/; rendered as
+    // "k=[v1|v2|...]" rows (one per key) for order-independent compare.
+    Q("agg_multimap",
+      """SELECT c_nationkey AS nk,
+        |  array_to_string(list_sort(array_agg(c_name)), '|') AS members
+        |FROM customer GROUP BY c_nationkey""".stripMargin) { (s, _) =>
+      s.table("customer").groupBy(col("c_nationkey").as("nk"))
+        .agg(array_join(sort_array(collect_list("c_name")), "|").as("members"))
+    },
+
     // geometric_mean — reference aggregation/GeometricMeanAggregations.
     Q("agg_geometric_mean",
       """SELECT l_returnflag, exp(avg(ln(l_quantity))) AS geo_mean_qty

@@ -293,6 +293,54 @@ object FuncQueries extends QueryModule {
           |FROM (SELECT 'https://example.com/path/page?q=spark-sql&lang=en' AS u)""".stripMargin)
     },
 
+    // MySQL-pattern date_format/date_parse — the reference's
+    // DateTimeFunctions.java dialect; oracle via DuckDB strftime/strptime
+    // (same %-specifier family; %i->%M for minutes).
+    Q("func_datetime_format",
+      """SELECT o_orderkey,
+        |  strftime(o_orderdate, '%Y-%m-%d') AS ymd,
+        |  strftime(o_orderdate, '%d/%m/%Y %H:%M') AS dmy_hm,
+        |  strptime('1997-05-13 14:30:00', '%Y-%m-%d %H:%M:%S') AS parsed
+        |FROM orders WHERE o_orderkey <= 1000""".stripMargin) { (s, _) =>
+      graft.functions.FunctionRegistry.installAll(s)
+      s.table("orders").filter(col("o_orderkey") <= 1000).select(col("o_orderkey"),
+        call_udf("date_format_mysql", col("o_orderdate"), lit("%Y-%m-%d")).as("ymd"),
+        call_udf("date_format_mysql", col("o_orderdate"), lit("%d/%m/%Y %H:%i")).as("dmy_hm"),
+        call_udf("date_parse_mysql", lit("1997-05-13 14:30:00"), lit("%Y-%m-%d %H:%i:%s")).as("parsed"))
+    },
+
+    // ngrams over token arrays — ArrayNgramsFunction.java; DuckDB oracle
+    // via list comprehension.
+    Q("func_ngrams",
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents WHERE doc_id < 50)
+        |SELECT doc_id,
+        |  CAST(len(list_distinct([array_to_string(w[i:i+1], ' ') for i in generate_series(1, len(w)-1)])) AS INT) AS n_distinct_bigrams,
+        |  array_to_string(w[1:2], ' ') AS first_bigram
+        |FROM toks""".stripMargin) { (s, _) =>
+      val w = split(col("text"), " ")
+      s.table("documents").filter(col("doc_id") < 50).select(col("doc_id"),
+        size(array_distinct(transform(graft.functions.Fns.ngrams(w, 2), g => array_join(g, " "))))
+          .as("n_distinct_bigrams"),
+        array_join(slice(w, 1, 2), " ").as("first_bigram"))
+    },
+
+    // width_bucket / normalize / typeof / array cosine — misc §2.9 items.
+    // width_bucket oracle via its definition; cosine vs closed form.
+    Q("func_misc",
+      """SELECT l_orderkey, l_quantity,
+        |  CAST(least(greatest(floor((l_quantity - 0) / 50.0 * 10) + 1, 0), 11) AS BIGINT) AS qty_bucket,
+        |  'café' AS nfc,
+        |  8.0 / sqrt(65.0) AS cos_sim
+        |FROM lineitem WHERE l_orderkey <= 100""".stripMargin) { (s, _) =>
+      graft.functions.FunctionRegistry.installAll(s)
+      s.table("lineitem").filter(col("l_orderkey") <= 100).select(
+        col("l_orderkey"), col("l_quantity"),
+        width_bucket(col("l_quantity"), lit(0d), lit(50d), lit(10)).as("qty_bucket"),
+        call_udf("normalize_nfc", lit("café")).as("nfc"),
+        graft.functions.Fns.cosineSim(
+          array(lit(1.0d), lit(2.0d)), array(lit(2.0d), lit(3.0d))).as("cos_sim"))
+    },
+
     // Custom scalar functions vs published vectors: HMAC-SHA256 from
     // RFC 4231-style test vector; IEEE754 bit patterns; base conversion;
     // Porter stemmer on words with hand-traceable derivations.
