@@ -27,6 +27,7 @@ object FunctionRegistry {
       ScalarFunctions.install(spark)
       SketchAggregates.install(spark)
       QuantileSketchFunctions.install(spark)
+      ArrayCosineSimilarity.install(spark)
       installedSessions += key
     }
   }

@@ -99,18 +99,28 @@ object QuantileSketch {
   }
 }
 
-/** Mutable agg buffer: raw values batch in `pending` (amortized O(1)
-  * per row); sort+collapse only on overflow / merge / serialize.
+/** Mutable agg buffer: raw values batch in a primitive double array
+  * (no boxing — ArrayBuffer[Double] boxes and dominated the profile);
+  * sort+collapse only on overflow / merge / serialize.
   */
 final class QBuffer {
   var sketch: QuantileSketch.Sketch = QuantileSketch.empty
-  val pending = new scala.collection.mutable.ArrayBuffer[Double]()
+  private var pending = new Array[Double](256)
+  private var n = 0
 
-  def flush(): Unit = if (pending.nonEmpty) {
-    val vs = pending.toArray
+  def append(v: Double): Unit = {
+    if (n == pending.length) pending = java.util.Arrays.copyOf(pending, n * 2)
+    pending(n) = v
+    n += 1
+  }
+
+  def isFull: Boolean = n >= 2 * QuantileSketch.K
+
+  def flush(): Unit = if (n > 0) {
+    val vs = java.util.Arrays.copyOf(pending, n)
     java.util.Arrays.sort(vs)
     sketch = QuantileSketch.mergeSorted(sketch, QuantileSketch.Sketch(vs, Array.fill(vs.length)(1L)))
-    pending.clear()
+    n = 0
   }
 }
 
@@ -126,14 +136,14 @@ case class QuantileSketchAgg(
   override def update(buf: QBuffer, input: InternalRow): QBuffer = {
     val v = child.eval(input)
     if (v != null) {
-      buf.pending += (v match {
+      buf.append(v match {
         case d: Double => d
         case f: Float => f.toDouble
         case l: Long => l.toDouble
         case i: Int => i.toDouble
         case other => other.toString.toDouble
       })
-      if (buf.pending.length >= 2 * QuantileSketch.K) buf.flush()
+      if (buf.isFull) buf.flush()
     }
     buf
   }

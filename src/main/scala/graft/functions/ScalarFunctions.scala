@@ -176,8 +176,12 @@ object Fns {
     * reference: operator/scalar/MathFunctions.java cosineSimilarity (maps).
     * dot(a,b) / (||a|| * ||b||), all via zip_with + aggregate (codegen'd).
     */
+  /** Cosine similarity via the native codegen'd ArrayCosineSimilarity
+    * expression (registered by FunctionRegistry.installAll). Same
+    * accumulation order as the HOF formulation — results are bit-equal.
+    */
   def cosineSim(a: Column, b: Column): Column =
-    dot(a, b) / (l2norm(a) * l2norm(b))
+    call_udf("cosine_similarity", a, b)
 
   /** Dot product of two numeric arrays. Elements are cast to double
     * BEFORE multiplying — float32 products would round differently from

