@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.queries._
 import graft.llm.{LlmQueries, MultimodalQueries}
 import graft.sql.DdlQueries
+import graft.sources.SourceQueries
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -16,7 +17,8 @@ object SparkEntry {
   /** All query modules (one per SURVEY §2 area). */
   def modules: Seq[QueryModule] = Seq(
     TpchQueries, JoinQueries, AggQueries, WindowQueries, SetOpQueries, ShapeQueries,
-    FuncQueries, EventQueries, SketchQueries, LlmQueries, MultimodalQueries, DdlQueries)
+    FuncQueries, EventQueries, SketchQueries, LlmQueries, MultimodalQueries, DdlQueries,
+    SourceQueries, MiscQueries)
 
   private lazy val all: Seq[Q] = modules.flatMap(_.queries)
 

@@ -265,6 +265,55 @@ object LlmQueries extends QueryModule {
       res
     },
 
+    // IVF-style ANN (coarse-quantizer variant of the scale path):
+    // deterministic centroid seed set (every n/32-th vector), one
+    // assignment pass (native codegen'd cosine), queries probe the 4
+    // nearest centroid cells. At 100 TB the assignment is one broadcast
+    // join (centroids tiny) + hash partition by cell; only probed cells
+    // are scanned per query. Rows-only check; reports recall@10 vs brute
+    // and the fraction of vectors scanned.
+    Q.noOracle("llm_knn_ivf") { (s, _) =>
+      import s.implicits._
+      val e = s.table("embeddings")
+      val n = e.count()
+      val k = 32
+      val step = math.max(n / k, 1)
+      val centroids = e.filter(col("vec_id") % step === 0).limit(k)
+        .select(col("vec_id").as("c_id"), col("embedding").as("ce"))
+      // assignment: nearest centroid per vector (broadcast centroids)
+      val wAssign = Window.partitionBy("vec_id").orderBy(col("csim").desc, col("c_id"))
+      val assigned = e.join(broadcast(centroids))
+        .select(col("vec_id"), col("embedding"), col("c_id"),
+          Fns.cosineSim(col("embedding"), col("ce")).as("csim"))
+        .select(col("vec_id"), col("embedding"), col("c_id"),
+          row_number().over(wAssign).as("arn"))
+        .filter(col("arn") === 1).drop("arn", "csim")
+      // queries probe their 4 nearest centroid cells
+      val wProbe = Window.partitionBy("q_id").orderBy(col("qsim").desc, col("c_id"))
+      val probes = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("embedding").as("qe"))
+        .join(broadcast(centroids))
+        .select(col("q_id"), col("qe"), col("c_id"),
+          Fns.cosineSim(col("qe"), col("ce")).as("qsim"))
+        .select(col("q_id"), col("qe"), col("c_id"), row_number().over(wProbe).as("prn"))
+        .filter(col("prn") <= 4).drop("prn", "qsim")
+      val wTop = Window.partitionBy("q_id").orderBy(col("sim").desc, col("n_id"))
+      val top = probes.join(assigned, "c_id")
+        .filter(col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id").as("n_id"),
+          Fns.cosineSim(col("qe"), col("embedding")).as("sim"))
+        .select(col("q_id"), col("n_id"), col("sim"), row_number().over(wTop).as("rn"))
+        .filter(col("rn") <= 10).cache()
+      val scanned = probes.join(assigned, "c_id").count().toDouble
+      val brute = queries.find(_.name == "llm_knn_brute").get.build(s, "")
+        .select(col("q_id"), col("n_id"))
+      val hit = top.select("q_id", "n_id").join(brute, Seq("q_id", "n_id"), "left_semi").count()
+      val res = Seq((hit / 50.0, scanned / (5.0 * (n - 1))))
+        .toDF("recall_at_10", "scanned_fraction")
+      top.unpersist()
+      res
+    },
+
     // ---- Text analysis ----
 
     Q("llm_lang_id",

@@ -1,0 +1,91 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+/** Comparison/type-system semantics (SURVEY §2.9 comparison ops & casts,
+  * §7.4 deltas): NULLS FIRST/LAST ordering, IS DISTINCT FROM, LIKE with
+  * ESCAPE, struct (row) comparison, decimal arithmetic, year-month
+  * interval arithmetic.
+  *
+  * Reference: type operator classes FR:499-560 (RowComparisonOperator,
+  * IS DISTINCT FROM), LikeFunctions.java:39, DecimalType /
+  * UnscaledDecimal128Arithmetic.java, DateTimeOperators.java.
+  */
+object MiscQueries extends QueryModule {
+
+  def queries: Seq[Q] = Seq(
+
+    // NULLS FIRST / NULLS LAST with a computed nullable key.
+    Q("misc_orderby_nulls",
+      """SELECT o_orderkey, nullif(o_orderstatus, 'O') AS nullable_status
+        |FROM orders
+        |ORDER BY nullable_status NULLS FIRST, o_orderkey
+        |LIMIT 100""".stripMargin) { (s, _) =>
+      s.table("orders")
+        .select(col("o_orderkey"), nullif(col("o_orderstatus"), lit("O")).as("nullable_status"))
+        .orderBy(col("nullable_status").asc_nulls_first, col("o_orderkey"))
+        .limit(100)
+    },
+
+    // IS [NOT] DISTINCT FROM — null-safe comparison (Spark <=>).
+    Q("misc_is_distinct",
+      """SELECT o_orderkey,
+        |  nullif(o_orderstatus, 'O') IS DISTINCT FROM 'F' AS d1,
+        |  nullif(o_orderstatus, 'O') IS NOT DISTINCT FROM NULL AS d2
+        |FROM orders WHERE o_orderkey <= 1000""".stripMargin) { (s, _) =>
+      val ns = nullif(col("o_orderstatus"), lit("O"))
+      s.table("orders").filter(col("o_orderkey") <= 1000).select(col("o_orderkey"),
+        (!(ns <=> lit("F"))).as("d1"),
+        (ns <=> lit(null).cast("string")).as("d2"))
+    },
+
+    // LIKE with ESCAPE — LikeFunctions.java compiled LIKE.
+    Q("misc_like_escape",
+      """SELECT p_partkey, p_type,
+        |  p_type LIKE '%MEDIUM%' AS has_medium,
+        |  concat(p_brand, '%') LIKE 'Brand#1!%' ESCAPE '!' AS ends_pct_after_1
+        |FROM part""".stripMargin) { (s, _) =>
+      s.table("part").select(col("p_partkey"), col("p_type"),
+        col("p_type").like("%MEDIUM%").as("has_medium"),
+        expr("concat(p_brand, '%') LIKE 'Brand#1!%' ESCAPE '!'").as("ends_pct_after_1"))
+    },
+
+    // Row/struct comparison — RowComparisonOperator.java.
+    Q("misc_struct_compare",
+      """SELECT l_orderkey, l_linenumber,
+        |  {'a': l_returnflag, 'b': l_linestatus} = {'a': 'R', 'b': 'F'} AS is_rf,
+        |  {'a': l_quantity, 'b': l_extendedprice} < {'a': 25.0, 'b': 0.0} AS below
+        |FROM lineitem WHERE l_orderkey <= 200""".stripMargin) { (s, _) =>
+      s.table("lineitem").filter(col("l_orderkey") <= 200).select(
+        col("l_orderkey"), col("l_linenumber"),
+        (struct(col("l_returnflag").as("a"), col("l_linestatus").as("b")) ===
+          struct(lit("R").as("a"), lit("F").as("b"))).as("is_rf"),
+        (struct(col("l_quantity").as("a"), col("l_extendedprice").as("b")) <
+          struct(lit(25.0).as("a"), lit(0.0).as("b"))).as("below"))
+    },
+
+    // Decimal(p,s) arithmetic — exact sums where double would drift.
+    Q("misc_decimal",
+      """SELECT l_returnflag,
+        |  sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS exact_sum,
+        |  sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(5,2))) AS exact_disc,
+        |  CAST(avg(CAST(l_quantity AS DECIMAL(10,2))) AS DECIMAL(16,6)) AS avg_qty
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin) { (s, _) =>
+      s.table("lineitem").groupBy("l_returnflag").agg(
+        sum(col("l_extendedprice").cast("decimal(18,2)")).as("exact_sum"),
+        sum(col("l_extendedprice").cast("decimal(18,2)") * col("l_discount").cast("decimal(5,2)"))
+          .as("exact_disc"),
+        avg(col("l_quantity").cast("decimal(10,2)")).cast("decimal(16,6)").as("avg_qty"))
+    },
+
+    // Year-month interval arithmetic — DateTimeOperators.java.
+    Q("misc_interval_ym",
+      """SELECT o_orderkey,
+        |  o_orderdate + INTERVAL 3 MONTH AS plus_3m,
+        |  o_orderdate - INTERVAL 1 YEAR AS minus_1y
+        |FROM orders WHERE o_orderkey <= 1000""".stripMargin) { (s, _) =>
+      s.table("orders").filter(col("o_orderkey") <= 1000).select(col("o_orderkey"),
+        (col("o_orderdate") + expr("INTERVAL 3 MONTH")).as("plus_3m"),
+        (col("o_orderdate") - expr("INTERVAL 1 YEAR")).as("minus_1y"))
+    })
+}

@@ -1,0 +1,76 @@
+package graft.sources
+
+import org.apache.spark.sql.functions._
+import graft.queries.{Q, QueryModule}
+
+/** Source/sink format coverage (SURVEY §2.1): the reference's Hive
+  * connector reads ORC/Parquet/RCFile/text (presto-orc/.../OrcReader.java,
+  * presto-parquet, GenericHiveRecordCursor.java); writers via
+  * ConnectorPageSink (TableWriterOperator.java:58). Spark equivalents are
+  * spark.read/write.{parquet,orc,csv,json}; the blackhole connector
+  * (presto-blackhole) maps to the noop datasource, presto-memory to temp
+  * views. Avro is omitted (spark-avro module not on this classpath).
+  *
+  * Each roundtrip writes the nation table to a temp dir in the target
+  * format, reads it back, and checks full-fidelity equality
+  * (order-independent hash via xxhash64 xor); result is a deterministic
+  * property the oracle states literally.
+  */
+object SourceQueries extends QueryModule {
+
+  private def roundtrip(s: org.apache.spark.sql.SparkSession, fmt: String): (Long, Long, Boolean) = {
+    val dir = java.nio.file.Files.createTempDirectory(s"graft_$fmt").toString
+    val src = s.table("nation")
+    val w = src.write.mode("overwrite")
+    (if (fmt == "csv") w.option("header", "true") else w).format(fmt).save(dir)
+    val r = s.read.format(fmt)
+    val back = (fmt match {
+      case "csv" => r.option("header", "true").option("inferSchema", "true")
+      case _ => r
+    }).load(dir)
+      .select(col("n_nationkey").cast("int"), col("n_name"), col("n_regionkey").cast("int"))
+    def sig(df: org.apache.spark.sql.DataFrame): Long =
+      df.select(xxhash64(col("n_nationkey"), col("n_name"), col("n_regionkey")).as("h"))
+        .agg(expr("bit_xor(h)")).head().getLong(0)
+    val res = (src.count(), back.count(), sig(src) == sig(back))
+    // best-effort cleanup
+    try {
+      import scala.reflect.io.Directory
+      new Directory(new java.io.File(dir)).deleteRecursively()
+    } catch { case _: Throwable => () }
+    res
+  }
+
+  def queries: Seq[Q] = Seq(
+    Q("src_roundtrip_parquet",
+      """SELECT 25 AS n_src, 25 AS n_back, true AS fidelity""".stripMargin) { (s, _) =>
+      import s.implicits._
+      val (a, b, ok) = roundtrip(s, "parquet")
+      Seq((a, b, ok)).toDF("n_src", "n_back", "fidelity")
+    },
+    Q("src_roundtrip_orc",
+      """SELECT 25 AS n_src, 25 AS n_back, true AS fidelity""".stripMargin) { (s, _) =>
+      import s.implicits._
+      val (a, b, ok) = roundtrip(s, "orc")
+      Seq((a, b, ok)).toDF("n_src", "n_back", "fidelity")
+    },
+    Q("src_roundtrip_csv",
+      """SELECT 25 AS n_src, 25 AS n_back, true AS fidelity""".stripMargin) { (s, _) =>
+      import s.implicits._
+      val (a, b, ok) = roundtrip(s, "csv")
+      Seq((a, b, ok)).toDF("n_src", "n_back", "fidelity")
+    },
+    Q("src_roundtrip_json",
+      """SELECT 25 AS n_src, 25 AS n_back, true AS fidelity""".stripMargin) { (s, _) =>
+      import s.implicits._
+      val (a, b, ok) = roundtrip(s, "json")
+      Seq((a, b, ok)).toDF("n_src", "n_back", "fidelity")
+    },
+    // blackhole-connector analog: full scan into the noop sink.
+    Q("src_noop_sink",
+      """SELECT true AS sink_ok""".stripMargin) { (s, _) =>
+      import s.implicits._
+      s.table("lineitem").write.format("noop").mode("overwrite").save()
+      Seq(true).toDF("sink_ok")
+    })
+}

@@ -116,6 +116,14 @@ class EngineSpecs extends AnyFunSuite with BeforeAndAfterAll {
     assert(hasCodegen(plan), "agg pipeline should run inside whole-stage codegen")
   }
 
+  test("top-k per group uses the WindowGroupLimit fast path") {
+    // the reference's TopNRowNumberOperator; Spark >= 3.5 InferWindowGroupLimit
+    val df = SparkEntry.queries("win_topk_per_group")(spark, sfDir)
+    val s = df.queryExecution.executedPlan.toString
+    assert(s.contains("WindowGroupLimit"),
+      "row_number()<=k filter should trigger WindowGroupLimit, not full-partition sort")
+  }
+
   test("native cosine_similarity expression stays inside codegen and matches HOF math") {
     import org.apache.spark.sql.functions._
     val df = spark.table("embeddings").limit(50).select(
