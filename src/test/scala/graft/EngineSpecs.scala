@@ -142,6 +142,36 @@ class EngineSpecs extends AnyFunSuite with BeforeAndAfterAll {
     assert(formatted.contains("cosine_similarity"))
   }
 
+  test("salted aggregation matches direct groupBy (skew mitigation)") {
+    import org.apache.spark.sql.functions._
+    val direct = spark.table("lineitem").groupBy(col("l_returnflag").as("__key"))
+      .agg(sum("l_quantity").as("total"), count(lit(1)).as("cnt"))
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2))).toSet
+    val salted = graft.operators.SkewOps
+      .saltedSumCount(spark.table("lineitem"), col("l_returnflag"), col("l_quantity"), buckets = 8)
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2))).toSet
+    // doubles: compare with tolerance via map lookup
+    assert(direct.map(_._1) == salted.map(_._1))
+    val dm = direct.map(t => t._1 -> (t._2, t._3)).toMap
+    salted.foreach { case (k, tot, cnt) =>
+      assert(math.abs(dm(k)._1 - tot) / dm(k)._1 < 1e-12)
+      assert(dm(k)._2 == cnt)
+    }
+  }
+
+  test("minhash signature helpers estimate jaccard") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.Fns
+    val df = spark.sql("SELECT array('a','b','c','d','e','f','g','h') AS s1, array('a','b','c','d','e','f','x','y') AS s2")
+      .select(
+        Fns.minhashJaccard(Fns.minhashSignature(col("s1"), 128), Fns.minhashSignature(col("s1"), 128)).as("self"),
+        Fns.minhashJaccard(Fns.minhashSignature(col("s1"), 128), Fns.minhashSignature(col("s2"), 128)).as("near"))
+      .head()
+    assert(df.getDouble(0) == 1.0)
+    // true jaccard = 6/10 = 0.6; 128 perms => sigma ~ 0.043
+    assert(math.abs(df.getDouble(1) - 0.6) < 0.2)
+  }
+
   test("hll sketch survives the partial/final shuffle split") {
     // group-by forces partial aggregation -> serialize -> shuffle ->
     // final merge; estimate must still be within tolerance.
