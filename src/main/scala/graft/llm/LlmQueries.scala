@@ -280,15 +280,16 @@ object LlmQueries extends QueryModule {
       val step = math.max(n / k, 1)
       val centroids = e.filter(col("vec_id") % step === 0).limit(k)
         .select(col("vec_id").as("c_id"), col("embedding").as("ce"))
-      // assignment: nearest centroid per vector (broadcast centroids)
-      val wAssign = Window.partitionBy("vec_id").orderBy(col("csim").desc, col("c_id"))
+      // assignment: nearest centroid per vector — max_by aggregation
+      // (no window sort, no arrays through the shuffle; ties break to
+      // the lowest centroid id via the negated-id struct key)
       val assigned = e.join(broadcast(centroids))
-        .select(col("vec_id"), col("embedding"), col("c_id"),
+        .select(col("vec_id"), col("c_id"),
           Fns.cosineSim(col("embedding"), col("ce")).as("csim"))
-        .select(col("vec_id"), col("embedding"), col("c_id"),
-          row_number().over(wAssign).as("arn"))
-        .filter(col("arn") === 1).drop("arn", "csim")
-      // queries probe their 4 nearest centroid cells
+        .groupBy("vec_id")
+        .agg(max_by(col("c_id"), struct(col("csim"), -col("c_id"))).as("c_id"))
+        .join(e, "vec_id")
+      // queries probe their 4 nearest centroid cells (tiny: 5 x k rows)
       val wProbe = Window.partitionBy("q_id").orderBy(col("qsim").desc, col("c_id"))
       val probes = e.filter(col("vec_id") < 5)
         .select(col("vec_id").as("q_id"), col("embedding").as("qe"))

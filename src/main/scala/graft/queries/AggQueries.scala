@@ -238,6 +238,19 @@ object AggQueries extends QueryModule {
         .agg(array_join(sort_array(collect_list("c_name")), "|").as("members"))
     },
 
+    // reduce_agg(input, init, lambda) — ReduceAggregationFunction.java.
+    // Spark has no arbitrary-lambda aggregate; for bounded groups the
+    // collect_list + aggregate HOF composition expresses it (quantities
+    // are small integers, so the double sum below is exact regardless of
+    // collection order). Unbounded groups should use a typed Aggregator.
+    Q("agg_reduce",
+      """SELECT l_returnflag, sum(l_quantity * l_quantity) AS sum_sq
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin) { (s, _) =>
+      s.table("lineitem").groupBy("l_returnflag").agg(
+        aggregate(collect_list("l_quantity"), lit(0.0d), (acc, x) => acc + x * x)
+          .as("sum_sq"))
+    },
+
     // geometric_mean — reference aggregation/GeometricMeanAggregations.
     Q("agg_geometric_mean",
       """SELECT l_returnflag, exp(avg(ln(l_quantity))) AS geo_mean_qty

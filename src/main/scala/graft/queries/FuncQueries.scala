@@ -205,6 +205,20 @@ object FuncQueries extends QueryModule {
         get_json_object(col("props"), "$.missing").as("missing_val"))
     },
 
+    // JSON casts — JsonToArrayCast/JsonExtract (from_json/to_json side);
+    // literal inputs, literal-expected oracle.
+    Q("func_json_casts",
+      """SELECT 3 AS arr_len, 2 AS second_elem, 7 AS nested_b,
+        |  '{"x":1,"y":"z"}' AS rendered, true AS is_scalar_num""".stripMargin) { (s, _) =>
+      s.sql(
+        """SELECT
+          |  size(from_json('[1,2,3]', 'array<int>')) AS arr_len,
+          |  element_at(from_json('[1,2,3]', 'array<int>'), 2) AS second_elem,
+          |  from_json('{"a": {"b": 7}}', 'struct<a:struct<b:int>>').a.b AS nested_b,
+          |  to_json(named_struct('x', 1, 'y', 'z')) AS rendered,
+          |  get_json_object('42', '$') = '42' AS is_scalar_num""".stripMargin)
+    },
+
     Q("func_regexp",
       """SELECT p_partkey,
         |  regexp_extract(p_name, '([a-z]+) ([a-z]+)', 2) AS second_word,
