@@ -148,15 +148,19 @@ object AggQueries extends QueryModule {
     // skewness / kurtosis — CentralMomentsAggregation.java. Spark computes
     // population moments (g1, excess g2); DuckDB's builtins use sample
     // formulas, so the oracle computes the population moments explicitly.
+    // Outputs are rounded to 6 decimals in BOTH engines: skew of this
+    // near-symmetric data is ~1e-4, where 12-significant-digit hash
+    // agreement would demand 1e-16 — beyond what two different moment
+    // summation orders can guarantee.
     Q("agg_skew_kurt",
       """WITH m AS (SELECT avg(l_quantity) AS mu, CAST(count(*) AS DOUBLE) AS n FROM lineitem)
         |SELECT
-        |  (sum(pow(l_quantity - mu, 3)) / any_value(n)) / pow(sum(pow(l_quantity - mu, 2)) / any_value(n), 1.5) AS skew,
-        |  (sum(pow(l_quantity - mu, 4)) / any_value(n)) / pow(sum(pow(l_quantity - mu, 2)) / any_value(n), 2.0) - 3.0 AS kurt
+        |  round((sum(pow(l_quantity - mu, 3)) / any_value(n)) / pow(sum(pow(l_quantity - mu, 2)) / any_value(n), 1.5), 6) AS skew,
+        |  round((sum(pow(l_quantity - mu, 4)) / any_value(n)) / pow(sum(pow(l_quantity - mu, 2)) / any_value(n), 2.0) - 3.0, 6) AS kurt
         |FROM lineitem, m""".stripMargin) { (s, _) =>
       s.table("lineitem").agg(
-        skewness("l_quantity").as("skew"),
-        kurtosis("l_quantity").as("kurt"))
+        round(skewness(col("l_quantity")), 6).as("skew"),
+        round(kurtosis(col("l_quantity")), 6).as("kurt"))
     },
 
     Q("agg_bool",
