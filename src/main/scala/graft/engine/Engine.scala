@@ -42,15 +42,17 @@ object Engine {
 
   // Remember which fixture dir each session has registered so per-query
   // re-registration is a no-op (avoids re-reading parquet footers for
-  // every one of the ~dozens of Verify queries).
-  private val registered = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  // every one of the ~dozens of Verify queries). Keyed on session
+  // identity (weak) — hashCode collisions would skip registration.
+  private val registered =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[SparkSession, String]())
 
   /** Register every fixture table under `dir` as a temp view. Idempotent
     * per (session, dir). Also installs the graft function extensions.
     */
   def registerTables(spark: SparkSession, dir: String): Unit = {
-    val key = spark.sessionState.hashCode().toString
-    if (registered.get(key) != dir) {
+    if (registered.get(spark) != dir) {
       // events.parquet carries TIMESTAMP(NANOS) which the vectorized reader
       // rejects; read nanos as long and restore a micros timestamp column.
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -67,7 +69,7 @@ object Engine {
         }
       }
       graft.functions.FunctionRegistry.installAll(spark)
-      registered.put(key, dir)
+      registered.put(spark, dir)
     }
   }
 

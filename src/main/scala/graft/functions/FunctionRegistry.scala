@@ -18,17 +18,20 @@ import org.apache.spark.sql.catalyst.expressions.aggregate.{AnyValue, HyperLogLo
   */
 object FunctionRegistry {
 
-  @volatile private var installedSessions = Set.empty[Int]
+  // Keyed on session identity (not hashCode — collisions would silently
+  // skip installation for a second session); weak so dead sessions drop.
+  private val installed =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[SparkSession, java.lang.Boolean]())
 
   def installAll(spark: SparkSession): Unit = synchronized {
-    val key = spark.sessionState.hashCode()
-    if (!installedSessions.contains(key)) {
+    if (!installed.containsKey(spark)) {
       installAliases(spark)
       ScalarFunctions.install(spark)
       SketchAggregates.install(spark)
       QuantileSketchFunctions.install(spark)
       ArrayCosineSimilarity.install(spark)
-      installedSessions += key
+      installed.put(spark, java.lang.Boolean.TRUE)
     }
   }
 

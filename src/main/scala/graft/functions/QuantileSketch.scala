@@ -178,6 +178,9 @@ object QuantileSketchFunctions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction("qdigest_agg",
       args => QuantileSketchAgg(args.head), "scala_udf")
     spark.udf.register("qdigest_value_at",
-      (b: Array[Byte], q: Double) => QuantileSketch.valueAtQuantile(QuantileSketch.fromBytes(b), q))
+      (b: Array[Byte], q: Double) =>
+        if (b == null) null
+        else java.lang.Double.valueOf(
+          QuantileSketch.valueAtQuantile(QuantileSketch.fromBytes(b), q)))
   }
 }

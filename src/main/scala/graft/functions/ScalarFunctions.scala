@@ -43,17 +43,19 @@ object ScalarFunctions {
     else if (s.endsWith("ss")) ()
     else if (s.endsWith("s") && s.length > 1) s = s.dropRight(1)
     // Step 1b (simplified)
+    // *d rule: strip one of a DOUBLED CONSONANT (not vowel) unless l/s/z
+    def doubledConsonant(str: String): Boolean =
+      str.length >= 2 && str(str.length - 1) == str(str.length - 2) &&
+        !"aeiou".contains(str.last) && !"lsz".contains(str.last)
     if (s.endsWith("eed")) { if (measure(s.dropRight(3)) > 0) s = s.dropRight(1) }
     else if (s.endsWith("ed") && hasVowel(s.dropRight(2))) {
       s = s.dropRight(2)
       if (s.endsWith("at") || s.endsWith("bl") || s.endsWith("iz")) s = s + "e"
-      else if (s.length >= 2 && s(s.length - 1) == s(s.length - 2) &&
-        !"lsz".contains(s.last)) s = s.dropRight(1)
+      else if (doubledConsonant(s)) s = s.dropRight(1)
     } else if (s.endsWith("ing") && hasVowel(s.dropRight(3))) {
       s = s.dropRight(3)
       if (s.endsWith("at") || s.endsWith("bl") || s.endsWith("iz")) s = s + "e"
-      else if (s.length >= 2 && s(s.length - 1) == s(s.length - 2) &&
-        !"lsz".contains(s.last)) s = s.dropRight(1)
+      else if (doubledConsonant(s)) s = s.dropRight(1)
     }
     // Step 1c
     if (s.endsWith("y") && hasVowel(s.dropRight(1))) s = s.dropRight(1) + "i"
@@ -127,6 +129,7 @@ object ScalarFunctions {
         }
         i += 2
       } else if (p(i).isLetter) { sb.append("'").append(p(i)).append("'"); i += 1 }
+      else if (p(i) == '\'') { sb.append("''"); i += 1 } // java.time literal quote
       else { sb.append(p(i)); i += 1 }
     }
     sb.toString

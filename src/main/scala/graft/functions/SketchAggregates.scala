@@ -201,8 +201,13 @@ object SketchAggregates {
     reg.createOrReplaceTempFunction("checksum",
       args => BitXorAgg(new XxHash64(args)), "scala_udf")
 
-    spark.udf.register("hll_cardinality", (b: Array[Byte]) => Hll.cardinality(b))
+    // SQL convention: NULL/malformed sketch input -> NULL, not a crash.
+    spark.udf.register("hll_cardinality", (b: Array[Byte]) =>
+      if (b == null || b.length != Hll.M) null
+      else java.lang.Long.valueOf(Hll.cardinality(b)))
     spark.udf.register("jaccard_index", (a: Array[Byte], b: Array[Byte]) =>
-      SetDigest.jaccard(SetDigest.fromBytes(a), SetDigest.fromBytes(b)))
+      if (a == null || b == null) null
+      else java.lang.Double.valueOf(
+        SetDigest.jaccard(SetDigest.fromBytes(a), SetDigest.fromBytes(b))))
   }
 }

@@ -36,14 +36,24 @@ object LlmQueries extends QueryModule {
   // The exact-pair scaffold is shared by the ngram/minhash/simhash
   // queries; cache the J>=0.5 superset per session so contract checks
   // don't recompute the shingle self-join three times.
-  private val pairCache = new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+  // Weak identity key on the session (hashCode could collide and hand a
+  // DataFrame bound to another session); inner key = fixture file.
+  private val pairCache =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[SparkSession, java.util.concurrent.ConcurrentHashMap[String, DataFrame]]())
 
-  private def cachedPairs(s: SparkSession): DataFrame = {
-    // Key by session AND the registered documents fixture (a session can
-    // re-register a different scale factor).
-    val key = s.sessionState.hashCode().toString + ":" +
-      s.table("documents").inputFiles.headOption.getOrElse("")
-    pairCache.computeIfAbsent(key, _ => exactJaccardPairsUncached(s, 0.5).persist())
+  private def cachedPairs(s: SparkSession): DataFrame = synchronized {
+    val perSession = {
+      val existing = pairCache.get(s)
+      if (existing != null) existing
+      else {
+        val m = new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+        pairCache.put(s, m)
+        m
+      }
+    }
+    val fixture = s.table("documents").inputFiles.headOption.getOrElse("")
+    perSession.computeIfAbsent(fixture, _ => exactJaccardPairsUncached(s, 0.5).persist())
   }
 
   /** Exact pairwise 5-gram Jaccard >= threshold via shingle-key join —
@@ -278,7 +288,8 @@ object LlmQueries extends QueryModule {
       val n = e.count()
       val k = 32
       val step = math.max(n / k, 1)
-      val centroids = e.filter(col("vec_id") % step === 0).limit(k)
+      val centroids = e.filter(col("vec_id") % step === 0)
+        .orderBy("vec_id").limit(k) // ordered limit => deterministic seeds
         .select(col("vec_id").as("c_id"), col("embedding").as("ce"))
       // assignment: nearest centroid per vector — max_by aggregation
       // (no window sort, no arrays through the shuffle; ties break to

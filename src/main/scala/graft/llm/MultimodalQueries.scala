@@ -84,10 +84,10 @@ object MultimodalQueries extends QueryModule {
         |  octet_length(encode(text)) % 480 + 1 AS height,
         |  3 AS channels,
         |  CASE octet_length(encode(text)) % 3 WHEN 0 THEN 'jpeg' WHEN 1 THEN 'png' ELSE 'webp' END AS format,
-        |  ascii(substr(text, 1, 1)) AS b1,
-        |  ascii(substr(text, 2, 1)) AS b2,
-        |  ascii(substr(text, 3, 1)) AS b3,
-        |  ascii(substr(text, 4, 1)) AS b4
+        |  CASE WHEN length(text) >= 1 THEN ascii(substr(text, 1, 1)) ELSE 0 END AS b1,
+        |  CASE WHEN length(text) >= 2 THEN ascii(substr(text, 2, 1)) ELSE 0 END AS b2,
+        |  CASE WHEN length(text) >= 3 THEN ascii(substr(text, 3, 1)) ELSE 0 END AS b3,
+        |  CASE WHEN length(text) >= 4 THEN ascii(substr(text, 4, 1)) ELSE 0 END AS b4
         |FROM documents""".stripMargin) { (s, _) =>
       val binDf = s.table("documents")
         .select(col("doc_id"), encode(col("text"), "UTF-8").as("media"))
@@ -99,8 +99,9 @@ object MultimodalQueries extends QueryModule {
           val docId = r.getLong(0)
           val bytes = r.getAs[Array[Byte]](1)
           val (w, h, c, f) = stubDecodeImage(bytes)
+          def byteAt(i: Int): Int = if (bytes.length > i) bytes(i).toInt else 0
           Row(docId, bytes.length, w, h, c, f,
-            bytes(0).toInt, bytes(1).toInt, bytes(2).toInt, bytes(3).toInt)
+            byteAt(0), byteAt(1), byteAt(2), byteAt(3))
         }
       }(rowEnc)
     })

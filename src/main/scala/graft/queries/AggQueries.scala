@@ -115,15 +115,19 @@ object AggQueries extends QueryModule {
           |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), (l_returnflag, l_linestatus))""".stripMargin)
     },
 
-    // min_by / max_by — minmaxby/ MaxByAggregationFunction (DuckDB: arg_*).
+    // min_by / max_by — minmaxby/ MaxByAggregationFunction (DuckDB:
+    // arg_*). The ordering key embeds c_custkey so ties on the 2-decimal
+    // balance break deterministically in both engines (cents step 1e7
+    // dominates the <1e7 custkey).
     Q("agg_minmax_by",
-      """SELECT arg_max(c_name, c_acctbal) AS richest,
-        |  arg_min(c_name, c_acctbal) AS poorest,
+      """SELECT arg_max(c_name, CAST(round(c_acctbal * 100) AS BIGINT) * 10000000 + c_custkey) AS richest,
+        |  arg_min(c_name, CAST(round(c_acctbal * 100) AS BIGINT) * 10000000 + c_custkey) AS poorest,
         |  max(c_acctbal) AS max_bal, min(c_acctbal) AS min_bal
         |FROM customer""".stripMargin) { (s, _) =>
+      val tieKey = round(col("c_acctbal") * 100).cast("long") * 10000000L + col("c_custkey")
       s.table("customer").agg(
-        max_by(col("c_name"), col("c_acctbal")).as("richest"),
-        min_by(col("c_name"), col("c_acctbal")).as("poorest"),
+        max_by(col("c_name"), tieKey).as("richest"),
+        min_by(col("c_name"), tieKey).as("poorest"),
         max("c_acctbal").as("max_bal"),
         min("c_acctbal").as("min_bal"))
     },

@@ -1,6 +1,7 @@
 package graft.sql
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import scala.util.matching.Regex
 
 /** Thin Presto-dialect SQL front door (SURVEY §7.0 graft.sql): installs
   * the Presto-named function aliases and applies light textual rewrites
@@ -18,16 +19,31 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object PrestoSql {
 
-  private val dateAdd = """(?i)date_add\s*\(\s*'(\w+)'\s*,""".r
-  private val dateDiff = """(?i)date_diff\s*\(\s*'(\w+)'\s*,""".r
-  private val bareVarchar = """(?i)AS\s+VARCHAR\s*\)""".r
+  private val combined: Regex =
+    """(?i)(date_add\s*\(\s*'(\w+)'\s*,)|(date_diff\s*\(\s*'(\w+)'\s*,)|(AS\s+VARCHAR\s*\))""".r
 
+  /** Rewrite in one pass over the original text, skipping any match that
+    * starts inside a single-quoted string literal ('' escapes handled) —
+    * query constants are never corrupted. (The date_add unit itself is a
+    * literal, but the match *starts* at the function name, outside it.)
+    */
   def rewrite(sql: String): String = {
-    var out = sql
-    out = dateAdd.replaceAllIn(out, m => s"timestampadd(${m.group(1).toUpperCase},")
-    out = dateDiff.replaceAllIn(out, m => s"timestampdiff(${m.group(1).toUpperCase},")
-    out = bareVarchar.replaceAllIn(out, "AS STRING)")
-    out
+    val inLit = new Array[Boolean](sql.length)
+    var i = 0
+    var in = false
+    while (i < sql.length) {
+      if (sql(i) == '\'') {
+        if (in && i + 1 < sql.length && sql(i + 1) == '\'') {
+          inLit(i) = true; inLit(i + 1) = true; i += 1
+        } else { in = !in; inLit(i) = true }
+      } else inLit(i) = in
+      i += 1
+    }
+    combined.replaceAllIn(sql, m =>
+      if (inLit(m.start)) Regex.quoteReplacement(m.matched)
+      else if (m.group(1) != null) s"timestampadd(${m.group(2).toUpperCase},"
+      else if (m.group(3) != null) s"timestampdiff(${m.group(4).toUpperCase},"
+      else "AS STRING)")
   }
 
   /** Run Presto-dialect SQL on the graft engine. */

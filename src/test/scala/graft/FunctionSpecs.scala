@@ -66,7 +66,9 @@ class FunctionSpecs extends AnyFunSuite {
     val cases = Map(
       "running" -> "run", "cats" -> "cat", "happy" -> "happi",
       "agreed" -> "agree", "ponies" -> "poni", "caresses" -> "caress",
-      "hopping" -> "hop", "falling" -> "fall")
+      "hopping" -> "hop", "falling" -> "fall",
+      // *d rule must only strip doubled CONSONANTS (code-review finding)
+      "seeing" -> "see", "agreeing" -> "agree", "cooed" -> "coo")
     cases.foreach { case (in, out) =>
       assert(ScalarFunctions.porterStem(in) == out, s"stem($in)")
     }

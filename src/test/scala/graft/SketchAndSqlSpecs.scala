@@ -51,6 +51,13 @@ class SketchAndSqlSpecs extends AnyFunSuite {
     assert(PrestoSql.rewrite("SELECT CAST(x AS VARCHAR(10)) FROM t") ==
       "SELECT CAST(x AS VARCHAR(10)) FROM t")
     assert(PrestoSql.rewrite("SELECT x || y FROM t") == "SELECT x || y FROM t")
+    // rewrites must not fire inside string literals
+    assert(PrestoSql.rewrite("SELECT 'CAST(x AS VARCHAR)' AS s") ==
+      "SELECT 'CAST(x AS VARCHAR)' AS s")
+    assert(PrestoSql.rewrite("SELECT 'date_add(''day'', 1, x)' AS s") ==
+      "SELECT 'date_add(''day'', 1, x)' AS s")
+    assert(PrestoSql.rewrite("SELECT date_add('day', 1, ts), 'AS VARCHAR)' FROM t") ==
+      "SELECT timestampadd(DAY, 1, ts), 'AS VARCHAR)' FROM t")
   }
 
   test("mysql date pattern translation") {
