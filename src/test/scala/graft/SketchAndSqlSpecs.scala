@@ -60,6 +60,23 @@ class SketchAndSqlSpecs extends AnyFunSuite {
       "SELECT timestampadd(DAY, 1, ts), 'AS VARCHAR)' FROM t")
   }
 
+  test("GraftExtensions injects functions at session build time") {
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master("local[2]")
+      .appName("graft-ext-spec")
+      .config("spark.sql.extensions", "graft.engine.GraftExtensions")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    try {
+      val sim = spark.sql(
+        "SELECT cosine_similarity(array(1.0D, 2.0D), array(2.0D, 4.0D)) AS s").head().getDouble(0)
+      assert(math.abs(sim - 1.0) < 1e-12)
+      val card = spark.sql(
+        "SELECT length(approx_set(x)) AS l FROM VALUES (1), (2), (3) AS t(x)").head().getInt(0)
+      assert(card == graft.functions.Hll.M)
+    } finally spark.stop()
+  }
+
   test("mysql date pattern translation") {
     import graft.functions.ScalarFunctions._
     assert(translateMysqlPattern("%Y-%m-%d") == "yyyy-MM-dd")
