@@ -187,6 +187,54 @@ object LlmQueries extends QueryModule {
       Seq(dupMean < baseMean / 2).toDF("separates_dups")
     },
 
+    // Transitive dedup: connected components over the near-dup pair
+    // graph — the keeper-assignment step a production dedup needs (pairs
+    // alone under-merge A~B~C chains). Spark side: iterative min-label
+    // propagation to fixpoint (cluster diameters are tiny; each round is
+    // one join + groupBy — at 100 TB this is the standard large-graph CC
+    // loop). Oracle: exact transitive closure via recursive CTE.
+    Q("llm_dedup_groups",
+      """WITH RECURSIVE
+        |toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents WHERE len(string_split(text, ' ')) >= 5),
+        |sh AS (SELECT doc_id, unnest(list_distinct([array_to_string(w[i:i+4], '_') for i in generate_series(1, len(w)-4)])) AS s FROM toks),
+        |sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM sh GROUP BY doc_id),
+        |cpairs AS (SELECT a.doc_id AS d1, b.doc_id AS d2, CAST(count(*) AS BIGINT) AS common
+        |           FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+        |pairs AS (SELECT d1, d2 FROM cpairs
+        |          JOIN sizes s1 ON s1.doc_id = d1 JOIN sizes s2 ON s2.doc_id = d2
+        |          WHERE CAST(common AS DOUBLE) / (s1.n + s2.n - common) >= 0.8),
+        |nodes AS (SELECT DISTINCT d FROM (SELECT d1 AS d FROM pairs UNION SELECT d2 FROM pairs) t),
+        |edges AS (SELECT d1 AS a, d2 AS b FROM pairs UNION SELECT d2, d1 FROM pairs),
+        |reach AS (SELECT d AS node, d AS lbl FROM nodes
+        |          UNION
+        |          SELECT e.b AS node, r.lbl FROM reach r JOIN edges e ON e.a = r.node)
+        |SELECT node AS doc_id, CAST(min(lbl) AS BIGINT) AS cluster
+        |FROM reach GROUP BY node""".stripMargin) { (s, _) =>
+      val pairs = exactJaccardPairs(s, 0.8).select("doc_a", "doc_b").cache()
+      val edges = pairs.select(col("doc_a").as("a"), col("doc_b").as("b"))
+        .union(pairs.select(col("doc_b").as("a"), col("doc_a").as("b")))
+        .cache()
+      var labels = edges.select(col("a").as("doc_id")).distinct()
+        .select(col("doc_id"), col("doc_id").as("cluster"))
+      var converged = false
+      var iter = 0
+      while (!converged && iter < 20) {
+        val viaNeighbor = edges
+          .join(labels.select(col("doc_id").as("a"), col("cluster").as("nlbl")), "a")
+          .select(col("b").as("doc_id"), col("nlbl").as("cluster"))
+        val next = labels.union(viaNeighbor)
+          .groupBy("doc_id").agg(min("cluster").as("cluster"))
+          .cache()
+        converged = next.join(labels,
+          next("doc_id") === labels("doc_id") && next("cluster") === labels("cluster"))
+          .count() == labels.count()
+        labels = next
+        iter += 1
+      }
+      edges.unpersist(); pairs.unpersist()
+      labels.select(col("doc_id"), col("cluster").cast("long").as("cluster"))
+    },
+
     // ---- Similarity search ----
 
     // Brute-force cosine top-10 (the exactness baseline; O(Q*N) with the

@@ -94,6 +94,47 @@ object EventQueries extends QueryModule {
         .na.fill(0L)
     },
 
+    // Multi-step funnel: signup -> first click after signup -> first
+    // purchase after that click; per-stage user counts. Identical SQL
+    // runs on both engines (FILTER + correlated stage joins).
+    Q("ev_funnel",
+      """WITH s AS (
+        |  SELECT user_id, min(ts) FILTER (WHERE event_type = 'signup') AS signup_ts
+        |  FROM events GROUP BY user_id),
+        |c AS (
+        |  SELECT e.user_id, min(e.ts) AS click_ts
+        |  FROM events e JOIN s ON e.user_id = s.user_id
+        |  WHERE e.event_type = 'click' AND e.ts > s.signup_ts
+        |  GROUP BY e.user_id),
+        |p AS (
+        |  SELECT e.user_id, min(e.ts) AS purchase_ts
+        |  FROM events e JOIN c ON e.user_id = c.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts > c.click_ts
+        |  GROUP BY e.user_id)
+        |SELECT
+        |  CAST((SELECT count(*) FROM s WHERE signup_ts IS NOT NULL) AS BIGINT) AS n_signup,
+        |  CAST((SELECT count(*) FROM c) AS BIGINT) AS n_click_after,
+        |  CAST((SELECT count(*) FROM p) AS BIGINT) AS n_purchase_after""".stripMargin) { (s, _) =>
+      s.sql(
+        """WITH s AS (
+          |  SELECT user_id, min(ts) FILTER (WHERE event_type = 'signup') AS signup_ts
+          |  FROM events GROUP BY user_id),
+          |c AS (
+          |  SELECT e.user_id, min(e.ts) AS click_ts
+          |  FROM events e JOIN s ON e.user_id = s.user_id
+          |  WHERE e.event_type = 'click' AND e.ts > s.signup_ts
+          |  GROUP BY e.user_id),
+          |p AS (
+          |  SELECT e.user_id, min(e.ts) AS purchase_ts
+          |  FROM events e JOIN c ON e.user_id = c.user_id
+          |  WHERE e.event_type = 'purchase' AND e.ts > c.click_ts
+          |  GROUP BY e.user_id)
+          |SELECT
+          |  CAST((SELECT count(*) FROM s WHERE signup_ts IS NOT NULL) AS BIGINT) AS n_signup,
+          |  CAST((SELECT count(*) FROM c) AS BIGINT) AS n_click_after,
+          |  CAST((SELECT count(*) FROM p) AS BIGINT) AS n_purchase_after""".stripMargin)
+    },
+
     // Daily active users + value stats — the dashboard-style rollup.
     Q("ev_daily_stats",
       """SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,

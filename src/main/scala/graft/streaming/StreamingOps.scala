@@ -33,3 +33,63 @@ object StreamingOps {
   def perUserCounts(events: DataFrame): DataFrame =
     events.groupBy(col("user_id")).agg(count(lit(1)).as("n_events"))
 }
+
+/** Custom-state streaming: gap-based sessionization via
+  * flatMapGroupsWithState (the KeyValueGroupedDataset custom-state path).
+  * State is one bounded SessionState per live user key — the 100 TB
+  * streaming discipline (no per-event state growth); a closed session is
+  * emitted when the next event arrives past the gap, or on processing-
+  * time timeout.
+  */
+object StatefulSessionize {
+
+  case class Event(user_id: Long, ts: java.sql.Timestamp, value: Double)
+  case class SessionState(sessionStart: Long, lastTs: Long, n: Long, total: Double)
+  case class Session(user_id: Long, session_start: java.sql.Timestamp,
+      session_end: java.sql.Timestamp, n_events: Long, total_value: Double)
+
+  import org.apache.spark.sql.{Dataset, Encoders}
+  import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+  def sessionize(events: Dataset[Event], gapMinutes: Int): Dataset[Session] = {
+    implicit val sessionEnc = Encoders.product[Session]
+    implicit val stateEnc = Encoders.product[SessionState]
+    implicit val keyEnc = Encoders.scalaLong
+    val gapMs = gapMinutes * 60L * 1000L
+
+    def fn(userId: Long, evts: Iterator[Event], state: GroupState[SessionState]): Iterator[Session] = {
+      var cur = state.getOption
+      val closed = scala.collection.mutable.ArrayBuffer.empty[Session]
+      if (state.hasTimedOut) {
+        cur.foreach { st =>
+          closed += Session(userId, new java.sql.Timestamp(st.sessionStart),
+            new java.sql.Timestamp(st.lastTs), st.n, st.total)
+        }
+        state.remove()
+        return closed.iterator
+      }
+      evts.toSeq.sortBy(_.ts.getTime).foreach { e =>
+        val t = e.ts.getTime
+        cur match {
+          case Some(st) if t - st.lastTs <= gapMs =>
+            cur = Some(SessionState(st.sessionStart, math.max(st.lastTs, t), st.n + 1, st.total + e.value))
+          case Some(st) =>
+            closed += Session(userId, new java.sql.Timestamp(st.sessionStart),
+              new java.sql.Timestamp(st.lastTs), st.n, st.total)
+            cur = Some(SessionState(t, t, 1, e.value))
+          case None =>
+            cur = Some(SessionState(t, t, 1, e.value))
+        }
+      }
+      cur.foreach { st =>
+        state.update(st)
+        state.setTimeoutDuration(gapMs)
+      }
+      closed.iterator
+    }
+
+    events.groupByKey(_.user_id)(keyEnc)
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Append, GroupStateTimeout.ProcessingTimeTimeout)(fn)
+  }
+}

@@ -142,6 +142,39 @@ class EngineSpecs extends AnyFunSuite with BeforeAndAfterAll {
     assert(formatted.contains("cosine_similarity"))
   }
 
+  test("bucketed tables join co-located: no shuffle on either side") {
+    import org.apache.spark.sql.functions._
+    spark.sql("DROP TABLE IF EXISTS graft_b_li")
+    spark.sql("DROP TABLE IF EXISTS graft_b_ord")
+    spark.table("lineitem").select("l_orderkey", "l_quantity")
+      .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey").saveAsTable("graft_b_li")
+    spark.table("orders").select("o_orderkey", "o_totalprice")
+      .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey").saveAsTable("graft_b_ord")
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force non-broadcast
+      val joined = spark.table("graft_b_li")
+        .join(spark.table("graft_b_ord"), col("l_orderkey") === col("o_orderkey"))
+        .groupBy("l_orderkey").agg(sum("l_quantity").as("q"))
+      val plan = executedPlan(joined)
+      def shuffles(p: SparkPlan): Int = {
+        val self = if (p.isInstanceOf[ShuffleExchangeExec]) 1 else 0
+        self + (p match {
+          case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => shuffles(q.plan)
+          case other => other.children.map(shuffles).sum
+        })
+      }
+      // join itself must be exchange-free (bucket co-location); the only
+      // permissible shuffle would be none at all here since the groupBy
+      // key equals the bucket key.
+      assert(shuffles(plan) == 0, s"expected co-located join+agg without shuffles:\n$plan")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql("DROP TABLE IF EXISTS graft_b_li")
+      spark.sql("DROP TABLE IF EXISTS graft_b_ord")
+    }
+  }
+
   test("salted aggregation matches direct groupBy (skew mitigation)") {
     import org.apache.spark.sql.functions._
     val direct = spark.table("lineitem").groupBy(col("l_returnflag").as("__key"))

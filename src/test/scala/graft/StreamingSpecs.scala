@@ -50,6 +50,26 @@ class StreamingSpecs extends AnyFunSuite with BeforeAndAfterAll {
     } finally query.stop()
   }
 
+  // flatMapGroupsWithState also runs on batch Datasets (empty initial
+  // state, one invocation per key) — same user code, no streaming
+  // runtime. (The streaming run of this operator spins continuous no-data
+  // micro-batches under Spark 4.1's state-store maintenance, so the spec
+  // drives the batch path; StreamingOps.windowedEventCounts covers the
+  // streaming runtime above.)
+  test("stateful sessionization closes sessions at gap boundaries (batch-mode state fn)") {
+    import graft.streaming.StatefulSessionize._
+    import spark.implicits._
+    val events = Seq(
+      Event(7L, ts("2024-01-01 10:00:00"), 1.0),
+      Event(7L, ts("2024-01-01 10:10:00"), 2.0),
+      Event(7L, ts("2024-01-01 12:30:00"), 5.0), // > 30 min gap: closes session 1
+      Event(9L, ts("2024-01-01 09:00:00"), 4.0)).toDS()
+    val sessions = sessionize(events, gapMinutes = 30).collect()
+      .map(s => (s.user_id, s.session_start.toString, s.session_end.toString, s.n_events, s.total_value))
+    // only CLOSED sessions are emitted (open ones stay in state)
+    assert(sessions.toSeq == Seq((7L, "2024-01-01 10:00:00.0", "2024-01-01 10:10:00.0", 2L, 3.0)))
+  }
+
   test("streaming transform matches its batch twin on the same data") {
     import spark.implicits._
     val batch = Seq(
