@@ -68,5 +68,9 @@ object FunctionRegistry {
     }
     // from_unixtime(secs) -> timestamp — Presto returns timestamp(3)
     register(spark, "presto_from_unixtime") { args => SecondsToTimestamp(args.head) }
+    // TRY(expr) — generic error->NULL wrapper (TryFunction.java). Spark 4
+    // ships the TryEval expression (used by try_add etc.); exposing it
+    // directly generalizes TRY to any child expression.
+    register(spark, "try_eval") { args => TryEval(args.head) }
   }
 }

@@ -64,8 +64,13 @@ object LlmQueries extends QueryModule {
     else exactJaccardPairsUncached(s, threshold)
 
   private def exactJaccardPairsUncached(s: SparkSession, threshold: Double): DataFrame = {
+    // Join on the 64-bit xxhash of the shingle, not the string: ~5x less
+    // shuffle volume at 100 TB; collision probability over the corpus is
+    // ~|shingles|^2 / 2^64 (negligible, and a collision only perturbs one
+    // pair's count by 1).
     val sh = shingleSets(s)
       .select(col("doc_id"), explode(col("shingles")).as("sh"))
+      .select(col("doc_id"), xxhash64(col("sh")).as("sh"))
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val a = sh.select(col("doc_id").as("d1"), col("sh"))
     val b = sh.select(col("doc_id").as("d2"), col("sh"))
@@ -222,12 +227,15 @@ object LlmQueries extends QueryModule {
         val viaNeighbor = edges
           .join(labels.select(col("doc_id").as("a"), col("cluster").as("nlbl")), "a")
           .select(col("b").as("doc_id"), col("nlbl").as("cluster"))
+        // localCheckpoint truncates the per-iteration lineage — without
+        // it the plan doubles every round (fatal at real graph sizes).
         val next = labels.union(viaNeighbor)
           .groupBy("doc_id").agg(min("cluster").as("cluster"))
-          .cache()
-        converged = next.join(labels,
-          next("doc_id") === labels("doc_id") && next("cluster") === labels("cluster"))
-          .count() == labels.count()
+          .localCheckpoint()
+        val changed = next
+          .join(labels.withColumnRenamed("cluster", "prev"), "doc_id")
+          .filter(col("cluster") =!= col("prev")).count()
+        converged = changed == 0
         labels = next
         iter += 1
       }

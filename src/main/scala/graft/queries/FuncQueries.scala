@@ -278,14 +278,19 @@ object FuncQueries extends QueryModule {
     // errors become NULL. Literal-input oracle.
     Q("func_try",
       """SELECT NULL AS bad_int, 42 AS good_int, NULL AS div0,
-        |  NULL AS overflow_add, NULL AS bad_date""".stripMargin) { (s, _) =>
+        |  NULL AS overflow_add, NULL AS bad_date,
+        |  NULL AS try_div0, 7 AS try_ok, NULL AS try_overflow""".stripMargin) { (s, _) =>
+      graft.functions.FunctionRegistry.installAll(s)
       s.sql(
         """SELECT
           |  try_cast('abc' AS INT) AS bad_int,
           |  try_cast('42' AS INT) AS good_int,
           |  try_divide(1, 0) AS div0,
           |  try_add(9223372036854775807L, 1L) AS overflow_add,
-          |  try_cast('2020-13-45' AS DATE) AS bad_date""".stripMargin)
+          |  try_cast('2020-13-45' AS DATE) AS bad_date,
+          |  try_eval(CAST(1 AS INT) / 0) AS try_div0,
+          |  try_eval(CAST('7' AS INT)) AS try_ok,
+          |  try_eval(9223372036854775807L + 1L) AS try_overflow""".stripMargin)
     },
 
     // URL functions — custom UDFs (UrlFunctions.java). parse_url is a
@@ -365,7 +370,9 @@ object FuncQueries extends QueryModule {
       """SELECT l_orderkey, l_quantity,
         |  CAST(least(greatest(floor((l_quantity - 0) / 50.0 * 10) + 1, 0), 11) AS BIGINT) AS qty_bucket,
         |  'café' AS nfc,
-        |  8.0 / sqrt(65.0) AS cos_sim
+        |  8.0 / sqrt(65.0) AS cos_sim,
+        |  '2' AS m_b,
+        |  [9,5,1] AS sorted_desc
         |FROM lineitem WHERE l_orderkey <= 100""".stripMargin) { (s, _) =>
       graft.functions.FunctionRegistry.installAll(s)
       s.table("lineitem").filter(col("l_orderkey") <= 100).select(
@@ -373,7 +380,9 @@ object FuncQueries extends QueryModule {
         width_bucket(col("l_quantity"), lit(0d), lit(50d), lit(10)).as("qty_bucket"),
         call_udf("normalize_nfc", lit("café")).as("nfc"),
         graft.functions.Fns.cosineSim(
-          array(lit(1.0d), lit(2.0d)), array(lit(2.0d), lit(3.0d))).as("cos_sim"))
+          array(lit(1.0d), lit(2.0d)), array(lit(2.0d), lit(3.0d))).as("cos_sim"),
+        expr("str_to_map('a=1,b=2,c=3', ',', '=')['b']").as("m_b"),
+        expr("array_sort(array(5,9,1), (l, r) -> CASE WHEN l > r THEN -1 WHEN l < r THEN 1 ELSE 0 END)").as("sorted_desc"))
     },
 
     // Custom scalar functions vs published vectors: HMAC-SHA256 from
