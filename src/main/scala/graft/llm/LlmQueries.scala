@@ -441,6 +441,29 @@ object LlmQueries extends QueryModule {
         ceil(length(col("text")) / 4.0).cast("long").as("approx_bpe_tokens"))
     },
 
+    // Top-5 words per language label — explode + grouped count + window
+    // top-k (the per-group vocabulary profile step of corpus analysis).
+    Q("llm_top_words_per_lang",
+      """WITH wc AS (
+        |  SELECT lang, unnest(string_split(text, ' ')) AS word FROM documents),
+        |counts AS (
+        |  SELECT lang, word, CAST(count(*) AS BIGINT) AS cnt FROM wc WHERE word <> '' GROUP BY 1, 2),
+        |ranked AS (
+        |  SELECT lang, word, cnt,
+        |    row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, word) AS rn
+        |  FROM counts)
+        |SELECT lang, word, cnt, CAST(rn AS BIGINT) AS rn FROM ranked WHERE rn <= 5""".stripMargin) { (s, _) =>
+      import org.apache.spark.sql.expressions.Window
+      val counts = s.table("documents")
+        .select(col("lang"), explode(split(col("text"), " ")).as("word"))
+        .filter(col("word") =!= "")
+        .groupBy("lang", "word").agg(count(lit(1)).as("cnt"))
+      val w = Window.partitionBy("lang").orderBy(col("cnt").desc, col("word"))
+      counts.select(col("lang"), col("word"), col("cnt"),
+          row_number().over(w).cast("long").as("rn"))
+        .filter(col("rn") <= 5)
+    },
+
     Q("llm_fingerprint",
       """SELECT doc_id,
         |  md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp

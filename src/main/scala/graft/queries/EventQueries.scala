@@ -135,6 +135,34 @@ object EventQueries extends QueryModule {
           |  CAST((SELECT count(*) FROM p) AS BIGINT) AS n_purchase_after""".stripMargin)
     },
 
+    // Cohort retention: users grouped by first-seen day; how many were
+    // active again 1-7 days later. Pure relational (two aggs + join).
+    Q("ev_retention",
+      """WITH first_seen AS (
+        |  SELECT user_id, CAST(date_trunc('day', min(ts)) AS TIMESTAMP) AS cohort_day
+        |  FROM events GROUP BY user_id),
+        |activity AS (
+        |  SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day FROM events)
+        |SELECT cohort_day,
+        |  CAST(count(DISTINCT f.user_id) AS BIGINT) AS cohort_size,
+        |  CAST(count(DISTINCT CASE WHEN a.day > f.cohort_day
+        |       AND a.day <= f.cohort_day + INTERVAL 7 DAY THEN a.user_id END) AS BIGINT) AS retained_7d
+        |FROM first_seen f LEFT JOIN activity a ON f.user_id = a.user_id
+        |GROUP BY cohort_day""".stripMargin) { (s, _) =>
+      s.sql(
+        """WITH first_seen AS (
+          |  SELECT user_id, CAST(date_trunc('day', min(ts)) AS TIMESTAMP) AS cohort_day
+          |  FROM events GROUP BY user_id),
+          |activity AS (
+          |  SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day FROM events)
+          |SELECT cohort_day,
+          |  CAST(count(DISTINCT f.user_id) AS BIGINT) AS cohort_size,
+          |  CAST(count(DISTINCT CASE WHEN a.day > f.cohort_day
+          |       AND a.day <= f.cohort_day + INTERVAL 7 DAY THEN a.user_id END) AS BIGINT) AS retained_7d
+          |FROM first_seen f LEFT JOIN activity a ON f.user_id = a.user_id
+          |GROUP BY cohort_day""".stripMargin)
+    },
+
     // Daily active users + value stats — the dashboard-style rollup.
     Q("ev_daily_stats",
       """SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
