@@ -72,5 +72,25 @@ object FunctionRegistry {
     // ships the TryEval expression (used by try_add etc.); exposing it
     // directly generalizes TRY to any child expression.
     register(spark, "try_eval") { args => TryEval(args.head) }
+    // day_of_week / dow — Presto returns ISO (Mon=1..Sun=7);
+    // Spark's dayofweek is Sun=1, so shift: ((dayofweek+5) % 7) + 1.
+    val isoDow: Seq[Expression] => Expression = args =>
+      Add(Pmod(Add(DayOfWeek(args.head), Literal(5)), Literal(7)), Literal(1))
+    register(spark, "day_of_week")(isoDow)
+    register(spark, "dow")(isoDow)
+    register(spark, "day_of_year") { args => DayOfYear(args.head) }
+    register(spark, "doy") { args => DayOfYear(args.head) }
+    register(spark, "week") { args => WeekOfYear(args.head) }
+    register(spark, "week_of_year") { args => WeekOfYear(args.head) }
+    // ISO-8601 rendering/parsing — DateTimeFunctions.java to/from_iso8601
+    register(spark, "to_iso8601") { args =>
+      DateFormatClass(args.head, Literal("yyyy-MM-dd'T'HH:mm:ss.SSSXXX"))
+    }
+    register(spark, "from_iso8601_timestamp") { args =>
+      Cast(args.head, org.apache.spark.sql.types.TimestampType)
+    }
+    register(spark, "from_iso8601_date") { args =>
+      Cast(args.head, org.apache.spark.sql.types.DateType)
+    }
   }
 }

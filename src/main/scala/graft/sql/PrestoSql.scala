@@ -19,8 +19,10 @@ import scala.util.matching.Regex
   */
 object PrestoSql {
 
+  // TRY( must not swallow try_cast/try_divide/...: require a word
+  // boundary before TRY and no word char after it.
   private val combined: Regex =
-    """(?i)(date_add\s*\(\s*'(\w+)'\s*,)|(date_diff\s*\(\s*'(\w+)'\s*,)|(AS\s+VARCHAR\s*\))""".r
+    """(?i)(date_add\s*\(\s*'(\w+)'\s*,)|(date_diff\s*\(\s*'(\w+)'\s*,)|(AS\s+VARCHAR\s*\))|(?<![\w.])(TRY\s*\()""".r
 
   /** Rewrite in one pass over the original text, skipping any match that
     * starts inside a single-quoted string literal ('' escapes handled) —
@@ -43,6 +45,7 @@ object PrestoSql {
       if (inLit(m.start)) Regex.quoteReplacement(m.matched)
       else if (m.group(1) != null) s"timestampadd(${m.group(2).toUpperCase},"
       else if (m.group(3) != null) s"timestampdiff(${m.group(4).toUpperCase},"
+      else if (m.group(6) != null) "try_eval("
       else "AS STRING)")
   }
 

@@ -60,6 +60,34 @@ class SketchAndSqlSpecs extends AnyFunSuite {
       "SELECT timestampadd(DAY, 1, ts), 'AS VARCHAR)' FROM t")
   }
 
+  test("presto-dialect SQL runs end-to-end through the front door") {
+    val spark = graft.engine.Engine.session("local[2]", shufflePartitions = 2)
+    try {
+      val row = PrestoSql.sql(spark,
+        """SELECT
+          |  TRY(1/0) AS t_null,
+          |  TRY(CAST('5' AS INTEGER)) AS t_five,
+          |  day_of_week(TIMESTAMP '2024-01-01 00:00:00') AS dow_mon,
+          |  dow(TIMESTAMP '2024-01-07 00:00:00') AS dow_sun,
+          |  day_of_year(TIMESTAMP '2024-02-01 00:00:00') AS doy,
+          |  week(TIMESTAMP '2024-01-04 00:00:00') AS w,
+          |  strpos('hello world', 'world') AS p,
+          |  to_iso8601(TIMESTAMP '2024-03-01 12:30:45') AS iso,
+          |  CAST(from_iso8601_timestamp('2024-03-01T12:30:45') AS STRING) AS parsed,
+          |  date_add('hour', 2, TIMESTAMP '2024-01-01 00:00:00') AS plus2h""".stripMargin).head()
+      assert(row.isNullAt(0))
+      assert(row.getInt(1) == 5)
+      assert(row.getInt(2) == 1)  // 2024-01-01 is a Monday -> ISO 1
+      assert(row.getInt(3) == 7)  // 2024-01-07 is a Sunday -> ISO 7
+      assert(row.getInt(4) == 32)
+      assert(row.getInt(5) == 1)
+      assert(row.getInt(6) == 7)
+      assert(row.getString(7) == "2024-03-01T12:30:45.000Z")
+      assert(row.getString(8) == "2024-03-01 12:30:45")
+      assert(row.getTimestamp(9).toString == "2024-01-01 02:00:00.0")
+    } finally spark.stop()
+  }
+
   test("GraftExtensions injects functions at session build time") {
     val spark = org.apache.spark.sql.SparkSession.builder()
       .master("local[2]")
