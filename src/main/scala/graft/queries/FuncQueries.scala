@@ -135,7 +135,8 @@ object FuncQueries extends QueryModule {
         |  (SELECT sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) FROM unnest(embedding) t(x)) AS sumsq,
         |  len(list_filter(embedding, x -> x > 0)) AS n_pos,
         |  list_contains(embedding, embedding[5]) AS has_5th,
-        |  list_position(embedding, embedding[5]) AS pos_5th
+        |  list_position(embedding, embedding[5]) AS pos_5th,
+        |  embedding[-1] AS last_elem
         |FROM embeddings WHERE vec_id < 200""".stripMargin) { (s, _) =>
       s.table("embeddings").filter(col("vec_id") < 200).select(col("vec_id"),
         size(col("embedding")).as("dim"),
@@ -147,7 +148,8 @@ object FuncQueries extends QueryModule {
         aggregate(col("embedding"), lit(0.0d), (acc, x) => acc + x.cast("double") * x.cast("double")).as("sumsq"),
         size(filter(col("embedding"), x => x > 0)).as("n_pos"),
         array_contains(col("embedding"), element_at(col("embedding"), 5)).as("has_5th"),
-        array_position(col("embedding"), element_at(col("embedding"), 5)).cast("int").as("pos_5th"))
+        array_position(col("embedding"), element_at(col("embedding"), 5)).cast("int").as("pos_5th"),
+        element_at(col("embedding"), -1).as("last_elem"))
     },
 
     // Literal-input array algebra: Spark semantics frozen as expected
@@ -181,7 +183,7 @@ object FuncQueries extends QueryModule {
     // of the compare; subscript semantics differ — SURVEY §7.4 delta).
     Q("func_map",
       """SELECT 2 AS b_val, 3 AS n_keys, 'a,b,c' AS keys_joined, 12 AS b_plus10,
-        |  6 AS vals_total, 1 AS n_big""".stripMargin) { (s, _) =>
+        |  6 AS vals_total, 1 AS n_big, 2 AS upper_b, 20 AS zipped_b""".stripMargin) { (s, _) =>
       s.sql(
         """SELECT
           |  element_at(m, 'b') AS b_val,
@@ -189,7 +191,9 @@ object FuncQueries extends QueryModule {
           |  array_join(map_keys(m), ',') AS keys_joined,
           |  element_at(transform_values(m, (k, v) -> v + 10), 'b') AS b_plus10,
           |  aggregate(map_values(m), 0, (acc, x) -> acc + x) AS vals_total,
-          |  cardinality(map_filter(m, (k, v) -> v > 2)) AS n_big
+          |  cardinality(map_filter(m, (k, v) -> v > 2)) AS n_big,
+          |  element_at(transform_keys(m, (k, v) -> upper(k)), 'B') AS upper_b,
+          |  element_at(map_zip_with(m, transform_values(m, (k, v) -> v * 9), (k, v1, v2) -> v1 + v2), 'b') AS zipped_b
           |FROM (SELECT map_from_entries(array(struct('a', 1), struct('b', 2), struct('c', 3))) AS m)""".stripMargin)
     },
 
