@@ -63,14 +63,32 @@ object LlmQueries extends QueryModule {
     if (threshold >= 0.5) cachedPairs(s).filter(col("jaccard") >= threshold)
     else exactJaccardPairsUncached(s, threshold)
 
-  private def exactJaccardPairsUncached(s: SparkSession, threshold: Double): DataFrame = {
-    // Join on the 64-bit xxhash of the shingle, not the string: ~5x less
-    // shuffle volume at 100 TB; collision probability over the corpus is
-    // ~|shingles|^2 / 2^64 (negligible, and a collision only perturbs one
-    // pair's count by 1).
-    val sh = shingleSets(s)
+  /** Exploded (doc_id, 64-bit shingle hash) rows with a stop-shingle cap:
+    * shingles appearing in more than max(10, 10% of docs) documents are
+    * dropped on BOTH the engine and oracle sides. At 100 TB a template/
+    * boilerplate shingle would otherwise put Σ c² pairs on one key; the
+    * cap bounds every shingle bucket. Hash keys (not strings) cut
+    * shuffle volume ~5x; collision probability ~|shingles|²/2^64.
+    */
+  private def cappedShingleRows(s: SparkSession): DataFrame = {
+    val raw = shingleSets(s)
       .select(col("doc_id"), explode(col("shingles")).as("sh"))
       .select(col("doc_id"), xxhash64(col("sh")).as("sh"))
+    val cap = math.max(10L, (0.1 * s.table("documents").count()).toLong)
+    val dfreq = raw.groupBy("sh").agg(count(lit(1)).as("dfc"))
+    raw.join(dfreq.filter(col("dfc") <= cap).select("sh"), "sh")
+  }
+
+  /** The matching oracle-side CTEs (string shingles; same cap). */
+  private val oracleShingleCtes: String =
+    """toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents WHERE len(string_split(text, ' ')) >= 5),
+      |sh0 AS (SELECT doc_id, unnest(list_distinct([array_to_string(w[i:i+4], '_') for i in generate_series(1, len(w)-4)])) AS s FROM toks),
+      |dfreq AS (SELECT s, count(*) AS dfc FROM sh0 GROUP BY s),
+      |sh AS (SELECT sh0.doc_id, sh0.s FROM sh0 JOIN dfreq ON sh0.s = dfreq.s
+      |       WHERE dfreq.dfc <= greatest(10, CAST(0.1 * (SELECT count(*) FROM documents) AS BIGINT)))""".stripMargin
+
+  private def exactJaccardPairsUncached(s: SparkSession, threshold: Double): DataFrame = {
+    val sh = cappedShingleRows(s)
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val a = sh.select(col("doc_id").as("d1"), col("sh"))
     val b = sh.select(col("doc_id").as("d2"), col("sh"))
@@ -95,9 +113,10 @@ object LlmQueries extends QueryModule {
     * docs with one shuffle on doc_id.
     */
   private def lshVerifiedPairs(s: SparkSession, estThreshold: Double): DataFrame = {
-    val sh = shingleSets(s).select(col("doc_id"), explode(col("shingles")).as("sh"))
-    val hashed = sh.select(col("doc_id"),
-      xxhash64(col("sh")).as("h0"), xxhash64(lit(1), col("sh")).as("h1"))
+    // Same capped shingle space as the exact path so estimated and exact
+    // Jaccard are comparable.
+    val hashed = cappedShingleRows(s).select(col("doc_id"),
+      col("sh").as("h0"), xxhash64(lit(1), col("sh")).as("h1"))
     // h_i = h0 XOR rot(h1, i): an overflow-free (ANSI-safe) double-hash
     // family; i=0 degenerates to h0^h1 which is still a valid member.
     def hi(i: Int) =
@@ -135,8 +154,7 @@ object LlmQueries extends QueryModule {
     },
 
     Q("llm_dedup_ngram_jaccard",
-      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents WHERE len(string_split(text, ' ')) >= 5),
-        |sh AS (SELECT doc_id, unnest(list_distinct([array_to_string(w[i:i+4], '_') for i in generate_series(1, len(w)-4)])) AS s FROM toks),
+      s"""WITH $oracleShingleCtes,
         |sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM sh GROUP BY doc_id),
         |pairs AS (SELECT a.doc_id AS d1, b.doc_id AS d2, CAST(count(*) AS BIGINT) AS common
         |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
@@ -199,9 +217,8 @@ object LlmQueries extends QueryModule {
     // one join + groupBy — at 100 TB this is the standard large-graph CC
     // loop). Oracle: exact transitive closure via recursive CTE.
     Q("llm_dedup_groups",
-      """WITH RECURSIVE
-        |toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents WHERE len(string_split(text, ' ')) >= 5),
-        |sh AS (SELECT doc_id, unnest(list_distinct([array_to_string(w[i:i+4], '_') for i in generate_series(1, len(w)-4)])) AS s FROM toks),
+      s"""WITH RECURSIVE
+        |$oracleShingleCtes,
         |sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM sh GROUP BY doc_id),
         |cpairs AS (SELECT a.doc_id AS d1, b.doc_id AS d2, CAST(count(*) AS BIGINT) AS common
         |           FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
