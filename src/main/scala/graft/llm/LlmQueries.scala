@@ -361,18 +361,30 @@ object LlmQueries extends QueryModule {
       val n = e.count()
       val k = 32
       val step = math.max(n / k, 1)
-      val centroids = e.filter(col("vec_id") % step === 0)
+      val seeds = e.filter(col("vec_id") % step === 0)
         .orderBy("vec_id").limit(k) // ordered limit => deterministic seeds
         .select(col("vec_id").as("c_id"), col("embedding").as("ce"))
       // assignment: nearest centroid per vector — max_by aggregation
       // (no window sort, no arrays through the shuffle; ties break to
       // the lowest centroid id via the negated-id struct key)
-      val assigned = e.join(broadcast(centroids))
+      def assign(cents: DataFrame): DataFrame = e.join(broadcast(cents))
         .select(col("vec_id"), col("c_id"),
           Fns.cosineSim(col("embedding"), col("ce")).as("csim"))
         .groupBy("vec_id")
         .agg(max_by(col("c_id"), struct(col("csim"), -col("c_id"))).as("c_id"))
         .join(e, "vec_id")
+      // one Lloyd refinement: new centroid = elementwise mean of its
+      // cell (posexplode -> per-(cell,dim) avg -> re-assemble), keeping
+      // the cell's own id. One extra shuffle on (c_id, pos).
+      val firstPass = assign(seeds)
+      val centroids = firstPass
+        .select(col("c_id"), posexplode(col("embedding")).as(Seq("pos", "v")))
+        .groupBy("c_id", "pos").agg(avg(col("v").cast("double")).as("m"))
+        .groupBy("c_id")
+        .agg(transform(
+          array_sort(collect_list(struct(col("pos"), col("m")))),
+          p => p.getField("m")).as("ce"))
+      val assigned = assign(centroids)
       // queries probe their 4 nearest centroid cells (tiny: 5 x k rows)
       val wProbe = Window.partitionBy("q_id").orderBy(col("qsim").desc, col("c_id"))
       val probes = e.filter(col("vec_id") < 5)
