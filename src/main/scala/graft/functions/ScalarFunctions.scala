@@ -111,7 +111,8 @@ object ScalarFunctions {
     * the MySQL specifiers to DateTimeFormatter patterns.
     */
   private val mysqlToJava: Seq[(String, String)] = Seq(
-    "%Y" -> "yyyy", "%y" -> "yy", "%M" -> "MMMM", "%m" -> "MM", "%c" -> "M",
+    // u = ChronoField.YEAR, matching the parse defaults (y is year-of-era)
+    "%Y" -> "uuuu", "%y" -> "uu", "%M" -> "MMMM", "%m" -> "MM", "%c" -> "M",
     "%d" -> "dd", "%e" -> "d", "%H" -> "HH", "%k" -> "H", "%h" -> "hh",
     "%i" -> "mm", "%s" -> "ss", "%S" -> "ss", "%f" -> "SSSSSS",
     "%W" -> "EEEE", "%a" -> "EEE", "%b" -> "MMM", "%j" -> "DDD",
@@ -119,19 +120,26 @@ object ScalarFunctions {
 
   def translateMysqlPattern(p: String): String = {
     val sb = new StringBuilder
+    val lit = new StringBuilder // pending literal run
+    def flushLit(): Unit = if (lit.nonEmpty) {
+      // one quoted section per run — emitting each char separately would
+      // merge adjacent quotes into java.time's '' escape ("a'b" not "ab")
+      sb.append("'").append(lit.toString.replace("'", "''")).append("'")
+      lit.clear()
+    }
     var i = 0
     while (i < p.length) {
       if (p(i) == '%' && i + 1 < p.length) {
         val spec = p.substring(i, i + 2)
         mysqlToJava.find(_._1 == spec) match {
-          case Some((_, j)) => sb.append(j)
-          case None => sb.append("'").append(p(i + 1)).append("'")
+          case Some((_, j)) => flushLit(); sb.append(j)
+          case None => lit.append(p(i + 1))
         }
         i += 2
-      } else if (p(i).isLetter) { sb.append("'").append(p(i)).append("'"); i += 1 }
-      else if (p(i) == '\'') { sb.append("''"); i += 1 } // java.time literal quote
-      else { sb.append(p(i)); i += 1 }
+      } else if (p(i).isLetter || p(i) == '\'') { lit.append(p(i)); i += 1 }
+      else { flushLit(); sb.append(p(i)); i += 1 }
     }
+    flushLit()
     sb.toString
   }
 
@@ -143,8 +151,13 @@ object ScalarFunctions {
 
   def dateParseMysql(s: String, pattern: String): java.sql.Timestamp = {
     if (s == null || pattern == null) return null
+    // Presto's date_parse defaults every unspecified field (year 1970,
+    // month/day 1, time 0) rather than erroring on date-only patterns.
     val f = new java.time.format.DateTimeFormatterBuilder()
       .appendPattern(translateMysqlPattern(pattern))
+      .parseDefaulting(java.time.temporal.ChronoField.YEAR, 1970)
+      .parseDefaulting(java.time.temporal.ChronoField.MONTH_OF_YEAR, 1)
+      .parseDefaulting(java.time.temporal.ChronoField.DAY_OF_MONTH, 1)
       .parseDefaulting(java.time.temporal.ChronoField.HOUR_OF_DAY, 0)
       .parseDefaulting(java.time.temporal.ChronoField.MINUTE_OF_HOUR, 0)
       .parseDefaulting(java.time.temporal.ChronoField.SECOND_OF_MINUTE, 0)
@@ -175,13 +188,9 @@ object ScalarFunctions {
   */
 object Fns {
 
-  /** cosine_similarity over two float/double arrays —
-    * reference: operator/scalar/MathFunctions.java cosineSimilarity (maps).
-    * dot(a,b) / (||a|| * ||b||), all via zip_with + aggregate (codegen'd).
-    */
   /** Cosine similarity via the native codegen'd ArrayCosineSimilarity
-    * expression (registered by FunctionRegistry.installAll). Same
-    * accumulation order as the HOF formulation — results are bit-equal.
+    * expression (registered by FunctionRegistry.installAll) —
+    * reference: operator/scalar/MathFunctions.java cosineSimilarity.
     */
   def cosineSim(a: Column, b: Column): Column =
     call_udf("cosine_similarity", a, b)

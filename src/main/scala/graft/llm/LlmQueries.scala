@@ -205,9 +205,12 @@ object LlmQueries extends QueryModule {
         .select(col("doc_a").as("d1"), col("doc_b").as("d2"))
       val basePairs = s.table("documents").select(col("doc_id").as("d1"), (col("doc_id") + 1).as("d2"))
         .join(dupPairs, Seq("d1", "d2"), "left_anti")
-      val dupMean = hammingOf(dupPairs).agg(avg("hamming")).head().getDouble(0)
-      val baseMean = hammingOf(basePairs).agg(avg("hamming")).head().getDouble(0)
-      Seq(dupMean < baseMean / 2).toDF("separates_dups")
+      val dupRow = hammingOf(dupPairs).agg(avg("hamming")).head()
+      val baseRow = hammingOf(basePairs).agg(avg("hamming")).head()
+      // no dup pairs in the corpus -> the property holds vacuously
+      val ok = dupRow.isNullAt(0) || baseRow.isNullAt(0) ||
+        dupRow.getDouble(0) < baseRow.getDouble(0) / 2
+      Seq(ok).toDF("separates_dups")
     },
 
     // Transitive dedup: connected components over the near-dup pair
@@ -332,6 +335,7 @@ object LlmQueries extends QueryModule {
           Seq("tbl", "sig"))
         .filter(col("n_id") =!= col("q_id"))
         .select("q_id", "n_id", "qe", "ne").distinct()
+        .cache() // counted AND ranked below — avoid re-running the signature scan
       val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("n_id"))
       val top = cands
         .select(col("q_id"), col("n_id"), Fns.cosineSim(col("qe"), col("ne")).as("sim"))
@@ -344,7 +348,7 @@ object LlmQueries extends QueryModule {
       val hit = top.select("q_id", "n_id").join(brute, Seq("q_id", "n_id"), "left_semi").count()
       val res = Seq((hit / 50.0, nCand / (5 * (n - 1)), nCand.toLong))
         .toDF("recall_at_10", "candidate_fraction", "n_candidates")
-      top.unpersist()
+      top.unpersist(); cands.unpersist()
       res
     },
 
@@ -384,7 +388,9 @@ object LlmQueries extends QueryModule {
         .agg(transform(
           array_sort(collect_list(struct(col("pos"), col("m")))),
           p => p.getField("m")).as("ce"))
-      val assigned = assign(centroids)
+      // cached: scanned-count and top-k ranking both consume it — without
+      // the cache Spark re-runs the whole Lloyd + assignment pipeline
+      val assigned = assign(centroids).cache()
       // queries probe their 4 nearest centroid cells (tiny: 5 x k rows)
       val wProbe = Window.partitionBy("q_id").orderBy(col("qsim").desc, col("c_id"))
       val probes = e.filter(col("vec_id") < 5)
@@ -401,13 +407,15 @@ object LlmQueries extends QueryModule {
           Fns.cosineSim(col("qe"), col("embedding")).as("sim"))
         .select(col("q_id"), col("n_id"), col("sim"), row_number().over(wTop).as("rn"))
         .filter(col("rn") <= 10).cache()
-      val scanned = probes.join(assigned, "c_id").count().toDouble
+      // exclude each query's own vector — the denominator 5*(n-1) does
+      val scanned = probes.join(assigned, "c_id")
+        .filter(col("vec_id") =!= col("q_id")).count().toDouble
       val brute = queries.find(_.name == "llm_knn_brute").get.build(s, "")
         .select(col("q_id"), col("n_id"))
       val hit = top.select("q_id", "n_id").join(brute, Seq("q_id", "n_id"), "left_semi").count()
       val res = Seq((hit / 50.0, scanned / (5.0 * (n - 1))))
         .toDF("recall_at_10", "scanned_fraction")
-      top.unpersist()
+      top.unpersist(); assigned.unpersist()
       res
     },
 

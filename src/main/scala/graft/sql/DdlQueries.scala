@@ -50,7 +50,7 @@ object DdlQueries extends QueryModule {
       val listed = s.sql("SHOW TABLES").collect().exists(_.getString(1) == "nation")
       val desc = s.sql("DESCRIBE nation").collect()
       val keyType = desc.find(_.getString(0) == "n_nationkey").map(_.getString(1))
-      Seq((listed, desc.length, keyType.contains("int")))
+      Seq((listed, desc.length, keyType.exists(_.contains("int"))))
         .toDF("nation_listed", "nation_cols", "key_is_int")
     },
 

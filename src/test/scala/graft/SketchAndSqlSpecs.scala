@@ -107,12 +107,19 @@ class SketchAndSqlSpecs extends AnyFunSuite {
 
   test("mysql date pattern translation") {
     import graft.functions.ScalarFunctions._
-    assert(translateMysqlPattern("%Y-%m-%d") == "yyyy-MM-dd")
-    assert(translateMysqlPattern("%d/%m/%Y %H:%i") == "dd/MM/yyyy HH:mm")
+    assert(translateMysqlPattern("%Y-%m-%d") == "uuuu-MM-dd")
+    assert(translateMysqlPattern("%d/%m/%Y %H:%i") == "dd/MM/uuuu HH:mm")
     val ts = java.sql.Timestamp.from(java.time.Instant.parse("1997-05-13T14:30:00Z"))
     assert(dateFormatMysql(ts, "%Y-%m-%d %H:%i:%s") == "1997-05-13 14:30:00")
     assert(dateParseMysql("1997-05-13 14:30:00", "%Y-%m-%d %H:%i:%s") == ts)
     assert(dateParseMysql("1997-05-13", "%Y-%m-%d") ==
       java.sql.Timestamp.from(java.time.Instant.parse("1997-05-13T00:00:00Z")))
+    // adjacent literal letters must render as one quoted run, not a'b
+    assert(dateFormatMysql(ts, "%H hrs") == "14 hrs")
+    // Presto defaults unspecified fields (month/day -> 1)
+    assert(dateParseMysql("1997-05", "%Y-%m") ==
+      java.sql.Timestamp.from(java.time.Instant.parse("1997-05-01T00:00:00Z")))
+    assert(dateParseMysql("2020", "%Y") ==
+      java.sql.Timestamp.from(java.time.Instant.parse("2020-01-01T00:00:00Z")))
   }
 }
