@@ -31,6 +31,7 @@ object FunctionRegistry {
       SketchAggregates.install(spark)
       QuantileSketchFunctions.install(spark)
       ArrayCosineSimilarity.install(spark)
+      TypedAggregators.install(spark)
       installed.put(spark, java.lang.Boolean.TRUE)
     }
   }

@@ -247,16 +247,15 @@ object AggQueries extends QueryModule {
     },
 
     // reduce_agg(input, init, lambda) — ReduceAggregationFunction.java.
-    // Spark has no arbitrary-lambda aggregate; for bounded groups the
-    // collect_list + aggregate HOF composition expresses it (quantities
-    // are small integers, so the double sum below is exact regardless of
-    // collection order). Unbounded groups should use a typed Aggregator.
+    // Implemented as a typed Aggregator[IN,BUF,OUT] (TypedAggregators):
+    // constant-size buffer per group, safe for unbounded groups —
+    // unlike a collect_list composition. Quantities are small integers,
+    // so the double sum is exact regardless of merge order.
     Q("agg_reduce",
       """SELECT l_returnflag, sum(l_quantity * l_quantity) AS sum_sq
         |FROM lineitem GROUP BY l_returnflag""".stripMargin) { (s, _) =>
-      s.table("lineitem").groupBy("l_returnflag").agg(
-        aggregate(collect_list("l_quantity"), lit(0.0d), (acc, x) => acc + x * x)
-          .as("sum_sq"))
+      graft.functions.FunctionRegistry.installAll(s)
+      s.sql("SELECT l_returnflag, reduce_sumsq(l_quantity) AS sum_sq FROM lineitem GROUP BY l_returnflag")
     },
 
     // geometric_mean — reference aggregation/GeometricMeanAggregations.
