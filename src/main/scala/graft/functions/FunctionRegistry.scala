@@ -32,6 +32,7 @@ object FunctionRegistry {
       QuantileSketchFunctions.install(spark)
       ArrayCosineSimilarity.install(spark)
       TypedAggregators.install(spark)
+      HeavyHitters.install(spark)
       installed.put(spark, java.lang.Boolean.TRUE)
     }
   }

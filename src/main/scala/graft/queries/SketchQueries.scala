@@ -106,6 +106,27 @@ object SketchQueries extends QueryModule {
         .toDF("p50_ok", "p90_ok")
     },
 
+    // Misra-Gries heavy hitters contract: every token with true
+    // frequency > N/k must survive the sketch (the MG guarantee), and
+    // the sketch holds at most k-1 counters.
+    Q("sketch_heavy_hitters",
+      """SELECT true AS contains_all_heavy, true AS bounded""".stripMargin) { (s, _) =>
+      import s.implicits._
+      graft.functions.FunctionRegistry.installAll(s)
+      val k = 50
+      val words = s.table("documents")
+        .select(explode(split(col("text"), " ")).as("w")).filter(col("w") =!= "")
+      words.createOrReplaceTempView("graft_words")
+      val sketch = s.sql(s"SELECT approx_heavy_hitters(w, $k) AS hh FROM graft_words")
+        .head().getMap[String, Long](0)
+      val n = words.count()
+      val exactHeavy = words.groupBy("w").agg(count(lit(1)).as("c"))
+        .filter(col("c") > n / k).collect().map(_.getString(0)).toSet
+      val keys = sketch.keys.toSet
+      Seq((exactHeavy.subsetOf(keys), keys.size <= k - 1))
+        .toDF("contains_all_heavy", "bounded")
+    },
+
     // checksum: order-independent (xor of xxhash64) — same result no
     // matter how the input is partitioned/ordered, and sensitive to any
     // changed row.

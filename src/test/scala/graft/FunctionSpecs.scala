@@ -60,6 +60,34 @@ class FunctionSpecs extends AnyFunSuite {
     assert(s.size() == SetDigest.K)
   }
 
+  // ---- Misra-Gries heavy hitters ----
+
+  test("misra-gries guarantee: freq > N/k survives; counts within N/k") {
+    import graft.functions.MisraGries
+    val rnd = new scala.util.Random(42)
+    val k = 20
+    // 3 heavy values + uniform noise
+    val data = Seq.fill(3000)("heavy" + rnd.nextInt(3)) ++
+      Seq.fill(7000)("noise" + rnd.nextInt(5000))
+    val shuffled = rnd.shuffle(data)
+    // split into 4 partitions, update + merge (the Spark partial/final path)
+    val parts = shuffled.grouped((shuffled.size + 3) / 4).toSeq.map { p =>
+      val m = scala.collection.mutable.HashMap.empty[String, Long]
+      p.foreach(v => MisraGries.update(m, v, k))
+      m
+    }
+    val merged = parts.reduce { (a, b) => MisraGries.merge(a, b, k); a }
+    val n = data.size
+    val exact = data.groupBy(identity).map { case (v, xs) => v -> xs.size.toLong }
+    // every value with freq > N/k survives
+    exact.filter(_._2 > n / k).keys.foreach(v => assert(merged.contains(v), s"$v missing"))
+    assert(merged.size <= k - 1)
+    // surviving counts underestimate by at most ~N/k per level of merging
+    merged.foreach { case (v, c) =>
+      assert(c <= exact.getOrElse(v, 0L), s"$v overcounted")
+    }
+  }
+
   // ---- Porter stemmer ----
 
   test("porter stemmer known derivations") {
