@@ -192,6 +192,45 @@ class EngineSpecs extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("cosine_similarity errors on dimension mismatch instead of truncating") {
+    import org.apache.spark.sql.functions._
+    val thrown = intercept[Exception] {
+      spark.sql("SELECT cosine_similarity(array(1.0D,2.0D,3.0D), array(1.0D,2.0D))").collect()
+    }
+    def rootMessages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => e.getMessage +: rootMessages(e.getCause))
+    assert(rootMessages(thrown).exists(m => m != null && m.contains("dimension mismatch")))
+  }
+
+  test("try_eval returns NULL for errors and propagates child NULLs") {
+    val r = spark.sql(
+      """SELECT try_eval(CAST(1 AS INT)/0) AS a,
+        |       try_eval(CAST(NULL AS INT)) AS b,
+        |       try_eval(40 + 2) AS c""".stripMargin).head()
+    assert(r.isNullAt(0) && r.isNullAt(1) && r.getInt(2) == 42)
+  }
+
+  test("sketch scalar UDFs are null-safe") {
+    val r = spark.sql(
+      """SELECT hll_cardinality(CAST(NULL AS BINARY)) AS a,
+        |       jaccard_index(CAST(NULL AS BINARY), CAST(NULL AS BINARY)) AS b,
+        |       qdigest_value_at(CAST(NULL AS BINARY), 0.5) AS c""".stripMargin).head()
+    assert(r.isNullAt(0) && r.isNullAt(1) && r.isNullAt(2))
+  }
+
+  test("generic salted aggregation decomposition matches direct aggregation") {
+    import org.apache.spark.sql.functions._
+    val direct = spark.table("orders").groupBy(col("o_orderstatus").as("__key"))
+      .agg(min("o_totalprice").as("mn"), max("o_totalprice").as("mx"))
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getDouble(2))).toSet
+    val salted = graft.operators.SkewOps.salted(
+        spark.table("orders"), col("o_orderstatus"), buckets = 8)(
+        Seq(min("o_totalprice").as("pmn"), max("o_totalprice").as("pmx")),
+        Seq(min("pmn").as("mn"), max("pmx").as("mx")))
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getDouble(2))).toSet
+    assert(direct == salted)
+  }
+
   test("minhash signature helpers estimate jaccard") {
     import org.apache.spark.sql.functions._
     import graft.functions.Fns
