@@ -15,7 +15,116 @@ import org.apache.spark.sql.functions._
   */
 object TpchQueries extends QueryModule {
 
-  def queries: Seq[Q] = Seq(
+  /** Queries expressible identically in Spark SQL and DuckDB run the
+    * same text on both engines.
+    */
+  private def sqlQ(name: String, sql: String): Q =
+    Q(name, sql)((s, _) => s.sql(sql))
+
+  private def extendedQueries: Seq[Q] = Seq(
+
+    // Q4: order priority checking — EXISTS against lineitem (commit/
+    // receipt dates absent; restated as late shipping vs order date).
+    sqlQ("q4_order_priority",
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1996-04-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey
+        |                AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+        |GROUP BY o_orderpriority""".stripMargin),
+
+    // Q7: volume shipping between two nations, by year.
+    sqlQ("q7_volume_shipping",
+      """SELECT supp_nation, cust_nation, l_year, sum(volume) AS revenue
+        |FROM (SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |        year(l_shipdate) AS l_year,
+        |        l_extendedprice * (1 - l_discount) AS volume
+        |      FROM supplier, lineitem, orders, customer, nation n1, nation n2
+        |      WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey
+        |        AND c_custkey = o_custkey AND s_nationkey = n1.n_nationkey
+        |        AND c_nationkey = n2.n_nationkey
+        |        AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        |          OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+        |        AND l_shipdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1997-12-31') t
+        |GROUP BY supp_nation, cust_nation, l_year""".stripMargin),
+
+    // Q8: national market share within a region for a part type.
+    sqlQ("q8_market_share",
+      """SELECT o_year,
+        |  sum(CASE WHEN nation = 'NATION_3' THEN volume ELSE 0 END) / sum(volume) AS mkt_share
+        |FROM (SELECT year(o_orderdate) AS o_year,
+        |        l_extendedprice * (1 - l_discount) AS volume,
+        |        n2.n_name AS nation
+        |      FROM part, supplier, lineitem, orders, customer, nation n1, nation n2, region
+        |      WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey
+        |        AND l_orderkey = o_orderkey AND o_custkey = c_custkey
+        |        AND c_nationkey = n1.n_nationkey AND n1.n_regionkey = r_regionkey
+        |        AND r_name = 'AMERICA' AND s_nationkey = n2.n_nationkey
+        |        AND p_type = 'ECONOMY') t
+        |GROUP BY o_year""".stripMargin),
+
+    // Q13: distribution of order counts per customer (outer join with an
+    // extra ON predicate).
+    sqlQ("q13_customer_distribution",
+      """SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+        |FROM (SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count
+        |      FROM customer LEFT JOIN orders
+        |        ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+        |      GROUP BY c_custkey) t
+        |GROUP BY c_count""".stripMargin),
+
+    // Q15: top supplier by quarterly revenue (CTE + scalar-subquery max;
+    // the = compares values computed consistently within each engine).
+    sqlQ("q15_top_supplier",
+      """WITH revenue AS (
+        |  SELECT l_suppkey AS supplier_no,
+        |         sum(l_extendedprice * (1 - l_discount)) AS total_revenue
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |    AND l_shipdate < TIMESTAMP '1996-04-01'
+        |  GROUP BY l_suppkey)
+        |SELECT s_suppkey, s_name, total_revenue
+        |FROM supplier, revenue
+        |WHERE s_suppkey = supplier_no
+        |  AND total_revenue = (SELECT max(total_revenue) FROM revenue)""".stripMargin),
+
+    // Q17: small-quantity-order revenue (correlated scalar average).
+    sqlQ("q17_small_quantity",
+      """SELECT sum(l_extendedprice) / 7.0 AS avg_yearly
+        |FROM lineitem JOIN part ON p_partkey = l_partkey
+        |WHERE p_brand = 'Brand#23'
+        |  AND l_quantity < (SELECT 0.2 * avg(l2.l_quantity)
+        |                    FROM lineitem l2 WHERE l2.l_partkey = p_partkey)""".stripMargin),
+
+    // Q21-style: suppliers who were the last to ship in multi-supplier
+    // finalized orders (EXISTS + NOT EXISTS correlated pair).
+    sqlQ("q21_waiting_supplier",
+      """SELECT s_name, CAST(count(DISTINCT l1.l_orderkey) AS BIGINT) AS numwait
+        |FROM supplier
+        |JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+        |JOIN orders ON o_orderkey = l1.l_orderkey
+        |WHERE o_orderstatus = 'F'
+        |  AND EXISTS (SELECT 1 FROM lineitem l2
+        |              WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+        |                  WHERE l3.l_orderkey = l1.l_orderkey
+        |                    AND l3.l_suppkey <> l1.l_suppkey
+        |                    AND l3.l_shipdate > l1.l_shipdate)
+        |GROUP BY s_name""".stripMargin),
+
+    // Q22-style: wealthy customers with no orders, by nation (phone
+    // country codes absent; nationkey plays that role).
+    sqlQ("q22_global_sales_opportunity",
+      """SELECT c_nationkey, CAST(count(*) AS BIGINT) AS numcust,
+        |  sum(c_acctbal) AS totacctbal
+        |FROM customer
+        |WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
+        |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |GROUP BY c_nationkey""".stripMargin))
+
+  def queries: Seq[Q] = extendedQueries ++ Seq(
 
     Q("q1_pricing_summary",
       """SELECT l_returnflag, l_linestatus,

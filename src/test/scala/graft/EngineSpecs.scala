@@ -30,7 +30,7 @@ class EngineSpecs extends AnyFunSuite with BeforeAndAfterAll {
   override def afterAll(): Unit = if (spark != null) spark.stop()
 
   // Queries whose result is legitimately empty at sf0.001.
-  private val mayBeEmpty = Set("llm_dedup_ngram_jaccard", "join_anti", "q18_large_volume_customer", "setop_except")
+  private val mayBeEmpty = Set("llm_dedup_ngram_jaccard", "join_anti", "q18_large_volume_customer", "setop_except", "q22_global_sales_opportunity", "q7_volume_shipping")
 
   SparkEntry.modules.flatMap(_.queries).foreach { q =>
     test(s"query ${q.name} executes with sane schema") {
