@@ -86,6 +86,22 @@ object ShapeQueries extends QueryModule {
           |                      WHERE o2.o_custkey = o.o_custkey)""".stripMargin)
     },
 
+    // Explicit SQL LATERAL join — plan/LateralJoinNode.java (Spark >=3.2
+    // LATERAL subquery; identical text on both engines).
+    Q("shape_lateral_join",
+      """SELECT o.o_orderkey, t.mq, t.lines
+        |FROM orders o,
+        |LATERAL (SELECT max(l_quantity) AS mq, CAST(count(*) AS BIGINT) AS lines
+        |         FROM lineitem WHERE l_orderkey = o.o_orderkey) t
+        |WHERE o.o_orderkey <= 2000""".stripMargin) { (s, _) =>
+      s.sql(
+        """SELECT o.o_orderkey, t.mq, t.lines
+          |FROM orders o,
+          |LATERAL (SELECT max(l_quantity) AS mq, CAST(count(*) AS BIGINT) AS lines
+          |         FROM lineitem WHERE l_orderkey = o.o_orderkey) t
+          |WHERE o.o_orderkey <= 2000""".stripMargin)
+    },
+
     Q("shape_cte",
       """WITH nation_avg AS (
         |  SELECT c_nationkey AS nk, avg(c_acctbal) AS avg_bal FROM customer GROUP BY c_nationkey)

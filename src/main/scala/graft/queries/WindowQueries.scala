@@ -63,6 +63,20 @@ object WindowQueries extends QueryModule {
           |FROM orders""".stripMargin)
     },
 
+    // Numeric RANGE frame (value-based bounds on a numeric sort key) —
+    // the other FrameInfo RANGE variant beside the interval one.
+    Q("win_range_numeric",
+      """SELECT o_orderkey,
+        |  sum(o_totalprice) OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice
+        |    RANGE BETWEEN 10000.0 PRECEDING AND CURRENT ROW) AS near_total
+        |FROM orders""".stripMargin) { (s, _) =>
+      s.sql(
+        """SELECT o_orderkey,
+          |  sum(o_totalprice) OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice
+          |    RANGE BETWEEN 10000.0 PRECEDING AND CURRENT ROW) AS near_total
+          |FROM orders""".stripMargin)
+    },
+
     Q("win_lead_lag",
       """SELECT o_orderkey,
         |  lag(o_totalprice, 1) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev_price,
