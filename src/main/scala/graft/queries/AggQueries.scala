@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
 /** Aggregation coverage (SURVEY §2.4): global + hash agg, DISTINCT
@@ -188,24 +189,35 @@ object AggQueries extends QueryModule {
 
     // Sorted array_agg — arrayagg/ + PruneOrderByInAggregation; Spark
     // expresses ORDER BY inside agg as sort_array(collect_list(...)).
+    // Rendered joined as CSV: the verifier's pandas bridge cannot sort
+    // ndarray-valued columns, so array outputs ship as strings.
     Q("agg_array_sorted",
-      """SELECT l_orderkey, array_agg(l_linenumber ORDER BY l_linenumber) AS line_numbers
+      """SELECT l_orderkey,
+        |  array_to_string(array_agg(l_linenumber ORDER BY l_linenumber), ',') AS line_numbers
         |FROM lineitem WHERE l_orderkey <= 200 GROUP BY l_orderkey""".stripMargin) { (s, _) =>
       s.table("lineitem").filter(col("l_orderkey") <= 200)
         .groupBy("l_orderkey")
-        .agg(sort_array(collect_list("l_linenumber")).as("line_numbers"))
+        .agg(array_join(transform(sort_array(collect_list("l_linenumber")),
+          x => x.cast("string")), ",").as("line_numbers"))
     },
 
     // min(x,n)/max(x,n) multi-value variants — MinNAggregationFunction via
     // TypedHeap; Spark expresses them as slice(sort_array(collect_list)).
+    // Elements are prices rendered as integer cents so the string compare
+    // is float-format-independent.
     Q("agg_min_max_n",
       """SELECT l_returnflag,
-        |  (list_sort(array_agg(l_extendedprice)))[1:5] AS min5_price,
-        |  (list_sort(array_agg(l_extendedprice), 'DESC'))[1:5] AS max5_price
+        |  array_to_string(list_transform((list_sort(array_agg(l_extendedprice)))[1:5],
+        |    x -> CAST(round(x * 100) AS BIGINT)), ',') AS min5_price,
+        |  array_to_string(list_transform((list_sort(array_agg(l_extendedprice), 'DESC'))[1:5],
+        |    x -> CAST(round(x * 100) AS BIGINT)), ',') AS max5_price
         |FROM lineitem GROUP BY l_returnflag""".stripMargin) { (s, _) =>
+      def cents(c: Column): Column = round(c * 100).cast("long").cast("string")
       s.table("lineitem").groupBy("l_returnflag").agg(
-        slice(sort_array(collect_list("l_extendedprice")), 1, 5).as("min5_price"),
-        slice(sort_array(collect_list("l_extendedprice"), asc = false), 1, 5).as("max5_price"))
+        array_join(transform(slice(sort_array(collect_list("l_extendedprice")), 1, 5), cents _), ",")
+          .as("min5_price"),
+        array_join(transform(slice(sort_array(collect_list("l_extendedprice"), asc = false), 1, 5), cents _), ",")
+          .as("max5_price"))
     },
 
     // map_agg(k, v) — MapAggregationFunction.java:48. Rendered as sorted

@@ -56,19 +56,19 @@ object FuncQueries extends QueryModule {
     Q("func_math",
       """SELECT l_orderkey, l_linenumber, l_quantity,
         |  abs(l_discount - 0.05) AS abs_d,
-        |  ceil(l_extendedprice) AS ceil_p,
-        |  floor(l_extendedprice) AS floor_p,
+        |  CAST(ceil(l_extendedprice) AS BIGINT) AS ceil_p,
+        |  CAST(floor(l_extendedprice) AS BIGINT) AS floor_p,
         |  round(l_extendedprice / 7.0, 3) AS round_q,
         |  sqrt(l_quantity) AS sqrt_q,
         |  exp(l_discount) AS exp_d,
-        |  ln(l_extendedprice) AS ln_p,
-        |  log10(l_extendedprice) AS log10_p,
+        |  round(ln(l_extendedprice), 12) AS ln_p,
+        |  round(log10(l_extendedprice), 12) AS log10_p,
         |  pow(l_quantity, 2) AS qty_sq,
         |  mod(l_orderkey, 7) AS mod7,
-        |  sign(l_discount - 0.05) AS sgn,
+        |  CAST(sign(l_discount - 0.05) AS DOUBLE) AS sgn,
         |  sin(l_discount) AS sin_d,
         |  cos(l_discount) AS cos_d,
-        |  atan2(l_quantity, 3.0) AS at2,
+        |  round(atan2(l_quantity, 3.0), 12) AS at2,
         |  degrees(l_discount) AS deg,
         |  radians(l_quantity) AS rad,
         |  greatest(l_quantity, l_discount * 300) AS gr,
@@ -82,14 +82,14 @@ object FuncQueries extends QueryModule {
         round(col("l_extendedprice") / 7.0, 3).as("round_q"),
         sqrt(col("l_quantity")).as("sqrt_q"),
         exp(col("l_discount")).as("exp_d"),
-        log(col("l_extendedprice")).as("ln_p"),
-        log10(col("l_extendedprice")).as("log10_p"),
+        round(log(col("l_extendedprice")), 12).as("ln_p"),
+        round(log10(col("l_extendedprice")), 12).as("log10_p"),
         pow(col("l_quantity"), 2).as("qty_sq"),
         (col("l_orderkey") % 7).as("mod7"),
         signum(col("l_discount") - 0.05).as("sgn"),
         sin(col("l_discount")).as("sin_d"),
         cos(col("l_discount")).as("cos_d"),
-        atan2(col("l_quantity"), lit(3.0)).as("at2"),
+        round(atan2(col("l_quantity"), lit(3.0)), 12).as("at2"),
         degrees(col("l_discount")).as("deg"),
         radians(col("l_quantity")).as("rad"),
         greatest(col("l_quantity"), col("l_discount") * 300).as("gr"),
@@ -107,8 +107,8 @@ object FuncQueries extends QueryModule {
         |  CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
         |  o_orderdate + INTERVAL 7 DAY AS plus_week,
         |  date_diff('day', o_orderdate, TIMESTAMP '1998-01-01') AS days_to_98,
-        |  last_day(o_orderdate) AS eom,
-        |  epoch(o_orderdate) AS unix_secs
+        |  CAST(last_day(o_orderdate) AS TIMESTAMP) AS eom,
+        |  CAST(epoch(o_orderdate) AS BIGINT) AS unix_secs
         |FROM orders""".stripMargin) { (s, _) =>
       s.table("orders").select(col("o_orderkey"),
         year(col("o_orderdate")).as("y"),
@@ -120,19 +120,23 @@ object FuncQueries extends QueryModule {
         date_trunc("month", col("o_orderdate")).as("month_start"),
         (col("o_orderdate") + expr("INTERVAL 7 DAY")).as("plus_week"),
         datediff(lit("1998-01-01").cast("date"), col("o_orderdate")).as("days_to_98"),
-        last_day(col("o_orderdate")).as("eom"),
+        last_day(col("o_orderdate")).cast("timestamp").as("eom"),
         unix_timestamp(col("o_orderdate")).as("unix_secs"))
     },
 
+    // Array elements surface as integer micro-units (x*1e6 rounded) joined
+    // to CSV: the verifier's pandas bridge cannot sort ndarray columns and
+    // float-to-string formats differ across engines; integers do not.
     Q("func_array",
       """SELECT vec_id,
         |  len(embedding) AS dim,
         |  embedding[1] AS first_elem,
-        |  list_slice(embedding, 1, 3) AS first3,
+        |  array_to_string(list_transform(embedding[1:3],
+        |    x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)), ',') AS first3,
         |  list_aggregate(embedding, 'min') AS mn,
         |  list_aggregate(embedding, 'max') AS mx,
-        |  (SELECT sum(CAST(x AS DOUBLE)) FROM unnest(embedding) t(x)) AS total,
-        |  (SELECT sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) FROM unnest(embedding) t(x)) AS sumsq,
+        |  round((SELECT sum(CAST(x AS DOUBLE)) FROM unnest(embedding) t(x)), 6) AS total,
+        |  round((SELECT sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) FROM unnest(embedding) t(x)), 6) AS sumsq,
         |  len(list_filter(embedding, x -> x > 0)) AS n_pos,
         |  list_contains(embedding, embedding[5]) AS has_5th,
         |  list_position(embedding, embedding[5]) AS pos_5th,
@@ -141,11 +145,12 @@ object FuncQueries extends QueryModule {
       s.table("embeddings").filter(col("vec_id") < 200).select(col("vec_id"),
         size(col("embedding")).as("dim"),
         element_at(col("embedding"), 1).as("first_elem"),
-        slice(col("embedding"), 1, 3).as("first3"),
+        array_join(transform(slice(col("embedding"), 1, 3),
+          x => round(x.cast("double") * 1000000).cast("long").cast("string")), ",").as("first3"),
         array_min(col("embedding")).as("mn"),
         array_max(col("embedding")).as("mx"),
-        aggregate(col("embedding"), lit(0.0d), (acc, x) => acc + x).as("total"),
-        aggregate(col("embedding"), lit(0.0d), (acc, x) => acc + x.cast("double") * x.cast("double")).as("sumsq"),
+        round(aggregate(col("embedding"), lit(0.0d), (acc, x) => acc + x), 6).as("total"),
+        round(aggregate(col("embedding"), lit(0.0d), (acc, x) => acc + x.cast("double") * x.cast("double")), 6).as("sumsq"),
         size(filter(col("embedding"), x => x > 0)).as("n_pos"),
         array_contains(col("embedding"), element_at(col("embedding"), 5)).as("has_5th"),
         array_position(col("embedding"), element_at(col("embedding"), 5)).cast("int").as("pos_5th"),
@@ -154,28 +159,29 @@ object FuncQueries extends QueryModule {
 
     // Literal-input array algebra: Spark semantics frozen as expected
     // literals in the oracle (array_union keeps first-appearance order).
+    // Arrays ship CSV-joined — the verifier cannot sort ndarray columns.
     Q("func_array_algebra",
-      """SELECT [1,2,3] AS dist,
-        |  [1,2,3,4] AS uni,
-        |  [2,3] AS inter,
-        |  [1] AS exc,
+      """SELECT '1,2,3' AS dist,
+        |  '1,2,3,4' AS uni,
+        |  '2,3' AS inter,
+        |  '1' AS exc,
         |  '1-2-2-3' AS joined,
-        |  [1,2,3,4] AS flat,
-        |  [1,2,3,4,5] AS seq5,
-        |  [7,7,7] AS rep3,
-        |  [1,2,2,3] AS sorted_arr,
+        |  '1,2,3,4' AS flat,
+        |  '1,2,3,4,5' AS seq5,
+        |  '7,7,7' AS rep3,
+        |  '1,2,2,3' AS sorted_arr,
         |  true AS overlaps""".stripMargin) { (s, _) =>
       s.sql(
         """SELECT
-          |  array_distinct(array(1,2,2,3)) AS dist,
-          |  array_union(array(1,2,2), array(3,4)) AS uni,
-          |  array_intersect(array(1,2,3), array(2,3,4)) AS inter,
-          |  array_except(array(1,2,3), array(2,3,4)) AS exc,
+          |  array_join(array_distinct(array(1,2,2,3)), ',') AS dist,
+          |  array_join(array_union(array(1,2,2), array(3,4)), ',') AS uni,
+          |  array_join(array_intersect(array(1,2,3), array(2,3,4)), ',') AS inter,
+          |  array_join(array_except(array(1,2,3), array(2,3,4)), ',') AS exc,
           |  array_join(array(1,2,2,3), '-') AS joined,
-          |  flatten(array(array(1,2), array(3,4))) AS flat,
-          |  sequence(1, 5) AS seq5,
-          |  array_repeat(7, 3) AS rep3,
-          |  sort_array(array(3,1,2,2)) AS sorted_arr,
+          |  array_join(flatten(array(array(1,2), array(3,4))), ',') AS flat,
+          |  array_join(sequence(1, 5), ',') AS seq5,
+          |  array_join(array_repeat(7, 3), ',') AS rep3,
+          |  array_join(sort_array(array(3,1,2,2)), ',') AS sorted_arr,
           |  arrays_overlap(array(1,2), array(2,9)) AS overlaps""".stripMargin)
     },
 
@@ -376,7 +382,7 @@ object FuncQueries extends QueryModule {
         |  'café' AS nfc,
         |  8.0 / sqrt(65.0) AS cos_sim,
         |  '2' AS m_b,
-        |  [9,5,1] AS sorted_desc
+        |  '9,5,1' AS sorted_desc
         |FROM lineitem WHERE l_orderkey <= 100""".stripMargin) { (s, _) =>
       graft.functions.FunctionRegistry.installAll(s)
       s.table("lineitem").filter(col("l_orderkey") <= 100).select(
@@ -386,7 +392,7 @@ object FuncQueries extends QueryModule {
         graft.functions.Fns.cosineSim(
           array(lit(1.0d), lit(2.0d)), array(lit(2.0d), lit(3.0d))).as("cos_sim"),
         expr("str_to_map('a=1,b=2,c=3', ',', '=')['b']").as("m_b"),
-        expr("array_sort(array(5,9,1), (l, r) -> CASE WHEN l > r THEN -1 WHEN l < r THEN 1 ELSE 0 END)").as("sorted_desc"))
+        expr("array_join(array_sort(array(5,9,1), (l, r) -> CASE WHEN l > r THEN -1 WHEN l < r THEN 1 ELSE 0 END), ',')").as("sorted_desc"))
     },
 
     // Custom scalar functions vs published vectors: HMAC-SHA256 from

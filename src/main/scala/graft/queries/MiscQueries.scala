@@ -64,18 +64,22 @@ object MiscQueries extends QueryModule {
           struct(lit(25.0).as("a"), lit(0.0).as("b"))).as("below"))
     },
 
-    // Decimal(p,s) arithmetic — exact sums where double would drift.
+    // Decimal(p,s) arithmetic — exact sums where double would drift. The
+    // aggregation runs in decimal on both engines; only the FINAL value is
+    // cast to double because the verifier's pandas bridge renders DuckDB
+    // decimals as float64 (Decimal "x.9310" vs float "x.931" never hashes
+    // equal with trailing zeros).
     Q("misc_decimal",
       """SELECT l_returnflag,
-        |  sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS exact_sum,
-        |  sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(5,2))) AS exact_disc,
-        |  CAST(avg(CAST(l_quantity AS DECIMAL(10,2))) AS DECIMAL(16,6)) AS avg_qty
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS exact_sum,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(5,2))) AS DOUBLE) AS exact_disc,
+        |  CAST(CAST(avg(CAST(l_quantity AS DECIMAL(10,2))) AS DECIMAL(16,6)) AS DOUBLE) AS avg_qty
         |FROM lineitem GROUP BY l_returnflag""".stripMargin) { (s, _) =>
       s.table("lineitem").groupBy("l_returnflag").agg(
-        sum(col("l_extendedprice").cast("decimal(18,2)")).as("exact_sum"),
+        sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double").as("exact_sum"),
         sum(col("l_extendedprice").cast("decimal(18,2)") * col("l_discount").cast("decimal(5,2)"))
-          .as("exact_disc"),
-        avg(col("l_quantity").cast("decimal(10,2)")).cast("decimal(16,6)").as("avg_qty"))
+          .cast("double").as("exact_disc"),
+        avg(col("l_quantity").cast("decimal(10,2)")).cast("decimal(16,6)").cast("double").as("avg_qty"))
     },
 
     // Year-month interval arithmetic — DateTimeOperators.java.
