@@ -124,7 +124,111 @@ object TpchQueries extends QueryModule {
         |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
         |GROUP BY c_nationkey""".stripMargin))
 
-  def queries: Seq[Q] = extendedQueries ++ Seq(
+  /** The fixture has no partsupp table, so the five queries that need one
+    * (Q2/Q9/Q11/Q16/Q20) run over a synthesized stand-in: the DISTINCT
+    * (l_partkey, l_suppkey) pairs from lineitem joined to part, with a
+    * deterministic supplycost derived from p_retailprice (5%..14% by a
+    * key-mix) and a deterministic availqty. ps_costunits keeps an exact
+    * BIGINT form of the cost so Q11's HAVING threshold compare is
+    * integer-exact in both engines. The SQL text is identical for Spark
+    * and the DuckDB oracle. At scale the CTE is one distinct-shuffle of
+    * lineitem's two key columns plus a broadcast join to part.
+    */
+  private val partsuppCte: String =
+    """WITH partsupp AS (
+      |  SELECT ps_partkey, ps_suppkey,
+      |    CAST(round(p_retailprice * 100) AS BIGINT)
+      |      * (5 + (ps_partkey * 31 + ps_suppkey) % 10) AS ps_costunits,
+      |    CAST(round(p_retailprice * 100) AS BIGINT)
+      |      * (5 + (ps_partkey * 31 + ps_suppkey) % 10) / 10000.0 AS ps_supplycost,
+      |    CAST((ps_partkey * 37 + ps_suppkey * 13) % 9000 + 1000 AS INT) AS ps_availqty
+      |  FROM (SELECT DISTINCT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey
+      |        FROM lineitem) ps
+      |  JOIN part ON p_partkey = ps_partkey)""".stripMargin
+
+  private def partsuppQueries: Seq[Q] = Seq(
+
+    // Q2: minimum-cost supplier — correlated min over a 5-way join
+    // (q02.sql). The correlated scalar subquery decorrelates to an
+    // aggregate join on ps_partkey (high-cardinality, scale-safe).
+    sqlQ("q2_min_cost_supplier",
+      s"""$partsuppCte,
+        |europe AS (
+        |  SELECT ps_partkey, ps_supplycost, s_acctbal, s_name, n_name
+        |  FROM partsupp, supplier, nation, region
+        |  WHERE s_suppkey = ps_suppkey AND s_nationkey = n_nationkey
+        |    AND n_regionkey = r_regionkey AND r_name = 'EUROPE')
+        |SELECT s_acctbal, s_name, n_name, p_partkey, p_brand
+        |FROM part, europe
+        |WHERE p_partkey = ps_partkey AND p_size IN (15, 25, 35) AND p_type LIKE '%ARD'
+        |  AND ps_supplycost = (SELECT min(e2.ps_supplycost) FROM europe e2
+        |                       WHERE e2.ps_partkey = p_partkey)
+        |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+        |LIMIT 100""".stripMargin),
+
+    // Q9: product-type profit rollup over a 6-way join (q09.sql).
+    sqlQ("q9_product_profit",
+      s"""$partsuppCte
+        |SELECT nation, o_year, sum(amount) AS sum_profit
+        |FROM (SELECT n_name AS nation, year(o_orderdate) AS o_year,
+        |        l_extendedprice * (1 - l_discount) - ps_supplycost * l_quantity AS amount
+        |      FROM part, supplier, lineitem, partsupp, orders, nation
+        |      WHERE s_suppkey = l_suppkey AND ps_suppkey = l_suppkey
+        |        AND ps_partkey = l_partkey AND p_partkey = l_partkey
+        |        AND o_orderkey = l_orderkey AND s_nationkey = n_nationkey
+        |        AND p_name LIKE '%red%') profit
+        |GROUP BY nation, o_year""".stripMargin),
+
+    // Q11: important stock — same aggregate appears grouped and as a
+    // global scalar-subquery threshold (q11.sql). Values stay BIGINT
+    // (cost units × qty) so the HAVING boundary is exact; DuckDB's
+    // HUGEINT sum is cast back to BIGINT.
+    sqlQ("q11_important_stock",
+      s"""$partsuppCte,
+        |germany AS (
+        |  SELECT ps_partkey, ps_costunits * ps_availqty AS v
+        |  FROM partsupp, supplier, nation
+        |  WHERE ps_suppkey = s_suppkey AND s_nationkey = n_nationkey
+        |    AND n_name IN ('NATION_7', 'NATION_8', 'NATION_13'))
+        |SELECT ps_partkey, CAST(sum(v) AS BIGINT) AS value_units
+        |FROM germany
+        |GROUP BY ps_partkey
+        |HAVING CAST(sum(v) AS BIGINT) >
+        |  (SELECT CAST(sum(v) AS BIGINT) FROM germany) / 1000.0""".stripMargin),
+
+    // Q16: parts/supplier relationship — anti-join (NOT IN) + grouped
+    // count(DISTINCT) (q16.sql; supplier comment filter restated over
+    // s_acctbal since the fixture has no comment column).
+    sqlQ("q16_parts_supplier",
+      s"""$partsuppCte
+        |SELECT p_brand, p_type, p_size,
+        |  CAST(count(DISTINCT ps_suppkey) AS BIGINT) AS supplier_cnt
+        |FROM partsupp, part
+        |WHERE p_partkey = ps_partkey
+        |  AND p_brand <> 'Brand#13'
+        |  AND p_type NOT LIKE 'MEDIUM%'
+        |  AND p_size IN (49, 14, 23, 45, 19, 3, 36, 9)
+        |  AND ps_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        |GROUP BY p_brand, p_type, p_size""".stripMargin),
+
+    // Q20: potential promotion — nested semi-joins with a correlated
+    // scalar half-sum threshold (q20.sql; name/address output restated
+    // to the fixture's columns).
+    sqlQ("q20_potential_promotion",
+      s"""$partsuppCte
+        |SELECT s_suppkey, s_name
+        |FROM supplier, nation
+        |WHERE s_suppkey IN (
+        |    SELECT ps_suppkey FROM partsupp
+        |    WHERE ps_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'red%')
+        |      AND ps_availqty > (SELECT 0.5 * sum(l_quantity) FROM lineitem
+        |                         WHERE l_partkey = ps_partkey
+        |                           AND l_suppkey = ps_suppkey
+        |                           AND l_shipdate >= TIMESTAMP '1996-01-01'
+        |                           AND l_shipdate < TIMESTAMP '1997-01-01'))
+        |  AND s_nationkey = n_nationkey AND n_name IN ('NATION_3', 'NATION_14')""".stripMargin))
+
+  def queries: Seq[Q] = extendedQueries ++ partsuppQueries ++ Seq(
 
     Q("q1_pricing_summary",
       """SELECT l_returnflag, l_linestatus,

@@ -15,6 +15,7 @@ object PlanDump {
     val headline = Seq(
       "q1_pricing_summary", "q3_shipping_priority", "q5_local_supplier_volume",
       "q6_forecast_revenue", "q18_large_volume_customer",
+      "q2_min_cost_supplier", "q9_product_profit", "q11_important_stock",
       "win_topk_per_group", "llm_dedup_ngram_jaccard", "llm_knn_brute",
       "agg_mixed_distinct", "ev_sessionize")
     val spark = graft.engine.Engine.session("local[4]", shufflePartitions = 8)
