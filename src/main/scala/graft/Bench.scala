@@ -34,7 +34,7 @@ object Bench {
 
     // A failed query must not masquerade as a (fast) timing: it is
     // recorded as -1 and listed under "failures", excluded from total.
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val results = SparkEntry.benchQueries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       val ok =
         try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }

@@ -30,6 +30,13 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> ((s: SparkSession, dir: String) => q.run(s, dir))).toMap
 
+  /** Bench-time variants: contract queries (sketch-vs-exact checks) run
+    * only their engine-side pipeline; everything else is identical to
+    * `queries`.
+    */
+  def benchQueries: Map[String, (SparkSession, String) => DataFrame] =
+    all.map(q => q.name -> ((s: SparkSession, dir: String) => q.runBench(s, dir))).toMap
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops.
     */

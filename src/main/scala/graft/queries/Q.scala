@@ -10,10 +10,24 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 final case class Q(
     name: String,
     build: (SparkSession, String) => DataFrame,
-    oracle: Option[String]) {
+    oracle: Option[String],
+    benchBuild: Option[(SparkSession, String) => DataFrame] = None) {
   def run(spark: SparkSession, dir: String): DataFrame = {
     graft.engine.Engine.registerTables(spark, dir)
     build(spark, dir)
+  }
+
+  /** Engine-side-only pipeline for Bench. Contract queries verify a
+    * sketch/approximation against an exact recomputation; that exact
+    * side is verification scaffolding, not engine work, and timing it
+    * misstates the operator's cost forever. Verify still runs the full
+    * contract via `build`.
+    */
+  def withBench(f: (SparkSession, String) => DataFrame): Q = copy(benchBuild = Some(f))
+
+  def runBench(spark: SparkSession, dir: String): DataFrame = {
+    graft.engine.Engine.registerTables(spark, dir)
+    benchBuild.getOrElse(build)(spark, dir)
   }
 }
 

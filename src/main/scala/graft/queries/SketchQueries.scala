@@ -34,6 +34,10 @@ object SketchQueries extends QueryModule {
       def ok(a: Long, e: Long): Boolean = math.abs(a - e).toDouble / e < 0.15
       Seq((ok(r.getLong(0), r.getLong(1)), ok(r.getLong(2), r.getLong(3))))
         .toDF("parts_ok", "orders_ok")
+    }.withBench { (s, _) =>
+      s.table("lineitem").agg(
+        approx_count_distinct("l_partkey").as("apx_p"),
+        approx_count_distinct("l_orderkey").as("apx_o"))
     },
 
     // Custom HLL: accuracy + mergeability. Merging per-group sketches
@@ -52,6 +56,11 @@ object SketchQueries extends QueryModule {
       val exact = s.table("lineitem").agg(countDistinct("l_partkey")).head().getLong(0)
       Seq((math.abs(global - exact).toDouble / exact < 0.05, global == merged))
         .toDF("accuracy_ok", "merge_consistent")
+    }.withBench { (s, _) =>
+      graft.functions.FunctionRegistry.installAll(s)
+      s.sql(
+        """SELECT hll_cardinality(merge_hll(sk)) AS est FROM
+          |  (SELECT approx_set(l_partkey) AS sk FROM lineitem GROUP BY l_returnflag)""".stripMargin)
     },
 
     // SetDigest bottom-k jaccard vs the exact Jaccard of two part-key
@@ -71,6 +80,12 @@ object SketchQueries extends QueryModule {
           |FROM (SELECT l_partkey AS k, l_quantity < 25 AS a, l_quantity < 30 AS b FROM lineitem)""".stripMargin)
         .head().getDouble(0)
       Seq(math.abs(est - exact) < 0.15).toDF("jaccard_ok")
+    }.withBench { (s, _) =>
+      graft.functions.FunctionRegistry.installAll(s)
+      s.sql(
+        """SELECT jaccard_index(
+          |  (SELECT make_set_digest(l_partkey) FROM lineitem WHERE l_quantity < 25),
+          |  (SELECT make_set_digest(l_partkey) FROM lineitem WHERE l_quantity < 30)) AS j""".stripMargin)
     },
 
     // approx_percentile within 1% of the exact quantiles.
@@ -87,6 +102,11 @@ object SketchQueries extends QueryModule {
       def ok(a: Double, e: Double): Boolean = math.abs(a - e) / e < 0.01
       Seq((ok(r.getDouble(0), r.getDouble(2)), ok(r.getDouble(1), r.getDouble(3))))
         .toDF("p50_ok", "p95_ok")
+    }.withBench { (s, _) =>
+      s.sql(
+        """SELECT approx_percentile(o_totalprice, 0.5, 10000) AS ap50,
+          |       approx_percentile(o_totalprice, 0.95, 10000) AS ap95
+          |FROM orders""".stripMargin)
     },
 
     // Custom mergeable quantile sketch (qdigest role): per-group sketches
@@ -104,6 +124,12 @@ object SketchQueries extends QueryModule {
       def ok(a: Double, e: Double) = math.abs(a - e) / e < 0.02
       Seq((ok(merged.getDouble(0), exact.getDouble(0)), ok(merged.getDouble(1), exact.getDouble(1))))
         .toDF("p50_ok", "p90_ok")
+    }.withBench { (s, _) =>
+      graft.functions.FunctionRegistry.installAll(s)
+      s.sql(
+        """SELECT qdigest_value_at(qdigest_agg(l_extendedprice), 0.5) AS q50,
+          |       qdigest_value_at(qdigest_agg(l_extendedprice), 0.9) AS q90
+          |FROM lineitem""".stripMargin)
     },
 
     // Misra-Gries heavy hitters contract: every token with true
@@ -125,6 +151,13 @@ object SketchQueries extends QueryModule {
       val keys = sketch.keys.toSet
       Seq((exactHeavy.subsetOf(keys), keys.size <= k - 1))
         .toDF("contains_all_heavy", "bounded")
+    }.withBench { (s, _) =>
+      graft.functions.FunctionRegistry.installAll(s)
+      s.table("documents")
+        .select(explode(split(col("text"), " ")).as("w")).filter(col("w") =!= "")
+        .createOrReplaceTempView("graft_words_bench")
+      s.sql("SELECT approx_heavy_hitters(w, 50) AS hh FROM graft_words_bench")
+        .selectExpr("CAST(cardinality(hh) AS BIGINT) AS n_counters")
     },
 
     // checksum: order-independent (xor of xxhash64) — same result no
@@ -143,5 +176,8 @@ object SketchQueries extends QueryModule {
       val c = s.sql("SELECT checksum(l_orderkey * 31 + l_linenumber + 1) AS c FROM lineitem")
         .head().getLong(0)
       Seq((a == b, a != c)).toDF("order_independent", "change_sensitive")
+    }.withBench { (s, _) =>
+      graft.functions.FunctionRegistry.installAll(s)
+      s.sql("SELECT checksum(l_orderkey * 31 + l_linenumber) AS c FROM lineitem")
     })
 }

@@ -64,15 +64,17 @@ object WindowQueries extends QueryModule {
     },
 
     // Numeric RANGE frame (value-based bounds on a numeric sort key) —
-    // the other FrameInfo RANGE variant beside the interval one.
+    // the other FrameInfo RANGE variant beside the interval one. The
+    // partition key is o_custkey (high cardinality): a 3-value key like
+    // o_orderstatus funnels the whole table through 3 tasks at scale.
     Q("win_range_numeric",
       """SELECT o_orderkey,
-        |  sum(o_totalprice) OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice
+        |  sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_totalprice
         |    RANGE BETWEEN 10000.0 PRECEDING AND CURRENT ROW) AS near_total
         |FROM orders""".stripMargin) { (s, _) =>
       s.sql(
         """SELECT o_orderkey,
-          |  sum(o_totalprice) OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice
+          |  sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_totalprice
           |    RANGE BETWEEN 10000.0 PRECEDING AND CURRENT ROW) AS near_total
           |FROM orders""".stripMargin)
     },
@@ -99,6 +101,54 @@ object WindowQueries extends QueryModule {
         ntile(4).over(w).cast("long").as("quartile"),
         percent_rank().over(w).as("pct_rank"),
         cume_dist().over(w).as("cd"))
+    },
+
+    // Scale-safe global ranking: win_ntile_dist above is the semantic
+    // baseline but funnels the table through ONE task (global window).
+    // This variant computes the identical quartile/percent_rank/cume_dist
+    // distributed: 63 approx_percentile cutoffs split the key space into
+    // 64 value-range buckets, exact per-bucket counts become rank offsets
+    // (a 64-row broadcast join), and within-bucket row_number + offset is
+    // the exact global rank. Two O(buckets) driver actions, no global
+    // sort. The oracle is the plain windowed SQL — results must be
+    // identical.
+    Q("win_rank_global_scalable",
+      """SELECT c_custkey,
+        |  CAST(ntile(4) OVER (ORDER BY c_acctbal, c_custkey) AS BIGINT) AS quartile,
+        |  percent_rank() OVER (ORDER BY c_acctbal, c_custkey) AS pct_rank,
+        |  cume_dist() OVER (ORDER BY c_acctbal, c_custkey) AS cd
+        |FROM customer""".stripMargin) { (s, _) =>
+      val cust = s.table("customer").select(col("c_custkey"), col("c_acctbal"))
+      val nBuckets = 64
+      val fractions = array((1 until nBuckets).map(i => lit(i.toDouble / nBuckets)): _*)
+      val cuts = cust.agg(percentile_approx(col("c_acctbal"), fractions, lit(10000)))
+        .head().getSeq[Double](0)
+      // Bucket by value range: count of cutoffs strictly below the key.
+      val bucketCol = cuts.map(c => (col("c_acctbal") > lit(c)).cast("int"))
+        .reduce(_ + _)
+      val bucketed = cust.withColumn("bucket", bucketCol)
+      val countsRows = bucketed.groupBy("bucket").count().collect()
+      val counts = countsRows.map(r => r.getInt(0) -> r.getLong(1)).toMap
+      val n = counts.values.sum
+      val offsets = (0 until nBuckets).scanLeft(0L)((acc, b) => acc + counts.getOrElse(b, 0L))
+      val offsetDf = s.createDataFrame(
+        s.sparkContext.parallelize((0 until nBuckets).map(b => org.apache.spark.sql.Row(b, offsets(b))), 1),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("bucket", org.apache.spark.sql.types.IntegerType),
+          org.apache.spark.sql.types.StructField("offset", org.apache.spark.sql.types.LongType))))
+      val wLocal = Window.partitionBy("bucket").orderBy("c_acctbal", "c_custkey")
+      val base = n / 4
+      val rem = n % 4
+      val ranked = bucketed.join(broadcast(offsetDf), "bucket")
+        .withColumn("rk", row_number().over(wLocal).cast("long") + col("offset"))
+      ranked.select(col("c_custkey"),
+        when(col("rk") <= lit(rem * (base + 1)),
+          ceil(col("rk") / lit((base + 1).toDouble)))
+          .otherwise(lit(rem) + ceil((col("rk") - lit(rem * (base + 1))) / lit(base.toDouble)))
+          .cast("long").as("quartile"),
+        (when(lit(n) > 1, (col("rk") - 1) / lit((n - 1).toDouble)).otherwise(lit(0.0)))
+          .as("pct_rank"),
+        (col("rk") / lit(n.toDouble)).as("cd"))
     },
 
     Q("win_first_last_nth",

@@ -124,6 +124,28 @@ class EngineSpecs extends AnyFunSuite with BeforeAndAfterAll {
       "row_number()<=k filter should trigger WindowGroupLimit, not full-partition sort")
   }
 
+  test("benchmark windows partition on a real key (no global/low-card windows)") {
+    // A window with an empty PARTITION BY funnels the whole input through
+    // one task; a 3-value key through 3. Only win_ntile_dist keeps the
+    // global window deliberately (semantic baseline) — its scale-safe
+    // restatement is win_rank_global_scalable.
+    import org.apache.spark.sql.execution.window.WindowExec
+    val exempt = Set("win_ntile_dist")
+    val lowCardKeys = Set("l_returnflag", "l_linestatus", "o_orderstatus",
+      "o_orderpriority", "r_name", "n_name")
+    SparkEntry.modules.flatMap(_.queries).filter(q => q.name.startsWith("win_") && !exempt(q.name))
+      .foreach { q =>
+        val plan = executedPlan(q.run(spark, sfDir))
+        plan.collect { case w: WindowExec => w }.foreach { w =>
+          assert(w.partitionSpec.nonEmpty,
+            s"${q.name}: WindowExec with empty partitionSpec (global sort at scale)")
+          val keys = w.partitionSpec.flatMap(_.references.map(_.name.toLowerCase))
+          assert(!keys.forall(lowCardKeys), // sub-hundred-distinct keys starve parallelism
+            s"${q.name}: window partitions only on low-cardinality key(s) ${keys.mkString(",")}")
+        }
+      }
+  }
+
   test("native cosine_similarity expression stays inside codegen and matches HOF math") {
     import org.apache.spark.sql.functions._
     val df = spark.table("embeddings").limit(50).select(
