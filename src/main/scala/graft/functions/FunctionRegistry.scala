@@ -33,6 +33,7 @@ object FunctionRegistry {
       ArrayCosineSimilarity.install(spark)
       TypedAggregators.install(spark)
       HeavyHitters.install(spark)
+      MapHistogramAggs.install(spark)
       installed.put(spark, java.lang.Boolean.TRUE)
     }
   }

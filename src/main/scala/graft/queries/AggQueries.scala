@@ -232,6 +232,46 @@ object AggQueries extends QueryModule {
           e => concat(e.getField("key").cast("string"), lit("="), e.getField("value")))), ",").as("kv"))
     },
 
+    // map_union(map) — MapUnionAggregation.java:46. Per-flag maps with
+    // disjoint keys union into one map; rendered as sorted "k=v" strings
+    // (the comparator cannot hash raw maps).
+    Q("agg_map_union",
+      """SELECT string_agg(k || '=' || CAST(cnt AS VARCHAR), ',' ORDER BY k) AS kv
+        |FROM (SELECT l_returnflag || '-' || l_linestatus AS k,
+        |        CAST(count(*) AS BIGINT) AS cnt
+        |      FROM lineitem GROUP BY 1)""".stripMargin) { (s, _) =>
+      graft.functions.FunctionRegistry.installAll(s)
+      s.sql(
+        """SELECT array_join(array_sort(transform(map_entries(map_union(m)),
+          |    e -> concat(e.key, '=', CAST(e.value AS STRING)))), ',') AS kv
+          |FROM (SELECT l_returnflag,
+          |        map_from_entries(collect_list(
+          |          struct(concat(l_returnflag, '-', l_linestatus), cnt))) AS m
+          |      FROM (SELECT l_returnflag, l_linestatus, count(*) AS cnt
+          |            FROM lineitem GROUP BY 1, 2)
+          |      GROUP BY l_returnflag)""".stripMargin)
+    },
+
+    // numeric_histogram(buckets, x) — NumericHistogram.java:36. With
+    // distinct(l_quantity) <= buckets the Ben-Haim/Tom-Tov sketch is
+    // exact (no centroid merges), so the value->weight map hash-matches
+    // an exact per-value count; the merging regime is spec-tested.
+    Q("agg_numeric_histogram",
+      """SELECT l_returnflag,
+        |  string_agg(lpad(CAST(CAST(q AS INT) AS VARCHAR), 2, '0') || ':' ||
+        |    CAST(CAST(c AS INT) AS VARCHAR), ',' ORDER BY q) AS hist
+        |FROM (SELECT l_returnflag, l_quantity AS q, count(*) AS c
+        |      FROM lineitem GROUP BY 1, 2)
+        |GROUP BY l_returnflag""".stripMargin) { (s, _) =>
+      graft.functions.FunctionRegistry.installAll(s)
+      s.sql(
+        """SELECT l_returnflag,
+          |  array_join(array_sort(transform(map_entries(numeric_histogram(60, l_quantity)),
+          |    e -> concat(lpad(CAST(CAST(e.key AS INT) AS STRING), 2, '0'), ':',
+          |                CAST(CAST(e.value AS INT) AS STRING)))), ',') AS hist
+          |FROM lineitem GROUP BY l_returnflag""".stripMargin)
+    },
+
     // histogram(x) — histogram/Histogram.java:48: value -> occurrence map,
     // rendered as sorted "value:count" strings.
     Q("agg_histogram",

@@ -90,6 +90,35 @@ class FunctionSpecs extends AnyFunSuite {
 
   // ---- Porter stemmer ----
 
+  test("numeric_histogram merging regime: bounded buckets, conserved mass, ordered means") {
+    val h = new graft.functions.NumHist(8)
+    val rnd = new scala.util.Random(7)
+    val xs = Array.fill(10000)(rnd.nextGaussian() * 100)
+    xs.foreach(x => h.add(x, 1.0))
+    // merge a second shard, as a partial/final split would
+    val ys = Array.fill(5000)(rnd.nextGaussian() * 100 + 50)
+    val h2 = new graft.functions.NumHist(8)
+    ys.foreach(x => h2.add(x, 1.0))
+    h.mergeWith(h2)
+    h.compact(8)
+    assert(h.n == 8, s"expected 8 buckets, got ${h.n}")
+    val totalW = (0 until h.n).map(h.weights).sum
+    assert(math.abs(totalW - 15000.0) < 1e-6, s"mass not conserved: $totalW")
+    val means = (0 until h.n).map(h.values)
+    assert(means == means.sorted, "bucket means must stay ordered")
+    val (lo, hi) = ((xs ++ ys).min, (xs ++ ys).max)
+    assert(means.head >= lo && means.last <= hi, "means must stay within data range")
+  }
+
+  test("numeric_histogram exact while distinct <= buckets") {
+    val h = new graft.functions.NumHist(10)
+    val data = Seq(1.0, 2.0, 2.0, 3.0, 3.0, 3.0)
+    data.foreach(h.add(_, 1.0))
+    h.compact(10)
+    val m = (0 until h.n).map(i => h.values(i) -> h.weights(i)).toMap
+    assert(m == Map(1.0 -> 1.0, 2.0 -> 2.0, 3.0 -> 3.0))
+  }
+
   test("porter stemmer known derivations") {
     val cases = Map(
       "running" -> "run", "cats" -> "cat", "happy" -> "happi",
