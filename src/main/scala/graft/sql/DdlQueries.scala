@@ -77,5 +77,24 @@ object DdlQueries extends QueryModule {
           |  max(date_diff('day', TIMESTAMP '1995-01-01', o_orderdate)) AS max_days,
           |  CAST(strpos(CAST('hello world' AS VARCHAR), 'world') AS BIGINT) AS pos
           |FROM orders""".stripMargin)
+    },
+
+    // Quantified comparisons — op ALL/ANY (subquery). The graft front
+    // door rewrites them to min/max scalar subqueries / IN, mirroring
+    // TransformQuantifiedComparisonApplyToLateralJoin.java:75; DuckDB
+    // executes the ORIGINAL quantified text natively, so the oracle
+    // checks the rewrite's semantics, not just its syntax.
+    Q("shape_quantified",
+      """SELECT s_suppkey, s_name FROM supplier
+        |WHERE s_acctbal > ALL (SELECT c_acctbal / 10 FROM customer WHERE c_nationkey = 1)
+        |  AND s_suppkey < ANY (SELECT c_custkey FROM customer)
+        |  AND s_nationkey = ANY (SELECT n_nationkey FROM nation WHERE n_regionkey <= 2)
+        |  AND s_suppkey <> ALL (SELECT c_custkey * 1000 FROM customer)""".stripMargin) { (s, _) =>
+      PrestoSql.sql(s,
+        """SELECT s_suppkey, s_name FROM supplier
+          |WHERE s_acctbal > ALL (SELECT c_acctbal / 10 FROM customer WHERE c_nationkey = 1)
+          |  AND s_suppkey < ANY (SELECT c_custkey FROM customer)
+          |  AND s_nationkey = ANY (SELECT n_nationkey FROM nation WHERE n_regionkey <= 2)
+          |  AND s_suppkey <> ALL (SELECT c_custkey * 1000 FROM customer)""".stripMargin)
     })
 }

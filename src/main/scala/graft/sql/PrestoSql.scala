@@ -49,9 +49,94 @@ object PrestoSql {
       else "AS STRING)")
   }
 
+  // ---- Quantified comparisons (op ALL/ANY/SOME (subquery)) ----
+  // Spark SQL has no quantified-comparison syntax; the reference rewrites
+  // them to min/max over the subquery
+  // (TransformQuantifiedComparisonApplyToLateralJoin.java:75). Same
+  // transformation here, textually:
+  //   x <  ALL (q) -> x <  (SELECT min(c) FROM (q) __graft_q(c))
+  //   x >  ALL (q) -> x >  (SELECT max(c) ...)       (<=/>= likewise)
+  //   x <  ANY (q) -> x <  (SELECT max(c) ...)
+  //   x >  ANY (q) -> x >  (SELECT min(c) ...)       (SOME == ANY)
+  //   x =  ANY (q) -> x IN (q)
+  //   x <> ALL (q) -> x NOT IN (q)
+  // `= ALL` / `<> ANY` would need the left operand duplicated (the
+  // reference uses a count-based plan) — rejected with a clear error.
+  // Caveat shared with the reference's min/max path: over an EMPTY
+  // subquery the rewrite yields NULL (UNKNOWN) where strict SQL says
+  // TRUE for ALL / FALSE for ANY.
+  private val quantPattern: Regex = """(?i)(<=|>=|<>|!=|<|>|=)\s*(ALL|ANY|SOME)\s*\(""".r
+
+  private def matchingParen(sql: String, open: Int): Int = {
+    var depth = 0
+    var i = open
+    var inStr = false
+    while (i < sql.length) {
+      val c = sql(i)
+      if (inStr) { if (c == '\'') inStr = false }
+      else c match {
+        case '\'' => inStr = true
+        case '(' => depth += 1
+        case ')' =>
+          depth -= 1
+          if (depth == 0) return i
+        case _ =>
+      }
+      i += 1
+    }
+    throw new IllegalArgumentException(s"unbalanced parens after offset $open")
+  }
+
+  private def rewriteQuantified(sql: String): String = {
+    val lit = literalMap(sql)
+    quantPattern.findAllMatchIn(sql).find(m => !lit(m.start)) match {
+      case None => sql
+      case Some(m) =>
+        val op = m.group(1)
+        val quant = m.group(2).toUpperCase
+        val isAll = quant == "ALL"
+        val open = m.end - 1
+        val close = matchingParen(sql, open)
+        val sub = sql.substring(open + 1, close)
+        val replaced = (op, isAll) match {
+          case ("=", false) => s"IN ($sub)"
+          case ("<>" | "!=", true) => s"NOT IN ($sub)"
+          case ("<" | "<=", true) | (">" | ">=", false) =>
+            s"$op (SELECT min(__graft_qc) FROM ($sub) AS __graft_q(__graft_qc))"
+          case (">" | ">=", true) | ("<" | "<=", false) =>
+            s"$op (SELECT max(__graft_qc) FROM ($sub) AS __graft_q(__graft_qc))"
+          case _ =>
+            throw new IllegalArgumentException(
+              s"quantified comparison '$op $quant (...)' is not supported " +
+                "(rewrite needs the left operand duplicated); use IN/NOT IN or min/max")
+        }
+        rewriteQuantified(sql.substring(0, m.start) + replaced + sql.substring(close + 1))
+    }
+  }
+
+  private def literalMap(sql: String): Array[Boolean] = {
+    val inLit = new Array[Boolean](sql.length)
+    var i = 0
+    var in = false
+    while (i < sql.length) {
+      if (sql(i) == '\'') {
+        if (in && i + 1 < sql.length && sql(i + 1) == '\'') {
+          inLit(i) = true; inLit(i + 1) = true; i += 1
+        } else { in = !in; inLit(i) = true }
+      } else inLit(i) = in
+      i += 1
+    }
+    inLit
+  }
+
+  /** All dialect rewrites: quantified comparisons, then function/cast
+    * renames.
+    */
+  def rewriteFull(text: String): String = rewrite(rewriteQuantified(text))
+
   /** Run Presto-dialect SQL on the graft engine. */
   def sql(spark: SparkSession, text: String): DataFrame = {
     graft.functions.FunctionRegistry.installAll(spark)
-    spark.sql(rewrite(text))
+    spark.sql(rewriteFull(text))
   }
 }

@@ -60,6 +60,33 @@ class SketchAndSqlSpecs extends AnyFunSuite {
       "SELECT timestampadd(DAY, 1, ts), 'AS VARCHAR)' FROM t")
   }
 
+  test("quantified comparison rewrites (ALL/ANY/SOME)") {
+    assert(PrestoSql.rewriteFull("SELECT * FROM t WHERE x > ALL (SELECT v FROM u)") ==
+      "SELECT * FROM t WHERE x > (SELECT max(__graft_qc) FROM (SELECT v FROM u) AS __graft_q(__graft_qc))")
+    assert(PrestoSql.rewriteFull("SELECT * FROM t WHERE x <= all (SELECT v FROM u)") ==
+      "SELECT * FROM t WHERE x <= (SELECT min(__graft_qc) FROM (SELECT v FROM u) AS __graft_q(__graft_qc))")
+    assert(PrestoSql.rewriteFull("SELECT * FROM t WHERE x < ANY (SELECT v FROM u)") ==
+      "SELECT * FROM t WHERE x < (SELECT max(__graft_qc) FROM (SELECT v FROM u) AS __graft_q(__graft_qc))")
+    assert(PrestoSql.rewriteFull("SELECT * FROM t WHERE x > SOME (SELECT v FROM u)") ==
+      "SELECT * FROM t WHERE x > (SELECT min(__graft_qc) FROM (SELECT v FROM u) AS __graft_q(__graft_qc))")
+    assert(PrestoSql.rewriteFull("SELECT * FROM t WHERE x = ANY (SELECT v FROM u)") ==
+      "SELECT * FROM t WHERE x IN (SELECT v FROM u)")
+    assert(PrestoSql.rewriteFull("SELECT * FROM t WHERE x <> ALL (SELECT v FROM u)") ==
+      "SELECT * FROM t WHERE x NOT IN (SELECT v FROM u)")
+    // nested parens + a quoted ')' inside the subquery must not confuse
+    // the matcher
+    assert(PrestoSql.rewriteFull(
+      "SELECT 1 WHERE x > ALL (SELECT f(v, ')') FROM (SELECT 1 v) q)") ==
+      "SELECT 1 WHERE x > (SELECT max(__graft_qc) FROM (SELECT f(v, ')') FROM (SELECT 1 v) q) AS __graft_q(__graft_qc))")
+    // ALL used as an identifier / inside literals stays untouched
+    assert(PrestoSql.rewriteFull("SELECT 'x > ALL (v)' AS s FROM t") ==
+      "SELECT 'x > ALL (v)' AS s FROM t")
+    // unsupported forms fail loudly rather than silently misrewriting
+    intercept[IllegalArgumentException] {
+      PrestoSql.rewriteFull("SELECT * FROM t WHERE x = ALL (SELECT v FROM u)")
+    }
+  }
+
   test("presto-dialect SQL runs end-to-end through the front door") {
     val spark = graft.engine.Engine.session("local[2]", shufflePartitions = 2)
     try {
