@@ -59,6 +59,16 @@ object FunctionRegistry {
     }
     // arbitrary(x) — ArbitraryAggregationFunction.java:48
     register(spark, "arbitrary") { args => new AnyValue(args.head) }
+    // regexp_replace with a LAMBDA replacement —
+    // JoniRegexpReplaceLambdaFunction.java:39. The non-lambda arities
+    // keep Spark's native (codegen'd) RegExpReplace; Presto's 2-arg form
+    // deletes matches.
+    register(spark, "regexp_replace") { args =>
+      if (args.size == 3 && args(2).isInstanceOf[LambdaFunction])
+        org.apache.spark.sql.graft.RegexpReplaceLambda(args(0), args(1), args(2))
+      else if (args.size == 2) RegExpReplace(args(0), args(1), Literal(""))
+      else RegExpReplace(args(0), args(1), args(2))
+    }
     // log2/log10 exist in Spark; Presto ln == Spark ln. nothing to do.
     // is_nan — MathFunctions.java
     register(spark, "is_nan") { args => IsNaN(args.head) }

@@ -374,6 +374,24 @@ object FuncQueries extends QueryModule {
         array_join(slice(w, 1, 2), " ").as("first_bigram"))
     },
 
+    // regexp_replace(string, pattern, lambda) — the lambda receives the
+    // capture-group array (JoniRegexpReplaceLambdaFunction.java:39). The
+    // oracle states each transformation's closed form (upper-casing every
+    // letter run == upper; bracketing digit runs == static backref
+    // replacement), so DuckDB checks the SEMANTICS without lambda support.
+    Q("func_regexp_lambda",
+      """SELECT p_partkey,
+        |  upper(p_name) AS upped,
+        |  regexp_replace(p_brand, '(\d+)', '<\1>', 'g') AS bracketed
+        |FROM part WHERE p_partkey <= 200""".stripMargin) { (s, _) =>
+      graft.functions.FunctionRegistry.installAll(s)
+      s.sql(
+        """SELECT p_partkey,
+          |  regexp_replace(p_name, '([a-z]+)', x -> upper(element_at(x, 1))) AS upped,
+          |  regexp_replace(p_brand, '(\\d+)', x -> concat('<', element_at(x, 1), '>')) AS bracketed
+          |FROM part WHERE p_partkey <= 200""".stripMargin)
+    },
+
     // width_bucket / normalize / typeof / array cosine — misc §2.9 items.
     // width_bucket oracle via its definition; cosine vs closed form.
     Q("func_misc",

@@ -288,7 +288,7 @@ object TpchQueries extends QueryModule {
       val c = s.table("customer").filter(col("c_mktsegment") === "BUILDING")
       val o = s.table("orders").filter(col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
       val l = s.table("lineitem").filter(col("l_shipdate") > lit("1997-01-01").cast("timestamp"))
-      broadcast(c).join(o, col("c_custkey") === col("o_custkey"))
+      c.join(o, col("c_custkey") === col("o_custkey"))
         .join(l, col("l_orderkey") === col("o_orderkey"))
         .groupBy("l_orderkey", "o_orderdate")
         .agg(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
@@ -315,10 +315,10 @@ object TpchQueries extends QueryModule {
       s.table("customer")
         .join(o, col("c_custkey") === col("o_custkey"))
         .join(s.table("lineitem"), col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(s.table("supplier")),
+        .join(s.table("supplier"),
           col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
-        .join(broadcast(s.table("nation")), col("s_nationkey") === col("n_nationkey"))
-        .join(broadcast(s.table("region").filter(col("r_name") === "ASIA")),
+        .join(s.table("nation"), col("s_nationkey") === col("n_nationkey"))
+        .join(s.table("region").filter(col("r_name") === "ASIA"),
           col("n_regionkey") === col("r_regionkey"))
         .groupBy("n_name")
         .agg(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
@@ -345,7 +345,7 @@ object TpchQueries extends QueryModule {
         .join(o, col("c_custkey") === col("o_custkey"))
         .join(s.table("lineitem").filter(col("l_returnflag") === "R"),
           col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(s.table("nation")), col("c_nationkey") === col("n_nationkey"))
+        .join(s.table("nation"), col("c_nationkey") === col("n_nationkey"))
         .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
         .agg(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
         .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
@@ -385,7 +385,7 @@ object TpchQueries extends QueryModule {
       s.table("lineitem")
         .filter(col("l_shipdate") >= lit("1996-09-01").cast("timestamp") &&
           col("l_shipdate") < lit("1996-10-01").cast("timestamp"))
-        .join(broadcast(s.table("part")), col("l_partkey") === col("p_partkey"))
+        .join(s.table("part"), col("l_partkey") === col("p_partkey"))
         .agg((lit(100.0) *
           sum(when(col("p_type") === "PROMO",
             col("l_extendedprice") * (lit(1) - col("l_discount"))).otherwise(0.0)) /
@@ -425,7 +425,7 @@ object TpchQueries extends QueryModule {
         |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 20)
         |   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 30)""".stripMargin) { (s, _) =>
       s.table("lineitem")
-        .join(broadcast(s.table("part")), col("p_partkey") === col("l_partkey"))
+        .join(s.table("part"), col("p_partkey") === col("l_partkey"))
         .filter(
           (col("p_brand") === "Brand#12" && col("p_size").between(1, 15) && col("l_quantity").between(1, 11)) ||
           (col("p_brand") === "Brand#23" && col("p_size").between(1, 25) && col("l_quantity").between(10, 20)) ||
