@@ -1,0 +1,142 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+import org.apache.spark.sql.SparkSession
+
+/** SURVEY §7.4 semantic-risk register, pinned as executable facts. Each
+  * test states the reference's behavior (presto-spi Chars.java,
+  * DateTimeEncoding.java, JsonExtract.java, ArraySubscriptOperator) and
+  * asserts what THIS engine does — a pass is either parity or a
+  * documented, deliberate divergence, never an unknown.
+  */
+class SemanticsSpecs extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = graft.engine.Engine.session("local[4]", shufflePartitions = 4)
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private def one(sql: String): Any = spark.sql(sql).head().get(0)
+
+  // ---- subscripts & strict mode (ArraySubscriptOperator.java,
+  //      MapSubscriptOperator.java: 1-based, errors on bad access) ----
+
+  test("element_at is 1-based like the reference's subscript") {
+    assert(one("SELECT element_at(array(10, 20, 30), 1)") == 10)
+    assert(one("SELECT element_at(array(10, 20, 30), 3)") == 30)
+    // negative = from the end (both engines)
+    assert(one("SELECT element_at(array(10, 20, 30), -1)") == 30)
+  }
+
+  test("ANSI mode: out-of-bounds subscript errors (parity with reference)") {
+    // Presto: ARRAY[..][9] -> "Array subscript out of bounds". Spark 4
+    // ANSI (our default): element_at past the end throws too; try_element_at
+    // is the opt-out, mirroring TRY(..) in the reference.
+    assertThrows[Exception](spark.sql("SELECT element_at(array(1, 2), 9)").collect())
+    assert(one("SELECT try_element_at(array(1, 2), 9)") == null)
+  }
+
+  test("DOCUMENTED DIVERGENCE: bare [n] subscript is 0-based in Spark SQL") {
+    // Presto arr[1] is the FIRST element; Spark's arr[1] is the SECOND
+    // and arr[0] the first. The front door does not rewrite subscripts —
+    // Presto SQL using [n] must move to element_at(arr, n). Pinned so the
+    // delta is loud, not latent.
+    assert(one("SELECT array(10, 20, 30)[1]") == 20)
+  }
+
+  test("map missing-key: element_at returns NULL; strict access via assertion") {
+    // Presto map[k] errors on a missing key ("Key not present in map");
+    // Spark's element_at is the lenient form (NULL) even under ANSI, and
+    // map[k] behaves the same. Strict parity is expressible with a
+    // raise_error guard when required.
+    assert(one("SELECT element_at(map('a', 1), 'zz')") == null)
+    assert(one("SELECT map('a', 1)['zz']") == null)
+    assertThrows[Exception](
+      spark.sql("SELECT assert_true(map_contains_key(map('a', 1), 'zz'), 'Key not present')")
+        .collect())
+  }
+
+  // ---- char(n) trailing-space semantics (presto-spi Chars.java:
+  //      padded comparison; padSpaces on cast) ----
+
+  test("char(n) comparisons ignore trailing pad spaces (parity)") {
+    spark.sql("DROP TABLE IF EXISTS graft_chars")
+    spark.sql("CREATE TABLE graft_chars (c CHAR(5), v VARCHAR(5)) USING PARQUET")
+    spark.sql("INSERT INTO graft_chars VALUES ('ab', 'ab'), ('cd   ', 'cd')")
+    // Spark pads CHAR(5) on write and (by default, readSideCharPadding)
+    // on read; a CHAR(5) column compared to the unpadded literal matches —
+    // the same observable behavior as the reference's padded comparison.
+    assert(spark.sql("SELECT count(*) FROM graft_chars WHERE c = 'ab'").head().getLong(0) == 1L)
+    assert(spark.sql("SELECT count(*) FROM graft_chars WHERE c = 'cd'").head().getLong(0) == 1L)
+    // length() sees the padded width for CHAR, the raw width for VARCHAR
+    assert(one("SELECT length(c) FROM graft_chars WHERE v = 'ab'") == 5)
+    assert(one("SELECT length(v) FROM graft_chars WHERE v = 'ab'") == 2)
+    spark.sql("DROP TABLE graft_chars")
+  }
+
+  test("DOCUMENTED DIVERGENCE: varchar(n) length is enforced on write, not on cast") {
+    // Presto CAST('abcdef' AS VARCHAR(3)) truncates to 'abc'. Spark's
+    // cast treats varchar(n) as plain string (no-op on length); the
+    // limit only bites on INSERT into a varchar(n) column, where ANSI
+    // raises EXCEED_LIMIT_LENGTH instead of truncating. The portable
+    // truncating spelling is substring.
+    assert(one("SELECT CAST('abcdef' AS VARCHAR(3))").toString == "abcdef")
+    spark.sql("DROP TABLE IF EXISTS graft_vc")
+    spark.sql("CREATE TABLE graft_vc (v VARCHAR(3)) USING PARQUET")
+    assertThrows[Exception](spark.sql("INSERT INTO graft_vc VALUES ('abcdef')"))
+    spark.sql("DROP TABLE graft_vc")
+    assert(one("SELECT substring('abcdef', 1, 3)").toString == "abc")
+  }
+
+  // ---- timestamp with time zone (DateTimeEncoding.java packs a zone id;
+  //      Spark has no such value type — SURVEY's stance: UTC-normalize) ----
+
+  test("tz-carrying timestamps are UTC-normalized, zone applied on render") {
+    // The engine runs with session tz UTC (Engine.session). A zoned input
+    // collapses to the same instant; rendering in a zone is explicit via
+    // from_utc_timestamp — semantics of the reference's AT TIME ZONE.
+    assert(one("SELECT CAST(TIMESTAMP '2024-03-10 01:30:00+02:00' AS STRING)").toString
+      == "2024-03-09 23:30:00")
+    assert(one("SELECT CAST(from_utc_timestamp(TIMESTAMP '2024-03-09 23:30:00', 'America/New_York') AS STRING)").toString
+      == "2024-03-09 18:30:00")
+    // DST boundary: 2024-03-10 07:30 UTC is 03:30 EDT (skipped hour handled)
+    assert(one("SELECT CAST(from_utc_timestamp(TIMESTAMP '2024-03-10 07:30:00', 'America/New_York') AS STRING)").toString
+      == "2024-03-10 03:30:00")
+  }
+
+  // ---- JSONPath dialect (JsonExtract.java implements a limited
+  //      dot/bracket dialect; Spark's get_json_object is the same
+  //      subset) ----
+
+  test("JSONPath: dot, bracket, and array-index paths agree with the reference subset") {
+    val doc = """{"store": {"book": [{"title": "a", "price": 1}, {"title": "b"}], "tag x": 7}}"""
+    assert(one(s"SELECT get_json_object('$doc', '$$.store.book[0].title')").toString == "a")
+    assert(one(s"SELECT get_json_object('$doc', '$$.store.book[1].title')").toString == "b")
+    assert(one(s"SELECT get_json_object('$doc', \"$$.store['tag x']\")").toString == "7")
+    // missing path -> NULL in both engines (json_extract returns NULL)
+    assert(one(s"SELECT get_json_object('$doc', '$$.store.missing')") == null)
+    // scalar extraction unquotes (the reference's json_extract_scalar)
+    assert(one(s"SELECT get_json_object('$doc', '$$.store.book[0].price')").toString == "1")
+  }
+
+  test("DOCUMENTED DIVERGENCE: recursive descent $..x is unsupported (NULL, not error)") {
+    val doc = """{"a": {"b": 1}}"""
+    assert(one(s"SELECT get_json_object('$doc', '$$..b')") == null)
+  }
+
+  // ---- decimal division/rounding (UnscaledDecimal128Arithmetic.java
+  //      HALF_UP; Spark Decimal divide rounds HALF_UP at result scale) ----
+
+  test("decimal division rounds HALF_UP at the result scale (parity)") {
+    // 1/3 at DECIMAL(10,2)/DECIMAL(10,2): Spark result scale is
+    // max(6, s1 + p2 + 1) = 13 -> 0.0769230769231 truncated to result
+    // precision; the .5 boundary case pins the rounding MODE:
+    assert(one("SELECT CAST(CAST(1.05 AS DECIMAL(10,2)) / CAST(2 AS DECIMAL(10,0)) AS DECIMAL(10,2))").toString
+      == "0.53") // 0.525 -> HALF_UP -> 0.53 (banker's rounding would give 0.52)
+    assert(one("SELECT CAST(CAST(2.5 AS DECIMAL(10,1)) AS DECIMAL(10,0))").toString == "3")
+  }
+}
