@@ -124,6 +124,17 @@ class EngineSpecs extends AnyFunSuite with BeforeAndAfterAll {
       "row_number()<=k filter should trigger WindowGroupLimit, not full-partition sort")
   }
 
+  test("ANN paths reach >= 0.8 recall on the planted-neighbor slice") {
+    // The raw corpus has no true near neighbors, so this is the recall
+    // number that means something: 10 planted near-duplicates per query
+    // (cos ~0.98) must be recovered through each index.
+    for (name <- Seq("llm_knn_lsh", "llm_knn_ivf")) {
+      val r = SparkEntry.queries(name)(spark, sfDir)
+        .select("planted_recall_at_10").head().getDouble(0)
+      assert(r >= 0.8, s"$name planted recall $r < 0.8")
+    }
+  }
+
   test("benchmark windows partition on a real key (no global/low-card windows)") {
     // A window with an empty PARTITION BY funnels the whole input through
     // one task; a 3-value key through 3. Only win_ntile_dist keeps the
