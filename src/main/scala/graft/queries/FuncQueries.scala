@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
 /** Scalar function surface (SURVEY §2.9): string, math, datetime, array,
@@ -397,15 +398,35 @@ object FuncQueries extends QueryModule {
     Q("func_misc",
       """SELECT l_orderkey, l_quantity,
         |  CAST(least(greatest(floor((l_quantity - 0) / 50.0 * 10) + 1, 0), 11) AS BIGINT) AS qty_bucket,
+        |  CAST(len(list_filter([10.0, 20.0, 30.0, 40.0], b -> b <= l_quantity)) AS INT) AS qty_bucket_arr,
+        |  'bigint' AS type_of,
+        |  round((l_quantity/50.0 + 1.9208/50 - 1.96 * sqrt(l_quantity/50.0*(1-l_quantity/50.0)/50 + 0.9604/2500)) / (1 + 3.8416/50), 9) AS wilson_lo,
+        |  round((l_quantity/50.0 + 1.9208/50 + 1.96 * sqrt(l_quantity/50.0*(1-l_quantity/50.0)/50 + 0.9604/2500)) / (1 + 3.8416/50), 9) AS wilson_hi,
         |  'café' AS nfc,
         |  8.0 / sqrt(65.0) AS cos_sim,
         |  '2' AS m_b,
         |  '9,5,1' AS sorted_desc
         |FROM lineitem WHERE l_orderkey <= 100""".stripMargin) { (s, _) =>
       graft.functions.FunctionRegistry.installAll(s)
+      // wilson_interval_lower/upper(successes, trials, z) —
+      // WilsonInterval.java:33,41 — stated by its closed form with
+      // successes = l_quantity of trials = 50, z = 1.96 (z² = 3.8416);
+      // identical expression text on both engines, rounded at 9 digits.
+      def wilson(sign: Int): Column = {
+        val p = col("l_quantity") / 50.0
+        round((p + lit(1.9208) / 50 + lit(1.96 * sign) *
+          sqrt(p * (lit(1) - p) / 50 + lit(0.9604) / 2500)) / (lit(1) + lit(3.8416) / 50), 9)
+      }
       s.table("lineitem").filter(col("l_orderkey") <= 100).select(
         col("l_orderkey"), col("l_quantity"),
         width_bucket(col("l_quantity"), lit(0d), lit(50d), lit(10)).as("qty_bucket"),
+        // array-bins width_bucket variant (MathFunctions.java widthBucket
+        // with a bins array): count of bin bounds <= x
+        size(filter(array(lit(10.0), lit(20.0), lit(30.0), lit(40.0)),
+          b => b <= col("l_quantity"))).as("qty_bucket_arr"),
+        typeof(col("l_orderkey")).as("type_of"),
+        wilson(-1).as("wilson_lo"),
+        wilson(+1).as("wilson_hi"),
         call_udf("normalize_nfc", lit("café")).as("nfc"),
         graft.functions.Fns.cosineSim(
           array(lit(1.0d), lit(2.0d)), array(lit(2.0d), lit(3.0d))).as("cos_sim"),
