@@ -463,10 +463,15 @@ object LlmQueries extends QueryModule {
         val next = labels.union(viaNeighbor)
           .groupBy("doc_id").agg(min("cluster").as("cluster"))
           .localCheckpoint()
-        val changed = next
-          .join(labels.withColumnRenamed("cluster", "prev"), "doc_id")
-          .filter(col("cluster") =!= col("prev")).count()
-        converged = changed == 0
+        // convergence check every 2nd round: clusters need >= 2 hops
+        // anyway, and the check is a full extra job per round (an extra
+        // idempotent propagation round is cheaper than checking early)
+        if (iter % 2 == 1 || iter >= 18) {
+          val changed = next
+            .join(labels.withColumnRenamed("cluster", "prev"), "doc_id")
+            .filter(col("cluster") =!= col("prev")).count()
+          converged = changed == 0
+        }
         labels = next
         iter += 1
       }

@@ -32,6 +32,18 @@ object StreamingOps {
   /** Running per-user event counts (complete-mode style aggregation). */
   def perUserCounts(events: DataFrame): DataFrame =
     events.groupBy(col("user_id")).agg(count(lit(1)).as("n_events"))
+
+  /** Streaming exact dedup on a fingerprint column with bounded state:
+    * dropDuplicatesWithinWatermark keeps a key only until the watermark
+    * passes it — the streaming twin of llm_dedup_exact, and the state
+    * discipline an always-on ingest dedup needs at 100 TB (an unbounded
+    * dropDuplicates state grows with the corpus; this one grows with the
+    * lateness window).
+    */
+  def dedupWithinWatermark(docs: DataFrame, lateness: String = "30 minutes"): DataFrame =
+    docs
+      .withWatermark("ts", lateness)
+      .dropDuplicatesWithinWatermark("fp")
 }
 
 /** Custom-state streaming: gap-based sessionization via

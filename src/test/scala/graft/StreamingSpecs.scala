@@ -50,6 +50,30 @@ class StreamingSpecs extends AnyFunSuite with BeforeAndAfterAll {
     } finally query.stop()
   }
 
+  test("streaming dedup drops repeats within the watermark window") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[(Timestamp, String, String)]
+    val docs = input.toDF().toDF("ts", "fp", "text")
+    val query = graft.streaming.StreamingOps.dedupWithinWatermark(docs, "30 minutes")
+      .writeStream.format("memory").queryName("dedup_out").outputMode("append").start()
+    try {
+      input.addData(
+        (ts("2024-01-01 10:00:00"), "fpA", "doc a"),
+        (ts("2024-01-01 10:01:00"), "fpA", "doc a repeat"),
+        (ts("2024-01-01 10:02:00"), "fpB", "doc b"))
+      query.processAllAvailable()
+      // duplicate fpA inside the window is dropped
+      val texts = spark.table("dedup_out").collect().map(_.getString(2)).toSet
+      assert(texts == Set("doc a", "doc b"))
+
+      // same fingerprint again within the watermark window: still a dup
+      input.addData((ts("2024-01-01 10:10:00"), "fpA", "doc a again"))
+      query.processAllAvailable()
+      assert(spark.table("dedup_out").count() == 2)
+    } finally query.stop()
+  }
+
   // flatMapGroupsWithState also runs on batch Datasets (empty initial
   // state, one invocation per key) — same user code, no streaming
   // runtime. (The streaming run of this operator spins continuous no-data
