@@ -105,5 +105,54 @@ object FunctionRegistry {
     register(spark, "from_iso8601_date") { args =>
       Cast(args.head, org.apache.spark.sql.types.DateType)
     }
+    // is_finite / is_infinite — MathFunctions.java. abs(x) < inf is false
+    // for both NaN (IEEE compares false) and ±inf, so one comparison
+    // covers Presto's semantics; stays in codegen.
+    val inf = Literal(Double.PositiveInfinity)
+    register(spark, "is_finite") { args =>
+      LessThan(Abs(Cast(args.head, org.apache.spark.sql.types.DoubleType)), inf)
+    }
+    register(spark, "is_infinite") { args =>
+      EqualTo(Abs(Cast(args.head, org.apache.spark.sql.types.DoubleType)), inf)
+    }
+    // infinity() / nan() — MathFunctions.java constants.
+    register(spark, "infinity") { _ => inf }
+    register(spark, "nan") { _ => Literal(Double.NaN) }
+    // truncate(x[, n]) — MathFunctions.java truncate: round toward zero,
+    // optionally keeping n decimal digits. sign*floor(abs) composition
+    // keeps it native (Spark has no numeric truncate).
+    register(spark, "truncate") { args =>
+      val x = Cast(args.head, org.apache.spark.sql.types.DoubleType)
+      val scaled = if (args.size >= 2)
+        Pow(Literal(10.0), Cast(args(1), org.apache.spark.sql.types.DoubleType))
+      else Literal(1.0)
+      Divide(
+        Multiply(
+          Cast(Signum(x), org.apache.spark.sql.types.DoubleType),
+          Cast(Floor(Multiply(Abs(x), scaled)), org.apache.spark.sql.types.DoubleType)),
+        scaled)
+    }
+    // current_timezone() — DateTimeFunctions.java; the session zone is
+    // fixed at plan time, so a literal is exact.
+    register(spark, "current_timezone") { _ =>
+      Literal(org.apache.spark.unsafe.types.UTF8String.fromString(
+        spark.sessionState.conf.sessionLocalTimeZone),
+        org.apache.spark.sql.types.StringType)
+    }
+    // fail(message) — FailureFunction.java; Spark's raise_error.
+    register(spark, "fail") { args => new RaiseError(args.head) }
+    // split_to_map(s, entryDelim, kvDelim) — SplitToMapFunction.java;
+    // Spark's str_to_map has identical argument order.
+    register(spark, "split_to_map") { args => StringToMap(args(0), args(1), args(2)) }
+    // json_extract/json_extract_scalar — JsonFunctions.java; Spark's
+    // get_json_object uses the same $-rooted path dialect (JSONPath-subset
+    // deltas pinned in SemanticsSpecs).
+    register(spark, "json_extract") { args => GetJsonObject(args(0), args(1)) }
+    register(spark, "json_extract_scalar") { args => GetJsonObject(args(0), args(1)) }
+    register(spark, "json_array_length") { args => LengthOfJsonArray(args.head) }
+    // bitwise_and_agg / bitwise_or_agg — BitwiseAndAggregation.java /
+    // BitwiseOrAggregation.java onto Spark's native bit_and/bit_or.
+    register(spark, "bitwise_and_agg") { args => aggregate.BitAndAgg(args.head) }
+    register(spark, "bitwise_or_agg") { args => aggregate.BitOrAgg(args.head) }
   }
 }

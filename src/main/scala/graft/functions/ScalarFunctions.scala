@@ -149,6 +149,236 @@ object ScalarFunctions {
       .format(java.time.format.DateTimeFormatter.ofPattern(translateMysqlPattern(pattern)))
   }
 
+  /** hamming_distance(a, b) — StringFunctions.java hammingDistance.
+    * Presto errors on unequal lengths; ANSI-style runtime error here too.
+    */
+  def hammingDistance(a: String, b: String): java.lang.Long = {
+    if (a == null || b == null) return null
+    val ca = a.codePoints.toArray
+    val cb = b.codePoints.toArray
+    require(ca.length == cb.length, "The input strings to hamming_distance function must have the same length")
+    var i = 0; var d = 0L
+    while (i < ca.length) { if (ca(i) != cb(i)) d += 1; i += 1 }
+    d
+  }
+
+  /** split_to_multimap(s, entryDelim, kvDelim) — SplitToMultimapFunction.java.
+    * Keys keep first-seen order (LinkedHashMap) so rendered JSON is stable.
+    */
+  def splitToMultimap(s: String, entryDelim: String, kvDelim: String): scala.collection.Map[String, Seq[String]] = {
+    if (s == null) return null
+    val out = scala.collection.mutable.LinkedHashMap.empty[String, scala.collection.mutable.ArrayBuffer[String]]
+    s.split(java.util.regex.Pattern.quote(entryDelim), -1).foreach { entry =>
+      val kv = entry.split(java.util.regex.Pattern.quote(kvDelim), 2)
+      require(kv.length == 2, s"Key-value delimiter must appear exactly once in each entry. Bad input: '$entry'")
+      out.getOrElseUpdate(kv(0), scala.collection.mutable.ArrayBuffer.empty) += kv(1)
+    }
+    out.map { case (k, v) => k -> v.toSeq }
+  }
+
+  /** Big-endian varbinary codecs — VarbinaryFunctions.java
+    * toBigEndian64/fromBigEndian64/toBigEndian32/fromBigEndian32.
+    */
+  def toBigEndian64(x: Long): Array[Byte] =
+    java.nio.ByteBuffer.allocate(8).order(java.nio.ByteOrder.BIG_ENDIAN).putLong(x).array()
+  def fromBigEndian64(b: Array[Byte]): Long = {
+    require(b.length == 8, "expected 8-byte value")
+    java.nio.ByteBuffer.wrap(b).order(java.nio.ByteOrder.BIG_ENDIAN).getLong
+  }
+  def toBigEndian32(x: Int): Array[Byte] =
+    java.nio.ByteBuffer.allocate(4).order(java.nio.ByteOrder.BIG_ENDIAN).putInt(x).array()
+  def fromBigEndian32(b: Array[Byte]): Int = {
+    require(b.length == 4, "expected 4-byte value")
+    java.nio.ByteBuffer.wrap(b).order(java.nio.ByteOrder.BIG_ENDIAN).getInt
+  }
+
+  /** parse_duration('2.4s') — DataSizeFunctions.java sibling parseDuration
+    * (operator/scalar/ParseDurationFunction in later trees; units
+    * ns/us/ms/s/m/h/d). Returned as a day-time interval (Spark's
+    * DayTimeIntervalType via java.time.Duration).
+    */
+  def parseDuration(s: String): java.time.Duration = {
+    if (s == null) return null
+    val m = java.util.regex.Pattern.compile("^\\s*(\\d+(?:\\.\\d+)?)\\s*([a-zA-Z]+)\\s*$").matcher(s)
+    require(m.matches(), s"duration is not a valid data duration string: $s")
+    val v = m.group(1).toDouble
+    val nanosPerUnit: Long = m.group(2) match {
+      case "ns" => 1L
+      case "us" => 1000L
+      case "ms" => 1000L * 1000
+      case "s" => 1000L * 1000 * 1000
+      case "m" => 60L * 1000 * 1000 * 1000
+      case "h" => 3600L * 1000 * 1000 * 1000
+      case "d" => 24L * 3600 * 1000 * 1000 * 1000
+      case u => throw new IllegalArgumentException(s"Unknown duration unit: $u")
+    }
+    java.time.Duration.ofNanos(Math.round(v * nanosPerUnit))
+  }
+
+  /** to_milliseconds(interval day to second) — DateTimeFunctions.java. */
+  def durationToMillis(d: java.time.Duration): java.lang.Long =
+    if (d == null) null else d.toMillis
+
+  /** parse_presto_data_size('2.3MB') -> bytes — DataSizeFunctions.java.
+    * Reference returns decimal(38,0); LONG covers 8 EB which is the
+    * practical domain (documented delta).
+    */
+  def parseDataSize(s: String): java.lang.Long = {
+    if (s == null) return null
+    val m = java.util.regex.Pattern.compile("^\\s*(\\d+(?:\\.\\d+)?)\\s*([a-zA-Z]*)\\s*$").matcher(s)
+    require(m.matches(), s"Invalid data size: '$s'")
+    val v = m.group(1).toDouble
+    val factor: Double = m.group(2) match {
+      case "B" | "" => 1d
+      case "kB" => 1024d
+      case "MB" => math.pow(1024, 2)
+      case "GB" => math.pow(1024, 3)
+      case "TB" => math.pow(1024, 4)
+      case "PB" => math.pow(1024, 5)
+      case "EB" => math.pow(1024, 6)
+      case u => throw new IllegalArgumentException(s"Invalid data size unit: $u")
+    }
+    (v * factor).toLong
+  }
+
+  /** Joda-pattern pair format_datetime/parse_datetime —
+    * DateTimeFunctions.java formatDatetime/parseDatetime. The common
+    * specifier subset (y M d H m s E) coincides with java.time; known
+    * deltas (era vs year-of-era edge patterns) documented in COVERAGE.md.
+    */
+  def formatDatetime(ts: java.sql.Timestamp, pattern: String): String = {
+    if (ts == null || pattern == null) return null
+    ts.toInstant.atZone(java.time.ZoneOffset.UTC)
+      .format(java.time.format.DateTimeFormatter.ofPattern(pattern))
+  }
+
+  def parseDatetime(s: String, pattern: String): java.sql.Timestamp = {
+    if (s == null || pattern == null) return null
+    // Joda 'y' is the proleptic year — java.time's 'u'. Mapping it (outside
+    // quoted literals) keeps parseDefaulting(YEAR) from conflicting with a
+    // parsed year-of-era field.
+    val p = {
+      val sb = new StringBuilder; var quoted = false
+      pattern.foreach { c =>
+        if (c == '\'') { quoted = !quoted; sb.append(c) }
+        else sb.append(if (c == 'y' && !quoted) 'u' else c)
+      }
+      sb.toString
+    }
+    val f = new java.time.format.DateTimeFormatterBuilder()
+      .appendPattern(p)
+      .parseDefaulting(java.time.temporal.ChronoField.YEAR, 1970)
+      .parseDefaulting(java.time.temporal.ChronoField.MONTH_OF_YEAR, 1)
+      .parseDefaulting(java.time.temporal.ChronoField.DAY_OF_MONTH, 1)
+      .parseDefaulting(java.time.temporal.ChronoField.HOUR_OF_DAY, 0)
+      .parseDefaulting(java.time.temporal.ChronoField.MINUTE_OF_HOUR, 0)
+      .parseDefaulting(java.time.temporal.ChronoField.SECOND_OF_MINUTE, 0)
+      .toFormatter()
+    java.sql.Timestamp.from(
+      java.time.LocalDateTime.parse(s, f).toInstant(java.time.ZoneOffset.UTC))
+  }
+
+  // ---- JSON helpers (JsonFunctions.java) — Jackson is already on the
+  // Spark classpath; one shared reader (ObjectMapper is thread-safe for
+  // reads).
+  private lazy val jsonMapper = new com.fasterxml.jackson.databind.ObjectMapper()
+
+  private def parseJsonOrNull(s: String): com.fasterxml.jackson.databind.JsonNode =
+    try jsonMapper.readTree(s) catch { case _: Exception => null }
+
+  /** is_json_scalar(json) — JsonFunctions.java isJsonScalar. */
+  def isJsonScalar(s: String): java.lang.Boolean = {
+    if (s == null) return null
+    val n = parseJsonOrNull(s)
+    if (n == null) null else java.lang.Boolean.valueOf(!n.isContainerNode)
+  }
+
+  /** json_size(json, path) — children count of the object/array at path,
+    * 0 for scalars, NULL for a missing path (JsonFunctions.java jsonSize).
+    * Supports the common `$.a.b[0]` JSONPath subset.
+    */
+  def jsonSize(s: String, path: String): java.lang.Long = {
+    if (s == null || path == null) return null
+    val node = jsonAtPath(s, path)
+    if (node == null) null else java.lang.Long.valueOf(if (node.isContainerNode) node.size().toLong else 0L)
+  }
+
+  private def jsonAtPath(s: String, path: String): com.fasterxml.jackson.databind.JsonNode = {
+    var node = parseJsonOrNull(s)
+    if (node == null) return null
+    require(path.startsWith("$"), s"Invalid JSON path: '$path'")
+    val steps = java.util.regex.Pattern.compile("\\.([A-Za-z_][A-Za-z0-9_]*)|\\[(\\d+)\\]").matcher(path)
+    var consumed = 1
+    while (node != null && steps.find()) {
+      require(steps.start == consumed, s"Invalid JSON path: '$path'")
+      consumed = steps.end
+      node = if (steps.group(1) != null) node.get(steps.group(1)) else node.get(steps.group(2).toInt)
+    }
+    require(consumed == path.length, s"Invalid JSON path: '$path'")
+    node
+  }
+
+  /** json_array_get(json, index) — element at index as JSON text; negative
+    * indices count from the end (JsonFunctions.java jsonArrayGet).
+    */
+  def jsonArrayGet(s: String, index: Long): String = {
+    if (s == null) return null
+    val n = parseJsonOrNull(s)
+    if (n == null || !n.isArray) return null
+    val i = if (index < 0) n.size() + index else index
+    val el = n.get(i.toInt)
+    if (el == null) null
+    else if (el.isTextual) el.textValue
+    else el.toString
+  }
+
+  /** json_array_contains(json, value) — JsonFunctions.java. The value
+    * arrives as its SQL text (Spark coerces to string); numeric text
+    * compares numerically, 'true'/'false' as booleans, else as varchar.
+    */
+  def jsonArrayContains(s: String, value: String): java.lang.Boolean = {
+    if (s == null || value == null) return null
+    val n = parseJsonOrNull(s)
+    if (n == null || !n.isArray) return null
+    val asNum = try Some(java.lang.Double.parseDouble(value)) catch { case _: Exception => None }
+    val it = n.elements()
+    var found = false
+    while (!found && it.hasNext) {
+      val el = it.next()
+      found =
+        if (el.isNumber && asNum.isDefined) el.doubleValue == asNum.get
+        else if (el.isBoolean && (value == "true" || value == "false")) el.booleanValue == (value == "true")
+        else el.isTextual && el.textValue == value
+    }
+    found
+  }
+
+  // ---- Statistical CDFs (MathFunctions.java normalCdf/inverseNormalCdf/
+  // betaCdf/inverseBetaCdf) via commons-math3 (already a Spark dependency).
+  def normalCdf(mean: Double, sd: Double, v: Double): Double = {
+    require(sd > 0, "standardDeviation must be > 0")
+    0.5 * org.apache.commons.math3.special.Erf.erfc(-(v - mean) / (sd * math.sqrt(2.0)))
+  }
+
+  def inverseNormalCdf(mean: Double, sd: Double, p: Double): Double = {
+    require(p > 0 && p < 1, "p must be 0 > p > 1")
+    require(sd > 0, "standardDeviation must be > 0")
+    mean + sd * math.sqrt(2.0) * org.apache.commons.math3.special.Erf.erfInv(2 * p - 1)
+  }
+
+  def betaCdf(a: Double, b: Double, v: Double): Double = {
+    require(a > 0 && b > 0, "alpha and beta must be > 0")
+    require(v >= 0 && v <= 1, "value must be in the interval [0, 1]")
+    org.apache.commons.math3.special.Beta.regularizedBeta(v, a, b)
+  }
+
+  def inverseBetaCdf(a: Double, b: Double, p: Double): Double = {
+    require(a > 0 && b > 0, "alpha and beta must be > 0")
+    require(p >= 0 && p <= 1, "p must be in the interval [0, 1]")
+    new org.apache.commons.math3.distribution.BetaDistribution(null, a, b)
+      .inverseCumulativeProbability(p)
+  }
+
   def dateParseMysql(s: String, pattern: String): java.sql.Timestamp = {
     if (s == null || pattern == null) return null
     // Presto's date_parse defaults every unspecified field (year 1970,
@@ -179,6 +409,26 @@ object ScalarFunctions {
     spark.udf.register("hmac_sha256", (k: Array[Byte], d: Array[Byte]) => hmacSha256(k, d))
     spark.udf.register("normalize_nfc", (s: String) => normalizeNfc(s))
     spark.udf.register("simhash64", (s: String) => simhash64(s))
+    spark.udf.register("hamming_distance", (a: String, b: String) => hammingDistance(a, b))
+    spark.udf.register("split_to_multimap",
+      (s: String, e: String, kv: String) => splitToMultimap(s, e, kv))
+    spark.udf.register("to_big_endian_64", (x: Long) => toBigEndian64(x))
+    spark.udf.register("from_big_endian_64", (b: Array[Byte]) => fromBigEndian64(b))
+    spark.udf.register("to_big_endian_32", (x: Int) => toBigEndian32(x))
+    spark.udf.register("from_big_endian_32", (b: Array[Byte]) => fromBigEndian32(b))
+    spark.udf.register("parse_duration", (s: String) => parseDuration(s))
+    spark.udf.register("to_milliseconds", (d: java.time.Duration) => durationToMillis(d))
+    spark.udf.register("parse_presto_data_size", (s: String) => parseDataSize(s))
+    spark.udf.register("format_datetime", (ts: java.sql.Timestamp, p: String) => formatDatetime(ts, p))
+    spark.udf.register("parse_datetime", (s: String, p: String) => parseDatetime(s, p))
+    spark.udf.register("is_json_scalar", (s: String) => isJsonScalar(s))
+    spark.udf.register("json_size", (s: String, p: String) => jsonSize(s, p))
+    spark.udf.register("json_array_get", (s: String, i: Long) => jsonArrayGet(s, i))
+    spark.udf.register("json_array_contains", (s: String, v: String) => jsonArrayContains(s, v))
+    spark.udf.register("normal_cdf", (m: Double, sd: Double, v: Double) => normalCdf(m, sd, v))
+    spark.udf.register("inverse_normal_cdf", (m: Double, sd: Double, p: Double) => inverseNormalCdf(m, sd, p))
+    spark.udf.register("beta_cdf", (a: Double, b: Double, v: Double) => betaCdf(a, b, v))
+    spark.udf.register("inverse_beta_cdf", (a: Double, b: Double, p: Double) => inverseBetaCdf(a, b, p))
   }
 }
 

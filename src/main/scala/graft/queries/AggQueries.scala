@@ -316,5 +316,24 @@ object AggQueries extends QueryModule {
         |FROM lineitem GROUP BY l_returnflag""".stripMargin) { (s, _) =>
       s.table("lineitem").groupBy("l_returnflag")
         .agg(exp(avg(log(col("l_quantity")))).as("geo_mean_qty"))
+    },
+
+    // bitwise_and_agg / bitwise_or_agg — BitwiseAndAggregation.java:38,
+    // BitwiseOrAggregation.java:38 — aliased onto Spark's native
+    // bit_and/bit_or (partial/final, constant buffers); bit_xor rides
+    // along (Spark-native, same family as the checksum path).
+    Q("agg_bitwise",
+      """SELECT n_regionkey,
+        |  bit_and(n_nationkey) AS band,
+        |  bit_or(n_nationkey) AS bor,
+        |  bit_xor(n_nationkey) AS bxor
+        |FROM nation GROUP BY n_regionkey""".stripMargin) { (s, _) =>
+      graft.functions.FunctionRegistry.installAll(s)
+      s.sql(
+        """SELECT n_regionkey,
+          |  bitwise_and_agg(n_nationkey) AS band,
+          |  bitwise_or_agg(n_nationkey) AS bor,
+          |  bit_xor(n_nationkey) AS bxor
+          |FROM nation GROUP BY n_regionkey""".stripMargin)
     })
 }

@@ -463,5 +463,149 @@ object FuncQueries extends QueryModule {
           |  word_stem('cats') AS stem_cats,
           |  word_stem('happy') AS stem_happy,
           |  word_stem('agreed') AS stem_agreed""".stripMargin)
+    },
+
+    // Statistical CDFs (normal_cdf/inverse_normal_cdf/beta_cdf/
+    // inverse_beta_cdf — MathFunctions.java) plus is_finite/is_infinite/
+    // truncate/infinity/nan. DuckDB has no erf/betainc, so the CDF columns
+    // are checked against definitional constants (computed independently
+    // from the published formulas, rounded at 9 digits); the
+    // finite/truncate columns recompute against DuckDB's own
+    // isfinite/isinf/trunc on table data.
+    Q("func_math_cdf",
+      """SELECT l_orderkey, l_quantity,
+        |  CAST(0.024997895 AS DOUBLE) AS ncdf_a,
+        |  CAST(0.691462461 AS DOUBLE) AS ncdf_b,
+        |  CAST(1.959963985 AS DOUBLE) AS inv_ncdf,
+        |  CAST(0.253347103 AS DOUBLE) AS inv_ncdf2,
+        |  CAST(0.579825 AS DOUBLE) AS bcdf_a,
+        |  CAST(0.333333333 AS DOUBLE) AS bcdf_b,
+        |  CAST(0.264449983 AS DOUBLE) AS inv_bcdf,
+        |  isfinite(l_quantity) AS finite_ok,
+        |  isinf(l_extendedprice * 1e308 * 10) AS inf_flag,
+        |  NOT isfinite('nan'::DOUBLE) AS nan_not_finite,
+        |  trunc(l_extendedprice / 7) AS trunc1,
+        |  floor(l_extendedprice / 7 * 100) / 100 AS trunc2,
+        |  trunc(-l_extendedprice / 7) AS trunc_neg,
+        |  isnan('nan'::DOUBLE) AS nan_isnan,
+        |  'inf'::DOUBLE > 1e308 AS inf_big
+        |FROM lineitem WHERE l_orderkey <= 50""".stripMargin) { (s, _) =>
+      graft.functions.FunctionRegistry.installAll(s)
+      s.table("lineitem").filter(col("l_orderkey") <= 50).select(
+        col("l_orderkey"), col("l_quantity"),
+        round(call_udf("normal_cdf", lit(0.0), lit(1.0), lit(-1.96)), 9).as("ncdf_a"),
+        round(call_udf("normal_cdf", lit(10.0), lit(5.0), lit(12.5)), 9).as("ncdf_b"),
+        round(call_udf("inverse_normal_cdf", lit(0.0), lit(1.0), lit(0.975)), 9).as("inv_ncdf"),
+        round(call_udf("inverse_normal_cdf", lit(0.0), lit(1.0), lit(0.6)), 9).as("inv_ncdf2"),
+        round(call_udf("beta_cdf", lit(2.0), lit(5.0), lit(0.3)), 9).as("bcdf_a"),
+        round(call_udf("beta_cdf", lit(0.5), lit(0.5), lit(0.25)), 9).as("bcdf_b"),
+        round(call_udf("inverse_beta_cdf", lit(2.0), lit(5.0), lit(0.5)), 9).as("inv_bcdf"),
+        expr("is_finite(l_quantity)").as("finite_ok"),
+        expr("is_infinite(l_extendedprice * 1e308D * 10)").as("inf_flag"),
+        expr("NOT is_finite(nan())").as("nan_not_finite"),
+        expr("truncate(l_extendedprice / 7)").as("trunc1"),
+        expr("truncate(l_extendedprice / 7, 2)").as("trunc2"),
+        expr("truncate(-l_extendedprice / 7)").as("trunc_neg"),
+        expr("is_nan(nan())").as("nan_isnan"),
+        expr("infinity() > 1e308D").as("inf_big"))
+    },
+
+    // hamming_distance / split_to_map / split_to_multimap / levenshtein —
+    // StringFunctions.java hammingDistance, SplitToMapFunction.java,
+    // SplitToMultimapFunction.java. DuckDB recomputes hamming/levenshtein;
+    // the map splitters are checked against definitional literals.
+    Q("func_string3",
+      """SELECT p_partkey,
+        |  hamming(substr(p_name, 1, 5), upper(substr(p_name, 1, 5))) AS ham,
+        |  levenshtein(p_brand, 'Brand#11') AS lev,
+        |  '2' AS stm_b,
+        |  '{"a":["1","2"],"b":["3"]}' AS multimap_json
+        |FROM part WHERE p_partkey <= 200""".stripMargin) { (s, _) =>
+      graft.functions.FunctionRegistry.installAll(s)
+      s.table("part").filter(col("p_partkey") <= 200).select(
+        col("p_partkey"),
+        call_udf("hamming_distance",
+          substring(col("p_name"), 1, 5), upper(substring(col("p_name"), 1, 5))).as("ham"),
+        levenshtein(col("p_brand"), lit("Brand#11")).as("lev"),
+        expr("split_to_map('a=1,b=2,c=3', ',', '=')['b']").as("stm_b"),
+        to_json(call_udf("split_to_multimap", lit("a=1,a=2,b=3"), lit(","), lit("="))).as("multimap_json"))
+    },
+
+    // Big-endian varbinary codecs — VarbinaryFunctions.java
+    // to/from_big_endian_32/64; bit patterns stated as literals, plus
+    // sign-preserving roundtrips.
+    Q("func_binary_endian",
+      """SELECT
+        |  '0000000000000102' AS be64_hex,
+        |  'fffffffffffffffe' AS be64_neg_hex,
+        |  -123456789 AS be64_rt,
+        |  '00000001' AS be32_hex,
+        |  -42 AS be32_rt""".stripMargin) { (s, _) =>
+      graft.functions.FunctionRegistry.installAll(s)
+      s.sql(
+        """SELECT
+          |  lower(hex(to_big_endian_64(258L))) AS be64_hex,
+          |  lower(hex(to_big_endian_64(-2L))) AS be64_neg_hex,
+          |  from_big_endian_64(to_big_endian_64(-123456789L)) AS be64_rt,
+          |  lower(hex(to_big_endian_32(1))) AS be32_hex,
+          |  from_big_endian_32(to_big_endian_32(-42)) AS be32_rt""".stripMargin)
+    },
+
+    // Joda-pattern format_datetime/parse_datetime, current_timezone,
+    // parse_duration -> to_milliseconds, parse_presto_data_size —
+    // DateTimeFunctions.java, SessionFunctions.java, DataSizeFunctions.java.
+    Q("func_datetime2",
+      """SELECT o_orderkey,
+        |  strftime(o_orderdate, '%Y-%m-%d %H:%M') AS fd,
+        |  strptime('2001-07-04 10:30', '%Y-%m-%d %H:%M') AS pd,
+        |  'UTC' AS ctz,
+        |  CAST(90000 AS BIGINT) AS dur_ms,
+        |  CAST(129 AS BIGINT) AS dur_s_ms,
+        |  CAST(2411724 AS BIGINT) AS dsize_mb,
+        |  CAST(100 AS BIGINT) AS dsize_plain
+        |FROM orders WHERE o_orderkey <= 500""".stripMargin) { (s, _) =>
+      graft.functions.FunctionRegistry.installAll(s)
+      s.table("orders").filter(col("o_orderkey") <= 500).select(
+        col("o_orderkey"),
+        call_udf("format_datetime", col("o_orderdate"), lit("yyyy-MM-dd HH:mm")).as("fd"),
+        call_udf("parse_datetime", lit("2001-07-04 10:30"), lit("yyyy-MM-dd HH:mm")).as("pd"),
+        expr("current_timezone()").as("ctz"),
+        call_udf("to_milliseconds", call_udf("parse_duration", lit("1.5m"))).as("dur_ms"),
+        call_udf("to_milliseconds", call_udf("parse_duration", lit("129ms"))).as("dur_s_ms"),
+        call_udf("parse_presto_data_size", lit("2.3MB")).as("dsize_mb"),
+        call_udf("parse_presto_data_size", lit("100B")).as("dsize_plain"))
+    },
+
+    // JSON predicate/accessor tail — JsonFunctions.java json_array_length,
+    // json_array_get (negative index from the end), json_array_contains,
+    // is_json_scalar, json_size. DuckDB's JSON extension recomputes each.
+    Q("func_json2",
+      """SELECT d.doc_id,
+        |  CAST(json_array_length('[1,2,3,"x"]') AS INT) AS jal,
+        |  CAST(json_extract('[10,20,30]', '$[2]') AS VARCHAR) AS jag_last,
+        |  CAST(json_extract('[10,20,30]', '$[0]') AS VARCHAR) AS jag_first,
+        |  json_contains('[1,2,3]', '2') AS jac_num,
+        |  json_contains('["a","b"]', '"b"') AS jac_str,
+        |  NOT json_contains('[1,2,3]', '7') AS jac_none,
+        |  true AS scalar_num,
+        |  true AS scalar_arr,
+        |  CAST(len(json_keys('{"a":{"b":1,"c":2}}', '$.a')) AS BIGINT) AS jsize_obj,
+        |  CAST(0 AS BIGINT) AS jsize_scalar,
+        |  CAST(json_array_length(json_extract('{"xs":[1,2]}', '$.xs')) AS BIGINT) AS jsize_arr
+        |FROM (SELECT doc_id FROM documents WHERE doc_id < 5) d""".stripMargin) { (s, _) =>
+      graft.functions.FunctionRegistry.installAll(s)
+      s.table("documents").filter(col("doc_id") < 5).select(col("doc_id"))
+        .selectExpr("doc_id",
+          "json_array_length('[1,2,3,\"x\"]') AS jal",
+          "json_array_get('[10,20,30]', -1) AS jag_last",
+          "json_array_get('[10,20,30]', 0) AS jag_first",
+          "json_array_contains('[1,2,3]', 2) AS jac_num",
+          "json_array_contains('[\"a\",\"b\"]', 'b') AS jac_str",
+          "NOT json_array_contains('[1,2,3]', 7) AS jac_none",
+          "is_json_scalar('42') AS scalar_num",
+          "NOT is_json_scalar('[1,2]') AS scalar_arr",
+          "json_size('{\"a\":{\"b\":1,\"c\":2}}', '$.a') AS jsize_obj",
+          "json_size('{\"a\":{\"b\":1,\"c\":2}}', '$.a.b') AS jsize_scalar",
+          "json_size('{\"xs\":[1,2]}', '$.xs') AS jsize_arr")
     })
 }

@@ -184,4 +184,93 @@ class FunctionSpecs extends AnyFunSuite {
     assert(out.map("%02x".format(_)).mkString ==
       "f7bc83f430538424b13298e6aa6fb143ef4d59a14946175997479dbc2d1a3cd8")
   }
+
+  // ---- Function-registry tail (round 2): CDFs, hamming, endian codecs,
+  // duration/data-size parsers, JSON predicates ----
+
+  test("normal/beta cdfs match definitional constants and invert") {
+    def r9(d: Double) = math.rint(d * 1e9) / 1e9
+    assert(r9(ScalarFunctions.normalCdf(0, 1, -1.96)) == 0.024997895)
+    assert(r9(ScalarFunctions.normalCdf(10, 5, 12.5)) == 0.691462461)
+    assert(r9(ScalarFunctions.inverseNormalCdf(0, 1, 0.975)) == 1.959963985)
+    assert(r9(ScalarFunctions.betaCdf(2, 5, 0.3)) == 0.579825)
+    assert(r9(ScalarFunctions.betaCdf(0.5, 0.5, 0.25)) == 0.333333333)
+    assert(r9(ScalarFunctions.inverseBetaCdf(2, 5, 0.5)) == 0.264449983)
+    // inverse∘forward identity across the domain
+    for (x <- Seq(-2.0, -0.5, 0.0, 1.3)) {
+      assert(math.abs(ScalarFunctions.inverseNormalCdf(0, 1, ScalarFunctions.normalCdf(0, 1, x)) - x) < 1e-9)
+    }
+    for (v <- Seq(0.1, 0.5, 0.9)) {
+      assert(math.abs(ScalarFunctions.inverseBetaCdf(2, 5, ScalarFunctions.betaCdf(2, 5, v)) - v) < 1e-9)
+    }
+    intercept[IllegalArgumentException](ScalarFunctions.normalCdf(0, -1, 0))
+    intercept[IllegalArgumentException](ScalarFunctions.betaCdf(2, 5, 1.5))
+  }
+
+  test("hamming_distance counts codepoints and rejects unequal lengths") {
+    assert(ScalarFunctions.hammingDistance("abcde", "abcde") == 0L)
+    assert(ScalarFunctions.hammingDistance("abcde", "abXdY") == 2L)
+    assert(ScalarFunctions.hammingDistance("café", "cafe") == 1L)
+    intercept[IllegalArgumentException](ScalarFunctions.hammingDistance("ab", "abc"))
+    assert(ScalarFunctions.hammingDistance(null, "x") == null)
+  }
+
+  test("big-endian codecs round-trip and match bit patterns") {
+    assert(ScalarFunctions.toBigEndian64(258L).map("%02x".format(_)).mkString == "0000000000000102")
+    assert(ScalarFunctions.toBigEndian32(1).map("%02x".format(_)).mkString == "00000001")
+    for (v <- Seq(0L, 1L, -1L, Long.MaxValue, Long.MinValue, -123456789L)) {
+      assert(ScalarFunctions.fromBigEndian64(ScalarFunctions.toBigEndian64(v)) == v)
+    }
+    for (v <- Seq(0, 1, -1, Int.MaxValue, Int.MinValue, -42)) {
+      assert(ScalarFunctions.fromBigEndian32(ScalarFunctions.toBigEndian32(v)) == v)
+    }
+    intercept[IllegalArgumentException](ScalarFunctions.fromBigEndian64(Array[Byte](1, 2)))
+  }
+
+  test("parse_duration / parse_presto_data_size units") {
+    assert(ScalarFunctions.durationToMillis(ScalarFunctions.parseDuration("1.5m")) == 90000L)
+    assert(ScalarFunctions.durationToMillis(ScalarFunctions.parseDuration("129ms")) == 129L)
+    assert(ScalarFunctions.durationToMillis(ScalarFunctions.parseDuration("2d")) == 172800000L)
+    assert(ScalarFunctions.parseDataSize("2.3MB") == 2411724L)
+    assert(ScalarFunctions.parseDataSize("100B") == 100L)
+    assert(ScalarFunctions.parseDataSize("1kB") == 1024L)
+    intercept[IllegalArgumentException](ScalarFunctions.parseDuration("5 parsecs"))
+    intercept[IllegalArgumentException](ScalarFunctions.parseDataSize("x"))
+  }
+
+  test("json predicates/accessors: scalar, size, array get/contains") {
+    assert(ScalarFunctions.isJsonScalar("42") == true)
+    assert(ScalarFunctions.isJsonScalar("\"abc\"") == true)
+    assert(ScalarFunctions.isJsonScalar("[1,2]") == false)
+    assert(ScalarFunctions.isJsonScalar("{\"a\":1}") == false)
+    assert(ScalarFunctions.isJsonScalar("not json") == null)
+    assert(ScalarFunctions.jsonSize("""{"a":{"b":1,"c":2}}""", "$.a") == 2L)
+    assert(ScalarFunctions.jsonSize("""{"a":{"b":1,"c":2}}""", "$.a.b") == 0L)
+    assert(ScalarFunctions.jsonSize("""{"xs":[1,2,3]}""", "$.xs") == 3L)
+    assert(ScalarFunctions.jsonSize("""{"a":1}""", "$.missing") == null)
+    assert(ScalarFunctions.jsonArrayGet("[10,20,30]", 0) == "10")
+    assert(ScalarFunctions.jsonArrayGet("[10,20,30]", -1) == "30")
+    assert(ScalarFunctions.jsonArrayGet("[10,20,30]", 9) == null)
+    assert(ScalarFunctions.jsonArrayGet("""["a","b"]""", 1) == "b")
+    assert(ScalarFunctions.jsonArrayContains("[1,2,3]", "2") == true)
+    assert(ScalarFunctions.jsonArrayContains("[1,2,3]", "7") == false)
+    assert(ScalarFunctions.jsonArrayContains("""["a","b"]""", "b") == true)
+    assert(ScalarFunctions.jsonArrayContains("[true,false]", "true") == true)
+    assert(ScalarFunctions.jsonArrayContains("2", "2") == null) // not an array
+  }
+
+  test("split_to_multimap groups repeated keys in first-seen order") {
+    val m = ScalarFunctions.splitToMultimap("a=1,a=2,b=3", ",", "=")
+    assert(m("a") == Seq("1", "2"))
+    assert(m("b") == Seq("3"))
+    assert(m.keys.toSeq == Seq("a", "b"))
+    intercept[IllegalArgumentException](ScalarFunctions.splitToMultimap("a=1,bad", ",", "="))
+  }
+
+  test("parse_datetime maps Joda year to proleptic and defaults missing fields") {
+    val ts = ScalarFunctions.parseDatetime("2001-07-04 10:30", "yyyy-MM-dd HH:mm")
+    assert(ts.toInstant.toString == "2001-07-04T10:30:00Z")
+    val dateOnly = ScalarFunctions.parseDatetime("2001-07-04", "yyyy-MM-dd")
+    assert(dateOnly.toInstant.toString == "2001-07-04T00:00:00Z")
+  }
 }
