@@ -79,6 +79,44 @@ object DdlQueries extends QueryModule {
           |FROM orders""".stripMargin)
     },
 
+    // DELETE — the reference's DeleteOperator.java/MetadataDeleteOperator
+    // pair as file-pruned copy-on-write over parquet (DeleteOps). The
+    // scratch table is range-clustered on o_orderkey so the key-range
+    // predicate rewrites ONE file of four; the oracle recomputes the
+    // post-delete aggregate from the source table with the negated
+    // predicate. Decimal-cast sum keeps the check order-independent.
+    Q("ddl_delete",
+      """WITH thr AS (SELECT min(o_orderkey) + (max(o_orderkey) - min(o_orderkey)) // 4 AS t FROM orders)
+        |SELECT CAST(count(*) AS BIGINT) AS remaining,
+        |  CAST(COALESCE(sum(CAST(o_totalprice AS DECIMAL(18,2))), 0) AS DOUBLE) AS remaining_price,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM orders, thr WHERE o_orderkey <= thr.t) AS rows_deleted,
+        |  true AS files_pruned
+        |FROM orders, thr WHERE NOT (o_orderkey <= thr.t)""".stripMargin) { (s, _) =>
+      import s.implicits._
+      val dir = java.nio.file.Files.createTempDirectory("graft_delete_").toString
+      try {
+        s.table("orders")
+          .repartitionByRange(4, col("o_orderkey"))
+          .write.mode("overwrite").parquet(dir)
+        // data-relative bottom-quartile key threshold: meaningful at every
+        // sf, and contiguous so the range-clustered layout prunes files
+        val b = s.table("orders").agg(min("o_orderkey"), max("o_orderkey")).head()
+        val thr = b.getLong(0) + (b.getLong(1) - b.getLong(0)) / 4
+        val stats = graft.operators.DeleteOps.deleteWhere(s, dir, col("o_orderkey") <= thr)
+        // materialize before the scratch dir is removed
+        val row = s.read.parquet(dir).agg(
+          count(lit(1)).as("remaining"),
+          coalesce(sum(col("o_totalprice").cast("decimal(18,2)")), lit(0)).cast("double")
+            .as("remaining_price"))
+          .head()
+        Seq((row.getLong(0), row.getDouble(1), stats.rowsDeleted,
+          stats.filesRewritten < stats.filesTotal))
+          .toDF("remaining", "remaining_price", "rows_deleted", "files_pruned")
+      } finally {
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+      }
+    },
+
     // Quantified comparisons — op ALL/ANY (subquery). The graft front
     // door rewrites them to min/max scalar subqueries / IN, mirroring
     // TransformQuantifiedComparisonApplyToLateralJoin.java:75; DuckDB

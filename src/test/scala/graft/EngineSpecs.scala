@@ -287,4 +287,41 @@ class EngineSpecs extends AnyFunSuite with BeforeAndAfterAll {
     val exact = spark.sql("SELECT count(DISTINCT l_partkey) FROM lineitem").head().getLong(0)
     assert(math.abs(est - exact).toDouble / exact < 0.05, s"est=$est exact=$exact")
   }
+
+  test("copy-on-write DELETE rewrites only touched files; untouched files keep their bytes") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft_delete_spec_").toString
+    try {
+      // range-clustered layout: a key-range predicate touches one file
+      spark.table("orders").repartitionByRange(4, col("o_orderkey"))
+        .write.mode("overwrite").parquet(dir)
+      def listing() = new java.io.File(dir).listFiles()
+        .filter(f => f.isFile && !f.getName.startsWith("_") && !f.getName.startsWith("."))
+        .map(f => f.getName -> f.lastModified()).toMap
+      val beforeFiles = listing()
+      val total = spark.read.parquet(dir).count()
+      val toGo = spark.read.parquet(dir).filter(col("o_orderkey") <= 10).count()
+      assert(toGo > 0, "fixture must contain matching rows")
+
+      val stats = graft.operators.DeleteOps.deleteWhere(spark, dir, col("o_orderkey") <= 10)
+      assert(stats.filesTotal == 4)
+      assert(stats.filesRewritten == 1, s"range predicate must touch 1 of 4 files, got ${stats.filesRewritten}")
+      assert(stats.rowsDeleted == toGo)
+      assert(spark.read.parquet(dir).count() == total - toGo)
+      assert(spark.read.parquet(dir).filter(col("o_orderkey") <= 10).count() == 0)
+
+      // the three untouched files survive byte-identical (same name+mtime)
+      val afterFiles = listing()
+      val survivors = beforeFiles.keySet.intersect(afterFiles.keySet)
+      assert(survivors.size == 3)
+      survivors.foreach(k => assert(beforeFiles(k) == afterFiles(k)))
+
+      // no-match delete is a metadata-only no-op
+      val noop = graft.operators.DeleteOps.deleteWhere(spark, dir, col("o_orderkey") < 0)
+      assert(noop.filesRewritten == 0 && noop.rowsDeleted == 0)
+      assert(listing() == afterFiles)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    }
+  }
 }
