@@ -182,5 +182,14 @@ object QuantileSketchFunctions {
         if (b == null) null
         else java.lang.Double.valueOf(
           QuantileSketch.valueAtQuantile(QuantileSketch.fromBytes(b), q)))
+    // values_at_quantiles — QuantileDigestFunctions.java:99: one sketch
+    // walk per batch of quantiles instead of a call per quantile.
+    spark.udf.register("values_at_quantiles",
+      (b: Array[Byte], qs: scala.collection.Seq[Double]) =>
+        if (b == null || qs == null) null
+        else {
+          val sk = QuantileSketch.fromBytes(b)
+          qs.map(q => QuantileSketch.valueAtQuantile(sk, q))
+        })
   }
 }

@@ -78,6 +78,72 @@ object ScalarFunctions {
   def fromIeee754_64(b: Array[Byte]): Double =
     java.nio.ByteBuffer.wrap(b).order(java.nio.ByteOrder.BIG_ENDIAN).getDouble
 
+  def toIeee754_32(f: Float): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(4).order(java.nio.ByteOrder.BIG_ENDIAN)
+    bb.putFloat(f); bb.array()
+  }
+  def fromIeee754_32(b: Array[Byte]): Float =
+    java.nio.ByteBuffer.wrap(b).order(java.nio.ByteOrder.BIG_ENDIAN).getFloat
+
+  // URL-safe base64 WITH padding — VarbinaryFunctions.java:85 uses
+  // java.util.Base64.getUrlEncoder() verbatim.
+  def toBase64Url(b: Array[Byte]): String =
+    if (b == null) null else java.util.Base64.getUrlEncoder.encodeToString(b)
+  def fromBase64Url(s: String): Array[Byte] =
+    if (s == null) null else java.util.Base64.getUrlDecoder.decode(s)
+
+  // Presto to_hex is uppercase (VarbinaryFunctions.java); from_hex takes
+  // either case. Spark's hex()/unhex() match, but only cover string/long
+  // inputs under those names — expose the Presto names over bytes.
+  def toHex(b: Array[Byte]): String = {
+    if (b == null) return null
+    val sb = new java.lang.StringBuilder(b.length * 2)
+    b.foreach(x => sb.append(f"${x & 0xff}%02X"))
+    sb.toString
+  }
+  def fromHex(s: String): Array[Byte] = {
+    if (s == null) return null
+    require(s.length % 2 == 0, "invalid hex string length")
+    Array.tabulate(s.length / 2)(i =>
+      Integer.parseInt(s.substring(2 * i, 2 * i + 2), 16).toByte)
+  }
+
+  /** millisecond-of-second — DateTimeFunctions.java:705 (BIGINT). */
+  def millisecondOf(ts: java.sql.Timestamp): java.lang.Long =
+    if (ts == null) null else java.lang.Long.valueOf(ts.getNanos / 1000000L)
+
+  /** ISO week-based year (year_of_week/yow — DateTimeFunctions.java):
+    * 2005-01-02 falls in ISO week 53 of 2004.
+    */
+  def yearOfWeek(d: java.sql.Date): java.lang.Long =
+    if (d == null) null
+    else java.lang.Long.valueOf(
+      d.toLocalDate.get(java.time.temporal.IsoFields.WEEK_BASED_YEAR).toLong)
+
+  /** at_timezone(ts, zone) — the same instant rendered in `zone`
+    * (DesugarAtTimeZoneRewriter.java). Spark has no tz-carrying
+    * timestamp type; the ISO-8601 offset string IS our representation
+    * of TIMESTAMP WITH TIME ZONE (documented delta).
+    */
+  def atTimezone(ts: java.sql.Timestamp, zone: String): String =
+    if (ts == null || zone == null) null
+    else ts.toInstant.atZone(java.time.ZoneId.of(zone))
+      .format(java.time.format.DateTimeFormatter.ISO_OFFSET_DATE_TIME)
+
+  private def zoneOffsetSeconds(ts: java.sql.Timestamp, zone: String): Int =
+    java.time.ZoneId.of(zone).getRules.getOffset(ts.toInstant).getTotalSeconds
+
+  /** timezone_hour/timezone_minute of a (timestamp, zone) pair —
+    * DateTimeFunctions.java timezone_hour/timezone_minute; DST-aware
+    * (America/New_York is -5 in January, -4 in July).
+    */
+  def timezoneHour(ts: java.sql.Timestamp, zone: String): java.lang.Long =
+    if (ts == null || zone == null) null
+    else java.lang.Long.valueOf(zoneOffsetSeconds(ts, zone) / 3600L)
+  def timezoneMinute(ts: java.sql.Timestamp, zone: String): java.lang.Long =
+    if (ts == null || zone == null) null
+    else java.lang.Long.valueOf((zoneOffsetSeconds(ts, zone) / 60L) % 60L)
+
   def hmacSha256(key: Array[Byte], data: Array[Byte]): Array[Byte] = {
     val mac = javax.crypto.Mac.getInstance("HmacSHA256")
     mac.init(new javax.crypto.spec.SecretKeySpec(key, "HmacSHA256"))
@@ -406,6 +472,40 @@ object ScalarFunctions {
     spark.udf.register("from_base", (s: String, r: Int) => fromBase(s, r))
     spark.udf.register("to_ieee754_64", (d: Double) => toIeee754_64(d))
     spark.udf.register("from_ieee754_64", (b: Array[Byte]) => fromIeee754_64(b))
+    spark.udf.register("to_ieee754_32", (f: Float) => toIeee754_32(f))
+    spark.udf.register("from_ieee754_32", (b: Array[Byte]) => fromIeee754_32(b))
+    spark.udf.register("to_base64url", (b: Array[Byte]) => toBase64Url(b))
+    spark.udf.register("from_base64url", (s: String) => fromBase64Url(s))
+    spark.udf.register("to_hex", (b: Array[Byte]) => toHex(b))
+    spark.udf.register("from_hex", (s: String) => fromHex(s))
+    spark.udf.register("millisecond", (ts: java.sql.Timestamp) => millisecondOf(ts))
+    spark.udf.register("at_timezone", (ts: java.sql.Timestamp, z: String) => atTimezone(ts, z))
+    spark.udf.register("timezone_hour", (ts: java.sql.Timestamp, z: String) => timezoneHour(ts, z))
+    spark.udf.register("timezone_minute", (ts: java.sql.Timestamp, z: String) => timezoneMinute(ts, z))
+    spark.udf.register("year_of_week", (d: java.sql.Date) => yearOfWeek(d))
+    spark.udf.register("yow", (d: java.sql.Date) => yearOfWeek(d))
+    // multimap_from_entries — MultimapFromEntriesFunction.java:42: map of
+    // first-appearance-ordered keys to entry-ordered value lists. Java
+    // UDF API: struct inputs arrive as Row, which Scala UDF type
+    // inference cannot express.
+    spark.udf.register("multimap_from_entries",
+      new org.apache.spark.sql.api.java.UDF1[
+          scala.collection.Seq[org.apache.spark.sql.Row],
+          java.util.LinkedHashMap[String, java.util.List[String]]] {
+        override def call(entries: scala.collection.Seq[org.apache.spark.sql.Row]):
+            java.util.LinkedHashMap[String, java.util.List[String]] = {
+          if (entries == null) return null
+          val m = new java.util.LinkedHashMap[String, java.util.List[String]]()
+          entries.foreach { e =>
+            m.computeIfAbsent(e.getString(0), _ => new java.util.ArrayList[String]())
+              .add(e.getString(1))
+          }
+          m
+        }
+      },
+      org.apache.spark.sql.types.MapType(
+        org.apache.spark.sql.types.StringType,
+        org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.StringType)))
     spark.udf.register("hmac_sha256", (k: Array[Byte], d: Array[Byte]) => hmacSha256(k, d))
     spark.udf.register("normalize_nfc", (s: String) => normalizeNfc(s))
     spark.udf.register("simhash64", (s: String) => simhash64(s))

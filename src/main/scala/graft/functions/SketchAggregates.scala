@@ -151,10 +151,16 @@ object SetDigest {
   }
 }
 
+/** mergeMode=false: make_set_digest(x) hashes raw values in; mergeMode=true:
+  * merge_set_digest(digest) re-merges serialized digests
+  * (MergeSetDigestAggregation.java:34). Bottom-k is exact under merge:
+  * the bottom-k of a union of bottom-ks IS the bottom-k of the union.
+  */
 case class SetDigestAgg(
     child: Expression,
     mutableAggBufferOffset: Int = 0,
-    inputAggBufferOffset: Int = 0)
+    inputAggBufferOffset: Int = 0,
+    mergeMode: Boolean = false)
   extends TypedImperativeAggregate[java.util.TreeSet[java.lang.Long]] with UnaryLike[Expression] {
 
   override def createAggregationBuffer(): java.util.TreeSet[java.lang.Long] =
@@ -162,7 +168,12 @@ case class SetDigestAgg(
 
   override def update(buf: java.util.TreeSet[java.lang.Long], input: InternalRow): java.util.TreeSet[java.lang.Long] = {
     val v = child.eval(input)
-    if (v != null) SetDigest.add(buf, Hll.hashAny(v))
+    if (v != null) {
+      if (mergeMode) {
+        val it = SetDigest.fromBytes(v.asInstanceOf[Array[Byte]]).iterator()
+        while (it.hasNext) SetDigest.add(buf, it.next())
+      } else SetDigest.add(buf, Hll.hashAny(v))
+    }
     buf
   }
 
@@ -196,6 +207,8 @@ object SketchAggregates {
       args => HllSketchAgg(args.head, mergeMode = true), "scala_udf")
     reg.createOrReplaceTempFunction("make_set_digest",
       args => SetDigestAgg(args.head), "scala_udf")
+    reg.createOrReplaceTempFunction("merge_set_digest",
+      args => SetDigestAgg(args.head, mergeMode = true), "scala_udf")
     // checksum(x): order-independent xor of xxhash64 — stays fully native.
     // Reference: ChecksumAggregationFunction.java:47.
     reg.createOrReplaceTempFunction("checksum",

@@ -150,6 +150,20 @@ object AggQueries extends QueryModule {
         covar_pop("l_quantity", "l_extendedprice").as("cvp"))
     },
 
+    // Linear regression aggregates — DoubleRegressionAggregation.java
+    // (regr_slope/regr_intercept); per-group over the returnflag split.
+    // Rounded to 6 decimals on both sides: the two engines' summation
+    // orders differ at ~1e-13 relative, past the comparator's tolerance.
+    Q("agg_regr",
+      """SELECT l_returnflag,
+        |  round(regr_slope(l_extendedprice, l_quantity), 6) AS slope,
+        |  round(regr_intercept(l_extendedprice, l_quantity), 6) AS icept
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin) { (s, _) =>
+      s.table("lineitem").groupBy("l_returnflag").agg(
+        round(regr_slope(col("l_extendedprice"), col("l_quantity")), 6).as("slope"),
+        round(regr_intercept(col("l_extendedprice"), col("l_quantity")), 6).as("icept"))
+    },
+
     // skewness / kurtosis — CentralMomentsAggregation.java. Spark computes
     // population moments (g1, excess g2); DuckDB's builtins use sample
     // formulas, so the oracle computes the population moments explicitly.

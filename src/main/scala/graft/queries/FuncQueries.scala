@@ -607,5 +607,78 @@ object FuncQueries extends QueryModule {
           "json_size('{\"a\":{\"b\":1,\"c\":2}}', '$.a') AS jsize_obj",
           "json_size('{\"a\":{\"b\":1,\"c\":2}}', '$.a.b') AS jsize_scalar",
           "json_size('{\"xs\":[1,2]}', '$.xs') AS jsize_arr")
+    },
+
+    // Array/map constructor tail — ArrayRemoveFunction.java,
+    // MapEntriesFunction.java, MultimapFromEntriesFunction.java:42.
+    // Array-valued outputs stringified for the driver's comparator.
+    Q("func_array2",
+      """SELECT p_partkey,
+        |  array_to_string(list_filter(string_split(p_name, ' '), x -> x != 'spring'), ' ') AS removed,
+        |  array_to_string(list_transform(map_entries(map([p_brand],[p_size])),
+        |                                 e -> e.key || '=' || CAST(e.value AS VARCHAR)), ',') AS entries_str,
+        |  '{"a":["1","3"],"b":["2"]}' AS mmap
+        |FROM part WHERE p_partkey <= 200""".stripMargin) { (s, _) =>
+      graft.functions.FunctionRegistry.installAll(s)
+      s.table("part").filter(col("p_partkey") <= 200).selectExpr(
+        "p_partkey",
+        "array_join(array_remove(split(p_name, ' '), 'spring'), ' ') AS removed",
+        "array_join(transform(map_entries(map(p_brand, p_size)), e -> concat(e.key, '=', CAST(e.value AS STRING))), ',') AS entries_str",
+        "to_json(multimap_from_entries(array(struct('a','1'), struct('b','2'), struct('a','3')))) AS mmap")
+    },
+
+    // Datetime accessor tail — DateTimeFunctions.java millisecond (:705),
+    // year_of_week, at_timezone + timezone_hour/timezone_minute (the
+    // TIMESTAMP WITH TIME ZONE accessors; our representation of a
+    // tz-carrying timestamp is the ISO-8601 offset string, and the
+    // (ts, zone) pair stands in for the packed tz value — documented).
+    // DST pins the zone rules: New York is -5 in January, -4 in July;
+    // Kathmandu has a 45-minute offset.
+    Q("func_datetime3",
+      """SELECT o_orderkey,
+        |  CAST(isoyear(o_orderdate) AS BIGINT) AS yow,
+        |  CAST(321 AS BIGINT) AS ms,
+        |  CAST(2004 AS BIGINT) AS yow_lit,
+        |  '2001-07-04T03:30:00-07:00' AS at_tz,
+        |  CAST(-5 AS BIGINT) AS tzh_win,
+        |  CAST(-4 AS BIGINT) AS tzh_sum,
+        |  CAST(45 AS BIGINT) AS tzm
+        |FROM orders WHERE o_orderkey <= 500""".stripMargin) { (s, _) =>
+      graft.functions.FunctionRegistry.installAll(s)
+      s.table("orders").filter(col("o_orderkey") <= 500).selectExpr(
+        "o_orderkey",
+        "CAST(extract(YEAROFWEEK FROM o_orderdate) AS BIGINT) AS yow",
+        "millisecond(TIMESTAMP '2001-08-22 03:04:05.321') AS ms",
+        "year_of_week(DATE '2005-01-02') AS yow_lit",
+        "at_timezone(TIMESTAMP '2001-07-04 10:30:00', 'America/Los_Angeles') AS at_tz",
+        "timezone_hour(TIMESTAMP '2001-01-15 12:00:00', 'America/New_York') AS tzh_win",
+        "timezone_hour(TIMESTAMP '2001-07-15 12:00:00', 'America/New_York') AS tzh_sum",
+        "timezone_minute(TIMESTAMP '2001-07-15 12:00:00', 'Asia/Kathmandu') AS tzm")
+    },
+
+    // Binary encoding tail — VarbinaryFunctions.java to/from_base64url
+    // (:85, java.util URL alphabet WITH padding), to/from_ieee754_32,
+    // to_hex/from_hex. Expected literals are definitional (RFC 4648 /
+    // IEEE 754): b64url('01FBFF')='Afv_', pad case 'Afs=', float 1.5
+    // is 0x3FC00000.
+    Q("func_binary2",
+      """SELECT
+        |  'Afv_' AS b64u,
+        |  'Afs=' AS b64u_pad,
+        |  '01fbff' AS b64u_rt_hex,
+        |  '3FC00000' AS ieee32_hex,
+        |  CAST(-0.5 AS DOUBLE) AS ieee32_rt,
+        |  '01FBFF' AS hex_up,
+        |  'abcdef' AS hex_rt""".stripMargin) { (s, _) =>
+      graft.functions.FunctionRegistry.installAll(s)
+      s.sql(
+        """SELECT
+          |  to_base64url(X'01FBFF') AS b64u,
+          |  to_base64url(X'01FB') AS b64u_pad,
+          |  lower(hex(from_base64url('Afv_'))) AS b64u_rt_hex,
+          |  to_hex(to_ieee754_32(CAST(1.5 AS FLOAT))) AS ieee32_hex,
+          |  CAST(from_ieee754_32(to_ieee754_32(CAST(-0.5 AS FLOAT))) AS DOUBLE) AS ieee32_rt,
+          |  to_hex(from_hex('01fbff')) AS hex_up,
+          |  lower(to_hex(from_hex('ABCDEF'))) AS hex_rt""".stripMargin)
     })
 }

@@ -179,5 +179,45 @@ object SketchQueries extends QueryModule {
     }.withBench { (s, _) =>
       graft.functions.FunctionRegistry.installAll(s)
       s.sql("SELECT checksum(l_orderkey * 31 + l_linenumber) AS c FROM lineitem")
+    },
+
+    // values_at_quantiles — QuantileDigestFunctions.java:99: batch
+    // quantile extraction from one merged sketch, each within 2% of the
+    // exact percentile (the qdigest contract).
+    Q("sketch_values_at_quantiles",
+      """SELECT true AS q25_ok, true AS q50_ok, true AS q75_ok""".stripMargin) { (s, _) =>
+      import s.implicits._
+      graft.functions.FunctionRegistry.installAll(s)
+      val vs = s.sql(
+        """SELECT values_at_quantiles(qdigest_agg(l_extendedprice),
+          |                           array(0.25D, 0.5D, 0.75D)) AS vs
+          |FROM lineitem""".stripMargin).head().getSeq[Double](0)
+      val exact = s.sql(
+        """SELECT percentile(l_extendedprice, 0.25), percentile(l_extendedprice, 0.5),
+          |       percentile(l_extendedprice, 0.75) FROM lineitem""".stripMargin).head()
+      def ok(i: Int) = math.abs(vs(i) - exact.getDouble(i)) / exact.getDouble(i) < 0.02
+      Seq((ok(0), ok(1), ok(2))).toDF("q25_ok", "q50_ok", "q75_ok")
+    }.withBench { (s, _) =>
+      graft.functions.FunctionRegistry.installAll(s)
+      s.sql(
+        """SELECT values_at_quantiles(qdigest_agg(l_extendedprice),
+          |                           array(0.25D, 0.5D, 0.75D)) AS vs
+          |FROM lineitem""".stripMargin)
+        .selectExpr("vs[0] AS q25", "vs[1] AS q50", "vs[2] AS q75")
+    },
+
+    // merge_set_digest — MergeSetDigestAggregation.java:34. Bottom-k is
+    // EXACT under merge (bottom-k of a union of bottom-ks = bottom-k of
+    // the union), so re-merging per-supplier digests must reproduce the
+    // direct whole-table digest bit-for-bit: jaccard == 1.0.
+    Q("sketch_setdigest_merge",
+      """SELECT CAST(1.0 AS DOUBLE) AS merged_vs_direct""".stripMargin) { (s, _) =>
+      graft.functions.FunctionRegistry.installAll(s)
+      s.sql(
+        """WITH per AS (SELECT l_suppkey, make_set_digest(l_partkey) AS d
+          |             FROM lineitem GROUP BY l_suppkey)
+          |SELECT jaccard_index(
+          |  (SELECT merge_set_digest(d) FROM per),
+          |  (SELECT make_set_digest(l_partkey) FROM lineitem)) AS merged_vs_direct""".stripMargin)
     })
 }

@@ -273,4 +273,53 @@ class FunctionSpecs extends AnyFunSuite {
     val dateOnly = ScalarFunctions.parseDatetime("2001-07-04", "yyyy-MM-dd")
     assert(dateOnly.toInstant.toString == "2001-07-04T00:00:00Z")
   }
+
+  test("base64url uses the URL alphabet with padding and round-trips") {
+    def hx(s: String) = ScalarFunctions.fromHex(s)
+    assert(ScalarFunctions.toBase64Url(hx("01FBFF")) == "Afv_")  // std b64 would be Afv/
+    assert(ScalarFunctions.toBase64Url(hx("01FB")) == "Afs=")
+    val rnd = new scala.util.Random(42)
+    (0 until 200).foreach { _ =>
+      val b = Array.fill(rnd.nextInt(40))(rnd.nextInt.toByte)
+      assert(ScalarFunctions.fromBase64Url(ScalarFunctions.toBase64Url(b)).sameElements(b))
+    }
+  }
+
+  test("ieee754_32 round-trips floats and matches the bit pattern") {
+    assert(ScalarFunctions.toHex(ScalarFunctions.toIeee754_32(1.5f)) == "3FC00000")
+    val rnd = new scala.util.Random(42)
+    val specials = Seq(0.0f, -0.0f, Float.MaxValue, Float.MinPositiveValue,
+      Float.PositiveInfinity, Float.NegativeInfinity, Float.NaN)
+    (Seq.fill(300)(rnd.nextFloat() * math.pow(10, rnd.nextInt(60) - 30).toFloat) ++ specials)
+      .foreach { f =>
+        val back = ScalarFunctions.fromIeee754_32(ScalarFunctions.toIeee754_32(f))
+        assert(back == f || (back.isNaN && f.isNaN))
+      }
+  }
+
+  test("to_hex is uppercase; from_hex accepts either case and rejects odd length") {
+    assert(ScalarFunctions.toHex(Array[Byte](1, -5)) == "01FB")
+    assert(ScalarFunctions.fromHex("01fb").sameElements(Array[Byte](1, -5)))
+    assert(ScalarFunctions.fromHex("01FB").sameElements(Array[Byte](1, -5)))
+    intercept[IllegalArgumentException](ScalarFunctions.fromHex("abc"))
+  }
+
+  test("millisecond / year_of_week accessors") {
+    assert(ScalarFunctions.millisecondOf(java.sql.Timestamp.valueOf("2001-08-22 03:04:05.321")) == 321L)
+    assert(ScalarFunctions.millisecondOf(null) == null)
+    // ISO week-based year straddles calendar years at both boundaries
+    assert(ScalarFunctions.yearOfWeek(java.sql.Date.valueOf("2005-01-02")) == 2004L)
+    assert(ScalarFunctions.yearOfWeek(java.sql.Date.valueOf("2008-12-31")) == 2009L)
+    assert(ScalarFunctions.yearOfWeek(java.sql.Date.valueOf("2024-06-15")) == 2024L)
+  }
+
+  test("at_timezone / timezone_hour / timezone_minute are DST- and offset-aware") {
+    def ts(s: String) = java.sql.Timestamp.from(java.time.Instant.parse(s))
+    assert(ScalarFunctions.atTimezone(ts("2001-07-04T10:30:00Z"), "America/Los_Angeles")
+      == "2001-07-04T03:30:00-07:00")
+    assert(ScalarFunctions.timezoneHour(ts("2001-01-15T12:00:00Z"), "America/New_York") == -5L)
+    assert(ScalarFunctions.timezoneHour(ts("2001-07-15T12:00:00Z"), "America/New_York") == -4L)
+    assert(ScalarFunctions.timezoneMinute(ts("2001-07-15T12:00:00Z"), "Asia/Kathmandu") == 45L)
+    assert(ScalarFunctions.timezoneHour(ts("2001-07-15T12:00:00Z"), "Asia/Kathmandu") == 5L)
+  }
 }

@@ -132,6 +132,51 @@ class SketchAndSqlSpecs extends AnyFunSuite {
     } finally spark.stop()
   }
 
+  test("multimap_from_entries preserves key first-appearance and value entry order") {
+    val spark = graft.engine.Engine.session("local[2]", shufflePartitions = 2)
+    try {
+      graft.functions.FunctionRegistry.installAll(spark)
+      val json = spark.sql(
+        """SELECT to_json(multimap_from_entries(
+          |  array(struct('b','1'), struct('a','2'), struct('b','3')))) AS m""".stripMargin)
+        .head().getString(0)
+      assert(json == """{"b":["1","3"],"a":["2"]}""")
+    } finally spark.stop()
+  }
+
+  test("merge_set_digest of partitioned digests equals the direct digest") {
+    val spark = graft.engine.Engine.session("local[2]", shufflePartitions = 2)
+    try {
+      graft.functions.FunctionRegistry.installAll(spark)
+      spark.range(0, 10000).selectExpr("id", "id % 7 AS g")
+        .createOrReplaceTempView("sdm_t")
+      val j = spark.sql(
+        """WITH per AS (SELECT g, make_set_digest(id) AS d FROM sdm_t GROUP BY g)
+          |SELECT jaccard_index((SELECT merge_set_digest(d) FROM per),
+          |                     (SELECT make_set_digest(id) FROM sdm_t)) AS j""".stripMargin)
+        .head().getDouble(0)
+      assert(j == 1.0)
+    } finally spark.stop()
+  }
+
+  test("values_at_quantiles matches per-quantile extraction on one sketch") {
+    val spark = graft.engine.Engine.session("local[2]", shufflePartitions = 2)
+    try {
+      graft.functions.FunctionRegistry.installAll(spark)
+      spark.range(0, 50000).selectExpr("CAST(id AS DOUBLE) AS x")
+        .createOrReplaceTempView("vaq_t")
+      val r = spark.sql(
+        """SELECT values_at_quantiles(qdigest_agg(x), array(0.1D, 0.5D, 0.9D)) AS vs,
+          |       qdigest_value_at(qdigest_agg(x), 0.5D) AS v50
+          |FROM vaq_t""".stripMargin).head()
+      val vs = r.getSeq[Double](0)
+      assert(vs.length == 3)
+      assert(vs(1) == r.getDouble(1))            // batch path == scalar path
+      assert(vs(0) <= vs(1) && vs(1) <= vs(2))   // monotone in q
+      assert(math.abs(vs(1) - 25000.0) / 25000.0 < 0.02)
+    } finally spark.stop()
+  }
+
   test("mysql date pattern translation") {
     import graft.functions.ScalarFunctions._
     assert(translateMysqlPattern("%Y-%m-%d") == "uuuu-MM-dd")
