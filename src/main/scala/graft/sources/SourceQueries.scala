@@ -85,5 +85,45 @@ object SourceQueries extends QueryModule {
       import s.implicits._
       s.table("lineitem").write.format("noop").mode("overwrite").save()
       Seq(true).toDF("sink_ok")
+    },
+
+    // Bucketed (hash-clustered) storage — presto-hive HiveBucketing.java.
+    // Both join sides written bucketed on the join key; the join itself
+    // is then shuffle-free (EngineSpecs pins the no-Exchange plan). The
+    // oracle recomputes the same aggregate from the flat tables: layout
+    // must not change results.
+    Q("src_bucketed_join",
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority""".stripMargin) { (s, _) =>
+      graft.operators.BucketOps.writeBucketed(
+        s.table("lineitem").select("l_orderkey", "l_extendedprice"),
+        "graft_bkt_lineitem", "l_orderkey", 8)
+      graft.operators.BucketOps.writeBucketed(
+        s.table("orders").select("o_orderkey", "o_orderpriority"),
+        "graft_bkt_orders", "o_orderkey", 8)
+      s.table("graft_bkt_lineitem")
+        .join(s.table("graft_bkt_orders"), col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double").as("revenue"))
+    }.withBench { (s, _) =>
+      // Decimated clone: bench the bucketed-write + shuffle-free-join
+      // pipeline at cost proportional to the operation, not a full
+      // second copy of lineitem (same policy as ddl_delete).
+      graft.operators.BucketOps.writeBucketed(
+        s.table("lineitem").filter(col("l_orderkey") % 8 === 0)
+          .select("l_orderkey", "l_extendedprice"),
+        "graft_bkt_lineitem_b", "l_orderkey", 8)
+      graft.operators.BucketOps.writeBucketed(
+        s.table("orders").filter(col("o_orderkey") % 8 === 0)
+          .select("o_orderkey", "o_orderpriority"),
+        "graft_bkt_orders_b", "o_orderkey", 8)
+      s.table("graft_bkt_lineitem_b")
+        .join(s.table("graft_bkt_orders_b"), col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double").as("revenue"))
     })
 }

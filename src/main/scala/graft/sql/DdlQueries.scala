@@ -115,6 +115,25 @@ object DdlQueries extends QueryModule {
       } finally {
         org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
       }
+    }.withBench { (s, _) =>
+      import s.implicits._
+      // Bench the DELETE itself, not the scratch-table copy: a decimated
+      // clone keeps setup cost proportional to the operation under test.
+      // (Verify still runs the full-table contract above.)
+      val dir = java.nio.file.Files.createTempDirectory("graft_delete_bench_").toString
+      try {
+        s.table("orders").filter(col("o_orderkey") % 8 === 0)
+          .repartitionByRange(4, col("o_orderkey"))
+          .write.mode("overwrite").parquet(dir)
+        val b = s.read.parquet(dir).agg(min("o_orderkey"), max("o_orderkey")).head()
+        val thr = b.getLong(0) + (b.getLong(1) - b.getLong(0)) / 4
+        val stats = graft.operators.DeleteOps.deleteWhere(s, dir, col("o_orderkey") <= thr)
+        val remaining = s.read.parquet(dir).count()
+        Seq((remaining, stats.rowsDeleted, stats.filesRewritten))
+          .toDF("remaining", "rows_deleted", "files_rewritten")
+      } finally {
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+      }
     },
 
     // Quantified comparisons — op ALL/ANY (subquery). The graft front

@@ -288,6 +288,44 @@ class EngineSpecs extends AnyFunSuite with BeforeAndAfterAll {
     assert(math.abs(est - exact).toDouble / exact < 0.05, s"est=$est exact=$exact")
   }
 
+  test("bucketed tables make the orderkey join and aggregate shuffle-free") {
+    import org.apache.spark.sql.functions._
+    val prevThresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      graft.operators.BucketOps.writeBucketed(
+        spark.table("lineitem").select("l_orderkey", "l_extendedprice"),
+        "graft_spec_bkt_li", "l_orderkey", 4)
+      graft.operators.BucketOps.writeBucketed(
+        spark.table("orders").select("o_orderkey", "o_totalprice"),
+        "graft_spec_bkt_or", "o_orderkey", 4)
+
+      val joined = spark.table("graft_spec_bkt_li")
+        .join(spark.table("graft_spec_bkt_or"),
+          col("l_orderkey") === col("o_orderkey"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), s"expected SMJ, got:\n$plan")
+      assert(graft.operators.BucketOps.isShuffleFree(spark, joined),
+        s"bucketed join must plan no shuffle exchange:\n$plan")
+
+      // same distribution satisfies the aggregate too
+      val agg = spark.table("graft_spec_bkt_li")
+        .groupBy("l_orderkey").agg(sum("l_extendedprice"))
+      assert(graft.operators.BucketOps.isShuffleFree(spark, agg),
+        "groupBy on the bucket key must plan no shuffle exchange")
+
+      // layout must not change results
+      val flat = spark.table("lineitem")
+        .join(spark.table("orders"), col("l_orderkey") === col("o_orderkey"))
+        .count()
+      assert(joined.count() == flat)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThresh)
+      spark.sql("DROP TABLE IF EXISTS graft_spec_bkt_li")
+      spark.sql("DROP TABLE IF EXISTS graft_spec_bkt_or")
+    }
+  }
+
   test("copy-on-write DELETE rewrites only touched files; untouched files keep their bytes") {
     import org.apache.spark.sql.functions._
     val dir = java.nio.file.Files.createTempDirectory("graft_delete_spec_").toString
