@@ -177,5 +177,24 @@ object EventQueries extends QueryModule {
           count(lit(1)).as("n_events"),
           avg("value").as("avg_value"),
           max("value").as("max_value"))
+    },
+
+    // Batch twin of StreamingOps.viewClickAttribution (the watermarked
+    // stream-stream interval join): every click attributed to same-user
+    // views in the preceding 30 minutes. The identical transform runs
+    // on readStream inputs (StreamingSpecs pins stream==batch).
+    Q("ev_view_click_attribution",
+      """SELECT CAST(c.user_id AS BIGINT) AS user_id,
+        |  CAST(count(*) AS BIGINT) AS attributed,
+        |  CAST(round(sum(c.value), 4) AS DOUBLE) AS attr_value
+        |FROM events c JOIN events v
+        |  ON v.user_id = c.user_id
+        |  AND c.event_type = 'click' AND v.event_type = 'view'
+        |  AND v.ts <= c.ts AND c.ts <= v.ts + INTERVAL 30 MINUTE
+        |GROUP BY 1""".stripMargin) { (s, _) =>
+      graft.streaming.StreamingOps.viewClickAttribution(s.table("events"))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("attributed"),
+          round(sum("c_value"), 4).cast("double").as("attr_value"))
     })
 }

@@ -44,6 +44,30 @@ object StreamingOps {
     docs
       .withWatermark("ts", lateness)
       .dropDuplicatesWithinWatermark("fp")
+
+  /** Watermarked stream-stream interval join: view→click attribution.
+    * Each click pairs with the same user's views in the preceding
+    * `attributionWindow`. Both sides carry watermarks and the join
+    * condition bounds event-time distance, so Spark evicts join state
+    * past (lateness + window) — the bounded-state discipline an
+    * always-on 100 TB attribution pipeline needs. Works identically on
+    * a batch DataFrame (the batch twin is oracle-checked as
+    * `ev_view_click_attribution`).
+    */
+  def viewClickAttribution(events: DataFrame,
+      attributionWindow: String = "30 minutes",
+      lateness: String = "10 minutes"): DataFrame = {
+    val views = events.filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("ts").as("v_ts"))
+      .withWatermark("v_ts", lateness)
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+        col("value").as("c_value"))
+      .withWatermark("c_ts", lateness)
+    clicks.join(views,
+      expr(s"c_user = v_user AND v_ts <= c_ts AND c_ts <= v_ts + INTERVAL $attributionWindow"))
+      .select(col("c_user").as("user_id"), col("v_ts"), col("c_ts"), col("c_value"))
+  }
 }
 
 /** Custom-state streaming: gap-based sessionization via

@@ -50,6 +50,41 @@ class StreamingSpecs extends AnyFunSuite with BeforeAndAfterAll {
     } finally query.stop()
   }
 
+  test("stream-stream interval join attributes clicks to in-window views") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[(Long, Timestamp, Long, String, Double)]
+    val events = input.toDF().toDF("event_id", "ts", "user_id", "event_type", "value")
+    val query = graft.streaming.StreamingOps
+      .viewClickAttribution(events, "30 minutes", "10 minutes")
+      .writeStream.format("memory").queryName("attrib").outputMode("append").start()
+    try {
+      input.addData(
+        (1L, ts("2024-01-01 10:00:00"), 7L, "view", 0.0),
+        (2L, ts("2024-01-01 10:20:00"), 7L, "click", 3.0),   // in window -> joins
+        (3L, ts("2024-01-01 11:30:00"), 7L, "click", 4.0),   // 90 min later -> no view
+        (4L, ts("2024-01-01 10:10:00"), 8L, "click", 5.0),   // other user, no view
+        (5L, ts("2024-01-01 12:30:00"), 7L, "view", 0.0))    // advances both watermarks
+      query.processAllAvailable()
+      val rows = spark.table("attrib").collect()
+        .map(r => (r.getLong(0), r.getTimestamp(2).toString, r.getDouble(3)))
+      assert(rows.toSet == Set((7L, "2024-01-01 10:20:00.0", 3.0)))
+    } finally query.stop()
+
+    // the same transform on the same data as a plain batch DataFrame
+    val batch = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 7L, "view", 0.0),
+      (2L, ts("2024-01-01 10:20:00"), 7L, "click", 3.0),
+      (3L, ts("2024-01-01 11:30:00"), 7L, "click", 4.0),
+      (4L, ts("2024-01-01 10:10:00"), 8L, "click", 5.0),
+      (5L, ts("2024-01-01 12:30:00"), 7L, "view", 0.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val batchRows = graft.streaming.StreamingOps
+      .viewClickAttribution(batch, "30 minutes", "10 minutes").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(2).toString, r.getDouble(3)))
+    assert(batchRows.toSet == Set((7L, "2024-01-01 10:20:00.0", 3.0)))
+  }
+
   test("streaming dedup drops repeats within the watermark window") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
