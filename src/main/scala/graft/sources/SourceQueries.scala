@@ -125,5 +125,52 @@ object SourceQueries extends QueryModule {
         .groupBy("o_orderpriority")
         .agg(count(lit(1)).as("n"),
           sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double").as("revenue"))
+    },
+
+    // Z-order (Morton) layout — multi-dimensional clustering (ZOrderOps).
+    // Contract: re-layout loses no rows, a 2nd-dimension predicate
+    // returns identical rows on both layouts, and the z-ordered layout
+    // localizes that predicate to fewer files than the 1-D sort (which
+    // cannot prune the second dimension at all).
+    Q("src_zorder_pruning",
+      """SELECT true AS counts_equal, true AS pred_equal, true AS zorder_prunes""".stripMargin) { (s, _) =>
+      import s.implicits._
+      val base = java.nio.file.Files.createTempDirectory("graft_zq_").toString
+      try {
+        val src = s.table("lineitem").select("l_partkey", "l_suppkey", "l_quantity")
+        src.repartitionByRange(16, col("l_partkey")).sortWithinPartitions("l_partkey")
+          .write.mode("overwrite").parquet(s"$base/linear")
+        graft.operators.ZOrderOps.writeZOrdered(src, s"$base/zorder",
+          "l_partkey", "l_suppkey", 16)
+        val linear = s.read.parquet(s"$base/linear")
+        val zord = s.read.parquet(s"$base/zorder")
+        val lo = src.agg(min("l_suppkey")).head().getLong(0)
+        val pred = col("l_suppkey") === lo
+        val countsEqual = zord.count() == src.count()
+        val predEqual = linear.filter(pred).count() == zord.filter(pred).count()
+        val prunes = graft.operators.ZOrderOps.filesTouched(zord, pred) <
+          graft.operators.ZOrderOps.filesTouched(linear, pred)
+        Seq((countsEqual, predEqual, prunes))
+          .toDF("counts_equal", "pred_equal", "zorder_prunes")
+      } finally {
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+      }
+    }.withBench { (s, _) =>
+      import s.implicits._
+      // Bench the z-order write itself on a decimated clone.
+      val base = java.nio.file.Files.createTempDirectory("graft_zqb_").toString
+      try {
+        val src = s.table("lineitem").filter(col("l_orderkey") % 8 === 0)
+          .select("l_partkey", "l_suppkey", "l_quantity")
+        graft.operators.ZOrderOps.writeZOrdered(src, s"$base/zorder",
+          "l_partkey", "l_suppkey", 16)
+        val lo = src.agg(min("l_suppkey")).head().getLong(0)
+        Seq((s.read.parquet(s"$base/zorder").count(),
+          graft.operators.ZOrderOps.filesTouched(
+            s.read.parquet(s"$base/zorder"), col("l_suppkey") === lo)))
+          .toDF("n_rows", "files_touched")
+      } finally {
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+      }
     })
 }

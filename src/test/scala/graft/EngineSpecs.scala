@@ -289,6 +289,39 @@ class EngineSpecs extends AnyFunSuite with BeforeAndAfterAll {
     assert(math.abs(est - exact).toDouble / exact < 0.05, s"est=$est exact=$exact")
   }
 
+  test("z-order layout prunes 2-D range predicates that one-dim sort cannot") {
+    import org.apache.spark.sql.functions._
+    val base = java.nio.file.Files.createTempDirectory("graft_zorder_").toString
+    try {
+      val src = spark.table("lineitem").select("l_partkey", "l_suppkey", "l_quantity")
+      // one-dimensional layout: clustered on partkey only
+      src.repartitionByRange(16, col("l_partkey"))
+        .sortWithinPartitions("l_partkey")
+        .write.mode("overwrite").parquet(s"$base/linear")
+      graft.operators.ZOrderOps.writeZOrdered(src, s"$base/zorder",
+        "l_partkey", "l_suppkey", 16)
+
+      val linear = spark.read.parquet(s"$base/linear")
+      val zord = spark.read.parquet(s"$base/zorder")
+      assert(zord.count() == src.count()) // layout loses nothing
+
+      // predicate on the SECOND dimension only: partkey-sorted files all
+      // contain every suppkey; z-ordered files are min/max boxes in both
+      // dimensions, so most skip the range entirely.
+      val bounds = src.agg(min("l_suppkey"), max("l_suppkey")).head()
+      val lo = bounds.getLong(0)
+      val pred = col("l_suppkey") === lo
+      val nLinear = graft.operators.ZOrderOps.filesTouched(linear, pred)
+      val nZorder = graft.operators.ZOrderOps.filesTouched(zord, pred)
+      assert(linear.filter(pred).count() == zord.filter(pred).count())
+      assert(nZorder < nLinear,
+        s"z-order must localize the 2nd dimension: z=$nZorder linear=$nLinear")
+      assert(nZorder <= 8, s"suppkey point predicate should land in few z-files, got $nZorder")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+    }
+  }
+
   test("bucketed tables make the orderkey join and aggregate shuffle-free") {
     import org.apache.spark.sql.functions._
     val prevThresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
