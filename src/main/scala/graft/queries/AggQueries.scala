@@ -164,6 +164,32 @@ object AggQueries extends QueryModule {
         round(regr_intercept(col("l_extendedprice"), col("l_quantity")), 6).as("icept"))
     },
 
+    // Interval aggregation — IntervalYearToMonthSum/AverageAggregation,
+    // IntervalDayToSecondSum/AverageAggregation. Real ANSI interval
+    // values ride Spark's sum/avg; outputs convert to total months /
+    // seconds since DuckDB cannot aggregate intervals. The YM value is
+    // constant per group so its avg is exact (month division rounding
+    // is engine-specific); the DT path exercises fractional-micros avg,
+    // whose floor-composition (micros -> seconds) matches integer
+    // division.
+    Q("agg_interval",
+      """SELECT o_orderpriority,
+        |  CAST(sum(length(o_orderpriority) % 5) AS BIGINT) AS ym_sum_months,
+        |  CAST(min(length(o_orderpriority) % 5) AS BIGINT) AS ym_avg_months,
+        |  CAST(sum(o_orderkey % 90) AS BIGINT) AS ds_sum_secs,
+        |  CAST(sum(o_orderkey % 90) // count(*) AS BIGINT) AS ds_avg_secs
+        |FROM orders GROUP BY o_orderpriority""".stripMargin) { (s, _) =>
+      s.table("orders").groupBy("o_orderpriority").agg(
+        expr("CAST(sum(make_ym_interval(0, CAST(length(o_orderpriority) % 5 AS INT))) AS BIGINT)")
+          .as("ym_sum_months"),
+        expr("CAST(avg(make_ym_interval(0, CAST(length(o_orderpriority) % 5 AS INT))) AS BIGINT)")
+          .as("ym_avg_months"),
+        expr("CAST(sum(make_dt_interval(0, 0, 0, CAST(o_orderkey % 90 AS DOUBLE))) AS BIGINT)")
+          .as("ds_sum_secs"),
+        expr("CAST(avg(make_dt_interval(0, 0, 0, CAST(o_orderkey % 90 AS DOUBLE))) AS BIGINT)")
+          .as("ds_avg_secs"))
+    },
+
     // skewness / kurtosis — CentralMomentsAggregation.java. Spark computes
     // population moments (g1, excess g2); DuckDB's builtins use sample
     // formulas, so the oracle computes the population moments explicitly.
