@@ -124,11 +124,17 @@ final class QBuffer {
   }
 }
 
-/** qdigest_agg(x) -> binary sketch; qdigest_value_at(sketch, q) scalar. */
+/** qdigest_agg(x) -> binary sketch; qdigest_value_at(sketch, q) scalar.
+  * mergeMode=true is qdigest_merge(sketch): re-aggregates serialized
+  * sketches (the reference's merge(qdigest) —
+  * QuantileDigestAggregationFunction.java), same shape as merge_hll /
+  * merge_set_digest.
+  */
 case class QuantileSketchAgg(
     child: Expression,
     mutableAggBufferOffset: Int = 0,
-    inputAggBufferOffset: Int = 0)
+    inputAggBufferOffset: Int = 0,
+    mergeMode: Boolean = false)
   extends TypedImperativeAggregate[QBuffer] with UnaryLike[Expression] {
 
   override def createAggregationBuffer(): QBuffer = new QBuffer
@@ -136,6 +142,12 @@ case class QuantileSketchAgg(
   override def update(buf: QBuffer, input: InternalRow): QBuffer = {
     val v = child.eval(input)
     if (v != null) {
+      if (mergeMode) {
+        buf.flush()
+        buf.sketch = QuantileSketch.mergeSorted(buf.sketch,
+          QuantileSketch.fromBytes(v.asInstanceOf[Array[Byte]]))
+        return buf
+      }
       buf.append(v match {
         case d: Double => d
         case f: Float => f.toDouble
@@ -177,6 +189,8 @@ object QuantileSketchFunctions {
   def install(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction("qdigest_agg",
       args => QuantileSketchAgg(args.head), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction("qdigest_merge",
+      args => QuantileSketchAgg(args.head, mergeMode = true), "scala_udf")
     spark.udf.register("qdigest_value_at",
       (b: Array[Byte], q: Double) =>
         if (b == null) null

@@ -206,6 +206,42 @@ object SketchQueries extends QueryModule {
         .selectExpr("vs[0] AS q25", "vs[1] AS q50", "vs[2] AS q75")
     },
 
+    // qdigest_merge — merge(qdigest) re-aggregation
+    // (QuantileDigestAggregationFunction.java): per-supplier sketches
+    // re-merged must answer within 2% of exact, same contract as the
+    // direct path. Also covers the array form of approx_percentile
+    // (ApproximateLongPercentileArrayAggregations.java) via Spark's
+    // native percentile_approx over an array of percentages.
+    Q("sketch_qdigest_merge",
+      """SELECT true AS q50_ok, true AS q90_ok, true AS arr_ok""".stripMargin) { (s, _) =>
+      import s.implicits._
+      graft.functions.FunctionRegistry.installAll(s)
+      val merged = s.sql(
+        """WITH per AS (SELECT l_suppkey, qdigest_agg(l_extendedprice) AS d
+          |             FROM lineitem GROUP BY l_suppkey)
+          |SELECT qdigest_value_at(qdigest_merge(d), 0.5) AS q50,
+          |       qdigest_value_at(qdigest_merge(d), 0.9) AS q90
+          |FROM per""".stripMargin).head()
+      val arr = s.sql(
+        "SELECT approx_percentile(l_extendedprice, array(0.5D, 0.9D), 10000) FROM lineitem")
+        .head().getSeq[Double](0)
+      val exact = s.sql(
+        "SELECT percentile(l_extendedprice, 0.5), percentile(l_extendedprice, 0.9) FROM lineitem").head()
+      def ok(a: Double, e: Double) = math.abs(a - e) / e < 0.02
+      Seq((ok(merged.getDouble(0), exact.getDouble(0)),
+        ok(merged.getDouble(1), exact.getDouble(1)),
+        ok(arr(0), exact.getDouble(0)) && ok(arr(1), exact.getDouble(1))))
+        .toDF("q50_ok", "q90_ok", "arr_ok")
+    }.withBench { (s, _) =>
+      graft.functions.FunctionRegistry.installAll(s)
+      s.sql(
+        """WITH per AS (SELECT l_suppkey, qdigest_agg(l_extendedprice) AS d
+          |             FROM lineitem GROUP BY l_suppkey)
+          |SELECT qdigest_value_at(qdigest_merge(d), 0.5) AS q50,
+          |       qdigest_value_at(qdigest_merge(d), 0.9) AS q90
+          |FROM per""".stripMargin)
+    },
+
     // merge_set_digest — MergeSetDigestAggregation.java:34. Bottom-k is
     // EXACT under merge (bottom-k of a union of bottom-ks = bottom-k of
     // the union), so re-merging per-supplier digests must reproduce the
