@@ -110,5 +110,28 @@ object JoinQueries extends QueryModule {
       o1.join(o2, col("o_custkey") === col("ck2") && col("d1") < col("d2"))
         .groupBy(col("o_custkey").as("custkey"))
         .agg(count(lit(1)).as("pair_cnt"))
+    },
+
+    // As-of join (AsOfJoinOps): each click carries the most recent prior
+    // same-user 'view' value — union + running-last window, ONE shuffle,
+    // no range explosion. DuckDB recomputes with its native ASOF JOIN.
+    // The right side is deduped per (user, ts) so the at-or-before pick
+    // is unique in both engines.
+    Q("join_asof",
+      """WITH clicks AS (
+        |  SELECT user_id, ts, event_id FROM events WHERE event_type = 'click'),
+        |views AS (
+        |  SELECT user_id, ts, max(value) AS vval
+        |  FROM events WHERE event_type = 'view' GROUP BY user_id, ts)
+        |SELECT CAST(c.user_id AS BIGINT) AS user_id,
+        |  CAST(c.event_id AS BIGINT) AS event_id, v.vval
+        |FROM clicks c ASOF LEFT JOIN views v
+        |  ON c.user_id = v.user_id AND v.ts <= c.ts""".stripMargin) { (s, _) =>
+      val clicks = s.table("events").filter(col("event_type") === "click")
+        .select("user_id", "ts", "event_id")
+      val views = s.table("events").filter(col("event_type") === "view")
+        .groupBy("user_id", "ts").agg(max("value").as("vval"))
+      graft.operators.AsOfJoinOps.asofJoin(clicks, views, "user_id", "ts", "ts")
+        .select("user_id", "event_id", "vval")
     })
 }

@@ -289,6 +289,30 @@ class EngineSpecs extends AnyFunSuite with BeforeAndAfterAll {
     assert(math.abs(est - exact).toDouble / exact < 0.05, s"est=$est exact=$exact")
   }
 
+  test("as-of join picks the at-or-before right row with one shuffle") {
+    import org.apache.spark.sql.functions._
+    val s = spark
+    import s.implicits._
+    val left = Seq((1L, 10L, "c1"), (1L, 25L, "c2"), (2L, 5L, "c3"), (1L, 8L, "c4"))
+      .toDF("k", "t", "tag")
+    val right = Seq((1L, 8L, "a"), (1L, 20L, "b"), (2L, 9L, "c"))
+      .toDF("k", "t", "v")
+    val out = graft.operators.AsOfJoinOps.asofJoin(left, right, "k", "t", "t")
+    val got = out.collect().map(r => (r.getString(2), Option(r.getString(3)))).toSet
+    assert(got == Set(
+      ("c1", Some("a")),   // latest right at t<=10 is (8,a)
+      ("c2", Some("b")),   // latest right at t<=25 is (20,b)
+      ("c3", None),        // no right row at t<=5 for k=2
+      ("c4", Some("a")))) // tie: right row AT t=8 is visible (<= semantics)
+
+    // one hash exchange total: union both sides, shuffle once on the key
+    // (count distinct plan ids — AQE prints the tree twice)
+    val exchanges = "Exchange hashpartitioning.*?plan_id=(\\d+)".r
+      .findAllMatchIn(out.queryExecution.executedPlan.toString)
+      .map(_.group(1)).toSet.size
+    assert(exchanges == 1, s"as-of join must shuffle exactly once, got $exchanges")
+  }
+
   test("z-order layout prunes 2-D range predicates that one-dim sort cannot") {
     import org.apache.spark.sql.functions._
     val base = java.nio.file.Files.createTempDirectory("graft_zorder_").toString
