@@ -97,6 +97,18 @@ object JoinQueries extends QueryModule {
         .select("s_suppkey", "c_custkey")
     },
 
+    // The same band join decomposed to an EQUI-join on width-sized bins
+    // (RangeJoinOps) — the scale path: Spark plans the bare predicate
+    // above as BroadcastNestedLoopJoin (O(n·m), broadcast-bounded);
+    // binning turns it into one hash shuffle per side. Same rows out.
+    Q("join_range_binned",
+      """SELECT s_suppkey, c_custkey FROM supplier JOIN customer
+        |ON c_acctbal BETWEEN s_acctbal - 50 AND s_acctbal + 50""".stripMargin) { (s, _) =>
+      graft.operators.RangeJoinOps.bandJoin(
+        s.table("supplier"), s.table("customer"), "s_acctbal", "c_acctbal", 50.0)
+        .select("s_suppkey", "c_custkey")
+    },
+
     // Self-join with inequality: pairs of orders by the same customer
     // where the first strictly precedes the second.
     Q("join_self_inequality",

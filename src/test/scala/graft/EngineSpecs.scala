@@ -313,6 +313,23 @@ class EngineSpecs extends AnyFunSuite with BeforeAndAfterAll {
     assert(exchanges == 1, s"as-of join must shuffle exactly once, got $exchanges")
   }
 
+  test("binned range join matches the theta join with a hash-join plan") {
+    import org.apache.spark.sql.functions._
+    val theta = spark.table("supplier")
+      .join(spark.table("customer"),
+        col("c_acctbal").between(col("s_acctbal") - 50, col("s_acctbal") + 50))
+      .select("s_suppkey", "c_custkey")
+    val binned = graft.operators.RangeJoinOps.bandJoin(
+      spark.table("supplier"), spark.table("customer"),
+      "s_acctbal", "c_acctbal", 50.0)
+      .select("s_suppkey", "c_custkey")
+    assert(binned.count() == theta.count())
+    assert(binned.exceptAll(theta).isEmpty && theta.exceptAll(binned).isEmpty)
+    val plan = binned.queryExecution.executedPlan.toString
+    assert(!plan.contains("NestedLoop"),
+      s"binned range join must be an equi (hash/merge) join, got:\n$plan")
+  }
+
   test("z-order layout prunes 2-D range predicates that one-dim sort cannot") {
     import org.apache.spark.sql.functions._
     val base = java.nio.file.Files.createTempDirectory("graft_zorder_").toString
