@@ -104,5 +104,41 @@ object MultimodalQueries extends QueryModule {
             byteAt(0), byteAt(1), byteAt(2), byteAt(3))
         }
       }(rowEnc)
+    },
+
+    // Frame sampling — the 1→N row-expansion shape a video pipeline
+    // needs: each binary payload ("video") emits up to 4 frame
+    // descriptors at 256-byte strides via flatMap inside the same
+    // mapPartitions batch (codec initialized once per partition, frames
+    // emitted lazily — no per-row dispatch, no giant intermediate
+    // array). Frame "features" are the stub byte-at-offset; the oracle
+    // replays the stride arithmetic in SQL. At 100 TB the expansion is
+    // map-side only; nothing shuffles until frames aggregate.
+    Q("mm_frame_sample",
+      """SELECT doc_id, CAST(f AS INT) AS frame_idx,
+        |  CAST(f * 256 AS INT) AS frame_offset,
+        |  CAST(CASE WHEN octet_length(encode(text)) > f * 256
+        |       THEN ascii(substr(text, CAST(f * 256 + 1 AS INT), 1)) ELSE 0 END AS INT) AS fbyte
+        |FROM documents,
+        |  unnest(range(least(4, octet_length(encode(text)) // 256 + 1))) AS t(f)""".stripMargin) { (s, _) =>
+      val frameSchema = StructType(Seq(
+        StructField("doc_id", LongType),
+        StructField("frame_idx", IntegerType),
+        StructField("frame_offset", IntegerType),
+        StructField("fbyte", IntegerType)))
+      val binDf = s.table("documents")
+        .select(col("doc_id"), encode(col("text"), "UTF-8").as("media"))
+      val rowEnc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(frameSchema)
+      binDf.mapPartitions { rows =>
+        rows.flatMap { r =>
+          val docId = r.getLong(0)
+          val bytes = r.getAs[Array[Byte]](1)
+          val nFrames = math.min(4, bytes.length / 256 + 1)
+          (0 until nFrames).iterator.map { f =>
+            val off = f * 256
+            Row(docId, f, off, if (bytes.length > off) bytes(off).toInt else 0)
+          }
+        }
+      }(rowEnc)
     })
 }

@@ -18,7 +18,8 @@ object PlanDump {
       "q2_min_cost_supplier", "q9_product_profit", "q11_important_stock",
       "win_topk_per_group", "llm_dedup_ngram_jaccard", "llm_knn_brute",
       "agg_mixed_distinct", "ev_sessionize",
-      "src_bucketed_join", "ev_view_click_attribution")
+      "src_bucketed_join", "ev_view_click_attribution",
+      "join_asof", "join_range_binned")
     val spark = graft.engine.Engine.session("local[4]", shufflePartitions = 8)
     graft.engine.Engine.registerTables(spark, sfDir)
     val sb = new StringBuilder
