@@ -38,6 +38,22 @@ object ShapeQueries extends QueryModule {
         .limit(20)
     },
 
+    // Multi-array UNNEST(a, b) — positional zip, shorter side padded
+    // with NULL (UnnestOperator over multiple channels). Spark:
+    // arrays_zip + explode reproduces the exact padding semantics.
+    Q("shape_unnest_multi",
+      """SELECT p_partkey, nw, tw
+        |FROM (SELECT p_partkey,
+        |        unnest(string_split(p_name, ' ')) AS nw,
+        |        unnest(string_split(p_type, ' ')) AS tw
+        |      FROM part WHERE p_partkey <= 200) t""".stripMargin) { (s, _) =>
+      s.table("part").filter(col("p_partkey") <= 200)
+        .select(col("p_partkey"),
+          explode(arrays_zip(split(col("p_name"), " ").as("nw"),
+            split(col("p_type"), " ").as("tw"))).as("z"))
+        .select(col("p_partkey"), col("z.nw").as("nw"), col("z.tw").as("tw"))
+    },
+
     // UNNEST WITH ORDINALITY -> posexplode (0-based pos in both sides;
     // DuckDB 1.0 lacks WITH ORDINALITY, so the oracle zips parallel
     // unnests of the value and its generate_subscripts index).
