@@ -627,6 +627,21 @@ object FuncQueries extends QueryModule {
         "to_json(multimap_from_entries(array(struct('a','1'), struct('b','2'), struct('a','3')))) AS mmap")
     },
 
+    // map_concat — MapConcatFunction.java. Disjoint keys (the dup-key
+    // override is LAST_WIN in Presto vs session-policy in Spark —
+    // documented delta); cardinality + lookups verify the merged map.
+    Q("func_map2",
+      """SELECT d.doc_id,
+        |  CAST(map_concat(map(['a'],[1]), map(['b','c'],[2,3]))['b'][1] AS INT) AS mc_b,
+        |  CAST(map_concat(map(['a'],[1]), map(['b','c'],[2,3]))['a'][1] AS INT) AS mc_a,
+        |  CAST(cardinality(map_concat(map(['a'],[1]), map(['b','c'],[2,3]))) AS INT) AS mc_n
+        |FROM (SELECT doc_id FROM documents WHERE doc_id < 5) d""".stripMargin) { (s, _) =>
+      s.table("documents").filter(col("doc_id") < 5).selectExpr("doc_id",
+        "element_at(map_concat(map('a', 1), map('b', 2, 'c', 3)), 'b') AS mc_b",
+        "element_at(map_concat(map('a', 1), map('b', 2, 'c', 3)), 'a') AS mc_a",
+        "size(map_concat(map('a', 1), map('b', 2, 'c', 3))) AS mc_n")
+    },
+
     // Datetime accessor tail — DateTimeFunctions.java millisecond (:705),
     // year_of_week, at_timezone + timezone_hour/timezone_minute (the
     // TIMESTAMP WITH TIME ZONE accessors; our representation of a
