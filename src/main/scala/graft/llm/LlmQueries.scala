@@ -535,36 +535,12 @@ object LlmQueries extends QueryModule {
         |SELECT node AS doc_id, CAST(min(lbl) AS BIGINT) AS cluster
         |FROM reach GROUP BY node""".stripMargin) { (s, _) =>
       val pairs = exactJaccardPairs(s, 0.8).select("doc_a", "doc_b").cache()
-      val edges = pairs.select(col("doc_a").as("a"), col("doc_b").as("b"))
-        .union(pairs.select(col("doc_b").as("a"), col("doc_a").as("b")))
-        .cache()
-      var labels = edges.select(col("a").as("doc_id")).distinct()
-        .select(col("doc_id"), col("doc_id").as("cluster"))
-      var converged = false
-      var iter = 0
-      while (!converged && iter < 20) {
-        val viaNeighbor = edges
-          .join(labels.select(col("doc_id").as("a"), col("cluster").as("nlbl")), "a")
-          .select(col("b").as("doc_id"), col("nlbl").as("cluster"))
-        // localCheckpoint truncates the per-iteration lineage — without
-        // it the plan doubles every round (fatal at real graph sizes).
-        val next = labels.union(viaNeighbor)
-          .groupBy("doc_id").agg(min("cluster").as("cluster"))
-          .localCheckpoint()
-        // convergence check every 2nd round: clusters need >= 2 hops
-        // anyway, and the check is a full extra job per round (an extra
-        // idempotent propagation round is cheaper than checking early)
-        if (iter % 2 == 1 || iter >= 18) {
-          val changed = next
-            .join(labels.withColumnRenamed("cluster", "prev"), "doc_id")
-            .filter(col("cluster") =!= col("prev")).count()
-          converged = changed == 0
-        }
-        labels = next
-        iter += 1
-      }
-      edges.unpersist(); pairs.unpersist()
-      labels.select(col("doc_id"), col("cluster").cast("long").as("cluster"))
+      // Min-label propagation WITH pointer jumping (ConnectedComponents):
+      // O(log diameter) rounds, so long near-dup chains converge safely
+      // under the round cap (plain propagation needs diameter rounds).
+      val labels = graft.operators.ConnectedComponents.minLabel(pairs)
+      pairs.unpersist()
+      labels.select(col("node").as("doc_id"), col("cluster").cast("long").as("cluster"))
     },
 
     // ---- Similarity search ----

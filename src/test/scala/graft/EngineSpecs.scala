@@ -289,6 +289,26 @@ class EngineSpecs extends AnyFunSuite with BeforeAndAfterAll {
     assert(math.abs(est - exact).toDouble / exact < 0.05, s"est=$est exact=$exact")
   }
 
+  test("connected components converge on a long chain in O(log d) rounds") {
+    // A 64-hop chain: plain min-label propagation needs 64 rounds (and
+    // silently mis-converges under a 20-round cap); pointer jumping
+    // must finish well inside it and label every node with the minimum.
+    val s = spark
+    import s.implicits._
+    val chain = (0L until 64L).sliding(2).map(p => (p(0), p(1))).toSeq.toDF("a", "b")
+    val (labels, rounds) = graft.operators.ConnectedComponents.minLabelWithStats(chain)
+    val rows = labels.collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(rows.length == 64)
+    assert(rows.forall(_._2 == 0L), s"every chain node must label 0, got ${rows.filter(_._2 != 0L).take(5).mkString(",")}")
+    assert(rounds <= 12, s"pointer jumping must converge in O(log 64) rounds, took $rounds")
+
+    // two disjoint components keep distinct labels
+    val two = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("a", "b")
+    val got = graft.operators.ConnectedComponents.minLabel(two)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((1L, 1L), (2L, 1L), (3L, 1L), (10L, 10L), (11L, 10L)))
+  }
+
   test("as-of join picks the at-or-before right row with one shuffle") {
     import org.apache.spark.sql.functions._
     val s = spark
