@@ -40,11 +40,15 @@ object ConnectedComponents {
         .select(col("b").as("node"), col("nlbl").as("cluster"))
       val prop = labels.union(viaNeighbor)
         .groupBy("node").agg(min("cluster").as("cluster"))
-      val next = prop
-        .join(prop.select(col("node").as("cluster"), col("cluster").as("jlbl")),
-          Seq("cluster"), "left")
-        .select(col("node"),
-          least(col("cluster"), coalesce(col("jlbl"), col("cluster"))).as("cluster"))
+      // The jump is an identity in round 0 (labels are self) and only
+      // starts paying off once labels are ≥2 hops old — skip it there,
+      // keeping the small-cluster fast path at one join+agg per round.
+      val next = (if (iter < 2) prop
+        else prop
+          .join(prop.select(col("node").as("cluster"), col("cluster").as("jlbl")),
+            Seq("cluster"), "left")
+          .select(col("node"),
+            least(col("cluster"), coalesce(col("jlbl"), col("cluster"))).as("cluster")))
         .localCheckpoint()
       // convergence check every 2nd round — the check is a full extra
       // job, and an extra idempotent round is cheaper than checking
