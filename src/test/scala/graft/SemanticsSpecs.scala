@@ -139,4 +139,20 @@ class SemanticsSpecs extends AnyFunSuite with BeforeAndAfterAll {
       == "0.53") // 0.525 -> HALF_UP -> 0.53 (banker's rounding would give 0.52)
     assert(one("SELECT CAST(CAST(2.5 AS DECIMAL(10,1)) AS DECIMAL(10,0))").toString == "3")
   }
+
+  // ---- Unicode codepoint semantics (StringFunctions.java operates on
+  //      code POINTS; Java Strings are UTF-16 code UNITS — the classic
+  //      divergence risk for astral-plane characters) ----
+
+  test("length/substr/reverse count codepoints, not UTF-16 units (parity)") {
+    // U+1D11E MUSICAL SYMBOL G CLEF is 2 UTF-16 units, 1 codepoint, 4 UTF-8 bytes
+    val clef = "𝄞"
+    assert(one(s"SELECT length('a${clef}b')") == 3)
+    assert(one(s"SELECT substr('a${clef}b', 2, 1)").toString == clef)
+    assert(one(s"SELECT reverse('a${clef}b')").toString == s"b${clef}a")
+    assert(one(s"SELECT octet_length(encode('$clef', 'UTF-8'))") == 4)
+    // codepoint() (Presto name, registered alias) returns the scalar value
+    graft.functions.FunctionRegistry.installAll(spark)
+    assert(one("SELECT codepoint('A')") == 65)
+  }
 }
