@@ -21,13 +21,24 @@ object RangeJoinOps {
   def bandJoin(left: DataFrame, right: DataFrame, leftCol: String,
       rightCol: String, width: Double): DataFrame = {
     require(width > 0, "band width must be positive")
+    // The replica bin range is computed as floor((l±w)/w) — NOT
+    // floor(l/w)±1: fp division at a bin boundary can put floor(l/w)
+    // and floor(r/w) two bins apart even when |l−r| <= w (observed at
+    // sf0.1: one pair in 136k lost). Computed x→floor(x/w) is monotone
+    // (fp division rounds correctly), so r ∈ [l−w, l+w] guarantees
+    // floor(r/w) ∈ [floor((l−w)/w), floor((l+w)/w)] — watertight.
     val lb = left.withColumn("__jbin",
-      explode(array(floor(col(leftCol) / width) - 1,
-        floor(col(leftCol) / width),
-        floor(col(leftCol) / width) + 1)))
-    val rb = right.withColumn("__rbin", floor(col(rightCol) / width))
+      explode(sequence(
+        floor((col(leftCol) - width) / width).cast("long"),
+        floor((col(leftCol) + width) / width).cast("long"))))
+    val rb = right.withColumn("__rbin", floor(col(rightCol) / width).cast("long"))
+    // Exact predicate in interval form (r BETWEEN l−w AND l+w), NOT
+    // abs(l−r) <= w: the two disagree at 1-ulp boundaries (subtraction
+    // and addition round differently), and BETWEEN is the form range
+    // queries are written in — and the same computed endpoints the bin
+    // range above uses.
     lb.join(rb, col("__jbin") === col("__rbin") &&
-        abs(col(leftCol) - col(rightCol)) <= width)
+        col(rightCol).between(col(leftCol) - width, col(leftCol) + width))
       .drop("__jbin", "__rbin")
   }
 }
