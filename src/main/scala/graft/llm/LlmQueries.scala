@@ -728,5 +728,42 @@ object LlmQueries extends QueryModule {
         |FROM documents""".stripMargin) { (s, _) =>
       s.table("documents").select(col("doc_id"),
         md5(lower(trim(regexp_replace(col("text"), "\\s+", " "))).cast("binary")).as("fp"))
+    },
+
+    // Stratified sampling — the data-mixing primitive of corpus
+    // construction (downsample dominant languages, upweight rare ones).
+    // sampleBy(lang, fractions, seed): per-stratum Bernoulli, one scan,
+    // no shuffle. Contract: (a) deterministic — two runs with the same
+    // seed produce identical samples; (b) each stratum's realized rate
+    // is within 4 absolute standard errors of its requested fraction;
+    // (c) the sample is a true subset (anti-join empty).
+    Q("llm_stratified_sample",
+      """SELECT true AS deterministic, true AS fractions_ok, true AS subset_ok""".stripMargin) { (s, _) =>
+      import s.implicits._
+      val docs = s.table("documents").select("doc_id", "lang")
+      val fractions = Map("en" -> 0.5, "de" -> 0.25, "fr" -> 0.25)
+        .withDefaultValue(0.1)
+      val langs = docs.select("lang").distinct().collect().map(_.getString(0))
+      val fr = langs.map(l => l -> fractions(l)).toMap
+      def draw() = docs.stat.sampleBy("lang", fr, seed = 42L)
+      val a = draw().cache()
+      val b = draw()
+      val deterministic = a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty
+      val perStratum = docs.groupBy("lang").agg(count(lit(1)).as("n"))
+        .join(a.groupBy("lang").agg(count(lit(1)).as("k")), Seq("lang"), "left")
+        .na.fill(0, Seq("k")).collect()
+      val fractionsOk = perStratum.forall { r =>
+        val (n, k, f) = (r.getLong(1).toDouble, r.getLong(2).toDouble, fr(r.getString(0)))
+        math.abs(k / n - f) <= 4.0 * math.sqrt(f * (1 - f) / n) + 1e-9
+      }
+      val subsetOk = a.join(docs, Seq("doc_id", "lang"), "left_anti").isEmpty
+      a.unpersist()
+      Seq((deterministic, fractionsOk, subsetOk))
+        .toDF("deterministic", "fractions_ok", "subset_ok")
+    }.withBench { (s, _) =>
+      val docs = s.table("documents").select("doc_id", "lang")
+      val langs = docs.select("lang").distinct().collect().map(_.getString(0))
+      val fr = langs.map(l => l -> 0.25).toMap
+      docs.stat.sampleBy("lang", fr, seed = 42L)
     })
 }
