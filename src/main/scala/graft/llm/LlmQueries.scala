@@ -730,6 +730,30 @@ object LlmQueries extends QueryModule {
         md5(lower(trim(regexp_replace(col("text"), "\\s+", " "))).cast("binary")).as("fp"))
     },
 
+    // Sliding-window chunking — context-window packing: each document
+    // splits into 50-token chunks at stride 40 (10-token overlap), the
+    // shape a training pipeline feeds a tokenizer. Pure native
+    // sequence/slice/explode — the expansion is map-side only, nothing
+    // shuffles, and chunk boundaries are deterministic so the oracle
+    // replays them exactly.
+    Q("llm_chunk_documents",
+      """WITH t AS (SELECT doc_id, string_split_regex(text, '\s+') AS toks FROM documents),
+        |s AS (SELECT doc_id, toks, unnest(range(0, greatest(len(toks), 1), 40)) AS st FROM t)
+        |SELECT doc_id, CAST(st // 40 AS BIGINT) AS chunk_idx,
+        |  array_to_string(list_slice(toks, st + 1, st + 50), ' ') AS chunk,
+        |  CAST(least(50, len(toks) - st) AS BIGINT) AS n_tokens
+        |FROM s WHERE st < len(toks)""".stripMargin) { (s, _) =>
+      val toks = split(col("text"), "\\s+")
+      s.table("documents").select(col("doc_id"), toks.as("toks"))
+        .withColumn("st",
+          explode(sequence(lit(0), greatest(size(col("toks")) - 1, lit(0)), lit(40))))
+        .filter(col("st") < size(col("toks")))
+        .select(col("doc_id"),
+          (col("st") / lit(40)).cast("long").as("chunk_idx"),
+          array_join(slice(col("toks"), col("st") + 1, lit(50)), " ").as("chunk"),
+          least(lit(50), size(col("toks")) - col("st")).cast("long").as("n_tokens"))
+    },
+
     // Stratified sampling — the data-mixing primitive of corpus
     // construction (downsample dominant languages, upweight rare ones).
     // sampleBy(lang, fractions, seed): per-stratum Bernoulli, one scan,
