@@ -41,10 +41,28 @@ object Bench {
         catch { case e: Throwable => System.err.println(s"[bench] $name failed: ${e.getMessage}"); false }
       (name, if (ok) (System.nanoTime() - t0) / 1e9 else -1.0, ok)
     }
-    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    def r3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
     val total = results.collect { case (_, v, true) => v }.sum
     val failures = results.collect { case (k, _, false) => "\"" + k + "\"" }.mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failures":$failures,"sf":"$sfDir"}""")
+
+    // Full per-query detail goes to a file: the driver captures only the
+    // last ~2000 chars of stdout, so the printed line must stay compact
+    // (173 timings would overflow and leave the line unparseable).
+    val fullQs = results.map { case (k, v, _) => "\"" + k + "\":" + r3(v) }.mkString("{", ",", "}")
+    val full =
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"queries":$fullQs,"failures":$failures,"sf":"$sfDir"}"""
+    java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_FULL.json"),
+      full.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+
+    // Compact stdout line: headline TPC-H queries by name, everything else
+    // rolled up into per-module prefixes sums.
+    val headline = results.filter { case (k, _, ok) => ok && k.matches("^q\\d+_.*") }
+      .map { case (k, v, _) => "\"" + k.split('_').head + "\":" + r3(v) }
+    val groups = results.filter { case (k, _, ok) => ok && !k.matches("^q\\d+_.*") }
+      .groupBy(_._1.split('_').head).toSeq.sortBy(_._1)
+      .map { case (g, rs) => "\"" + g + "\":" + r3(rs.map(_._2).sum) }
+    val qs = (headline ++ groups).mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"queries":$qs,"failures":$failures,"sf":"$sfDir","detail":"BENCH_FULL.json"}""")
     spark.stop()
   }
 }

@@ -148,7 +148,10 @@ object FunctionRegistry {
     // get_json_object uses the same $-rooted path dialect (JSONPath-subset
     // deltas pinned in SemanticsSpecs).
     register(spark, "json_extract") { args => GetJsonObject(args(0), args(1)) }
-    register(spark, "json_extract_scalar") { args => GetJsonObject(args(0), args(1)) }
+    // json_extract_scalar is NOT GetJsonObject: the reference's
+    // ScalarValueJsonExtractor (JsonExtract.java:262) returns NULL when
+    // the path resolves to an object/array. Installed as a Jackson-backed
+    // UDF in ScalarFunctions.install (jsonExtractScalar).
     register(spark, "json_array_length") { args => LengthOfJsonArray(args.head) }
     // bitwise_and_agg / bitwise_or_agg — BitwiseAndAggregation.java /
     // BitwiseOrAggregation.java onto Spark's native bit_and/bit_or.

@@ -236,7 +236,11 @@ object ScalarFunctions {
     val out = scala.collection.mutable.LinkedHashMap.empty[String, scala.collection.mutable.ArrayBuffer[String]]
     s.split(java.util.regex.Pattern.quote(entryDelim), -1).foreach { entry =>
       val kv = entry.split(java.util.regex.Pattern.quote(kvDelim), 2)
-      require(kv.length == 2, s"Key-value delimiter must appear exactly once in each entry. Bad input: '$entry'")
+      // SplitToMultimapFunction.java:84-86 rejects BOTH zero and >1
+      // delimiter occurrences per entry; split(limit=2) alone would
+      // silently accept 'a=1=2' with value '1=2'.
+      require(kv.length == 2 && !kv(1).contains(kvDelim),
+        s"Key-value delimiter must appear exactly once in each entry. Bad input: '$entry'")
       out.getOrElseUpdate(kv(0), scala.collection.mutable.ArrayBuffer.empty) += kv(1)
     }
     out.map { case (k, v) => k -> v.toSeq }
@@ -373,15 +377,35 @@ object ScalarFunctions {
     var node = parseJsonOrNull(s)
     if (node == null) return null
     require(path.startsWith("$"), s"Invalid JSON path: '$path'")
-    val steps = java.util.regex.Pattern.compile("\\.([A-Za-z_][A-Za-z0-9_]*)|\\[(\\d+)\\]").matcher(path)
+    val steps = java.util.regex.Pattern.compile(
+      "\\.([A-Za-z_][A-Za-z0-9_]*)|\\[(\\d+)\\]|\\[\"([^\"]*)\"\\]|\\['([^']*)'\\]").matcher(path)
     var consumed = 1
     while (node != null && steps.find()) {
       require(steps.start == consumed, s"Invalid JSON path: '$path'")
       consumed = steps.end
-      node = if (steps.group(1) != null) node.get(steps.group(1)) else node.get(steps.group(2).toInt)
+      node =
+        if (steps.group(1) != null) node.get(steps.group(1))
+        else if (steps.group(2) != null) node.get(steps.group(2).toInt)
+        else if (steps.group(3) != null) node.get(steps.group(3))
+        else node.get(steps.group(4))
     }
     require(consumed == path.length, s"Invalid JSON path: '$path'")
     node
+  }
+
+  /** json_extract_scalar(json, path) — JsonExtract.java:262
+    * (ScalarValueJsonExtractor): NULL when the path resolves to an
+    * object, array, JSON null, or a missing path; strings surface
+    * unquoted, numbers/booleans as their JSON text. Spark's
+    * get_json_object (kept for json_extract) returns the container's
+    * JSON text instead, so it cannot implement this directly.
+    */
+  def jsonExtractScalar(s: String, path: String): String = {
+    if (s == null || path == null) return null
+    val node = jsonAtPath(s, path)
+    if (node == null || node.isContainerNode || node.isNull) null
+    else if (node.isTextual) node.textValue
+    else node.asText
   }
 
   /** json_array_get(json, index) — element at index as JSON text; negative
@@ -522,6 +546,7 @@ object ScalarFunctions {
     spark.udf.register("format_datetime", (ts: java.sql.Timestamp, p: String) => formatDatetime(ts, p))
     spark.udf.register("parse_datetime", (s: String, p: String) => parseDatetime(s, p))
     spark.udf.register("is_json_scalar", (s: String) => isJsonScalar(s))
+    spark.udf.register("json_extract_scalar", (s: String, p: String) => jsonExtractScalar(s, p))
     spark.udf.register("json_size", (s: String, p: String) => jsonSize(s, p))
     spark.udf.register("json_array_get", (s: String, i: Long) => jsonArrayGet(s, i))
     spark.udf.register("json_array_contains", (s: String, v: String) => jsonArrayContains(s, v))

@@ -33,22 +33,27 @@ object AsOfJoinOps {
     require(payload.forall(!left.columns.contains(_)),
       s"payload columns ${payload.mkString(",")} must not collide with left columns")
 
+    // All payload columns ride in ONE struct so the carried values always
+    // come from the SAME right row, and a right row whose payload field is
+    // genuinely NULL still wins the as-of match (the struct itself is
+    // non-null for every right row; per-column last(ignoreNulls) would
+    // skip it and stitch together fields from different rows).
     val leftCols = left.columns.toSeq
+    val pay = struct(payload.map(col): _*)
     val lNorm = left.select(
       leftCols.map(col) ++
-        Seq(col(key).as("__k"), col(leftTime).as("__t"), lit(1).as("__side")) ++
-        payload.map(c => lit(null).cast(right.schema(c).dataType).as(s"__p_$c")): _*)
+        Seq(col(key).as("__k"), col(leftTime).as("__t"), lit(1).as("__side"),
+          lit(null).cast(right.select(pay).schema.head.dataType).as("__pay")): _*)
     val rNorm = right.select(
       leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
-        Seq(col(key).as("__k"), col(rightTime).as("__t"), lit(0).as("__side")) ++
-        payload.map(c => col(c).as(s"__p_$c")): _*)
+        Seq(col(key).as("__k"), col(rightTime).as("__t"), lit(0).as("__side"),
+          pay.as("__pay")): _*)
 
     val w = Window.partitionBy("__k").orderBy(col("__t"), col("__side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val filled = payload.foldLeft(lNorm.unionByName(rNorm)) { (df, c) =>
-      df.withColumn(s"__p_$c", last(col(s"__p_$c"), ignoreNulls = true).over(w))
-    }
-    filled.filter(col("__side") === 1)
-      .select(leftCols.map(col) ++ payload.map(c => col(s"__p_$c").as(c)): _*)
+    lNorm.unionByName(rNorm)
+      .withColumn("__pay", last(col("__pay"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+      .select(leftCols.map(col) ++ payload.map(c => col(s"__pay.$c").as(c)): _*)
   }
 }

@@ -69,14 +69,24 @@ object DeleteOps {
       .write.parquet(tmp.toString)
 
     // Swap: move rewritten parts in (fresh names can't collide with the
-    // UUID-suffixed originals), then drop the originals.
+    // UUID-suffixed originals), then drop the originals. Every rename must
+    // succeed BEFORE any original is deleted — a failed rename followed by
+    // deletion of the originals would silently drop that file's surviving
+    // rows; aborting here leaves extra rewrite files (re-runnable) but
+    // never loses data.
     val parts = fs.listStatus(tmp).toSeq
       .filter(st => st.isFile && st.getPath.getName.startsWith("part-"))
     parts.zipWithIndex.foreach { case (st, i) =>
-      fs.rename(st.getPath, new org.apache.hadoop.fs.Path(tableDir,
-        s"rewrite-${java.util.UUID.randomUUID}-$i.parquet"))
+      val dest = new org.apache.hadoop.fs.Path(tableDir,
+        s"rewrite-${java.util.UUID.randomUUID}-$i.parquet")
+      if (!fs.rename(st.getPath, dest))
+        throw new java.io.IOException(
+          s"DELETE aborted before removing originals: rename ${st.getPath} -> $dest failed")
     }
-    touchedPaths.foreach(fs.delete(_, false))
+    touchedPaths.foreach { p =>
+      if (!fs.delete(p, false) && fs.exists(p))
+        throw new java.io.IOException(s"DELETE: could not remove original $p")
+    }
     fs.delete(tmp, true)
 
     DeleteStats(before.size, touchedPaths.size, rowsDeleted)

@@ -216,6 +216,28 @@ object FuncQueries extends QueryModule {
         get_json_object(col("props"), "$.missing").as("missing_val"))
     },
 
+    // json_extract_scalar — JsonExtract.java:262 ScalarValueJsonExtractor:
+    // containers (objects/arrays) and JSON null map to SQL NULL; scalars
+    // surface unquoted. DuckDB's json_extract_string returns container
+    // text, so the oracle states the expected literals directly.
+    Q("func_json_scalar",
+      """SELECT 'x' AS s_str, '7' AS s_num, CAST(NULL AS VARCHAR) AS s_obj,
+        |  CAST(NULL AS VARCHAR) AS s_arr, '2' AS s_elem,
+        |  CAST(NULL AS VARCHAR) AS s_missing, CAST(NULL AS VARCHAR) AS s_null,
+        |  'deep' AS s_bracket, 'true' AS s_bool""".stripMargin) { (s, _) =>
+      s.sql(
+        """SELECT
+          |  json_extract_scalar('{"a":"x"}', '$.a') AS s_str,
+          |  json_extract_scalar('{"a":7}', '$.a') AS s_num,
+          |  json_extract_scalar('{"a":{"b":1}}', '$.a') AS s_obj,
+          |  json_extract_scalar('[1,2]', '$') AS s_arr,
+          |  json_extract_scalar('{"a":[1,2]}', '$.a[1]') AS s_elem,
+          |  json_extract_scalar('{"a":1}', '$.b') AS s_missing,
+          |  json_extract_scalar('{"a":null}', '$.a') AS s_null,
+          |  json_extract_scalar('{"a b":"deep"}', '$["a b"]') AS s_bracket,
+          |  json_extract_scalar('{"a":true}', '$.a') AS s_bool""".stripMargin)
+    },
+
     // JSON casts — JsonToArrayCast/JsonExtract (from_json/to_json side);
     // literal inputs, literal-expected oracle.
     Q("func_json_casts",

@@ -333,6 +333,24 @@ class EngineSpecs extends AnyFunSuite with BeforeAndAfterAll {
     assert(exchanges == 1, s"as-of join must shuffle exactly once, got $exchanges")
   }
 
+  test("as-of join carries NULL payload fields and keeps multi-column rows intact") {
+    val s = spark
+    import s.implicits._
+    // right row at t=20 has v1=NULL: the match must still be that row
+    // (v1=NULL, v2=20), not a stitch of (8,"a",10) and (20,NULL,20).
+    val left = Seq((1L, 25L, "c")).toDF("k", "t", "tag")
+    val right = Seq(
+      (1L, 8L, Option("a"), Option(10L)),
+      (1L, 20L, Option.empty[String], Option(20L))
+    ).toDF("k", "t", "v1", "v2")
+    val out = graft.operators.AsOfJoinOps.asofJoin(left, right, "k", "t", "t")
+      .select("tag", "v1", "v2").collect()
+    assert(out.length == 1)
+    assert(out(0).getString(0) == "c")
+    assert(out(0).isNullAt(1), "matched row's NULL payload must propagate, not fall back to an older row")
+    assert(out(0).getLong(2) == 20L)
+  }
+
   test("binned range join matches the theta join with a hash-join plan") {
     import org.apache.spark.sql.functions._
     val theta = spark.table("supplier")

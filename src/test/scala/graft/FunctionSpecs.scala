@@ -265,6 +265,22 @@ class FunctionSpecs extends AnyFunSuite {
     assert(m("b") == Seq("3"))
     assert(m.keys.toSeq == Seq("a", "b"))
     intercept[IllegalArgumentException](ScalarFunctions.splitToMultimap("a=1,bad", ",", "="))
+    // >1 kv-delimiter per entry is an error (SplitToMultimapFunction.java:84),
+    // not a silent 'a' -> '1=2'
+    intercept[IllegalArgumentException](ScalarFunctions.splitToMultimap("a=1=2", ",", "="))
+  }
+
+  test("json_extract_scalar returns NULL for containers, unquoted scalars otherwise") {
+    import ScalarFunctions.jsonExtractScalar
+    assert(jsonExtractScalar("""{"a":{"b":1}}""", "$.a") == null) // object -> NULL
+    assert(jsonExtractScalar("""{"a":[1,2]}""", "$.a") == null)   // array -> NULL
+    assert(jsonExtractScalar("""[1,2]""", "$") == null)           // root container -> NULL
+    assert(jsonExtractScalar("""{"a":"x"}""", "$.a") == "x")      // string unquoted
+    assert(jsonExtractScalar("""{"a":7.5}""", "$.a") == "7.5")    // number as JSON text
+    assert(jsonExtractScalar("""{"a":true}""", "$.a") == "true")
+    assert(jsonExtractScalar("""{"a":null}""", "$.a") == null)    // JSON null -> SQL NULL
+    assert(jsonExtractScalar("""{"a":1}""", "$.b") == null)       // missing path
+    assert(jsonExtractScalar("""{"a b":"v"}""", """$["a b"]""") == "v") // bracket dialect
   }
 
   test("parse_datetime maps Joda year to proleptic and defaults missing fields") {
