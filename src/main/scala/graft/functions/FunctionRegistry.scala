@@ -34,6 +34,7 @@ object FunctionRegistry {
       TypedAggregators.install(spark)
       HeavyHitters.install(spark)
       MapHistogramAggs.install(spark)
+      TeradataFunctions.install(spark)
       installed.put(spark, java.lang.Boolean.TRUE)
     }
   }

@@ -717,5 +717,31 @@ object FuncQueries extends QueryModule {
           |  CAST(from_ieee754_32(to_ieee754_32(CAST(-0.5 AS FLOAT))) AS DOUBLE) AS ieee32_rt,
           |  to_hex(from_hex('01fbff')) AS hex_up,
           |  lower(to_hex(from_hex('ABCDEF'))) AS hex_rt""".stripMargin)
+    },
+
+    // Teradata compatibility plugin — presto-teradata-functions:
+    // index (TeradataStringFunctions.java:40), char2hexint (:109,
+    // definitional literal: UTF-16BE of 'ABC'), to_char/to_date/
+    // to_timestamp with the Teradata format grammar
+    // (TeradataDateFunctions.java:63-96, dateformat/DateFormatParser
+    // .java:37-70). Exercised over orders dates so the format
+    // translation runs across real data, not one literal.
+    Q("func_teradata",
+      """SELECT o_orderkey,
+        |  strftime(o_orderdate, '%Y/%m/%d') AS td_char,
+        |  CAST(strptime('1988/04/08', '%Y/%m/%d') AS DATE) AS td_date,
+        |  CAST(strptime('1988/04/08 02:03:04', '%Y/%m/%d %H:%M:%S') AS TIMESTAMP) AS td_ts,
+        |  CAST(instr(o_orderpriority, 'URGENT') AS BIGINT) AS td_index,
+        |  '004100420043' AS td_hex
+        |FROM orders WHERE o_orderkey <= 500""".stripMargin) { (s, _) =>
+      graft.functions.FunctionRegistry.installAll(s)
+      s.sql(
+        """SELECT o_orderkey,
+          |  to_char(CAST(o_orderdate AS TIMESTAMP), 'yyyy/mm/dd') AS td_char,
+          |  to_date('1988/04/08', 'yyyy/mm/dd') AS td_date,
+          |  to_timestamp('1988/04/08 02:03:04', 'yyyy/mm/dd hh24:mi:ss') AS td_ts,
+          |  CAST(index(o_orderpriority, 'URGENT') AS BIGINT) AS td_index,
+          |  char2hexint('ABC') AS td_hex
+          |FROM orders WHERE o_orderkey <= 500""".stripMargin)
     })
 }
