@@ -145,5 +145,32 @@ object JoinQueries extends QueryModule {
         .groupBy("user_id", "ts").agg(max("value").as("vval"))
       graft.operators.AsOfJoinOps.asofJoin(clicks, views, "user_id", "ts", "ts")
         .select("user_id", "event_id", "vval")
+    },
+
+    // Spatial distance join (SpatialJoinOps) — the reference's
+    // SpatialJoinOperator.java:40 R-tree probe as a grid-binned
+    // equi-join. Points are derived deterministically from keys
+    // (integer modular arithmetic, identical in both engines); the
+    // oracle recomputes with a brute-force theta join — the engine side
+    // must produce the identical pair set from 9 bounded cell buckets.
+    Q("join_spatial_grid",
+      """WITH pts AS (
+        |  SELECT c_custkey, (c_custkey * 7919 % 10000) / 100.0 AS x,
+        |         (c_custkey * 104729 % 10000) / 100.0 AS y FROM customer),
+        |sites AS (
+        |  SELECT s_suppkey, (s_suppkey * 15485863 % 10000) / 100.0 AS x,
+        |         (s_suppkey * 32452843 % 10000) / 100.0 AS y FROM supplier)
+        |SELECT p.c_custkey, st.s_suppkey,
+        |  sqrt((p.x - st.x) * (p.x - st.x) + (p.y - st.y) * (p.y - st.y)) AS dist
+        |FROM pts p, sites st
+        |WHERE sqrt((p.x - st.x) * (p.x - st.x) + (p.y - st.y) * (p.y - st.y)) <= 1.5""".stripMargin) { (s, _) =>
+      val pts = s.table("customer").select(col("c_custkey"),
+        (col("c_custkey") * 7919 % 10000 / 100.0).as("px"),
+        (col("c_custkey") * 104729 % 10000 / 100.0).as("py"))
+      val sites = s.table("supplier").select(col("s_suppkey"),
+        (col("s_suppkey") * 15485863 % 10000 / 100.0).as("sx"),
+        (col("s_suppkey") * 32452843 % 10000 / 100.0).as("sy"))
+      graft.operators.SpatialJoinOps.distanceJoin(pts, "px", "py", sites, "sx", "sy", 1.5)
+        .select("c_custkey", "s_suppkey", "dist")
     })
 }

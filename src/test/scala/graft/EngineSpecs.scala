@@ -475,4 +475,32 @@ class EngineSpecs extends AnyFunSuite with BeforeAndAfterAll {
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
     }
   }
+
+  test("spatial grid join = brute-force pairs, planned as an equi-join") {
+    import org.apache.spark.sql.functions._
+    // SpatialJoinOps: the 3x3 neighbor expansion must lose no pair and
+    // duplicate no pair, and the plan must be a hash/merge equi-join on
+    // cell keys — NOT a cartesian/broadcast-nested-loop product (which
+    // is what a naive distance theta-join plans as, and what cannot
+    // scale past a single node's row product).
+    val pts = spark.table("customer").select(col("c_custkey"),
+      (col("c_custkey") * 7919 % 10000 / 100.0).as("px"),
+      (col("c_custkey") * 104729 % 10000 / 100.0).as("py"))
+    val sites = spark.table("supplier").select(col("s_suppkey"),
+      (col("s_suppkey") * 15485863 % 10000 / 100.0).as("sx"),
+      (col("s_suppkey") * 32452843 % 10000 / 100.0).as("sy"))
+    val grid = graft.operators.SpatialJoinOps
+      .distanceJoin(pts, "px", "py", sites, "sx", "sy", 1.5)
+      .select("c_custkey", "s_suppkey")
+    val brute = pts.crossJoin(sites)
+      .filter(graft.operators.SpatialJoinOps.stDistance(
+        col("px"), col("py"), col("sx"), col("sy")) <= 1.5)
+      .select("c_custkey", "s_suppkey")
+    assert(grid.count() == grid.distinct().count(), "grid join emitted a duplicate pair")
+    assert(grid.exceptAll(brute).isEmpty && brute.exceptAll(grid).isEmpty,
+      "grid join pair set differs from brute force")
+    val plan = grid.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"spatial join planned as a product:\n$plan")
+  }
 }
