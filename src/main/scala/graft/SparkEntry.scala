@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.queries._
-import graft.llm.{LlmQueries, MultimodalQueries}
+import graft.llm.{LlmQueries, MultimodalQueries, PipelineQueries}
 import graft.sql.DdlQueries
 import graft.sources.SourceQueries
 
@@ -17,8 +17,8 @@ object SparkEntry {
   /** All query modules (one per SURVEY §2 area). */
   def modules: Seq[QueryModule] = Seq(
     TpchQueries, JoinQueries, AggQueries, WindowQueries, SetOpQueries, ShapeQueries,
-    FuncQueries, EventQueries, SketchQueries, LlmQueries, MultimodalQueries, DdlQueries,
-    SourceQueries, MiscQueries)
+    FuncQueries, EventQueries, SketchQueries, LlmQueries, MultimodalQueries,
+    PipelineQueries, DdlQueries, SourceQueries, MiscQueries)
 
   private lazy val all: Seq[Q] = modules.flatMap(_.queries)
 

@@ -1,0 +1,202 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.queries.{Q, QueryModule}
+
+/** Training-data pipeline operators beyond dedup/ANN (BASELINE.json
+  * north star): benchmark decontamination, PII redaction, repetition
+  * quality signals, and greedy sequence packing. Each is a
+  * deterministic, oracle-replayable pipeline over the `documents`
+  * fixture, designed for the 100 TB shape first:
+  *
+  *  - decontaminate: eval-gram set is tiny vs the corpus -> broadcast
+  *    semi-join on 8-byte gram hashes; one shuffle over training grams.
+  *  - PII: pure per-row regexp chain, whole-stage codegen, no shuffle.
+  *  - repetition: explode -> two-level hash agg, shuffle keyed on
+  *    (doc, gram-hash) then doc — bounded by corpus token count.
+  *  - packing: per-shard greedy fold via flatMapSortedGroups — one
+  *    shuffle on the shard key, each shard streamed in sorted order
+  *    with O(1) state (the same shape Spark uses for sessionization).
+  */
+object PipelineQueries extends QueryModule {
+
+  /** (doc_id, 64-bit hash of each distinct word n-gram) — same kernel
+    * family as LlmQueries' 5-gram shingles (mapPartitions, hashed keys
+    * on the wire, not strings).
+    */
+  private def ngramHashRows(s: SparkSession, n: Int, distinct: Boolean): DataFrame = {
+    import s.implicits._
+    s.table("documents")
+      .select(col("doc_id").cast("long"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        it.flatMap { case (id, text) =>
+          val w = text.split(" ", -1)
+          if (w.length < n) Iterator.empty
+          else {
+            val seen = new scala.collection.mutable.HashSet[Long]
+            val out = new scala.collection.mutable.ArrayBuffer[(Long, Long)](w.length - n + 1)
+            var i = 0
+            while (i <= w.length - n) {
+              val sb = new java.lang.StringBuilder(w(i))
+              var j = i + 1
+              while (j < i + n) { sb.append('_').append(w(j)); j += 1 }
+              val h = graft.functions.Hll.hashAny(
+                org.apache.spark.unsafe.types.UTF8String.fromString(sb.toString))
+              if (!distinct || seen.add(h)) out += ((id, h))
+              i += 1
+            }
+            out.iterator
+          }
+        }
+      }.toDF("doc_id", "gh")
+  }
+
+  def queries: Seq[Q] = Seq(
+
+    // Benchmark decontamination — the GPT-3 appendix-C procedure: a
+    // training document is contaminated if it shares any 13-gram with
+    // the eval set (here: every 20th doc stands in for the benchmark).
+    // Engine joins on hashed grams (8 bytes/gram on the wire); the
+    // eval side is corpus-fraction-small, so AQE broadcasts it and the
+    // training grams are never shuffled — at 100 TB this is one scan +
+    // one map-side semi join.
+    Q("llm_decontaminate",
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |g AS (SELECT doc_id, unnest(list_distinct([array_to_string(w[i:i+12], '_')
+        |        for i in generate_series(1, len(w)-12)])) AS s
+        |      FROM toks WHERE len(w) >= 13),
+        |ev AS (SELECT DISTINCT s FROM g WHERE doc_id % 20 = 0)
+        |SELECT g.doc_id, CAST(count(*) AS BIGINT) AS shared_grams
+        |FROM g JOIN ev USING (s) WHERE g.doc_id % 20 <> 0
+        |GROUP BY g.doc_id""".stripMargin) { (s, _) =>
+      val grams = ngramHashRows(s, 13, distinct = true)
+      val ev = grams.filter(col("doc_id") % 20 === 0).select("gh").distinct()
+      grams.filter(col("doc_id") % 20 =!= 0)
+        .join(ev, "gh")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("shared_grams"))
+    },
+
+    // PII detection/redaction — deterministic synthetic PII (derived
+    // from doc_id so both engines construct identical text), then a
+    // count + redact regexp chain. All three patterns are in the
+    // Java-regex/RE2 common subset. Pure codegen'd per-row work: the
+    // 100 TB cost is one scan, no shuffle.
+    Q("llm_pii_redact",
+      """WITH pii AS (SELECT doc_id,
+        |    substr(text, 1, 40) || ' email user' || doc_id || '@example.com call 555-123-' ||
+        |    lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' from 10.0.' ||
+        |    CAST(doc_id % 256 AS VARCHAR) || '.' || CAST((doc_id * 7) % 256 AS VARCHAR) AS t
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
+        |  CAST(len(regexp_extract_all(t, '\d{3}-\d{3}-\d{4}')) AS BIGINT) AS n_phone,
+        |  CAST(len(regexp_extract_all(regexp_replace(regexp_replace(t,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\d{3}-\d{3}-\d{4}', '<PHONE>', 'g'),
+        |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ip,
+        |  regexp_replace(regexp_replace(regexp_replace(t,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\d{3}-\d{3}-\d{4}', '<PHONE>', 'g'),
+        |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') AS redacted
+        |FROM pii""".stripMargin) { (s, _) =>
+      val emailP = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+      val phoneP = "\\d{3}-\\d{3}-\\d{4}"
+      val ipP = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+      val t = concat(
+        substring(col("text"), 1, 40), lit(" email user"), col("doc_id").cast("string"),
+        lit("@example.com call 555-123-"),
+        lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+        lit(" from 10.0."), (col("doc_id") % 256).cast("string"),
+        lit("."), (col("doc_id") * 7 % 256).cast("string"))
+      val afterEmailPhone = regexp_replace(
+        regexp_replace(t, emailP, "<EMAIL>"), phoneP, "<PHONE>")
+      s.table("documents").select(
+        col("doc_id"),
+        regexp_count(t, lit(emailP)).as("n_email"),
+        regexp_count(t, lit(phoneP)).as("n_phone"),
+        regexp_count(afterEmailPhone, lit(ipP)).as("n_ip"),
+        regexp_replace(afterEmailPhone, ipP, "<IP>").as("redacted"))
+    },
+
+    // Repetition quality signals — the Gopher/MassiveText repetition
+    // filters: duplicate-word fraction and most-frequent-bigram
+    // fraction per document. Bigrams flow as hashed keys through two
+    // hash aggregations (doc×gram, then doc) — scale is bounded by
+    // token count, no joins wider than the corpus itself.
+    Q("llm_repetition_signals",
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |words AS (SELECT doc_id, len(w) AS total, len(list_distinct(w)) AS uniq
+        |          FROM toks WHERE len(w) >= 2),
+        |bi AS (SELECT doc_id, unnest([w[i] || '_' || w[i+1]
+        |         for i in generate_series(1, len(w)-1)]) AS b FROM toks WHERE len(w) >= 2),
+        |bc AS (SELECT doc_id, b, count(*) AS c FROM bi GROUP BY 1, 2),
+        |tb AS (SELECT doc_id, max(c) AS topc, sum(c) AS totc FROM bc GROUP BY 1)
+        |SELECT w.doc_id,
+        |  1.0 - uniq * 1.0 / total AS dup_word_frac,
+        |  topc * 1.0 / totc AS top_bigram_frac
+        |FROM words w JOIN tb ON w.doc_id = tb.doc_id""".stripMargin) { (s, _) =>
+      val words = s.table("documents")
+        .select(col("doc_id").cast("long").as("doc_id"), split(col("text"), " ", -1).as("w"))
+        .filter(size(col("w")) >= 2)
+        .select(col("doc_id"), size(col("w")).as("total"),
+          size(array_distinct(col("w"))).as("uniq"))
+      val bigrams = ngramHashRows(s, 2, distinct = false)
+        .groupBy("doc_id", "gh").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id").agg(max("c").as("topc"), sum("c").as("totc"))
+      words.join(bigrams, "doc_id").select(
+        col("doc_id"),
+        (lit(1.0) - col("uniq") * lit(1.0) / col("total")).as("dup_word_frac"),
+        (col("topc") * lit(1.0) / col("totc")).as("top_bigram_frac"))
+    },
+
+    // Greedy sequence packing — fill 512-token training sequences with
+    // whole documents, per source shard in doc_id order (never
+    // splitting a document; oversized docs get a bin alone). One
+    // shuffle on the shard key; each shard is streamed sorted with
+    // O(1) fold state (flatMapSortedGroups), so shard size is
+    // unbounded. The oracle replays the identical greedy fold as a
+    // recursive CTE.
+    Q("llm_sequence_pack",
+      """WITH RECURSIVE ord AS (
+        |  SELECT doc_id, source, len(string_split(text, ' ')) AS n,
+        |         row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+        |  FROM documents),
+        |pack AS (
+        |  SELECT doc_id, source, rn, n,
+        |         CAST(0 AS BIGINT) AS seq_id, CAST(0 AS BIGINT) AS tok_offset, n AS fill
+        |  FROM ord WHERE rn = 1
+        |  UNION ALL
+        |  SELECT o.doc_id, o.source, o.rn, o.n,
+        |    CASE WHEN p.fill + o.n <= 512 THEN p.seq_id ELSE p.seq_id + 1 END,
+        |    CASE WHEN p.fill + o.n <= 512 THEN p.fill ELSE CAST(0 AS BIGINT) END,
+        |    CASE WHEN p.fill + o.n <= 512 THEN p.fill + o.n ELSE o.n END
+        |  FROM ord o JOIN pack p ON o.source = p.source AND o.rn = p.rn + 1)
+        |SELECT doc_id, source, seq_id, tok_offset,
+        |  CAST(n AS BIGINT) AS n_tokens
+        |FROM pack""".stripMargin) { (s, _) =>
+      import s.implicits._
+      val capacity = 512L
+      s.table("documents")
+        .select(col("doc_id").cast("long"), col("source"),
+          size(split(col("text"), " ", -1)).cast("long").as("n"))
+        .as[(Long, String, Long)]
+        .groupByKey(_._2)
+        .flatMapSortedGroups(col("doc_id")) { case (source, docs) =>
+          var seqId = 0L
+          var fill = -1L // -1 = no open sequence yet
+          docs.map { case (docId, _, n) =>
+            if (fill < 0 || fill + n > capacity) {
+              if (fill >= 0) seqId += 1
+              fill = 0L
+            }
+            val off = fill
+            fill += n
+            (docId, source, seqId, off, n)
+          }
+        }
+        .toDF("doc_id", "source", "seq_id", "tok_offset", "n_tokens")
+    })
+}

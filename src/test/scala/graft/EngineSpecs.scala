@@ -503,4 +503,26 @@ class EngineSpecs extends AnyFunSuite with BeforeAndAfterAll {
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
       s"spatial join planned as a product:\n$plan")
   }
+
+  test("sequence packing: bins never overflow, offsets are contiguous, order preserved") {
+    import org.apache.spark.sql.functions._
+    val packed = SparkEntry.queries("llm_sequence_pack")(spark, sfDir)
+    // a bin's docs tile it exactly: each doc starts where the previous
+    // ended, and no bin exceeds capacity unless a single doc does
+    val viol = packed
+      .withColumn("prev_end", lag(col("tok_offset") + col("n_tokens"), 1, 0L)
+        .over(org.apache.spark.sql.expressions.Window
+          .partitionBy("source", "seq_id").orderBy("doc_id")))
+      .filter(col("tok_offset") =!= col("prev_end") ||
+        (col("tok_offset") + col("n_tokens") > 512 && col("tok_offset") =!= 0))
+      .count()
+    assert(viol == 0, "packing produced a gap, overlap, or overflow")
+    // every document lands in exactly one bin
+    assert(packed.count() == spark.table("documents").count())
+    // bin ids are dense per source: max(seq_id)+1 distinct bins
+    val perSrc = packed.groupBy("source")
+      .agg(max("seq_id").as("mx"), countDistinct("seq_id").as("nd"))
+      .filter(col("nd") =!= col("mx") + 1).count()
+    assert(perSrc == 0, "bin ids not dense per source")
+  }
 }
