@@ -172,5 +172,75 @@ object SourceQueries extends QueryModule {
       } finally {
         org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
       }
+    },
+
+    // Hive-style partition layout + static partition pruning — the
+    // reference's TupleDomain pushdown into partitioned Hive tables
+    // (PickTableLayout.java, HivePageSourceProvider). Writing
+    // date-partitioned parquet and filtering on the partition column
+    // must plan as PartitionFilters (directories skipped, not scanned);
+    // the aggregate over the surviving partition matches the oracle's
+    // recomputation from the unpartitioned source. Decimal sum keeps
+    // the check order-independent.
+    Q("src_partition_pruning",
+      """SELECT CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total,
+        |  true AS pruned
+        |FROM events
+        |WHERE CAST(ts AS DATE) = (SELECT min(CAST(ts AS DATE)) FROM events)""".stripMargin) { (s, _) =>
+      import s.implicits._
+      val dir = java.nio.file.Files.createTempDirectory("graft_part_").toString
+      try {
+        s.table("events").withColumn("event_date", to_date(col("ts")))
+          .write.mode("overwrite").partitionBy("event_date").parquet(dir)
+        val part = s.read.parquet(dir)
+        val d0 = s.table("events").agg(min(to_date(col("ts")))).head().getDate(0)
+        val q = part.filter(col("event_date") === lit(d0))
+        val plan = q.queryExecution.executedPlan.toString
+        val pruned = plan.contains("PartitionFilters: [") &&
+          plan.contains("event_date")
+        val row = q.agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,6)")).cast("double").as("total")).head()
+        Seq((row.getLong(0), row.getDouble(1), pruned)).toDF("n", "total", "pruned")
+      } finally {
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+      }
+    },
+
+    // Dynamic partition pruning — Spark's runtime answer to the
+    // reference's per-split TupleDomain pruning: the selective dim
+    // filter ("busiest 3 days") becomes a runtime subquery that skips
+    // fact partitions before scanning them (plan shows
+    // `dynamicpruning` on the partition column). At 100 TB this is THE
+    // mechanism that keeps star-schema joins from scanning every date
+    // partition of the fact table.
+    Q("src_dynamic_partition_pruning",
+      """WITH dim AS (
+        |  SELECT DISTINCT CAST(ts AS DATE) AS event_date FROM events),
+        |sundays AS (SELECT event_date FROM dim WHERE dayofweek(event_date) = 0)
+        |SELECT CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total,
+        |  true AS dpp
+        |FROM events JOIN sundays ON CAST(ts AS DATE) = sundays.event_date""".stripMargin) { (s, _) =>
+      import s.implicits._
+      val dir = java.nio.file.Files.createTempDirectory("graft_dpp_").toString
+      try {
+        s.table("events").withColumn("event_date", to_date(col("ts")))
+          .write.mode("overwrite").partitionBy("event_date").parquet(dir)
+        val fact = s.read.parquet(dir)
+        // date dim with a selective attribute filter (Sundays): exactly
+        // the shape Spark's DPP heuristic recognizes — the dim filter
+        // becomes a runtime subquery pruning fact partitions.
+        // (Spark dayofweek: Sunday=1; DuckDB dayofweek: Sunday=0.)
+        val sundays = fact.select("event_date").distinct()
+          .filter(dayofweek(col("event_date")) === 1)
+        val q = fact.join(sundays, "event_date")
+        val dpp = q.queryExecution.executedPlan.toString.contains("dynamicpruning")
+        val row = q.agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,6)")).cast("double").as("total")).head()
+        Seq((row.getLong(0), row.getDouble(1), dpp)).toDF("n", "total", "dpp")
+      } finally {
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+      }
     })
 }
