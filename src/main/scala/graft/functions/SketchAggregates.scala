@@ -103,51 +103,116 @@ case class HllSketchAgg(
     copy(inputAggBufferOffset = offset)
 }
 
-/** Bottom-k set digest (k smallest distinct xxhash64 values) — mergeable
-  * minhash per Broder 1997; powers jaccard_index like the reference's
-  * SetDigest. Bounded k*8-byte buffer per group.
+/** Bottom-k set digest (k smallest distinct xxhash64 values, each with
+  * an occurrence count) — mergeable minhash per Broder 1997; powers
+  * jaccard_index / intersection_cardinality / hash_counts like the
+  * reference's SetDigest (type/setdigest/SetDigest.java keeps the same
+  * hash->short-count map beside its HLL). Bounded k*10-byte buffer per
+  * group. Keys sort as UNSIGNED hashes (Long.MIN_VALUE xor flip) so
+  * "bottom k" means smallest in hash space, as KMV estimation requires.
   */
 object SetDigest {
   val K = 256
+  type Buf = java.util.TreeMap[java.lang.Long, java.lang.Short]
 
-  def toBytes(s: java.util.TreeSet[java.lang.Long]): Array[Byte] = {
-    val bb = java.nio.ByteBuffer.allocate(4 + s.size * 8)
+  private def flip(h: Long): Long = h ^ Long.MinValue // unsigned-order key
+
+  def newBuf(): Buf = new java.util.TreeMap[java.lang.Long, java.lang.Short]()
+
+  def toBytes(s: Buf): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(4 + s.size * 10)
     bb.putInt(s.size)
-    val it = s.iterator()
-    while (it.hasNext) bb.putLong(it.next())
+    val it = s.entrySet().iterator()
+    while (it.hasNext) { val e = it.next(); bb.putLong(e.getKey); bb.putShort(e.getValue) }
     bb.array()
   }
 
-  def fromBytes(b: Array[Byte]): java.util.TreeSet[java.lang.Long] = {
+  def fromBytes(b: Array[Byte]): Buf = {
     val bb = java.nio.ByteBuffer.wrap(b)
     val n = bb.getInt
-    val s = new java.util.TreeSet[java.lang.Long]()
+    val s = newBuf()
     var i = 0
-    while (i < n) { s.add(bb.getLong); i += 1 }
+    while (i < n) { s.put(bb.getLong, bb.getShort); i += 1 }
     s
   }
 
-  def add(s: java.util.TreeSet[java.lang.Long], h: Long): Unit = {
-    s.add(h)
-    while (s.size > K) s.pollLast()
+  def add(s: Buf, h: Long): Unit = add(s, h, 1)
+
+  def add(s: Buf, h: Long, count: Int): Unit = {
+    val k = flip(h)
+    val prev = s.get(k)
+    val next = (if (prev == null) count else prev.toInt + count).min(Short.MaxValue).toShort
+    s.put(k, next)
+    while (s.size > K) s.pollLastEntry()
+  }
+
+  /** True iff the digest holds every distinct input hash (not yet
+    * truncated to bottom-k) — reference SetDigest.isExact. */
+  def isExact(s: Buf): Boolean = s.size < K
+
+  /** Distinct-count estimate: exact below K; above, the KMV estimator
+    * (K-1) / fraction-of-hash-space-below-the-kth-smallest.
+    */
+  def cardinality(s: Buf): Long = {
+    if (isExact(s)) s.size.toLong
+    else {
+      // lastKey is sign-flipped, so its signed value v maps to unsigned
+      // hash-space position u = v + 2^63; fraction = u / 2^64 = v/2^64 + 0.5
+      val frac = (s.lastKey().toDouble / 1.8446744073709552e19) + 0.5
+      math.round((K - 1) / math.max(frac, 1e-12))
+    }
   }
 
   /** Jaccard estimate from two bottom-k digests (Broder): among the k
     * smallest of the union, the fraction present in both.
     */
-  def jaccard(a: java.util.TreeSet[java.lang.Long], b: java.util.TreeSet[java.lang.Long]): Double = {
+  def jaccard(a: Buf, b: Buf): Double = {
     if (a.isEmpty && b.isEmpty) return 1.0
-    val union = new java.util.TreeSet[java.lang.Long](a)
-    union.addAll(b)
+    val union = new java.util.TreeSet[java.lang.Long](a.keySet())
+    union.addAll(b.keySet())
     var kept = 0
     var inBoth = 0
     val it = union.iterator()
     while (it.hasNext && kept < K) {
       val h = it.next()
       kept += 1
-      if (a.contains(h) && b.contains(h)) inBoth += 1
+      if (a.containsKey(h) && b.containsKey(h)) inBoth += 1
     }
     inBoth.toDouble / kept
+  }
+
+  /** |A ∩ B| — exact when both digests are exact, else
+    * min(round(jaccard * |A ∪ B|), min(|A|, |B|)), mirroring
+    * SetDigestFunctions.intersectionCardinality (the jaccard-based
+    * estimate can only overshoot when one set nears being a subset of
+    * the other, where the smaller cardinality is the better bound).
+    */
+  def intersectionCardinality(a: Buf, b: Buf): Long = {
+    if (isExact(a) && isExact(b)) {
+      var n = 0L
+      val it = a.keySet().iterator()
+      while (it.hasNext) if (b.containsKey(it.next())) n += 1
+      n
+    } else {
+      val ca = cardinality(a)
+      val cb = cardinality(b)
+      val j = jaccard(a, b)
+      val union = newBuf()
+      val ia = a.entrySet().iterator()
+      while (ia.hasNext) { val e = ia.next(); add(union, flip(e.getKey), e.getValue.toInt) }
+      val ib = b.entrySet().iterator()
+      while (ib.hasNext) { val e = ib.next(); add(union, flip(e.getKey), e.getValue.toInt) }
+      math.min(math.round(j * cardinality(union)), math.min(ca, cb))
+    }
+  }
+
+  /** The stored hash -> occurrence-count map (raw hash keys) —
+    * SetDigestFunctions.hashCounts. */
+  def hashCounts(s: Buf): Map[Long, Short] = {
+    val b = Map.newBuilder[Long, Short]
+    val it = s.entrySet().iterator()
+    while (it.hasNext) { val e = it.next(); b += (flip(e.getKey) -> e.getValue.shortValue()) }
+    b.result()
   }
 }
 
@@ -161,31 +226,31 @@ case class SetDigestAgg(
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0,
     mergeMode: Boolean = false)
-  extends TypedImperativeAggregate[java.util.TreeSet[java.lang.Long]] with UnaryLike[Expression] {
+  extends TypedImperativeAggregate[SetDigest.Buf] with UnaryLike[Expression] {
 
-  override def createAggregationBuffer(): java.util.TreeSet[java.lang.Long] =
-    new java.util.TreeSet[java.lang.Long]()
+  private def addAll(buf: SetDigest.Buf, other: SetDigest.Buf): SetDigest.Buf = {
+    val it = SetDigest.hashCounts(other).iterator
+    while (it.hasNext) { val (h, c) = it.next(); SetDigest.add(buf, h, c.toInt) }
+    buf
+  }
 
-  override def update(buf: java.util.TreeSet[java.lang.Long], input: InternalRow): java.util.TreeSet[java.lang.Long] = {
+  override def createAggregationBuffer(): SetDigest.Buf = SetDigest.newBuf()
+
+  override def update(buf: SetDigest.Buf, input: InternalRow): SetDigest.Buf = {
     val v = child.eval(input)
     if (v != null) {
-      if (mergeMode) {
-        val it = SetDigest.fromBytes(v.asInstanceOf[Array[Byte]]).iterator()
-        while (it.hasNext) SetDigest.add(buf, it.next())
-      } else SetDigest.add(buf, Hll.hashAny(v))
+      if (mergeMode) addAll(buf, SetDigest.fromBytes(v.asInstanceOf[Array[Byte]]))
+      else SetDigest.add(buf, Hll.hashAny(v))
     }
     buf
   }
 
-  override def merge(buf: java.util.TreeSet[java.lang.Long], other: java.util.TreeSet[java.lang.Long]): java.util.TreeSet[java.lang.Long] = {
-    val it = other.iterator()
-    while (it.hasNext) SetDigest.add(buf, it.next())
-    buf
-  }
+  override def merge(buf: SetDigest.Buf, other: SetDigest.Buf): SetDigest.Buf =
+    addAll(buf, other)
 
-  override def eval(buf: java.util.TreeSet[java.lang.Long]): Any = SetDigest.toBytes(buf)
-  override def serialize(buf: java.util.TreeSet[java.lang.Long]): Array[Byte] = SetDigest.toBytes(buf)
-  override def deserialize(b: Array[Byte]): java.util.TreeSet[java.lang.Long] = SetDigest.fromBytes(b)
+  override def eval(buf: SetDigest.Buf): Any = SetDigest.toBytes(buf)
+  override def serialize(buf: SetDigest.Buf): Array[Byte] = SetDigest.toBytes(buf)
+  override def deserialize(b: Array[Byte]): SetDigest.Buf = SetDigest.fromBytes(b)
 
   override def dataType: DataType = BinaryType
   override def nullable: Boolean = false
@@ -222,5 +287,19 @@ object SketchAggregates {
       if (a == null || b == null) null
       else java.lang.Double.valueOf(
         SetDigest.jaccard(SetDigest.fromBytes(a), SetDigest.fromBytes(b))))
+    // SetDigestFunctions.java:54 — exact below k, jaccard-bounded above
+    spark.udf.register("intersection_cardinality", (a: Array[Byte], b: Array[Byte]) =>
+      if (a == null || b == null) null
+      else java.lang.Long.valueOf(
+        SetDigest.intersectionCardinality(SetDigest.fromBytes(a), SetDigest.fromBytes(b))))
+    // SetDigestFunctions.java:47 — cardinality(setdigest); named to avoid
+    // shadowing Spark's array/map cardinality (Presto overloads by type)
+    spark.udf.register("set_digest_cardinality", (a: Array[Byte]) =>
+      if (a == null) null
+      else java.lang.Long.valueOf(SetDigest.cardinality(SetDigest.fromBytes(a))))
+    // SetDigestFunctions.java:86 — hash -> occurrence count map
+    spark.udf.register("hash_counts", (a: Array[Byte]) =>
+      if (a == null) null
+      else SetDigest.hashCounts(SetDigest.fromBytes(a)))
   }
 }

@@ -88,6 +88,50 @@ object SketchQueries extends QueryModule {
           |  (SELECT make_set_digest(l_partkey) FROM lineitem WHERE l_quantity < 30)) AS j""".stripMargin)
     },
 
+    // SetDigest scalar tail — SetDigestFunctions.java:47-104:
+    // set_digest_cardinality, intersection_cardinality, hash_counts.
+    // Contract: on sub-k sets the digest is exact (intersection and
+    // per-hash occurrence counts are equalities, not estimates); on a
+    // saturated digest the KMV cardinality lands within 15% of exact.
+    Q("sketch_setdigest_intersect",
+      """SELECT true AS exact_inter_ok, true AS exact_card_ok,
+        |  true AS hash_counts_ok, true AS kmv_ok""".stripMargin) { (s, _) =>
+      import s.implicits._
+      graft.functions.FunctionRegistry.installAll(s)
+      val r = s.sql(
+        """WITH dc AS (SELECT make_set_digest(c_nationkey) AS dg FROM customer),
+          |     dn AS (SELECT make_set_digest(n_nationkey) AS dg FROM nation WHERE n_nationkey < 10),
+          |     dl AS (SELECT make_set_digest(l_partkey) AS dg FROM lineitem)
+          |SELECT
+          |  intersection_cardinality(dc.dg, dn.dg) AS inter,
+          |  set_digest_cardinality(dc.dg) AS card,
+          |  aggregate(map_values(hash_counts(dc.dg)),
+          |    0L, (acc, x) -> acc + CAST(x AS BIGINT)) AS occ_sum,
+          |  set_digest_cardinality(dl.dg) AS kmv
+          |FROM dc, dn, dl""".stripMargin).head()
+      val exactInter = s.sql(
+        "SELECT count(DISTINCT c_nationkey) FROM customer WHERE c_nationkey < 10")
+        .head().getLong(0)
+      val exactNations = s.sql("SELECT count(DISTINCT c_nationkey) FROM customer")
+        .head().getLong(0)
+      val nCustomers = s.table("customer").count()
+      val exactParts = s.sql("SELECT count(DISTINCT l_partkey) FROM lineitem")
+        .head().getLong(0)
+      Seq((r.getLong(0) == exactInter, r.getLong(1) == exactNations,
+        r.getLong(2) == nCustomers,
+        math.abs(r.getLong(3).toDouble - exactParts) / exactParts < 0.15))
+        .toDF("exact_inter_ok", "exact_card_ok", "hash_counts_ok", "kmv_ok")
+    }.withBench { (s, _) =>
+      graft.functions.FunctionRegistry.installAll(s)
+      s.sql(
+        """SELECT
+          |  intersection_cardinality(
+          |    (SELECT make_set_digest(c_nationkey) FROM customer),
+          |    (SELECT make_set_digest(n_nationkey) FROM nation WHERE n_nationkey < 10)) AS inter,
+          |  set_digest_cardinality(
+          |    (SELECT make_set_digest(l_partkey) FROM lineitem)) AS kmv""".stripMargin)
+    },
+
     // approx_percentile within 1% of the exact quantiles.
     Q("sketch_approx_percentile",
       """SELECT true AS p50_ok, true AS p95_ok""".stripMargin) { (s, _) =>

@@ -38,12 +38,13 @@ class FunctionSpecs extends AnyFunSuite {
 
   // ---- SetDigest (Broder bottom-k) ----
 
+  private def digest(xs: Range): SetDigest.Buf = {
+    val s = SetDigest.newBuf()
+    xs.foreach(i => SetDigest.add(s, Hll.hashAny(i.toLong)))
+    s
+  }
+
   test("setdigest jaccard estimates overlap") {
-    def digest(xs: Range): java.util.TreeSet[java.lang.Long] = {
-      val s = new java.util.TreeSet[java.lang.Long]()
-      xs.foreach(i => SetDigest.add(s, Hll.hashAny(i.toLong)))
-      s
-    }
     // |A∩B|/|A∪B| = 5000/15000 ≈ 0.333
     val a = digest(0 until 10000)
     val b = digest(5000 until 15000)
@@ -54,10 +55,42 @@ class FunctionSpecs extends AnyFunSuite {
   }
 
   test("setdigest serialization round-trips") {
-    val s = new java.util.TreeSet[java.lang.Long]()
+    val s = SetDigest.newBuf()
     (0 until 1000).foreach(i => SetDigest.add(s, Hll.hashAny(i.toLong)))
     assert(SetDigest.fromBytes(SetDigest.toBytes(s)) == s)
     assert(s.size() == SetDigest.K)
+  }
+
+  test("setdigest cardinality: exact below k, KMV within 15% above") {
+    assert(SetDigest.cardinality(digest(0 until 100)) == 100L)
+    val est = SetDigest.cardinality(digest(0 until 100000)).toDouble
+    assert(math.abs(est - 100000) / 100000 < 0.15, s"est=$est")
+  }
+
+  test("setdigest intersection_cardinality: exact small sets, bounded estimate large") {
+    // exact path: both digests unsaturated
+    val a = digest(0 until 100)
+    val b = digest(50 until 150)
+    assert(SetDigest.intersectionCardinality(a, b) == 50L)
+    // estimated path: 5000-element overlap of two 10k sets, within 25%
+    val la = digest(0 until 10000)
+    val lb = digest(5000 until 15000)
+    val est = SetDigest.intersectionCardinality(la, lb).toDouble
+    assert(math.abs(est - 5000) / 5000 < 0.25, s"est=$est")
+    // subset guard: estimate never exceeds the smaller set's cardinality
+    val small = digest(0 until 300)
+    val big = digest(0 until 50000)
+    assert(SetDigest.intersectionCardinality(small, big) <=
+      SetDigest.cardinality(small))
+  }
+
+  test("setdigest hash_counts tracks occurrence counts through merge") {
+    val s = SetDigest.newBuf()
+    SetDigest.add(s, 7L); SetDigest.add(s, 7L); SetDigest.add(s, 9L)
+    val t = SetDigest.fromBytes(SetDigest.toBytes(s))
+    SetDigest.add(t, 7L)
+    val hc = SetDigest.hashCounts(t)
+    assert(hc(7L) == 3 && hc(9L) == 1)
   }
 
   // ---- Misra-Gries heavy hitters ----
