@@ -180,5 +180,30 @@ object ShapeQueries extends QueryModule {
       val n = df.count()
       val d = df.select("uid").distinct().count()
       Seq(n == d).toDF("ids_unique")
+    },
+
+    // Recursive CTE — EXTENSION BEYOND THE REFERENCE: SqlBase.g4 carries
+    // the RECURSIVE token but the analyzer rejects it (SURVEY §2.8);
+    // Spark >= 4.0 executes it natively (UnionLoop). Ancestor walk over
+    // an implicit binary-tree hierarchy (parent = id DIV 2): per doc,
+    // its depth and the sum of ancestor ids — results only a genuine
+    // iterative fixpoint can produce. DuckDB replays the identical
+    // recursion.
+    Q("shape_recursive_cte",
+      """WITH RECURSIVE walk AS (
+        |  SELECT doc_id, doc_id AS cur, 0 AS steps FROM documents
+        |  UNION ALL
+        |  SELECT doc_id, cur // 2 AS cur, steps + 1 FROM walk WHERE cur > 0)
+        |SELECT doc_id, CAST(max(steps) AS BIGINT) AS depth,
+        |  CAST(sum(cur) AS BIGINT) AS ancestor_sum
+        |FROM walk GROUP BY doc_id""".stripMargin) { (s, _) =>
+      s.sql(
+        """WITH RECURSIVE walk AS (
+          |  SELECT doc_id, doc_id AS cur, 0 AS steps FROM documents
+          |  UNION ALL
+          |  SELECT doc_id, cur DIV 2 AS cur, steps + 1 FROM walk WHERE cur > 0)
+          |SELECT doc_id, CAST(max(steps) AS BIGINT) AS depth,
+          |  CAST(sum(cur) AS BIGINT) AS ancestor_sum
+          |FROM walk GROUP BY doc_id""".stripMargin)
     })
 }
