@@ -35,6 +35,7 @@ object FunctionRegistry {
       HeavyHitters.install(spark)
       MapHistogramAggs.install(spark)
       TeradataFunctions.install(spark)
+      SpookyHash.install(spark)
       installed.put(spark, java.lang.Boolean.TRUE)
     }
   }

@@ -487,6 +487,21 @@ object ScalarFunctions {
   }
 
   def install(spark: SparkSession): Unit = {
+    // wilson_interval_lower/upper — WilsonInterval.java:30-57, identical
+    // double-op order so the DuckDB oracle reproduces bits exactly
+    def wilson(s: Long, t: Long, z: Double, bound: Int): Double = {
+      require(s >= 0, "number of successes must not be negative")
+      require(t > 0, "number of trials must be positive")
+      require(s <= t, "number of successes must not be larger than number of trials")
+      require(z >= 0, "z-score must not be negative")
+      val p = s * 1.0 / t
+      val n = t.toDouble
+      (p + (z * z) / (2 * n) + bound * z * math.sqrt((p * (1 - p)) / n + (z * z) / (4 * n * n))) / (1 + (z * z) / n)
+    }
+    spark.udf.register("wilson_interval_lower", (s: Long, t: Long, z: Double) => wilson(s, t, z, -1))
+    spark.udf.register("wilson_interval_upper", (s: Long, t: Long, z: Double) => wilson(s, t, z, 1))
+    // empty_approx_set() — HyperLogLogFunctions.java
+    spark.udf.register("empty_approx_set", () => new Array[Byte](Hll.M))
     spark.udf.register("date_format_mysql", (ts: java.sql.Timestamp, p: String) => dateFormatMysql(ts, p))
     spark.udf.register("date_parse_mysql", (s: String, p: String) => dateParseMysql(s, p))
     spark.udf.register("word_stem", (s: String) => porterStem(s))

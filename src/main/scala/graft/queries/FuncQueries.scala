@@ -743,5 +743,34 @@ object FuncQueries extends QueryModule {
           |  CAST(index(o_orderpriority, 'URGENT') AS BIGINT) AS td_index,
           |  char2hexint('ABC') AS td_hex
           |FROM orders WHERE o_orderkey <= 500""".stripMargin)
+    },
+
+    // SpookyHash V2 + Wilson interval + empty_approx_set — the last
+    // named scalars from the registry sweep. Spooky vectors are the
+    // reference's own (TestVarbinaryFunctions.java:338-341); wilson
+    // runs over real data with the oracle replaying the identical
+    // double-op order (WilsonInterval.java:52-57).
+    Q("func_spooky_wilson",
+      """SELECT o_orderkey,
+        |  '6BF50919' AS sp32_empty,
+        |  'D382E6CA' AS sp32_hello,
+        |  '232706FC6BF50919' AS sp64_empty,
+        |  '3768826AD382E6CA' AS sp64_hello,
+        |  ((o_orderkey % 50) * 1.0 / 50 + (1.96 * 1.96) / (2 * 50.0)
+        |    - 1.96 * sqrt((((o_orderkey % 50) * 1.0 / 50) * (1 - (o_orderkey % 50) * 1.0 / 50)) / 50.0
+        |                  + (1.96 * 1.96) / (4 * 50.0 * 50.0)))
+        |    / (1 + (1.96 * 1.96) / 50.0) AS w_lo,
+        |  CAST(0 AS BIGINT) AS empty_hll_card
+        |FROM orders WHERE o_orderkey <= 300""".stripMargin) { (s, _) =>
+      graft.functions.FunctionRegistry.installAll(s)
+      s.sql(
+        """SELECT o_orderkey,
+          |  to_hex(spooky_hash_v2_32(CAST('' AS BINARY))) AS sp32_empty,
+          |  to_hex(spooky_hash_v2_32(CAST('hello' AS BINARY))) AS sp32_hello,
+          |  to_hex(spooky_hash_v2_64(CAST('' AS BINARY))) AS sp64_empty,
+          |  to_hex(spooky_hash_v2_64(CAST('hello' AS BINARY))) AS sp64_hello,
+          |  wilson_interval_lower(o_orderkey % 50, 50, 1.96) AS w_lo,
+          |  hll_cardinality(empty_approx_set()) AS empty_hll_card
+          |FROM orders WHERE o_orderkey <= 300""".stripMargin)
     })
 }

@@ -205,6 +205,21 @@ object SourceQueries extends QueryModule {
       } finally {
         org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
       }
+    }.withBench { (s, _) =>
+      import s.implicits._
+      // Bench the partitioned write + pruned read on a decimated clone
+      // (same policy as ddl_delete: setup cost proportional to the op).
+      val dir = java.nio.file.Files.createTempDirectory("graft_partb_").toString
+      try {
+        s.table("events").filter(col("event_id") % 8 === 0)
+          .withColumn("event_date", to_date(col("ts")))
+          .write.mode("overwrite").partitionBy("event_date").parquet(dir)
+        val part = s.read.parquet(dir)
+        val d0 = part.agg(min("event_date")).head().getDate(0)
+        Seq(part.filter(col("event_date") === lit(d0)).count()).toDF("n")
+      } finally {
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+      }
     },
 
     // Dynamic partition pruning — Spark's runtime answer to the
@@ -239,6 +254,20 @@ object SourceQueries extends QueryModule {
         val row = q.agg(count(lit(1)).as("n"),
           sum(col("value").cast("decimal(18,6)")).cast("double").as("total")).head()
         Seq((row.getLong(0), row.getDouble(1), dpp)).toDF("n", "total", "dpp")
+      } finally {
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+      }
+    }.withBench { (s, _) =>
+      import s.implicits._
+      val dir = java.nio.file.Files.createTempDirectory("graft_dppb_").toString
+      try {
+        s.table("events").filter(col("event_id") % 8 === 0)
+          .withColumn("event_date", to_date(col("ts")))
+          .write.mode("overwrite").partitionBy("event_date").parquet(dir)
+        val fact = s.read.parquet(dir)
+        val sundays = fact.select("event_date").distinct()
+          .filter(dayofweek(col("event_date")) === 1)
+        Seq(fact.join(sundays, "event_date").count()).toDF("n")
       } finally {
         org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
       }

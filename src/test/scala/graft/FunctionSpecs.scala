@@ -1,7 +1,7 @@
 package graft
 
 import org.scalatest.funsuite.AnyFunSuite
-import graft.functions.{Hll, ScalarFunctions, SetDigest}
+import graft.functions.{Hll, ScalarFunctions, SetDigest, SpookyHash}
 
 /** Unit specs for the custom function layer — the analog of the
   * reference's AbstractTestFunctions harness (per-function edge cases,
@@ -82,6 +82,22 @@ class FunctionSpecs extends AnyFunSuite {
     val big = digest(0 until 50000)
     assert(SetDigest.intersectionCardinality(small, big) <=
       SetDigest.cardinality(small))
+  }
+
+  test("spooky hash v2 matches reference vectors; long path is stable") {
+    // reference TestVarbinaryFunctions.java:338-341
+    def hex32(s: String) = f"${SpookyHash.hash32(s.getBytes("UTF-8"), 0)}%08X"
+    def hex64(s: String) = f"${SpookyHash.hash64(s.getBytes("UTF-8"), 0L)}%016X"
+    assert(hex32("") == "6BF50919")
+    assert(hex32("hello") == "D382E6CA")
+    assert(hex64("") == "232706FC6BF50919")
+    assert(hex64("hello") == "3768826AD382E6CA")
+    // long path (>= 192 bytes): deterministic, different from a 1-byte change
+    val big = Array.tabulate[Byte](500)(i => (i * 31).toByte)
+    val h1 = SpookyHash.hash64(big, 0L)
+    assert(h1 == SpookyHash.hash64(big.clone(), 0L))
+    big(499) = (big(499) ^ 1).toByte
+    assert(h1 != SpookyHash.hash64(big, 0L))
   }
 
   test("setdigest hash_counts tracks occurrence counts through merge") {
