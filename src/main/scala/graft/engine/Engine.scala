@@ -22,6 +22,33 @@ object Engine {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  /** Canonical synthesized `partsupp` stand-in (the fixture has no
+    * partsupp table; the reference's Q2/Q9/Q11/Q16/Q20 need one —
+    * presto-benchto-benchmarks/.../tpch/q11.sql scans a real partsupp).
+    * DISTINCT (l_partkey, l_suppkey) from lineitem joined to part, with a
+    * deterministic supplycost from p_retailprice (5%..14% by key-mix) and
+    * a deterministic availqty. ps_costunits keeps an exact BIGINT cost so
+    * Q11's HAVING threshold is integer-exact in both engines.
+    *
+    * This text is the single source of truth: Spark materializes it ONCE
+    * per fixture dir as a cached table (below); the DuckDB oracle replays
+    * the same text as a CTE prefix (TpchQueries.partsuppCte). Previously
+    * it was inlined as a CTE into all five queries, paying a full
+    * lineitem-wide distinct-shuffle per query — at 100 TB that is five
+    * redundant shuffles of the biggest table for what is logically one
+    * base table.
+    */
+  val partsuppSelect: String =
+    """SELECT ps_partkey, ps_suppkey,
+      |  CAST(round(p_retailprice * 100) AS BIGINT)
+      |    * (5 + (ps_partkey * 31 + ps_suppkey) % 10) AS ps_costunits,
+      |  CAST(round(p_retailprice * 100) AS BIGINT)
+      |    * (5 + (ps_partkey * 31 + ps_suppkey) % 10) / 10000.0 AS ps_supplycost,
+      |  CAST((ps_partkey * 37 + ps_suppkey * 13) % 9000 + 1000 AS INT) AS ps_availqty
+      |FROM (SELECT DISTINCT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey
+      |      FROM lineitem) ps
+      |JOIN part ON p_partkey = ps_partkey""".stripMargin
+
   /** Build a tuned local session (tests / standalone use). */
   def session(master: String = "local[*]", shufflePartitions: Int = 32): SparkSession = {
     val spark = SparkSession.builder()
@@ -69,6 +96,19 @@ object Engine {
         }
       }
       graft.functions.FunctionRegistry.installAll(spark)
+      // Materialize the synthesized partsupp once per fixture dir — the
+      // analog of the reference's CTAS for a base table it reads many
+      // times. Cached + eagerly built: one distinct-shuffle of lineitem's
+      // two key columns plus a broadcast join to part, after which the
+      // five partsupp consumers scan it like any other table. At sf0.1
+      // this is ~0.5M narrow rows; at 100 TB it would be a bucketed CTAS
+      // to the warehouse instead of a memory cache — same plan shape.
+      if (spark.catalog.tableExists("partsupp")) {
+        try spark.catalog.uncacheTable("partsupp") catch { case _: Throwable => () }
+      }
+      spark.sql(partsuppSelect).createOrReplaceTempView("partsupp")
+      spark.catalog.cacheTable("partsupp")
+      spark.table("partsupp").count()
       registered.put(spark, dir)
     }
   }

@@ -124,36 +124,38 @@ object TpchQueries extends QueryModule {
         |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
         |GROUP BY c_nationkey""".stripMargin))
 
-  /** The fixture has no partsupp table, so the five queries that need one
-    * (Q2/Q9/Q11/Q16/Q20) run over a synthesized stand-in: the DISTINCT
-    * (l_partkey, l_suppkey) pairs from lineitem joined to part, with a
-    * deterministic supplycost derived from p_retailprice (5%..14% by a
-    * key-mix) and a deterministic availqty. ps_costunits keeps an exact
-    * BIGINT form of the cost so Q11's HAVING threshold compare is
-    * integer-exact in both engines. The SQL text is identical for Spark
-    * and the DuckDB oracle. At scale the CTE is one distinct-shuffle of
-    * lineitem's two key columns plus a broadcast join to part.
+  /** The fixture has no partsupp table; `Engine.registerTables`
+    * materializes the synthesized stand-in ONCE per fixture dir as a
+    * cached table (see `Engine.partsuppSelect` for the derivation and the
+    * scale rationale). The Spark side of the five consumers (Q2/Q9/Q11/
+    * Q16/Q20) reads `partsupp` like any other table; the DuckDB oracle —
+    * which sees only the raw parquet fixtures — replays the identical
+    * definition as this CTE prefix. Values are byte-identical because the
+    * SQL text is shared.
     */
   private val partsuppCte: String =
-    """WITH partsupp AS (
-      |  SELECT ps_partkey, ps_suppkey,
-      |    CAST(round(p_retailprice * 100) AS BIGINT)
-      |      * (5 + (ps_partkey * 31 + ps_suppkey) % 10) AS ps_costunits,
-      |    CAST(round(p_retailprice * 100) AS BIGINT)
-      |      * (5 + (ps_partkey * 31 + ps_suppkey) % 10) / 10000.0 AS ps_supplycost,
-      |    CAST((ps_partkey * 37 + ps_suppkey * 13) % 9000 + 1000 AS INT) AS ps_availqty
-      |  FROM (SELECT DISTINCT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey
-      |        FROM lineitem) ps
-      |  JOIN part ON p_partkey = ps_partkey)""".stripMargin
+    "WITH partsupp AS (\n" +
+      graft.engine.Engine.partsuppSelect.linesIterator.map("  " + _).mkString("\n") +
+      ")"
+
+  /** Query over partsupp: Spark runs `body` against the registered table;
+    * the oracle gets the CTE prefix spliced in. `body` must start with
+    * either `SELECT` or a CTE list (`name AS (...)`) — flagged by
+    * `moreCtes`.
+    */
+  private def psQ(name: String, body: String, moreCtes: Boolean = false): Q = {
+    val sparkSql = if (moreCtes) s"WITH $body" else body
+    val oracleSql = if (moreCtes) s"$partsuppCte,\n$body" else s"$partsuppCte\n$body"
+    Q(name, oracleSql)((s, _) => s.sql(sparkSql))
+  }
 
   private def partsuppQueries: Seq[Q] = Seq(
 
     // Q2: minimum-cost supplier — correlated min over a 5-way join
     // (q02.sql). The correlated scalar subquery decorrelates to an
     // aggregate join on ps_partkey (high-cardinality, scale-safe).
-    sqlQ("q2_min_cost_supplier",
-      s"""$partsuppCte,
-        |europe AS (
+    psQ("q2_min_cost_supplier", moreCtes = true, body =
+      """europe AS (
         |  SELECT ps_partkey, ps_supplycost, s_acctbal, s_name, n_name
         |  FROM partsupp, supplier, nation, region
         |  WHERE s_suppkey = ps_suppkey AND s_nationkey = n_nationkey
@@ -167,9 +169,8 @@ object TpchQueries extends QueryModule {
         |LIMIT 100""".stripMargin),
 
     // Q9: product-type profit rollup over a 6-way join (q09.sql).
-    sqlQ("q9_product_profit",
-      s"""$partsuppCte
-        |SELECT nation, o_year, sum(amount) AS sum_profit
+    psQ("q9_product_profit",
+      """SELECT nation, o_year, sum(amount) AS sum_profit
         |FROM (SELECT n_name AS nation, year(o_orderdate) AS o_year,
         |        l_extendedprice * (1 - l_discount) - ps_supplycost * l_quantity AS amount
         |      FROM part, supplier, lineitem, partsupp, orders, nation
@@ -183,9 +184,8 @@ object TpchQueries extends QueryModule {
     // global scalar-subquery threshold (q11.sql). Values stay BIGINT
     // (cost units × qty) so the HAVING boundary is exact; DuckDB's
     // HUGEINT sum is cast back to BIGINT.
-    sqlQ("q11_important_stock",
-      s"""$partsuppCte,
-        |germany AS (
+    psQ("q11_important_stock", moreCtes = true, body =
+      """germany AS (
         |  SELECT ps_partkey, ps_costunits * ps_availqty AS v
         |  FROM partsupp, supplier, nation
         |  WHERE ps_suppkey = s_suppkey AND s_nationkey = n_nationkey
@@ -199,9 +199,8 @@ object TpchQueries extends QueryModule {
     // Q16: parts/supplier relationship — anti-join (NOT IN) + grouped
     // count(DISTINCT) (q16.sql; supplier comment filter restated over
     // s_acctbal since the fixture has no comment column).
-    sqlQ("q16_parts_supplier",
-      s"""$partsuppCte
-        |SELECT p_brand, p_type, p_size,
+    psQ("q16_parts_supplier",
+      """SELECT p_brand, p_type, p_size,
         |  CAST(count(DISTINCT ps_suppkey) AS BIGINT) AS supplier_cnt
         |FROM partsupp, part
         |WHERE p_partkey = ps_partkey
@@ -214,9 +213,8 @@ object TpchQueries extends QueryModule {
     // Q20: potential promotion — nested semi-joins with a correlated
     // scalar half-sum threshold (q20.sql; name/address output restated
     // to the fixture's columns).
-    sqlQ("q20_potential_promotion",
-      s"""$partsuppCte
-        |SELECT s_suppkey, s_name
+    psQ("q20_potential_promotion",
+      """SELECT s_suppkey, s_name
         |FROM supplier, nation
         |WHERE s_suppkey IN (
         |    SELECT ps_suppkey FROM partsupp
