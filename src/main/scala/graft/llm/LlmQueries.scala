@@ -124,6 +124,27 @@ object LlmQueries extends QueryModule {
     raw.join(dfreq.filter(col("dfc") <= cap).select("sh"), "sh")
   }
 
+  /** Transitive-dedup oracle: exact J>=0.8 pairs, recursive reachability,
+    * min label per component. Shared by the exact CC path and the
+    * LSH-fed production path (whose contract is cluster-identical output).
+    */
+  private lazy val dedupGroupsOracle: String =
+    s"""WITH RECURSIVE
+      |$oracleShingleCtes,
+      |sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM sh GROUP BY doc_id),
+      |cpairs AS (SELECT a.doc_id AS d1, b.doc_id AS d2, CAST(count(*) AS BIGINT) AS common
+      |           FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+      |pairs AS (SELECT d1, d2 FROM cpairs
+      |          JOIN sizes s1 ON s1.doc_id = d1 JOIN sizes s2 ON s2.doc_id = d2
+      |          WHERE CAST(common AS DOUBLE) / (s1.n + s2.n - common) >= 0.8),
+      |nodes AS (SELECT DISTINCT d FROM (SELECT d1 AS d FROM pairs UNION SELECT d2 FROM pairs) t),
+      |edges AS (SELECT d1 AS a, d2 AS b FROM pairs UNION SELECT d2, d1 FROM pairs),
+      |reach AS (SELECT d AS node, d AS lbl FROM nodes
+      |          UNION
+      |          SELECT e.b AS node, r.lbl FROM reach r JOIN edges e ON e.a = r.node)
+      |SELECT node AS doc_id, CAST(min(lbl) AS BIGINT) AS cluster
+      |FROM reach GROUP BY node""".stripMargin
+
   /** The matching oracle-side CTEs (string shingles; same cap). */
   private val oracleShingleCtes: String =
     """toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents WHERE len(string_split(text, ' ')) >= 5),
@@ -251,7 +272,10 @@ object LlmQueries extends QueryModule {
       h ^= (h >>> 32); h *= 0xBF58476D1CE4E5B9L; h ^= (h >>> 29)
       if ((h & 1L) == 1L) 1.0 else -1.0
     }
-    val buckets = e.select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
+    // Signatures stay id-only (vec_id, tbl, sig): a vector appears in 8
+    // bucket rows, so carrying the embedding here would 8x the bucket
+    // shuffle; the candidate dedup below must also run on ids alone.
+    val sigs = e.select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
       .mapPartitions { it =>
         it.flatMap { case (id, emb) =>
           (0 until 8).map { t =>
@@ -268,16 +292,19 @@ object LlmQueries extends QueryModule {
           }
         }
       }.toDF("vec_id", "tbl", "sig")
-      .join(e.select(col("vec_id"), col("embedding")), "vec_id")
-    val q = buckets.filter(col("vec_id") < 5)
-      .select(col("tbl"), col("sig"), col("vec_id").as("q_id"), col("embedding").as("qe"))
-    val cands = q.join(
-        buckets.select(col("tbl"), col("sig"), col("vec_id").as("n_id"), col("embedding").as("ne")),
-        Seq("tbl", "sig"))
+    // Candidate generation + dedup on (q_id, n_id) only — two longs through
+    // the distinct exchange, never the embedding arrays (at 1k-dim floats
+    // that is a ~250x narrower shuffle). Embeddings re-join after, exactly
+    // once per surviving pair (same pattern as llm_dedup_embedding).
+    val cands = sigs.filter(col("vec_id") < 5)
+      .select(col("tbl"), col("sig"), col("vec_id").as("q_id"))
+      .join(sigs.select(col("tbl"), col("sig"), col("vec_id").as("n_id")), Seq("tbl", "sig"))
       .filter(col("n_id") =!= col("q_id"))
-      .select("q_id", "n_id", "qe", "ne").distinct()
+      .select("q_id", "n_id").distinct()
     val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("n_id"))
     val top = cands
+      .join(e.select(col("vec_id").as("q_id"), col("embedding").as("qe")), "q_id")
+      .join(e.select(col("vec_id").as("n_id"), col("embedding").as("ne")), "n_id")
       .select(col("q_id"), col("n_id"), Fns.cosineSim(col("qe"), col("ne")).as("sim"))
       .select(col("q_id"), col("n_id"), col("sim"), row_number().over(w).as("rn"))
       .filter(col("rn") <= 10)
@@ -518,28 +545,42 @@ object LlmQueries extends QueryModule {
     // propagation to fixpoint (cluster diameters are tiny; each round is
     // one join + groupBy — at 100 TB this is the standard large-graph CC
     // loop). Oracle: exact transitive closure via recursive CTE.
-    Q("llm_dedup_groups",
-      s"""WITH RECURSIVE
-        |$oracleShingleCtes,
-        |sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM sh GROUP BY doc_id),
-        |cpairs AS (SELECT a.doc_id AS d1, b.doc_id AS d2, CAST(count(*) AS BIGINT) AS common
-        |           FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
-        |pairs AS (SELECT d1, d2 FROM cpairs
-        |          JOIN sizes s1 ON s1.doc_id = d1 JOIN sizes s2 ON s2.doc_id = d2
-        |          WHERE CAST(common AS DOUBLE) / (s1.n + s2.n - common) >= 0.8),
-        |nodes AS (SELECT DISTINCT d FROM (SELECT d1 AS d FROM pairs UNION SELECT d2 FROM pairs) t),
-        |edges AS (SELECT d1 AS a, d2 AS b FROM pairs UNION SELECT d2, d1 FROM pairs),
-        |reach AS (SELECT d AS node, d AS lbl FROM nodes
-        |          UNION
-        |          SELECT e.b AS node, r.lbl FROM reach r JOIN edges e ON e.a = r.node)
-        |SELECT node AS doc_id, CAST(min(lbl) AS BIGINT) AS cluster
-        |FROM reach GROUP BY node""".stripMargin) { (s, _) =>
+    Q("llm_dedup_groups", dedupGroupsOracle) { (s, _) =>
       val pairs = exactJaccardPairs(s, 0.8).select("doc_a", "doc_b").cache()
       // Min-label propagation WITH pointer jumping (ConnectedComponents):
       // O(log diameter) rounds, so long near-dup chains converge safely
       // under the round cap (plain propagation needs diameter rounds).
       val labels = graft.operators.ConnectedComponents.minLabel(pairs)
       pairs.unpersist()
+      labels.select(col("node").as("doc_id"), col("cluster").cast("long").as("cluster"))
+    },
+
+    // The query a 100 TB user actually runs: MinHash-LSH narrows to
+    // candidate pairs (never all-pairs), exact Jaccard verifies ONLY
+    // those candidates (cost proportional to |candidates|, not n²), and
+    // connected components assigns keepers. The LSH recall contract
+    // (llm_dedup_minhash_lsh: zero missed J>=0.8 pairs at est>=0.7)
+    // makes the verified edge set equal the exact edge set, so the
+    // cluster assignment is identical to llm_dedup_groups — the oracle
+    // replays the same exact recursive CTE.
+    Q("llm_dedup_groups_lsh", dedupGroupsOracle) { (s, _) =>
+      val cand = lshVerifiedPairs(s, 0.7)
+        .select(col("doc_a").as("d1"), col("doc_b").as("d2")).cache()
+      val sh = cappedShingleRows(s)
+      val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      // Exact verify restricted to candidates: shingles of d1 fan out
+      // only onto candidate pairs, then match d2's shingles — one join
+      // keyed on (d2, sh), never a shingle self-join over the corpus.
+      val verified = sh.select(col("doc_id").as("d1"), col("sh"))
+        .join(cand, "d1")
+        .join(sh.select(col("doc_id").as("d2"), col("sh")), Seq("d2", "sh"))
+        .groupBy("d1", "d2").agg(count(lit(1)).as("common"))
+        .join(sizes.select(col("doc_id").as("d1"), col("n").as("n1")), "d1")
+        .join(sizes.select(col("doc_id").as("d2"), col("n").as("n2")), "d2")
+        .filter(col("common").cast("double") / (col("n1") + col("n2") - col("common")) >= 0.8)
+        .select("d1", "d2").cache()
+      val labels = graft.operators.ConnectedComponents.minLabel(verified)
+      cand.unpersist()
       labels.select(col("node").as("doc_id"), col("cluster").cast("long").as("cluster"))
     },
 
