@@ -117,18 +117,52 @@ object LlmQueries extends QueryModule {
     * cap bounds every shingle bucket. Hash keys (not strings) cut
     * shuffle volume ~5x; collision probability ~|shingles|²/2^64.
     */
-  private def cappedShingleRows(s: SparkSession): DataFrame = {
+  private def cappedShingleRowsUncached(s: SparkSession): DataFrame = {
     val raw = shingleRows(s)
     val cap = math.max(10L, (0.1 * s.table("documents").count()).toLong)
     val dfreq = raw.groupBy("sh").agg(count(lit(1)).as("dfc"))
     raw.join(dfreq.filter(col("dfc") <= cap).select("sh"), "sh")
   }
 
+  // Session-cached capped shingles: the LSH signature agg, the exact
+  // verify (both join sides) and the doc-size agg all start from this
+  // table; uncached, each materialization repays the df-cap groupBy +
+  // join over the full shingle set. Same weak-identity pattern as
+  // shingleCache.
+  private val cappedCache =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[SparkSession, java.util.concurrent.ConcurrentHashMap[String, DataFrame]]())
+
+  private def cappedShingleRows(s: SparkSession): DataFrame = synchronized {
+    val perSession = {
+      val existing = cappedCache.get(s)
+      if (existing != null) existing
+      else {
+        val m = new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+        cappedCache.put(s, m)
+        m
+      }
+    }
+    val fixture = s.table("documents").inputFiles.headOption.getOrElse("")
+    perSession.computeIfAbsent(fixture, _ => cappedShingleRowsUncached(s).persist())
+  }
+
+  /** The matching oracle-side CTEs (string shingles; same cap).
+    * Declared ABOVE its consumers (dedupGroupsOracle) so string
+    * interpolation sees an initialized value regardless of laziness.
+    */
+  private val oracleShingleCtes: String =
+    """toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents WHERE len(string_split(text, ' ')) >= 5),
+      |sh0 AS (SELECT doc_id, unnest(list_distinct([array_to_string(w[i:i+4], '_') for i in generate_series(1, len(w)-4)])) AS s FROM toks),
+      |dfreq AS (SELECT s, count(*) AS dfc FROM sh0 GROUP BY s),
+      |sh AS (SELECT sh0.doc_id, sh0.s FROM sh0 JOIN dfreq ON sh0.s = dfreq.s
+      |       WHERE dfreq.dfc <= greatest(10, CAST(0.1 * (SELECT count(*) FROM documents) AS BIGINT)))""".stripMargin
+
   /** Transitive-dedup oracle: exact J>=0.8 pairs, recursive reachability,
     * min label per component. Shared by the exact CC path and the
     * LSH-fed production path (whose contract is cluster-identical output).
     */
-  private lazy val dedupGroupsOracle: String =
+  private val dedupGroupsOracle: String =
     s"""WITH RECURSIVE
       |$oracleShingleCtes,
       |sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM sh GROUP BY doc_id),
@@ -144,14 +178,6 @@ object LlmQueries extends QueryModule {
       |          SELECT e.b AS node, r.lbl FROM reach r JOIN edges e ON e.a = r.node)
       |SELECT node AS doc_id, CAST(min(lbl) AS BIGINT) AS cluster
       |FROM reach GROUP BY node""".stripMargin
-
-  /** The matching oracle-side CTEs (string shingles; same cap). */
-  private val oracleShingleCtes: String =
-    """toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents WHERE len(string_split(text, ' ')) >= 5),
-      |sh0 AS (SELECT doc_id, unnest(list_distinct([array_to_string(w[i:i+4], '_') for i in generate_series(1, len(w)-4)])) AS s FROM toks),
-      |dfreq AS (SELECT s, count(*) AS dfc FROM sh0 GROUP BY s),
-      |sh AS (SELECT sh0.doc_id, sh0.s FROM sh0 JOIN dfreq ON sh0.s = dfreq.s
-      |       WHERE dfreq.dfc <= greatest(10, CAST(0.1 * (SELECT count(*) FROM documents) AS BIGINT)))""".stripMargin
 
   private def exactJaccardPairsUncached(s: SparkSession, threshold: Double): DataFrame = {
     val sh = cappedShingleRows(s)
@@ -580,7 +606,10 @@ object LlmQueries extends QueryModule {
         .filter(col("common").cast("double") / (col("n1") + col("n2") - col("common")) >= 0.8)
         .select("d1", "d2").cache()
       val labels = graft.operators.ConnectedComponents.minLabel(verified)
+      // minLabel's output is localCheckpointed, so both inputs can be
+      // dropped here without recompute risk (ADVICE r4: verified leaked).
       cand.unpersist()
+      verified.unpersist()
       labels.select(col("node").as("doc_id"), col("cluster").cast("long").as("cluster"))
     },
 

