@@ -36,6 +36,7 @@ object FunctionRegistry {
       MapHistogramAggs.install(spark)
       TeradataFunctions.install(spark)
       SpookyHash.install(spark)
+      IpFunctions.install(spark)
       installed.put(spark, java.lang.Boolean.TRUE)
     }
   }

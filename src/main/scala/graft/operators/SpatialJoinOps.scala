@@ -53,4 +53,72 @@ object SpatialJoinOps {
       .drop("__cx", "__cy")
       .withColumn("dist", dist)
   }
+
+  /** ST_Contains for an axis-aligned envelope (GeoFunctions.java
+    * stContains restricted to rectangle⊇point — the envelope fast path
+    * every real geometry test runs first). Border-inclusive like the
+    * ESRI `contains` on closed rectangles. */
+  def stContainsBoxPoint(xmin: Column, ymin: Column, xmax: Column, ymax: Column,
+      px: Column, py: Column): Column =
+    px >= xmin && px <= xmax && py >= ymin && py <= ymax
+
+  /** ST_Intersects for two axis-aligned envelopes (GeoFunctions.java
+    * stIntersects envelope pre-check): closed boxes overlap iff they
+    * overlap on both axes. */
+  def stIntersectsBoxes(axmin: Column, aymin: Column, axmax: Column, aymax: Column,
+      bxmin: Column, bymin: Column, bxmax: Column, bymax: Column): Column =
+    axmin <= bxmax && bxmin <= axmax && aymin <= bymax && bymin <= aymax
+
+  // A box covers every grid cell its envelope touches: the per-row
+  // explode is bounded by ceil(w/cell+1) * ceil(h/cell+1) copies — pick
+  // cellSize >= the typical box edge so that stays ~4.
+  private def explodeBoxToCells(df: DataFrame, xmin: String, ymin: String,
+      xmax: String, ymax: String, cellSize: Double): DataFrame =
+    df.withColumn("__cx",
+        explode(sequence(floor(col(xmin) / cellSize), floor(col(xmax) / cellSize))))
+      .withColumn("__cy",
+        explode(sequence(floor(col(ymin) / cellSize), floor(col(ymax) / cellSize))))
+
+  /** ST_Contains(box, point) join — the reference plans this via
+    * ExtractSpatialJoins.java + an R-tree probe (SpatialJoinOperator
+    * .java:40); distributed form: boxes replicate to each covered grid
+    * cell, points hash to exactly one cell, and Catalyst plans an
+    * EQUI-join on the cell key + exact refine. Each qualifying pair is
+    * emitted exactly once because the point's cell is unique.
+    * Output: boxes.* ++ points.* (names must not collide).
+    */
+  def containsJoin(boxes: DataFrame, xmin: String, ymin: String, xmax: String, ymax: String,
+      points: DataFrame, px: String, py: String, cellSize: Double): DataFrame = {
+    require(cellSize > 0, "cellSize must be positive")
+    val cellB = explodeBoxToCells(boxes, xmin, ymin, xmax, ymax, cellSize)
+    val cellP = points
+      .withColumn("__cx", floor(col(px) / cellSize))
+      .withColumn("__cy", floor(col(py) / cellSize))
+    cellB.join(cellP, Seq("__cx", "__cy"))
+      .filter(stContainsBoxPoint(col(xmin), col(ymin), col(xmax), col(ymax), col(px), col(py)))
+      .drop("__cx", "__cy")
+  }
+
+  /** ST_Intersects(boxA, boxB) join. Both sides replicate to covered
+    * cells; a pair meeting in k shared cells must still be emitted once,
+    * so the refine keeps only the REPORT CELL — the cell containing the
+    * intersection's lower-left corner (greatest(xmin), greatest(ymin)),
+    * which exists iff the boxes overlap and is covered by both sides.
+    * This is the standard duplicate-free grid join: no distinct(), no
+    * second shuffle. Output: a.* ++ b.* (names must not collide).
+    */
+  def intersectsJoin(a: DataFrame, axmin: String, aymin: String, axmax: String, aymax: String,
+      b: DataFrame, bxmin: String, bymin: String, bxmax: String, bymax: String,
+      cellSize: Double): DataFrame = {
+    require(cellSize > 0, "cellSize must be positive")
+    val cellA = explodeBoxToCells(a, axmin, aymin, axmax, aymax, cellSize)
+    val cellB = explodeBoxToCells(b, bxmin, bymin, bxmax, bymax, cellSize)
+    cellA.join(cellB, Seq("__cx", "__cy"))
+      .filter(stIntersectsBoxes(
+        col(axmin), col(aymin), col(axmax), col(aymax),
+        col(bxmin), col(bymin), col(bxmax), col(bymax)))
+      .filter(col("__cx") === floor(greatest(col(axmin), col(bxmin)) / cellSize) &&
+              col("__cy") === floor(greatest(col(aymin), col(bymin)) / cellSize))
+      .drop("__cx", "__cy")
+  }
 }

@@ -772,5 +772,59 @@ object FuncQueries extends QueryModule {
           |  wilson_interval_lower(o_orderkey % 50, 50, 1.96) AS w_lo,
           |  hll_cardinality(empty_approx_set()) AS empty_hll_card
           |FROM orders WHERE o_orderkey <= 300""".stripMargin)
+    },
+
+    // ipaddress type + functions — StandardTypes.java:43,
+    // IpAddressType.java:36 (16-byte value), IpAddressOperators.java:
+    // 126-187 (varchar/varbinary casts, v4-mapped storage). The 16-byte
+    // form surfaces via ip_to_bytes (hex-checked against the mapped
+    // layout 00..00FFFF||v4); CIDR helpers run over key-derived IPv4s
+    // with the oracle recomputing via 32-bit integer arithmetic.
+    // Pure per-row compute: no shuffle at any scale. IPv6 parsing /
+    // RFC 5952 rendering is pinned by FunctionSpecs vectors.
+    Q("func_ipaddress",
+      """WITH ips AS (
+        |  SELECT c_custkey,
+        |    (1 + (c_custkey * 7) % 223) * 16777216 + (c_custkey % 256) * 65536
+        |      + ((c_custkey * 3) % 256) * 256 + (c_custkey * 13) % 256 AS v,
+        |    8 + (c_custkey % 25) AS bits
+        |  FROM customer WHERE c_custkey <= 600),
+        |net AS (
+        |  SELECT c_custkey, v, bits,
+        |    (v >> (32 - bits)) << (32 - bits) AS netv,
+        |    ((v >> (32 - bits)) << (32 - bits)) + (CAST(1 AS BIGINT) << (32 - bits)) - 1 AS maxv
+        |  FROM ips),
+        |fmt AS (
+        |  SELECT c_custkey, bits, netv, maxv,
+        |    ((v >> 24) & 255) || '.' || ((v >> 16) & 255) || '.' || ((v >> 8) & 255) || '.' || (v & 255) AS ip,
+        |    ((netv >> 24) & 255) || '.' || ((netv >> 16) & 255) || '.' || ((netv >> 8) & 255) || '.' || (netv & 255) AS nets,
+        |    ((maxv >> 24) & 255) || '.' || ((maxv >> 16) & 255) || '.' || ((maxv >> 8) & 255) || '.' || (maxv & 255) AS maxs,
+        |    v >= 2147483648 AS hi
+        |  FROM net)
+        |SELECT c_custkey, ip,
+        |  '00000000000000000000FFFF' || upper(lpad(hex((netv >> 24) & 255), 2, '0') || lpad(hex((netv >> 16) & 255), 2, '0')
+        |    || lpad(hex((netv >> 8) & 255), 2, '0') || lpad(hex(netv & 255), 2, '0')) AS net_bytes_hex,
+        |  nets || '/' || bits AS pfx,
+        |  nets AS smin,
+        |  maxs AS smax,
+        |  hi AS in_upper_half,
+        |  true AS self_in_own_subnet
+        |FROM fmt""".stripMargin) { (s, _) =>
+      graft.functions.FunctionRegistry.installAll(s)
+      s.sql(
+        """WITH ips AS (
+          |  SELECT c_custkey,
+          |    concat(1 + (c_custkey * 7) % 223, '.', c_custkey % 256, '.',
+          |           (c_custkey * 3) % 256, '.', (c_custkey * 13) % 256) AS ip,
+          |    CAST(8 + (c_custkey % 25) AS INT) AS bits
+          |  FROM customer WHERE c_custkey <= 600)
+          |SELECT c_custkey, ip,
+          |  to_hex(ip_to_bytes(ip_subnet_min(concat(ip, '/', bits)))) AS net_bytes_hex,
+          |  ip_prefix(ip, bits) AS pfx,
+          |  ip_subnet_min(concat(ip, '/', bits)) AS smin,
+          |  ip_subnet_max(concat(ip, '/', bits)) AS smax,
+          |  is_subnet_of('128.0.0.0/1', ip) AS in_upper_half,
+          |  is_subnet_of(concat(ip, '/', bits), ip_from_bytes(ip_to_bytes(ip))) AS self_in_own_subnet
+          |FROM ips""".stripMargin)
     })
 }

@@ -172,5 +172,79 @@ object JoinQueries extends QueryModule {
         (col("s_suppkey") * 32452843 % 10000 / 100.0).as("sy"))
       graft.operators.SpatialJoinOps.distanceJoin(pts, "px", "py", sites, "sx", "sy", 1.5)
         .select("c_custkey", "s_suppkey", "dist")
+    },
+
+    // ST_Contains(box, point) join (GeoFunctions.java stContains +
+    // ExtractSpatialJoins.java) — supplier-derived envelopes containing
+    // customer-derived points, via the duplicate-free grid equi-join
+    // (SpatialJoinOps.containsJoin). Brute-force theta-join oracle.
+    Q("join_spatial_contains",
+      """WITH boxes AS (
+        |  SELECT s_suppkey,
+        |    (s_suppkey * 7127 % 9000) / 100.0 + 5 - (1.0 + (s_suppkey % 8) / 2.0) AS xmin,
+        |    (s_suppkey * 48611 % 9000) / 100.0 + 5 - (1.0 + (s_suppkey % 5) / 2.0) AS ymin,
+        |    (s_suppkey * 7127 % 9000) / 100.0 + 5 + (1.0 + (s_suppkey % 8) / 2.0) AS xmax,
+        |    (s_suppkey * 48611 % 9000) / 100.0 + 5 + (1.0 + (s_suppkey % 5) / 2.0) AS ymax
+        |  FROM supplier),
+        |pts AS (
+        |  SELECT c_custkey, (c_custkey * 7919 % 10000) / 100.0 AS px,
+        |         (c_custkey * 104729 % 10000) / 100.0 AS py FROM customer)
+        |SELECT b.s_suppkey, p.c_custkey
+        |FROM boxes b, pts p
+        |WHERE p.px >= b.xmin AND p.px <= b.xmax AND p.py >= b.ymin AND p.py <= b.ymax""".stripMargin) { (s, _) =>
+      val cx = col("s_suppkey") * 7127 % 9000 / 100.0 + 5
+      val cy = col("s_suppkey") * 48611 % 9000 / 100.0 + 5
+      val hw = (col("s_suppkey") % 8) / 2.0 + 1.0
+      val hh = (col("s_suppkey") % 5) / 2.0 + 1.0
+      val boxes = s.table("supplier").select(col("s_suppkey"),
+        (cx - hw).as("xmin"), (cy - hh).as("ymin"), (cx + hw).as("xmax"), (cy + hh).as("ymax"))
+      val pts = s.table("customer").select(col("c_custkey"),
+        (col("c_custkey") * 7919 % 10000 / 100.0).as("px"),
+        (col("c_custkey") * 104729 % 10000 / 100.0).as("py"))
+      graft.operators.SpatialJoinOps
+        .containsJoin(boxes, "xmin", "ymin", "xmax", "ymax", pts, "px", "py", 10.0)
+        .select("s_suppkey", "c_custkey")
+    },
+
+    // ST_Intersects(boxA, boxB) join (GeoFunctions.java stIntersects) —
+    // part-derived vs supplier-derived envelopes; report-cell refine
+    // keeps each overlapping pair exactly once with no distinct().
+    Q("join_spatial_intersects",
+      """WITH pa AS (
+        |  SELECT p_partkey,
+        |    (p_partkey * 32452867 % 9000) / 100.0 + 5 - (0.5 + (p_partkey % 6) / 2.0) AS xmin,
+        |    (p_partkey * 49979687 % 9000) / 100.0 + 5 - (0.5 + (p_partkey % 7) / 2.0) AS ymin,
+        |    (p_partkey * 32452867 % 9000) / 100.0 + 5 + (0.5 + (p_partkey % 6) / 2.0) AS xmax,
+        |    (p_partkey * 49979687 % 9000) / 100.0 + 5 + (0.5 + (p_partkey % 7) / 2.0) AS ymax
+        |  FROM part),
+        |sb AS (
+        |  SELECT s_suppkey,
+        |    (s_suppkey * 7127 % 9000) / 100.0 + 5 - (1.0 + (s_suppkey % 8) / 2.0) AS xmin,
+        |    (s_suppkey * 48611 % 9000) / 100.0 + 5 - (1.0 + (s_suppkey % 5) / 2.0) AS ymin,
+        |    (s_suppkey * 7127 % 9000) / 100.0 + 5 + (1.0 + (s_suppkey % 8) / 2.0) AS xmax,
+        |    (s_suppkey * 48611 % 9000) / 100.0 + 5 + (1.0 + (s_suppkey % 5) / 2.0) AS ymax
+        |  FROM supplier)
+        |SELECT a.p_partkey, b.s_suppkey
+        |FROM pa a, sb b
+        |WHERE a.xmin <= b.xmax AND b.xmin <= a.xmax
+        |  AND a.ymin <= b.ymax AND b.ymin <= a.ymax""".stripMargin) { (s, _) =>
+      val acx = col("p_partkey") * 32452867 % 9000 / 100.0 + 5
+      val acy = col("p_partkey") * 49979687 % 9000 / 100.0 + 5
+      val ahw = (col("p_partkey") % 6) / 2.0 + 0.5
+      val ahh = (col("p_partkey") % 7) / 2.0 + 0.5
+      val pa = s.table("part").select(col("p_partkey"),
+        (acx - ahw).as("axmin"), (acy - ahh).as("aymin"),
+        (acx + ahw).as("axmax"), (acy + ahh).as("aymax"))
+      val bcx = col("s_suppkey") * 7127 % 9000 / 100.0 + 5
+      val bcy = col("s_suppkey") * 48611 % 9000 / 100.0 + 5
+      val bhw = (col("s_suppkey") % 8) / 2.0 + 1.0
+      val bhh = (col("s_suppkey") % 5) / 2.0 + 1.0
+      val sb = s.table("supplier").select(col("s_suppkey"),
+        (bcx - bhw).as("bxmin"), (bcy - bhh).as("bymin"),
+        (bcx + bhw).as("bxmax"), (bcy + bhh).as("bymax"))
+      graft.operators.SpatialJoinOps
+        .intersectsJoin(pa, "axmin", "aymin", "axmax", "aymax",
+          sb, "bxmin", "bymin", "bxmax", "bymax", 10.0)
+        .select("p_partkey", "s_suppkey")
     })
 }

@@ -504,6 +504,81 @@ class EngineSpecs extends AnyFunSuite with BeforeAndAfterAll {
       s"spatial join planned as a product:\n$plan")
   }
 
+  test("spatial contains/intersects joins = brute-force pairs, duplicate-free, equi-join plans") {
+    import org.apache.spark.sql.functions._
+    // containsJoin: box replicated per covered cell, point hashed to one
+    // cell; intersectsJoin: report-cell refine emits each overlapping
+    // pair exactly once with no distinct(). Both must plan as hash/merge
+    // equi-joins on the cell key, never a product.
+    val contains = SparkEntry.queries("join_spatial_contains")(spark, sfDir)
+    val intersects = SparkEntry.queries("join_spatial_intersects")(spark, sfDir)
+
+    def boxes(tbl: String, key: String, m1: Long, m2: Long, wMod: Int, hMod: Int, base: Double) = {
+      val cx = col(key) * m1 % 9000 / 100.0 + 5
+      val cy = col(key) * m2 % 9000 / 100.0 + 5
+      val hw = (col(key) % wMod) / 2.0 + base
+      val hh = (col(key) % hMod) / 2.0 + base
+      spark.table(tbl).select(col(key),
+        (cx - hw).as(s"${key}_xmin"), (cy - hh).as(s"${key}_ymin"),
+        (cx + hw).as(s"${key}_xmax"), (cy + hh).as(s"${key}_ymax"))
+    }
+    val sb = boxes("supplier", "s_suppkey", 7127L, 48611L, 8, 5, 1.0)
+    val pb = boxes("part", "p_partkey", 32452867L, 49979687L, 6, 7, 0.5)
+    val pts = spark.table("customer").select(col("c_custkey"),
+      (col("c_custkey") * 7919 % 10000 / 100.0).as("px"),
+      (col("c_custkey") * 104729 % 10000 / 100.0).as("py"))
+
+    val bruteContains = sb.crossJoin(pts)
+      .filter(col("px") >= col("s_suppkey_xmin") && col("px") <= col("s_suppkey_xmax") &&
+        col("py") >= col("s_suppkey_ymin") && col("py") <= col("s_suppkey_ymax"))
+      .select("s_suppkey", "c_custkey")
+    assert(contains.count() == contains.distinct().count(), "containsJoin emitted a duplicate pair")
+    assert(contains.exceptAll(bruteContains).isEmpty && bruteContains.exceptAll(contains).isEmpty,
+      "containsJoin pair set differs from brute force")
+
+    val bruteIntersects = pb.crossJoin(sb)
+      .filter(col("p_partkey_xmin") <= col("s_suppkey_xmax") &&
+        col("s_suppkey_xmin") <= col("p_partkey_xmax") &&
+        col("p_partkey_ymin") <= col("s_suppkey_ymax") &&
+        col("s_suppkey_ymin") <= col("p_partkey_ymax"))
+      .select("p_partkey", "s_suppkey")
+    assert(intersects.count() == intersects.distinct().count(), "intersectsJoin emitted a duplicate pair")
+    assert(intersects.exceptAll(bruteIntersects).isEmpty && bruteIntersects.exceptAll(intersects).isEmpty,
+      "intersectsJoin pair set differs from brute force")
+
+    Seq(contains, intersects).foreach { df =>
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+        s"spatial box join planned as a product:\n$plan")
+    }
+  }
+
+  test("heaviest queries survive forced sort-based aggregation fallback (spill confidence)") {
+    // The reference re-runs its corpus with spill forced
+    // (TestDistributedSpilledQueries.java, SURVEY §5.2). Spark's analog
+    // knob for the ObjectHashAggregate path — where every custom
+    // TypedImperativeAggregate (HLL, qdigest, setdigest, histogram,
+    // heavy-hitters) lives — is the sort-based fallback threshold: at 1,
+    // the in-memory hash map is abandoned after a single group and the
+    // aggregation completes through the sort-merge (spill) path,
+    // exercising buffer serialize/merge exactly as memory pressure
+    // would. Results must be identical to the default-config run.
+    val conf = spark.sessionState.conf
+    val key = "spark.sql.objectHashAggregate.sortBased.fallbackThreshold"
+    val prev = conf.getConfString(key, "128")
+    val heavy = Seq("sketch_hll_merge", "sketch_qdigest_merge", "sketch_setdigest_merge",
+      "agg_map_union", "sketch_heavy_hitters", "agg_numeric_histogram")
+    try {
+      val expected = heavy.map(q => SparkEntry.queries(q)(spark, sfDir).collect().toSeq)
+      conf.setConfString(key, "1")
+      heavy.zip(expected).foreach { case (q, exp) =>
+        val got = SparkEntry.queries(q)(spark, sfDir).collect().toSeq
+        assert(got.map(_.toString).sorted == exp.map(_.toString).sorted,
+          s"$q changed results under forced sort-based aggregation fallback")
+      }
+    } finally conf.setConfString(key, prev)
+  }
+
   test("sequence packing: bins never overflow, offsets are contiguous, order preserved") {
     import org.apache.spark.sql.functions._
     val packed = SparkEntry.queries("llm_sequence_pack")(spark, sfDir)

@@ -387,4 +387,71 @@ class FunctionSpecs extends AnyFunSuite {
     assert(ScalarFunctions.timezoneMinute(ts("2001-07-15T12:00:00Z"), "Asia/Kathmandu") == 45L)
     assert(ScalarFunctions.timezoneHour(ts("2001-07-15T12:00:00Z"), "Asia/Kathmandu") == 5L)
   }
+
+  // ---- ipaddress (IpAddressType.java:36, IpAddressOperators.java) ----
+
+  test("ipaddress: v4 parses to the mapped 16-byte form and renders dotted-quad") {
+    import graft.functions.IpFunctions._
+    assert(ScalarFunctions.toHex(ipToBytes("1.2.3.4")) == "00000000000000000000FFFF01020304")
+    assert(ipFromBytes(ipToBytes("255.255.255.255")) == "255.255.255.255")
+    assert(ipFromBytes(ipToBytes("0.0.0.0")) == "0.0.0.0")
+    intercept[IllegalArgumentException](ipToBytes("1.2.3"))
+    intercept[IllegalArgumentException](ipToBytes("1.2.3.256"))
+    intercept[IllegalArgumentException](ipToBytes("1.2.3.x"))
+    intercept[IllegalArgumentException](ipFromBytes(Array[Byte](1, 2, 3)))
+  }
+
+  test("ipaddress: v6 parse + RFC 5952 canonical rendering") {
+    import graft.functions.IpFunctions._
+    // leftmost-longest zero-run compression, lowercase hex
+    assert(ipFromBytes(ipToBytes("2001:0DB8:0000:0000:0000:0000:0000:0001")) == "2001:db8::1")
+    assert(ipFromBytes(ipToBytes("2001:db8:0:1:0:0:0:1")) == "2001:db8:0:1::1")
+    assert(ipFromBytes(ipToBytes("2001:0:0:1:0:0:0:1")) == "2001:0:0:1::1")
+    assert(ipFromBytes(ipToBytes("::")) == "::")
+    assert(ipFromBytes(ipToBytes("::1")) == "::1")
+    assert(ipFromBytes(ipToBytes("fe80::")) == "fe80::")
+    // single zero group is NOT compressed
+    assert(ipFromBytes(ipToBytes("2001:db8:0:1:1:1:1:1")) == "2001:db8:0:1:1:1:1:1")
+    // embedded v4 tail; plain mapped form renders as dotted-quad
+    assert(ipFromBytes(ipToBytes("::ffff:1.2.3.4")) == "1.2.3.4")
+    assert(ScalarFunctions.toHex(ipToBytes("64:ff9b::192.0.2.33")) == "0064FF9B0000000000000000C0000221")
+    intercept[IllegalArgumentException](ipToBytes("1::2::3"))
+    intercept[IllegalArgumentException](ipToBytes("1:2:3:4:5:6:7:8:9"))
+    intercept[IllegalArgumentException](ipToBytes("12345::"))
+  }
+
+  test("ipaddress: ordering via the byte form matches numeric order") {
+    import graft.functions.IpFunctions._
+    // unsigned byte comparison = address order (the reference's
+    // comparison operators, IpAddressOperators.java:74-106)
+    def lt(a: String, b: String): Boolean = {
+      val (x, y) = (ipToBytes(a), ipToBytes(b))
+      val i = x.zip(y).indexWhere { case (p, q) => p != q }
+      i >= 0 && (x(i) & 255) < (y(i) & 255)
+    }
+    assert(lt("9.9.9.9", "10.0.0.0"))     // no string-order trap
+    assert(lt("1.2.3.4", "1.2.3.5"))
+    assert(lt("::1", "2001:db8::1"))
+    assert(lt("1.2.3.4", "2001:db8::1")) // v4-mapped space sorts below 2001::/16
+  }
+
+  test("ipaddress: CIDR helpers — prefix, min/max, range, membership") {
+    import graft.functions.IpFunctions._
+    assert(ipPrefix("192.168.255.255", 9) == "192.128.0.0/9")
+    assert(ipPrefix("1.2.3.4", 32) == "1.2.3.4/32")
+    assert(ipPrefix("1.2.3.4", 0) == "0.0.0.0/0")
+    assert(ipPrefix("2001:db8::8:800:200c:417a", 48) == "2001:db8::/48")
+    assert(ipSubnetMin("192.64.1.1/9") == "192.0.0.0")
+    assert(ipSubnetMax("192.64.1.1/9") == "192.127.255.255")
+    assert(ipSubnetRange("10.1.2.3/24").toSeq == Seq("10.1.2.0", "10.1.2.255"))
+    assert(ipSubnetMax("2001:db8::/126") == "2001:db8::3")
+    assert(isSubnetOf("10.0.0.0/8", "10.255.0.1") == true)
+    assert(isSubnetOf("10.0.0.0/8", "11.0.0.1") == false)
+    assert(isSubnetOf("2001:db8::/32", "2001:db8:ff::1") == true)
+    // a v6 probe never matches a v4 range (mapped space is ::ffff:0:0/96)
+    assert(isSubnetOf("0.0.0.0/0", "2001:db8::1") == false)
+    intercept[IllegalArgumentException](ipPrefix("1.2.3.4", 33))
+    intercept[IllegalArgumentException](ipPrefix("::1", 129))
+    intercept[IllegalArgumentException](ipSubnetMin("1.2.3.4"))
+  }
 }
