@@ -26,5 +26,13 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // Heap sizing, measured at sf0.1 on the 32-core/128 GiB box: 8g made
+  // unified memory evict the shared caches (partsupp, shingles) under
+  // 32-task fan-out joins (queries after the llm group recomputed them,
+  // 3-8x slower); 64g made G1 young-gen pauses multi-second (5.2 s max,
+  // 34% of wall in STW on the shape/setop group). 16g + an explicit
+  // pause target keeps both failure modes out.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
+  "-XX:MaxGCPauseMillis=300",
+) ++ sys.env.get("GRAFT_GC_LOG").map(f => s"-Xlog:gc*:file=$f").toSeq ++ Seq(
 )

@@ -572,12 +572,13 @@ object LlmQueries extends QueryModule {
     // one join + groupBy — at 100 TB this is the standard large-graph CC
     // loop). Oracle: exact transitive closure via recursive CTE.
     Q("llm_dedup_groups", dedupGroupsOracle) { (s, _) =>
-      val pairs = exactJaccardPairs(s, 0.8).select("doc_a", "doc_b").cache()
+      // exactJaccardPairs reads the session-cached pair superset; no
+      // extra cache — minLabel checkpoints its edge input up front.
+      val pairs = exactJaccardPairs(s, 0.8).select("doc_a", "doc_b")
       // Min-label propagation WITH pointer jumping (ConnectedComponents):
       // O(log diameter) rounds, so long near-dup chains converge safely
       // under the round cap (plain propagation needs diameter rounds).
       val labels = graft.operators.ConnectedComponents.minLabel(pairs)
-      pairs.unpersist()
       labels.select(col("node").as("doc_id"), col("cluster").cast("long").as("cluster"))
     },
 
@@ -591,12 +592,15 @@ object LlmQueries extends QueryModule {
     // replays the same exact recursive CTE.
     Q("llm_dedup_groups_lsh", dedupGroupsOracle) { (s, _) =>
       val cand = lshVerifiedPairs(s, 0.7)
-        .select(col("doc_a").as("d1"), col("doc_b").as("d2")).cache()
+        .select(col("doc_a").as("d1"), col("doc_b").as("d2"))
       val sh = cappedShingleRows(s)
       val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
       // Exact verify restricted to candidates: shingles of d1 fan out
       // only onto candidate pairs, then match d2's shingles — one join
       // keyed on (d2, sh), never a shingle self-join over the corpus.
+      // No caller-side cache: each stage feeds exactly one consumer, and
+      // minLabel checkpoints its edge input up front (one execution, and
+      // the CC loop never re-analyzes this pipeline's plan).
       val verified = sh.select(col("doc_id").as("d1"), col("sh"))
         .join(cand, "d1")
         .join(sh.select(col("doc_id").as("d2"), col("sh")), Seq("d2", "sh"))
@@ -604,12 +608,8 @@ object LlmQueries extends QueryModule {
         .join(sizes.select(col("doc_id").as("d1"), col("n").as("n1")), "d1")
         .join(sizes.select(col("doc_id").as("d2"), col("n").as("n2")), "d2")
         .filter(col("common").cast("double") / (col("n1") + col("n2") - col("common")) >= 0.8)
-        .select("d1", "d2").cache()
+        .select("d1", "d2")
       val labels = graft.operators.ConnectedComponents.minLabel(verified)
-      // minLabel's output is localCheckpointed, so both inputs can be
-      // dropped here without recompute risk (ADVICE r4: verified leaked).
-      cand.unpersist()
-      verified.unpersist()
       labels.select(col("node").as("doc_id"), col("cluster").cast("long").as("cluster"))
     },
 
@@ -798,6 +798,70 @@ object LlmQueries extends QueryModule {
         |FROM documents""".stripMargin) { (s, _) =>
       s.table("documents").select(col("doc_id"),
         md5(lower(trim(regexp_replace(col("text"), "\\s+", " "))).cast("binary")).as("fp"))
+    },
+
+    // Winnowing fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD'03 — the
+    // MOSS algorithm): 5-char-gram polynomial hashes, window w=4, keep
+    // the RIGHTMOST minimum per window. Guarantees any match >= w+k-1
+    // chars shares a fingerprint, with density 2/(w+1) — the local
+    // (partial-overlap) complement of the whole-doc md5 above. Map-side
+    // only: the per-doc kernel emits the selected (pos, hash) set with
+    // zero shuffle; at 100 TB the fingerprint->doc inverted index is one
+    // groupBy away. The hash is plain base-31 polynomial arithmetic so
+    // DuckDB replays it bit-for-bit (the window argmin packs (h, -pos)
+    // into one BIGINT key). ASCII fixture => charAt == codepoint.
+    Q("llm_fingerprint_winnow",
+      """WITH t AS (SELECT doc_id, lower(text) AS s FROM documents),
+        |g AS (
+        |  SELECT doc_id, i,
+        |    CAST((ord(substr(s, CAST(i AS INT), 1)) * 923521
+        |     + ord(substr(s, CAST(i + 1 AS INT), 1)) * 29791
+        |     + ord(substr(s, CAST(i + 2 AS INT), 1)) * 961
+        |     + ord(substr(s, CAST(i + 3 AS INT), 1)) * 31
+        |     + ord(substr(s, CAST(i + 4 AS INT), 1))) % 2147483647 AS BIGINT) AS h,
+        |    len(s) - 4 AS n
+        |  FROM t, LATERAL (SELECT unnest(generate_series(1, len(s) - 4)) AS i) u),
+        |w AS (
+        |  SELECT doc_id, i - d AS wst, h * 2097152 + (2097151 - i) AS key, n
+        |  FROM g CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS d)),
+        |sel AS (
+        |  SELECT doc_id, wst, min(key) AS mk FROM w
+        |  WHERE wst >= 1 AND wst <= n - 3 GROUP BY doc_id, wst)
+        |SELECT DISTINCT doc_id, CAST(2097151 - (mk % 2097152) AS BIGINT) AS pos,
+        |  CAST(mk // 2097152 AS BIGINT) AS fp
+        |FROM sel""".stripMargin) { (s, _) =>
+      import s.implicits._
+      s.table("documents")
+        .select(col("doc_id").cast("long"), lower(col("text")).as("s"))
+        .as[(Long, String)]
+        .mapPartitions { it =>
+          val K = 5; val W = 4; val M = 2147483647L
+          it.flatMap { case (id, text) =>
+            val n = text.length - (K - 1)
+            if (n < W) Iterator.empty
+            else {
+              val h = new Array[Long](n)
+              var i = 0
+              while (i < n) {
+                h(i) = (text.charAt(i) * 923521L + text.charAt(i + 1) * 29791L +
+                  text.charAt(i + 2) * 961L + text.charAt(i + 3) * 31L +
+                  text.charAt(i + 4)) % M
+                i += 1
+              }
+              // rightmost-min per window; dedupe consecutive re-selections
+              val out = scala.collection.mutable.LinkedHashSet.empty[(Long, Long)]
+              var wst = 0
+              while (wst <= n - W) {
+                var best = wst
+                var j = wst + 1
+                while (j < wst + W) { if (h(j) <= h(best)) best = j; j += 1 }
+                out += ((best + 1L, h(best))) // 1-based pos, oracle-aligned
+                wst += 1
+              }
+              out.iterator.map { case (pos, fp) => (id, pos, fp) }
+            }
+          }
+        }.toDF("doc_id", "pos", "fp")
     },
 
     // Sliding-window chunking — context-window packing: each document

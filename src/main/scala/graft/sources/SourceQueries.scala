@@ -42,7 +42,7 @@ object SourceQueries extends QueryModule {
     try {
       import scala.reflect.io.Directory
       new Directory(new java.io.File(dir)).deleteRecursively()
-    } catch { case _: Throwable => () }
+    } catch { case scala.util.control.NonFatal(_) => () }
     res
   }
 

@@ -15,6 +15,19 @@ object Profile {
     val n = args(1).toInt
     val names = args.drop(2).toSeq
     val spark = graft.engine.Engine.session("local[32]")
+    // Slow-stage tracer (GRAFT_STAGE_DEBUG): which stages dominate, and
+    // with how many tasks — the first question for any regression.
+    if (sys.env.contains("GRAFT_STAGE_DEBUG"))
+      spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+        override def onStageCompleted(
+            ev: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+          val si = ev.stageInfo
+          val dur = for { s <- si.submissionTime; c <- si.completionTime } yield c - s
+          if (dur.exists(_ > 1500))
+            System.err.println(
+              s"[stage] id=${si.stageId} tasks=${si.numTasks} ms=${dur.get} name=${si.name.take(80)}")
+        }
+      })
     graft.engine.Engine.registerTables(spark, sfDir)
     spark.table("lineitem").write.format("noop").mode("overwrite").save()
     val qs = SparkEntry.benchQueries
