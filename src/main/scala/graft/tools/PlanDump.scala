@@ -19,7 +19,8 @@ object PlanDump {
       "win_topk_per_group", "llm_dedup_ngram_jaccard", "llm_knn_brute",
       "agg_mixed_distinct", "ev_sessionize",
       "src_bucketed_join", "ev_view_click_attribution",
-      "join_asof", "join_range_binned")
+      "join_asof", "join_range_binned",
+      "join_spatial_contains", "join_spatial_intersects")
     val spark = graft.engine.Engine.session("local[4]", shufflePartitions = 8)
     graft.engine.Engine.registerTables(spark, sfDir)
     val sb = new StringBuilder
