@@ -309,6 +309,50 @@ class EngineSpecs extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == Set((1L, 1L), (2L, 1L), (3L, 1L), (10L, 10L), (11L, 10L)))
   }
 
+  test("connected components free per-round checkpoint blocks (no storage leak)") {
+    // Round-5 regression pin: a CC call must leave at most ONE persisted
+    // RDD behind (the final label checkpoint its output reads), not
+    // O(rounds) dead ones — leaked checkpoint blocks build storage
+    // pressure that evicts the session's shared caches.
+    val s = spark
+    import s.implicits._
+    val before = s.sparkContext.getPersistentRDDs.keySet
+    val chain = (0L until 64L).sliding(2).map(p => (p(0), p(1))).toSeq.toDF("a", "b")
+    val (labels, rounds) = graft.operators.ConnectedComponents.minLabelWithStats(chain)
+    labels.count() // consume like a caller would
+    val leaked = s.sparkContext.getPersistentRDDs.keySet -- before
+    assert(rounds >= 3, s"need a multi-round run to make the pin meaningful, got $rounds")
+    assert(leaked.size <= 1, s"CC leaked ${leaked.size} persisted RDDs (rounds=$rounds)")
+  }
+
+  test("winnowing fingerprints detect partial overlap that whole-doc md5 misses") {
+    // The local-fingerprint guarantee (Schleimer et al.): two documents
+    // sharing a long-enough substring share at least one selected
+    // (pos-independent) fingerprint hash, even when the rest differs —
+    // md5-style whole-doc hashing shares nothing.
+    val s = spark
+    import s.implicits._
+    val shared = "the quick brown fox jumps over the lazy dog near the river bank today"
+    val docs = Seq(
+      (1L, s"intro text alpha beta $shared and then some trailing words"),
+      (2L, s"completely different preamble $shared closing remarks here"),
+      (3L, "no overlap with anything else in this corpus at all whatsoever")).toDF("doc_id", "text")
+    docs.createOrReplaceTempView("documents")
+    try {
+      val fp = SparkEntry.queries("llm_fingerprint_winnow")(s, sfDir)
+        .select("doc_id", "fp").as[(Long, Long)].collect().groupBy(_._1)
+        .view.mapValues(_.map(_._2).toSet).toMap
+      val common12 = fp(1L).intersect(fp(2L))
+      assert(common12.nonEmpty, "docs sharing a 70-char substring must share a fingerprint")
+      assert(fp(3L).intersect(fp(1L) ++ fp(2L)).isEmpty ||
+        fp(3L).intersect(fp(1L) ++ fp(2L)).size < common12.size,
+        "unrelated doc must not share more fingerprints than the true overlap")
+    } finally {
+      // restore the fixture view for subsequent specs
+      graft.engine.Engine.reregisterTables(s, sfDir)
+    }
+  }
+
   test("as-of join picks the at-or-before right row with one shuffle") {
     import org.apache.spark.sql.functions._
     val s = spark
