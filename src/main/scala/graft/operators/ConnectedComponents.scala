@@ -27,16 +27,23 @@ object ConnectedComponents {
   def minLabelWithStats(edges: DataFrame, maxIter: Int = 20): (DataFrame, Int) = {
     val cols = edges.columns
     require(cols.length == 2, s"edges must have exactly 2 columns, got ${cols.mkString(",")}")
-    val sc = edges.sparkSession.sparkContext
+    // A localCheckpoint'ed Dataset's plan is a LogicalRDD over the RDD
+    // that holds its blocks; unpersisting THAT rdd (not the Dataset,
+    // whose unpersist only consults the plan cache) frees the blocks.
+    // Reading the id from the plan (rather than diffing
+    // getPersistentRDDs) is race-free when other threads persist
+    // concurrently — test suites share one SparkContext.
+    def ckptRdds(ds: DataFrame): Seq[org.apache.spark.rdd.RDD[_]] =
+      ds.queryExecution.analyzed.collect {
+        case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
+      }
     // Checkpoint the edge list BEFORE the loop — cache() would keep the
     // caller's full logical plan (an LSH/verify pipeline can be tens of
     // thousands of expression nodes), and every round's checkpoint
     // re-ANALYZES the sym plan it references: measured minutes of pure
     // Catalyst analysis per CC call at sf0.1. A LogicalRDD makes each
     // round's plan O(1) regardless of how the edges were produced.
-    val pre0 = sc.getPersistentRDDs.keySet
     val e0 = edges.select(col(cols(0)).as("a"), col(cols(1)).as("b")).localCheckpoint()
-    val edgeCkpt = (sc.getPersistentRDDs.keySet -- pre0).toSet
     val sym = e0.union(e0.select(col("b").as("a"), col("a").as("b")))
     var labels = sym.select(col("a").as("node")).distinct()
       .select(col("node"), col("node").as("cluster"))
@@ -45,9 +52,8 @@ object ConnectedComponents {
     // Checkpoint blocks of finished rounds are freed explicitly: they
     // are dead the moment the next round materializes, and leaking
     // `rounds` of them per call builds storage pressure that evicts the
-    // session's shared caches (public API: getPersistentRDDs diff —
-    // Dataset.unpersist cannot reach a localCheckpoint's blocks).
-    var prevCkpt: Set[Int] = Set.empty
+    // session's shared caches.
+    var prevCkpt: Seq[org.apache.spark.rdd.RDD[_]] = Nil
     while (!converged && iter < maxIter) {
       val viaNeighbor = sym
         .join(labels.select(col("node").as("a"), col("cluster").as("nlbl")), "a")
@@ -60,12 +66,11 @@ object ConnectedComponents {
       // The checkpoint sits on prop, BEFORE the jump: the jump self-join
       // reads prop twice, and an unmaterialized prop would recompute the
       // whole propagation for each side.
-      val pre = sc.getPersistentRDDs.keySet
       val prop = labels.select(col("node"), col("cluster"), col("cluster").as("prev"))
         .union(viaNeighbor)
         .groupBy("node").agg(min("cluster").as("cluster"), max("prev").as("prev"))
         .localCheckpoint()
-      val mine = (sc.getPersistentRDDs.keySet -- pre).toSet
+      val mine = ckptRdds(prop)
       // The jump is an identity in round 0 (labels are self) and only
       // starts paying off once labels are ≥2 hops old — skip it there,
       // keeping the small-cluster fast path at one join+agg per round.
@@ -80,13 +85,13 @@ object ConnectedComponents {
             col("prev"))
       converged = next.filter(col("cluster") =!= col("prev")).isEmpty
       labels = next.select("node", "cluster")
-      prevCkpt.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
+      prevCkpt.foreach(_.unpersist(blocking = false))
       prevCkpt = mine
       iter += 1
       if (sys.env.contains("GRAFT_CC_DEBUG"))
         System.err.println(s"[cc] round $iter done at ${System.nanoTime() / 1000000}ms converged=$converged")
     }
-    edgeCkpt.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
+    ckptRdds(e0).foreach(_.unpersist(blocking = false))
     (labels, iter)
   }
 
