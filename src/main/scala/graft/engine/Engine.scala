@@ -77,13 +77,6 @@ object Engine {
     java.util.Collections.synchronizedMap(
       new java.util.WeakHashMap[SparkSession, String]())
 
-  /** Force re-registration — for tests that overwrite a fixture view
-    * with synthetic data and need the real tables back. */
-  def reregisterTables(spark: SparkSession, dir: String): Unit = {
-    registered.remove(spark)
-    registerTables(spark, dir)
-  }
-
   /** Register every fixture table under `dir` as a temp view. Idempotent
     * per (session, dir). Also installs the graft function extensions.
     */

@@ -330,7 +330,11 @@ class EngineSpecs extends AnyFunSuite with BeforeAndAfterAll {
     // sharing a long-enough substring share at least one selected
     // (pos-independent) fingerprint hash, even when the rest differs —
     // md5-style whole-doc hashing shares nothing.
-    val s = spark
+    // An isolated child session: temp views are per-session, so swapping
+    // `documents` here cannot disturb suites sharing the global session
+    // (sbt runs suites in parallel on one SparkContext).
+    val s = spark.newSession()
+    graft.engine.Engine.registerTables(s, sfDir) // mark registered, then swap
     import s.implicits._
     val shared = "the quick brown fox jumps over the lazy dog near the river bank today"
     val docs = Seq(
@@ -338,19 +342,14 @@ class EngineSpecs extends AnyFunSuite with BeforeAndAfterAll {
       (2L, s"completely different preamble $shared closing remarks here"),
       (3L, "no overlap with anything else in this corpus at all whatsoever")).toDF("doc_id", "text")
     docs.createOrReplaceTempView("documents")
-    try {
-      val fp = SparkEntry.queries("llm_fingerprint_winnow")(s, sfDir)
-        .select("doc_id", "fp").as[(Long, Long)].collect().groupBy(_._1)
-        .view.mapValues(_.map(_._2).toSet).toMap
-      val common12 = fp(1L).intersect(fp(2L))
-      assert(common12.nonEmpty, "docs sharing a 70-char substring must share a fingerprint")
-      assert(fp(3L).intersect(fp(1L) ++ fp(2L)).isEmpty ||
-        fp(3L).intersect(fp(1L) ++ fp(2L)).size < common12.size,
-        "unrelated doc must not share more fingerprints than the true overlap")
-    } finally {
-      // restore the fixture view for subsequent specs
-      graft.engine.Engine.reregisterTables(s, sfDir)
-    }
+    val fp = SparkEntry.queries("llm_fingerprint_winnow")(s, sfDir)
+      .select("doc_id", "fp").as[(Long, Long)].collect().groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    val common12 = fp(1L).intersect(fp(2L))
+    assert(common12.nonEmpty, "docs sharing a 70-char substring must share a fingerprint")
+    assert(fp(3L).intersect(fp(1L) ++ fp(2L)).isEmpty ||
+      fp(3L).intersect(fp(1L) ++ fp(2L)).size < common12.size,
+      "unrelated doc must not share more fingerprints than the true overlap")
   }
 
   test("as-of join picks the at-or-before right row with one shuffle") {
