@@ -98,13 +98,14 @@ object Engine {
         }
       }
       graft.functions.FunctionRegistry.installAll(spark)
-      // Materialize the synthesized partsupp once per fixture dir — the
+      // Register the synthesized partsupp once per fixture dir — the
       // analog of the reference's CTAS for a base table it reads many
-      // times. Cached + eagerly built: one distinct-shuffle of lineitem's
-      // two key columns plus a broadcast join to part, after which the
-      // five partsupp consumers scan it like any other table. At sf0.1
-      // this is ~0.5M narrow rows; at 100 TB it would be a bucketed CTAS
-      // to the warehouse instead of a memory cache — same plan shape.
+      // times. The cache is LAZY (no eager count): sessions that never
+      // touch partsupp — LLM-only runs, streaming specs — skip the
+      // lineitem-wide distinct shuffle entirely; the first consumer
+      // materializes it and the other four scan the cache. At sf0.1 this
+      // is ~0.5M narrow rows; at 100 TB it would be a bucketed CTAS to
+      // the warehouse instead of a memory cache — same plan shape.
       // Guarded on its inputs: partial fixture dirs (each base table is
       // registered only if its parquet exists) must not fail registration
       // for every module because the partsupp stand-in can't be built.
@@ -115,7 +116,6 @@ object Engine {
         }
         spark.sql(partsuppSelect).createOrReplaceTempView("partsupp")
         spark.catalog.cacheTable("partsupp")
-        spark.table("partsupp").count()
       }
       registered.put(spark, dir)
     }

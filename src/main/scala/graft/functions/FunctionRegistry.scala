@@ -37,6 +37,7 @@ object FunctionRegistry {
       TeradataFunctions.install(spark)
       SpookyHash.install(spark)
       IpFunctions.install(spark)
+      VectorMeanAgg.install(spark)
       installed.put(spark, java.lang.Boolean.TRUE)
     }
   }

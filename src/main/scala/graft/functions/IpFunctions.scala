@@ -54,14 +54,18 @@ object IpFunctions {
   private def parseV6(t: String): Array[Byte] = {
     val dc = t.indexOf("::")
     require(dc < 0 || t.indexOf("::", dc + 1) < 0, s"invalid IPv6 address: $t")
-    // each token is a 16-bit hex group; a dotted token (only last) is 32 bits
-    def tokGroups(part: String): Array[Int] = {
+    // Each token is a 16-bit hex group; an embedded dotted-quad token is
+    // 32 bits and must occupy the FINAL 32 bits of the address (RFC 4291
+    // §2.2.3; InetAddress and the reference reject '1.2.3.4::'). With a
+    // '::' present the zero-fill is >=1 group and lands after the head,
+    // so a dotted token is only ever legal in the tail segment.
+    def tokGroups(part: String, allowDot: Boolean): Array[Int] = {
       if (part.isEmpty) return Array.emptyIntArray
       val toks = part.split(":", -1)
       toks.zipWithIndex.flatMap { case (tok, i) =>
         require(tok.nonEmpty, s"invalid IPv6 address: $t")
         if (tok.indexOf('.') >= 0) {
-          require(i == toks.length - 1, s"invalid IPv6 address: $t")
+          require(allowDot && i == toks.length - 1, s"invalid IPv6 address: $t")
           val b = new Array[Byte](4)
           parseV4Into(tok, b, 0)
           Array(((b(0) & 255) << 8) | (b(1) & 255), ((b(2) & 255) << 8) | (b(3) & 255))
@@ -74,12 +78,12 @@ object IpFunctions {
     }
     val groups: Array[Int] =
       if (dc < 0) {
-        val g = tokGroups(t)
+        val g = tokGroups(t, allowDot = true)
         require(g.length == 8, s"invalid IPv6 address: $t")
         g
       } else {
-        val head = tokGroups(t.substring(0, dc))
-        val tail = tokGroups(t.substring(dc + 2))
+        val head = tokGroups(t.substring(0, dc), allowDot = false)
+        val tail = tokGroups(t.substring(dc + 2), allowDot = true)
         require(head.length + tail.length <= 7, s"invalid IPv6 address: $t")
         head ++ Array.fill(8 - head.length - tail.length)(0) ++ tail
       }
@@ -96,10 +100,14 @@ object IpFunctions {
   /** Canonical rendering (IpAddressOperators.java:155 semantics): a
     * v4-mapped value prints as dotted-quad; otherwise RFC 5952 —
     * lowercase hex, leftmost-longest zero run of >=2 groups → `::`. */
+  /** v4-mapped-IPv6 test on the VALUE (bytes 0-9 zero, 10-11 0xFFFF) —
+    * the text form is irrelevant: '::ffff:1.2.3.4' IS an IPv4 value. */
+  private def isV4Mapped(b: Array[Byte]): Boolean =
+    (0 until 10).forall(b(_) == 0) && b(10) == -1 && b(11) == -1
+
   def ipFromBytes(b: Array[Byte]): String = {
     require(b != null && b.length == 16, "ipaddress value must be exactly 16 bytes")
-    val isV4 = (0 until 10).forall(b(_) == 0) && b(10) == -1 && b(11) == -1
-    if (isV4) s"${b(12) & 255}.${b(13) & 255}.${b(14) & 255}.${b(15) & 255}"
+    if (isV4Mapped(b)) s"${b(12) & 255}.${b(13) & 255}.${b(14) & 255}.${b(15) & 255}"
     else {
       val g = Array.tabulate(8)(i => ((b(2 * i) & 255) << 8) | (b(2 * i + 1) & 255))
       var bestStart = -1; var bestLen = 1; var i = 0
@@ -126,9 +134,12 @@ object IpFunctions {
   }
 
   /** 0-based prefix over the 16-byte form; IPv4 prefix lengths are
-    * measured over 32 bits and offset into the mapped tail. */
-  private def effectiveBits(ip: String, bits: Int): Int =
-    if (ip.indexOf(':') < 0) {
+    * measured over 32 bits and offset into the mapped tail. v4-ness is
+    * decided from the PARSED value, not the text, so '::ffff:1.2.3.4'
+    * gets IPv4 prefix semantics like the reference
+    * (IpAddressOperators.java renders/treats mapped values as v4). */
+  private def effectiveBits(b: Array[Byte], bits: Int): Int =
+    if (isV4Mapped(b)) {
       require(bits >= 0 && bits <= 32, s"IPv4 subnet size must be in [0, 32]: $bits")
       96 + bits
     } else {
@@ -163,20 +174,22 @@ object IpFunctions {
   /** ip_prefix(ip, bits) -> canonical 'network/bits'. */
   def ipPrefix(ip: String, bits: Int): String = {
     if (ip == null) return null
-    val eff = effectiveBits(ip, bits)
-    ipFromBytes(withHostBits(ipToBytes(ip), eff, floor = true)) + "/" + bits
+    val b = ipToBytes(ip)
+    ipFromBytes(withHostBits(b, effectiveBits(b, bits), floor = true)) + "/" + bits
   }
 
   def ipSubnetMin(cidr: String): String = {
     if (cidr == null) return null
     val (ip, bits) = splitCidr(cidr)
-    ipFromBytes(withHostBits(ipToBytes(ip), effectiveBits(ip, bits), floor = true))
+    val b = ipToBytes(ip)
+    ipFromBytes(withHostBits(b, effectiveBits(b, bits), floor = true))
   }
 
   def ipSubnetMax(cidr: String): String = {
     if (cidr == null) return null
     val (ip, bits) = splitCidr(cidr)
-    ipFromBytes(withHostBits(ipToBytes(ip), effectiveBits(ip, bits), floor = false))
+    val b = ipToBytes(ip)
+    ipFromBytes(withHostBits(b, effectiveBits(b, bits), floor = false))
   }
 
   def ipSubnetRange(cidr: String): Array[String] =
@@ -197,8 +210,8 @@ object IpFunctions {
   def isSubnetOf(cidr: String, ip: String): java.lang.Boolean = {
     if (cidr == null || ip == null) return null
     val (net, bits) = splitCidr(cidr)
-    val eff = effectiveBits(net, bits)
     val base = ipToBytes(net)
+    val eff = effectiveBits(base, bits)
     val probe = ipToBytes(ip)
     unsignedCompare(withHostBits(base, eff, floor = true), probe) <= 0 &&
       unsignedCompare(probe, withHostBits(base, eff, floor = false)) <= 0

@@ -638,4 +638,32 @@ object Fns {
   def minhashJaccard(sigA: Column, sigB: Column): Column =
     aggregate(zip_with(sigA, sigB, (x, y) => when(x === y, 1).otherwise(0)),
       lit(0), (acc, x) => acc + x).cast("double") / size(sigA)
+
+  // ---- char(n) semantics (presto-spi/.../type/Chars.java, CharType.java) ----
+  //
+  // The reference's char(n) is a fixed-length type: casting truncates to n
+  // and pads with spaces, comparisons pad both sides to the wider length
+  // (trailing spaces insignificant), and length() of a char(n) value is n.
+  // Spark has no first-class char(n) outside table DDL (CAST(x AS CHAR(n))
+  // is a plain string cast), so the value is modeled as its space-padded
+  // rendering — exactly what the reference produces on cast-to-varchar
+  // (Chars.padSpaces). All pure codegen'd string ops, no UDFs.
+  //
+  // Documented delta: padded comparison and rtrim-comparison disagree when
+  // a value contains control characters below 0x20 ('a' vs 'a\t'); the
+  // padded form used here matches the reference.
+
+  /** CAST(s AS CHAR(n)): truncate to n chars, pad with spaces to n. */
+  def charCast(s: Column, n: Int): Column = rpad(substring(s, 1, n), n, " ")
+
+  private def charPadBoth(a: Column, b: Column)(cmp: (Column, Column) => Column): Column = {
+    val w = greatest(length(a), length(b))
+    cmp(rpad(a, w, lit(" ")), rpad(b, w, lit(" ")))
+  }
+
+  /** char(n) = char(m): pad both to max(n, m), then compare. */
+  def charEq(a: Column, b: Column): Column = charPadBoth(a, b)(_ === _)
+
+  /** char(n) < char(m) under padded comparison. */
+  def charLt(a: Column, b: Column): Column = charPadBoth(a, b)(_ < _)
 }

@@ -361,16 +361,14 @@ object LlmQueries extends QueryModule {
       .groupBy("vec_id")
       .agg(max_by(col("c_id"), struct(col("csim"), -col("c_id"))).as("c_id"))
       .join(e, "vec_id")
-    // Lloyd refinement: new centroid = elementwise mean of its cell
-    // (posexplode -> per-(cell,dim) avg -> re-assemble), keeping the
-    // cell's own id. One extra shuffle on (c_id, pos) per round.
+    // Lloyd refinement: new centroid = elementwise mean of its cell via
+    // the flat vec_mean aggregate (functions/VectorAggregates.scala) —
+    // one double[dims]+count buffer per (partition, cell) through the
+    // exchange. The earlier posexplode formulation shuffled dims x as
+    // many rows per round (128x here, 1000x+ on production embeddings).
     def cellMeans(assignedPass: DataFrame): DataFrame = assignedPass
-      .select(col("c_id"), posexplode(col("embedding")).as(Seq("pos", "v")))
-      .groupBy("c_id", "pos").agg(avg(col("v").cast("double")).as("m"))
       .groupBy("c_id")
-      .agg(transform(
-        array_sort(collect_list(struct(col("pos"), col("m")))),
-        p => p.getField("m")).as("ce"))
+      .agg(call_udf("vec_mean", col("embedding")).as("ce"))
     val centroids = (1 to lloydRounds).foldLeft(seeds) { (cents, _) =>
       cellMeans(assign(cents)).localCheckpoint() // truncate per-round lineage
     }
@@ -662,9 +660,9 @@ object LlmQueries extends QueryModule {
       val (_, pTop) = lshCandTop(s, pe)
       val pHit = pTop.select("q_id", "n_id")
         .join(bruteTop(pe), Seq("q_id", "n_id"), "left_semi").count()
+      // Plain LocalRelation from driver-side scalars — nothing to cache.
       val res = Seq((pHit == 50L, nCand / (5 * (n - 1)) < 0.25))
-        .toDF("planted_recall_perfect", "sublinear_candidates").cache()
-      res.count()
+        .toDF("planted_recall_perfect", "sublinear_candidates")
       pe.unpersist(); cached.unpersist()
       res
     }.withBench { (s, _) =>
@@ -699,9 +697,9 @@ object LlmQueries extends QueryModule {
       val (_, _, pTop) = ivfPipeline(s, pe, nProbe = 4, lloydRounds = 2)
       val pHit = pTop.select("q_id", "n_id")
         .join(bruteTop(pe), Seq("q_id", "n_id"), "left_semi").count()
+      // Plain LocalRelation from driver-side scalars — nothing to cache.
       val res = Seq((pHit == 50L, scanned / (5.0 * (n - 1)) < 0.30))
-        .toDF("planted_recall_perfect", "sublinear_scan").cache()
-      res.count()
+        .toDF("planted_recall_perfect", "sublinear_scan")
       pe.unpersist(); assigned.unpersist()
       res
     }.withBench { (s, _) =>

@@ -24,7 +24,17 @@ object ConnectedComponents {
     * Returns ((node, cluster) labels, rounds used). Cluster = minimum
     * node id of the component.
     */
-  def minLabelWithStats(edges: DataFrame, maxIter: Int = 20): (DataFrame, Int) = {
+  def minLabelWithStats(edges: DataFrame, maxIter: Int = 20): (DataFrame, Int) =
+    minLabelTracked(edges, maxIter, null)
+
+  /** As minLabelWithStats, additionally appending the RDD id of every
+    * checkpoint this call creates to `createdRddIds` (when non-null).
+    * Test-facing: lets the no-leak spec check ONLY its own RDDs against
+    * `getPersistentRDDs` instead of diffing global state, which races
+    * with concurrent suites persisting on the shared SparkContext.
+    */
+  private[graft] def minLabelTracked(edges: DataFrame, maxIter: Int,
+      createdRddIds: scala.collection.mutable.Buffer[Int]): (DataFrame, Int) = {
     val cols = edges.columns
     require(cols.length == 2, s"edges must have exactly 2 columns, got ${cols.mkString(",")}")
     // A localCheckpoint'ed Dataset's plan is a LogicalRDD over the RDD
@@ -44,6 +54,7 @@ object ConnectedComponents {
     // Catalyst analysis per CC call at sf0.1. A LogicalRDD makes each
     // round's plan O(1) regardless of how the edges were produced.
     val e0 = edges.select(col(cols(0)).as("a"), col(cols(1)).as("b")).localCheckpoint()
+    if (createdRddIds != null) createdRddIds ++= ckptRdds(e0).map(_.id)
     val sym = e0.union(e0.select(col("b").as("a"), col("a").as("b")))
     var labels = sym.select(col("a").as("node")).distinct()
       .select(col("node"), col("node").as("cluster"))
@@ -71,6 +82,7 @@ object ConnectedComponents {
         .groupBy("node").agg(min("cluster").as("cluster"), max("prev").as("prev"))
         .localCheckpoint()
       val mine = ckptRdds(prop)
+      if (createdRddIds != null) createdRddIds ++= mine.map(_.id)
       // The jump is an identity in round 0 (labels are self) and only
       // starts paying off once labels are ≥2 hops old — skip it there,
       // keeping the small-cluster fast path at one join+agg per round.

@@ -17,11 +17,21 @@ import org.apache.spark.sql.functions._
   */
 object SkewOps {
 
+  /** Retry-stable salt: a content hash of the whole row, not
+    * `monotonically_increasing_id`/`spark_partition_id` — those change on
+    * task retry and recompute-after-eviction, which makes the salted plan
+    * nondeterministic exactly when a 1000-executor run needs it stable.
+    * Hot-key rows still spread: identical duplicate rows sharing a bucket
+    * is fine (the partial agg absorbs them).
+    */
+  private def contentSalt(df: DataFrame, buckets: Int): Column =
+    pmod(xxhash64(df.columns.map(col): _*), lit(buckets))
+
   /** salted sum/count: df.groupBy(key) but hot keys spread over
     * `buckets` partial groups first.
     */
   def saltedSumCount(df: DataFrame, key: Column, valueCol: Column, buckets: Int = 16): DataFrame = {
-    val salted = df.withColumn("__salt", pmod(spark_partition_id() + monotonically_increasing_id(), lit(buckets)))
+    val salted = df.withColumn("__salt", contentSalt(df, buckets))
     salted
       .groupBy(key.as("__key"), col("__salt"))
       .agg(sum(valueCol).as("__psum"), count(lit(1)).as("__pcnt"))
@@ -35,7 +45,7 @@ object SkewOps {
     */
   def salted(df: DataFrame, key: Column, buckets: Int)(
       partials: Seq[Column], finals: Seq[Column]): DataFrame = {
-    df.withColumn("__salt", pmod(xxhash64(monotonically_increasing_id()), lit(buckets)))
+    df.withColumn("__salt", contentSalt(df, buckets))
       .groupBy(key.as("__key"), col("__salt"))
       .agg(partials.head, partials.tail: _*)
       .groupBy(col("__key"))

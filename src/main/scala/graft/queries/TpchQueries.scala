@@ -75,8 +75,13 @@ object TpchQueries extends QueryModule {
         |      GROUP BY c_custkey) t
         |GROUP BY c_count""".stripMargin),
 
-    // Q15: top supplier by quarterly revenue (CTE + scalar-subquery max;
-    // the = compares values computed consistently within each engine).
+    // Q15: top supplier by quarterly revenue. Restated rank-based rather
+    // than TPC-H's `total_revenue = (SELECT max(...))`: the textbook form
+    // joins on exact floating-point equality between two evaluations of
+    // the same CTE, and Spark may plan the CTE twice with different
+    // partial-agg orders at higher parallelism — silently dropping the
+    // top supplier. row_number() evaluates the CTE once and is
+    // deterministic under any partitioning (supplier_no tiebreak).
     sqlQ("q15_top_supplier",
       """WITH revenue AS (
         |  SELECT l_suppkey AS supplier_no,
@@ -84,11 +89,14 @@ object TpchQueries extends QueryModule {
         |  FROM lineitem
         |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
         |    AND l_shipdate < TIMESTAMP '1996-04-01'
-        |  GROUP BY l_suppkey)
+        |  GROUP BY l_suppkey),
+        |ranked AS (
+        |  SELECT supplier_no, total_revenue,
+        |         row_number() OVER (ORDER BY total_revenue DESC, supplier_no) AS rn
+        |  FROM revenue)
         |SELECT s_suppkey, s_name, total_revenue
-        |FROM supplier, revenue
-        |WHERE s_suppkey = supplier_no
-        |  AND total_revenue = (SELECT max(total_revenue) FROM revenue)""".stripMargin),
+        |FROM supplier JOIN ranked ON s_suppkey = supplier_no
+        |WHERE rn = 1""".stripMargin),
 
     // Q17: small-quantity-order revenue (correlated scalar average).
     sqlQ("q17_small_quantity",

@@ -79,6 +79,31 @@ object DdlQueries extends QueryModule {
           |FROM orders""".stripMargin)
     },
 
+    // PREPARE / EXECUTE / DEALLOCATE — the reference's QueryPreparer
+    // .java prepared-statement surface: PREPARE stores the text in
+    // session state, EXECUTE ... USING binds positional ? parameters
+    // (literals, per the reference's grammar), DEALLOCATE drops it.
+    // The executed statement is a parameterized TPC-H q6.
+    Q("sql_prepare_execute",
+      """SELECT sum(l_extendedprice * l_discount) AS revenue
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1994-01-01'
+        |  AND l_shipdate < TIMESTAMP '1995-01-01'
+        |  AND l_discount BETWEEN 0.05 AND 0.07
+        |  AND l_quantity < 24""".stripMargin) { (s, _) =>
+      PrestoSql.sql(s,
+        """PREPARE q6_param FROM
+          |SELECT sum(l_extendedprice * l_discount) AS revenue
+          |FROM lineitem
+          |WHERE l_shipdate >= ? AND l_shipdate < ?
+          |  AND l_discount BETWEEN ? AND ?
+          |  AND l_quantity < ?""".stripMargin)
+      val out = PrestoSql.sql(s,
+        "EXECUTE q6_param USING TIMESTAMP '1994-01-01', TIMESTAMP '1995-01-01', 0.05, 0.07, 24")
+      PrestoSql.sql(s, "DEALLOCATE PREPARE q6_param")
+      out
+    },
+
     // DELETE — the reference's DeleteOperator.java/MetadataDeleteOperator
     // pair as file-pruned copy-on-write over parquet (DeleteOps). The
     // scratch table is range-clustered on o_orderkey so the key-range

@@ -134,9 +134,96 @@ object PrestoSql {
     */
   def rewriteFull(text: String): String = rewrite(rewriteQuantified(text))
 
-  /** Run Presto-dialect SQL on the graft engine. */
+  // ---- PREPARE / EXECUTE / DEALLOCATE (reference: QueryPreparer.java;
+  // SqlBase.g4 Prepare/Execute/Deallocate statements). The reference
+  // stores prepared statements in session state and EXECUTE ... USING
+  // binds positional `?` parameters. Same model here: statements are
+  // per-session (weak, so dead sessions drop), and binding is textual
+  // substitution of each `?` outside string literals with the matching
+  // USING expression — Presto restricts parameters to literals, and so
+  // does this shim (each bound text is parenthesized, never spliced as
+  // raw syntax into an ambiguous position).
+  private val prepared =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[SparkSession, scala.collection.mutable.Map[String, String]]())
+
+  private def stmtsOf(spark: SparkSession): scala.collection.mutable.Map[String, String] =
+    prepared.synchronized {
+      var m = prepared.get(spark)
+      if (m == null) { m = scala.collection.mutable.Map.empty[String, String]; prepared.put(spark, m) }
+      m
+    }
+
+  private val prepareRe = """(?is)\s*PREPARE\s+(\w+)\s+FROM\s+(.+)""".r
+  private val executeRe = """(?is)\s*EXECUTE\s+(\w+)\s*(?:USING\s+(.+))?""".r
+  private val deallocRe = """(?is)\s*DEALLOCATE\s+(?:PREPARE\s+)?(\w+)\s*""".r
+
+  /** Split `USING a, b, c` argument text on top-level commas (string
+    * literals and parens respected).
+    */
+  private def splitArgs(text: String): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var depth = 0
+    var inStr = false
+    var start = 0
+    var i = 0
+    while (i < text.length) {
+      val c = text(i)
+      if (inStr) { if (c == '\'') inStr = false }
+      else c match {
+        case '\'' => inStr = true
+        case '(' => depth += 1
+        case ')' => depth -= 1
+        case ',' if depth == 0 => out += text.substring(start, i).trim; start = i + 1
+        case _ =>
+      }
+      i += 1
+    }
+    out += text.substring(start).trim
+    out.toSeq
+  }
+
+  /** Substitute each positional `?` outside string literals. */
+  private def bindParams(query: String, args: Seq[String]): String = {
+    val lit = literalMap(query)
+    val sb = new StringBuilder
+    var next = 0
+    var i = 0
+    while (i < query.length) {
+      if (query(i) == '?' && !lit(i)) {
+        require(next < args.length,
+          s"Incorrect number of parameters: statement has more than ${args.length}")
+        sb.append('(').append(args(next)).append(')')
+        next += 1
+      } else sb.append(query(i))
+      i += 1
+    }
+    require(next == args.length,
+      s"Incorrect number of parameters: expected $next but found ${args.length}")
+    sb.toString
+  }
+
+  /** Run Presto-dialect SQL on the graft engine (including the prepared-
+    * statement surface: PREPARE name FROM q / EXECUTE name [USING ...] /
+    * DEALLOCATE PREPARE name).
+    */
   def sql(spark: SparkSession, text: String): DataFrame = {
     graft.functions.FunctionRegistry.installAll(spark)
-    spark.sql(rewriteFull(text))
+    import spark.implicits._
+    text match {
+      case prepareRe(name, query) =>
+        stmtsOf(spark).put(name.toLowerCase, query.trim)
+        Seq("PREPARE").toDF("result")
+      case deallocRe(name) =>
+        stmtsOf(spark).remove(name.toLowerCase)
+        Seq("DEALLOCATE").toDF("result")
+      case executeRe(name, argText) =>
+        val query = stmtsOf(spark).getOrElse(name.toLowerCase,
+          throw new IllegalArgumentException(s"Prepared statement not found: $name"))
+        val args = if (argText == null) Seq.empty else splitArgs(argText)
+        spark.sql(rewriteFull(bindParams(query, args)))
+      case _ =>
+        spark.sql(rewriteFull(text))
+    }
   }
 }

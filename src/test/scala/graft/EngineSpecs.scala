@@ -314,15 +314,69 @@ class EngineSpecs extends AnyFunSuite with BeforeAndAfterAll {
     // RDD behind (the final label checkpoint its output reads), not
     // O(rounds) dead ones — leaked checkpoint blocks build storage
     // pressure that evicts the session's shared caches.
+    // Race-free form: check ONLY the RDD ids this CC call created (it
+    // reports them) against getPersistentRDDs — diffing the global set
+    // flakes when a concurrent suite persists on the shared SparkContext.
     val s = spark
     import s.implicits._
-    val before = s.sparkContext.getPersistentRDDs.keySet
+    val created = scala.collection.mutable.ArrayBuffer.empty[Int]
     val chain = (0L until 64L).sliding(2).map(p => (p(0), p(1))).toSeq.toDF("a", "b")
-    val (labels, rounds) = graft.operators.ConnectedComponents.minLabelWithStats(chain)
+    val (labels, rounds) =
+      graft.operators.ConnectedComponents.minLabelTracked(chain, 20, created)
     labels.count() // consume like a caller would
-    val leaked = s.sparkContext.getPersistentRDDs.keySet -- before
+    val finalIds = labels.queryExecution.analyzed.collect {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.id
+    }.toSet
+    val survivors = created.toSet.intersect(s.sparkContext.getPersistentRDDs.keySet)
     assert(rounds >= 3, s"need a multi-round run to make the pin meaningful, got $rounds")
-    assert(leaked.size <= 1, s"CC leaked ${leaked.size} persisted RDDs (rounds=$rounds)")
+    assert(created.size >= rounds, s"tracker must see one checkpoint per round, got ${created.size}")
+    assert(survivors.subsetOf(finalIds),
+      s"CC left persisted RDDs besides the final label checkpoint: ${survivors -- finalIds} (rounds=$rounds)")
+    assert(survivors.size <= 1, s"CC leaked ${survivors.size} persisted RDDs (rounds=$rounds)")
+  }
+
+  test("q15 top supplier is stable across shuffle partitioning (no float-equality join)") {
+    // The TPC-H textbook q15 joins on total_revenue = (SELECT max(...)) —
+    // exact float equality between two evaluations of the same CTE, which
+    // partial-agg ordering can break at higher parallelism. The rank-based
+    // restatement must return the identical top-1 at 1 and 32 partitions.
+    val q15 = SparkEntry.queries("q15_top_supplier")
+    def run(parts: Int): Seq[(Long, String)] = {
+      val s = spark.newSession()
+      s.conf.set("spark.sql.shuffle.partitions", parts)
+      graft.engine.Engine.registerTables(s, sfDir)
+      q15(s, sfDir).collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    }
+    val at1 = run(1)
+    val at32 = run(32)
+    assert(at1.size == 1, s"q15 must return exactly the top supplier, got ${at1.size} rows")
+    assert(at1 == at32, s"top supplier changed with partitioning: $at1 vs $at32")
+  }
+
+  test("salted aggregation is retry-deterministic (content-hash salt, no mono-id)") {
+    // A salt derived from monotonically_increasing_id/spark_partition_id
+    // changes on task retry, making the salted plan nondeterministic
+    // exactly when a 1000-executor run needs it stable. Pin: the plan
+    // contains no nondeterministic id source and two runs agree exactly.
+    import org.apache.spark.sql.functions.col
+    val df = spark.table("lineitem")
+    val salted = graft.operators.SkewOps
+      .saltedSumCount(df, col("l_returnflag"), col("l_quantity"), buckets = 8)
+    val analyzed = salted.queryExecution.analyzed
+    assert(analyzed.expressions.forall(_.collectFirst {
+      case e if e.prettyName == "monotonically_increasing_id" => e
+      case e if e.prettyName == "spark_partition_id" => e
+    }.isEmpty) && !analyzed.toString.contains("monotonically_increasing_id"),
+      "salt must not depend on nondeterministic row/partition ids")
+    def snap() = salted.collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getLong(2))).sortBy(_._1).toSeq
+    val (a, b) = (snap(), snap())
+    assert(a.map(x => (x._1, x._3)) == b.map(x => (x._1, x._3)),
+      "salted group keys/counts must be identical across executions")
+    a.zip(b).foreach { case ((_, ta, _), (_, tb, _)) =>
+      assert(math.abs(ta - tb) <= 1e-6 * math.max(1.0, math.abs(ta)),
+        s"salted totals drifted across executions: $ta vs $tb")
+    }
   }
 
   test("winnowing fingerprints detect partial overlap that whole-doc md5 misses") {

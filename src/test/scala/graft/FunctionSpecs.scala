@@ -418,6 +418,11 @@ class FunctionSpecs extends AnyFunSuite {
     intercept[IllegalArgumentException](ipToBytes("1::2::3"))
     intercept[IllegalArgumentException](ipToBytes("1:2:3:4:5:6:7:8:9"))
     intercept[IllegalArgumentException](ipToBytes("12345::"))
+    // embedded v4 must occupy the FINAL 32 bits (RFC 4291 §2.2.3):
+    // a dotted token before a '::' fill can never be last, so reject
+    intercept[IllegalArgumentException](ipToBytes("1.2.3.4::"))
+    intercept[IllegalArgumentException](ipToBytes("::1.2.3.4:0"))
+    intercept[IllegalArgumentException](ipToBytes("1:1.2.3.4::5"))
   }
 
   test("ipaddress: ordering via the byte form matches numeric order") {
@@ -453,5 +458,12 @@ class FunctionSpecs extends AnyFunSuite {
     intercept[IllegalArgumentException](ipPrefix("1.2.3.4", 33))
     intercept[IllegalArgumentException](ipPrefix("::1", 129))
     intercept[IllegalArgumentException](ipSubnetMin("1.2.3.4"))
+    // v4-ness is decided from the parsed VALUE: '::ffff:1.2.3.4' is an
+    // IPv4 value, so its prefix is measured over the low 32 bits and
+    // lengths >32 are rejected (the text form is irrelevant)
+    assert(ipPrefix("::ffff:1.2.3.4", 24) == "1.2.3.0/24")
+    assert(ipSubnetMax("::ffff:10.1.2.3/24") == "10.1.2.255")
+    assert(isSubnetOf("::ffff:10.0.0.0/8", "10.255.0.1") == true)
+    intercept[IllegalArgumentException](ipPrefix("::ffff:1.2.3.4", 33))
   }
 }

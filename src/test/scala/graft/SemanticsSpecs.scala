@@ -78,6 +78,54 @@ class SemanticsSpecs extends AnyFunSuite with BeforeAndAfterAll {
     spark.sql("DROP TABLE graft_chars")
   }
 
+  test("char(n) value model: cast truncates+pads, cross-width compare, length = n") {
+    // Fns.charCast/charEq/charLt model the reference's char(n) as its
+    // space-padded rendering (Chars.padSpaces): CAST truncates to n and
+    // pads; comparisons pad both sides to the wider length; length() of
+    // a char(n) value is n. Spark's CAST(x AS CHAR(n)) outside DDL is a
+    // plain string cast, hence the explicit helpers.
+    import org.apache.spark.sql.functions._
+    import graft.functions.Fns
+    val df = spark.range(1).select(
+      Fns.charCast(lit("ab"), 4).as("c4"),
+      Fns.charCast(lit("abcde"), 3).as("trunc3"),
+      length(Fns.charCast(lit("ab"), 4)).as("len4"),
+      Fns.charEq(Fns.charCast(lit("ab"), 4), Fns.charCast(lit("ab"), 9)).as("eq49"),
+      Fns.charEq(Fns.charCast(lit("ab"), 4), lit("ab")).as("eq_varchar_trimmed"),
+      Fns.charLt(Fns.charCast(lit("ab"), 4), Fns.charCast(lit("ac"), 2)).as("lt"))
+      .head()
+    assert(df.getString(0) == "ab  ")
+    assert(df.getString(1) == "abc")
+    assert(df.getInt(2) == 4)
+    assert(df.getBoolean(3), "char(4) 'ab' must equal char(9) 'ab' (padded compare)")
+    // charEq pads the varchar side too — matching the reference's
+    // char-to-char coercion, NOT its char-vs-varchar comparison (there
+    // Presto pads the char side into varchar space and 'ab  ' != 'ab';
+    // model that case with a plain ===, as misc_char_padding does).
+    assert(df.getBoolean(4))
+    assert(df.getBoolean(5), "'ab' < 'ac' must survive padding")
+    // DOCUMENTED DELTA: padded comparison vs rtrim-comparison disagree
+    // only for control chars below 0x20 — 'a' char(2) vs 'a\t' char(2):
+    // padded 'a ' > 'a\t' (the reference's answer), rtrim would say <.
+    val ctl = spark.range(1).select(
+      Fns.charLt(Fns.charCast(lit("a"), 2), Fns.charCast(lit("a\t"), 2)).as("lt")).head()
+    assert(!ctl.getBoolean(0), "padded compare: 'a ' > 'a\\t' like the reference")
+  }
+
+  test("decimal(38) arithmetic errors on true overflow (parity with reference)") {
+    // UnscaledDecimal128Arithmetic throws on overflow past 38 digits;
+    // Spark ANSI (our default) raises ARITHMETIC_OVERFLOW; DuckDB errors
+    // too — pinned here because an error result is not oracle-comparable.
+    val max38 = "9" * 38
+    assertThrows[Exception](
+      spark.sql(s"SELECT CAST('$max38' AS DECIMAL(38,0)) + CAST(1 AS DECIMAL(38,0))").collect())
+    assertThrows[Exception](
+      spark.sql(s"SELECT CAST('$max38' AS DECIMAL(38,0)) * CAST(10 AS DECIMAL(38,0))").collect())
+    // in-range p=38 arithmetic is exact (misc_decimal2 pins it vs DuckDB)
+    assert(one("SELECT CAST(CAST(1234.56 AS DECIMAL(38,2)) * CAST(1000000000 AS DECIMAL(38,0)) AS STRING)")
+      == "1234560000000.00")
+  }
+
   test("DOCUMENTED DIVERGENCE: varchar(n) length is enforced on write, not on cast") {
     // Presto CAST('abcdef' AS VARCHAR(3)) truncates to 'abc'. Spark's
     // cast treats varchar(n) as plain string (no-op on length); the

@@ -87,6 +87,29 @@ class SketchAndSqlSpecs extends AnyFunSuite {
     }
   }
 
+  test("PREPARE/EXECUTE/DEALLOCATE bind positional parameters per QueryPreparer") {
+    // Shared session (getOrCreate) — deliberately NOT stopped.
+    val spark = graft.engine.Engine.session("local[2]", shufflePartitions = 2)
+    PrestoSql.sql(spark,
+      "PREPARE p1 FROM SELECT x + ? AS a, concat(s, ?) AS b, '?' AS lit FROM (VALUES (1, 'v')) AS t(x, s) WHERE x < ?")
+    val row = PrestoSql.sql(spark, "EXECUTE p1 USING 41, 'w', 10").head()
+    assert(row.getInt(0) == 42)
+    assert(row.getString(1) == "vw")
+    assert(row.getString(2) == "?", "a ? inside a string literal is NOT a parameter")
+    // wrong arity either way -> clear error, like the reference's
+    // "Incorrect number of parameters"
+    intercept[IllegalArgumentException](PrestoSql.sql(spark, "EXECUTE p1 USING 1"))
+    intercept[IllegalArgumentException](PrestoSql.sql(spark, "EXECUTE p1 USING 1, 'a', 2, 3"))
+    // USING args may themselves contain commas inside parens/strings
+    PrestoSql.sql(spark, "PREPARE p2 FROM SELECT ? AS v")
+    assert(PrestoSql.sql(spark, "EXECUTE p2 USING concat('a,b', ',c')").head().getString(0) == "a,b,c")
+    // names are case-insensitive; DEALLOCATE drops the statement
+    PrestoSql.sql(spark, "DEALLOCATE PREPARE P1")
+    intercept[IllegalArgumentException](PrestoSql.sql(spark, "EXECUTE p1 USING 1, 'a', 2"))
+    // statements are per-session: a sibling session cannot see p2
+    intercept[IllegalArgumentException](PrestoSql.sql(spark.newSession(), "EXECUTE p2 USING 1"))
+  }
+
   test("presto-dialect SQL runs end-to-end through the front door") {
     val spark = graft.engine.Engine.session("local[2]", shufflePartitions = 2)
     try {
