@@ -99,6 +99,68 @@ object SpatialJoinOps {
       .drop("__cx", "__cy")
   }
 
+  /** Parse a `POLYGON ((x1 y1, x2 y2, ...))` WKT ring to
+    * array<struct<x,y>> (GeoFunctions.java stGeometryFromText for the
+    * polygon case, minus holes/multi — single ring only). Pure string
+    * ops; the closing repeat vertex is kept (edge building consumes it).
+    */
+  def parsePolygonWkt(wkt: Column): Column =
+    transform(
+      split(regexp_replace(wkt, "(?i)^\\s*POLYGON\\s*\\(\\(|\\)\\)\\s*$", ""), ","),
+      t => struct(
+        element_at(split(trim(t), "\\s+"), 1).cast("double").as("x"),
+        element_at(split(trim(t), "\\s+"), 2).cast("double").as("y")))
+
+  /** Ray-casting point-in-polygon (the classic even-odd rule — PNPOLY,
+    * Franklin; GeoFunctions.java stContains delegates the same test to
+    * ESRI after the envelope pre-check). `pts` is a closed ring
+    * (first == last): edges are consecutive pairs. Boundary points are
+    * NOT contained, matching ST_Contains (OGC: the point's interior
+    * must meet the polygon's interior). Works for any simple polygon,
+    * convex or not.
+    */
+  def pointInPolygon(pts: Column, px: Column, py: Column): Column = {
+    val edges = transform(sequence(lit(2), size(pts)),
+      i => struct(element_at(pts, i - 1).as("a"), element_at(pts, i).as("b")))
+    val crossings = size(filter(edges, e => {
+      val ax = e.getField("a").getField("x")
+      val ay = e.getField("a").getField("y")
+      val bx = e.getField("b").getField("x")
+      val by = e.getField("b").getField("y")
+      ((ay > py) =!= (by > py)) &&
+        (px < (bx - ax) * (py - ay) / (by - ay) + ax)
+    }))
+    crossings % 2 === 1
+  }
+
+  /** ST_Contains(polygon, point) join over WKT polygons: envelope from
+    * the parsed ring, polygons replicate to envelope-covered grid cells,
+    * points hash to exactly one cell (duplicate-free like containsJoin),
+    * and the ray-casting refine runs only on cell-local candidates —
+    * never all pairs. The refine is an interpreted higher-order filter
+    * (O(vertices) per candidate), which is fine off the scan hot path;
+    * the grid join itself stays a codegen'd equi-join.
+    * Output: polys.* ++ `__pts` dropped ++ points.*.
+    */
+  def containsPolygonJoin(polys: DataFrame, wktCol: String,
+      points: DataFrame, px: String, py: String, cellSize: Double): DataFrame = {
+    require(cellSize > 0, "cellSize must be positive")
+    val withEnv = polys
+      .withColumn("__pts", parsePolygonWkt(col(wktCol)))
+      .withColumn("__xmin", array_min(transform(col("__pts"), p => p.getField("x"))))
+      .withColumn("__ymin", array_min(transform(col("__pts"), p => p.getField("y"))))
+      .withColumn("__xmax", array_max(transform(col("__pts"), p => p.getField("x"))))
+      .withColumn("__ymax", array_max(transform(col("__pts"), p => p.getField("y"))))
+    val cellPoly = explodeBoxToCells(withEnv, "__xmin", "__ymin", "__xmax", "__ymax", cellSize)
+      .drop("__xmin", "__ymin", "__xmax", "__ymax")
+    val cellP = points
+      .withColumn("__cx", floor(col(px) / cellSize))
+      .withColumn("__cy", floor(col(py) / cellSize))
+    cellPoly.join(cellP, Seq("__cx", "__cy"))
+      .filter(pointInPolygon(col("__pts"), col(px), col(py)))
+      .drop("__cx", "__cy", "__pts")
+  }
+
   /** ST_Intersects(boxA, boxB) join. Both sides replicate to covered
     * cells; a pair meeting in k shared cells must still be emitted once,
     * so the refine keeps only the REPORT CELL — the cell containing the

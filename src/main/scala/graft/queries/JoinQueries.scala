@@ -206,6 +206,51 @@ object JoinQueries extends QueryModule {
         .select("s_suppkey", "c_custkey")
     },
 
+    // ST_Contains(polygon, point) join over WKT polygons
+    // (GeoFunctions.java stContains on real geometries, not just
+    // envelopes): supplier-derived diamond rings serialized to WKT, then
+    // parsed back, grid-binned by envelope, and refined by ray casting —
+    // the oracle recomputes with a brute-force |dx|+|dy| < r diamond
+    // test from the centers, fully independent of the WKT/ray-cast path.
+    // Coordinates are exact dyadic rationals (x = odd/16, y = odd/32 vs
+    // integer centers and radii), so |dx|+|dy| is odd/32 and can never
+    // equal the integer radius: NO point ever sits on a polygon
+    // boundary, in either engine, at any SF — the strict `<` oracle and
+    // the even-odd refine provably agree (boundary points are not
+    // contained by ST_Contains, so the data dodges the only ambiguity).
+    Q("join_spatial_polygon",
+      """WITH polys AS (
+        |  SELECT s_suppkey,
+        |    (s_suppkey * 13) % 35 + 2 AS cx,
+        |    (s_suppkey * 29) % 35 + 2 AS cy,
+        |    2 + s_suppkey % 3 AS r
+        |  FROM supplier),
+        |pts AS (
+        |  SELECT c_custkey,
+        |    ((c_custkey * 7) % 320) / 8.0 + 0.0625 AS px,
+        |    ((c_custkey * 11) % 320) / 8.0 + 0.03125 AS py
+        |  FROM customer)
+        |SELECT p.s_suppkey, q.c_custkey
+        |FROM polys p, pts q
+        |WHERE abs(q.px - p.cx) + abs(q.py - p.cy) < p.r""".stripMargin) { (s, _) =>
+      val cx = col("s_suppkey") * 13 % 35 + 2
+      val cy = col("s_suppkey") * 29 % 35 + 2
+      val r = col("s_suppkey") % 3 + 2
+      val polys = s.table("supplier").select(col("s_suppkey"),
+        concat(lit("POLYGON (("),
+          cx + r, lit(" "), cy, lit(", "),
+          cx, lit(" "), cy + r, lit(", "),
+          cx - r, lit(" "), cy, lit(", "),
+          cx, lit(" "), cy - r, lit(", "),
+          cx + r, lit(" "), cy, lit("))")).as("wkt"))
+      val pts = s.table("customer").select(col("c_custkey"),
+        (col("c_custkey") * 7 % 320 / 8.0 + 0.0625).as("px"),
+        (col("c_custkey") * 11 % 320 / 8.0 + 0.03125).as("py"))
+      graft.operators.SpatialJoinOps
+        .containsPolygonJoin(polys, "wkt", pts, "px", "py", 8.0)
+        .select("s_suppkey", "c_custkey")
+    },
+
     // ST_Intersects(boxA, boxB) join (GeoFunctions.java stIntersects) —
     // part-derived vs supplier-derived envelopes; report-cell refine
     // keeps each overlapping pair exactly once with no distinct().

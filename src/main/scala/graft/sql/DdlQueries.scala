@@ -64,6 +64,22 @@ object DdlQueries extends QueryModule {
         .toDF("has_physical_plan", "mentions_scan")
     },
 
+    // EXPLAIN ANALYZE — ExplainAnalyzeOperator.java: run the query and
+    // annotate the plan with ACTUAL runtime stats. The contract crosses
+    // engines for real: the annotated root operator's runtime row count
+    // must equal the group count DuckDB computes independently.
+    Q("ddl_explain_analyze",
+      """SELECT true AS has_row_metrics, true AS mentions_aggregate,
+        |  CAST(count(DISTINCT l_returnflag) AS BIGINT) AS root_rows
+        |FROM lineitem""".stripMargin) { (s, _) =>
+      import s.implicits._
+      val (text, rootRows) = ExplainAnalyze.analyze(
+        s.sql("SELECT l_returnflag, count(*) AS n FROM lineitem GROUP BY l_returnflag"))
+      Seq((text.matches("(?s).*\\[rows: \\d+\\].*"),
+        text.toLowerCase.contains("aggregate"), rootRows))
+        .toDF("has_row_metrics", "mentions_aggregate", "root_rows")
+    },
+
     // Presto-dialect SQL through the graft.sql front door.
     Q("sql_presto_dialect",
       """SELECT CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_custs,

@@ -650,6 +650,40 @@ class EngineSpecs extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("polygon contains join = brute-force pairs, ray-cast parses WKT, equi-join plan") {
+    import org.apache.spark.sql.functions._
+    // containsPolygonJoin: WKT ring parsed back to vertices, envelope
+    // grid-binned, ray-cast refine on cell-local candidates only. Must
+    // match the brute-force diamond test exactly and plan as an
+    // equi-join on the cell key, never a product.
+    val poly = SparkEntry.queries("join_spatial_polygon")(spark, sfDir)
+    val cx = col("s_suppkey") * 13 % 35 + 2
+    val cy = col("s_suppkey") * 29 % 35 + 2
+    val r = col("s_suppkey") % 3 + 2
+    val centers = spark.table("supplier").select(col("s_suppkey"), cx.as("cx"), cy.as("cy"), r.as("r"))
+    val pts = spark.table("customer").select(col("c_custkey"),
+      (col("c_custkey") * 7 % 320 / 8.0 + 0.0625).as("px"),
+      (col("c_custkey") * 11 % 320 / 8.0 + 0.03125).as("py"))
+    val brute = centers.crossJoin(pts)
+      .filter(abs(col("px") - col("cx")) + abs(col("py") - col("cy")) < col("r"))
+      .select("s_suppkey", "c_custkey")
+    assert(poly.exceptAll(brute).isEmpty && brute.exceptAll(poly).isEmpty,
+      "polygon grid join pair set differs from brute force")
+    assert(poly.count() > 0, "fixture must produce at least one contained point")
+    val plan = poly.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"polygon join planned as a product:\n$plan")
+    // concave ring sanity: ray casting is not convex-only — an L-shape
+    // excludes the notch corner but keeps the inner arm
+    val ring = graft.operators.SpatialJoinOps.parsePolygonWkt(
+      lit("POLYGON ((0 0, 4 0, 4 4, 2 4, 2 2, 0 2, 0 0))"))
+    val row = spark.range(1).select(
+      graft.operators.SpatialJoinOps.pointInPolygon(ring, lit(3.0), lit(3.0)).as("arm"),
+      graft.operators.SpatialJoinOps.pointInPolygon(ring, lit(1.0), lit(3.0)).as("notch"),
+      graft.operators.SpatialJoinOps.pointInPolygon(ring, lit(1.0), lit(1.0)).as("body")).head()
+    assert(row.getBoolean(0) && !row.getBoolean(1) && row.getBoolean(2))
+  }
+
   test("heaviest queries survive forced sort-based aggregation fallback (spill confidence)") {
     // The reference re-runs its corpus with spill forced
     // (TestDistributedSpilledQueries.java, SURVEY §5.2). Spark's analog
