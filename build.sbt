@@ -34,5 +34,11 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // pause target keeps both failure modes out.
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
   "-XX:MaxGCPauseMillis=300",
+  // A ~200-query suite generates hundreds of whole-stage-codegen classes;
+  // the 240m default code cache fills late in the run, the JIT disables
+  // itself, and compute-dense kernels (LSH verify joins) fall back to the
+  // interpreter — measured ~13x CPU on llm_dedup_groups_lsh in full-suite
+  // context vs isolated. 1g keeps every kernel compiled end-to-end.
+  "-XX:ReservedCodeCacheSize=1g",
 ) ++ sys.env.get("GRAFT_GC_LOG").map(f => s"-Xlog:gc*:file=$f").toSeq ++ Seq(
 )

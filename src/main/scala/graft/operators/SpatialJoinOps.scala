@@ -111,6 +111,50 @@ object SpatialJoinOps {
         element_at(split(trim(t), "\\s+"), 1).cast("double").as("x"),
         element_at(split(trim(t), "\\s+"), 2).cast("double").as("y")))
 
+  /** Consecutive-pair edges of a closed ring (first == last vertex):
+    * array<struct<a, b>> of the n-1 segments.
+    */
+  private def ringEdges(pts: Column): Column =
+    transform(sequence(lit(2), size(pts)),
+      i => struct(element_at(pts, i - 1).as("a"), element_at(pts, i).as("b")))
+
+  private def edgeCross(e: Column): Column = {
+    val a = e.getField("a"); val b = e.getField("b")
+    a.getField("x") * b.getField("y") - b.getField("x") * a.getField("y")
+  }
+
+  /** Twice the signed shoelace area of a closed ring (CCW positive) —
+    * sequential left fold, so the accumulation order is reproducible.
+    */
+  def stSignedAreaTwice(pts: Column): Column =
+    aggregate(ringEdges(pts), lit(0.0d), (acc, e) => acc + edgeCross(e))
+
+  /** ST_Area of a WKT polygon ring (GeoFunctions.java stArea). */
+  def stArea(pts: Column): Column = abs(stSignedAreaTwice(pts)) / 2
+
+  /** ST_Length of the ring boundary / perimeter (GeoFunctions.java
+    * stLength on the polygon exterior).
+    */
+  def stLengthRing(pts: Column): Column =
+    aggregate(ringEdges(pts), lit(0.0d), (acc, e) => {
+      val ax = e.getField("a").getField("x"); val ay = e.getField("a").getField("y")
+      val bx = e.getField("b").getField("x"); val by = e.getField("b").getField("y")
+      acc + sqrt((bx - ax) * (bx - ax) + (by - ay) * (by - ay))
+    })
+
+  /** ST_Centroid (x or y) of a WKT polygon ring (GeoFunctions.java
+    * stCentroid): C = 1/(6A) * sum (v_i + v_{i+1}) * cross_i.
+    */
+  def stCentroidX(pts: Column): Column =
+    aggregate(ringEdges(pts), lit(0.0d), (acc, e) =>
+      acc + (e.getField("a").getField("x") + e.getField("b").getField("x")) * edgeCross(e)) /
+      (lit(3.0d) * stSignedAreaTwice(pts))
+
+  def stCentroidY(pts: Column): Column =
+    aggregate(ringEdges(pts), lit(0.0d), (acc, e) =>
+      acc + (e.getField("a").getField("y") + e.getField("b").getField("y")) * edgeCross(e)) /
+      (lit(3.0d) * stSignedAreaTwice(pts))
+
   /** Ray-casting point-in-polygon (the classic even-odd rule — PNPOLY,
     * Franklin; GeoFunctions.java stContains delegates the same test to
     * ESRI after the envelope pre-check). `pts` is a closed ring
@@ -120,9 +164,7 @@ object SpatialJoinOps {
     * convex or not.
     */
   def pointInPolygon(pts: Column, px: Column, py: Column): Column = {
-    val edges = transform(sequence(lit(2), size(pts)),
-      i => struct(element_at(pts, i - 1).as("a"), element_at(pts, i).as("b")))
-    val crossings = size(filter(edges, e => {
+    val crossings = size(filter(ringEdges(pts), e => {
       val ax = e.getField("a").getField("x")
       val ay = e.getField("a").getField("y")
       val bx = e.getField("b").getField("x")

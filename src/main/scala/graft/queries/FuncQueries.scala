@@ -826,5 +826,49 @@ object FuncQueries extends QueryModule {
           |  is_subnet_of('128.0.0.0/1', ip) AS in_upper_half,
           |  is_subnet_of(concat(ip, '/', bits), ip_from_bytes(ip_to_bytes(ip))) AS self_in_own_subnet
           |FROM ips""".stripMargin)
+    },
+
+    // Geometry measures over WKT polygon rings — GeoFunctions.java
+    // stArea / stLength / stCentroid / envelope accessors, the measure
+    // slice of the geometry plugin beyond the join predicates. Supplier
+    // diamonds (slope ±1, integer centers/radii) have exact closed
+    // forms, so the oracle computes area = 2r^2, centroid = center,
+    // envelope = center ± r — fully independent of the WKT parse +
+    // shoelace/fold path under test (integer shoelace terms are exact
+    // in double, so those equalities are bit-for-bit). Perimeter is the
+    // one inexact sum: the oracle restates the fold's left-association
+    // (s+s+s+s over the same sqrt argument) so rounding matches bitwise.
+    Q("func_geometry",
+      """SELECT s_suppkey,
+        |  CAST(2 * r * r AS DOUBLE) AS area,
+        |  sqrt(CAST(2 * r * r AS DOUBLE)) + sqrt(CAST(2 * r * r AS DOUBLE))
+        |    + sqrt(CAST(2 * r * r AS DOUBLE)) + sqrt(CAST(2 * r * r AS DOUBLE)) AS perimeter,
+        |  CAST(cx AS DOUBLE) AS centroid_x,
+        |  CAST(cy AS DOUBLE) AS centroid_y,
+        |  CAST(cx - r AS DOUBLE) AS env_xmin,
+        |  CAST(cy + r AS DOUBLE) AS env_ymax
+        |FROM (SELECT s_suppkey,
+        |        (s_suppkey * 13) % 35 + 2 AS cx,
+        |        (s_suppkey * 29) % 35 + 2 AS cy,
+        |        2 + s_suppkey % 3 AS r
+        |      FROM supplier) t""".stripMargin) { (s, _) =>
+      import graft.operators.SpatialJoinOps
+      val cx = col("s_suppkey") * 13 % 35 + 2
+      val cy = col("s_suppkey") * 29 % 35 + 2
+      val r = col("s_suppkey") % 3 + 2
+      val wkt = concat(lit("POLYGON (("),
+        cx + r, lit(" "), cy, lit(", "),
+        cx, lit(" "), cy + r, lit(", "),
+        cx - r, lit(" "), cy, lit(", "),
+        cx, lit(" "), cy - r, lit(", "),
+        cx + r, lit(" "), cy, lit("))"))
+      val pts = SpatialJoinOps.parsePolygonWkt(wkt)
+      s.table("supplier").select(col("s_suppkey"),
+        SpatialJoinOps.stArea(pts).as("area"),
+        SpatialJoinOps.stLengthRing(pts).as("perimeter"),
+        SpatialJoinOps.stCentroidX(pts).as("centroid_x"),
+        SpatialJoinOps.stCentroidY(pts).as("centroid_y"),
+        array_min(transform(pts, p => p.getField("x"))).as("env_xmin"),
+        array_max(transform(pts, p => p.getField("y"))).as("env_ymax"))
     })
 }

@@ -20,7 +20,7 @@ object PlanDump {
       "agg_mixed_distinct", "ev_sessionize",
       "src_bucketed_join", "ev_view_click_attribution",
       "join_asof", "join_range_binned",
-      "join_spatial_contains", "join_spatial_intersects")
+      "join_spatial_contains", "join_spatial_intersects", "join_spatial_polygon")
     val spark = graft.engine.Engine.session("local[4]", shufflePartitions = 8)
     graft.engine.Engine.registerTables(spark, sfDir)
     val sb = new StringBuilder
