@@ -76,6 +76,23 @@ object FunctionRegistry {
     // log2/log10 exist in Spark; Presto ln == Spark ln. nothing to do.
     // is_nan — MathFunctions.java
     register(spark, "is_nan") { args => IsNaN(args.head) }
+    // char(n) fixed-length semantics as composed codegen'd expressions —
+    // presto-spi Chars.java / CharType.java (see Fns.charCast and
+    // misc_char_padding): char_cast truncates to n and pads with spaces;
+    // char_eq / char_lt pad both sides to the wider length.
+    register(spark, "char_cast") { args =>
+      StringRPad(Substring(args(0), Literal(1), args(1)), args(1), Literal(" "))
+    }
+    def padBoth(a: Expression, b: Expression): (Expression, Expression) = {
+      val w = Greatest(Seq(Length(a), Length(b)))
+      (StringRPad(a, w, Literal(" ")), StringRPad(b, w, Literal(" ")))
+    }
+    register(spark, "char_eq") { args =>
+      val (l, r) = padBoth(args(0), args(1)); EqualTo(l, r)
+    }
+    register(spark, "char_lt") { args =>
+      val (l, r) = padBoth(args(0), args(1)); LessThan(l, r)
+    }
     // to_unixtime(ts) -> double seconds — DateTimeFunctions.java
     register(spark, "to_unixtime") { args =>
       Divide(

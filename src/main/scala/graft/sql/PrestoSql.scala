@@ -157,6 +157,7 @@ object PrestoSql {
   private val prepareRe = """(?is)\s*PREPARE\s+(\w+)\s+FROM\s+(.+)""".r
   private val executeRe = """(?is)\s*EXECUTE\s+(\w+)\s*(?:USING\s+(.+))?""".r
   private val deallocRe = """(?is)\s*DEALLOCATE\s+(?:PREPARE\s+)?(\w+)\s*""".r
+  private val explainAnalyzeRe = """(?is)\s*EXPLAIN\s+ANALYZE\s+(.+)""".r
 
   /** Split `USING a, b, c` argument text on top-level commas (string
     * literals and parens respected).
@@ -211,6 +212,11 @@ object PrestoSql {
     graft.functions.FunctionRegistry.installAll(spark)
     import spark.implicits._
     text match {
+      case explainAnalyzeRe(query) =>
+        // ExplainAnalyzeOperator.java surface: run the statement, return
+        // the runtime-metric-annotated plan as a one-row result.
+        val (planText, _) = ExplainAnalyze.analyze(spark.sql(rewriteFull(query)))
+        Seq(planText).toDF("plan")
       case prepareRe(name, query) =>
         stmtsOf(spark).put(name.toLowerCase, query.trim)
         Seq("PREPARE").toDF("result")

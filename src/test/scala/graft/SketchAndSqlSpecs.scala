@@ -110,6 +110,29 @@ class SketchAndSqlSpecs extends AnyFunSuite {
     intercept[IllegalArgumentException](PrestoSql.sql(spark.newSession(), "EXECUTE p2 USING 1"))
   }
 
+  test("EXPLAIN ANALYZE front door returns a runtime-metric-annotated plan") {
+    val spark = graft.engine.Engine.session("local[2]", shufflePartitions = 2)
+    val plan = PrestoSql.sql(spark,
+      "EXPLAIN ANALYZE SELECT x, count(*) AS n FROM (VALUES (1), (1), (2)) AS t(x) GROUP BY x")
+      .head().getString(0)
+    assert(plan.matches("(?s).*\\[rows: \\d+\\].*"), s"no runtime rows in:\n$plan")
+    assert(plan.contains("[rows: 2]"), s"root aggregate must report 2 groups:\n$plan")
+    // plain EXPLAIN still passes through to Spark untouched
+    val classic = PrestoSql.sql(spark, "EXPLAIN SELECT 1").head().getString(0)
+    assert(classic.contains("Physical Plan"))
+  }
+
+  test("char(n) SQL functions: cast pads/truncates, padded comparison") {
+    val spark = graft.engine.Engine.session("local[2]", shufflePartitions = 2)
+    val row = PrestoSql.sql(spark,
+      """SELECT char_cast('ab', 4) AS c4, char_cast('abcde', 3) AS t3,
+        |  char_eq(char_cast('ab', 4), char_cast('ab', 9)) AS eq,
+        |  char_lt(char_cast('ab', 4), char_cast('ac', 2)) AS lt""".stripMargin).head()
+    assert(row.getString(0) == "ab  ")
+    assert(row.getString(1) == "abc")
+    assert(row.getBoolean(2) && row.getBoolean(3))
+  }
+
   test("presto-dialect SQL runs end-to-end through the front door") {
     val spark = graft.engine.Engine.session("local[2]", shufflePartitions = 2)
     try {
