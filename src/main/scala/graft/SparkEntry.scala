@@ -17,7 +17,7 @@ object SparkEntry {
   /** All query modules (one per SURVEY §2 area). */
   def modules: Seq[QueryModule] = Seq(
     TpchQueries, JoinQueries, AggQueries, WindowQueries, SetOpQueries, ShapeQueries,
-    FuncQueries, EventQueries, SketchQueries, LlmQueries, MultimodalQueries,
+    FuncQueries, GeoQueries, EventQueries, SketchQueries, LlmQueries, MultimodalQueries,
     PipelineQueries, DdlQueries, SourceQueries, MiscQueries)
 
   private lazy val all: Seq[Q] = modules.flatMap(_.queries)

@@ -38,6 +38,7 @@ object FunctionRegistry {
       SpookyHash.install(spark)
       IpFunctions.install(spark)
       VectorMeanAgg.install(spark)
+      BingTiles.install(spark)
       installed.put(spark, java.lang.Boolean.TRUE)
     }
   }

@@ -1,0 +1,180 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.functions.BingTiles
+
+/** Geospatial tile + great-circle surface — the reference's BingTile
+  * plugin and spherical distance (BingTileFunctions.java, GeoFunctions
+  * .java:1202), oracle-checked end to end.
+  *
+  * Oracle notes: every expression that ends in an integer (tile x/y,
+  * quadkey digits, counts) replays the exact arithmetic in DuckDB —
+  * floor/pow bit extraction is exact in double, and last-ulp libm
+  * differences inside sin/ln cannot move a floor() except exactly on a
+  * tile boundary (measure zero for the fractional fixture coords).
+  * Trig-valued DOUBLE outputs (inverse-Mercator latitude, great-circle
+  * km) are rounded (6 dp / 3 dp) on both sides: atan/exp/atan2 are
+  * libm-dependent in the last ulp, and the driver compares floats at
+  * full precision.
+  */
+object GeoQueries extends QueryModule {
+
+  def queries: Seq[Q] = Seq(
+
+    // Bing tile family: bing_tile_at (x/y/zoom), quadkey round-trip,
+    // bing_tiles_around edge-clipped count, tile corner coordinates
+    // (bing_tile_polygon's envelope corners). Zoom varies 5..15 per row.
+    Q("func_bing_tile",
+      """WITH pts AS (
+        |  SELECT c_custkey,
+        |    (c_custkey * 7919 % 16000) / 100.0 - 80.0 AS lat,
+        |    (c_custkey * 104729 % 35000) / 100.0 - 175.0 AS lng,
+        |    CAST(5 + c_custkey % 11 AS INT) AS z
+        |  FROM customer),
+        |sz AS (SELECT *, 256.0 * power(2.0, z) AS ms FROM pts),
+        |txy AS (
+        |  SELECT *,
+        |    CAST(floor(least(greatest((lng + 180.0) / 360.0 * ms, 0.0), ms - 1.0) / 256.0) AS INT) AS tx,
+        |    CAST(floor(least(greatest(
+        |      (0.5 - ln((1.0 + sin(lat * pi() / 180.0)) / (1.0 - sin(lat * pi() / 180.0))) / (4.0 * pi())) * ms,
+        |      0.0), ms - 1.0) / 256.0) AS INT) AS ty
+        |  FROM sz),
+        |qk AS (
+        |  SELECT *,
+        |    (SELECT string_agg(CAST(CAST(
+        |         CAST(floor(tx / power(2.0, z - i)) AS BIGINT) % 2
+        |         + 2 * (CAST(floor(ty / power(2.0, z - i)) AS BIGINT) % 2) AS INT) AS VARCHAR),
+        |       '' ORDER BY i)
+        |     FROM generate_series(1, 15) AS g(i) WHERE i <= z) AS quadkey
+        |  FROM txy)
+        |SELECT c_custkey, tx AS tile_x, ty AS tile_y, z AS zoom, quadkey,
+        |  (SELECT CAST(sum((CAST(substr(quadkey, CAST(i AS INT), 1) AS BIGINT) % 2) * power(2.0, z - i)) AS BIGINT)
+        |   FROM generate_series(1, 15) AS g(i) WHERE i <= z) AS rt_x,
+        |  (SELECT CAST(sum(CAST(floor(CAST(substr(quadkey, CAST(i AS INT), 1) AS BIGINT) / 2.0) AS BIGINT) * power(2.0, z - i)) AS BIGINT)
+        |   FROM generate_series(1, 15) AS g(i) WHERE i <= z) AS rt_y,
+        |  CAST((CASE WHEN tx = 0 OR tx = CAST(power(2.0, z) - 1.0 AS INT) THEN 2 ELSE 3 END)
+        |     * (CASE WHEN ty = 0 OR ty = CAST(power(2.0, z) - 1.0 AS INT) THEN 2 ELSE 3 END) AS INT) AS around_cnt,
+        |  (least(greatest(tx * 256.0, 0.0), ms) / ms - 0.5) * 360.0 AS ul_lng,
+        |  round(90.0 - atan(exp((0.5 - least(greatest(ty * 256.0, 0.0), ms) / ms) * (-2.0) * pi())) * 360.0 / pi(), 6) AS ul_lat
+        |FROM qk""".stripMargin) { (s, _) =>
+      val z = (lit(5) + col("c_custkey") % 11).cast("int")
+      val lat = (col("c_custkey") * 7919 % 16000) / 100.0 - 80.0
+      val lng = (col("c_custkey") * 104729 % 35000) / 100.0 - 175.0
+      val base = s.table("customer").select(col("c_custkey"),
+        lat.as("lat"), lng.as("lng"), z.as("z"))
+      base.select(col("c_custkey"),
+        BingTiles.tileX(col("lng"), col("z")).as("tile_x"),
+        BingTiles.tileY(col("lat"), col("z")).as("tile_y"),
+        col("z").as("zoom"),
+        BingTiles.quadkey(
+          BingTiles.tileX(col("lng"), col("z")),
+          BingTiles.tileY(col("lat"), col("z")), col("z")).as("quadkey"),
+        BingTiles.tilesAround(col("lat"), col("lng"), col("z")).as("around"),
+        BingTiles.tileCornerLng(BingTiles.tileX(col("lng"), col("z")), col("z")).as("ul_lng"),
+        round(BingTiles.tileCornerLat(BingTiles.tileY(col("lat"), col("z")), col("z")), 6).as("ul_lat"))
+        .select(col("c_custkey"), col("tile_x"), col("tile_y"), col("zoom"), col("quadkey"),
+          BingTiles.quadkeyToX(col("quadkey")).as("rt_x"),
+          BingTiles.quadkeyToY(col("quadkey")).as("rt_y"),
+          size(col("around")).as("around_cnt"),
+          col("ul_lng"), col("ul_lat"))
+    },
+
+    // great_circle_distance (GeoFunctions.java:1202): spherical Vincenty
+    // atan2 form, R = 6371.01 km. Distances to a fixed city point and
+    // between two derived points per row; rounded to 3 dp (1 m) because
+    // atan2/sin/cos differ across libms in the last ulp.
+    Q("func_great_circle",
+      """WITH pts AS (
+        |  SELECT c_custkey,
+        |    (c_custkey * 7919 % 16000) / 100.0 - 80.0 AS lat1,
+        |    (c_custkey * 104729 % 35000) / 100.0 - 175.0 AS lng1,
+        |    (c_custkey * 15485863 % 16000) / 100.0 - 80.0 AS lat2,
+        |    (c_custkey * 32452843 % 35000) / 100.0 - 175.0 AS lng2
+        |  FROM customer),
+        |d AS (
+        |  SELECT c_custkey,
+        |    atan2(sqrt((cos(lat2 * pi() / 180.0) * sin(lng1 * pi() / 180.0 - lng2 * pi() / 180.0))
+        |             * (cos(lat2 * pi() / 180.0) * sin(lng1 * pi() / 180.0 - lng2 * pi() / 180.0))
+        |           + (cos(lat1 * pi() / 180.0) * sin(lat2 * pi() / 180.0)
+        |              - sin(lat1 * pi() / 180.0) * cos(lat2 * pi() / 180.0) * cos(lng1 * pi() / 180.0 - lng2 * pi() / 180.0))
+        |             * (cos(lat1 * pi() / 180.0) * sin(lat2 * pi() / 180.0)
+        |              - sin(lat1 * pi() / 180.0) * cos(lat2 * pi() / 180.0) * cos(lng1 * pi() / 180.0 - lng2 * pi() / 180.0))),
+        |      sin(lat1 * pi() / 180.0) * sin(lat2 * pi() / 180.0)
+        |        + cos(lat1 * pi() / 180.0) * cos(lat2 * pi() / 180.0) * cos(lng1 * pi() / 180.0 - lng2 * pi() / 180.0))
+        |      * 6371.01 AS pair_km,
+        |    atan2(sqrt((cos(40.7128 * pi() / 180.0) * sin(lng1 * pi() / 180.0 - (-74.006) * pi() / 180.0))
+        |             * (cos(40.7128 * pi() / 180.0) * sin(lng1 * pi() / 180.0 - (-74.006) * pi() / 180.0))
+        |           + (cos(lat1 * pi() / 180.0) * sin(40.7128 * pi() / 180.0)
+        |              - sin(lat1 * pi() / 180.0) * cos(40.7128 * pi() / 180.0) * cos(lng1 * pi() / 180.0 - (-74.006) * pi() / 180.0))
+        |             * (cos(lat1 * pi() / 180.0) * sin(40.7128 * pi() / 180.0)
+        |              - sin(lat1 * pi() / 180.0) * cos(40.7128 * pi() / 180.0) * cos(lng1 * pi() / 180.0 - (-74.006) * pi() / 180.0))),
+        |      sin(lat1 * pi() / 180.0) * sin(40.7128 * pi() / 180.0)
+        |        + cos(lat1 * pi() / 180.0) * cos(40.7128 * pi() / 180.0) * cos(lng1 * pi() / 180.0 - (-74.006) * pi() / 180.0))
+        |      * 6371.01 AS city_km
+        |  FROM pts)
+        |SELECT c_custkey, round(pair_km, 3) AS pair_km, round(city_km, 3) AS city_km
+        |FROM d""".stripMargin) { (s, _) =>
+      val lat1 = (col("c_custkey") * 7919 % 16000) / 100.0 - 80.0
+      val lng1 = (col("c_custkey") * 104729 % 35000) / 100.0 - 175.0
+      val lat2 = (col("c_custkey") * 15485863 % 16000) / 100.0 - 80.0
+      val lng2 = (col("c_custkey") * 32452843 % 35000) / 100.0 - 175.0
+      s.table("customer").select(col("c_custkey"),
+        round(BingTiles.greatCircleKm(lat1, lng1, lat2, lng2), 3).as("pair_km"),
+        round(BingTiles.greatCircleKm(lat1, lng1, lit(40.7128), lit(-74.006)), 3).as("city_km"))
+    },
+
+    // Tile-binned great-circle distance join: all (customer, supplier)
+    // pairs within 120 km on the sphere. The scale path mirrors the
+    // planar grid join (SpatialJoinOps.distanceJoin) but bins by BING
+    // TILE at a zoom where the tile ground span exceeds the radius:
+    // at z=7 a tile spans ~313*cos(lat) km >= 166 km for |lat| < 56,
+    // so any qualifying pair is at most one tile apart per axis and the
+    // supplier's clipped 3x3 neighborhood (bing_tiles_around) always
+    // covers the customer's tile -> plain equi-join on (x, y), no
+    // cartesian, great-circle refine only on tile-local candidates.
+    // Each pair emits once (customer hashes to exactly one tile).
+    Q("join_geo_tile",
+      """WITH cpts AS (
+        |  SELECT c_custkey,
+        |    (c_custkey * 7919 % 11000) / 100.0 - 55.0 AS lat,
+        |    (c_custkey * 104729 % 30000) / 100.0 - 150.0 AS lng
+        |  FROM customer),
+        |spts AS (
+        |  SELECT s_suppkey,
+        |    (s_suppkey * 15485863 % 11000) / 100.0 - 55.0 AS lat,
+        |    (s_suppkey * 32452843 % 30000) / 100.0 - 150.0 AS lng
+        |  FROM supplier),
+        |d AS (
+        |  SELECT c_custkey, s_suppkey,
+        |    atan2(sqrt((cos(s.lat * pi() / 180.0) * sin(c.lng * pi() / 180.0 - s.lng * pi() / 180.0))
+        |             * (cos(s.lat * pi() / 180.0) * sin(c.lng * pi() / 180.0 - s.lng * pi() / 180.0))
+        |           + (cos(c.lat * pi() / 180.0) * sin(s.lat * pi() / 180.0)
+        |              - sin(c.lat * pi() / 180.0) * cos(s.lat * pi() / 180.0) * cos(c.lng * pi() / 180.0 - s.lng * pi() / 180.0))
+        |             * (cos(c.lat * pi() / 180.0) * sin(s.lat * pi() / 180.0)
+        |              - sin(c.lat * pi() / 180.0) * cos(s.lat * pi() / 180.0) * cos(c.lng * pi() / 180.0 - s.lng * pi() / 180.0))),
+        |      sin(c.lat * pi() / 180.0) * sin(s.lat * pi() / 180.0)
+        |        + cos(c.lat * pi() / 180.0) * cos(s.lat * pi() / 180.0) * cos(c.lng * pi() / 180.0 - s.lng * pi() / 180.0))
+        |      * 6371.01 AS km
+        |  FROM cpts c, spts s)
+        |SELECT c_custkey, s_suppkey, round(km, 3) AS dist_km
+        |FROM d WHERE km <= 120.0""".stripMargin) { (s, _) =>
+      val z = lit(7)
+      val cust = s.table("customer").select(col("c_custkey"),
+        ((col("c_custkey") * 7919 % 11000) / 100.0 - 55.0).as("clat"),
+        ((col("c_custkey") * 104729 % 30000) / 100.0 - 150.0).as("clng"))
+      val supp = s.table("supplier").select(col("s_suppkey"),
+        ((col("s_suppkey") * 15485863 % 11000) / 100.0 - 55.0).as("slat"),
+        ((col("s_suppkey") * 32452843 % 30000) / 100.0 - 150.0).as("slng"))
+      val left = cust
+        .withColumn("__tx", BingTiles.tileX(col("clng"), z))
+        .withColumn("__ty", BingTiles.tileY(col("clat"), z))
+      val right = supp
+        .withColumn("__t", explode(BingTiles.tilesAround(col("slat"), col("slng"), z)))
+        .withColumn("__tx", col("__t.x")).withColumn("__ty", col("__t.y"))
+        .drop("__t")
+      val km = BingTiles.greatCircleKm(col("clat"), col("clng"), col("slat"), col("slng"))
+      left.join(right, Seq("__tx", "__ty"))
+        .filter(km <= 120.0)
+        .select(col("c_custkey"), col("s_suppkey"), round(km, 3).as("dist_km"))
+    })
+}

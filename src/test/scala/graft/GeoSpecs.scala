@@ -1,0 +1,109 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.functions.BingTiles
+
+/** Bing tile + great-circle pins against the reference's own test
+  * vectors (presto-geospatial TestBingTileFunctions.java:79-123,
+  * TestGeoFunctions.java:794-797), plus plan-shape gates for the
+  * tile-binned distance join.
+  */
+class GeoSpecs extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = graft.engine.Engine.session("local[4]", shufflePartitions = 4)
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private def oneRow(cols: org.apache.spark.sql.Column*): org.apache.spark.sql.Row =
+    spark.range(1).select(cols: _*).head()
+
+  test("bing_tile_at matches reference vectors (TestBingTileFunctions.java:102-105)") {
+    val r = oneRow(
+      BingTiles.tileX(lit(60.0), lit(15)), BingTiles.tileY(lit(30.12), lit(15)),
+      BingTiles.tileX(lit(-0.002), lit(1)), BingTiles.tileY(lit(0.0), lit(1)),
+      BingTiles.tileX(lit(0.0), lit(1)), BingTiles.tileY(lit(1.0 / 512), lit(1)),
+      BingTiles.tileX(lit(0.0), lit(9)), BingTiles.tileY(lit(1.0 / 512), lit(9)))
+    assert((r.getInt(0), r.getInt(1)) == (21845, 13506))
+    assert((r.getInt(2), r.getInt(3)) == (0, 1))
+    assert((r.getInt(4), r.getInt(5)) == (1, 0))
+    assert((r.getInt(6), r.getInt(7)) == (256, 255))
+  }
+
+  test("quadkey round-trips (TestBingTileFunctions.java:79-83,120-123)") {
+    val r = oneRow(
+      BingTiles.quadkey(lit(3), lit(5), lit(3)),
+      BingTiles.quadkey(lit(21845), lit(13506), lit(15)),
+      BingTiles.quadkeyToX(lit("213")), BingTiles.quadkeyToY(lit("213")),
+      BingTiles.quadkeyToX(lit("123030123010121")),
+      BingTiles.quadkeyToY(lit("123030123010121")),
+      BingTiles.quadkeyZoom(lit("123030123010121")))
+    assert(r.getString(0) == "213")
+    assert(r.getString(1) == "123030123010121")
+    assert((r.getLong(2), r.getLong(3)) == (3L, 5L))
+    assert((r.getLong(4), r.getLong(5)) == (21845L, 13506L))
+    assert(r.getInt(6) == 15)
+  }
+
+  test("great_circle_distance matches reference vectors (TestGeoFunctions.java:794-797)") {
+    val r = oneRow(
+      BingTiles.greatCircleKm(lit(36.12), lit(-86.67), lit(33.94), lit(-118.40)),
+      BingTiles.greatCircleKm(lit(33.94), lit(-118.40), lit(36.12), lit(-86.67)),
+      BingTiles.greatCircleKm(lit(42.3601), lit(-71.0589), lit(42.4430), lit(-71.2290)),
+      BingTiles.greatCircleKm(lit(36.12), lit(-86.67), lit(36.12), lit(-86.67)))
+    assert(math.abs(r.getDouble(0) - 2886.448973436703) < 1e-9)
+    assert(math.abs(r.getDouble(1) - 2886.448973436703) < 1e-9)
+    assert(math.abs(r.getDouble(2) - 16.73469743457461) < 1e-9)
+    assert(r.getDouble(3) == 0.0)
+  }
+
+  test("tile corners and polygon: world tile (0,0,1) covers the NW quadrant") {
+    val r = oneRow(
+      BingTiles.tileCornerLng(lit(0), lit(1)), BingTiles.tileCornerLng(lit(1), lit(1)),
+      BingTiles.tileCornerLat(lit(0), lit(1)), BingTiles.tileCornerLat(lit(1), lit(1)),
+      BingTiles.tilePolygonWkt(lit(0), lit(0), lit(1)))
+    assert(r.getDouble(0) == -180.0)
+    assert(r.getDouble(1) == 0.0)
+    assert(math.abs(r.getDouble(2) - BingTiles.MaxLatitude) < 1e-6)
+    assert(math.abs(r.getDouble(3)) < 1e-12) // equator
+    val wkt = r.getString(4)
+    assert(wkt.startsWith("POLYGON ((-180.0 ") && wkt.contains(", 0.0 "))
+  }
+
+  test("bing_tiles_around clips at grid edges, never wraps (reference :186-196)") {
+    val r = oneRow(
+      size(BingTiles.tilesAround(lit(30.12), lit(60.0), lit(15))),
+      // corner of the world: (-85.05.., -180) at z=3 -> 2x2 neighborhood
+      size(BingTiles.tilesAround(lit(-85.05112878), lit(-180.0), lit(3))),
+      // z=1 corner: the whole grid is 2x2, center tile is a corner -> 4
+      size(BingTiles.tilesAround(lit(-85.05112878), lit(-180.0), lit(1))))
+    assert(r.getInt(0) == 9)
+    assert(r.getInt(1) == 4)
+    assert(r.getInt(2) == 4)
+  }
+
+  test("join_geo_tile plans an equi-join on tile keys, no cartesian product") {
+    graft.engine.Engine.registerTables(spark, "/root/testdata/sf0.001")
+    val df = graft.queries.GeoQueries.queries.find(_.name == "join_geo_tile").get
+      .build(spark, "/root/testdata/sf0.001")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"))
+    assert(!plan.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("SQL front door: great_circle_distance + bing tile scalars registered") {
+    graft.functions.FunctionRegistry.installAll(spark)
+    val d = spark.sql(
+      "SELECT great_circle_distance(36.12, -86.67, 33.94, -118.40)").head().getDouble(0)
+    assert(math.abs(d - 2886.448973436703) < 1e-9)
+    val qk = spark.sql("SELECT bing_tile_quadkey(bing_tile_x(60.0, 15), bing_tile_y(30.12, 15), 15)")
+      .head().getString(0)
+    assert(qk == "123030123010121")
+  }
+}
