@@ -176,5 +176,88 @@ object GeoQueries extends QueryModule {
       left.join(right, Seq("__tx", "__ty"))
         .filter(km <= 120.0)
         .select(col("c_custkey"), col("s_suppkey"), round(km, 3).as("dist_km"))
+    },
+
+    // WKT accessor slice (GeoFunctions.java stGeometryType/stNumPoints/
+    // stIsClosed/stIsRing/stX/stY/stStartPoint/stEndPoint/stPointN/
+    // stDimension + lineLocatePoint): geometries are BUILT as WKT text
+    // from integer key arithmetic, then every output is recovered by
+    // parsing that text — the oracle recomputes the expected values
+    // straight from the key arithmetic, fully independent of the WKT
+    // parse path under test. line_locate_point on the 2-point segment
+    // mirrors the fold's exact expression shape ((0 + t*L)/(0 + L)) so
+    // the doubles match bit-for-bit (IEEE ops only, no libm).
+    Q("func_geometry2",
+      """WITH g AS (
+        |  SELECT s_suppkey,
+        |    s_suppkey * 13 % 97 AS px, s_suppkey * 29 % 89 AS py,
+        |    s_suppkey % 50 AS lx1, s_suppkey * 7 % 50 AS ly1,
+        |    s_suppkey % 50 + 1 + s_suppkey % 5 AS lx2,
+        |    s_suppkey * 7 % 50 + 1 + s_suppkey * 3 % 7 AS ly2,
+        |    s_suppkey * 11 % 30 + 5 AS cx, s_suppkey * 17 % 30 + 5 AS cy,
+        |    s_suppkey % 4 + 1 AS r,
+        |    s_suppkey % 50 + (s_suppkey % 7) - 3 AS qx,
+        |    s_suppkey * 7 % 50 + (s_suppkey * 5 % 9) - 4 AS qy
+        |  FROM supplier),
+        |loc AS (
+        |  SELECT *,
+        |    CAST((qx - lx1) * (lx2 - lx1) + (qy - ly1) * (ly2 - ly1) AS DOUBLE)
+        |      / CAST((lx2 - lx1) * (lx2 - lx1) + (ly2 - ly1) * (ly2 - ly1) AS DOUBLE) AS t_raw,
+        |    sqrt(CAST((lx2 - lx1) * (lx2 - lx1) + (ly2 - ly1) * (ly2 - ly1) AS DOUBLE)) AS seg_len
+        |  FROM g)
+        |SELECT s_suppkey,
+        |  'ST_Point' AS pt_type, 'ST_LineString' AS ln_type, 'ST_Polygon' AS pg_type,
+        |  CAST(1 AS BIGINT) AS pt_n, CAST(2 AS BIGINT) AS ln_n, CAST(4 AS BIGINT) AS pg_n,
+        |  CAST(px AS DOUBLE) AS pt_x, CAST(py AS DOUBLE) AS pt_y,
+        |  false AS ln_closed, true AS ring_closed, true AS ring_is_ring, false AS ln_is_ring,
+        |  CAST(lx1 AS DOUBLE) AS start_x, CAST(ly1 AS DOUBLE) AS start_y,
+        |  CAST(lx2 AS DOUBLE) AS end_x, CAST(ly2 AS DOUBLE) AS end_y,
+        |  CAST(cy + r AS DOUBLE) AS ring_p2y,
+        |  CAST(0 AS TINYINT) AS dim_pt, CAST(1 AS TINYINT) AS dim_ln, CAST(2 AS TINYINT) AS dim_pg,
+        |  CAST(2 AS TINYINT) AS coord_dim,
+        |  (0.0 + least(greatest(t_raw, 0.0), 1.0) * seg_len) / (0.0 + seg_len) AS locate_frac
+        |FROM loc""".stripMargin) { (s, _) =>
+      import graft.functions.WktGeometry._
+      val k = col("s_suppkey")
+      val px = k * 13 % 97; val py = k * 29 % 89
+      val lx1 = k % 50; val ly1 = k * 7 % 50
+      val lx2 = k % 50 + 1 + k % 5; val ly2 = k * 7 % 50 + 1 + k * 3 % 7
+      val cx = k * 11 % 30 + 5; val cy = k * 17 % 30 + 5; val r = k % 4 + 1
+      val qx = (k % 50 + (k % 7) - 3).cast("double")
+      val qy = (k * 7 % 50 + (k * 5 % 9) - 4).cast("double")
+      val base = s.table("supplier").select(k.as("s_suppkey"),
+        concat(lit("POINT ("), px, lit(" "), py, lit(")")).as("pt"),
+        concat(lit("LINESTRING ("), lx1, lit(" "), ly1, lit(", "), lx2, lit(" "), ly2, lit(")")).as("ln"),
+        concat(lit("LINESTRING ("),
+          cx + r, lit(" "), cy, lit(", "), cx, lit(" "), cy + r, lit(", "),
+          cx - r, lit(" "), cy, lit(", "), cx, lit(" "), cy - r, lit(", "),
+          cx + r, lit(" "), cy, lit(")")).as("ring"),
+        concat(lit("POLYGON (("),
+          cx + r, lit(" "), cy, lit(", "), cx, lit(" "), cy + r, lit(", "),
+          cx - r, lit(" "), cy, lit(", "), cx, lit(" "), cy - r, lit(", "),
+          cx + r, lit(" "), cy, lit("))")).as("pg"),
+        qx.as("qx"), qy.as("qy"))
+      base.select(col("s_suppkey"),
+        stGeometryType(col("pt")).as("pt_type"),
+        stGeometryType(col("ln")).as("ln_type"),
+        stGeometryType(col("pg")).as("pg_type"),
+        stNumPoints(col("pt")).as("pt_n"),
+        stNumPoints(col("ln")).as("ln_n"),
+        stNumPoints(col("pg")).as("pg_n"),
+        stX(col("pt")).as("pt_x"), stY(col("pt")).as("pt_y"),
+        stIsClosed(col("ln")).as("ln_closed"),
+        stIsClosed(col("ring")).as("ring_closed"),
+        stIsRing(col("ring")).as("ring_is_ring"),
+        stIsRing(col("ln")).as("ln_is_ring"),
+        stStartPoint(col("ln")).getField("x").as("start_x"),
+        stStartPoint(col("ln")).getField("y").as("start_y"),
+        stEndPoint(col("ln")).getField("x").as("end_x"),
+        stEndPoint(col("ln")).getField("y").as("end_y"),
+        stPointN(col("ring"), lit(2)).getField("y").as("ring_p2y"),
+        stDimension(col("pt")).as("dim_pt"),
+        stDimension(col("ln")).as("dim_ln"),
+        stDimension(col("pg")).as("dim_pg"),
+        stCoordDim(col("pg")).as("coord_dim"),
+        lineLocatePoint(col("ln"), col("qx"), col("qy")).as("locate_frac"))
     })
 }

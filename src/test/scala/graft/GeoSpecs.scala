@@ -97,6 +97,50 @@ class GeoSpecs extends AnyFunSuite with BeforeAndAfterAll {
     assert(!plan.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("line_locate_point matches reference vectors (TestGeoFunctions.java:407-416)") {
+    import graft.functions.WktGeometry.lineLocatePoint
+    def loc(wkt: String, x: Double, y: Double): Double =
+      oneRow(lineLocatePoint(lit(wkt), lit(x), lit(y))).getDouble(0)
+    assert(loc("LINESTRING (0 0, 0 1)", 0, 0.2) == 0.2)
+    assert(loc("LINESTRING (0 0, 0 1)", 0, 0) == 0.0)
+    assert(loc("LINESTRING (0 0, 0 1)", 0, -1) == 0.0)
+    assert(loc("LINESTRING (0 0, 0 1)", 0, 1) == 1.0)
+    assert(loc("LINESTRING (0 0, 0 1)", 0, 2) == 1.0)
+    assert(loc("LINESTRING (0 0, 0 1, 2 1)", 0, 0.2) == 0.06666666666666667)
+    assert(loc("LINESTRING (0 0, 0 1, 2 1)", 0.9, 1) == 0.6333333333333333)
+    assert(loc("LINESTRING (1 3, 5 4)", 1, 3) == 0.0)
+    assert(loc("LINESTRING (1 3, 5 4)", 2, 3) == 0.23529411764705882)
+    assert(loc("LINESTRING (1 3, 5 4)", 5, 4) == 1.0)
+  }
+
+  test("ST_IsRing: open false, simple ring true, bowtie false (TestGeoFunctions.java:508-509)") {
+    import graft.functions.WktGeometry.stIsRing
+    val r = oneRow(
+      stIsRing(lit("LINESTRING (8 4, 4 8)")),
+      stIsRing(lit("LINESTRING (0 0, 1 1, 0 2, 0 0)")),
+      stIsRing(lit("LINESTRING (0 0, 2 2, 2 0, 0 2, 0 0)")))
+    assert(!r.getBoolean(0))
+    assert(r.getBoolean(1))
+    assert(!r.getBoolean(2)) // proper self-crossing: not a ring
+  }
+
+  test("ST_NumPoints / ST_GeometryType / ST_IsEmpty vectors (TestGeoFunctions.java:480-497)") {
+    import graft.functions.WktGeometry._
+    val r = oneRow(
+      stNumPoints(lit("POINT (1 2)")),
+      stNumPoints(lit("LINESTRING (8 4, 5 7)")),
+      stNumPoints(lit("POLYGON ((0 0, 8 0, 0 8, 0 0))")),
+      stNumPoints(lit("LINESTRING EMPTY")),
+      stGeometryType(lit("MULTIPOINT (1 2, 2 4)")),
+      stIsEmpty(lit("POINT EMPTY")), stIsEmpty(lit("POINT (1 2)")))
+    assert(r.getLong(0) == 1L)
+    assert(r.getLong(1) == 2L)
+    assert(r.getLong(2) == 3L) // ring-closing vertex not counted
+    assert(r.getLong(3) == 0L)
+    assert(r.getString(4) == "ST_MultiPoint")
+    assert(r.getBoolean(5) && !r.getBoolean(6))
+  }
+
   test("SQL front door: great_circle_distance + bing tile scalars registered") {
     graft.functions.FunctionRegistry.installAll(spark)
     val d = spark.sql(
