@@ -259,5 +259,34 @@ object GeoQueries extends QueryModule {
         stDimension(col("pg")).as("dim_pg"),
         stCoordDim(col("pg")).as("coord_dim"),
         lineLocatePoint(col("ln"), col("qx"), col("qy")).as("locate_frac"))
+    },
+
+    // KDB-tree partitioned distance join (KdbTree.java,
+    // SpatialPartitioningAggregateFunction.java): same contract as
+    // join_spatial_grid but with QUADRATICALLY CLUSTERED coordinates —
+    // the density-adaptive median splits keep per-leaf candidate counts
+    // bounded where a fixed-size grid would pile the cluster into a few
+    // hot cells. Equi-join on leaf id, exact refine, each pair once.
+    Q("join_spatial_kdb",
+      """WITH pts AS (
+        |  SELECT c_custkey,
+        |    (c_custkey % 100) * (c_custkey % 100) / 100.0 AS x,
+        |    (c_custkey % 97) * (c_custkey % 97) / 100.0 AS y FROM customer),
+        |sites AS (
+        |  SELECT s_suppkey,
+        |    (s_suppkey % 100) * (s_suppkey % 100) / 100.0 AS x,
+        |    (s_suppkey % 97) * (s_suppkey % 97) / 100.0 AS y FROM supplier)
+        |SELECT p.c_custkey, st.s_suppkey,
+        |  sqrt((p.x - st.x) * (p.x - st.x) + (p.y - st.y) * (p.y - st.y)) AS dist
+        |FROM pts p, sites st
+        |WHERE sqrt((p.x - st.x) * (p.x - st.x) + (p.y - st.y) * (p.y - st.y)) <= 1.5""".stripMargin) { (s, _) =>
+      val pts = s.table("customer").select(col("c_custkey"),
+        ((col("c_custkey") % 100) * (col("c_custkey") % 100) / 100.0).as("px"),
+        ((col("c_custkey") % 97) * (col("c_custkey") % 97) / 100.0).as("py"))
+      val sites = s.table("supplier").select(col("s_suppkey"),
+        ((col("s_suppkey") % 100) * (col("s_suppkey") % 100) / 100.0).as("sx"),
+        ((col("s_suppkey") % 97) * (col("s_suppkey") % 97) / 100.0).as("sy"))
+      graft.operators.KdbTreeOps.distanceJoinKdb(pts, "px", "py", sites, "sx", "sy", 1.5)
+        .select("c_custkey", "s_suppkey", "dist")
     })
 }

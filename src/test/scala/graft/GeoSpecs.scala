@@ -141,6 +141,50 @@ class GeoSpecs extends AnyFunSuite with BeforeAndAfterAll {
     assert(r.getBoolean(5) && !r.getBoolean(6))
   }
 
+  test("KDB tree: adaptive splits bound leaf occupancy; assignment is a partition") {
+    import graft.operators.KdbTreeOps._
+    // 900 points clustered in [0,1]^2 + 100 spread over [0,100]^2
+    val pts = (Array.tabulate(900)(i => ((i % 30) / 30.0, (i / 30) / 30.0)) ++
+      Array.tabulate(100)(i => ((i % 10) * 10.0 + 0.5, (i / 10) * 10.0 + 0.5)))
+    val tree = build(pts, 64)
+    assert(numLeaves(tree) >= 16) // 1000/64 -> at least ceil = 16 leaves
+    assert(maxDepth(tree) <= 12)
+    // occupancy: replaying the sample through leafOf respects capacity
+    val occ = pts.groupBy(p => leafOf(tree, p._1, p._2)).map(_._2.length)
+    assert(occ.max <= 64)
+    // partition property: every point lands in exactly one leaf, and
+    // leavesNear with r=0 always contains it
+    for (p <- pts.take(50)) {
+      assert(leavesNear(tree, p._1, p._2, 0.0).contains(leafOf(tree, p._1, p._2)))
+    }
+    // radius probe covers neighbors: a point near a split boundary with
+    // a big radius must reach multiple leaves
+    assert(leavesNear(tree, 0.5, 0.5, 50.0).size > 1)
+  }
+
+  test("join_spatial_kdb equals the grid join pair set; equi-join plan") {
+    graft.engine.Engine.registerTables(spark, "/root/testdata/sf0.001")
+    val q = graft.queries.GeoQueries.queries.find(_.name == "join_spatial_kdb").get
+    val df = q.build(spark, "/root/testdata/sf0.001")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"))
+    val kdbPairs = df.select("c_custkey", "s_suppkey").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // brute-force oracle twin in-Spark
+    val pts = spark.table("customer").select(col("c_custkey"),
+      ((col("c_custkey") % 100) * (col("c_custkey") % 100) / 100.0).as("px"),
+      ((col("c_custkey") % 97) * (col("c_custkey") % 97) / 100.0).as("py"))
+    val sites = spark.table("supplier").select(col("s_suppkey"),
+      ((col("s_suppkey") % 100) * (col("s_suppkey") % 100) / 100.0).as("sx"),
+      ((col("s_suppkey") % 97) * (col("s_suppkey") % 97) / 100.0).as("sy"))
+    val brute = pts.crossJoin(sites)
+      .filter(graft.operators.SpatialJoinOps.stDistance(
+        col("px"), col("py"), col("sx"), col("sy")) <= 1.5)
+      .select("c_custkey", "s_suppkey").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(kdbPairs == brute)
+  }
+
   test("SQL front door: great_circle_distance + bing tile scalars registered") {
     graft.functions.FunctionRegistry.installAll(spark)
     val d = spark.sql(
