@@ -69,6 +69,55 @@ object SpatialJoinOps {
       bxmin: Column, bymin: Column, bxmax: Column, bymax: Column): Column =
     axmin <= bxmax && bxmin <= axmax && aymin <= bymax && bymin <= aymax
 
+  /** DE-9IM predicate family restricted to axis-aligned envelopes
+    * (GeoFunctions.java stWithin/stDisjoint/stTouches/stOverlaps/
+    * stEquals — the envelope fast path of each). Boxes are CLOSED;
+    * "interior" tests use strict inequalities.
+    */
+  def stWithinBoxes(axmin: Column, aymin: Column, axmax: Column, aymax: Column,
+      bxmin: Column, bymin: Column, bxmax: Column, bymax: Column): Column =
+    axmin >= bxmin && axmax <= bxmax && aymin >= bymin && aymax <= bymax
+
+  def stDisjointBoxes(axmin: Column, aymin: Column, axmax: Column, aymax: Column,
+      bxmin: Column, bymin: Column, bxmax: Column, bymax: Column): Column =
+    !stIntersectsBoxes(axmin, aymin, axmax, aymax, bxmin, bymin, bxmax, bymax)
+
+  def stEqualsBoxes(axmin: Column, aymin: Column, axmax: Column, aymax: Column,
+      bxmin: Column, bymin: Column, bxmax: Column, bymax: Column): Column =
+    axmin === bxmin && axmax === bxmax && aymin === bymin && aymax === bymax
+
+  private def interiorsOverlap(axmin: Column, aymin: Column, axmax: Column, aymax: Column,
+      bxmin: Column, bymin: Column, bxmax: Column, bymax: Column): Column =
+    axmin < bxmax && bxmin < axmax && aymin < bymax && bymin < aymax
+
+  /** Boundaries meet but interiors do not. */
+  def stTouchesBoxes(axmin: Column, aymin: Column, axmax: Column, aymax: Column,
+      bxmin: Column, bymin: Column, bxmax: Column, bymax: Column): Column =
+    stIntersectsBoxes(axmin, aymin, axmax, aymax, bxmin, bymin, bxmax, bymax) &&
+      !interiorsOverlap(axmin, aymin, axmax, aymax, bxmin, bymin, bxmax, bymax)
+
+  /** Interiors overlap but neither side contains the other. */
+  def stOverlapsBoxes(axmin: Column, aymin: Column, axmax: Column, aymax: Column,
+      bxmin: Column, bymin: Column, bxmax: Column, bymax: Column): Column =
+    interiorsOverlap(axmin, aymin, axmax, aymax, bxmin, bymin, bxmax, bymax) &&
+      !stWithinBoxes(axmin, aymin, axmax, aymax, bxmin, bymin, bxmax, bymax) &&
+      !stWithinBoxes(bxmin, bymin, bxmax, bymax, axmin, aymin, axmax, aymax)
+
+  /** ST_Intersection of two envelopes: the clipped box, as a
+    * struct<xmin,ymin,xmax,ymax> (null when disjoint). */
+  def stIntersectionBoxes(axmin: Column, aymin: Column, axmax: Column, aymax: Column,
+      bxmin: Column, bymin: Column, bxmax: Column, bymax: Column): Column =
+    when(stIntersectsBoxes(axmin, aymin, axmax, aymax, bxmin, bymin, bxmax, bymax),
+      struct(greatest(axmin, bxmin).as("xmin"), greatest(aymin, bymin).as("ymin"),
+        least(axmax, bxmax).as("xmax"), least(aymax, bymax).as("ymax")))
+
+  /** Envelope of the union of two boxes (what ST_Envelope(ST_Union(..))
+    * returns for rectangles). */
+  def stUnionEnvelope(axmin: Column, aymin: Column, axmax: Column, aymax: Column,
+      bxmin: Column, bymin: Column, bxmax: Column, bymax: Column): Column =
+    struct(least(axmin, bxmin).as("xmin"), least(aymin, bymin).as("ymin"),
+      greatest(axmax, bxmax).as("xmax"), greatest(aymax, bymax).as("ymax"))
+
   // A box covers every grid cell its envelope touches: the per-row
   // explode is bounded by ceil(w/cell+1) * ceil(h/cell+1) copies — pick
   // cellSize >= the typical box edge so that stays ~4.

@@ -288,5 +288,68 @@ object GeoQueries extends QueryModule {
         ((col("s_suppkey") % 97) * (col("s_suppkey") % 97) / 100.0).as("sy"))
       graft.operators.KdbTreeOps.distanceJoinKdb(pts, "px", "py", sites, "sx", "sy", 1.5)
         .select("c_custkey", "s_suppkey", "dist")
+    },
+
+    // DE-9IM predicate family + set operations on envelopes
+    // (GeoFunctions.java stWithin/stDisjoint/stTouches/stOverlaps/
+    // stEquals/stIntersection, envelope restriction): integer-derived
+    // closed boxes so every comparison is exact; intersection and
+    // union-envelope corners as nullable doubles.
+    Q("func_geometry3",
+      """WITH b AS (
+        |  SELECT p_partkey,
+        |    CAST(p_partkey % 40 AS DOUBLE) AS ax1, CAST(p_partkey * 3 % 40 AS DOUBLE) AS ay1,
+        |    CAST(p_partkey % 40 + 1 + p_partkey % 6 AS DOUBLE) AS ax2,
+        |    CAST(p_partkey * 3 % 40 + 1 + p_partkey * 7 % 5 AS DOUBLE) AS ay2,
+        |    CAST(CASE WHEN p_partkey % 5 = 0 THEN p_partkey % 40 + 1 + p_partkey % 6
+        |         ELSE p_partkey * 11 % 40 END AS DOUBLE) AS bx1,
+        |    CAST(p_partkey * 13 % 40 AS DOUBLE) AS by1,
+        |    CAST(CASE WHEN p_partkey % 5 = 0 THEN p_partkey % 40 + 1 + p_partkey % 6
+        |         ELSE p_partkey * 11 % 40 END + 1 + p_partkey % 4 AS DOUBLE) AS bx2,
+        |    CAST(p_partkey * 13 % 40 + 1 + p_partkey % 7 AS DOUBLE) AS by2
+        |  FROM part)
+        |SELECT p_partkey,
+        |  ax1 <= bx2 AND bx1 <= ax2 AND ay1 <= by2 AND by1 <= ay2 AS intersects,
+        |  NOT (ax1 <= bx2 AND bx1 <= ax2 AND ay1 <= by2 AND by1 <= ay2) AS disjoint,
+        |  ax1 >= bx1 AND ax2 <= bx2 AND ay1 >= by1 AND ay2 <= by2 AS within_ab,
+        |  bx1 >= ax1 AND bx2 <= ax2 AND by1 >= ay1 AND by2 <= ay2 AS contains_ab,
+        |  (ax1 <= bx2 AND bx1 <= ax2 AND ay1 <= by2 AND by1 <= ay2)
+        |    AND NOT (ax1 < bx2 AND bx1 < ax2 AND ay1 < by2 AND by1 < ay2) AS touches,
+        |  (ax1 < bx2 AND bx1 < ax2 AND ay1 < by2 AND by1 < ay2)
+        |    AND NOT (ax1 >= bx1 AND ax2 <= bx2 AND ay1 >= by1 AND ay2 <= by2)
+        |    AND NOT (bx1 >= ax1 AND bx2 <= ax2 AND by1 >= ay1 AND by2 <= ay2) AS overlaps,
+        |  ax1 = bx1 AND ax2 = bx2 AND ay1 = by1 AND ay2 = by2 AS equals,
+        |  CASE WHEN ax1 <= bx2 AND bx1 <= ax2 AND ay1 <= by2 AND by1 <= ay2
+        |    THEN greatest(ax1, bx1) END AS ix_xmin,
+        |  CASE WHEN ax1 <= bx2 AND bx1 <= ax2 AND ay1 <= by2 AND by1 <= ay2
+        |    THEN least(ay2, by2) END AS ix_ymax,
+        |  least(ax1, bx1) AS un_xmin, greatest(ay2, by2) AS un_ymax
+        |FROM b""".stripMargin) { (s, _) =>
+      import graft.operators.SpatialJoinOps._
+      val k = col("p_partkey")
+      val base = s.table("part").select(k.as("p_partkey"),
+        (k % 40).cast("double").as("ax1"), (k * 3 % 40).cast("double").as("ay1"),
+        (k % 40 + 1 + k % 6).cast("double").as("ax2"),
+        (k * 3 % 40 + 1 + k * 7 % 5).cast("double").as("ay2"),
+        when(k % 5 === 0, k % 40 + 1 + k % 6).otherwise(k * 11 % 40)
+          .cast("double").as("bx1"),
+        (k * 13 % 40).cast("double").as("by1"),
+        (when(k % 5 === 0, k % 40 + 1 + k % 6).otherwise(k * 11 % 40) + 1 + k % 4)
+          .cast("double").as("bx2"),
+        (k * 13 % 40 + 1 + k % 7).cast("double").as("by2"))
+      def a = (col("ax1"), col("ay1"), col("ax2"), col("ay2"))
+      def b = (col("bx1"), col("by1"), col("bx2"), col("by2"))
+      val ix = stIntersectionBoxes(a._1, a._2, a._3, a._4, b._1, b._2, b._3, b._4)
+      val un = stUnionEnvelope(a._1, a._2, a._3, a._4, b._1, b._2, b._3, b._4)
+      base.select(col("p_partkey"),
+        stIntersectsBoxes(a._1, a._2, a._3, a._4, b._1, b._2, b._3, b._4).as("intersects"),
+        stDisjointBoxes(a._1, a._2, a._3, a._4, b._1, b._2, b._3, b._4).as("disjoint"),
+        stWithinBoxes(a._1, a._2, a._3, a._4, b._1, b._2, b._3, b._4).as("within_ab"),
+        stWithinBoxes(b._1, b._2, b._3, b._4, a._1, a._2, a._3, a._4).as("contains_ab"),
+        stTouchesBoxes(a._1, a._2, a._3, a._4, b._1, b._2, b._3, b._4).as("touches"),
+        stOverlapsBoxes(a._1, a._2, a._3, a._4, b._1, b._2, b._3, b._4).as("overlaps"),
+        stEqualsBoxes(a._1, a._2, a._3, a._4, b._1, b._2, b._3, b._4).as("equals"),
+        ix.getField("xmin").as("ix_xmin"), ix.getField("ymax").as("ix_ymax"),
+        un.getField("xmin").as("un_xmin"), un.getField("ymax").as("un_ymax"))
     })
 }

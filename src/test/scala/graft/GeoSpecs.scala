@@ -185,6 +185,34 @@ class GeoSpecs extends AnyFunSuite with BeforeAndAfterAll {
     assert(kdbPairs == brute)
   }
 
+  test("DE-9IM box predicates: touches/overlaps/within/equals/intersection") {
+    import graft.operators.SpatialJoinOps._
+    def box(vals: (Double, Double, Double, Double)) =
+      (lit(vals._1), lit(vals._2), lit(vals._3), lit(vals._4))
+    val a = box((0, 0, 2, 2)); val edge = box((2, 0, 4, 2))
+    val inner = box((0.5, 0.5, 1.5, 1.5)); val far = box((5, 5, 6, 6))
+    val over = box((1, 1, 3, 3))
+    val r = oneRow(
+      stTouchesBoxes(a._1, a._2, a._3, a._4, edge._1, edge._2, edge._3, edge._4),
+      stOverlapsBoxes(a._1, a._2, a._3, a._4, edge._1, edge._2, edge._3, edge._4),
+      stOverlapsBoxes(a._1, a._2, a._3, a._4, over._1, over._2, over._3, over._4),
+      stWithinBoxes(inner._1, inner._2, inner._3, inner._4, a._1, a._2, a._3, a._4),
+      stOverlapsBoxes(inner._1, inner._2, inner._3, inner._4, a._1, a._2, a._3, a._4),
+      stDisjointBoxes(a._1, a._2, a._3, a._4, far._1, far._2, far._3, far._4),
+      stEqualsBoxes(a._1, a._2, a._3, a._4, a._1, a._2, a._3, a._4),
+      stIntersectionBoxes(a._1, a._2, a._3, a._4, over._1, over._2, over._3, over._4).getField("xmin"),
+      stIntersectionBoxes(a._1, a._2, a._3, a._4, far._1, far._2, far._3, far._4).isNull)
+    assert(r.getBoolean(0)) // shared edge touches
+    assert(!r.getBoolean(1)) // touching is not overlapping
+    assert(r.getBoolean(2)) // partial overlap
+    assert(r.getBoolean(3)) // containment
+    assert(!r.getBoolean(4)) // contained is not overlapping
+    assert(r.getBoolean(5))
+    assert(r.getBoolean(6))
+    assert(r.getDouble(7) == 1.0) // clip corner
+    assert(r.getBoolean(8)) // disjoint -> null intersection
+  }
+
   test("SQL front door: great_circle_distance + bing tile scalars registered") {
     graft.functions.FunctionRegistry.installAll(spark)
     val d = spark.sql(
