@@ -79,6 +79,39 @@ object PipelineQueries extends QueryModule {
         .agg(count(lit(1)).as("shared_grams"))
     },
 
+    // Bloom-filter decontamination — the 100 TB-preferred physical plan
+    // for the SAME logical result as llm_decontaminate (so it shares
+    // that oracle): build a Bloom filter over the eval grams
+    // (distributed agg, ~1.2 MB per 1M grams at 1% FPP, collected like
+    // the reference's runtime filters in LocalDynamicFilter.java),
+    // broadcast it, and kill ~99% of the training grams MAP-SIDE before
+    // the exact semi-join — the training side's shuffle/probe volume
+    // drops to the near-hit fraction, the one scan stays. The exact
+    // join on survivors makes the output identical to the exact
+    // procedure regardless of false positives.
+    Q("llm_decontam_bloom",
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |g AS (SELECT doc_id, unnest(list_distinct([array_to_string(w[i:i+12], '_')
+        |        for i in generate_series(1, len(w)-12)])) AS s
+        |      FROM toks WHERE len(w) >= 13),
+        |ev AS (SELECT DISTINCT s FROM g WHERE doc_id % 20 = 0)
+        |SELECT g.doc_id, CAST(count(*) AS BIGINT) AS shared_grams
+        |FROM g JOIN ev USING (s) WHERE g.doc_id % 20 <> 0
+        |GROUP BY g.doc_id""".stripMargin) { (s, _) =>
+      val grams = ngramHashRows(s, 13, distinct = true)
+      val ev = grams.filter(col("doc_id") % 20 === 0).select("gh").distinct()
+        .localCheckpoint() // bloom build + verify join reuse one materialization
+      val nEval = ev.count()
+      val bloom = ev.stat.bloomFilter("gh", math.max(1000L, nEval), 0.01)
+      val bc = s.sparkContext.broadcast(bloom)
+      val mightContain = udf((h: Long) => bc.value.mightContainLong(h))
+      grams.filter(col("doc_id") % 20 =!= 0)
+        .filter(mightContain(col("gh")))
+        .join(ev, "gh")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("shared_grams"))
+    },
+
     // PII detection/redaction — deterministic synthetic PII (derived
     // from doc_id so both engines construct identical text), then a
     // count + redact regexp chain. All three patterns are in the

@@ -126,6 +126,33 @@ object DdlQueries extends QueryModule {
     // predicate rewrites ONE file of four; the oracle recomputes the
     // post-delete aggregate from the source table with the negated
     // predicate. Decimal-cast sum keeps the check order-independent.
+    // SET SESSION / SHOW SESSION / RESET SESSION through the Presto
+    // front door (SetSessionTask.java, ResetSessionTask.java).
+    // hash_partition_count maps live onto spark.sql.shuffle.partitions
+    // (asserted via the conf read-back), join_distribution_type=
+    // PARTITIONED disables broadcast joins; both are RESET before the
+    // query returns so the session is left untouched for later queries.
+    Q("ddl_set_session",
+      """SELECT 'join_distribution_type' AS name, 'PARTITIONED' AS value,
+        |  '17' AS applied_partitions, true AS restored
+        |UNION ALL
+        |SELECT 'hash_partition_count', '17', '17', true
+        |ORDER BY name""".stripMargin) { (s, _) =>
+      import s.implicits._
+      val before = s.conf.get("spark.sql.shuffle.partitions")
+      PrestoSql.sql(s, "SET SESSION join_distribution_type = 'PARTITIONED'")
+      PrestoSql.sql(s, "SET SESSION hash_partition_count = 17")
+      val applied = s.conf.get("spark.sql.shuffle.partitions")
+      val shown = PrestoSql.sql(s, "SHOW SESSION")
+        .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+      PrestoSql.sql(s, "RESET SESSION hash_partition_count")
+      PrestoSql.sql(s, "RESET SESSION join_distribution_type")
+      val restored = s.conf.get("spark.sql.shuffle.partitions") == before
+      shown.map { case (n, v) => (n, v, applied, restored) }
+        .toDF("name", "value", "applied_partitions", "restored")
+        .orderBy("name")
+    },
+
     Q("ddl_delete",
       """WITH thr AS (SELECT min(o_orderkey) + (max(o_orderkey) - min(o_orderkey)) // 4 AS t FROM orders)
         |SELECT CAST(count(*) AS BIGINT) AS remaining,

@@ -159,6 +159,75 @@ object PrestoSql {
   private val deallocRe = """(?is)\s*DEALLOCATE\s+(?:PREPARE\s+)?(\w+)\s*""".r
   private val explainAnalyzeRe = """(?is)\s*EXPLAIN\s+ANALYZE\s+(.+)""".r
 
+  // ---- SET SESSION / RESET SESSION / SHOW SESSION (reference:
+  // execution/SetSessionTask.java, ResetSessionTask.java,
+  // SqlBase.g4 SetSession/ResetSession/ShowSession). Properties live in
+  // per-session state; the two that have a direct Spark analog are
+  // applied to the live conf (with the pre-set value remembered so
+  // RESET restores it), the rest are inert key-value state — the same
+  // split the reference makes between engine and connector properties.
+  private val sessionProps =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[SparkSession, scala.collection.mutable.LinkedHashMap[String, String]]())
+  private val savedConfs =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[SparkSession, scala.collection.mutable.Map[String, String]]())
+
+  private def propsOf(spark: SparkSession): scala.collection.mutable.LinkedHashMap[String, String] =
+    sessionProps.synchronized {
+      var m = sessionProps.get(spark)
+      if (m == null) {
+        m = scala.collection.mutable.LinkedHashMap.empty[String, String]
+        sessionProps.put(spark, m)
+      }
+      m
+    }
+
+  private def savedOf(spark: SparkSession): scala.collection.mutable.Map[String, String] =
+    savedConfs.synchronized {
+      var m = savedConfs.get(spark)
+      if (m == null) { m = scala.collection.mutable.Map.empty[String, String]; savedConfs.put(spark, m) }
+      m
+    }
+
+  /** Presto session property -> Spark conf translation for the
+    * properties with a real Spark analog (SystemSessionProperties.java
+    * names). Returns Some(sparkKey, sparkValue). */
+  private def toSparkConf(name: String, value: String): Option[(String, String)] =
+    name.toLowerCase match {
+      case "hash_partition_count" =>
+        Some("spark.sql.shuffle.partitions" -> value)
+      case "join_distribution_type" =>
+        // PARTITIONED forbids broadcast joins; BROADCAST/AUTOMATIC keep
+        // the stats-driven default threshold.
+        Some("spark.sql.autoBroadcastJoinThreshold" ->
+          (if (value.equalsIgnoreCase("PARTITIONED")) "-1" else "10485760"))
+      case _ => None
+    }
+
+  private def applySessionProp(spark: SparkSession, name: String, value: String): Unit =
+    toSparkConf(name, value).foreach { case (k, v) =>
+      val saved = savedOf(spark)
+      if (!saved.contains(k)) saved(k) = spark.conf.get(k)
+      spark.conf.set(k, v)
+    }
+
+  private def resetSessionProp(spark: SparkSession, name: String): Unit =
+    toSparkConf(name, "").foreach { case (k, _) =>
+      savedOf(spark).remove(k).foreach(orig => spark.conf.set(k, orig))
+    }
+
+  private def unquote(v: String): String = {
+    val t = v.trim
+    if (t.length >= 2 && t.head == '\'' && t.last == '\'')
+      t.substring(1, t.length - 1).replace("''", "'")
+    else t
+  }
+
+  private val setSessionRe = """(?is)\s*SET\s+SESSION\s+([\w.]+)\s*=\s*(.+)""".r
+  private val resetSessionRe = """(?is)\s*RESET\s+SESSION\s+([\w.]+)\s*""".r
+  private val showSessionRe = """(?is)\s*SHOW\s+SESSION\s*""".r
+
   /** Split `USING a, b, c` argument text on top-level commas (string
     * literals and parens respected).
     */
@@ -217,6 +286,17 @@ object PrestoSql {
         // the runtime-metric-annotated plan as a one-row result.
         val (planText, _) = ExplainAnalyze.analyze(spark.sql(rewriteFull(query)))
         Seq(planText).toDF("plan")
+      case setSessionRe(name, value) =>
+        val v = unquote(value)
+        propsOf(spark).put(name.toLowerCase, v)
+        applySessionProp(spark, name, v)
+        Seq("SET SESSION").toDF("result")
+      case resetSessionRe(name) =>
+        propsOf(spark).remove(name.toLowerCase)
+        resetSessionProp(spark, name)
+        Seq("RESET SESSION").toDF("result")
+      case showSessionRe() =>
+        propsOf(spark).toSeq.toDF("name", "value")
       case prepareRe(name, query) =>
         stmtsOf(spark).put(name.toLowerCase, query.trim)
         Seq("PREPARE").toDF("result")

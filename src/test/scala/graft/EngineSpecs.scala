@@ -731,4 +731,36 @@ class EngineSpecs extends AnyFunSuite with BeforeAndAfterAll {
       .filter(col("nd") =!= col("mx") + 1).count()
     assert(perSrc == 0, "bin ids not dense per source")
   }
+
+  test("bloom decontamination: exact result, and the bloom prunes most training grams") {
+    import org.apache.spark.sql.functions._
+    // result identity with the exact semi-join procedure
+    val exact = SparkEntry.queries("llm_decontaminate")(spark, sfDir)
+      .collect().map(_.toString).sorted.toSeq
+    val bloomed = SparkEntry.queries("llm_decontam_bloom")(spark, sfDir)
+      .collect().map(_.toString).sorted.toSeq
+    assert(bloomed == exact, "bloom path must be output-identical to the exact path")
+    // selectivity contract: with 1% FPP, non-matching training grams
+    // survive the map-side filter at ~1% — the pruned fraction must be
+    // large for the scale story to hold (loose bound: >50%)
+    val spark2 = spark
+    import spark2.implicits._
+    val grams = spark.table("documents")
+      .select(col("doc_id").cast("long"), col("text")).as[(Long, String)]
+      .flatMap { case (id, text) =>
+        val w = text.split(" ", -1)
+        (0 to w.length - 13).map(i => (id, w.slice(i, i + 13).mkString("_"))).distinct
+      }.toDF("doc_id", "g")
+    val ev = grams.filter($"doc_id" % 20 === 0).select("g").distinct()
+    val train = grams.filter($"doc_id" % 20 =!= 0)
+    val nEval = ev.count()
+    val bloom = ev.stat.bloomFilter("g", math.max(1000L, nEval), 0.01)
+    val bc = spark.sparkContext.broadcast(bloom)
+    val mc = udf((s: String) => bc.value.mightContainString(s))
+    val total = train.count().toDouble
+    val kept = train.filter(mc($"g")).count().toDouble
+    val trueHits = train.join(ev, "g").count().toDouble
+    assert(kept < 0.5 * total, f"bloom kept ${kept / total}%.2f of training grams")
+    assert(kept >= trueHits, "bloom must never drop a true hit")
+  }
 }
