@@ -66,11 +66,19 @@ object WktGeometry {
   private def samePoint(a: Column, b: Column): Column =
     a.getField("x") === b.getField("x") && a.getField("y") === b.getField("y")
 
-  /** ST_IsClosed — LINESTRING: first vertex equals last. */
-  def stIsClosed(wkt: Column): Column = {
-    val pts = wktPoints(wkt)
+  // ---- pts-level variants ----
+  // Column expressions have no common-subexpression sharing across use
+  // sites: each reference to a helper that embeds wktPoints(wkt)
+  // DUPLICATES the whole parse subtree, and inside HOF lambdas the
+  // duplicates re-evaluate per element. Wide projections should parse
+  // ONCE into a pts column (withColumn) and use these.
+
+  /** ST_IsClosed over a parsed vertex array. */
+  def isClosedPts(pts: Column): Column =
     samePoint(element_at(pts, 1), element_at(pts, size(pts)))
-  }
+
+  /** ST_IsClosed — LINESTRING: first vertex equals last. */
+  def stIsClosed(wkt: Column): Column = isClosedPts(wktPoints(wkt))
 
   /** ST_StartPoint / ST_EndPoint / ST_PointN as coordinate structs. */
   def stStartPoint(wkt: Column): Column = element_at(wktPoints(wkt), 1)
@@ -106,8 +114,10 @@ object WktGeometry {
     * isSimple the reference delegates to; any proper crossing (bowtie)
     * is caught.
     */
-  def stIsRing(wkt: Column): Column = {
-    val pts = wktPoints(wkt)
+  def stIsRing(wkt: Column): Column = isRingPts(wktPoints(wkt))
+
+  /** ST_IsRing over a parsed vertex array (see stIsRing). */
+  def isRingPts(pts: Column): Column = {
     val interior = slice(pts, lit(1), size(pts) - 1)
     val distinctVerts = size(array_distinct(interior)) === size(interior)
     val segs = segments(pts)
@@ -132,7 +142,7 @@ object WktGeometry {
       val d4 = cross(ax, ay, bx, by, dx, dy)
       d1 * d2 < 0 && d3 * d4 < 0
     })
-    stIsClosed(wkt) && distinctVerts && !properCrossing
+    isClosedPts(pts) && distinctVerts && !properCrossing
   }
 
   /** line_locate_point (GeoFunctions.java lineLocatePoint): fraction of
@@ -142,12 +152,24 @@ object WktGeometry {
     */
   def lineLocatePoint(wkt: Column, px: Column, py: Column): Column = {
     val segs = segments(wktPoints(wkt))
-    def segLen(e: Column): Column = {
-      val dx = e.getField("bx") - e.getField("ax")
-      val dy = e.getField("by") - e.getField("ay")
-      sqrt(dx * dx + dy * dy)
-    }
-    val total = aggregate(segs, lit(0.0d), (acc, e) => acc + segLen(e))
+    locateFromSegs(segs, lineLength(segs), px, py)
+  }
+
+  private def segLen(e: Column): Column = {
+    val dx = e.getField("bx") - e.getField("ax")
+    val dy = e.getField("by") - e.getField("ay")
+    sqrt(dx * dx + dy * dy)
+  }
+
+  /** Total 2-D length of a segment array (sequential left fold). */
+  def lineLength(segs: Column): Column =
+    aggregate(segs, lit(0.0d), (acc, e) => acc + segLen(e))
+
+  /** line_locate_point over precomputed `segs`/`total` COLUMNS — wide
+    * projections should materialize both with withColumn first so the
+    * fold's lambda references row attributes (evaluated once per row)
+    * instead of re-folding the whole line per element. */
+  def locateFromSegs(segs: Column, total: Column, px: Column, py: Column): Column = {
     // state: (bestDist, bestFrac, cumLen)
     val state = aggregate(segs,
       struct(lit(Double.MaxValue).as("d"), lit(0.0d).as("f"), lit(0.0d).as("c")),
