@@ -39,6 +39,7 @@ object FunctionRegistry {
       IpFunctions.install(spark)
       VectorMeanAgg.install(spark)
       BingTiles.install(spark)
+      ConvexHullAgg.install(spark)
       installed.put(spark, java.lang.Boolean.TRUE)
     }
   }

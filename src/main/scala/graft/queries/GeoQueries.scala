@@ -364,5 +364,77 @@ object GeoQueries extends QueryModule {
         stEqualsBoxes(a._1, a._2, a._3, a._4, b._1, b._2, b._3, b._4).as("equals"),
         ix.getField("xmin").as("ix_xmin"), ix.getField("ymax").as("ix_ymax"),
         un.getField("xmin").as("un_xmin"), un.getField("ymax").as("un_ymax"))
+    },
+
+    // convex_hull_agg (presto-geospatial/.../ConvexHullAggregation.java)
+    // as a hull-of-hulls TypedImperativeAggregate: monotone chain with
+    // strict turns, buffer bounded by hull complexity. The oracle finds
+    // hull vertices INDEPENDENTLY via Caratheodory (a point is interior
+    // iff some nondegenerate triangle / segment of other points covers
+    // it — integer cross products, exact), orders them by angle around
+    // their centroid, and shoelace-sums: both sides sum exact integer
+    // cross terms, so hull_n AND hull_area match bit-for-bit with no
+    // ordering or rounding caveats. Points capped at 40/group to keep
+    // the oracle's O(n^4) vertex test tractable.
+    Q("agg_convex_hull",
+      """WITH base AS (
+        |  SELECT s_suppkey % 8 AS g,
+        |    CAST(row_number() OVER (PARTITION BY s_suppkey % 8 ORDER BY s_suppkey) AS BIGINT) AS i
+        |  FROM supplier),
+        |pts AS (
+        |  SELECT g, i, CAST(i AS DOUBLE) AS x, CAST((i * i * 7 + i * 3) % 101 AS DOUBLE) AS y
+        |  FROM base WHERE i <= 40),
+        |hullpts AS (
+        |  SELECT p.g, p.x, p.y FROM pts p
+        |  WHERE NOT EXISTS (
+        |    SELECT 1 FROM pts a, pts b, pts c
+        |    WHERE a.g = p.g AND b.g = p.g AND c.g = p.g
+        |      AND a.i < b.i AND b.i < c.i
+        |      AND a.i <> p.i AND b.i <> p.i AND c.i <> p.i
+        |      AND (b.x - a.x) * (c.y - a.y) - (b.y - a.y) * (c.x - a.x) <> 0
+        |      AND (((b.x - a.x) * (p.y - a.y) - (b.y - a.y) * (p.x - a.x) >= 0
+        |        AND (c.x - b.x) * (p.y - b.y) - (c.y - b.y) * (p.x - b.x) >= 0
+        |        AND (a.x - c.x) * (p.y - c.y) - (a.y - c.y) * (p.x - c.x) >= 0)
+        |       OR ((b.x - a.x) * (p.y - a.y) - (b.y - a.y) * (p.x - a.x) <= 0
+        |        AND (c.x - b.x) * (p.y - b.y) - (c.y - b.y) * (p.x - b.x) <= 0
+        |        AND (a.x - c.x) * (p.y - c.y) - (a.y - c.y) * (p.x - c.x) <= 0)))
+        |  AND NOT EXISTS (
+        |    SELECT 1 FROM pts a, pts b
+        |    WHERE a.g = p.g AND b.g = p.g AND a.i < b.i
+        |      AND a.i <> p.i AND b.i <> p.i
+        |      AND (b.x - a.x) * (p.y - a.y) - (b.y - a.y) * (p.x - a.x) = 0
+        |      AND least(a.x, b.x) <= p.x AND p.x <= greatest(a.x, b.x)
+        |      AND least(a.y, b.y) <= p.y AND p.y <= greatest(a.y, b.y))),
+        |ctr AS (SELECT g, avg(x) AS cx, avg(y) AS cy FROM hullpts GROUP BY g),
+        |ordered AS (
+        |  SELECT h.g, h.x, h.y,
+        |    row_number() OVER (PARTITION BY h.g ORDER BY atan2(h.y - c.cy, h.x - c.cx)) AS rn,
+        |    count(*) OVER (PARTITION BY h.g) AS cnt
+        |  FROM hullpts h JOIN ctr c USING (g)),
+        |np AS (SELECT g, CAST(count(*) AS BIGINT) AS n_points FROM pts GROUP BY g)
+        |SELECT o.g AS g, max(np.n_points) AS n_points,
+        |  CAST(max(o.cnt) AS INT) AS hull_n,
+        |  abs(sum(o.x * nx.y - nx.x * o.y)) / 2 AS hull_area
+        |FROM ordered o
+        |JOIN ordered nx ON o.g = nx.g
+        |  AND nx.rn = CASE WHEN o.rn = o.cnt THEN 1 ELSE o.rn + 1 END
+        |JOIN np ON np.g = o.g
+        |GROUP BY o.g""".stripMargin) { (s, _) =>
+      graft.functions.FunctionRegistry.installAll(s)
+      val g = (col("s_suppkey") % 8).as("g")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("s_suppkey") % 8).orderBy("s_suppkey")
+      val pts = s.table("supplier")
+        .select(g, row_number().over(w).cast("long").as("i"))
+        .filter(col("i") <= 40)
+        .select(col("g"), col("i").cast("double").as("x"),
+          ((col("i") * col("i") * 7 + col("i") * 3) % 101).cast("double").as("y"))
+      val agged = pts.groupBy("g")
+        .agg(expr("convex_hull_agg(x, y)").as("hull"),
+          count(lit(1)).as("n_points"))
+      val closed = concat(col("hull"), slice(col("hull"), 1, 1))
+      agged.select(col("g"), col("n_points"),
+        size(col("hull")).as("hull_n"),
+        (abs(graft.operators.SpatialJoinOps.stSignedAreaTwice(closed)) / 2).as("hull_area"))
     })
 }

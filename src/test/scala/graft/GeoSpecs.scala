@@ -213,6 +213,44 @@ class GeoSpecs extends AnyFunSuite with BeforeAndAfterAll {
     assert(r.getBoolean(8)) // disjoint -> null intersection
   }
 
+  test("convex hull: monotone chain drops collinear/interior, canonical CCW, merge-stable") {
+    import graft.functions.ConvexHullAgg.hull
+    // unit square + interior + edge-midpoint + duplicate
+    val pts = Array((0.0, 0.0), (2.0, 0.0), (2.0, 2.0), (0.0, 2.0),
+      (1.0, 1.0), (1.0, 0.0), (0.0, 0.0))
+    val h = hull(pts)
+    assert(h.toSet == Set((0.0, 0.0), (2.0, 0.0), (2.0, 2.0), (0.0, 2.0)))
+    assert(h.head == ((0.0, 0.0))) // canonical start: lexicographic min
+    // orientation: CCW -> positive shoelace
+    val area2 = h.indices.map { i =>
+      val (x1, y1) = h(i); val (x2, y2) = h((i + 1) % h.length)
+      x1 * y2 - x2 * y1
+    }.sum
+    assert(area2 == 8.0) // CCW positive, area 4
+    // input-order independence (what merge-associativity reduces to,
+    // since the buffer is always re-hulled): any permutation, same hull
+    assert(hull(pts.reverse).toSeq == h.toSeq)
+    assert(hull(scala.util.Random.shuffle(pts.toSeq).toArray).toSeq == h.toSeq)
+    // collinear-only degenerates to the two endpoints
+    assert(hull(Array((0.0, 0.0), (1.0, 1.0), (2.0, 2.0))).toSeq ==
+      Seq((0.0, 0.0), (2.0, 2.0)))
+  }
+
+  test("convex_hull_agg is partitioning-invariant end to end") {
+    graft.engine.Engine.registerTables(spark, "/root/testdata/sf0.001")
+    graft.functions.FunctionRegistry.installAll(spark)
+    val q = graft.queries.GeoQueries.queries.find(_.name == "agg_convex_hull").get
+    val base = q.build(spark, "/root/testdata/sf0.001")
+      .collect().map(_.toString).sorted.toSeq
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", "1")
+      val single = q.build(spark, "/root/testdata/sf0.001")
+        .collect().map(_.toString).sorted.toSeq
+      assert(single == base, "hull result depends on partitioning")
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   test("SQL front door: great_circle_distance + bing tile scalars registered") {
     graft.functions.FunctionRegistry.installAll(spark)
     val d = spark.sql(
