@@ -820,6 +820,76 @@ object LlmQueries extends QueryModule {
         .filter(col("rn") <= 5)
     },
 
+    // TF-IDF document scoring — the standard quality/relevance signal a
+    // training pipeline computes corpus-wide. Two shuffles (tf by
+    // (doc, term), df by term); the df side is vocabulary-sized, so at
+    // corpus scale the score join broadcasts. The top term ranks on
+    // (tf desc, df asc, term asc) — all-integer/lexicographic, so the
+    // ranking is engine-independent; the float sum is rounded (6 dp)
+    // because summation order differs across engines.
+    Q("llm_tfidf",
+      """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+        |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+        |       FROM toks WHERE term <> '' GROUP BY 1, 2),
+        |df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS nd FROM documents),
+        |scored AS (
+        |  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+        |    tf.tf * ln(CAST(nd AS DOUBLE) / df.df) AS score
+        |  FROM tf JOIN df USING (term) CROSS JOIN n),
+        |ranked AS (
+        |  SELECT *, row_number() OVER (PARTITION BY doc_id
+        |    ORDER BY tf DESC, df ASC, term ASC) AS rn FROM scored)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms,
+        |  max(CASE WHEN rn = 1 THEN term END) AS top_term,
+        |  max(CASE WHEN rn = 1 THEN tf END) AS top_tf,
+        |  round(sum(score), 6) AS tfidf_sum
+        |FROM ranked GROUP BY doc_id""".stripMargin) { (s, _) =>
+      import org.apache.spark.sql.expressions.Window
+      val toks = s.table("documents")
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+        .filter(col("term") =!= "")
+      val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      val nd = s.table("documents").agg(countDistinct("doc_id").as("nd"))
+      val scored = tf.join(df, "term").crossJoin(broadcast(nd))
+        .withColumn("score", col("tf") * log(col("nd").cast("double") / col("df")))
+      val w = Window.partitionBy("doc_id")
+        .orderBy(col("tf").desc, col("df").asc, col("term").asc)
+      scored.withColumn("rn", row_number().over(w))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_terms"),
+          max(when(col("rn") === 1, col("term"))).as("top_term"),
+          max(when(col("rn") === 1, col("tf"))).as("top_tf"),
+          round(sum(col("score")), 6).as("tfidf_sum"))
+    },
+
+    // Unigram-LM surprise (mean negative log-likelihood under the
+    // corpus's own unigram distribution) — the perplexity-proxy quality
+    // filter of C4/Gopher-style pipelines, exactly computable without a
+    // model. One vocabulary aggregation + one (broadcastable,
+    // vocabulary-sized) join back to the token stream.
+    Q("llm_surprise",
+      """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+        |t2 AS (SELECT doc_id, term FROM toks WHERE term <> ''),
+        |vocab AS (SELECT term, CAST(count(*) AS BIGINT) AS cnt FROM t2 GROUP BY 1),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS t FROM t2)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |  round(-sum(ln(CAST(cnt AS DOUBLE) / t)) / count(*), 6) AS surprise
+        |FROM t2 JOIN vocab USING (term) CROSS JOIN tot
+        |GROUP BY doc_id""".stripMargin) { (s, _) =>
+      val toks = s.table("documents")
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+        .filter(col("term") =!= "")
+      val vocab = toks.groupBy("term").agg(count(lit(1)).as("cnt"))
+      val tot = toks.agg(count(lit(1)).as("t"))
+      toks.join(broadcast(vocab), "term").crossJoin(broadcast(tot))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tokens"),
+          round(-sum(log(col("cnt").cast("double") / col("t"))) / count(lit(1)), 6)
+            .as("surprise"))
+    },
+
     Q("llm_fingerprint",
       """SELECT doc_id,
         |  md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp
