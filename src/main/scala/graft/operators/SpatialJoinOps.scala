@@ -163,7 +163,7 @@ object SpatialJoinOps {
   /** Consecutive-pair edges of a closed ring (first == last vertex):
     * array<struct<a, b>> of the n-1 segments.
     */
-  private def ringEdges(pts: Column): Column =
+  private[graft] def ringEdges(pts: Column): Column =
     transform(sequence(lit(2), size(pts)),
       i => struct(element_at(pts, i - 1).as("a"), element_at(pts, i).as("b")))
 
@@ -222,6 +222,62 @@ object SpatialJoinOps {
         (px < (bx - ax) * (py - ay) / (by - ay) + ax)
     }))
     crossings % 2 === 1
+  }
+
+  /** Parse a multi-ring `POLYGON ((outer), (hole1), ...)` WKT to
+    * array<array<struct<x,y>>> — one vertex array per ring, closing
+    * repeat vertices kept (GeoFunctions.java stGeometryFromText polygon
+    * case WITH interior rings). */
+  def parsePolygonRingsWkt(wkt: Column): Column =
+    transform(
+      split(regexp_replace(wkt, "(?i)^\\s*POLYGON\\s*\\(\\s*\\(|\\)\\s*\\)\\s*$", ""),
+        "\\)\\s*,\\s*\\("),
+      ring => transform(split(ring, ","), t => struct(
+        element_at(split(trim(t), "\\s+"), 1).cast("double").as("x"),
+        element_at(split(trim(t), "\\s+"), 2).cast("double").as("y"))))
+
+  private def rayCrossings(pts: Column, px: Column, py: Column): Column =
+    size(filter(ringEdges(pts), e => {
+      val ax = e.getField("a").getField("x")
+      val ay = e.getField("a").getField("y")
+      val bx = e.getField("b").getField("x")
+      val by = e.getField("b").getField("y")
+      ((ay > py) =!= (by > py)) &&
+        (px < (bx - ax) * (py - ay) / (by - ay) + ax)
+    }))
+
+  /** Even-odd point-in-polygon over MULTIPLE rings: holes fall out of
+    * the parity sum (a point inside the outer ring and inside a hole
+    * crosses both boundaries -> even -> outside), which is exactly how
+    * the even-odd rule defines polygon-with-holes interiors. Boundary
+    * points are not contained (as in pointInPolygon). */
+  def pointInPolygonRings(rings: Column, px: Column, py: Column): Column =
+    aggregate(rings, lit(0), (acc, pts) => acc + rayCrossings(pts, px, py)) % 2 === 1
+
+  /** ST_Contains(polygon-with-holes, point) join: envelope from ALL
+    * rings' vertices (= the outer ring's envelope for valid polygons),
+    * grid replication identical to containsPolygonJoin, refine via the
+    * multi-ring even-odd cast. */
+  def containsPolygonRingsJoin(polys: DataFrame, wktCol: String,
+      points: DataFrame, px: String, py: String, cellSize: Double): DataFrame = {
+    require(cellSize > 0, "cellSize must be positive")
+    val withEnv = polys
+      .withColumn("__rings", parsePolygonRingsWkt(col(wktCol)))
+      .withColumn("__flat", flatten(col("__rings")))
+      .withColumn("__xmin", array_min(transform(col("__flat"), p => p.getField("x"))))
+      .withColumn("__ymin", array_min(transform(col("__flat"), p => p.getField("y"))))
+      .withColumn("__xmax", array_max(transform(col("__flat"), p => p.getField("x"))))
+      .withColumn("__ymax", array_max(transform(col("__flat"), p => p.getField("y"))))
+      .drop("__flat")
+    val cellPoly = explodeBoxToCells(withEnv, "__xmin", "__ymin", "__xmax", "__ymax", cellSize)
+    val cellP = points
+      .withColumn("__cx", floor(col(px) / cellSize))
+      .withColumn("__cy", floor(col(py) / cellSize))
+    cellPoly.join(cellP, Seq("__cx", "__cy"))
+      .filter(stContainsBoxPoint(col("__xmin"), col("__ymin"), col("__xmax"), col("__ymax"),
+        col(px), col(py)))
+      .filter(pointInPolygonRings(col("__rings"), col(px), col(py)))
+      .drop("__cx", "__cy", "__rings", "__xmin", "__ymin", "__xmax", "__ymax")
   }
 
   /** ST_Contains(polygon, point) join over WKT polygons: envelope from

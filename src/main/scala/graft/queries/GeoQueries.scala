@@ -366,6 +366,48 @@ object GeoQueries extends QueryModule {
         un.getField("xmin").as("un_xmin"), un.getField("ymax").as("un_ymax"))
     },
 
+    // ST_Contains with INTERIOR RINGS (holes) — closes the documented
+    // single-ring limitation: annulus diamonds (outer radius r2, hole
+    // r1) as two-ring POLYGON WKT, even-odd ray cast over all rings.
+    // Integer point/center coordinates vs half-integer radii mean no
+    // point ever lies on a boundary, so the oracle's closed form
+    // (r1 < manhattan < r2) is exact.
+    Q("join_spatial_polygon_holes",
+      """WITH polys AS (
+        |  SELECT s_suppkey,
+        |    s_suppkey * 13 % 80 + 10 AS cx, s_suppkey * 29 % 80 + 10 AS cy,
+        |    s_suppkey % 2 + 1.5 AS r1, s_suppkey % 3 + 3.5 AS r2
+        |  FROM supplier),
+        |pts AS (
+        |  SELECT c_custkey, c_custkey * 7 % 100 AS px, c_custkey * 11 % 100 AS py
+        |  FROM customer)
+        |SELECT s.s_suppkey, c.c_custkey,
+        |  CAST(abs(c.px - s.cx) + abs(c.py - s.cy) AS BIGINT) AS manhattan
+        |FROM polys s, pts c
+        |WHERE abs(c.px - s.cx) + abs(c.py - s.cy) < s.r2
+        |  AND abs(c.px - s.cx) + abs(c.py - s.cy) > s.r1""".stripMargin) { (s, _) =>
+      val k = col("s_suppkey")
+      val cx = k * 13 % 80 + 10; val cy = k * 29 % 80 + 10
+      val r1 = (k % 2).cast("double") + 1.5; val r2 = (k % 3).cast("double") + 3.5
+      def diamond(cxC: org.apache.spark.sql.Column, cyC: org.apache.spark.sql.Column,
+          r: org.apache.spark.sql.Column) =
+        concat(lit("("), cxC + r, lit(" "), cyC, lit(", "), cxC, lit(" "), cyC + r,
+          lit(", "), cxC - r, lit(" "), cyC, lit(", "), cxC, lit(" "), cyC - r,
+          lit(", "), cxC + r, lit(" "), cyC, lit(")"))
+      val polys = s.table("supplier").select(k.as("s_suppkey"),
+        concat(lit("POLYGON ("), diamond(cx, cy, r2), lit(", "),
+          diamond(cx, cy, r1), lit(")")).as("wkt"))
+      val pts = s.table("customer").select(col("c_custkey"),
+        (col("c_custkey") * 7 % 100).cast("double").as("px"),
+        (col("c_custkey") * 11 % 100).cast("double").as("py"))
+      graft.operators.SpatialJoinOps
+        .containsPolygonRingsJoin(polys, "wkt", pts, "px", "py", 8.0)
+        .select(col("s_suppkey"), col("c_custkey"),
+          (abs(col("px") - (col("s_suppkey") * 13 % 80 + 10))
+            + abs(col("py") - (col("s_suppkey") * 29 % 80 + 10)))
+            .cast("long").as("manhattan"))
+    },
+
     // convex_hull_agg (presto-geospatial/.../ConvexHullAggregation.java)
     // as a hull-of-hulls TypedImperativeAggregate: monotone chain with
     // strict turns, buffer bounded by hull complexity. The oracle finds

@@ -251,6 +251,34 @@ class GeoSpecs extends AnyFunSuite with BeforeAndAfterAll {
     } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
   }
 
+  test("polygon with holes: even-odd over rings excludes the hole interior") {
+    import graft.operators.SpatialJoinOps._
+    // annulus: outer diamond r=4 at (10,10), hole r=2
+    val wkt = lit("POLYGON ((14.0 10, 10 14.0, 6.0 10, 10 6.0, 14.0 10), " +
+      "(12.0 10, 10 12.0, 8.0 10, 10 8.0, 12.0 10))")
+    val rings = parsePolygonRingsWkt(wkt)
+    val r = spark.range(1).select(
+      size(rings),
+      pointInPolygonRings(rings, lit(10.0), lit(13.0)), // between rings: in
+      pointInPolygonRings(rings, lit(10.0), lit(10.5)), // inside hole: out
+      pointInPolygonRings(rings, lit(10.0), lit(10.0)), // hole center: out
+      pointInPolygonRings(rings, lit(20.0), lit(20.0))) // outside: out
+      .head()
+    assert(r.getInt(0) == 2)
+    assert(r.getBoolean(1))
+    assert(!r.getBoolean(2))
+    assert(!r.getBoolean(3))
+    assert(!r.getBoolean(4))
+  }
+
+  test("join_spatial_polygon_holes plans an equi-join, no cartesian") {
+    graft.engine.Engine.registerTables(spark, "/root/testdata/sf0.001")
+    val df = graft.queries.GeoQueries.queries.find(_.name == "join_spatial_polygon_holes").get
+      .build(spark, "/root/testdata/sf0.001")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("SQL front door: great_circle_distance + bing tile scalars registered") {
     graft.functions.FunctionRegistry.installAll(spark)
     val d = spark.sql(
