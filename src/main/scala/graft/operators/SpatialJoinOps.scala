@@ -236,6 +236,22 @@ object SpatialJoinOps {
         element_at(split(trim(t), "\\s+"), 1).cast("double").as("x"),
         element_at(split(trim(t), "\\s+"), 2).cast("double").as("y"))))
 
+  /** Parse `MULTIPOLYGON (((...)), ((...), (hole)))` to a flat
+    * array<array<struct<x,y>>> of ALL rings across components: the
+    * even-odd parity sum is component-agnostic, so for disjoint
+    * components (+ holes) the flat ring list is exactly what
+    * pointInPolygonRings needs — no per-component bookkeeping. */
+  def parseMultiPolygonRingsWkt(wkt: Column): Column = {
+    val body = regexp_replace(wkt,
+      "(?i)^\\s*MULTIPOLYGON\\s*\\(\\s*\\(\\s*\\(|\\)\\s*\\)\\s*\\)\\s*$", "")
+    // component separator `)), ((` -> plain ring separator `), (`
+    val normalized = regexp_replace(body, "\\)\\s*\\)\\s*,\\s*\\(\\s*\\(", "), (")
+    transform(split(normalized, "\\)\\s*,\\s*\\("),
+      ring => transform(split(ring, ","), t => struct(
+        element_at(split(trim(t), "\\s+"), 1).cast("double").as("x"),
+        element_at(split(trim(t), "\\s+"), 2).cast("double").as("y"))))
+  }
+
   private def rayCrossings(pts: Column, px: Column, py: Column): Column =
     size(filter(ringEdges(pts), e => {
       val ax = e.getField("a").getField("x")
@@ -259,10 +275,13 @@ object SpatialJoinOps {
     * grid replication identical to containsPolygonJoin, refine via the
     * multi-ring even-odd cast. */
   def containsPolygonRingsJoin(polys: DataFrame, wktCol: String,
-      points: DataFrame, px: String, py: String, cellSize: Double): DataFrame = {
+      points: DataFrame, px: String, py: String, cellSize: Double,
+      multi: Boolean = false): DataFrame = {
     require(cellSize > 0, "cellSize must be positive")
+    val parsed = if (multi) parseMultiPolygonRingsWkt(col(wktCol))
+      else parsePolygonRingsWkt(col(wktCol))
     val withEnv = polys
-      .withColumn("__rings", parsePolygonRingsWkt(col(wktCol)))
+      .withColumn("__rings", parsed)
       .withColumn("__flat", flatten(col("__rings")))
       .withColumn("__xmin", array_min(transform(col("__flat"), p => p.getField("x"))))
       .withColumn("__ymin", array_min(transform(col("__flat"), p => p.getField("y"))))

@@ -20,7 +20,9 @@ object PlanDump {
       "agg_mixed_distinct", "ev_sessionize",
       "src_bucketed_join", "ev_view_click_attribution",
       "join_asof", "join_range_binned",
-      "join_spatial_contains", "join_spatial_intersects", "join_spatial_polygon")
+      "join_spatial_contains", "join_spatial_intersects", "join_spatial_polygon",
+      "join_spatial_polygon_holes", "join_spatial_kdb", "join_geo_tile",
+      "agg_convex_hull", "llm_decontam_bloom", "llm_tfidf")
     val spark = graft.engine.Engine.session("local[4]", shufflePartitions = 8)
     graft.engine.Engine.registerTables(spark, sfDir)
     val sb = new StringBuilder
