@@ -76,21 +76,29 @@ object BingTiles {
   /** bing_tile_quadkey: digit i (MSB first) interleaves bit (z-i) of x
     * and y — BingTile.java toQuadKey. */
   def quadkey(x: Column, y: Column, zoom: Column): Column =
-    array_join(
-      transform(sequence(zoom, lit(1), lit(-1)),
-        i => (bitAt(x, i - 1) + bitAt(y, i - 1) * 2).cast("int").cast("string")),
-      "")
+    // zoom 0 is the single world tile whose quadkey is the empty string;
+    // sequence(0, 1, -1) would throw (illegal negative-step bounds), so
+    // short-circuit it rather than building an empty descending range.
+    when(zoom === 0, lit("")).otherwise(
+      array_join(
+        transform(sequence(zoom, lit(1), lit(-1)),
+          i => (bitAt(x, i - 1) + bitAt(y, i - 1) * 2).cast("int").cast("string")),
+        ""))
 
   /** bing_tile(quadkey) -> x: MSB-first digit fold, x bit = digit & 1
     * (BingTile.java fromQuadKey). */
   def quadkeyToX(qk: Column): Column =
-    aggregate(sequence(lit(1), length(qk)), lit(0L),
-      (acc, i) => acc * 2 + substr(qk, i, lit(1)).cast("long") % 2)
+    // The empty quadkey (zoom 0) is tile x=0; sequence(1, 0) descends
+    // and folds nulls, so guard it out.
+    when(length(qk) === 0, lit(0L)).otherwise(
+      aggregate(sequence(lit(1), length(qk)), lit(0L),
+        (acc, i) => acc * 2 + substr(qk, i, lit(1)).cast("long") % 2))
 
   /** bing_tile(quadkey) -> y: y bit = digit >> 1. */
   def quadkeyToY(qk: Column): Column =
-    aggregate(sequence(lit(1), length(qk)), lit(0L),
-      (acc, i) => acc * 2 + floor(substr(qk, i, lit(1)).cast("double") / 2.0).cast("long"))
+    when(length(qk) === 0, lit(0L)).otherwise(
+      aggregate(sequence(lit(1), length(qk)), lit(0L),
+        (acc, i) => acc * 2 + floor(substr(qk, i, lit(1)).cast("double") / 2.0).cast("long")))
 
   /** bing_tile_zoom_level(quadkey-form tile). */
   def quadkeyZoom(qk: Column): Column = length(qk).cast("int")

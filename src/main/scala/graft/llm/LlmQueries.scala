@@ -58,50 +58,47 @@ object LlmQueries extends QueryModule {
       }.toDF("doc_id", "sh")
   }
 
+  /** One (fixture -> persisted DataFrame) slot per SparkSession —
+    * the shared shape behind the shingle/pair/capped/signature caches.
+    * Weak identity key on the session (hashCode could collide and hand
+    * a DataFrame bound to another session). When the session's fixture
+    * changes (specs re-register `documents` over a different parquet),
+    * the superseded DataFrame is unpersisted before the new one is
+    * built, so each cache holds at most ONE persisted table per live
+    * session and a long-lived process can't accumulate stale RDD blocks.
+    */
+  private final class SessionDfCache {
+    private val slots =
+      java.util.Collections.synchronizedMap(
+        new java.util.WeakHashMap[SparkSession, (String, DataFrame)]())
+
+    def get(s: SparkSession)(build: => DataFrame): DataFrame = slots.synchronized {
+      val fixture = s.table("documents").inputFiles.headOption.getOrElse("")
+      Option(slots.get(s)) match {
+        case Some((`fixture`, df)) => df
+        case prior =>
+          prior.foreach { case (_, old) => old.unpersist(blocking = false) }
+          val df = build.persist()
+          slots.put(s, (fixture, df))
+          df
+      }
+    }
+  }
+
   // Shared, session-cached shingle table: the exact-Jaccard, MinHash-LSH
   // and CC-dedup paths all start from it; without the cache each of them
   // re-tokenizes the whole corpus (and the df-cap join below would scan
-  // it twice per action). Weak identity key on the session.
-  private val shingleCache =
-    java.util.Collections.synchronizedMap(
-      new java.util.WeakHashMap[SparkSession, java.util.concurrent.ConcurrentHashMap[String, DataFrame]]())
-
-  private def shingleRows(s: SparkSession): DataFrame = synchronized {
-    val perSession = {
-      val existing = shingleCache.get(s)
-      if (existing != null) existing
-      else {
-        val m = new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
-        shingleCache.put(s, m)
-        m
-      }
-    }
-    val fixture = s.table("documents").inputFiles.headOption.getOrElse("")
-    perSession.computeIfAbsent(fixture, _ => shingleRowsUncached(s).persist())
-  }
+  // it twice per action).
+  private val shingleCache = new SessionDfCache
+  private def shingleRows(s: SparkSession): DataFrame =
+    shingleCache.get(s)(shingleRowsUncached(s))
 
   // The exact-pair scaffold is shared by the ngram/minhash/simhash
   // queries; cache the J>=0.5 superset per session so contract checks
   // don't recompute the shingle self-join three times.
-  // Weak identity key on the session (hashCode could collide and hand a
-  // DataFrame bound to another session); inner key = fixture file.
-  private val pairCache =
-    java.util.Collections.synchronizedMap(
-      new java.util.WeakHashMap[SparkSession, java.util.concurrent.ConcurrentHashMap[String, DataFrame]]())
-
-  private def cachedPairs(s: SparkSession): DataFrame = synchronized {
-    val perSession = {
-      val existing = pairCache.get(s)
-      if (existing != null) existing
-      else {
-        val m = new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
-        pairCache.put(s, m)
-        m
-      }
-    }
-    val fixture = s.table("documents").inputFiles.headOption.getOrElse("")
-    perSession.computeIfAbsent(fixture, _ => exactJaccardPairsUncached(s, 0.5).persist())
-  }
+  private val pairCache = new SessionDfCache
+  private def cachedPairs(s: SparkSession): DataFrame =
+    pairCache.get(s)(exactJaccardPairsUncached(s, 0.5))
 
   /** Exact pairwise 5-gram Jaccard >= threshold via shingle-key join —
     * the SQL-exact near-dup detector (also the oracle's formulation).
@@ -127,25 +124,10 @@ object LlmQueries extends QueryModule {
   // Session-cached capped shingles: the LSH signature agg, the exact
   // verify (both join sides) and the doc-size agg all start from this
   // table; uncached, each materialization repays the df-cap groupBy +
-  // join over the full shingle set. Same weak-identity pattern as
-  // shingleCache.
-  private val cappedCache =
-    java.util.Collections.synchronizedMap(
-      new java.util.WeakHashMap[SparkSession, java.util.concurrent.ConcurrentHashMap[String, DataFrame]]())
-
-  private def cappedShingleRows(s: SparkSession): DataFrame = synchronized {
-    val perSession = {
-      val existing = cappedCache.get(s)
-      if (existing != null) existing
-      else {
-        val m = new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
-        cappedCache.put(s, m)
-        m
-      }
-    }
-    val fixture = s.table("documents").inputFiles.headOption.getOrElse("")
-    perSession.computeIfAbsent(fixture, _ => cappedShingleRowsUncached(s).persist())
-  }
+  // join over the full shingle set.
+  private val cappedCache = new SessionDfCache
+  private def cappedShingleRows(s: SparkSession): DataFrame =
+    cappedCache.get(s)(cappedShingleRowsUncached(s))
 
   /** The matching oracle-side CTEs (string shingles; same cap).
     * Declared ABOVE its consumers (dedupGroupsOracle) so string
@@ -227,23 +209,9 @@ object LlmQueries extends QueryModule {
       .agg(array((0 until 64).map(i => min(hi(i))): _*).as("sig"))
   }
 
-  private val sigCache =
-    java.util.Collections.synchronizedMap(
-      new java.util.WeakHashMap[SparkSession, java.util.concurrent.ConcurrentHashMap[String, DataFrame]]())
-
-  private def minhashSigs(s: SparkSession): DataFrame = synchronized {
-    val perSession = {
-      val existing = sigCache.get(s)
-      if (existing != null) existing
-      else {
-        val m = new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
-        sigCache.put(s, m)
-        m
-      }
-    }
-    val fixture = s.table("documents").inputFiles.headOption.getOrElse("")
-    perSession.computeIfAbsent(fixture, _ => minhashSigsUncached(s).persist())
-  }
+  private val sigCache = new SessionDfCache
+  private def minhashSigs(s: SparkSession): DataFrame =
+    sigCache.get(s)(minhashSigsUncached(s))
 
   private def lshVerifiedPairs(s: SparkSession, estThreshold: Double): DataFrame = {
     val sigs = minhashSigs(s)

@@ -157,7 +157,7 @@ object GeoQueries extends QueryModule {
         |      * 6371.01 AS km
         |  FROM cpts c, spts s)
         |SELECT c_custkey, s_suppkey, round(km, 3) AS dist_km
-        |FROM d WHERE km <= 120.0""".stripMargin) { (s, _) =>
+        |FROM d WHERE round(km, 3) <= 120.0""".stripMargin) { (s, _) =>
       val z = lit(7)
       val cust = s.table("customer").select(col("c_custkey"),
         ((col("c_custkey") * 7919 % 11000) / 100.0 - 55.0).as("clat"),
@@ -173,8 +173,13 @@ object GeoQueries extends QueryModule {
         .withColumn("__tx", col("__t.x")).withColumn("__ty", col("__t.y"))
         .drop("__t")
       val km = BingTiles.greatCircleKm(col("clat"), col("clng"), col("slat"), col("slng"))
+      // Membership is decided on the ROUNDED distance in both engine and
+      // oracle: atan2/sin/cos differ across libms in the last ulp, so a
+      // raw `km <= 120.0` could disagree for a pair within an ulp of the
+      // cutoff; round(_, 3) makes the predicate bit-identical on both
+      // sides (same hazard note as the output column).
       left.join(right, Seq("__tx", "__ty"))
-        .filter(km <= 120.0)
+        .filter(round(km, 3) <= 120.0)
         .select(col("c_custkey"), col("s_suppkey"), round(km, 3).as("dist_km"))
     },
 

@@ -80,8 +80,9 @@ object TpchQueries extends QueryModule {
     // joins on exact floating-point equality between two evaluations of
     // the same CTE, and Spark may plan the CTE twice with different
     // partial-agg orders at higher parallelism — silently dropping the
-    // top supplier. row_number() evaluates the CTE once and is
-    // deterministic under any partitioning (supplier_no tiebreak).
+    // top supplier. rank() evaluates the CTE once, is deterministic under
+    // any partitioning, AND keeps the spec's return-all-ties semantics
+    // (row_number with a key tiebreak would drop a tied supplier).
     sqlQ("q15_top_supplier",
       """WITH revenue AS (
         |  SELECT l_suppkey AS supplier_no,
@@ -92,7 +93,7 @@ object TpchQueries extends QueryModule {
         |  GROUP BY l_suppkey),
         |ranked AS (
         |  SELECT supplier_no, total_revenue,
-        |         row_number() OVER (ORDER BY total_revenue DESC, supplier_no) AS rn
+        |         rank() OVER (ORDER BY total_revenue DESC) AS rn
         |  FROM revenue)
         |SELECT s_suppkey, s_name, total_revenue
         |FROM supplier JOIN ranked ON s_suppkey = supplier_no

@@ -19,6 +19,61 @@ import org.apache.spark.sql.functions._
   */
 object WindowQueries extends QueryModule {
 
+  /** Distributed global ntile(4)/percent_rank/cume_dist: 63
+    * approx_percentile cutoffs split the value space into 64 range
+    * buckets, exact per-bucket counts become rank offsets (a 64-row
+    * broadcast join), and within-bucket row_number + offset is the exact
+    * global rank. Two O(buckets) driver actions, no single-task global
+    * sort — the scale-safe replacement for `Window.orderBy(...)` (which
+    * survives only as a result-identity cross-check in WindowSpecs).
+    */
+  private[graft] def globalRankScalable(s: org.apache.spark.sql.SparkSession): org.apache.spark.sql.DataFrame = {
+    val cust = s.table("customer").select(col("c_custkey"), col("c_acctbal"))
+    val nBuckets = 64
+    val fractions = array((1 until nBuckets).map(i => lit(i.toDouble / nBuckets)): _*)
+    val cuts = cust.agg(percentile_approx(col("c_acctbal"), fractions, lit(10000)))
+      .head().getSeq[Double](0)
+    // Bucket by value range: count of cutoffs strictly below the key.
+    val bucketCol = cuts.map(c => (col("c_acctbal") > lit(c)).cast("int"))
+      .reduce(_ + _)
+    val bucketed = cust.withColumn("bucket", bucketCol)
+    val countsRows = bucketed.groupBy("bucket").count().collect()
+    val counts = countsRows.map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val n = counts.values.sum
+    val offsets = (0 until nBuckets).scanLeft(0L)((acc, b) => acc + counts.getOrElse(b, 0L))
+    val offsetDf = s.createDataFrame(
+      s.sparkContext.parallelize((0 until nBuckets).map(b => org.apache.spark.sql.Row(b, offsets(b))), 1),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("bucket", org.apache.spark.sql.types.IntegerType),
+        org.apache.spark.sql.types.StructField("offset", org.apache.spark.sql.types.LongType))))
+    val wLocal = Window.partitionBy("bucket").orderBy("c_acctbal", "c_custkey")
+    val base = n / 4
+    val rem = n % 4
+    val ranked = bucketed.join(broadcast(offsetDf), "bucket")
+      .withColumn("rk", row_number().over(wLocal).cast("long") + col("offset"))
+    ranked.select(col("c_custkey"),
+      when(col("rk") <= lit(rem * (base + 1)),
+        ceil(col("rk") / lit((base + 1).toDouble)))
+        .otherwise(lit(rem) + ceil((col("rk") - lit(rem * (base + 1))) / lit(base.toDouble)))
+        .cast("long").as("quartile"),
+      (when(lit(n) > 1, (col("rk") - 1) / lit((n - 1).toDouble)).otherwise(lit(0.0)))
+        .as("pct_rank"),
+      (col("rk") / lit(n.toDouble)).as("cd"))
+  }
+
+  /** The textbook single-partition formulation — NOT part of the query
+    * surface (it would funnel the table through one task at 100 TB);
+    * exists solely so WindowSpecs can pin result-identity against
+    * globalRankScalable.
+    */
+  private[graft] def globalRankBaseline(s: org.apache.spark.sql.SparkSession): org.apache.spark.sql.DataFrame = {
+    val w = Window.orderBy("c_acctbal", "c_custkey")
+    s.table("customer").select(col("c_custkey"),
+      ntile(4).over(w).cast("long").as("quartile"),
+      percent_rank().over(w).as("pct_rank"),
+      cume_dist().over(w).as("cd"))
+  }
+
   def queries: Seq[Q] = Seq(
 
     Q("win_ranking",
@@ -90,66 +145,27 @@ object WindowQueries extends QueryModule {
         lead("o_totalprice", 1, -1.0).over(w).as("next_price"))
     },
 
+    // Global ntile/percent_rank/cume_dist — served by the DISTRIBUTED
+    // formulation (globalRankScalable below). The textbook
+    // single-partition `Window.orderBy(...)` baseline lives only in
+    // WindowSpecs as a result-identity cross-check: it would funnel the
+    // whole table through ONE task at scale, and keeping it out of the
+    // query surface means a copy-pasting user gets the scalable plan.
     Q("win_ntile_dist",
       """SELECT c_custkey,
         |  CAST(ntile(4) OVER (ORDER BY c_acctbal, c_custkey) AS BIGINT) AS quartile,
         |  percent_rank() OVER (ORDER BY c_acctbal, c_custkey) AS pct_rank,
         |  cume_dist() OVER (ORDER BY c_acctbal, c_custkey) AS cd
-        |FROM customer""".stripMargin) { (s, _) =>
-      val w = Window.orderBy("c_acctbal", "c_custkey")
-      s.table("customer").select(col("c_custkey"),
-        ntile(4).over(w).cast("long").as("quartile"),
-        percent_rank().over(w).as("pct_rank"),
-        cume_dist().over(w).as("cd"))
-    },
+        |FROM customer""".stripMargin) { (s, _) => globalRankScalable(s) },
 
-    // Scale-safe global ranking: win_ntile_dist above is the semantic
-    // baseline but funnels the table through ONE task (global window).
-    // This variant computes the identical quartile/percent_rank/cume_dist
-    // distributed: 63 approx_percentile cutoffs split the key space into
-    // 64 value-range buckets, exact per-bucket counts become rank offsets
-    // (a 64-row broadcast join), and within-bucket row_number + offset is
-    // the exact global rank. Two O(buckets) driver actions, no global
-    // sort. The oracle is the plain windowed SQL — results must be
-    // identical.
+    // Same oracle, same plan — kept as a second entry so the name the
+    // r5/r6 rounds shipped under remains addressable.
     Q("win_rank_global_scalable",
       """SELECT c_custkey,
         |  CAST(ntile(4) OVER (ORDER BY c_acctbal, c_custkey) AS BIGINT) AS quartile,
         |  percent_rank() OVER (ORDER BY c_acctbal, c_custkey) AS pct_rank,
         |  cume_dist() OVER (ORDER BY c_acctbal, c_custkey) AS cd
-        |FROM customer""".stripMargin) { (s, _) =>
-      val cust = s.table("customer").select(col("c_custkey"), col("c_acctbal"))
-      val nBuckets = 64
-      val fractions = array((1 until nBuckets).map(i => lit(i.toDouble / nBuckets)): _*)
-      val cuts = cust.agg(percentile_approx(col("c_acctbal"), fractions, lit(10000)))
-        .head().getSeq[Double](0)
-      // Bucket by value range: count of cutoffs strictly below the key.
-      val bucketCol = cuts.map(c => (col("c_acctbal") > lit(c)).cast("int"))
-        .reduce(_ + _)
-      val bucketed = cust.withColumn("bucket", bucketCol)
-      val countsRows = bucketed.groupBy("bucket").count().collect()
-      val counts = countsRows.map(r => r.getInt(0) -> r.getLong(1)).toMap
-      val n = counts.values.sum
-      val offsets = (0 until nBuckets).scanLeft(0L)((acc, b) => acc + counts.getOrElse(b, 0L))
-      val offsetDf = s.createDataFrame(
-        s.sparkContext.parallelize((0 until nBuckets).map(b => org.apache.spark.sql.Row(b, offsets(b))), 1),
-        org.apache.spark.sql.types.StructType(Seq(
-          org.apache.spark.sql.types.StructField("bucket", org.apache.spark.sql.types.IntegerType),
-          org.apache.spark.sql.types.StructField("offset", org.apache.spark.sql.types.LongType))))
-      val wLocal = Window.partitionBy("bucket").orderBy("c_acctbal", "c_custkey")
-      val base = n / 4
-      val rem = n % 4
-      val ranked = bucketed.join(broadcast(offsetDf), "bucket")
-        .withColumn("rk", row_number().over(wLocal).cast("long") + col("offset"))
-      ranked.select(col("c_custkey"),
-        when(col("rk") <= lit(rem * (base + 1)),
-          ceil(col("rk") / lit((base + 1).toDouble)))
-          .otherwise(lit(rem) + ceil((col("rk") - lit(rem * (base + 1))) / lit(base.toDouble)))
-          .cast("long").as("quartile"),
-        (when(lit(n) > 1, (col("rk") - 1) / lit((n - 1).toDouble)).otherwise(lit(0.0)))
-          .as("pct_rank"),
-        (col("rk") / lit(n.toDouble)).as("cd"))
-    },
+        |FROM customer""".stripMargin) { (s, _) => globalRankScalable(s) },
 
     Q("win_first_last_nth",
       """SELECT s_suppkey,

@@ -193,23 +193,29 @@ object PrestoSql {
   /** Presto session property -> Spark conf translation for the
     * properties with a real Spark analog (SystemSessionProperties.java
     * names). Returns Some(sparkKey, sparkValue). */
-  private def toSparkConf(name: String, value: String): Option[(String, String)] =
+  private def toSparkConf(name: String, value: String): Option[(String, Option[String])] =
     name.toLowerCase match {
       case "hash_partition_count" =>
-        Some("spark.sql.shuffle.partitions" -> value)
+        Some("spark.sql.shuffle.partitions" -> Some(value))
       case "join_distribution_type" =>
         // PARTITIONED forbids broadcast joins; BROADCAST/AUTOMATIC keep
-        // the stats-driven default threshold.
+        // the stats-driven threshold — value None means "restore whatever
+        // the session had before any SET" rather than clobbering a
+        // user-tuned threshold with a constant.
         Some("spark.sql.autoBroadcastJoinThreshold" ->
-          (if (value.equalsIgnoreCase("PARTITIONED")) "-1" else "10485760"))
+          (if (value.equalsIgnoreCase("PARTITIONED")) Some("-1") else None))
       case _ => None
     }
 
   private def applySessionProp(spark: SparkSession, name: String, value: String): Unit =
-    toSparkConf(name, value).foreach { case (k, v) =>
-      val saved = savedOf(spark)
-      if (!saved.contains(k)) saved(k) = spark.conf.get(k)
-      spark.conf.set(k, v)
+    toSparkConf(name, value).foreach {
+      case (k, Some(v)) =>
+        val saved = savedOf(spark)
+        if (!saved.contains(k)) saved(k) = spark.conf.get(k)
+        spark.conf.set(k, v)
+      case (k, None) =>
+        // Back to the pre-SET value if one was saved; no-op otherwise.
+        savedOf(spark).remove(k).foreach(orig => spark.conf.set(k, orig))
     }
 
   private def resetSessionProp(spark: SparkSession, name: String): Unit =

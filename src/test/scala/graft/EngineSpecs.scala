@@ -138,14 +138,14 @@ class EngineSpecs extends AnyFunSuite with BeforeAndAfterAll {
 
   test("benchmark windows partition on a real key (no global/low-card windows)") {
     // A window with an empty PARTITION BY funnels the whole input through
-    // one task; a 3-value key through 3. Only win_ntile_dist keeps the
-    // global window deliberately (semantic baseline) — its scale-safe
-    // restatement is win_rank_global_scalable.
+    // one task; a 3-value key through 3. Since r7, NO win_ query is
+    // exempt: win_ntile_dist now runs the distributed bucket-rank
+    // formulation (the single-partition baseline survives only as the
+    // result-identity cross-check below).
     import org.apache.spark.sql.execution.window.WindowExec
-    val exempt = Set("win_ntile_dist")
     val lowCardKeys = Set("l_returnflag", "l_linestatus", "o_orderstatus",
       "o_orderpriority", "r_name", "n_name")
-    SparkEntry.modules.flatMap(_.queries).filter(q => q.name.startsWith("win_") && !exempt(q.name))
+    SparkEntry.modules.flatMap(_.queries).filter(q => q.name.startsWith("win_"))
       .foreach { q =>
         val plan = executedPlan(q.run(spark, sfDir))
         plan.collect { case w: WindowExec => w }.foreach { w =>
@@ -156,6 +156,21 @@ class EngineSpecs extends AnyFunSuite with BeforeAndAfterAll {
             s"${q.name}: window partitions only on low-cardinality key(s) ${keys.mkString(",")}")
         }
       }
+  }
+
+  test("distributed global rank is row-identical to the single-partition window baseline") {
+    // The textbook Window.orderBy formulation is the semantic ground
+    // truth but a one-task bottleneck at scale; it lives only here, as
+    // the cross-check that the bucket-rank restatement serving
+    // win_ntile_dist / win_rank_global_scalable is EXACTLY it.
+    val scalable = graft.queries.WindowQueries.globalRankScalable(spark)
+      .orderBy("c_custkey").collect()
+    val baseline = graft.queries.WindowQueries.globalRankBaseline(spark)
+      .orderBy("c_custkey").collect()
+    assert(scalable.length == baseline.length && scalable.length > 0)
+    scalable.zip(baseline).foreach { case (a, b) =>
+      assert(a == b, s"distributed rank diverges from window baseline: $a vs $b")
+    }
   }
 
   test("native cosine_similarity expression stays inside codegen and matches HOF math") {

@@ -51,6 +51,17 @@ class GeoSpecs extends AnyFunSuite with BeforeAndAfterAll {
     assert(r.getInt(6) == 15)
   }
 
+  test("quadkey zoom 0: empty string round-trips to the world tile (r6 advisor)") {
+    // sequence(0, 1, -1) would throw; the zoom-0 tile's quadkey is ''.
+    val r = oneRow(
+      BingTiles.quadkey(lit(0), lit(0), lit(0)),
+      BingTiles.quadkeyToX(lit("")), BingTiles.quadkeyToY(lit("")),
+      BingTiles.quadkeyZoom(lit("")))
+    assert(r.getString(0) == "")
+    assert((r.getLong(1), r.getLong(2)) == (0L, 0L))
+    assert(r.getInt(3) == 0)
+  }
+
   test("great_circle_distance matches reference vectors (TestGeoFunctions.java:794-797)") {
     val r = oneRow(
       BingTiles.greatCircleKm(lit(36.12), lit(-86.67), lit(33.94), lit(-118.40)),

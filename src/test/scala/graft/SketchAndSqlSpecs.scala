@@ -110,6 +110,26 @@ class SketchAndSqlSpecs extends AnyFunSuite {
     intercept[IllegalArgumentException](PrestoSql.sql(spark.newSession(), "EXECUTE p2 USING 1"))
   }
 
+  test("SET SESSION join_distribution_type round-trips the broadcast threshold") {
+    // r6 advisor: PARTITIONED -> AUTOMATIC must land back on the
+    // session's ORIGINAL threshold, not a hardcoded default — and RESET
+    // must do the same.
+    val spark = graft.engine.Engine.session("local[2]", shufflePartitions = 2)
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val original = spark.conf.get(key)
+    PrestoSql.sql(spark, "SET SESSION join_distribution_type = 'PARTITIONED'")
+    assert(spark.conf.get(key) == "-1", "PARTITIONED must disable broadcast")
+    PrestoSql.sql(spark, "SET SESSION join_distribution_type = 'AUTOMATIC'")
+    assert(spark.conf.get(key) == original,
+      s"AUTOMATIC must restore the pre-SET threshold $original, got ${spark.conf.get(key)}")
+    // and a fresh AUTOMATIC with nothing saved is a no-op
+    PrestoSql.sql(spark, "SET SESSION join_distribution_type = 'BROADCAST'")
+    assert(spark.conf.get(key) == original)
+    PrestoSql.sql(spark, "SET SESSION join_distribution_type = 'PARTITIONED'")
+    PrestoSql.sql(spark, "RESET SESSION join_distribution_type")
+    assert(spark.conf.get(key) == original, "RESET must restore the saved conf")
+  }
+
   test("EXPLAIN ANALYZE front door returns a runtime-metric-annotated plan") {
     val spark = graft.engine.Engine.session("local[2]", shufflePartitions = 2)
     val plan = PrestoSql.sql(spark,
