@@ -87,6 +87,47 @@ object SourceQueries extends QueryModule {
       Seq(true).toDF("sink_ok")
     },
 
+    // Embedded JDBC connector (presto-base-jdbc): fixture slice CTAS'd
+    // into in-JVM Derby, read back through spark.read.jdbc, aggregated.
+    // The oracle recomputes the same aggregate from the parquet table —
+    // the connector must be full-fidelity. (JdbcOps scaladoc: only the
+    // URL distinguishes this from a networked RDBMS.)
+    Q("src_jdbc_roundtrip",
+      """SELECT n_regionkey, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(n_nationkey) AS BIGINT) AS key_sum
+        |FROM nation GROUP BY n_regionkey""".stripMargin) { (s, _) =>
+      JdbcOps.writeTable(
+        s.table("nation").select("n_nationkey", "n_name", "n_regionkey"),
+        "graft_jdbc_nation")
+      JdbcOps.readTable(s, "graft_jdbc_nation")
+        .groupBy("n_regionkey")
+        .agg(count(lit(1)).as("n"), sum("n_nationkey").cast("long").as("key_sum"))
+    },
+
+    // JDBC predicate pushdown + split fan-out: the filter must reach the
+    // remote WHERE clause (PushedFilters on the JDBCRelation scan — the
+    // analog of BaseJdbcClient.buildSql's TupleDomain), the unused
+    // column must be pruned from the remote SELECT, and the read fans
+    // out over 4 key-range splits. EngineSpecs pins the plan; here the
+    // oracle pins the values.
+    Q("src_jdbc_pushdown",
+      """SELECT CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(s_suppkey) AS BIGINT) AS key_sum,
+        |  CAST(min(s_acctbal) AS DOUBLE) AS min_bal
+        |FROM supplier WHERE s_acctbal > 5000.0""".stripMargin) { (s, _) =>
+      JdbcOps.writeTable(
+        s.table("supplier").select("s_suppkey", "s_nationkey", "s_acctbal"),
+        "graft_jdbc_supplier")
+      val bounds = s.table("supplier")
+        .agg(min("s_suppkey"), max("s_suppkey")).head()
+      JdbcOps.readPartitioned(s, "graft_jdbc_supplier", "s_suppkey",
+          bounds.getLong(0), bounds.getLong(1), 4)
+        .filter(col("s_acctbal") > 5000.0)
+        .agg(count(lit(1)).as("n"),
+          sum("s_suppkey").cast("long").as("key_sum"),
+          min("s_acctbal").cast("double").as("min_bal"))
+    },
+
     // Bucketed (hash-clustered) storage — presto-hive HiveBucketing.java.
     // Both join sides written bucketed on the join key; the join itself
     // is then shuffle-free (EngineSpecs pins the no-Exchange plan). The

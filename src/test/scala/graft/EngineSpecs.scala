@@ -191,6 +191,35 @@ class EngineSpecs extends AnyFunSuite with BeforeAndAfterAll {
     assert(formatted.contains("cosine_similarity"))
   }
 
+  test("JDBC source pushes the filter, prunes the column, fans out 4 splits") {
+    import org.apache.spark.sql.functions._
+    graft.sources.JdbcOps.writeTable(
+      spark.table("supplier").select("s_suppkey", "s_nationkey", "s_acctbal"),
+      "graft_jdbc_spec")
+    val bounds = spark.table("supplier").agg(min("s_suppkey"), max("s_suppkey")).head()
+    val df = graft.sources.JdbcOps.readPartitioned(
+        spark, "graft_jdbc_spec", "s_suppkey", bounds.getLong(0), bounds.getLong(1), 4)
+      .filter(col("s_acctbal") > 5000.0)
+      .select("s_suppkey", "s_acctbal")
+    val scan = df.queryExecution.executedPlan.collectFirst {
+      case r: org.apache.spark.sql.execution.RowDataSourceScanExec => r
+    }.getOrElse(fail("no JDBC row scan in plan"))
+    // predicate compiled into the remote WHERE clause, not a Spark Filter
+    assert(scan.metadata("PushedFilters").contains("s_acctbal"),
+      s"filter not pushed: ${scan.metadata("PushedFilters")}")
+    // unused s_nationkey pruned out of the remote SELECT list
+    assert(!scan.output.map(_.name).contains("s_nationkey"),
+      s"column not pruned: ${scan.output.map(_.name)}")
+    // split fan-out: one RDD partition per key-range slice
+    assert(df.rdd.getNumPartitions == 4,
+      s"expected 4 JDBC splits, got ${df.rdd.getNumPartitions}")
+    // and the data read through the connector is the parquet data
+    val viaJdbc = df.agg(count(lit(1)), sum("s_suppkey")).head()
+    val viaParquet = spark.table("supplier").filter(col("s_acctbal") > 5000.0)
+      .agg(count(lit(1)), sum("s_suppkey")).head()
+    assert(viaJdbc == viaParquet)
+  }
+
   test("bucketed tables join co-located: no shuffle on either side") {
     import org.apache.spark.sql.functions._
     spark.sql("DROP TABLE IF EXISTS graft_b_li")
