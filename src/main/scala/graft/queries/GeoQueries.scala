@@ -401,16 +401,71 @@ object GeoQueries extends QueryModule {
           lit(", "), cxC + r, lit(" "), cyC, lit(")"))
       val polys = s.table("supplier").select(k.as("s_suppkey"),
         concat(lit("POLYGON ("), diamond(cx, cy, r2), lit(", "),
-          diamond(cx, cy, r1), lit(")")).as("wkt"))
+          diamond(cx, cy, r1), lit(")")).as("wkt"),
+        cx.cast("double").as("cx"), cy.cast("double").as("cy"))
       val pts = s.table("customer").select(col("c_custkey"),
         (col("c_custkey") * 7 % 100).cast("double").as("px"),
         (col("c_custkey") * 11 % 100).cast("double").as("py"))
       graft.operators.SpatialJoinOps
         .containsPolygonRingsJoin(polys, "wkt", pts, "px", "py", 8.0)
         .select(col("s_suppkey"), col("c_custkey"),
-          (abs(col("px") - (col("s_suppkey") * 13 % 80 + 10))
-            + abs(col("py") - (col("s_suppkey") * 29 % 80 + 10)))
+          (abs(col("px") - col("cx")) + abs(col("py") - col("cy")))
             .cast("long").as("manhattan"))
+    },
+
+    // MULTIPOLYGON ST_Contains — two DISJOINT diamond components per
+    // supplier, the first with a hole: exercises the multi=true parse
+    // path (component separator normalization) and the component-
+    // agnostic even-odd parity over the flat ring list. Integer
+    // centers/points vs half-integer radii keep every point off every
+    // boundary, so the oracle's closed form (annulus for component A,
+    // full diamond for component B) is exact; components are 100 apart
+    // in x so membership is exclusive and `component` is well-defined.
+    Q("join_spatial_multipolygon",
+      """WITH polys AS (
+        |  SELECT s_suppkey,
+        |    s_suppkey * 13 % 60 + 10 AS cxa, s_suppkey * 29 % 60 + 10 AS cya,
+        |    s_suppkey * 13 % 60 + 110 AS cxb, s_suppkey * 17 % 60 + 10 AS cyb,
+        |    s_suppkey % 2 + 1.5 AS rha, s_suppkey % 3 + 3.5 AS ra,
+        |    s_suppkey % 4 + 2.5 AS rb
+        |  FROM supplier),
+        |pts AS (
+        |  SELECT c_custkey, c_custkey * 7 % 200 AS px, c_custkey * 11 % 100 AS py
+        |  FROM customer)
+        |SELECT s.s_suppkey, c.c_custkey,
+        |  CASE WHEN abs(c.px - s.cxa) + abs(c.py - s.cya) < s.ra THEN 1 ELSE 2 END AS component,
+        |  CAST(least(abs(c.px - s.cxa) + abs(c.py - s.cya),
+        |             abs(c.px - s.cxb) + abs(c.py - s.cyb)) AS BIGINT) AS manhattan
+        |FROM polys s, pts c
+        |WHERE (abs(c.px - s.cxa) + abs(c.py - s.cya) > s.rha
+        |       AND abs(c.px - s.cxa) + abs(c.py - s.cya) < s.ra)
+        |   OR abs(c.px - s.cxb) + abs(c.py - s.cyb) < s.rb""".stripMargin) { (s, _) =>
+      val k = col("s_suppkey")
+      val cxa = k * 13 % 60 + 10; val cya = k * 29 % 60 + 10
+      val cxb = k * 13 % 60 + 110; val cyb = k * 17 % 60 + 10
+      val rha = (k % 2).cast("double") + 1.5; val ra = (k % 3).cast("double") + 3.5
+      val rb = (k % 4).cast("double") + 2.5
+      def ring(cxC: org.apache.spark.sql.Column, cyC: org.apache.spark.sql.Column,
+          r: org.apache.spark.sql.Column) =
+        concat(lit("("), cxC + r, lit(" "), cyC, lit(", "), cxC, lit(" "), cyC + r,
+          lit(", "), cxC - r, lit(" "), cyC, lit(", "), cxC, lit(" "), cyC - r,
+          lit(", "), cxC + r, lit(" "), cyC, lit(")"))
+      val polys = s.table("supplier").select(k.as("s_suppkey"),
+        concat(lit("MULTIPOLYGON (("), ring(cxa, cya, ra), lit(", "),
+          ring(cxa, cya, rha), lit("), ("), ring(cxb, cyb, rb), lit("))")).as("wkt"),
+        cxa.cast("double").as("cxa"), cya.cast("double").as("cya"),
+        cxb.cast("double").as("cxb"), cyb.cast("double").as("cyb"),
+        ra.as("ra"))
+      val pts = s.table("customer").select(col("c_custkey"),
+        (col("c_custkey") * 7 % 200).cast("double").as("px"),
+        (col("c_custkey") * 11 % 100).cast("double").as("py"))
+      val mA = abs(col("px") - col("cxa")) + abs(col("py") - col("cya"))
+      val mB = abs(col("px") - col("cxb")) + abs(col("py") - col("cyb"))
+      graft.operators.SpatialJoinOps
+        .containsPolygonRingsJoin(polys, "wkt", pts, "px", "py", 8.0, multi = true)
+        .select(col("s_suppkey"), col("c_custkey"),
+          when(mA < col("ra"), 1).otherwise(2).cast("int").as("component"),
+          least(mA, mB).cast("long").as("manhattan"))
     },
 
     // convex_hull_agg (presto-geospatial/.../ConvexHullAggregation.java)
