@@ -8,11 +8,13 @@ import graft.queries.{Q, QueryModule}
 /** Multimodal-column plumbing (north-star op; no counterpart in the
   * reference, which is purely relational — SURVEY §1.1).
   *
-  * Media are opaque `binary` columns + typed metadata. The decode /
-  * feature-extract step is a clearly-marked DETERMINISTIC STUB (this
-  * container has no image/audio codecs): it derives fake
-  * width/height/format from the byte stream. What is REAL and tested is
-  * the Spark-side plumbing a production pipeline needs:
+  * Media are opaque `binary` columns + typed metadata. Since r7 the
+  * decode step is REAL: deterministic PNGs are rendered and encoded
+  * into the binary column on the executors, then decoded back through
+  * `javax.imageio` (the JDK's actual PNG codec — no external library)
+  * inside the same mapPartitions batch shape a production pipeline
+  * uses; pixel stats of the decoded raster are the oracle hook. The
+  * Spark-side plumbing under test:
   *  - binary column construction + schema (`BinaryType`)
   *  - per-partition batch processing via `mapPartitions` (the Scala
   *    analog of `mapInPandas` batches: one iterator per partition, no
@@ -26,34 +28,29 @@ import graft.queries.{Q, QueryModule}
   */
 object MultimodalQueries extends QueryModule {
 
-  /** STUB decoder: pretends `bytes` is an encoded image and returns
-    * deterministic fake dimensions. A real deployment swaps ONLY this
-    * function for a codec call; the pipeline around it is unchanged.
+  /** Render the deterministic test image for `doc_id` and return its
+    * PNG encoding: w×h RGB, gray value (doc_id + 7x + 13y) % 256 at
+    * pixel (x, y). The closed form is what the DuckDB oracle replays.
     */
-  def stubDecodeImage(bytes: Array[Byte]): (Int, Int, Int, String) = {
-    val n = bytes.length
-    val width = n % 640 + 1
-    val height = n % 480 + 1
-    val channels = 3
-    val format = (n % 3) match {
-      case 0 => "jpeg"
-      case 1 => "png"
-      case _ => "webp"
+  def encodePng(docId: Long): Array[Byte] = {
+    val w = (docId % 13 + 4).toInt
+    val h = (docId % 11 + 3).toInt
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val v = ((docId + 7L * x + 13L * y) % 256).toInt
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+        x += 1
+      }
+      y += 1
     }
-    (width, height, channels, format)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
   }
-
-  private val featureSchema = StructType(Seq(
-    StructField("doc_id", LongType),
-    StructField("n_bytes", IntegerType),
-    StructField("width", IntegerType),
-    StructField("height", IntegerType),
-    StructField("channels", IntegerType),
-    StructField("format", StringType),
-    StructField("b1", IntegerType),
-    StructField("b2", IntegerType),
-    StructField("b3", IntegerType),
-    StructField("b4", IntegerType)))
 
   def queries: Seq[Q] = Seq(
 
@@ -74,36 +71,65 @@ object MultimodalQueries extends QueryModule {
         (length(bin) % 480 + 1).as("fake_height"))
     },
 
-    // mapPartitions batch pipeline over the binary column with the stub
-    // decoder. First-4-byte features double as the oracle hook (text is
-    // ASCII, so byte k == ascii(char k)).
+    // Real encode -> binary column -> real decode pipeline: stage 1
+    // renders the deterministic image and PNG-encodes it into a
+    // BinaryType column (executor-side, no driver round-trip); stage 2
+    // decodes those bytes back through javax.imageio in a mapPartitions
+    // batch and emits raster stats. The oracle never sees a PNG — it
+    // replays the closed-form pixel function (doc_id + 7x + 13y) % 256
+    // over the w*h lattice in SQL, so any codec/roundtrip corruption
+    // (dimensions, band count, any single pixel of the sum) fails hash.
     Q("mm_decode_pipeline",
-      """SELECT doc_id,
-        |  octet_length(encode(text)) AS n_bytes,
-        |  octet_length(encode(text)) % 640 + 1 AS width,
-        |  octet_length(encode(text)) % 480 + 1 AS height,
-        |  3 AS channels,
-        |  CASE octet_length(encode(text)) % 3 WHEN 0 THEN 'jpeg' WHEN 1 THEN 'png' ELSE 'webp' END AS format,
-        |  CASE WHEN length(text) >= 1 THEN ascii(substr(text, 1, 1)) ELSE 0 END AS b1,
-        |  CASE WHEN length(text) >= 2 THEN ascii(substr(text, 2, 1)) ELSE 0 END AS b2,
-        |  CASE WHEN length(text) >= 3 THEN ascii(substr(text, 3, 1)) ELSE 0 END AS b3,
-        |  CASE WHEN length(text) >= 4 THEN ascii(substr(text, 4, 1)) ELSE 0 END AS b4
-        |FROM documents""".stripMargin) { (s, _) =>
-      val binDf = s.table("documents")
-        .select(col("doc_id"), encode(col("text"), "UTF-8").as("media"))
-      val rowEnc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(featureSchema)
+      """WITH dims AS (
+        |  SELECT doc_id,
+        |    CAST(doc_id % 13 + 4 AS INT) AS width,
+        |    CAST(doc_id % 11 + 3 AS INT) AS height
+        |  FROM documents),
+        |px AS (
+        |  SELECT doc_id, width, height, x.f AS xi, y.f AS yi,
+        |    CAST((doc_id + 7 * x.f + 13 * y.f) % 256 AS BIGINT) AS v
+        |  FROM dims, unnest(range(width)) AS x(f), unnest(range(height)) AS y(f))
+        |SELECT doc_id, width, height, 3 AS channels,
+        |  CAST(sum(v) AS BIGINT) AS pixel_sum,
+        |  CAST(max(CASE WHEN xi = 0 AND yi = 0 THEN v END) AS BIGINT) AS px_first,
+        |  CAST(max(CASE WHEN xi = width - 1 AND yi = height - 1 THEN v END) AS BIGINT) AS px_last
+        |FROM px GROUP BY doc_id, width, height""".stripMargin) { (s, _) =>
+      val binSchema = StructType(Seq(
+        StructField("doc_id", LongType),
+        StructField("media", BinaryType)))
+      val statSchema = StructType(Seq(
+        StructField("doc_id", LongType),
+        StructField("width", IntegerType),
+        StructField("height", IntegerType),
+        StructField("channels", IntegerType),
+        StructField("pixel_sum", LongType),
+        StructField("px_first", LongType),
+        StructField("px_last", LongType)))
+      val binEnc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(binSchema)
+      val statEnc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(statSchema)
+      // Stage 1: the "ingest" side — opaque PNG bytes in a binary column.
+      val binDf = s.table("documents").select(col("doc_id"))
+        .mapPartitions(rows => rows.map(r => Row(r.getLong(0), encodePng(r.getLong(0)))))(binEnc)
+      // Stage 2: the decode batch — ImageIO initialized per partition
+      // (per-batch), not per row; only small stats leave the stage.
       binDf.mapPartitions { rows =>
-        // One iterator per partition = one "batch" — the decode library
-        // would be initialized once here, not per row.
         rows.map { r =>
           val docId = r.getLong(0)
           val bytes = r.getAs[Array[Byte]](1)
-          val (w, h, c, f) = stubDecodeImage(bytes)
-          def byteAt(i: Int): Int = if (bytes.length > i) bytes(i).toInt else 0
-          Row(docId, bytes.length, w, h, c, f,
-            byteAt(0), byteAt(1), byteAt(2), byteAt(3))
+          val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+          val w = img.getWidth; val h = img.getHeight
+          var sum = 0L
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) { sum += (img.getRGB(x, y) & 0xFF); x += 1 }
+            y += 1
+          }
+          Row(docId, w, h, img.getRaster.getNumBands, sum,
+            (img.getRGB(0, 0) & 0xFF).toLong,
+            (img.getRGB(w - 1, h - 1) & 0xFF).toLong)
         }
-      }(rowEnc)
+      }(statEnc)
     },
 
     // Frame sampling — the 1→N row-expansion shape a video pipeline
