@@ -16,7 +16,7 @@ object SparkEntry {
 
   /** All query modules (one per SURVEY §2 area). */
   def modules: Seq[QueryModule] = Seq(
-    TpchQueries, JoinQueries, AggQueries, WindowQueries, SetOpQueries, ShapeQueries,
+    TpchQueries, TpcdsShapeQueries, JoinQueries, AggQueries, WindowQueries, SetOpQueries, ShapeQueries,
     FuncQueries, GeoQueries, EventQueries, SketchQueries, LlmQueries, MultimodalQueries,
     PipelineQueries, DdlQueries, SourceQueries, MiscQueries)
 

@@ -1,0 +1,109 @@
+package graft.queries
+
+/** TPC-DS-shaped plan coverage (the reference's second benchmark suite,
+  * presto-benchto-benchmarks/src/main/resources/benchmarks/presto/
+  * tpcds.yaml + sql/presto/tpcds/q*.sql): four plan shapes TPC-H never
+  * exercises, restated on the fixture star schema (no TPC-DS tables in
+  * the sandbox). Each runs the SAME SQL text on Spark and DuckDB.
+  *
+  * Determinism policy: every aggregate that feeds a comparison, rank or
+  * ratio is computed in DECIMAL (exact) or integer cents — never a
+  * double sum — so rank boundaries and filter membership cannot flip on
+  * last-ulp float drift between engines. Doubles appear only in final
+  * projections (deterministic casts of exact values).
+  *
+  * Scale notes per query are inline; EngineSpecs pins the plans
+  * (rollup = one Expand + one shuffle, window top-k fast path,
+  * broadcast dims, single-scan multi-band agg).
+  */
+object TpcdsShapeQueries extends QueryModule {
+
+  private def sqlQ(name: String, sql: String): Q =
+    Q(name, sql)((s, _) => s.sql(sql))
+
+  def queries: Seq[Q] = Seq(
+
+    // q67 shape: wide ROLLUP aggregate -> rank() per group over the
+    // rollup output -> top-5. The rollup plans as ONE Expand + ONE
+    // shuffle on the expanded grouping columns (not one agg per level);
+    // the rk <= 5 predicate must hit Spark's InferWindowGroupLimit fast
+    // path so no partition is fully materialized. Rank order is total:
+    // exact decimal sums, then gid/p_type/p_size (NULLS FIRST pinned —
+    // Spark and DuckDB default null order differ).
+    sqlQ("ds_rollup_topk",
+      """WITH agg AS (
+        |  SELECT p_brand, p_type, p_size,
+        |    CAST(grouping(p_brand) * 4 + grouping(p_type) * 2 + grouping(p_size) AS BIGINT) AS gid,
+        |    sum(CAST(l_quantity AS DECIMAL(18,2))) AS qty,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  GROUP BY ROLLUP (p_brand, p_type, p_size))
+        |SELECT p_brand, p_type, p_size, gid, CAST(qty AS DOUBLE) AS sum_qty, n, rk
+        |FROM (
+        |  SELECT *, CAST(rank() OVER (
+        |      PARTITION BY coalesce(p_brand, 'ALL')
+        |      ORDER BY qty DESC, gid, p_type NULLS FIRST, p_size NULLS FIRST)
+        |    AS BIGINT) AS rk
+        |  FROM agg) t
+        |WHERE rk <= 5""".stripMargin),
+
+    // q72 shape: the fact table joined through FOUR dimensions with a
+    // cross-table date inequality (ship lag vs order date). At scale:
+    // part/customer/nation broadcast (spec-pinned), lineitem-orders is
+    // the one big shuffle join, then one agg shuffle — the same
+    // "one fact shuffle, all dims broadcast" plan q72 wants.
+    sqlQ("ds_date_multiway",
+      """SELECT n_name, year(o_orderdate) AS yr,
+        |  CAST(count(*) AS BIGINT) AS late_lines,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE l_shipdate > o_orderdate + INTERVAL 5 DAY
+        |  AND p_size <= 25
+        |GROUP BY n_name, year(o_orderdate)""".stripMargin),
+
+    // q47/q57 shape: window-over-aggregate — monthly brand volumes, a
+    // centered 5-month moving window, keep months >10% above their
+    // window mean. The outlier test is pure integer arithmetic
+    // (cents * count * 10 > windowSum * 11), so membership is
+    // bit-identical across engines; the ratio is a final-projection
+    // round of exact integers. Plan: one agg shuffle (brand, yr, mo),
+    // one window shuffle (brand) — no global window.
+    sqlQ("ds_moving_avg",
+      """WITH monthly AS (
+        |  SELECT p_brand, year(l_shipdate) AS yr, month(l_shipdate) AS mo,
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) * 100 AS BIGINT) AS qty_c
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  GROUP BY p_brand, year(l_shipdate), month(l_shipdate)),
+        |w AS (
+        |  SELECT p_brand, yr, mo, qty_c,
+        |    sum(qty_c) OVER (PARTITION BY p_brand ORDER BY yr, mo
+        |      ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING) AS win_sum,
+        |    CAST(count(*) OVER (PARTITION BY p_brand ORDER BY yr, mo
+        |      ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING) AS BIGINT) AS win_n
+        |  FROM monthly)
+        |SELECT p_brand, yr, mo, qty_c, CAST(win_sum AS BIGINT) AS win_sum, win_n,
+        |  round(CAST(qty_c * win_n AS DOUBLE) / win_sum, 6) AS ratio
+        |FROM w
+        |WHERE qty_c * win_n * 10 > win_sum * 11""".stripMargin),
+
+    // q88 shape: eight independent band counts. TPC-DS writes them as 8
+    // scalar subqueries cross-joined (8 scans); the scale-correct
+    // restatement is ONE scan with 8 FILTER aggregates (spec pins the
+    // single scan). Band edges sit on exactly-representable doubles the
+    // generator emits, so membership is engine-stable.
+    sqlQ("ds_channel_buckets",
+      """SELECT
+        |  CAST(count(*) FILTER (WHERE l_quantity < 10 AND l_discount < 0.03) AS BIGINT) AS b1,
+        |  CAST(count(*) FILTER (WHERE l_quantity < 10 AND l_discount >= 0.03) AS BIGINT) AS b2,
+        |  CAST(count(*) FILTER (WHERE l_quantity >= 10 AND l_quantity < 20 AND l_discount < 0.03) AS BIGINT) AS b3,
+        |  CAST(count(*) FILTER (WHERE l_quantity >= 10 AND l_quantity < 20 AND l_discount >= 0.03) AS BIGINT) AS b4,
+        |  CAST(count(*) FILTER (WHERE l_quantity >= 20 AND l_quantity < 35 AND l_discount < 0.03) AS BIGINT) AS b5,
+        |  CAST(count(*) FILTER (WHERE l_quantity >= 20 AND l_quantity < 35 AND l_discount >= 0.03) AS BIGINT) AS b6,
+        |  CAST(count(*) FILTER (WHERE l_quantity >= 35 AND l_discount < 0.03) AS BIGINT) AS b7,
+        |  CAST(count(*) FILTER (WHERE l_quantity >= 35 AND l_discount >= 0.03) AS BIGINT) AS b8
+        |FROM lineitem""".stripMargin))
+}

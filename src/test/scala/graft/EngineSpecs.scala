@@ -116,6 +116,41 @@ class EngineSpecs extends AnyFunSuite with BeforeAndAfterAll {
     assert(hasCodegen(plan), "agg pipeline should run inside whole-stage codegen")
   }
 
+  test("TPC-DS-shaped plans: rollup is one Expand+shuffle, topk fast path, broadcast dims, single-scan buckets") {
+    import org.apache.spark.sql.execution.adaptive.QueryStageExec
+    def countNodes(p: SparkPlan)(pred: SparkPlan => Boolean): Int = {
+      val self = if (pred(p)) 1 else 0
+      self + (p match {
+        case q: QueryStageExec => countNodes(q.plan)(pred)
+        case other => other.children.map(countNodes(_)(pred)).sum
+      })
+    }
+    // q67 shape: the 4-level rollup must plan as ONE Expand feeding ONE
+    // aggregate shuffle (not one agg per level), and rk <= 5 must hit
+    // the WindowGroupLimit fast path.
+    val rollup = SparkEntry.queries("ds_rollup_topk")(spark, sfDir)
+    val rollupStr = planString(rollup)
+    assert(countNodes(executedPlan(rollup))(_.nodeName.contains("Expand")) == 1,
+      "rollup must plan one Expand")
+    assert(rollupStr.contains("WindowGroupLimit"),
+      "rank()<=5 over the rollup should trigger WindowGroupLimit")
+    // q72 shape: part/customer/nation ride broadcast joins; only the
+    // fact-fact join and the agg shuffle.
+    val multiway = SparkEntry.queries("ds_date_multiway")(spark, sfDir)
+    assert(countNodes(executedPlan(multiway))(_.nodeName.contains("BroadcastHashJoin")) >= 3,
+      "part/customer/nation must broadcast")
+    // q47 shape: window partitions on p_brand (real key), no global window.
+    val mavg = SparkEntry.queries("ds_moving_avg")(spark, sfDir)
+    executedPlan(mavg).collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec =>
+        assert(w.partitionSpec.nonEmpty, "moving-average window must partition")
+    }
+    // q88 shape: eight band counts from ONE scan of lineitem.
+    val buckets = SparkEntry.queries("ds_channel_buckets")(spark, sfDir)
+    assert(countNodes(executedPlan(buckets))(_.nodeName.contains("Scan")) == 1,
+      "multi-band counts must come from a single scan")
+  }
+
   test("top-k per group uses the WindowGroupLimit fast path") {
     // the reference's TopNRowNumberOperator; Spark >= 3.5 InferWindowGroupLimit
     val df = SparkEntry.queries("win_topk_per_group")(spark, sfDir)
