@@ -82,15 +82,18 @@ object Engine {
     */
   def registerTables(spark: SparkSession, dir: String): Unit = {
     if (registered.get(spark) != dir) {
-      // events.parquet carries TIMESTAMP(NANOS) which the vectorized reader
-      // rejects; read nanos as long and restore a micros timestamp column.
+      // Fixture generations differ on events.ts: older drivers wrote
+      // TIMESTAMP(NANOS) (which the vectorized reader rejects — read
+      // nanos as long and restore micros), newer ones write
+      // timestamp[us] directly. Handle both by sniffing the read type.
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       tableNames.foreach { t =>
         val p = s"$dir/$t.parquet"
         if (new java.io.File(p).exists()) {
           val df0 = spark.read.parquet(p)
           val df =
-            if (t == "events")
+            if (t == "events" &&
+                df0.schema("ts").dataType == org.apache.spark.sql.types.LongType)
               df0.withColumn("ts",
                 org.apache.spark.sql.functions.expr("timestamp_micros(ts DIV 1000)"))
             else df0

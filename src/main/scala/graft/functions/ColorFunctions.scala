@@ -89,8 +89,6 @@ object ColorFunctions {
   def render(value: String, color: Long): String =
     escape(color) + value + AnsiReset
 
-  def renderBool(value: Boolean): Boolean => String = null // unused placeholder
-
   def bar(percent: Double, width: Long, lowColor: Long, highColor: Long): String = {
     val count = math.max(0L, math.min(width, (percent * width).toInt.toLong))
     val sb = new StringBuilder
@@ -127,7 +125,7 @@ object ColorFunctions {
 
     def ap(u: org.apache.spark.sql.expressions.UserDefinedFunction,
            args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =
-      u(args.map(e => new Column(e)): _*).expr
+      org.apache.spark.sql.graft.ColumnBridge.applyUdf(u, args)
 
     put("rgb")(args => ap(rgbUdf, args))
     put("color") {

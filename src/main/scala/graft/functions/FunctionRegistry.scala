@@ -40,6 +40,7 @@ object FunctionRegistry {
       VectorMeanAgg.install(spark)
       BingTiles.install(spark)
       ConvexHullAgg.install(spark)
+      ColorFunctions.install(spark)
       installed.put(spark, java.lang.Boolean.TRUE)
     }
   }

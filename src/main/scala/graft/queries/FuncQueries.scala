@@ -870,5 +870,40 @@ object FuncQueries extends QueryModule {
         SpatialJoinOps.stCentroidY(pts).as("centroid_y"),
         array_min(transform(pts, p => p.getField("x"))).as("env_xmin"),
         array_max(transform(pts, p => p.getField("y"))).as("env_ymax"))
+    },
+
+    // Color plugin (ColorFunctions.java): color values are BIGINTs
+    // (0xRRGGBB, system colors -(idx+1)); render emits xterm-256 escapes
+    // with idx = 16 + 36r' + 6g' + b' on the 6-level cube (channel*6/256).
+    // The oracle restates that arithmetic in SQL; HSB-interpolated color()
+    // and bar() are pinned by ColorFunctionsSpec (float HSB not SQL-safe).
+    Q("func_color",
+      """SELECT p_partkey,
+        |  CAST(p_partkey % 256 AS BIGINT) * 65536
+        |    + CAST((p_partkey * 7) % 256 AS BIGINT) * 256
+        |    + CAST((p_partkey * 13) % 256 AS BIGINT) AS rgb_val,
+        |  CAST(16711850 AS BIGINT) AS hex_color,
+        |  CAST(CASE p_partkey % 4 WHEN 0 THEN -2 WHEN 1 THEN -3
+        |       WHEN 2 THEN -5 ELSE -7 END AS BIGINT) AS sys_color,
+        |  chr(27) || '[38;5;1m' || p_brand || chr(27) || '[0m' AS rendered,
+        |  chr(27) || '[38;5;' ||
+        |    CAST(16 + (p_partkey % 256) * 6 // 256 * 36
+        |       + ((p_partkey * 7) % 256) * 6 // 256 * 6
+        |       + ((p_partkey * 13) % 256) * 6 // 256 AS VARCHAR) ||
+        |    'm' || 'X' || chr(27) || '[0m' AS rendered_cube,
+        |  CASE WHEN p_partkey % 2 = 0
+        |       THEN chr(27) || '[38;5;2m' || '✓' || chr(27) || '[0m'
+        |       ELSE chr(27) || '[38;5;1m' || '✗' || chr(27) || '[0m'
+        |  END AS rendered_bool
+        |FROM part WHERE p_partkey <= 200""".stripMargin) { (s, _) =>
+      s.table("part").filter(col("p_partkey") <= 200).selectExpr(
+        "p_partkey",
+        "rgb(p_partkey % 256, (p_partkey * 7) % 256, (p_partkey * 13) % 256) AS rgb_val",
+        "color('#f0a') AS hex_color",
+        "color(CASE p_partkey % 4 WHEN 0 THEN 'red' WHEN 1 THEN 'green' " +
+          "WHEN 2 THEN 'blue' ELSE 'cyan' END) AS sys_color",
+        "render(p_brand, color('red')) AS rendered",
+        "render('X', rgb(p_partkey % 256, (p_partkey * 7) % 256, (p_partkey * 13) % 256)) AS rendered_cube",
+        "render(p_partkey % 2 = 0) AS rendered_bool")
     })
 }

@@ -466,4 +466,40 @@ class FunctionSpecs extends AnyFunSuite {
     assert(isSubnetOf("::ffff:10.0.0.0/8", "10.255.0.1") == true)
     intercept[IllegalArgumentException](ipPrefix("::ffff:1.2.3.4", 33))
   }
+
+  // ---- Color plugin (ColorFunctions.java) ----
+
+  test("color value encoding: rgb packing, #rgb hex, system names") {
+    import graft.functions.ColorFunctions._
+    assert(rgb(255, 0, 170) == 0xFF00AAL)
+    assert(colorOf("#f0a") == 0xFF00AAL) // single-nibble hex replicates
+    assert(colorOf("red") == -2L && colorOf("green") == -3L &&
+      colorOf("blue") == -5L && colorOf("white") == -8L)
+    intercept[IllegalArgumentException](rgb(256, 0, 0))
+    intercept[IllegalArgumentException](colorOf("mauve"))
+  }
+
+  test("color interpolation is linear in HSB (awt float path)") {
+    import graft.functions.ColorFunctions._
+    // endpoints exact
+    assert(colorInterp(0.0, 0x123456L, 0xFEDCBAL) == 0x123456L)
+    assert(colorInterp(1.0, 0x123456L, 0xFEDCBAL) == 0xFEDCBAL)
+    // black->white midpoint: H=S=0, V=0.5 -> 0x808080
+    assert(colorInterp(0.5, 0x000000L, 0xFFFFFFL) == 0x808080L)
+    // out-of-range fraction clamps (reference ColorFunctions.java color(double,...))
+    assert(colorScaled(-3.0, 0.0, 1.0, 0x000000L, 0xFFFFFFL) == 0x000000L)
+    assert(colorScaled(9.0, 0.0, 1.0, 0x000000L, 0xFFFFFFL) == 0xFFFFFFL)
+  }
+
+  test("render and bar emit xterm-256 escapes") {
+    import graft.functions.ColorFunctions._
+    // red system color is index 1; 0xC86432 -> 16 + 4*36 + 2*6 + 1 = 173
+    assert(render("x", colorOf("red")) == "[38;5;1mx[0m")
+    assert(render("X", rgb(200, 100, 50)) == "[38;5;173mX[0m")
+    val b = bar(0.5, 10, rgb(255, 0, 0), rgb(0, 255, 0))
+    assert(b.count(_ == '█') == 5)
+    assert(b.endsWith("[0m" + " " * 5)) // pad to width after reset
+    assert(bar(0.0, 4, rgb(255, 0, 0), rgb(0, 255, 0)).count(_ == '█') == 0)
+    assert(bar(1.0, 4, rgb(255, 0, 0), rgb(0, 255, 0)).count(_ == '█') == 4)
+  }
 }
