@@ -41,6 +41,8 @@ object FunctionRegistry {
       BingTiles.install(spark)
       ConvexHullAgg.install(spark)
       ColorFunctions.install(spark)
+      GeometryConstructors.install(spark)
+      MlFunctions.install(spark)
       installed.put(spark, java.lang.Boolean.TRUE)
     }
   }

@@ -1,0 +1,305 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+
+/** Geometry construction/editing scalars — the remaining high-frequency
+  * slice of the reference's geometry plugin beyond accessors/predicates:
+  * ST_ConvexHull, simplify_geometry, ST_Buffer, ST_Intersection
+  * (presto-geospatial/.../GeoFunctions.java stConvexHull:…, stBuffer,
+  * simplifyGeometry, stIntersection — the reference delegates to the
+  * ESRI core; here each op is a published computational-geometry
+  * algorithm over parsed WKT).
+  *
+  * Algorithms (all public literature):
+  *  - Convex hull: Andrew's monotone chain (Andrew 1979) — reused from
+  *    ConvexHullAgg.hull.
+  *  - simplify_geometry: Ramer–Douglas–Peucker (Douglas & Peucker 1973),
+  *    iterative stack form, applied per ring/line.
+  *  - ST_Buffer: points get a regular 32-gon disc; convex polygons get
+  *    edge offsetting along outward normals with round (arc-sampled)
+  *    joins at vertices — the standard straight-skeleton-free convex
+  *    offset construction. Non-convex polygon buffering (which needs
+  *    self-intersection cleanup) is out of scope and raises, like the
+  *    reference raises on unsupported geometry kinds.
+  *  - ST_Intersection: Sutherland–Hodgman clipping (Sutherland &
+  *    Hodgman 1974) — exact for convex clip polygons.
+  *
+  * Carrier: WKT strings (same convention as WktGeometry/SpatialJoinOps);
+  * per-row UDFs — map-side, shuffle-free, scale is row-parallel.
+  */
+object GeometryConstructors {
+
+  type Pt = (Double, Double)
+
+  // ---- WKT parse / render (POINT, LINESTRING, POLYGON outer ring) ----
+
+  private[functions] def parsePts(body: String): Array[Pt] =
+    body.split(",").map { t =>
+      val parts = t.trim.split("\\s+")
+      (parts(0).toDouble, parts(1).toDouble)
+    }
+
+  /** (kind, vertices). POLYGON keeps only the exterior ring and drops
+    * the closing repeat vertex. */
+  private[functions] def parseWkt(wkt: String): (String, Array[Pt]) = {
+    val t = wkt.trim
+    val kind = t.takeWhile(_.isLetter).toUpperCase
+    val body = t.drop(kind.length).trim
+    kind match {
+      case "POINT" =>
+        (kind, parsePts(body.stripPrefix("(").stripSuffix(")")))
+      case "LINESTRING" =>
+        (kind, parsePts(body.stripPrefix("(").stripSuffix(")")))
+      case "POLYGON" =>
+        val inner = body.stripPrefix("(").stripSuffix(")")
+        val firstRing = {
+          // take up to the first ')' — exterior ring only
+          val i = inner.indexOf(')')
+          inner.substring(inner.indexOf('(') + 1, if (i < 0) inner.length else i)
+        }
+        val pts = parsePts(firstRing)
+        (kind, if (pts.length > 1 && pts.head == pts.last) pts.dropRight(1) else pts)
+      case other => throw new IllegalArgumentException(s"unsupported WKT kind: $other")
+    }
+  }
+
+  private def fmt(v: Double): String =
+    if (v == v.floor && !v.isInfinite && math.abs(v) < 1e15) v.toLong.toString else v.toString
+
+  private[functions] def renderRing(pts: Array[Pt]): String =
+    "POLYGON ((" + (pts :+ pts.head).map(p => s"${fmt(p._1)} ${fmt(p._2)}").mkString(", ") + "))"
+
+  private def renderLine(pts: Array[Pt]): String =
+    "LINESTRING (" + pts.map(p => s"${fmt(p._1)} ${fmt(p._2)}").mkString(", ") + ")"
+
+  private def renderPoint(p: Pt): String = s"POINT (${fmt(p._1)} ${fmt(p._2)})"
+
+  // ---- ST_ConvexHull (scalar) ----
+
+  /** Hull of the geometry's vertices. Degenerate hulls render as the
+    * reference's ESRI core renders them: POINT for 1, LINESTRING for 2
+    * collinear extremes, POLYGON otherwise. */
+  def stConvexHull(wkt: String): String = {
+    val (_, pts) = parseWkt(wkt)
+    val h = ConvexHullAgg.hull(pts)
+    h.length match {
+      case 0 => "POLYGON EMPTY"
+      case 1 => renderPoint(h(0))
+      case 2 => renderLine(h)
+      case _ => renderRing(h)
+    }
+  }
+
+  // ---- simplify_geometry: Ramer–Douglas–Peucker ----
+
+  private def perpDist(p: Pt, a: Pt, b: Pt): Double = {
+    val (dx, dy) = (b._1 - a._1, b._2 - a._2)
+    val len = math.hypot(dx, dy)
+    if (len == 0) math.hypot(p._1 - a._1, p._2 - a._2)
+    else math.abs(dx * (a._2 - p._2) - (a._1 - p._1) * dy) / len
+  }
+
+  /** Iterative DP over an open polyline: keeps endpoints, drops interior
+    * vertices within `tol` of the chord. */
+  private[functions] def douglasPeucker(pts: Array[Pt], tol: Double): Array[Pt] = {
+    if (pts.length < 3) return pts
+    val keep = new Array[Boolean](pts.length)
+    keep(0) = true; keep(pts.length - 1) = true
+    val stack = scala.collection.mutable.Stack((0, pts.length - 1))
+    while (stack.nonEmpty) {
+      val (lo, hi) = stack.pop()
+      if (hi > lo + 1) {
+        var best = -1; var bestD = tol
+        var i = lo + 1
+        while (i < hi) {
+          val d = perpDist(pts(i), pts(lo), pts(hi))
+          if (d > bestD) { bestD = d; best = i }
+          i += 1
+        }
+        if (best >= 0) { keep(best) = true; stack.push((lo, best)); stack.push((best, hi)) }
+      }
+    }
+    pts.zipWithIndex.collect { case (p, i) if keep(i) => p }
+  }
+
+  /** simplify_geometry(wkt, tolerance) — GeoFunctions.java
+    * simplifyGeometry (ESRI generalize = DP per path). Polygon rings
+    * anchor at vertex 0 and simplify the closed walk 0..n..0; a ring
+    * collapsing below 3 distinct vertices degenerates to EMPTY like the
+    * reference's generalize. */
+  def simplifyGeometry(wkt: String, tol: Double): String = {
+    require(tol >= 0, "tolerance must be non-negative")
+    val (kind, pts) = parseWkt(wkt)
+    kind match {
+      case "POINT" => renderPoint(pts(0))
+      case "LINESTRING" => renderLine(douglasPeucker(pts, tol))
+      case "POLYGON" =>
+        val closed = pts :+ pts.head
+        val dp = douglasPeucker(closed, tol).dropRight(1)
+        if (dp.length < 3) "POLYGON EMPTY" else renderRing(dp)
+    }
+  }
+
+  // ---- ST_Buffer ----
+
+  val CircleSegments = 32
+
+  private def isConvexCcw(pts: Array[Pt]): Boolean = {
+    val n = pts.length
+    if (n < 3) return false
+    var sign = 0
+    var i = 0
+    while (i < n) {
+      val o = pts(i); val a = pts((i + 1) % n); val b = pts((i + 2) % n)
+      val cr = (a._1 - o._1) * (b._2 - o._2) - (a._2 - o._2) * (b._1 - o._1)
+      if (cr != 0) {
+        val s = if (cr > 0) 1 else -1
+        if (sign == 0) sign = s else if (s != sign) return false
+      }
+      i += 1
+    }
+    true
+  }
+
+  private def signedArea2(pts: Array[Pt]): Double = {
+    var s = 0.0
+    var i = 0
+    while (i < pts.length) {
+      val a = pts(i); val b = pts((i + 1) % pts.length)
+      s += a._1 * b._2 - b._1 * a._2
+      i += 1
+    }
+    s
+  }
+
+  /** ST_Buffer(wkt, d): POINT -> regular CircleSegments-gon disc;
+    * convex POLYGON -> edges offset outward with arc-sampled round
+    * joins. d = 0 returns the input unchanged; d < 0 rejects (the
+    * reference rejects negative distances too). */
+  def stBuffer(wkt: String, dist: Double): String = {
+    require(dist >= 0, "buffer distance must be non-negative")
+    val (kind, pts0) = parseWkt(wkt)
+    if (dist == 0) return kind match {
+      case "POINT" => renderPoint(pts0(0))
+      case "LINESTRING" => renderLine(pts0)
+      case "POLYGON" => renderRing(pts0)
+    }
+    kind match {
+      case "POINT" =>
+        val (cx, cy) = pts0(0)
+        val ring = Array.tabulate(CircleSegments) { k =>
+          val th = 2 * math.Pi * k / CircleSegments
+          (cx + dist * math.cos(th), cy + dist * math.sin(th))
+        }
+        renderRing(ring)
+      case "POLYGON" =>
+        // normalize to CCW so outward normals point left-to-right of travel
+        val pts = if (signedArea2(pts0) < 0) pts0.reverse else pts0
+        require(isConvexCcw(pts),
+          "ST_Buffer: non-convex polygon buffering not supported (needs self-intersection cleanup)")
+        val n = pts.length
+        val out = scala.collection.mutable.ArrayBuffer[Pt]()
+        var i = 0
+        while (i < n) {
+          val a = pts(i); val b = pts((i + 1) % n)
+          val (ex, ey) = (b._1 - a._1, b._2 - a._2)
+          val len = math.hypot(ex, ey)
+          // outward normal of a CCW ring is (ey, -ex)/len
+          val (nx, ny) = (ey / len, -ex / len)
+          out += ((a._1 + dist * nx, a._2 + dist * ny))
+          out += ((b._1 + dist * nx, b._2 + dist * ny))
+          // round join at b: arc from this edge's normal to the next edge's
+          val c = pts((i + 2) % n)
+          val (fx, fy) = (c._1 - b._1, c._2 - b._2)
+          val flen = math.hypot(fx, fy)
+          val (mx, my) = (fy / flen, -fx / flen)
+          // walking a CCW ring, the outward normal rotates CCW through
+          // each vertex's exterior angle
+          val a0 = math.atan2(ny, nx)
+          var a1 = math.atan2(my, mx)
+          if (a1 < a0) a1 += 2 * math.Pi
+          val sweep = a1 - a0
+          val steps = math.max(1, math.ceil(sweep / (2 * math.Pi / CircleSegments)).toInt)
+          var k = 1
+          while (k < steps) {
+            val th = a0 + sweep * k / steps
+            out += ((b._1 + dist * math.cos(th), b._2 + dist * math.sin(th)))
+            k += 1
+          }
+          i += 1
+        }
+        renderRing(out.toArray)
+      case other =>
+        throw new IllegalArgumentException(s"ST_Buffer: unsupported kind $other")
+    }
+  }
+
+  // ---- ST_Intersection (convex clip: Sutherland–Hodgman) ----
+
+  /** Clip subject polygon by a CONVEX clip polygon. Exact for convex
+    * clips (each half-plane pass is exact); the subject may be any
+    * simple polygon. Returns POLYGON EMPTY when disjoint. */
+  def stIntersectionConvex(subjectWkt: String, clipWkt: String): String = {
+    val subj0 = parseWkt(subjectWkt)._2
+    val clip0 = parseWkt(clipWkt)._2
+    val clip = if (signedArea2(clip0) < 0) clip0.reverse else clip0
+    require(isConvexCcw(clip), "ST_Intersection: clip polygon must be convex")
+    var out = (if (signedArea2(subj0) < 0) subj0.reverse else subj0).toVector
+    var i = 0
+    while (i < clip.length && out.nonEmpty) {
+      val a = clip(i); val b = clip((i + 1) % clip.length)
+      def inside(p: Pt): Boolean =
+        (b._1 - a._1) * (p._2 - a._2) - (b._2 - a._2) * (p._1 - a._1) >= 0
+      def intersect(p: Pt, q: Pt): Pt = {
+        val (x1, y1) = p; val (x2, y2) = q
+        val (x3, y3) = a; val (x4, y4) = b
+        val den = (x1 - x2) * (y3 - y4) - (y1 - y2) * (x3 - x4)
+        val t = ((x1 - x3) * (y3 - y4) - (y1 - y3) * (x3 - x4)) / den
+        (x1 + t * (x2 - x1), y1 + t * (y2 - y1))
+      }
+      val in = out
+      val next = scala.collection.mutable.ArrayBuffer[Pt]()
+      var j = 0
+      while (j < in.length) {
+        val cur = in(j); val prev = in((j + in.length - 1) % in.length)
+        if (inside(cur)) {
+          if (!inside(prev)) next += intersect(prev, cur)
+          next += cur
+        } else if (inside(prev)) next += intersect(prev, cur)
+        j += 1
+      }
+      out = next.toVector
+      i += 1
+    }
+    if (out.length < 3) "POLYGON EMPTY" else renderRing(out.toArray)
+  }
+
+  /** Shoelace area of a polygon WKT (Scala-side twin of the Column
+    * stArea). Summed about the first vertex: coordinates far from the
+    * origin otherwise cancel catastrophically (an r-sized shape at
+    * offset c loses ~log10(c/r) digits). */
+  def wktArea(wkt: String): Double = {
+    val (kind, pts) = parseWkt(wkt)
+    if (kind != "POLYGON" || pts.length < 3) return 0.0
+    val (x0, y0) = pts(0)
+    var s = 0.0
+    var i = 0
+    while (i < pts.length) {
+      val a = pts(i); val b = pts((i + 1) % pts.length)
+      s += (a._1 - x0) * (b._2 - y0) - (b._1 - x0) * (a._2 - y0)
+      i += 1
+    }
+    math.abs(s) / 2
+  }
+
+  def install(spark: SparkSession): Unit = {
+    spark.udf.register("st_convex_hull", (w: String) => if (w == null) null else stConvexHull(w))
+    spark.udf.register("simplify_geometry",
+      (w: String, t: Double) => if (w == null) null else simplifyGeometry(w, t))
+    spark.udf.register("st_buffer",
+      (w: String, d: Double) => if (w == null) null else stBuffer(w, d))
+    spark.udf.register("st_intersection_convex",
+      (a: String, b: String) => if (a == null || b == null) null else stIntersectionConvex(a, b))
+    spark.udf.register("st_wkt_area", (w: String) => wktArea(w))
+  }
+}

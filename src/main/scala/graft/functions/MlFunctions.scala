@@ -1,0 +1,353 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.expressions.{Cast, CreateMap, Expression, Literal}
+import org.apache.spark.sql.catalyst.trees.BinaryLike
+import org.apache.spark.sql.catalyst.util.MapData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** ML plugin surface (presto-ml): features()/learn_classifier/classify/
+  * learn_regressor/regress/evaluate_classifier_predictions —
+  * MLFunctions.java:41-66, MLFeaturesFunctions.java:38-,
+  * LearnClassifierAggregation.java, LearnRegressorAggregation.java,
+  * EvaluateClassifierPredictionsAggregation.java.
+  *
+  * The reference buffers the group's rows in aggregation state and
+  * trains a libsvm model at output time. Same shape here, with two
+  * Spark-first deltas:
+  *  - the sample buffer is CAPPED (first `SampleCap` per partition,
+  *    concatenated under merge, then sorted before training so the
+  *    fitted model is deterministic under any partitioning) — the
+  *    reference's unbounded collect would OOM a 100 TB group;
+  *  - the model is a transparent string ("lr:<b>,<w...>" /
+  *    "linreg:<b>,<w...>") instead of an opaque libsvm Slice, and the
+  *    trainers are the published textbook algorithms: standardized
+  *    batch gradient descent for logistic regression, normal equations
+  *    (Gaussian elimination with partial pivoting) for linear
+  *    regression. Binary {0,1} labels; multi-class and the libsvm
+  *    kernel surface are documented out of scope.
+  *
+  * Scale: learn_* is a one-shuffle aggregate with O(cap × dims) state;
+  * classify/regress/features are per-row scalars (map-side, no
+  * shuffle). For cluster-scale model fitting beyond a capped sample,
+  * spark.ml's distributed LBFGS is the right tool — this surface
+  * mirrors the reference's SQL-embedded API.
+  */
+object MlFunctions {
+
+  val SampleCap = 100000
+
+  final class Samples(val rows: scala.collection.mutable.ArrayBuffer[(Double, Array[Double])])
+
+  // ---- shared sample-buffer plumbing ----
+
+  private[functions] def mapToDense(m: MapData): Array[Double] = {
+    val ks = m.keyArray().toLongArray()
+    val vs = m.valueArray().toDoubleArray()
+    val n = if (ks.isEmpty) 0 else ks.max.toInt + 1
+    val out = new Array[Double](n)
+    var i = 0
+    while (i < ks.length) { out(ks(i).toInt) = vs(i); i += 1 }
+    out
+  }
+
+  private[functions] def serializeSamples(buf: Samples): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val out = new java.io.DataOutputStream(bos)
+    out.writeInt(buf.rows.length)
+    buf.rows.foreach { case (y, x) =>
+      out.writeDouble(y); out.writeInt(x.length); x.foreach(out.writeDouble)
+    }
+    out.flush(); bos.toByteArray
+  }
+
+  private[functions] def deserializeSamples(bytes: Array[Byte]): Samples = {
+    val in = new java.io.DataInputStream(new java.io.ByteArrayInputStream(bytes))
+    val n = in.readInt()
+    val rows = new scala.collection.mutable.ArrayBuffer[(Double, Array[Double])](n)
+    var i = 0
+    while (i < n) {
+      val y = in.readDouble()
+      val d = in.readInt()
+      val x = Array.fill(d)(in.readDouble())
+      rows += ((y, x))
+      i += 1
+    }
+    new Samples(rows)
+  }
+
+  /** Deterministic training order regardless of partitioning (any
+    * total order works; label then feature-tuple text is simple and
+    * stable). */
+  def sorted(buf: Samples): Array[(Double, Array[Double])] =
+    buf.rows.toArray.sortBy { case (y, x) => (y, x.mkString(",")) }
+
+  private def dims(samples: Array[(Double, Array[Double])]): Int =
+    if (samples.isEmpty) 0 else samples.map(_._2.length).max
+
+  // ---- logistic regression: standardized batch GD ----
+
+  def trainClassifier(samplesRaw: Array[(Double, Array[Double])]): String = {
+    val d = dims(samplesRaw)
+    val n = samplesRaw.length
+    if (n == 0 || d == 0) return "lr:0.0"
+    val xs = samplesRaw.map { case (_, x) => java.util.Arrays.copyOf(x, d) }
+    val ys = samplesRaw.map(_._1)
+    // standardize columns
+    val mean = new Array[Double](d); val std = new Array[Double](d)
+    var j = 0
+    while (j < d) {
+      var s = 0.0; xs.foreach(x => s += x(j)); mean(j) = s / n
+      var v = 0.0; xs.foreach(x => v += (x(j) - mean(j)) * (x(j) - mean(j)))
+      std(j) = math.sqrt(v / n); if (std(j) == 0) std(j) = 1.0
+      j += 1
+    }
+    val z = xs.map { x => Array.tabulate(d)(j => (x(j) - mean(j)) / std(j)) }
+    val w = new Array[Double](d); var b = 0.0
+    val lr = 0.5
+    var it = 0
+    while (it < 500) {
+      val gw = new Array[Double](d); var gb = 0.0
+      var i = 0
+      while (i < n) {
+        var dot = b
+        var k = 0
+        while (k < d) { dot += w(k) * z(i)(k); k += 1 }
+        val p = 1.0 / (1.0 + math.exp(-dot))
+        val err = p - ys(i)
+        k = 0
+        while (k < d) { gw(k) += err * z(i)(k); k += 1 }
+        gb += err
+        i += 1
+      }
+      var k = 0
+      while (k < d) { w(k) -= lr * gw(k) / n; k += 1 }
+      b -= lr * gb / n
+      it += 1
+    }
+    // unscale: w'_j = w_j/std_j ; b' = b - sum w_j mean_j / std_j
+    val wOut = Array.tabulate(d)(j => w(j) / std(j))
+    val bOut = b - (0 until d).map(j => w(j) * mean(j) / std(j)).sum
+    "lr:" + (bOut +: wOut.toSeq).mkString(",")
+  }
+
+  // ---- linear regression: normal equations, Gaussian elimination ----
+
+  def trainRegressor(samplesRaw: Array[(Double, Array[Double])]): String = {
+    val d = dims(samplesRaw)
+    val n = samplesRaw.length
+    if (n == 0 || d == 0) return "linreg:0.0"
+    val xs = samplesRaw.map { case (_, x) => java.util.Arrays.copyOf(x, d) }
+    val ys = samplesRaw.map(_._1)
+    val m = d + 1 // column 0 is the intercept
+    val a = Array.fill(m, m + 1)(0.0) // augmented [X'X | X'y]
+    var i = 0
+    while (i < n) {
+      val xi = new Array[Double](m)
+      xi(0) = 1.0
+      System.arraycopy(xs(i), 0, xi, 1, d)
+      var r = 0
+      while (r < m) {
+        var c = 0
+        while (c < m) { a(r)(c) += xi(r) * xi(c); c += 1 }
+        a(r)(m) += xi(r) * ys(i)
+        r += 1
+      }
+      i += 1
+    }
+    // tiny ridge for rank safety (does not move exact-fit solutions
+    // beyond fp noise at these magnitudes)
+    (0 until m).foreach(r => a(r)(r) += 1e-9)
+    // Gaussian elimination with partial pivoting
+    var col = 0
+    while (col < m) {
+      var piv = col
+      var r = col + 1
+      while (r < m) { if (math.abs(a(r)(col)) > math.abs(a(piv)(col))) piv = r; r += 1 }
+      val tmp = a(col); a(col) = a(piv); a(piv) = tmp
+      r = col + 1
+      while (r < m) {
+        val f = a(r)(col) / a(col)(col)
+        var c = col
+        while (c <= m) { a(r)(c) -= f * a(col)(c); c += 1 }
+        r += 1
+      }
+      col += 1
+    }
+    val sol = new Array[Double](m)
+    var r = m - 1
+    while (r >= 0) {
+      var s = a(r)(m)
+      var c = r + 1
+      while (c < m) { s -= a(r)(c) * sol(c); c += 1 }
+      sol(r) = s / a(r)(r)
+      r -= 1
+    }
+    "linreg:" + sol.mkString(",")
+  }
+
+  // ---- scalar application ----
+
+  private def parseModel(model: String, kind: String): Array[Double] = {
+    require(model.startsWith(kind + ":"), s"not a $kind model: ${model.take(20)}")
+    model.drop(kind.length + 1).split(",").map(_.toDouble)
+  }
+
+  private def dot(coefs: Array[Double], features: Map[Long, Double]): Double = {
+    var s = coefs(0)
+    features.foreach { case (k, v) =>
+      val idx = k.toInt + 1
+      if (idx >= 1 && idx < coefs.length) s += coefs(idx) * v
+    }
+    s
+  }
+
+  def classify(features: Map[Long, Double], model: String): Long = {
+    val c = parseModel(model, "lr")
+    if (1.0 / (1.0 + math.exp(-dot(c, features))) >= 0.5) 1L else 0L
+  }
+
+  def regress(features: Map[Long, Double], model: String): Double =
+    dot(parseModel(model, "linreg"), features)
+
+  def install(spark: SparkSession): Unit = {
+    // features(v1, ..., vN) -> map<bigint,double> with keys 0..N-1 —
+    // MLFeaturesFunctions.java; a native CreateMap, fully codegen'd.
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction("features",
+      args => CreateMap(args.zipWithIndex.flatMap { case (a, i) =>
+        Seq(Literal(i.toLong), Cast(a, DoubleType))
+      }), "scala_udf")
+    spark.udf.register("classify",
+      (m: Map[Long, Double], model: String) => classify(m, model))
+    spark.udf.register("regress",
+      (m: Map[Long, Double], model: String) => regress(m, model))
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction("learn_classifier",
+      args => LearnModelAgg(Cast(args(0), DoubleType), args(1), classifier = true), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction("learn_regressor",
+      args => LearnModelAgg(Cast(args(0), DoubleType), args(1), classifier = false), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "evaluate_classifier_predictions",
+      args => EvaluatePredictionsAgg(Cast(args(0), LongType), Cast(args(1), LongType)),
+      "scala_udf")
+  }
+}
+
+/** learn_classifier / learn_regressor aggregation — the reference's
+  * LearnClassifierAggregation/LearnRegressorAggregation with a capped,
+  * deterministically-ordered sample buffer (see MlFunctions).
+  */
+case class LearnModelAgg(
+    left: Expression,
+    right: Expression,
+    classifier: Boolean,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[MlFunctions.Samples] with BinaryLike[Expression] {
+
+  import MlFunctions._
+
+  override def createAggregationBuffer(): Samples =
+    new Samples(new scala.collection.mutable.ArrayBuffer[(Double, Array[Double])]())
+
+  override def update(buf: Samples, input: InternalRow): Samples = {
+    if (buf.rows.length < SampleCap) {
+      val y = left.eval(input)
+      val m = right.eval(input)
+      if (y != null && m != null)
+        buf.rows += ((y.asInstanceOf[Double],
+          MlFunctions.mapToDense(m.asInstanceOf[MapData])))
+    }
+    buf
+  }
+
+  override def merge(buf: Samples, other: Samples): Samples = {
+    val room = SampleCap - buf.rows.length
+    if (room > 0) buf.rows ++= other.rows.take(room)
+    buf
+  }
+
+  override def eval(buf: Samples): Any = {
+    val s = MlFunctions.sorted(buf)
+    UTF8String.fromString(
+      if (classifier) trainClassifier(s) else trainRegressor(s))
+  }
+
+  override def serialize(buf: Samples): Array[Byte] = MlFunctions.serializeSamples(buf)
+  override def deserialize(bytes: Array[Byte]): Samples = MlFunctions.deserializeSamples(bytes)
+
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = false
+  override def prettyName: String = if (classifier) "learn_classifier" else "learn_regressor"
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): LearnModelAgg =
+    copy(left = newLeft, right = newRight)
+  override def withNewMutableAggBufferOffset(offset: Int): LearnModelAgg =
+    copy(mutableAggBufferOffset = offset)
+  override def withNewInputAggBufferOffset(offset: Int): LearnModelAgg =
+    copy(inputAggBufferOffset = offset)
+}
+
+/** evaluate_classifier_predictions(actual, predicted) -> summary string
+  * (EvaluateClassifierPredictionsAggregation.java renders accuracy
+  * counts; binary-label precision/recall included likewise).
+  */
+case class EvaluatePredictionsAgg(
+    left: Expression,
+    right: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Array[Long]] with BinaryLike[Expression] {
+
+  // buffer: [correct, total, truePos, falsePos, falseNeg]
+  override def createAggregationBuffer(): Array[Long] = new Array[Long](5)
+
+  override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
+    val a = left.eval(input); val p = right.eval(input)
+    if (a != null && p != null) {
+      val av = a.asInstanceOf[Long]; val pv = p.asInstanceOf[Long]
+      if (av == pv) buf(0) += 1
+      buf(1) += 1
+      if (pv == 1L && av == 1L) buf(2) += 1
+      if (pv == 1L && av == 0L) buf(3) += 1
+      if (pv == 0L && av == 1L) buf(4) += 1
+    }
+    buf
+  }
+
+  override def merge(buf: Array[Long], other: Array[Long]): Array[Long] = {
+    var i = 0
+    while (i < buf.length) { buf(i) += other(i); i += 1 }
+    buf
+  }
+
+  override def eval(buf: Array[Long]): Any = {
+    val pct =
+      if (buf(1) == 0) "0.00"
+      else String.format(java.util.Locale.ROOT, "%.2f",
+        Double.box(100.0 * buf(0) / buf(1)))
+    UTF8String.fromString(s"Accuracy: ${buf(0)}/${buf(1)} ($pct%)")
+  }
+
+  override def serialize(buf: Array[Long]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(40)
+    buf.foreach(bb.putLong)
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): Array[Long] = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    Array.fill(5)(bb.getLong)
+  }
+
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = false
+  override def prettyName: String = "evaluate_classifier_predictions"
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): EvaluatePredictionsAgg =
+    copy(left = newLeft, right = newRight)
+  override def withNewMutableAggBufferOffset(offset: Int): EvaluatePredictionsAgg =
+    copy(mutableAggBufferOffset = offset)
+  override def withNewInputAggBufferOffset(offset: Int): EvaluatePredictionsAgg =
+    copy(inputAggBufferOffset = offset)
+}

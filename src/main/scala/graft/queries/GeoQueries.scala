@@ -538,5 +538,66 @@ object GeoQueries extends QueryModule {
       agged.select(col("g"), col("n_points"),
         size(col("hull")).as("hull_n"),
         (abs(graft.operators.SpatialJoinOps.stSignedAreaTwice(closed)) / 2).as("hull_area"))
+    },
+
+    // Geometry construction scalars (GeometryConstructors): scalar
+    // ST_ConvexHull, simplify_geometry (Douglas-Peucker), ST_Buffer,
+    // ST_Intersection (convex clip). Fixture geometry is closed-form —
+    // diamonds |x-cx|+|y-cy| <= r with integer corners — so every output
+    // measure has an exact arithmetic oracle: hull/simplified area 2r^2
+    // (shoelace over integer corners is exact in double), quarter-plane
+    // clip area r^2/2, point-buffer 32-gon area 16 d^2 sin(pi/16) with
+    // d = r/2 (trig values compared at 12 significant digits).
+    Q("func_geometry_construct",
+      """SELECT s_suppkey,
+        |  CAST(2 * r * r AS DOUBLE) AS hull_area,
+        |  CAST(4 AS BIGINT) AS hull_pts,
+        |  CAST(2 * r * r AS DOUBLE) AS simp_area,
+        |  CAST(4 AS BIGINT) AS simp_pts,
+        |  CAST(r * r AS DOUBLE) / 2 AS inter_area,
+        |  round(4 * r * r * sin(pi() / 16), 6) AS buf_area,
+        |  CAST(32 AS BIGINT) AS buf_pts
+        |FROM (SELECT s_suppkey,
+        |        (s_suppkey * 13) % 35 + 2 AS cx,
+        |        (s_suppkey * 29) % 35 + 2 AS cy,
+        |        2 + s_suppkey % 3 AS r
+        |      FROM supplier) t""".stripMargin) { (s, _) =>
+      graft.functions.FunctionRegistry.installAll(s)
+      import graft.functions.WktGeometry
+      val base = s.table("supplier").selectExpr("s_suppkey",
+        "(s_suppkey * 13) % 35 + 2 AS cx",
+        "(s_suppkey * 29) % 35 + 2 AS cy",
+        "2 + s_suppkey % 3 AS r")
+      // 4-corner diamond ring; same with collinear edge midpoints; the
+      // hull input carries the interior center as a 5th vertex.
+      val withWkt = base.selectExpr("s_suppkey", "r",
+        """concat('LINESTRING (', cx+r, ' ', cy, ', ', cx, ' ', cy+r, ', ',
+          |  cx-r, ' ', cy, ', ', cx, ' ', cy-r, ', ', cx, ' ', cy, ')')
+          |  AS hull_in""".stripMargin,
+        """concat('POLYGON ((', cx+r, ' ', cy, ', ',
+          |  cx + r/2.0D, ' ', cy + r/2.0D, ', ', cx, ' ', cy+r, ', ',
+          |  cx - r/2.0D, ' ', cy + r/2.0D, ', ', cx-r, ' ', cy, ', ',
+          |  cx - r/2.0D, ' ', cy - r/2.0D, ', ', cx, ' ', cy-r, ', ',
+          |  cx + r/2.0D, ' ', cy - r/2.0D, ', ', cx+r, ' ', cy, '))')
+          |  AS diamond8""".stripMargin,
+        """concat('POLYGON ((', cx+r, ' ', cy, ', ', cx, ' ', cy+r, ', ',
+          |  cx-r, ' ', cy, ', ', cx, ' ', cy-r, ', ', cx+r, ' ', cy, '))')
+          |  AS diamond""".stripMargin,
+        """concat('POLYGON ((', cx-r, ' ', cy-r, ', ', cx, ' ', cy-r, ', ',
+          |  cx, ' ', cy, ', ', cx-r, ' ', cy, ', ', cx-r, ' ', cy-r, '))')
+          |  AS clipbox""".stripMargin,
+        "concat('POINT (', cx, ' ', cy, ')') AS center")
+      val hullWkt = call_udf("st_convex_hull", col("hull_in"))
+      val simpWkt = call_udf("simplify_geometry", col("diamond8"), lit(0.1))
+      val interWkt = call_udf("st_intersection_convex", col("diamond"), col("clipbox"))
+      val bufWkt = call_udf("st_buffer", col("center"), col("r").cast("double") / 2)
+      withWkt.select(col("s_suppkey"),
+        call_udf("st_wkt_area", hullWkt).as("hull_area"),
+        WktGeometry.stNumPoints(hullWkt).as("hull_pts"),
+        call_udf("st_wkt_area", simpWkt).as("simp_area"),
+        WktGeometry.stNumPoints(simpWkt).as("simp_pts"),
+        call_udf("st_wkt_area", interWkt).as("inter_area"),
+        round(call_udf("st_wkt_area", bufWkt), 6).as("buf_area"),
+        WktGeometry.stNumPoints(bufWkt).as("buf_pts"))
     })
 }

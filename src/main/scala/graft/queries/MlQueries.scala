@@ -1,0 +1,78 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+/** ML plugin queries (presto-ml; SURVEY §2.9 "ML plugin"): the
+  * learn/classify/regress SQL surface over deterministic synthetic
+  * features derived from customer keys.
+  *
+  * Oracle strategy: model *training* is not SQL-expressible, so each
+  * query is a CONTRACT with a closed-form answer the oracle can state
+  * exactly:
+  *  - the classifier trains and predicts on linearly-separable data
+  *    with a margin (the band |f| <= 0.95 around the true separator is
+  *    excluded, and f lands on a 0.1 grid so no value falls within fp
+  *    noise of the 0.95 cut) — training accuracy must be exactly 100%;
+  *  - the regressor fits exactly-linear data y = 1 + 2*x1 + 3*x2 — the
+  *    normal-equation solution reproduces y to fp noise, so
+  *    round(max|err|, 6) = 0.
+  * Feature values derive from c_custkey with identical arithmetic on
+  * both sides, so filters/counts match bit-for-bit.
+  */
+object MlQueries extends QueryModule {
+
+  private val featSql = Seq(
+    "((c_custkey * 7) % 100) / 10.0 AS x1",
+    "((c_custkey * 13) % 100) / 10.0 AS x2")
+
+  def queries: Seq[Q] = Seq(
+
+    Q("ml_learn_classify",
+      """WITH pts AS (
+        |  SELECT c_custkey,
+        |         ((c_custkey * 7) % 100) / 10.0 AS x1,
+        |         ((c_custkey * 13) % 100) / 10.0 AS x2
+        |  FROM customer),
+        |lab AS (
+        |  SELECT c_custkey, x1, x2,
+        |         CASE WHEN 2*x1 + 3*x2 - 25 > 0.95 THEN 1 ELSE 0 END AS label
+        |  FROM pts WHERE abs(2*x1 + 3*x2 - 25) > 0.95)
+        |SELECT CAST(count(*) AS BIGINT) AS n_total,
+        |       CAST(count(*) AS BIGINT) AS n_correct,
+        |       concat('Accuracy: ', count(*), '/', count(*), ' (100.00%)') AS summary
+        |FROM lab""".stripMargin) { (s, _) =>
+      graft.functions.FunctionRegistry.installAll(s)
+      val lab = s.table("customer")
+        .selectExpr(Seq("c_custkey") ++ featSql: _*)
+        .filter(expr("abs(2*x1 + 3*x2 - 25) > 0.95"))
+        .withColumn("label", expr("CASE WHEN 2*x1 + 3*x2 - 25 > 0.95 THEN 1 ELSE 0 END"))
+      val model = lab.agg(expr("learn_classifier(label, features(x1, x2))").as("model"))
+      val scored = lab.crossJoin(broadcast(model))
+        .withColumn("pred", expr("classify(features(x1, x2), model)"))
+      scored.agg(
+        count(lit(1)).as("n_total"),
+        count(when(col("pred") === col("label"), 1)).as("n_correct"),
+        expr("evaluate_classifier_predictions(label, pred)").as("summary"))
+    },
+
+    Q("ml_learn_regress",
+      """WITH pts AS (
+        |  SELECT c_custkey,
+        |         ((c_custkey * 7) % 100) / 10.0 AS x1,
+        |         ((c_custkey * 13) % 100) / 10.0 AS x2
+        |  FROM customer)
+        |SELECT CAST(count(*) AS BIGINT) AS n_total,
+        |       CAST(0 AS DOUBLE) AS max_err
+        |FROM pts""".stripMargin) { (s, _) =>
+      graft.functions.FunctionRegistry.installAll(s)
+      val pts = s.table("customer")
+        .selectExpr(Seq("c_custkey") ++ featSql: _*)
+        .withColumn("y", expr("1 + 2*x1 + 3*x2"))
+      val model = pts.agg(expr("learn_regressor(y, features(x1, x2))").as("model"))
+      val scored = pts.crossJoin(broadcast(model))
+        .withColumn("err", abs(expr("regress(features(x1, x2), model)") - col("y")))
+      scored.agg(
+        count(lit(1)).as("n_total"),
+        round(max(col("err")), 6).as("max_err"))
+    })
+}

@@ -467,6 +467,46 @@ class FunctionSpecs extends AnyFunSuite {
     intercept[IllegalArgumentException](ipPrefix("::ffff:1.2.3.4", 33))
   }
 
+  // ---- ML plugin (presto-ml) ----
+
+  test("ml: regressor recovers exact linear coefficients (normal equations)") {
+    import graft.functions.MlFunctions
+    val samples = (0 until 200).map { i =>
+      val x1 = (i * 7 % 100) / 10.0; val x2 = (i * 13 % 100) / 10.0
+      (1.0 + 2.0 * x1 + 3.0 * x2, Array(x1, x2))
+    }.toArray
+    val model = MlFunctions.trainRegressor(samples)
+    val coefs = model.stripPrefix("linreg:").split(",").map(_.toDouble)
+    assert(math.abs(coefs(0) - 1.0) < 1e-6 && math.abs(coefs(1) - 2.0) < 1e-6 &&
+      math.abs(coefs(2) - 3.0) < 1e-6, model)
+    samples.foreach { case (y, x) =>
+      assert(math.abs(MlFunctions.regress(Map(0L -> x(0), 1L -> x(1)), model) - y) < 1e-6)
+    }
+  }
+
+  test("ml: classifier separates margin-separable data perfectly and deterministically") {
+    import graft.functions.MlFunctions
+    val all = (0 until 300).flatMap { i =>
+      val x1 = (i * 7 % 100) / 10.0; val x2 = (i * 13 % 100) / 10.0
+      val f = 2 * x1 + 3 * x2 - 25
+      if (math.abs(f) <= 0.95) None
+      else Some((if (f > 0.95) 1.0 else 0.0, Array(x1, x2)))
+    }.toArray
+    val model = MlFunctions.trainClassifier(all)
+    all.foreach { case (y, x) =>
+      assert(MlFunctions.classify(Map(0L -> x(0), 1L -> x(1)), model) == y.toLong,
+        s"misclassified (${x(0)}, ${x(1)}) label $y")
+    }
+    // partitioning-invariance: the aggregate sorts its buffer before
+    // training, so any arrival order yields the identical model string
+    val shuffled = new scala.util.Random(42).shuffle(all.toSeq).toArray
+    val viaSortedA = MlFunctions.trainClassifier(MlFunctions.sorted(
+      new MlFunctions.Samples(scala.collection.mutable.ArrayBuffer(all.toSeq: _*))))
+    val viaSortedB = MlFunctions.trainClassifier(MlFunctions.sorted(
+      new MlFunctions.Samples(scala.collection.mutable.ArrayBuffer(shuffled.toSeq: _*))))
+    assert(viaSortedA == viaSortedB)
+  }
+
   // ---- Color plugin (ColorFunctions.java) ----
 
   test("color value encoding: rgb packing, #rgb hex, system names") {

@@ -299,4 +299,72 @@ class GeoSpecs extends AnyFunSuite with BeforeAndAfterAll {
       .head().getString(0)
     assert(qk == "123030123010121")
   }
+
+  // ---- Geometry constructors (GeometryConstructors) ----
+
+  test("st_convex_hull: interior/collinear points drop; degenerate kinds") {
+    import graft.functions.GeometryConstructors._
+    val h = stConvexHull("LINESTRING (4 0, 2 2, 0 0, 2 -2, 2 0, 3 0)")
+    assert(h == "POLYGON ((0 0, 2 -2, 4 0, 2 2, 0 0))")
+    assert(stConvexHull("POINT (3 7)") == "POINT (3 7)")
+    assert(stConvexHull("LINESTRING (0 0, 1 1, 2 2)") == "LINESTRING (0 0, 2 2)")
+  }
+
+  test("simplify_geometry: Douglas-Peucker drops within-tolerance vertices only") {
+    import graft.functions.GeometryConstructors._
+    // collinear midpoints vanish at any tolerance > 0
+    assert(simplifyGeometry("LINESTRING (0 0, 1 0, 2 0, 2 1, 2 2)", 0.01) ==
+      "LINESTRING (0 0, 2 0, 2 2)")
+    // a 0.5-deviation survives tol 0.4, dies at tol 0.6
+    assert(simplifyGeometry("LINESTRING (0 0, 1 0.5, 2 0)", 0.4) ==
+      "LINESTRING (0 0, 1 0.5, 2 0)")
+    assert(simplifyGeometry("LINESTRING (0 0, 1 0.5, 2 0)", 0.6) == "LINESTRING (0 0, 2 0)")
+    // ring simplification keeps closure; collapse below 3 vertices -> EMPTY
+    assert(simplifyGeometry("POLYGON ((0 0, 1 0, 2 0, 2 2, 0 2, 0 0))", 0.1) ==
+      "POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0))")
+    assert(simplifyGeometry("POLYGON ((0 0, 4 0.1, 8 0, 4 0.05, 0 0))", 0.5) == "POLYGON EMPTY")
+  }
+
+  test("st_buffer: point disc area/count; convex polygon grows by P*d + arc ring") {
+    import graft.functions.GeometryConstructors._
+    val disc = stBuffer("POINT (5 5)", 2.0)
+    val discArea = wktArea(disc)
+    // inscribed 32-gon: 16 r^2 sin(pi/16) < pi r^2
+    assert(math.abs(discArea - 16 * 4 * math.sin(math.Pi / 16)) < 1e-9)
+    assert(disc.startsWith("POLYGON"))
+    // unit square buffered by 1: area = 1 + perimeter*1 + inscribed-circle ring
+    val sq = stBuffer("POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))", 1.0)
+    val a = wktArea(sq)
+    assert(a > 1 + 4 && a <= 1 + 4 + math.Pi + 1e-9, s"area $a")
+    // orientation-insensitive: CW input buffers identically
+    val sqCw = stBuffer("POLYGON ((0 0, 0 1, 1 1, 1 0, 0 0))", 1.0)
+    assert(math.abs(wktArea(sqCw) - a) < 1e-12)
+    intercept[IllegalArgumentException](stBuffer("POINT (0 0)", -1.0))
+    // non-convex rejected (self-intersection cleanup out of scope)
+    intercept[IllegalArgumentException](
+      stBuffer("POLYGON ((0 0, 4 0, 4 4, 2 1, 0 4, 0 0))", 0.5))
+  }
+
+  test("st_intersection_convex: Sutherland-Hodgman exact on rectangles/diamonds") {
+    import graft.functions.GeometryConstructors._
+    // overlapping unit squares offset by 0.5 -> 0.25 area
+    val i1 = stIntersectionConvex(
+      "POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))",
+      "POLYGON ((0.5 0.5, 1.5 0.5, 1.5 1.5, 0.5 1.5, 0.5 0.5))")
+    assert(math.abs(wktArea(i1) - 0.25) < 1e-12)
+    // diamond clipped to its lower-left quarter-plane box: r^2/2
+    val i2 = stIntersectionConvex(
+      "POLYGON ((2 0, 0 2, -2 0, 0 -2, 2 0))",
+      "POLYGON ((-2 -2, 0 -2, 0 0, -2 0, -2 -2))")
+    assert(math.abs(wktArea(i2) - 2.0) < 1e-12)
+    // disjoint -> EMPTY
+    assert(stIntersectionConvex(
+      "POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))",
+      "POLYGON ((5 5, 6 5, 6 6, 5 6, 5 5))") == "POLYGON EMPTY")
+    // subject fully inside clip -> subject area
+    val i3 = stIntersectionConvex(
+      "POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))",
+      "POLYGON ((-5 -5, 5 -5, 5 5, -5 5, -5 -5))")
+    assert(math.abs(wktArea(i3) - 1.0) < 1e-12)
+  }
 }
