@@ -480,13 +480,18 @@ object LlmQueries extends QueryModule {
     // oracle replays the identical hyperplanes + banding + cosine in
     // DuckDB SQL, so the check is exact end-to-end, not rows-only.
     // Scale: one mapPartitions signature pass (no shuffle), a band-bucket
-    // self-join (never all-pairs), exact cosine only on candidates. At
-    // 100 TB the band width grows (16-32 bits) to keep buckets small; on
-    // this clustered 500-vector fixture 8-bit bands already prune ~72%
-    // of pairs. tau=0.4 matches the fixture's similarity range (max
-    // observed cosine 0.513 — production near-dup would sit at 0.9+).
+    // self-join (never all-pairs), exact cosine only on candidates. Band
+    // width is density-adaptive (w = max(8, ceil(log2(N/32))), both
+    // sides) so bucket occupancy — and therefore candidate count per
+    // vector — is scale-invariant. tau=0.4 matches the fixture's
+    // similarity range (max observed cosine 0.513 — production near-dup
+    // would sit at 0.9+).
     Q("llm_dedup_embedding",
-      """WITH u AS (
+      """WITH p AS (
+        |  SELECT greatest(8, (SELECT min(k) FROM generate_series(1, 40) g(k)
+        |                      WHERE power(2, k + 5) >= (SELECT count(*) FROM embeddings))) AS w
+        |),
+        |u AS (
         |  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS d,
         |         CAST(unnest(embedding) AS DOUBLE) AS v
         |  FROM embeddings
@@ -495,12 +500,14 @@ object LlmQueries extends QueryModule {
         |  SELECT u.vec_id, i.i,
         |    CASE WHEN sum(u.v * (CASE WHEN (i.i*2654435761 + u.d*40503) % 65536 < 32768
         |                              THEN 1.0 ELSE -1.0 END)) >= 0 THEN 1 ELSE 0 END AS bit
-        |  FROM u CROSS JOIN (SELECT unnest(range(32)) AS i) i
+        |  FROM u CROSS JOIN (SELECT unnest(range(128)) AS i) i
+        |  WHERE i.i < 4 * (SELECT w FROM p)
         |  GROUP BY u.vec_id, i.i
         |),
         |bands AS (
-        |  SELECT vec_id, i // 8 AS band, CAST(sum(bit * (1 << (i % 8))) AS BIGINT) AS bval
-        |  FROM bits GROUP BY vec_id, i // 8
+        |  SELECT vec_id, i // (SELECT w FROM p) AS band,
+        |         CAST(sum(bit * (CAST(1 AS BIGINT) << (i % (SELECT w FROM p)))) AS BIGINT) AS bval
+        |  FROM bits GROUP BY vec_id, i // (SELECT w FROM p)
         |),
         |cand AS (
         |  SELECT DISTINCT a.vec_id AS va, b.vec_id AS vb
@@ -522,15 +529,27 @@ object LlmQueries extends QueryModule {
       import s.implicits._
       val e = s.table("embeddings")
         .select(col("vec_id").cast("long").as("vec_id"), col("embedding"))
-      // 32 sign bits per vector in one pass; primitive-array kernel like
+      // Density-adaptive band width: smallest w with 2^(w+5) >= N (min
+      // 8), i.e. w ~ log2(N/32), so expected band-bucket occupancy
+      // stays ~32 at ANY scale — with a fixed width, 10x the vectors in
+      // the same space means 100x the candidate pairs (measured: the
+      // sf1 probe ran this query at x83 CPU before this change). The
+      // loop-free power-of-two form avoids libm log2 boundary hazards;
+      // the oracle computes the identical w from count(*).
+      val n = e.count()
+      var w = 8
+      while ((1L << (w + 5)) < n && w < 32) w += 1
+      val nBits = 4 * w
+      // 4w sign bits per vector in one pass; primitive-array kernel like
       // the ANN signature path (interpreted HOFs would dominate at scale).
       // Hyperplane r(i,d) = +1 iff (i*2654435761 + d*40503) mod 2^16 <
       // 2^15 — plain integer arithmetic so the oracle can recompute it.
+      val wB = w
       val bands = e.as[(Long, Array[Float])].mapPartitions { it =>
         it.flatMap { case (id, emb) =>
-          val bits = new Array[Int](32)
+          val bits = new Array[Int](nBits)
           var i = 0
-          while (i < 32) {
+          while (i < nBits) {
             var dot = 0.0
             var d = 0
             while (d < emb.length) {
@@ -543,7 +562,7 @@ object LlmQueries extends QueryModule {
           }
           (0 until 4).iterator.map { b =>
             var v = 0L; var j = 0
-            while (j < 8) { v |= (bits(b * 8 + j).toLong << j); j += 1 }
+            while (j < wB) { v |= (bits(b * wB + j).toLong << j); j += 1 }
             (id, b, v)
           }
         }
