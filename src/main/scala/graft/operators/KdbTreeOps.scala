@@ -92,17 +92,20 @@ object KdbTreeOps {
         (if (goHi) leavesNear(hi, x, y, r) else Nil)
   }
 
-  /** Deterministic bounded sample of ~targetSample (x, y) points:
-    * hash-mod thinning (retry-stable, partitioning-independent), then a
-    * driver-side sort so the tree does not depend on collect order.
-    * One count() + one thinned collect — both scan-shaped, no shuffle.
+  /** Deterministic bounded sample of exactly min(n, targetSample)
+    * (x, y) points in ONE pass: bottom-k by xxhash64 (a KMV/bottom-k
+    * sketch — the same uniform-sample-without-count trick SetDigest
+    * uses). orderBy+limit plans as TakeOrderedAndProject: per-partition
+    * k-row heaps, one k-row merge — no global sort, no count() pre-scan
+    * (the previous form scanned the input twice: once to count, once to
+    * thin). Partitioning-independent and retry-stable: the selected set
+    * depends only on the hash values.
     */
   def samplePoints(df: DataFrame, xCol: String, yCol: String,
       targetSample: Int): Array[(Double, Double)] = {
-    val n = df.count()
-    val every = math.max(1L, n / math.max(1, targetSample))
-    df.select(col(xCol).cast("double"), col(yCol).cast("double"))
-      .filter(pmod(xxhash64(col(xCol), col(yCol)), lit(every)) === 0)
+    df.select(col(xCol).cast("double").as("__x"), col(yCol).cast("double").as("__y"))
+      .orderBy(xxhash64(col("__x"), col("__y")))
+      .limit(math.max(1, targetSample))
       .collect().map(r => (r.getDouble(0), r.getDouble(1)))
   }
 
