@@ -4,10 +4,11 @@ import org.apache.spark.sql.functions._
 import graft.queries.{Q, QueryModule}
 
 /** DDL/DML subset (SURVEY §2.8 / §7.2.5): CREATE TABLE AS, INSERT INTO,
-  * temp views, SHOW/DESCRIBE/EXPLAIN passthrough. Transactions and
-  * grants are out of scope (documented — the reference's
-  * execution/ Task classes surface beyond this maps to catalog features
-  * Spark exposes elsewhere).
+  * temp views, SHOW/DESCRIBE/EXPLAIN passthrough, and START TRANSACTION/
+  * COMMIT/ROLLBACK over version-pointer tables (TransactionOps —
+  * snapshot isolation with first-committer-wins conflicts). GRANT/REVOKE
+  * remain out of scope (documented — access control maps to catalog
+  * features Spark exposes elsewhere).
   *
   * Results are deterministic properties (the side effects themselves are
   * exercised, then cleaned up), stated as literals in the oracle.
@@ -221,5 +222,53 @@ object DdlQueries extends QueryModule {
           |  AND s_suppkey < ANY (SELECT c_custkey FROM customer)
           |  AND s_nationkey = ANY (SELECT n_nationkey FROM nation WHERE n_regionkey <= 2)
           |  AND s_suppkey <> ALL (SELECT c_custkey * 1000 FROM customer)""".stripMargin)
+    },
+
+    // START TRANSACTION / COMMIT / ROLLBACK through the front door over
+    // a version-pointer table (TransactionOps): snapshot isolation,
+    // uncommitted writes invisible to other sessions, rollback discards,
+    // commit publishes, and first-committer-wins conflict detection.
+    // Reference: SqlBase.g4:34-98, StartTransactionTask/CommitTask/
+    // RollbackTask. Deterministic protocol outcome -> literal oracle.
+    Q("ddl_transaction",
+      """SELECT 25 AS after_create, 30 AS in_txn_insert,
+        |  25 AS committed_view_during, 25 AS after_rollback,
+        |  20 AS in_txn_delete, 20 AS after_commit,
+        |  true AS conflict_detected, 19 AS final_rows""".stripMargin) { (s, _) =>
+      import s.implicits._
+      import graft.operators.TransactionOps
+      val root = "tmp/graft_txn_nation"
+      try {
+        TransactionOps.createTable(s, root, s.table("nation"))
+        val afterCreate = TransactionOps.read(s, root).count()
+        PrestoSql.sql(s, "START TRANSACTION")
+        TransactionOps.insertInto(s, root, s.table("nation").limit(5))
+        val inTxnInsert = TransactionOps.read(s, root).count()
+        val committedDuring = TransactionOps.readCommitted(s, root).count()
+        PrestoSql.sql(s, "ROLLBACK")
+        val afterRollback = TransactionOps.read(s, root).count()
+        PrestoSql.sql(s, "START TRANSACTION ISOLATION LEVEL SERIALIZABLE")
+        TransactionOps.deleteWhere(s, root, col("n_nationkey") >= 20)
+        val inTxnDelete = TransactionOps.read(s, root).count()
+        PrestoSql.sql(s, "COMMIT")
+        val afterCommit = TransactionOps.read(s, root).count()
+        // conflict: stage a write, then a SECOND session commits first
+        PrestoSql.sql(s, "START TRANSACTION")
+        TransactionOps.deleteWhere(s, root, col("n_nationkey") >= 10)
+        val other = s.newSession()
+        TransactionOps.deleteWhere(other, root, col("n_nationkey") === 0) // auto-commit
+        val conflict =
+          try { PrestoSql.sql(s, "COMMIT"); false }
+          catch { case _: java.util.ConcurrentModificationException => true }
+        val finalRows = TransactionOps.read(s, root).count()
+        Seq((afterCreate, inTxnInsert, committedDuring, afterRollback,
+          inTxnDelete, afterCommit, conflict, finalRows))
+          .toDF("after_create", "in_txn_insert", "committed_view_during",
+            "after_rollback", "in_txn_delete", "after_commit",
+            "conflict_detected", "final_rows")
+      } finally {
+        TransactionOps.rollback(s)
+        TransactionOps.dropTable(root)
+      }
     })
 }

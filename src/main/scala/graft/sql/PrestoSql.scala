@@ -154,6 +154,14 @@ object PrestoSql {
       m
     }
 
+  // ---- START TRANSACTION / COMMIT / ROLLBACK (reference: SqlBase.g4:
+  // 34-98, StartTransactionTask/CommitTask/RollbackTask; isolation/
+  // read-only modifiers accepted and — like most reference connectors —
+  // treated as the one supported level, snapshot isolation) ----
+  private val beginTxnRe = """(?is)\s*START\s+TRANSACTION\s*.*""".r
+  private val commitTxnRe = """(?is)\s*COMMIT(\s+WORK)?\s*""".r
+  private val rollbackTxnRe = """(?is)\s*ROLLBACK(\s+WORK)?\s*""".r
+
   private val prepareRe = """(?is)\s*PREPARE\s+(\w+)\s+FROM\s+(.+)""".r
   private val executeRe = """(?is)\s*EXECUTE\s+(\w+)\s*(?:USING\s+(.+))?""".r
   private val deallocRe = """(?is)\s*DEALLOCATE\s+(?:PREPARE\s+)?(\w+)\s*""".r
@@ -303,6 +311,15 @@ object PrestoSql {
         Seq("RESET SESSION").toDF("result")
       case showSessionRe() =>
         propsOf(spark).toSeq.toDF("name", "value")
+      case beginTxnRe() =>
+        graft.operators.TransactionOps.begin(spark)
+        Seq("START TRANSACTION").toDF("result")
+      case commitTxnRe(_) =>
+        graft.operators.TransactionOps.commit(spark)
+        Seq("COMMIT").toDF("result")
+      case rollbackTxnRe(_) =>
+        graft.operators.TransactionOps.rollback(spark)
+        Seq("ROLLBACK").toDF("result")
       case prepareRe(name, query) =>
         stmtsOf(spark).put(name.toLowerCase, query.trim)
         Seq("PREPARE").toDF("result")

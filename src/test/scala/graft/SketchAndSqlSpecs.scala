@@ -260,4 +260,46 @@ class SketchAndSqlSpecs extends AnyFunSuite {
     assert(dateParseMysql("2020", "%Y") ==
       java.sql.Timestamp.from(java.time.Instant.parse("2020-01-01T00:00:00Z")))
   }
+
+  // ---- TransactionOps protocol edges ----
+
+  test("transactions: nesting rejected, stray commit rejected, rollback cleans staging") {
+    import graft.operators.TransactionOps
+    val spark = graft.engine.Engine.session("local[2]", shufflePartitions = 2)
+    import spark.implicits._
+    val root = "tmp/txn_spec_table"
+    try {
+      TransactionOps.createTable(spark, root, Seq((1, "a"), (2, "b"), (3, "c")).toDF("k", "v"))
+      // stray COMMIT with no open txn
+      intercept[IllegalStateException](TransactionOps.commit(spark))
+      TransactionOps.begin(spark)
+      intercept[IllegalArgumentException](TransactionOps.begin(spark)) // nested
+      TransactionOps.insertInto(spark, root, Seq((4, "d")).toDF("k", "v"))
+      // staged version dir exists on disk but pointer still says v0
+      val staged = new java.io.File(root).listFiles().count(f =>
+        f.isDirectory && f.getName.startsWith("v"))
+      assert(staged == 2)
+      assert(TransactionOps.read(spark, root).count() == 4)
+      assert(TransactionOps.readCommitted(spark, root).count() == 3)
+      TransactionOps.rollback(spark)
+      val after = new java.io.File(root).listFiles().count(f =>
+        f.isDirectory && f.getName.startsWith("v"))
+      assert(after == 1, "rollback must delete the staged version dir")
+      assert(TransactionOps.read(spark, root).count() == 3)
+      // repeatable reads: snapshot pinned at first touch survives an
+      // external commit until this txn ends
+      TransactionOps.begin(spark)
+      assert(TransactionOps.read(spark, root).count() == 3) // pins snapshot
+      val other = spark.newSession()
+      TransactionOps.insertInto(other, root, Seq((9, "z")).toDF("k", "v"))
+      assert(TransactionOps.read(spark, root).count() == 3, "snapshot must not see external commit")
+      assert(TransactionOps.readCommitted(spark, root).count() == 4)
+      // read-only txn commits cleanly even after the external write
+      TransactionOps.commit(spark)
+      assert(TransactionOps.read(spark, root).count() == 4)
+    } finally {
+      TransactionOps.rollback(spark)
+      TransactionOps.dropTable(root)
+    }
+  }
 }
