@@ -270,33 +270,65 @@ object SpatialJoinOps {
   def pointInPolygonRings(rings: Column, px: Column, py: Column): Column =
     aggregate(rings, lit(0), (acc, pts) => acc + rayCrossings(pts, px, py)) % 2 === 1
 
-  /** ST_Contains(polygon-with-holes, point) join: envelope from ALL
-    * rings' vertices (= the outer ring's envelope for valid polygons),
-    * grid replication identical to containsPolygonJoin, refine via the
-    * multi-ring even-odd cast. */
+  /** ST_Contains(polygon-with-holes / multipolygon, point) join.
+    *
+    * Cells come from PER-RING envelopes, not the whole geometry's: a
+    * MULTIPOLYGON's global envelope spans the empty gap between
+    * disjoint components, and grid-replicating it makes every point in
+    * that gap a candidate (measured 17 s at sf0.1 on the two-component
+    * fixture before this change — the gap is ~100 units wide vs ring
+    * radii of ~4). Per-ring cell sets are unioned with array_distinct
+    * (a hole's envelope sits inside its outer's, so its cells are
+    * duplicates), keeping each (polygon, cell) pair unique — candidate
+    * pairs stay unique and output needs no dedup shuffle. The
+    * even-odd refine runs over ALL rings, so containment is evaluated
+    * against the full geometry no matter which ring's cell produced
+    * the candidate. Cell generation is codegen'd HOF arithmetic; the
+    * interpreted parity cast sees only cell-local candidates.
+    */
   def containsPolygonRingsJoin(polys: DataFrame, wktCol: String,
       points: DataFrame, px: String, py: String, cellSize: Double,
       multi: Boolean = false): DataFrame = {
     require(cellSize > 0, "cellSize must be positive")
     val parsed = if (multi) parseMultiPolygonRingsWkt(col(wktCol))
       else parsePolygonRingsWkt(col(wktCol))
-    val withEnv = polys
+    val cells = array_distinct(flatten(transform(parsed, ring => {
+      val xs = transform(ring, p => p.getField("x"))
+      val ys = transform(ring, p => p.getField("y"))
+      flatten(transform(
+        sequence(floor(array_min(xs) / cellSize).cast("long"),
+          floor(array_max(xs) / cellSize).cast("long")),
+        cx => transform(
+          sequence(floor(array_min(ys) / cellSize).cast("long"),
+            floor(array_max(ys) / cellSize).cast("long")),
+          cy => struct(cx.as("cx"), cy.as("cy")))))
+    })))
+    // Per-ring bboxes, computed ONCE per polygon row and carried through
+    // the explode: the O(rings) bbox disjunction below kills cell-corner
+    // candidates before the O(vertices) parity cast sees them (dropping
+    // this pre-check doubled the holes-join wall).
+    val ringBoxes = transform(parsed, ring => {
+      val xs = transform(ring, p => p.getField("x"))
+      val ys = transform(ring, p => p.getField("y"))
+      struct(array_min(xs).as("xmin"), array_min(ys).as("ymin"),
+        array_max(xs).as("xmax"), array_max(ys).as("ymax"))
+    })
+    val cellPoly = polys
       .withColumn("__rings", parsed)
-      .withColumn("__flat", flatten(col("__rings")))
-      .withColumn("__xmin", array_min(transform(col("__flat"), p => p.getField("x"))))
-      .withColumn("__ymin", array_min(transform(col("__flat"), p => p.getField("y"))))
-      .withColumn("__xmax", array_max(transform(col("__flat"), p => p.getField("x"))))
-      .withColumn("__ymax", array_max(transform(col("__flat"), p => p.getField("y"))))
-      .drop("__flat")
-    val cellPoly = explodeBoxToCells(withEnv, "__xmin", "__ymin", "__xmax", "__ymax", cellSize)
+      .withColumn("__bb", ringBoxes)
+      .withColumn("__cell", explode(cells))
+      .withColumn("__cx", col("__cell").getField("cx"))
+      .withColumn("__cy", col("__cell").getField("cy"))
+      .drop("__cell")
     val cellP = points
-      .withColumn("__cx", floor(col(px) / cellSize))
-      .withColumn("__cy", floor(col(py) / cellSize))
+      .withColumn("__cx", floor(col(px) / cellSize).cast("long"))
+      .withColumn("__cy", floor(col(py) / cellSize).cast("long"))
     cellPoly.join(cellP, Seq("__cx", "__cy"))
-      .filter(stContainsBoxPoint(col("__xmin"), col("__ymin"), col("__xmax"), col("__ymax"),
-        col(px), col(py)))
+      .filter(exists(col("__bb"), b =>
+        col(px) >= b.getField("xmin") && col(px) <= b.getField("xmax") &&
+          col(py) >= b.getField("ymin") && col(py) <= b.getField("ymax")))
       .filter(pointInPolygonRings(col("__rings"), col(px), col(py)))
-      .drop("__cx", "__cy", "__rings", "__xmin", "__ymin", "__xmax", "__ymax")
+      .drop("__cx", "__cy", "__rings", "__bb")
   }
 
   /** ST_Contains(polygon, point) join over WKT polygons: envelope from

@@ -53,4 +53,77 @@ object JdbcOps {
   def readPartitioned(s: SparkSession, table: String, partCol: String,
       lower: Long, upper: Long, numPartitions: Int): DataFrame =
     s.read.jdbc(url, table, partCol, lower, upper, numPartitions, props)
+
+  /** CREATE INDEX on the embedded table (the structure the index join
+    * probes; Derby b-tree). */
+  def createIndex(table: String, column: String): Unit = {
+    val c = java.sql.DriverManager.getConnection(url)
+    try {
+      val st = c.createStatement()
+      try st.execute(s"CREATE INDEX idx_${table}_$column ON $table ($column)")
+      finally st.close()
+    } finally c.close()
+  }
+
+  /** Index join — the reference's IndexJoinOptimizer.java:69 /
+    * index/IndexLoader.java: instead of SCANNING the indexed table and
+    * shuffling both sides, stream the probe side's keys against the
+    * index in batches and emit matches. Spark-first shape: one
+    * mapPartitions over the probe side — each partition opens one
+    * connection and issues batched `WHERE key IN (...)` lookups that
+    * Derby answers from the b-tree; no scan of the index side, no
+    * shuffle of either side, probe partitioning preserved. This is the
+    * right plan when the probe side is small relative to the indexed
+    * table (the exact condition the reference's optimizer checks); for
+    * probe >> index, broadcast or shuffle joins win and the declarative
+    * path already produces them.
+    *
+    * Inner-join semantics: each probe ROW fans out once per index match.
+    * Output schema: probe columns ++ looked-up columns.
+    */
+  def indexLookupJoin(s: SparkSession, probe: DataFrame, probeKey: String,
+      table: String, indexKey: String, lookupCols: Seq[String],
+      batchSize: Int = 1000): DataFrame = {
+    import org.apache.spark.sql.types._
+    import org.apache.spark.sql.Row
+    val indexSchema = s.read.jdbc(url, table, props).select(
+      lookupCols.map(org.apache.spark.sql.functions.col): _*).schema
+    val outSchema = StructType(probe.schema.fields ++ indexSchema.fields)
+    val probeIdx = probe.schema.fieldIndex(probeKey)
+    val nProbeCols = probe.schema.size
+    val dbUrl = url
+    val cols = lookupCols.mkString(", ")
+    val rows = probe.rdd.mapPartitions { it =>
+      if (it.isEmpty) Iterator.empty
+      else {
+        val conn = java.sql.DriverManager.getConnection(dbUrl)
+        Option(org.apache.spark.TaskContext.get()).foreach(
+          _.addTaskCompletionListener[Unit](_ => if (!conn.isClosed) conn.close()))
+        // one IN-list lookup per batch, streamed — memory is O(batch x
+        // fanout), never the whole partition's output
+        it.grouped(batchSize).flatMap { chunk =>
+          val keys = chunk.map(_.get(probeIdx)).distinct
+          val in = keys.mkString(", ") // numeric keys only; no quoting needed
+          val st = conn.createStatement()
+          val matches = scala.collection.mutable.Map[Long, List[Array[Any]]]()
+          try {
+            val rs = st.executeQuery(
+              s"SELECT $indexKey, $cols FROM $table WHERE $indexKey IN ($in)")
+            while (rs.next()) {
+              val k = rs.getLong(1)
+              val vals = Array.tabulate[Any](lookupCols.length)(i => rs.getObject(i + 2))
+              matches(k) = vals :: matches.getOrElse(k, Nil)
+            }
+            rs.close()
+          } finally st.close()
+          chunk.iterator.flatMap { pr =>
+            val k = pr.get(probeIdx).asInstanceOf[Number].longValue()
+            matches.getOrElse(k, Nil).reverse.map(vals =>
+              Row.fromSeq(pr.toSeq ++ vals.toSeq))
+          }
+        }
+      }
+    }
+    s.createDataFrame(rows, outSchema)
+  }
 }

@@ -128,6 +128,30 @@ object SourceQueries extends QueryModule {
           min("s_acctbal").cast("double").as("min_bal"))
     },
 
+    // Index join (IndexJoinOptimizer.java:69 / index/IndexLoader.java):
+    // the probe side streams key batches against the Derby b-tree index
+    // instead of scanning + shuffling the indexed table — no scan of
+    // the index side, probe partitioning preserved. The oracle is the
+    // equivalent plain join: lookup semantics must equal join semantics
+    // (inner, fan-out per match).
+    Q("src_index_join",
+      """SELECT o_orderkey, o_custkey, c_name,
+        |  CAST(c_acctbal AS DOUBLE) AS c_acctbal
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |WHERE o_orderkey <= 2000""".stripMargin) { (s, _) =>
+      JdbcOps.writeTable(
+        s.table("customer").select("c_custkey", "c_name", "c_acctbal"),
+        "graft_jdbc_idx_customer")
+      JdbcOps.createIndex("graft_jdbc_idx_customer", "c_custkey")
+      val probe = s.table("orders")
+        .filter(col("o_orderkey") <= 2000)
+        .select("o_orderkey", "o_custkey")
+      JdbcOps.indexLookupJoin(s, probe, "o_custkey",
+          "graft_jdbc_idx_customer", "c_custkey", Seq("c_name", "c_acctbal"))
+        .select(col("o_orderkey"), col("o_custkey"), col("c_name"),
+          col("c_acctbal").cast("double").as("c_acctbal"))
+    },
+
     // Bucketed (hash-clustered) storage — presto-hive HiveBucketing.java.
     // Both join sides written bucketed on the join key; the join itself
     // is then shuffle-free (EngineSpecs pins the no-Exchange plan). The
