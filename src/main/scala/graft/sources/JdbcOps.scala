@@ -60,7 +60,7 @@ object JdbcOps {
     val c = java.sql.DriverManager.getConnection(url)
     try {
       val st = c.createStatement()
-      try st.execute(s"CREATE INDEX idx_${table}_$column ON $table ($column)")
+      try st.execute(s"""CREATE INDEX idx_${table}_$column ON $table ("$column")""")
       finally st.close()
     } finally c.close()
   }
@@ -92,7 +92,10 @@ object JdbcOps {
     val probeIdx = probe.schema.fieldIndex(probeKey)
     val nProbeCols = probe.schema.size
     val dbUrl = url
-    val cols = lookupCols.mkString(", ")
+    // Spark's JDBC writer quotes column identifiers (exact lowercase)
+    // while the table name passes through unquoted (Derby canonicalizes
+    // it to uppercase) — mirror that here.
+    val cols = lookupCols.map(c => s""""$c"""").mkString(", ")
     val rows = probe.rdd.mapPartitions { it =>
       if (it.isEmpty) Iterator.empty
       else {
@@ -108,10 +111,16 @@ object JdbcOps {
           val matches = scala.collection.mutable.Map[Long, List[Array[Any]]]()
           try {
             val rs = st.executeQuery(
-              s"SELECT $indexKey, $cols FROM $table WHERE $indexKey IN ($in)")
+              s"""SELECT "$indexKey", $cols FROM $table WHERE "$indexKey" IN ($in)""")
             while (rs.next()) {
               val k = rs.getLong(1)
-              val vals = Array.tabulate[Any](lookupCols.length)(i => rs.getObject(i + 2))
+              val vals = Array.tabulate[Any](lookupCols.length) { i =>
+                rs.getObject(i + 2) match {
+                  // Spark's Derby dialect writes StringType as CLOB
+                  case c: java.sql.Clob => c.getSubString(1, c.length().toInt)
+                  case v => v
+                }
+              }
               matches(k) = vals :: matches.getOrElse(k, Nil)
             }
             rs.close()
