@@ -107,8 +107,17 @@ case class HeavyHittersAgg(
 }
 
 object HeavyHitters {
-  def install(spark: SparkSession): Unit =
+  def install(spark: SparkSession): Unit = {
+    // Presto's public name for the same Misra-Gries aggregate
+    // (AbstractApproximateMostFrequent.java): approx_most_frequent(
+    // buckets, value, capacity) — buckets first; the third (internal
+    // sketch capacity) is accepted and ignored, this implementation's
+    // summary is already deterministic at k entries.
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction("approx_most_frequent",
+      args => HeavyHittersAgg(args(1),
+        args(0).eval(null).asInstanceOf[Number].intValue()), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction("approx_heavy_hitters",
       args => HeavyHittersAgg(args.head,
         args(1).eval(null).asInstanceOf[Number].intValue()), "scala_udf")
+  }
 }

@@ -261,6 +261,20 @@ class SketchAndSqlSpecs extends AnyFunSuite {
       java.sql.Timestamp.from(java.time.Instant.parse("2020-01-01T00:00:00Z")))
   }
 
+  test("approx_most_frequent: Presto signature (buckets, value, capacity) maps onto Misra-Gries") {
+    val spark = graft.engine.Engine.session("local[2]", shufflePartitions = 2)
+    graft.functions.FunctionRegistry.installAll(spark)
+    import spark.implicits._
+    (1 to 100).map(i => if (i <= 60) "a" else if (i <= 90) "b" else s"c$i")
+      .toDF("v").createOrReplaceTempView("amf_t")
+    // Misra-Gries guarantee: reported >= true - n/k; with k=4, n=100:
+    // a (true 60) >= 35, b (true 30) >= 5, both must survive
+    val m = spark.sql("SELECT approx_most_frequent(4, v, 100) FROM amf_t")
+      .head().getMap[String, Long](0)
+    assert(m.contains("a") && m("a") >= 35, m)
+    assert(m.contains("b") && m("b") >= 5, m)
+  }
+
   // ---- TransactionOps protocol edges ----
 
   test("transactions: nesting rejected, stray commit rejected, rollback cleans staging") {
