@@ -292,7 +292,64 @@ object GeometryConstructors {
     math.abs(s) / 2
   }
 
+  // ---- ST_IsValid / geometry_invalid_reason (GeoFunctions.java
+  // stIsValid/invalidReason; the ESRI validity rules restated for this
+  // engine's WKT scope: POINT / LINESTRING / POLYGON exterior ring) ----
+
+  private def segmentsProperlyIntersect(a: Pt, b: Pt, c: Pt, d: Pt): Boolean = {
+    def orient(p: Pt, q: Pt, r: Pt): Double =
+      (q._1 - p._1) * (r._2 - p._2) - (q._2 - p._2) * (r._1 - p._1)
+    val o1 = orient(a, b, c); val o2 = orient(a, b, d)
+    val o3 = orient(c, d, a); val o4 = orient(c, d, b)
+    // proper crossing only: each segment strictly separates the other's
+    // endpoints (touching at endpoints is legal ring adjacency)
+    (o1 * o2 < 0) && (o3 * o4 < 0)
+  }
+
+  /** null when valid, else the reason — reference invalidReason shape. */
+  def invalidReason(wkt: String): String = {
+    val (kind, pts) = try parseWkt(wkt) catch {
+      case e: IllegalArgumentException => return s"Invalid WKT: ${e.getMessage}"
+    }
+    kind match {
+      case "POINT" =>
+        if (pts.length == 1) null else "Point must have exactly one coordinate"
+      case "LINESTRING" =>
+        if (pts.length < 2) "LineString has too few points" else null
+      case "POLYGON" =>
+        // parseWkt drops the closing repeat; raw text must have had it
+        val raw = wkt.substring(wkt.indexOf("((") + 2, wkt.lastIndexOf("))"))
+        val rawPts = parsePts(raw)
+        if (rawPts.length < 4) "Polygon ring has too few points"
+        else if (rawPts.head != rawPts.last) "Ring is not closed"
+        else if (pts.sliding(2).exists(w => w(0) == w(1)) || pts.head == pts.last)
+          "Degenerate ring: repeated consecutive points"
+        else {
+          // self-intersection before zero-area: a symmetric bowtie has
+          // signed area exactly 0, and "self-intersection" is the more
+          // specific diagnosis
+          val n = pts.length
+          val edges = Array.tabulate(n)(i => (pts(i), pts((i + 1) % n)))
+          val hit = (for {
+            i <- 0 until n
+            j <- i + 1 until n
+            if j != i && (j + 1) % n != i && (i + 1) % n != j // skip adjacent
+            if segmentsProperlyIntersect(edges(i)._1, edges(i)._2, edges(j)._1, edges(j)._2)
+          } yield (i, j)).headOption
+          hit.map { case (i, j) => s"Self-intersection between ring edges $i and $j" }
+            .getOrElse(
+              if (math.abs(signedArea2(pts)) == 0) "Degenerate ring: zero area" else null)
+        }
+      case other => s"Unsupported geometry kind: $other"
+    }
+  }
+
+  def stIsValid(wkt: String): Boolean = invalidReason(wkt) == null
+
   def install(spark: SparkSession): Unit = {
+    spark.udf.register("st_is_valid", (w: String) => stIsValid(w))
+    spark.udf.register("geometry_invalid_reason",
+      (w: String) => if (w == null) null else invalidReason(w))
     spark.udf.register("st_convex_hull", (w: String) => if (w == null) null else stConvexHull(w))
     spark.udf.register("simplify_geometry",
       (w: String, t: Double) => if (w == null) null else simplifyGeometry(w, t))

@@ -599,5 +599,37 @@ object GeoQueries extends QueryModule {
         call_udf("st_wkt_area", interWkt).as("inter_area"),
         round(call_udf("st_wkt_area", bufWkt), 6).as("buf_area"),
         WktGeometry.stNumPoints(bufWkt).as("buf_pts"))
+    },
+
+    // ST_IsValid / geometry_invalid_reason (GeoFunctions.java stIsValid,
+    // invalidReason): per-row parity picks a valid diamond, a bowtie
+    // (proper self-intersection, exact integer orientation tests), or a
+    // collinear zero-area ring — the reason strings are deterministic,
+    // so the oracle states them literally.
+    Q("func_geometry_valid",
+      """SELECT s_suppkey,
+        |  (s_suppkey % 3 = 0) AS valid,
+        |  CASE s_suppkey % 3 WHEN 0 THEN NULL
+        |       WHEN 1 THEN 'Self-intersection between ring edges 0 and 2'
+        |       ELSE 'Degenerate ring: zero area' END AS reason
+        |FROM supplier""".stripMargin) { (s, _) =>
+      graft.functions.FunctionRegistry.installAll(s)
+      val cx = col("s_suppkey") * 7 % 50
+      val cy = col("s_suppkey") * 11 % 50
+      val diamond = concat(lit("POLYGON (("), cx + 2, lit(" "), cy, lit(", "),
+        cx, lit(" "), cy + 2, lit(", "), cx - 2, lit(" "), cy, lit(", "),
+        cx, lit(" "), cy - 2, lit(", "), cx + 2, lit(" "), cy, lit("))"))
+      val bowtie = concat(lit("POLYGON (("), cx, lit(" "), cy, lit(", "),
+        cx + 4, lit(" "), cy + 4, lit(", "), cx + 4, lit(" "), cy, lit(", "),
+        cx, lit(" "), cy + 4, lit(", "), cx, lit(" "), cy, lit("))"))
+      val flat = concat(lit("POLYGON (("), cx, lit(" "), cy, lit(", "),
+        cx + 2, lit(" "), cy + 2, lit(", "), cx + 4, lit(" "), cy + 4, lit(", "),
+        cx, lit(" "), cy, lit("))"))
+      val wkt = when(col("s_suppkey") % 3 === 0, diamond)
+        .when(col("s_suppkey") % 3 === 1, bowtie)
+        .otherwise(flat)
+      s.table("supplier").select(col("s_suppkey"),
+        call_udf("st_is_valid", wkt).as("valid"),
+        call_udf("geometry_invalid_reason", wkt).as("reason"))
     })
 }

@@ -345,6 +345,24 @@ class GeoSpecs extends AnyFunSuite with BeforeAndAfterAll {
       stBuffer("POLYGON ((0 0, 4 0, 4 4, 2 1, 0 4, 0 0))", 0.5))
   }
 
+  test("st_is_valid / geometry_invalid_reason: rule per defect class") {
+    import graft.functions.GeometryConstructors._
+    assert(stIsValid("POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))"))
+    assert(invalidReason("POINT (1 2)") == null)
+    assert(invalidReason("LINESTRING (0 0)") == "LineString has too few points")
+    assert(invalidReason("POLYGON ((0 0, 4 0, 4 4, 0 4))") == "Ring is not closed")
+    assert(invalidReason("POLYGON ((0 0, 2 2, 0 0))") == "Polygon ring has too few points")
+    assert(invalidReason("POLYGON ((0 0, 0 0, 4 0, 4 4, 0 0))")
+      == "Degenerate ring: repeated consecutive points")
+    assert(invalidReason("POLYGON ((0 0, 2 2, 4 4, 0 0))") == "Degenerate ring: zero area")
+    // bowtie: proper crossing between edges 0 and 2 (and signed area 0 —
+    // self-intersection must win the diagnosis)
+    assert(invalidReason("POLYGON ((0 0, 4 4, 4 0, 0 4, 0 0))")
+      == "Self-intersection between ring edges 0 and 2")
+    // endpoint touching is legal adjacency, not self-intersection
+    assert(stIsValid("POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0))"))
+  }
+
   test("st_intersection_convex: Sutherland-Hodgman exact on rectangles/diamonds") {
     import graft.functions.GeometryConstructors._
     // overlapping unit squares offset by 0.5 -> 0.25 area
