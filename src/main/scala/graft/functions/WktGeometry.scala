@@ -161,6 +161,40 @@ object WktGeometry {
     sqrt(dx * dx + dy * dy)
   }
 
+  /** line_interpolate_point (GeoFunctions.java lineInterpolatePoint):
+    * the point at `fraction` of the line's total length — the inverse
+    * of line_locate_point. Sequential fold: accumulate segment lengths
+    * until the target distance falls inside a segment, then linear
+    * interpolation along it. fraction 0 -> start point, 1 -> end point.
+    * Returns struct<x,y>.
+    */
+  def lineInterpolatePoint(wkt: Column, fraction: Column): Column = {
+    val pts = wktPoints(wkt)
+    val segs = segments(pts)
+    val target = fraction * lineLength(segs)
+    val start = element_at(pts, 1)
+    val st0 = struct(lit(0.0d).as("c"),
+      start.getField("x").as("x"), start.getField("y").as("y"),
+      lit(false).as("done"))
+    val res = aggregate(segs, st0, (st, e) => {
+      val len = segLen(e)
+      val landsHere = !st.getField("done") && target <= st.getField("c") + len
+      val t = when(len > 0, (target - st.getField("c")) / len).otherwise(lit(0.0d))
+      struct(
+        (st.getField("c") + len).as("c"),
+        when(landsHere,
+          e.getField("ax") + t * (e.getField("bx") - e.getField("ax")))
+          .otherwise(when(st.getField("done"), st.getField("x"))
+            .otherwise(e.getField("bx"))).as("x"),
+        when(landsHere,
+          e.getField("ay") + t * (e.getField("by") - e.getField("ay")))
+          .otherwise(when(st.getField("done"), st.getField("y"))
+            .otherwise(e.getField("by"))).as("y"),
+        (st.getField("done") || landsHere).as("done"))
+    })
+    struct(res.getField("x").as("x"), res.getField("y").as("y"))
+  }
+
   /** Total 2-D length of a segment array (sequential left fold). */
   def lineLength(segs: Column): Column =
     aggregate(segs, lit(0.0d), (acc, e) => acc + segLen(e))

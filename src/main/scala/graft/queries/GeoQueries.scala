@@ -631,5 +631,28 @@ object GeoQueries extends QueryModule {
       s.table("supplier").select(col("s_suppkey"),
         call_udf("st_is_valid", wkt).as("valid"),
         call_udf("geometry_invalid_reason", wkt).as("reason"))
+    },
+
+    // line_interpolate_point (GeoFunctions.java lineInterpolatePoint) —
+    // the inverse of line_locate_point. The L-shaped 3-4 polyline has
+    // exact segment lengths (sqrt(9), sqrt(16)) and fraction k/8 * 7 is
+    // exact in binary, so the oracle's least/greatest closed form walks
+    // the same values; interpolation division costs at most an ulp,
+    // absorbed by round(9) on both sides.
+    Q("func_geometry_interpolate",
+      """SELECT s_suppkey,
+        |  round(((s_suppkey * 7) % 50) + least(((s_suppkey % 8) / 8.0) * 7.0, 3.0), 9) AS ix,
+        |  round(((s_suppkey * 11) % 50) + greatest(((s_suppkey % 8) / 8.0) * 7.0 - 3.0, 0.0), 9) AS iy
+        |FROM supplier""".stripMargin) { (s, _) =>
+      import graft.functions.WktGeometry
+      val cx = col("s_suppkey") * 7 % 50
+      val cy = col("s_suppkey") * 11 % 50
+      val line = concat(lit("LINESTRING ("), cx, lit(" "), cy, lit(", "),
+        cx + 3, lit(" "), cy, lit(", "), cx + 3, lit(" "), cy + 4, lit(")"))
+      val f = (col("s_suppkey") % 8) / lit(8.0)
+      val p = WktGeometry.lineInterpolatePoint(line, f)
+      s.table("supplier").select(col("s_suppkey"),
+        round(p.getField("x"), 9).as("ix"),
+        round(p.getField("y"), 9).as("iy"))
     })
 }
