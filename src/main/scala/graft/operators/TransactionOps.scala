@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
 /** Transactions over graft-managed tables (SURVEY §2.8; reference:
   * SqlBase.g4:34-98 START TRANSACTION / COMMIT / ROLLBACK,
@@ -9,26 +10,38 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
   *
   * The reference brokers transactions through connector metadata; Spark
   * has no native multi-statement transactions, so this is the minimal
-  * honest table format that supports them: a versioned directory layout
-  * (`<root>/v<N>/` parquet + a `_current` pointer file) with
-  * snapshot-isolation semantics via atomic pointer swap — the public
-  * Iceberg/Delta design in its simplest form.
+  * honest table format that supports them — the public Iceberg/Delta
+  * design in its simplest form:
   *
+  *   <root>/_current               committed version number (atomic swap)
+  *   <root>/manifest-v<N>.txt      schema DDL + the live data files of vN
+  *   <root>/data/fs-<uuid>/        immutable parquet file sets
+  *
+  *  - A version is a MANIFEST (list of live files), not a data copy.
+  *    INSERT writes only the new rows as a fresh file set and a manifest
+  *    that is {parent's live files + new files} — O(delta) data I/O,
+  *    O(#files) metadata. At 100 TB an appended row costs one small file,
+  *    not a table rewrite.
+  *  - DELETE is file-pruned copy-on-write like [[DeleteOps]]: one
+  *    metadata-sized pass finds the live files containing matching rows
+  *    (input_file_name + predicate, parquet min/max prunable); only those
+  *    files are rewritten (filtered) into a new file set; untouched files
+  *    are SHARED byte-identical across versions via the manifest.
   *  - Reads resolve the pointer once per statement (or once per
-  *    transaction: the snapshot version is pinned at BEGIN-first-touch).
-  *  - Writes (insert/delete) produce a NEW full version directory
-  *    (copy-on-write, like DeleteOps) and either move the pointer
-  *    immediately (auto-commit) or stage the move until COMMIT.
+  *    transaction: the snapshot version is pinned at first touch —
+  *    repeatable reads) and scan exactly the manifest's files.
   *  - COMMIT validates that no other committer moved the pointer since
-  *    the snapshot (first-committer-wins conflict detection, the
-  *    reference's transaction-conflict error); on conflict the
-  *    transaction rolls back and the error propagates.
-  *  - ROLLBACK deletes staged version directories.
+  *    the snapshot (first-committer-wins, the reference's
+  *    transaction-conflict error) and swaps the pointer. Validation and
+  *    swap run under a per-table-root lock so two in-process committers
+  *    cannot interleave check-then-act; cross-process safety rides on the
+  *    atomic pointer rename (single-writer-host assumption, same as any
+  *    filesystem-pointer table format without a locking service).
+  *  - ROLLBACK deletes staged manifests and the file sets this
+  *    transaction created; committed files are never touched.
   *
-  * Scale: the pointer file is O(1) metadata; version data is written
-  * once per statement by distributed jobs (no driver data path). At
-  * 100 TB the same layout works with manifest files instead of full
-  * directory rewrites — the pointer-swap commit protocol is unchanged.
+  * Old versions stay readable ([[readAt]]) until [[vacuum]] — time travel
+  * for free, exactly the Iceberg snapshot model.
   */
 object TransactionOps {
 
@@ -37,6 +50,8 @@ object TransactionOps {
     val snapshots = scala.collection.mutable.Map[String, Int]()
     // table root -> staged (uncommitted) version
     val staged = scala.collection.mutable.Map[String, Int]()
+    // table root -> file-set dirs created by this txn (for rollback)
+    val created = scala.collection.mutable.Map[String, List[String]]()
   }
 
   private val txns =
@@ -45,7 +60,13 @@ object TransactionOps {
 
   private def currentTxn(spark: SparkSession): Option[Txn] = Option(txns.get(spark))
 
-  // ---- versioned layout ----
+  /** Per-root lock guarding version allocation and pointer validate+swap
+    * within this process (ADVICE r7: commit was check-then-act). */
+  private val rootLocks = new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  private def lockFor(root: String): Object =
+    rootLocks.computeIfAbsent(new java.io.File(root).getAbsolutePath, _ => new Object)
+
+  // ---- pointer ----
 
   private def pointerFile(root: String) = new java.io.File(root, "_current")
 
@@ -65,13 +86,45 @@ object TransactionOps {
       java.nio.file.StandardCopyOption.ATOMIC_MOVE)
   }
 
-  private def versionDir(root: String, v: Int) = s"$root/v$v"
+  // ---- manifests ----
+
+  private def manifestFile(root: String, v: Int) =
+    new java.io.File(root, s"manifest-v$v.txt")
+
+  /** First line: schema DDL. Remaining lines: root-relative data files. */
+  private def writeManifest(root: String, v: Int, schemaDdl: String,
+      files: Seq[String]): Unit = {
+    val body = (s"#schema\t$schemaDdl" +: files).mkString("\n")
+    val tmp = new java.io.File(root, s".manifest-v$v.tmp")
+    java.nio.file.Files.write(tmp.toPath, body.getBytes)
+    java.nio.file.Files.move(tmp.toPath, manifestFile(root, v).toPath,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  private def readManifest(root: String, v: Int): (String, Seq[String]) = {
+    val lines = new String(java.nio.file.Files.readAllBytes(
+      manifestFile(root, v).toPath)).split("\n").toSeq
+    val schema = lines.head.stripPrefix("#schema\t")
+    (schema, lines.tail.filter(_.nonEmpty))
+  }
 
   private def nextVersion(root: String): Int = {
-    val dirs = Option(new java.io.File(root).listFiles()).getOrElse(Array.empty)
-    dirs.filter(f => f.isDirectory && f.getName.startsWith("v"))
-      .flatMap(f => scala.util.Try(f.getName.drop(1).toInt).toOption)
+    val fs = Option(new java.io.File(root).listFiles()).getOrElse(Array.empty)
+    fs.filter(f => f.isFile && f.getName.startsWith("manifest-v"))
+      .flatMap(f => scala.util.Try(
+        f.getName.stripPrefix("manifest-v").stripSuffix(".txt").toInt).toOption)
       .foldLeft(-1)(math.max) + 1
+  }
+
+  /** Write `df` as a new immutable file set; returns (dir, relative file paths). */
+  private def writeFileSet(root: String, df: DataFrame): (String, Seq[String]) = {
+    val rel = s"data/fs-${java.util.UUID.randomUUID}"
+    val dir = new java.io.File(root, rel)
+    df.write.parquet(dir.toString)
+    val parts = Option(dir.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isFile && f.getName.startsWith("part-"))
+      .map(f => s"$rel/${f.getName}").toSeq
+    (rel, parts)
   }
 
   private def deleteDir(path: String): Unit = {
@@ -84,11 +137,12 @@ object TransactionOps {
 
   // ---- table operations ----
 
-  /** CREATE: writes v0 and points at it. */
+  /** CREATE: writes file set + manifest v0 and points at it. */
   def createTable(spark: SparkSession, root: String, df: DataFrame): Unit = {
     deleteDir(root)
     new java.io.File(root).mkdirs()
-    df.write.mode("overwrite").parquet(versionDir(root, 0))
+    val (_, files) = writeFileSet(root, df)
+    writeManifest(root, 0, df.schema.toDDL, files)
     writePointer(root, 0)
   }
 
@@ -103,37 +157,84 @@ object TransactionOps {
       case None => readPointer(root)
     }
 
+  /** Read a specific version's manifest — time travel. */
+  def readAt(spark: SparkSession, root: String, v: Int): DataFrame = {
+    val (ddl, files) = readManifest(root, v)
+    if (files.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType.fromDDL(ddl))
+    else spark.read.schema(ddl)
+      .parquet(files.map(f => new java.io.File(root, f).toString): _*)
+  }
+
   /** Read at this session's visibility (snapshot inside a txn). */
   def read(spark: SparkSession, root: String): DataFrame =
-    spark.read.parquet(versionDir(root, readVersion(spark, root)))
+    readAt(spark, root, readVersion(spark, root))
 
   /** Read the last COMMITTED state regardless of any open transaction —
     * what every other session sees. */
   def readCommitted(spark: SparkSession, root: String): DataFrame =
-    spark.read.parquet(versionDir(root, readPointer(root)))
+    readAt(spark, root, readPointer(root))
 
-  private def stageOrCommit(spark: SparkSession, root: String, v: Int): Unit =
+  private def stageOrCommit(spark: SparkSession, root: String, v: Int,
+      newDirs: List[String]): Unit =
     currentTxn(spark) match {
-      case Some(t) => t.staged.put(root, v)
-      case None => writePointer(root, v) // auto-commit
+      case Some(t) =>
+        t.staged.put(root, v)
+        t.created.updateWith(root)(c => Some(newDirs ::: c.getOrElse(Nil)))
+      case None => writePointer(root, v) // auto-commit: swap under the caller's lock
     }
 
-  /** INSERT INTO: copy-on-write append as a new version. */
-  def insertInto(spark: SparkSession, root: String, rows: DataFrame): Unit = {
-    val base = read(spark, root)
-    val v = nextVersion(root)
-    base.unionByName(rows).write.mode("overwrite").parquet(versionDir(root, v))
-    stageOrCommit(spark, root, v)
-  }
+  /** INSERT INTO: writes ONLY `rows` as a new file set; the new manifest
+    * is {parent live files + new files}. O(delta) data written. */
+  def insertInto(spark: SparkSession, root: String, rows: DataFrame): Unit =
+    lockFor(root).synchronized {
+      val parent = readVersion(spark, root)
+      val (ddl, live) = readManifest(root, parent)
+      val (dir, newFiles) = writeFileSet(root, rows)
+      val v = nextVersion(root)
+      writeManifest(root, v, ddl, live ++ newFiles)
+      stageOrCommit(spark, root, v, List(dir))
+    }
 
-  /** DELETE WHERE: copy-on-write filter as a new version. */
-  def deleteWhere(spark: SparkSession, root: String, predicate: Column): Unit = {
-    val base = read(spark, root)
-    val v = nextVersion(root)
-    base.filter(!predicate || predicate.isNull).write.mode("overwrite")
-      .parquet(versionDir(root, v))
-    stageOrCommit(spark, root, v)
-  }
+  /** DELETE WHERE: file-pruned copy-on-write. Finds the live files that
+    * contain matching rows (one metadata-sized, pushdown-prunable pass),
+    * rewrites ONLY those filtered into a new file set, and shares every
+    * untouched file with the parent version via the manifest. */
+  def deleteWhere(spark: SparkSession, root: String, predicate: Column): Unit =
+    lockFor(root).synchronized {
+      val parent = readVersion(spark, root)
+      val (ddl, live) = readManifest(root, parent)
+      val abs = live.map(f => new java.io.File(root, f).getAbsolutePath)
+      val relByName = live.map(f => new java.io.File(f).getName -> f).toMap
+
+      // Pass 1: which live files hold matching rows — O(#files) result.
+      val touchedNames: Set[String] =
+        if (live.isEmpty) Set.empty
+        else spark.read.schema(ddl).parquet(abs: _*)
+          .filter(predicate)
+          .select(input_file_name().as("f")).distinct().collect()
+          .map(r => new java.io.File(new java.net.URI(r.getString(0)).getPath).getName)
+          .toSet
+
+      val (touched, untouched) = live.partition(f =>
+        touchedNames.contains(new java.io.File(f).getName))
+      val v = nextVersion(root)
+      if (touched.isEmpty) {
+        // no matches: new version shares every file with its parent
+        writeManifest(root, v, ddl, live)
+        stageOrCommit(spark, root, v, Nil)
+      } else {
+        // Pass 2: rewrite only the touched files, keeping rows where the
+        // predicate is false OR null (SQL DELETE removes only TRUE matches).
+        val survivors = spark.read.schema(ddl)
+          .parquet(touched.map(f => new java.io.File(root, f).toString): _*)
+          .filter(!coalesce(predicate, lit(false)))
+        val (dir, newFiles) = writeFileSet(root, survivors)
+        writeManifest(root, v, ddl, untouched ++ newFiles)
+        stageOrCommit(spark, root, v, List(dir))
+      }
+    }
 
   // ---- transaction protocol ----
 
@@ -146,27 +247,57 @@ object TransactionOps {
   def commit(spark: SparkSession): Unit = {
     val t = currentTxn(spark).getOrElse(
       throw new IllegalStateException("No transaction in progress"))
-    // first-committer-wins validation across every table written
-    t.staged.keys.foreach { root =>
-      val committed = readPointer(root)
-      if (t.snapshots.get(root).exists(_ != committed)) {
-        rollback(spark)
-        throw new java.util.ConcurrentModificationException(
-          s"transaction conflict: $root moved to v$committed since snapshot")
+    // first-committer-wins validation + swap, each table under its root
+    // lock so a concurrent in-process committer cannot interleave.
+    t.staged.keys.toSeq.sorted.foreach { root => // sorted: stable lock order
+      lockFor(root).synchronized {
+        val committed = readPointer(root)
+        if (t.snapshots.get(root).exists(_ != committed)) {
+          rollback(spark)
+          throw new java.util.ConcurrentModificationException(
+            s"transaction conflict: $root moved to v$committed since snapshot")
+        }
+        writePointer(root, t.staged(root))
       }
     }
-    t.staged.foreach { case (root, v) => writePointer(root, v) }
     txns.remove(spark)
   }
 
   def rollback(spark: SparkSession): Unit = {
     currentTxn(spark).foreach { t =>
-      t.staged.foreach { case (root, v) => deleteDir(versionDir(root, v)) }
+      t.staged.foreach { case (root, v) => manifestFile(root, v).delete() }
+      t.created.foreach { case (root, dirs) =>
+        dirs.foreach(d => deleteDir(new java.io.File(root, d).toString))
+      }
     }
     txns.remove(spark)
   }
 
   def inTransaction(spark: SparkSession): Boolean = currentTxn(spark).isDefined
+
+  /** Versions currently on disk (ascending). */
+  def versions(root: String): Seq[Int] =
+    Option(new java.io.File(root).listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isFile && f.getName.startsWith("manifest-v"))
+      .flatMap(f => scala.util.Try(
+        f.getName.stripPrefix("manifest-v").stripSuffix(".txt").toInt).toOption)
+      .sorted.toSeq
+
+  /** Drop manifests older than the current pointer and any data file no
+    * surviving manifest references — the Iceberg expire-snapshots step. */
+  def vacuum(root: String): Unit = lockFor(root).synchronized {
+    val keep = readPointer(root)
+    versions(root).filter(_ != keep).foreach(v => manifestFile(root, v).delete())
+    val (_, liveFiles) = readManifest(root, keep)
+    val liveSet = liveFiles.toSet
+    val dataDir = new java.io.File(root, "data")
+    Option(dataDir.listFiles()).getOrElse(Array.empty).filter(_.isDirectory).foreach { fsDir =>
+      val rel = s"data/${fsDir.getName}"
+      val parts = Option(fsDir.listFiles()).getOrElse(Array.empty)
+      if (!parts.exists(p => liveSet.contains(s"$rel/${p.getName}")))
+        deleteDir(fsDir.toString)
+    }
+  }
 
   /** Drop the whole table (cleanup helper). */
   def dropTable(root: String): Unit = deleteDir(root)

@@ -289,16 +289,16 @@ class SketchAndSqlSpecs extends AnyFunSuite {
       TransactionOps.begin(spark)
       intercept[IllegalArgumentException](TransactionOps.begin(spark)) // nested
       TransactionOps.insertInto(spark, root, Seq((4, "d")).toDF("k", "v"))
-      // staged version dir exists on disk but pointer still says v0
+      // staged manifest exists on disk but pointer still says v0
       val staged = new java.io.File(root).listFiles().count(f =>
-        f.isDirectory && f.getName.startsWith("v"))
+        f.isFile && f.getName.startsWith("manifest-v"))
       assert(staged == 2)
       assert(TransactionOps.read(spark, root).count() == 4)
       assert(TransactionOps.readCommitted(spark, root).count() == 3)
       TransactionOps.rollback(spark)
       val after = new java.io.File(root).listFiles().count(f =>
-        f.isDirectory && f.getName.startsWith("v"))
-      assert(after == 1, "rollback must delete the staged version dir")
+        f.isFile && f.getName.startsWith("manifest-v"))
+      assert(after == 1, "rollback must delete the staged manifest")
       assert(TransactionOps.read(spark, root).count() == 3)
       // repeatable reads: snapshot pinned at first touch survives an
       // external commit until this txn ends
@@ -313,6 +313,56 @@ class SketchAndSqlSpecs extends AnyFunSuite {
       assert(TransactionOps.read(spark, root).count() == 4)
     } finally {
       TransactionOps.rollback(spark)
+      TransactionOps.dropTable(root)
+    }
+  }
+
+  test("transactions: INSERT writes O(delta) bytes and shares parent files; vacuum reclaims") {
+    import graft.operators.TransactionOps
+    val spark = graft.engine.Engine.session("local[2]", shufflePartitions = 2)
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, concat, lit}
+    val root = "tmp/txn_delta_bytes"
+    def dataBytes(): Long = {
+      def rec(f: java.io.File): Long =
+        if (f.isFile) f.length()
+        else Option(f.listFiles()).getOrElse(Array.empty).map(rec).sum
+      rec(new java.io.File(root, "data"))
+    }
+    def dataFiles(): Set[String] = {
+      def rec(f: java.io.File): Seq[java.io.File] =
+        if (f.isFile) Seq(f)
+        else Option(f.listFiles()).getOrElse(Array.empty).toSeq.flatMap(rec)
+      rec(new java.io.File(root, "data")).map(_.getAbsolutePath).toSet
+    }
+    try {
+      // 50k-row base table, then a 1-row INSERT: the new version must cost
+      // one small file set, not a table rewrite.
+      val base = spark.range(50000).select(
+        col("id").as("k"), concat(lit("padpadpadpadpad-"), col("id")).as("v"))
+      TransactionOps.createTable(spark, root, base)
+      val bytesV0 = dataBytes()
+      val filesV0 = dataFiles()
+      TransactionOps.insertInto(spark, root, Seq((-1L, "tiny")).toDF("k", "v"))
+      val delta = dataBytes() - bytesV0
+      assert(delta > 0 && delta < bytesV0 / 4,
+        s"INSERT must write O(delta) bytes: wrote $delta on a $bytesV0-byte table")
+      assert(filesV0.subsetOf(dataFiles()),
+        "parent data files must be shared, not rewritten")
+      assert(TransactionOps.read(spark, root).count() == 50001)
+      // file-pruned DELETE: predicate hits only the 1-row fileset, so the
+      // base files survive byte-identical.
+      TransactionOps.deleteWhere(spark, root, col("k") === -1L)
+      assert(filesV0.subsetOf(dataFiles()),
+        "DELETE must not rewrite files without matching rows")
+      assert(TransactionOps.read(spark, root).count() == 50000)
+      // time travel + vacuum
+      assert(TransactionOps.versions(root) == Seq(0, 1, 2))
+      assert(TransactionOps.readAt(spark, root, 1).count() == 50001)
+      TransactionOps.vacuum(root)
+      assert(TransactionOps.versions(root) == Seq(2))
+      assert(TransactionOps.read(spark, root).count() == 50000)
+    } finally {
       TransactionOps.dropTable(root)
     }
   }
