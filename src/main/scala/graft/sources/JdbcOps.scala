@@ -86,6 +86,13 @@ object JdbcOps {
       batchSize: Int = 1000): DataFrame = {
     import org.apache.spark.sql.types._
     import org.apache.spark.sql.Row
+    // The unquoted IN-list below is only sound for integral keys — fail
+    // at plan time, not with broken SQL at runtime (ADVICE r7).
+    probe.schema(probeKey).dataType match {
+      case ByteType | ShortType | IntegerType | LongType => ()
+      case other => throw new IllegalArgumentException(
+        s"indexLookupJoin requires an integral probe key; $probeKey is $other")
+    }
     val indexSchema = s.read.jdbc(url, table, props).select(
       lookupCols.map(org.apache.spark.sql.functions.col): _*).schema
     val outSchema = StructType(probe.schema.fields ++ indexSchema.fields)
@@ -105,30 +112,37 @@ object JdbcOps {
         // one IN-list lookup per batch, streamed — memory is O(batch x
         // fanout), never the whole partition's output
         it.grouped(batchSize).flatMap { chunk =>
-          val keys = chunk.map(_.get(probeIdx)).distinct
-          val in = keys.mkString(", ") // numeric keys only; no quoting needed
-          val st = conn.createStatement()
+          // NULL never equi-joins: null probe keys are excluded from the
+          // IN-list and their rows dropped below (inner-join semantics).
+          val keys = chunk.map(_.get(probeIdx)).filter(_ != null).distinct
           val matches = scala.collection.mutable.Map[Long, List[Array[Any]]]()
-          try {
-            val rs = st.executeQuery(
-              s"""SELECT "$indexKey", $cols FROM $table WHERE "$indexKey" IN ($in)""")
-            while (rs.next()) {
-              val k = rs.getLong(1)
-              val vals = Array.tabulate[Any](lookupCols.length) { i =>
-                rs.getObject(i + 2) match {
-                  // Spark's Derby dialect writes StringType as CLOB
-                  case c: java.sql.Clob => c.getSubString(1, c.length().toInt)
-                  case v => v
+          if (keys.nonEmpty) {
+            val in = keys.mkString(", ") // integral keys only (checked above)
+            val st = conn.createStatement()
+            try {
+              val rs = st.executeQuery(
+                s"""SELECT "$indexKey", $cols FROM $table WHERE "$indexKey" IN ($in)""")
+              while (rs.next()) {
+                val k = rs.getLong(1)
+                val vals = Array.tabulate[Any](lookupCols.length) { i =>
+                  rs.getObject(i + 2) match {
+                    // Spark's Derby dialect writes StringType as CLOB
+                    case c: java.sql.Clob => c.getSubString(1, c.length().toInt)
+                    case v => v
+                  }
                 }
+                matches(k) = vals :: matches.getOrElse(k, Nil)
               }
-              matches(k) = vals :: matches.getOrElse(k, Nil)
-            }
-            rs.close()
-          } finally st.close()
+              rs.close()
+            } finally st.close()
+          }
           chunk.iterator.flatMap { pr =>
-            val k = pr.get(probeIdx).asInstanceOf[Number].longValue()
-            matches.getOrElse(k, Nil).reverse.map(vals =>
-              Row.fromSeq(pr.toSeq ++ vals.toSeq))
+            pr.get(probeIdx) match {
+              case null => Nil
+              case n: Number =>
+                matches.getOrElse(n.longValue(), Nil).reverse.map(vals =>
+                  Row.fromSeq(pr.toSeq ++ vals.toSeq))
+            }
           }
         }
       }

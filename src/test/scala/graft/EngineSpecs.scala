@@ -255,6 +255,29 @@ class EngineSpecs extends AnyFunSuite with BeforeAndAfterAll {
     assert(viaJdbc == viaParquet)
   }
 
+  test("index join: null probe keys dropped (inner semantics), boundary keys match, non-integral key rejected") {
+    import org.apache.spark.sql.functions._
+    val s = spark
+    import s.implicits._
+    graft.sources.JdbcOps.writeTable(
+      Seq((0L, "zero"), (1L, "one"), (Long.MaxValue, "max"), (Long.MinValue, "min"))
+        .toDF("k", "name"), "graft_idx_null_spec")
+    val probe = Seq(
+      (Some(0L), "a"), (None, "b"), (Some(Long.MaxValue), "c"),
+      (Some(Long.MinValue), "d"), (None, "e"), (Some(42L), "f"))
+      .toDF("k", "tag")
+    val out = graft.sources.JdbcOps.indexLookupJoin(
+      spark, probe, "k", "graft_idx_null_spec", "k", Seq("name"), batchSize = 2)
+    val got = out.select("tag", "name").as[(String, String)].collect().toSet
+    // nulls (b, e) and the unmatched key (f) drop; boundary keys round-trip
+    assert(got == Set(("a", "zero"), ("c", "max"), ("d", "min")), got)
+    intercept[IllegalArgumentException] {
+      graft.sources.JdbcOps.indexLookupJoin(
+        spark, probe.select(col("tag"), col("k").cast("string").as("k")),
+        "k", "graft_idx_null_spec", "k", Seq("name"))
+    }
+  }
+
   test("bucketed tables join co-located: no shuffle on either side") {
     import org.apache.spark.sql.functions._
     spark.sql("DROP TABLE IF EXISTS graft_b_li")
