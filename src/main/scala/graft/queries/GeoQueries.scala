@@ -556,7 +556,9 @@ object GeoQueries extends QueryModule {
         |  CAST(4 AS BIGINT) AS simp_pts,
         |  CAST(r * r AS DOUBLE) / 2 AS inter_area,
         |  round(4 * r * r * sin(pi() / 16), 6) AS buf_area,
-        |  CAST(32 AS BIGINT) AS buf_pts
+        |  CAST(32 AS BIGINT) AS buf_pts,
+        |  CAST(3 * r * r AS DOUBLE) AS holed_area,
+        |  CAST(3 * r * r AS DOUBLE) AS holed_simp_area
         |FROM (SELECT s_suppkey,
         |        (s_suppkey * 13) % 35 + 2 AS cx,
         |        (s_suppkey * 29) % 35 + 2 AS cy,
@@ -586,7 +588,16 @@ object GeoQueries extends QueryModule {
         """concat('POLYGON ((', cx-r, ' ', cy-r, ', ', cx, ' ', cy-r, ', ',
           |  cx, ' ', cy, ', ', cx-r, ' ', cy, ', ', cx-r, ' ', cy-r, '))')
           |  AS clipbox""".stripMargin,
-        "concat('POINT (', cx, ' ', cy, ')') AS center")
+        "concat('POINT (', cx, ' ', cy, ')') AS center",
+        // 2r-square exterior with a collinear midpoint on the bottom
+        // edge (simplify target) + centered r-square hole: area 3r^2,
+        // preserved by simplification (holes are first-class — r7 fix).
+        """concat('POLYGON ((', cx-r, ' ', cy-r, ', ', cx, ' ', cy-r, ', ',
+          |  cx+r, ' ', cy-r, ', ', cx+r, ' ', cy+r, ', ', cx-r, ' ', cy+r, ', ',
+          |  cx-r, ' ', cy-r, '), (',
+          |  cx - r/2.0D, ' ', cy - r/2.0D, ', ', cx + r/2.0D, ' ', cy - r/2.0D, ', ',
+          |  cx + r/2.0D, ' ', cy + r/2.0D, ', ', cx - r/2.0D, ' ', cy + r/2.0D, ', ',
+          |  cx - r/2.0D, ' ', cy - r/2.0D, '))') AS holed""".stripMargin)
       val hullWkt = call_udf("st_convex_hull", col("hull_in"))
       val simpWkt = call_udf("simplify_geometry", col("diamond8"), lit(0.1))
       val interWkt = call_udf("st_intersection_convex", col("diamond"), col("clipbox"))
@@ -598,7 +609,10 @@ object GeoQueries extends QueryModule {
         WktGeometry.stNumPoints(simpWkt).as("simp_pts"),
         call_udf("st_wkt_area", interWkt).as("inter_area"),
         round(call_udf("st_wkt_area", bufWkt), 6).as("buf_area"),
-        WktGeometry.stNumPoints(bufWkt).as("buf_pts"))
+        WktGeometry.stNumPoints(bufWkt).as("buf_pts"),
+        call_udf("st_wkt_area", col("holed")).as("holed_area"),
+        call_udf("st_wkt_area",
+          call_udf("simplify_geometry", col("holed"), lit(0.1))).as("holed_simp_area"))
     },
 
     // ST_IsValid / geometry_invalid_reason (GeoFunctions.java stIsValid,

@@ -363,6 +363,44 @@ class GeoSpecs extends AnyFunSuite with BeforeAndAfterAll {
     assert(stIsValid("POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0))"))
   }
 
+  test("validity diagnoses malformed WKT instead of throwing (r7 advice)") {
+    import graft.functions.GeometryConstructors._
+    // missing '((' — previously StringIndexOutOfBounds
+    assert(Option(invalidReason("POLYGON (0 0, 1 1, 0 0)")).exists(_.startsWith("Invalid WKT")))
+    // EMPTY — previously NumberFormatException
+    assert(invalidReason("POLYGON EMPTY") == null)
+    assert(invalidReason("POINT EMPTY") == null)
+    assert(Option(invalidReason("garbage")).exists(_.startsWith("Invalid WKT")))
+    assert(Option(invalidReason("POLYGON ((a b, c d))")).exists(_.startsWith("Invalid WKT")))
+    assert(!stIsValid("POLYGON (0 0, 1 1, 0 0)"))
+    // interior rings are validated too
+    assert(invalidReason(
+      "POLYGON ((0 0, 9 0, 9 9, 0 9, 0 0), (2 2, 4 2, 4 4, 2 4))")
+      == "Interior ring 1 is not closed")
+    assert(stIsValid(
+      "POLYGON ((0 0, 9 0, 9 9, 0 9, 0 0), (2 2, 4 2, 4 4, 2 4, 2 2))"))
+  }
+
+  test("interior rings: hole-aware area/simplify; buffer raises instead of dropping holes") {
+    import graft.functions.GeometryConstructors._
+    val holed = "POLYGON ((0 0, 4 0, 8 0, 8 8, 0 8, 0 0), (2 2, 6 2, 6 6, 2 6, 2 2))"
+    // annulus area: 64 - 16
+    assert(wktArea(holed) == 48.0)
+    // simplify drops the collinear midpoint (4 0) but PRESERVES the hole
+    val simp = simplifyGeometry(holed, 0.1)
+    assert(simp == "POLYGON ((0 0, 8 0, 8 8, 0 8, 0 0), (2 2, 6 2, 6 6, 2 6, 2 2))", simp)
+    assert(wktArea(simp) == 48.0)
+    // a hole collapsing below the tolerance is dropped, not corrupted
+    val tinyHole = "POLYGON ((0 0, 8 0, 8 8, 0 8, 0 0), (4 4, 4.01 4, 4 4.01, 4 4))"
+    assert(simplifyGeometry(tinyHole, 0.1) == "POLYGON ((0 0, 8 0, 8 8, 0 8, 0 0))")
+    // buffer/intersection fail loudly on holed input (no silent exterior-only)
+    intercept[IllegalArgumentException](stBuffer(holed, 1.0))
+    intercept[IllegalArgumentException](
+      stIntersectionConvex(holed, "POLYGON ((0 0, 9 0, 9 9, 0 9, 0 0))"))
+    // hull over all vertices is unaffected by holes
+    assert(wktArea(stConvexHull(holed)) == 64.0)
+  }
+
   test("st_intersection_convex: Sutherland-Hodgman exact on rectangles/diamonds") {
     import graft.functions.GeometryConstructors._
     // overlapping unit squares offset by 0.5 -> 0.25 area
