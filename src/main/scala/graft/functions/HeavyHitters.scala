@@ -48,9 +48,15 @@ object MisraGries {
   }
 }
 
+/** `k` sizes the Misra-Gries summary (error bound N/k); `outputLimit`
+  * truncates the REPORTED map to the top entries without weakening the
+  * bound — Presto's approx_most_frequent(buckets, v, capacity) maps
+  * capacity -> k and buckets -> outputLimit (r7 advice: ignoring
+  * capacity degraded the error bound from N/capacity to N/buckets). */
 case class HeavyHittersAgg(
     child: Expression,
     k: Int,
+    outputLimit: Int = Int.MaxValue,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[scala.collection.mutable.HashMap[String, Long]]
@@ -73,7 +79,7 @@ case class HeavyHittersAgg(
   }
 
   override def eval(buf: scala.collection.mutable.HashMap[String, Long]): Any = {
-    val entries = buf.toSeq.sortBy { case (key, c) => (-c, key) }
+    val entries = buf.toSeq.sortBy { case (key, c) => (-c, key) }.take(outputLimit)
     ArrayBasedMapData(
       entries.map(e => UTF8String.fromString(e._1)).toArray,
       entries.map(_._2).toArray)
@@ -108,14 +114,20 @@ case class HeavyHittersAgg(
 
 object HeavyHitters {
   def install(spark: SparkSession): Unit = {
-    // Presto's public name for the same Misra-Gries aggregate
-    // (AbstractApproximateMostFrequent.java): approx_most_frequent(
-    // buckets, value, capacity) — buckets first; the third (internal
-    // sketch capacity) is accepted and ignored, this implementation's
-    // summary is already deterministic at k entries.
+    // Presto's public name for the same Misra-Gries summary:
+    // approx_most_frequent(buckets, value, capacity) — the summary is
+    // sized by CAPACITY (count error <= N/capacity) and the reported
+    // map truncated to the top `buckets` entries. Two-arg calls size by
+    // buckets directly.
     spark.sessionState.functionRegistry.createOrReplaceTempFunction("approx_most_frequent",
-      args => HeavyHittersAgg(args(1),
-        args(0).eval(null).asInstanceOf[Number].intValue()), "scala_udf")
+      args => {
+        val buckets = args(0).eval(null).asInstanceOf[Number].intValue()
+        val capacity = if (args.length > 2)
+          args(2).eval(null).asInstanceOf[Number].intValue() else buckets
+        require(capacity >= buckets,
+          s"approx_most_frequent: capacity ($capacity) must be >= buckets ($buckets)")
+        HeavyHittersAgg(args(1), capacity, outputLimit = buckets)
+      }, "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction("approx_heavy_hitters",
       args => HeavyHittersAgg(args.head,
         args(1).eval(null).asInstanceOf[Number].intValue()), "scala_udf")

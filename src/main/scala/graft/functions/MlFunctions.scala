@@ -18,10 +18,11 @@ import org.apache.spark.unsafe.types.UTF8String
   * The reference buffers the group's rows in aggregation state and
   * trains a libsvm model at output time. Same shape here, with two
   * Spark-first deltas:
-  *  - the sample buffer is CAPPED (first `SampleCap` per partition,
-  *    concatenated under merge, then sorted before training so the
-  *    fitted model is deterministic under any partitioning) — the
-  *    reference's unbounded collect would OOM a 100 TB group;
+  *  - the sample buffer is CAPPED at `SampleCap` rows, retained KMV
+  *    bottom-k by a stable content hash so the kept subset (and the
+  *    fitted model) is identical under any partitioning or merge
+  *    arrival order, at ANY group size — the reference's unbounded
+  *    collect would OOM a 100 TB group;
   *  - the model is a transparent string ("lr:<b>,<w...>" /
   *    "linreg:<b>,<w...>") instead of an opaque libsvm Slice, and the
   *    trainers are the published textbook algorithms: standardized
@@ -40,7 +41,44 @@ object MlFunctions {
 
   val SampleCap = 100000
 
-  final class Samples(val rows: scala.collection.mutable.ArrayBuffer[(Double, Array[Double])])
+  private def mix64(z0: Long): Long = {
+    var z = z0
+    z ^= z >>> 33; z *= 0xff51afd7ed558ccdL
+    z ^= z >>> 33; z *= 0xc4ceb9fe1a85ec53L
+    z ^= z >>> 33; z
+  }
+
+  /** Stable content hash of a sample — the KMV retention key. */
+  private[functions] def sampleHash(y: Double, x: Array[Double]): Long = {
+    var h = mix64(java.lang.Double.doubleToLongBits(y) ^ 0x9e3779b97f4a7c15L)
+    var i = 0
+    while (i < x.length) {
+      h = mix64(h ^ java.lang.Double.doubleToLongBits(x(i)) ^ (i + 1).toLong)
+      i += 1
+    }
+    h
+  }
+
+  /** Capped sample reservoir: keeps the SampleCap samples with the
+    * SMALLEST stable content hash (KMV / bottom-k), so the retained
+    * subset — and therefore the fitted model — is identical under ANY
+    * partitioning, split sizing, or merge arrival order (r7 advice: a
+    * keep-first cap was arrival-order-dependent once a group exceeded
+    * the cap). Max-heap on hash: the largest retained hash evicts first;
+    * O(log cap) per row past the cap. */
+  final class Samples(
+      init: scala.collection.mutable.ArrayBuffer[(Double, Array[Double])]) {
+    private[graft] val heap =
+      scala.collection.mutable.PriorityQueue.empty[(Long, Double, Array[Double])](
+        Ordering.by(_._1))
+    init.foreach { case (y, x) => add(y, x) }
+    def size: Int = heap.size
+    def add(y: Double, x: Array[Double]): Unit = addHashed(sampleHash(y, x), y, x)
+    private[graft] def addHashed(h: Long, y: Double, x: Array[Double]): Unit =
+      if (heap.size < SampleCap) heap.enqueue((h, y, x))
+      else if (h < heap.head._1) { heap.dequeue(); heap.enqueue((h, y, x)) }
+    def rows: Iterator[(Double, Array[Double])] = heap.iterator.map(t => (t._2, t._3))
+  }
 
   // ---- shared sample-buffer plumbing ----
 
@@ -54,29 +92,31 @@ object MlFunctions {
     out
   }
 
-  private[functions] def serializeSamples(buf: Samples): Array[Byte] = {
+  private[graft] def serializeSamples(buf: Samples): Array[Byte] = {
     val bos = new java.io.ByteArrayOutputStream()
     val out = new java.io.DataOutputStream(bos)
-    out.writeInt(buf.rows.length)
-    buf.rows.foreach { case (y, x) =>
-      out.writeDouble(y); out.writeInt(x.length); x.foreach(out.writeDouble)
+    out.writeInt(buf.size)
+    buf.heap.foreach { case (h, y, x) =>
+      out.writeLong(h); out.writeDouble(y)
+      out.writeInt(x.length); x.foreach(out.writeDouble)
     }
     out.flush(); bos.toByteArray
   }
 
-  private[functions] def deserializeSamples(bytes: Array[Byte]): Samples = {
+  private[graft] def deserializeSamples(bytes: Array[Byte]): Samples = {
     val in = new java.io.DataInputStream(new java.io.ByteArrayInputStream(bytes))
     val n = in.readInt()
-    val rows = new scala.collection.mutable.ArrayBuffer[(Double, Array[Double])](n)
+    val buf = new Samples(scala.collection.mutable.ArrayBuffer.empty)
     var i = 0
     while (i < n) {
+      val h = in.readLong()
       val y = in.readDouble()
       val d = in.readInt()
       val x = Array.fill(d)(in.readDouble())
-      rows += ((y, x))
+      buf.addHashed(h, y, x)
       i += 1
     }
-    new Samples(rows)
+    buf
   }
 
   /** Deterministic training order regardless of partitioning (any
@@ -253,19 +293,17 @@ case class LearnModelAgg(
     new Samples(new scala.collection.mutable.ArrayBuffer[(Double, Array[Double])]())
 
   override def update(buf: Samples, input: InternalRow): Samples = {
-    if (buf.rows.length < SampleCap) {
-      val y = left.eval(input)
-      val m = right.eval(input)
-      if (y != null && m != null)
-        buf.rows += ((y.asInstanceOf[Double],
-          MlFunctions.mapToDense(m.asInstanceOf[MapData])))
-    }
+    val y = left.eval(input)
+    val m = right.eval(input)
+    if (y != null && m != null)
+      buf.add(y.asInstanceOf[Double], MlFunctions.mapToDense(m.asInstanceOf[MapData]))
     buf
   }
 
   override def merge(buf: Samples, other: Samples): Samples = {
-    val room = SampleCap - buf.rows.length
-    if (room > 0) buf.rows ++= other.rows.take(room)
+    // hashes travel with the samples: the merged reservoir is the
+    // bottom-k of the union, independent of arrival order
+    other.heap.foreach { case (h, y, x) => buf.addHashed(h, y, x) }
     buf
   }
 

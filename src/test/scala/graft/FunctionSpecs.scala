@@ -507,6 +507,30 @@ class FunctionSpecs extends AnyFunSuite {
     assert(viaSortedA == viaSortedB)
   }
 
+  test("ML sample cap is KMV: retained subset is arrival-order-independent past the cap (r7 advice)") {
+    import graft.functions.MlFunctions
+    // n = cap + 20000: a keep-first cap would retain different subsets
+    // for different arrival orders; bottom-k-by-hash must not.
+    val n = MlFunctions.SampleCap + 20000
+    val all = (0 until n).map(i => (i % 2.0, Array(i.toDouble, (i * 7 % 1000).toDouble)))
+    val fwd = new MlFunctions.Samples(scala.collection.mutable.ArrayBuffer(all: _*))
+    val rev = new MlFunctions.Samples(scala.collection.mutable.ArrayBuffer(all.reverse: _*))
+    assert(fwd.size == MlFunctions.SampleCap && rev.size == MlFunctions.SampleCap)
+    val a = MlFunctions.sorted(fwd).map { case (y, x) => (y, x.toSeq) }
+    val b = MlFunctions.sorted(rev).map { case (y, x) => (y, x.toSeq) }
+    assert(a.sameElements(b), "retained sample must not depend on arrival order")
+    // merge-path equivalence: two half-reservoirs merged == one pass
+    val (h1, h2) = all.splitAt(n / 2)
+    val left = new MlFunctions.Samples(scala.collection.mutable.ArrayBuffer(h1: _*))
+    val right = new MlFunctions.Samples(scala.collection.mutable.ArrayBuffer(h2: _*))
+    right.heap.foreach { case (h, y, x) => left.addHashed(h, y, x) }
+    val merged = MlFunctions.sorted(left).map { case (y, x) => (y, x.toSeq) }
+    assert(merged.sameElements(a), "merge must equal the single-pass reservoir")
+    // serde round-trip preserves the reservoir exactly
+    val rt = MlFunctions.deserializeSamples(MlFunctions.serializeSamples(fwd))
+    assert(MlFunctions.sorted(rt).map { case (y, x) => (y, x.toSeq) }.sameElements(a))
+  }
+
   // ---- Color plugin (ColorFunctions.java) ----
 
   test("color value encoding: rgb packing, #rgb hex, system names") {

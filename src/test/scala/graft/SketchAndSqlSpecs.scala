@@ -267,12 +267,19 @@ class SketchAndSqlSpecs extends AnyFunSuite {
     import spark.implicits._
     (1 to 100).map(i => if (i <= 60) "a" else if (i <= 90) "b" else s"c$i")
       .toDF("v").createOrReplaceTempView("amf_t")
-    // Misra-Gries guarantee: reported >= true - n/k; with k=4, n=100:
-    // a (true 60) >= 35, b (true 30) >= 5, both must survive
+    // capacity (100) sizes the summary -> error <= n/capacity = 1;
+    // buckets (4) only truncates the output (r7 advice)
     val m = spark.sql("SELECT approx_most_frequent(4, v, 100) FROM amf_t")
       .head().getMap[String, Long](0)
-    assert(m.contains("a") && m("a") >= 35, m)
-    assert(m.contains("b") && m("b") >= 5, m)
+    assert(m.size <= 4, m)
+    assert(m.contains("a") && m("a") >= 59, m)
+    assert(m.contains("b") && m("b") >= 29, m)
+    // two-arg form sizes by buckets: weaker N/4 bound still holds
+    val m2 = spark.sql("SELECT approx_heavy_hitters(v, 4) FROM amf_t")
+      .head().getMap[String, Long](0)
+    assert(m2.contains("a") && m2("a") >= 35, m2)
+    intercept[Exception](
+      spark.sql("SELECT approx_most_frequent(50, v, 4) FROM amf_t").head())
   }
 
   // ---- TransactionOps protocol edges ----
