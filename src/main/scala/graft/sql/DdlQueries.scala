@@ -4,11 +4,10 @@ import org.apache.spark.sql.functions._
 import graft.queries.{Q, QueryModule}
 
 /** DDL/DML subset (SURVEY §2.8 / §7.2.5): CREATE TABLE AS, INSERT INTO,
-  * temp views, SHOW/DESCRIBE/EXPLAIN passthrough, and START TRANSACTION/
-  * COMMIT/ROLLBACK over version-pointer tables (TransactionOps —
-  * snapshot isolation with first-committer-wins conflicts). GRANT/REVOKE
-  * remain out of scope (documented — access control maps to catalog
-  * features Spark exposes elsewhere).
+  * temp views, SHOW/DESCRIBE/EXPLAIN passthrough, START TRANSACTION/
+  * COMMIT/ROLLBACK over delta-manifest tables (TransactionOps —
+  * snapshot isolation with first-committer-wins conflicts), and
+  * GRANT/REVOKE/SHOW GRANTS with plan-time enforcement (AccessControl).
   *
   * Results are deterministic properties (the side effects themselves are
   * exercised, then cleaned up), stated as literals in the oracle.
@@ -269,6 +268,56 @@ object DdlQueries extends QueryModule {
       } finally {
         TransactionOps.rollback(s)
         TransactionOps.dropTable(root)
+      }
+    },
+
+    // GRANT / REVOKE / SHOW GRANTS through the front door (SqlBase.g4:
+    // 87-91, GrantTask/RevokeTask; AccessControl enforcement at plan
+    // time). A table becomes ACL-managed at its first GRANT; admin
+    // bypasses; WITH GRANT OPTION delegates granting; REVOKE takes
+    // effect on the very next front-door statement. Deterministic
+    // protocol outcome -> literal oracle.
+    Q("ddl_grant_revoke",
+      """SELECT 25 AS admin_rows, 25 AS alice_rows, true AS bob_denied,
+        |  25 AS bob_rows, true AS bob_can_grant, true AS alice_grant_denied,
+        |  3 AS n_grants, true AS alice_revoked_denied, 2 AS n_grants_after""".stripMargin) { (s, _) =>
+      import s.implicits._
+      def count(): Long =
+        PrestoSql.sql(s, "SELECT count(*) AS c FROM nation").head().getLong(0)
+      def denied(body: => Any): Boolean =
+        try { body; false }
+        catch { case _: AccessControl.AccessDeniedException => true }
+      try {
+        PrestoSql.sql(s, "GRANT SELECT ON TABLE nation TO alice")
+        val adminRows = count() // admin bypasses the ACL
+        PrestoSql.sql(s, "SET SESSION AUTHORIZATION alice")
+        val aliceRows = count()
+        PrestoSql.sql(s, "SET SESSION AUTHORIZATION bob")
+        val bobDenied = denied(count())
+        PrestoSql.sql(s, "SET SESSION AUTHORIZATION admin")
+        PrestoSql.sql(s, "GRANT SELECT ON nation TO bob WITH GRANT OPTION")
+        PrestoSql.sql(s, "SET SESSION AUTHORIZATION bob")
+        val bobRows = count()
+        val bobCanGrant =
+          !denied(PrestoSql.sql(s, "GRANT SELECT ON nation TO carol"))
+        PrestoSql.sql(s, "SET SESSION AUTHORIZATION alice")
+        val aliceGrantDenied =
+          denied(PrestoSql.sql(s, "GRANT SELECT ON nation TO dave"))
+        PrestoSql.sql(s, "SET SESSION AUTHORIZATION admin")
+        val nGrants = PrestoSql.sql(s, "SHOW GRANTS ON TABLE nation").count()
+        PrestoSql.sql(s, "REVOKE SELECT ON nation FROM alice")
+        PrestoSql.sql(s, "SET SESSION AUTHORIZATION alice")
+        val aliceRevokedDenied = denied(count())
+        PrestoSql.sql(s, "SET SESSION AUTHORIZATION admin")
+        val nAfter = PrestoSql.sql(s, "SHOW GRANTS ON nation").count()
+        Seq((adminRows, aliceRows, bobDenied, bobRows, bobCanGrant,
+          aliceGrantDenied, nGrants, aliceRevokedDenied, nAfter))
+          .toDF("admin_rows", "alice_rows", "bob_denied", "bob_rows",
+            "bob_can_grant", "alice_grant_denied", "n_grants",
+            "alice_revoked_denied", "n_grants_after")
+      } finally {
+        AccessControl.setPrincipal(s, "admin")
+        AccessControl.clear()
       }
     })
 }

@@ -242,6 +242,17 @@ object PrestoSql {
   private val resetSessionRe = """(?is)\s*RESET\s+SESSION\s+([\w.]+)\s*""".r
   private val showSessionRe = """(?is)\s*SHOW\s+SESSION\s*""".r
 
+  // ---- GRANT / REVOKE / SHOW GRANTS (reference: SqlBase.g4:87-91,
+  // GrantTask.java, RevokeTask.java; enforcement in AccessControl) ----
+  private val grantRe =
+    """(?is)\s*GRANT\s+(.+?)\s+ON\s+(?:TABLE\s+)?([\w.]+)\s+TO\s+(?:USER\s+|ROLE\s+)?(\w+)(\s+WITH\s+GRANT\s+OPTION)?\s*""".r
+  private val revokeRe =
+    """(?is)\s*REVOKE\s+(GRANT\s+OPTION\s+FOR\s+)?(.+?)\s+ON\s+(?:TABLE\s+)?([\w.]+)\s+FROM\s+(?:USER\s+|ROLE\s+)?(\w+)\s*""".r
+  private val showGrantsRe =
+    """(?is)\s*SHOW\s+GRANTS(?:\s+ON\s+(?:TABLE\s+)?([\w.]+))?\s*""".r
+  private val setAuthRe =
+    """(?is)\s*SET\s+SESSION\s+AUTHORIZATION\s+'?([\w]+)'?\s*""".r
+
   /** Split `USING a, b, c` argument text on top-level commas (string
     * literals and parens respected).
     */
@@ -300,6 +311,19 @@ object PrestoSql {
         // the runtime-metric-annotated plan as a one-row result.
         val (planText, _) = ExplainAnalyze.analyze(spark.sql(rewriteFull(query)))
         Seq(planText).toDF("plan")
+      case setAuthRe(user) =>
+        AccessControl.setPrincipal(spark, user)
+        Seq("SET SESSION AUTHORIZATION").toDF("result")
+      case grantRe(privs, table, grantee, grantOpt) =>
+        AccessControl.grant(spark, privs, table, grantee, grantOpt != null)
+        Seq("GRANT").toDF("result")
+      case revokeRe(optOnly, privs, table, grantee) =>
+        AccessControl.revoke(spark, privs, table, grantee, optOnly != null)
+        Seq("REVOKE").toDF("result")
+      case showGrantsRe(table) =>
+        AccessControl.grants(Option(table))
+          .map(g => (g.grantee, g.table, g.privilege, g.grantable))
+          .toDF("grantee", "table_name", "privilege_type", "is_grantable")
       case setSessionRe(name, value) =>
         val v = unquote(value)
         propsOf(spark).put(name.toLowerCase, v)
@@ -330,9 +354,13 @@ object PrestoSql {
         val query = stmtsOf(spark).getOrElse(name.toLowerCase,
           throw new IllegalArgumentException(s"Prepared statement not found: $name"))
         val args = if (argText == null) Seq.empty else splitArgs(argText)
-        spark.sql(rewriteFull(bindParams(query, args)))
+        val bound = rewriteFull(bindParams(query, args))
+        AccessControl.enforce(spark, bound)
+        spark.sql(bound)
       case _ =>
-        spark.sql(rewriteFull(text))
+        val rewritten = rewriteFull(text)
+        AccessControl.enforce(spark, rewritten)
+        spark.sql(rewritten)
     }
   }
 }

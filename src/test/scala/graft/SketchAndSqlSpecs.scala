@@ -282,6 +282,42 @@ class SketchAndSqlSpecs extends AnyFunSuite {
       spark.sql("SELECT approx_most_frequent(50, v, 4) FROM amf_t").head())
   }
 
+  // ---- AccessControl (GRANT/REVOKE) edges ----
+
+  test("access control: revoked SELECT raises on the next front-door query; writes need INSERT/DELETE") {
+    import graft.sql.{AccessControl, PrestoSql}
+    val spark = graft.engine.Engine.session("local[2]", shufflePartitions = 2)
+    import spark.implicits._
+    try {
+      Seq((1, "a"), (2, "b")).toDF("k", "v").createOrReplaceTempView("acl_t")
+      spark.sql("DROP TABLE IF EXISTS acl_managed")
+      spark.sql("CREATE TABLE acl_managed USING PARQUET AS SELECT * FROM acl_t")
+      PrestoSql.sql(spark, "GRANT SELECT, INSERT ON acl_managed TO eve")
+      PrestoSql.sql(spark, "SET SESSION AUTHORIZATION eve")
+      assert(PrestoSql.sql(spark, "SELECT count(*) AS c FROM acl_managed").head().getLong(0) == 2)
+      // INSERT granted -> allowed; the inserted row is visible
+      PrestoSql.sql(spark, "INSERT INTO acl_managed VALUES (3, 'c')")
+      // DELETE not granted -> denied at plan time
+      intercept[AccessControl.AccessDeniedException](
+        PrestoSql.sql(spark, "DELETE FROM acl_managed WHERE k = 1"))
+      // revoke SELECT: the very next front-door read must raise
+      PrestoSql.sql(spark, "SET SESSION AUTHORIZATION admin")
+      PrestoSql.sql(spark, "REVOKE SELECT ON acl_managed FROM eve")
+      PrestoSql.sql(spark, "SET SESSION AUTHORIZATION eve")
+      intercept[AccessControl.AccessDeniedException](
+        PrestoSql.sql(spark, "SELECT * FROM acl_managed"))
+      // unmanaged tables stay allow-all for everyone
+      assert(PrestoSql.sql(spark, "SELECT count(*) AS c FROM acl_t").head().getLong(0) == 2)
+      // grant-option delegation is not implied by a plain grant
+      intercept[AccessControl.AccessDeniedException](
+        PrestoSql.sql(spark, "GRANT SELECT ON acl_managed TO mallory"))
+    } finally {
+      AccessControl.setPrincipal(spark, "admin")
+      AccessControl.clear()
+      spark.sql("DROP TABLE IF EXISTS acl_managed")
+    }
+  }
+
   // ---- TransactionOps protocol edges ----
 
   test("transactions: nesting rejected, stray commit rejected, rollback cleans staging") {
