@@ -336,5 +336,48 @@ object SourceQueries extends QueryModule {
       } finally {
         org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
       }
+    },
+
+    // Record-decoder connector (Kafka analog; KafkaRecordSet.java:53,
+    // presto-record-decoder JsonRowDecoder slash paths): a segmented
+    // file-backed offset log built from the 4000 lowest orderkeys
+    // (partition = o_orderkey % 4, offset = per-partition row_number),
+    // JSON payloads with a nested field, scanned with an offset-range
+    // predicate [100, 299] that prunes whole segments from metadata
+    // (EngineSpecs pins the split count) and filters records exactly.
+    // The oracle recomputes the same log coordinates with window
+    // functions over orders.
+    Q("src_kafka_decoder",
+      """WITH base AS (SELECT o_orderkey, o_custkey FROM orders ORDER BY o_orderkey LIMIT 4000),
+        |log AS (SELECT o_orderkey % 4 AS p,
+        |    row_number() OVER (PARTITION BY o_orderkey % 4 ORDER BY o_orderkey) - 1 AS off,
+        |    o_orderkey AS k, o_custkey AS ck FROM base)
+        |SELECT CAST(p AS BIGINT) AS partition_id, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(k) AS BIGINT) AS key_sum, CAST(sum(ck) AS BIGINT) AS cust_sum,
+        |  CAST(min(off) AS BIGINT) AS min_off, CAST(max(off) AS BIGINT) AS max_off
+        |FROM log WHERE off BETWEEN 100 AND 299
+        |GROUP BY p ORDER BY partition_id""".stripMargin) { (s, _) =>
+      val dir = "tmp/graft_recordlog"
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+      // bounded fixture construction (4000 rows to the driver, the
+      // "broker side"; the scan/decode below is fully distributed)
+      val slice = s.table("orders").select("o_orderkey", "o_custkey")
+        .orderBy("o_orderkey").limit(4000).collect()
+      (0 until 4).foreach { p =>
+        val recs = slice.filter(_.getLong(0) % 4 == p).sortBy(_.getLong(0))
+          .zipWithIndex.map { case (r, i) =>
+            val k = r.getLong(0); val c = r.getLong(1)
+            val key = java.nio.ByteBuffer.allocate(8).putLong(k).array()
+            (i.toLong, key, s"""{"k":$k,"d":{"ck":$c}}""".getBytes("UTF-8"))
+          }.toSeq
+        RecordLog.writePartition(dir, "orders", p, recs, 250)
+      }
+      val scanned = RecordLog.readTopic(s, dir, "orders", offsetMin = 100, offsetMax = 299)
+      RecordLog.decodeJson(scanned,
+          Seq(("k", "k", "BIGINT"), ("ck", "d/ck", "BIGINT")))
+        .groupBy(col("_partition_id").as("partition_id"))
+        .agg(count(lit(1)).as("n"), sum("k").as("key_sum"), sum("ck").as("cust_sum"),
+          min("_partition_offset").as("min_off"), max("_partition_offset").as("max_off"))
+        .orderBy("partition_id")
     })
 }

@@ -278,6 +278,46 @@ class EngineSpecs extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("record log: offset predicate prunes segments from metadata; csv/raw decoders round-trip") {
+    import graft.sources.RecordLog
+    import org.apache.spark.sql.functions._
+    val dir = "tmp/graft_recordlog_spec"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    // 2 partitions x 1000 offsets, 250 per segment -> 8 segment files
+    (0 until 2).foreach { p =>
+      val recs = (0L until 1000L).map { off =>
+        val v = off * 2 + p
+        val raw = java.nio.ByteBuffer.allocate(12).putInt(v.toInt).putLong(v * 10).array()
+        (off, null: Array[Byte], raw)
+      }
+      RecordLog.writePartition(dir, "t", p, recs, 250)
+    }
+    assert(RecordLog.plannedSegments(dir, "t") == 8)
+    // [100, 299] intersects segments 0-249 and 250-499 only: 4 of 8 survive
+    assert(RecordLog.plannedSegments(dir, "t", 100, 299) == 4,
+      "segment pruning must drop disjoint ranges without reading them")
+    val scanned = RecordLog.readTopic(spark, dir, "t", 100, 299)
+    assert(scanned.count() == 400) // exact record-level filter: 200 x 2 partitions
+    assert(scanned.agg(min("_partition_offset"), max("_partition_offset")).head() ==
+      org.apache.spark.sql.Row(100L, 299L))
+    // raw decoder: big-endian INT at [0,4), LONG at [4,12)
+    val raw = RecordLog.decodeRaw(scanned,
+      Seq(("v", "0:4:INT"), ("v10", "4:12:LONG")))
+    assert(raw.filter(col("v10") =!= col("v") * 10).count() == 0)
+    assert(raw.filter(col("_partition_id") === 0 && col("_partition_offset") === 100)
+      .head().getAs[Long]("v") == 200L)
+    // csv decoder: positional mapping with casts
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    val csvRecs = (0L until 10L).map(i =>
+      (i, null: Array[Byte], s"$i,name$i,${i * 1.5}".getBytes("UTF-8")))
+    RecordLog.writePartition(dir, "c", 0, csvRecs, 100)
+    val csv = RecordLog.decodeCsv(RecordLog.readTopic(spark, dir, "c"),
+      Seq(("id", 0, "BIGINT"), ("name", 1, "STRING"), ("score", 2, "DOUBLE")))
+    val r7 = csv.filter(col("id") === 7).head()
+    assert(r7.getAs[String]("name") == "name7" && r7.getAs[Double]("score") == 10.5)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+  }
+
   test("bucketed tables join co-located: no shuffle on either side") {
     import org.apache.spark.sql.functions._
     spark.sql("DROP TABLE IF EXISTS graft_b_li")
