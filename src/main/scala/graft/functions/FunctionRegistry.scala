@@ -43,6 +43,7 @@ object FunctionRegistry {
       ColorFunctions.install(spark)
       GeometryConstructors.install(spark)
       MlFunctions.install(spark)
+      TimestampTzFunctions.install(spark)
       installed.put(spark, java.lang.Boolean.TRUE)
     }
   }

@@ -905,5 +905,48 @@ object FuncQueries extends QueryModule {
         "render(p_brand, color('red')) AS rendered",
         "render('X', rgb(p_partkey % 256, (p_partkey * 7) % 256, (p_partkey * 13) % 256)) AS rendered_cube",
         "render(p_partkey % 2 = 0) AS rendered_bool")
+    },
+
+    // Zone-carrying TIMESTAMP WITH TIME ZONE (DateTimeEncoding.java:
+    // packed (millisUtc << 12) | zoneKey; TimeZoneKey.java) — the r7
+    // "UTC-normalized pair" delta closed: values carry their zone
+    // through at_timezone round-trips, and timezone_hour/_minute read
+    // the CARRIED zone, not the session zone. Oracle zones are fixed
+    // offset (no DST) so the expected offsets are CASE constants;
+    // DST-aware offsets are spec-pinned (FunctionSpecs). The rendered
+    // string proves wall-time preservation: with_timezone interprets
+    // the wall clock in the zone and tz_format renders it back.
+    Q("func_datetime_tz",
+      """WITH t AS (SELECT s_suppkey,
+        |    TIMESTAMP '1995-01-01 00:00:00' + s_suppkey * INTERVAL 1 HOUR AS wall,
+        |    CASE s_suppkey % 4 WHEN 0 THEN 'UTC' WHEN 1 THEN 'Asia/Tokyo'
+        |         WHEN 2 THEN 'Asia/Kolkata' ELSE '-07:00' END AS zone,
+        |    CASE s_suppkey % 4 WHEN 0 THEN 0 WHEN 1 THEN 32400
+        |         WHEN 2 THEN 19800 ELSE -25200 END AS offs
+        |  FROM supplier)
+        |SELECT s_suppkey,
+        |  CAST((epoch(wall) - offs) * 1000 AS BIGINT) AS millis_utc,
+        |  zone AS zone_out,
+        |  CAST(offs // 3600 AS BIGINT) AS tz_hour,
+        |  CAST((offs // 60) % 60 AS BIGINT) AS tz_minute,
+        |  true AS roundtrip,
+        |  strftime(wall, '%Y-%m-%d %H:%M:%S') || '.000 ' || zone AS rendered
+        |FROM t""".stripMargin) { (s, _) =>
+      graft.functions.FunctionRegistry.installAll(s)
+      s.table("supplier").selectExpr("s_suppkey",
+          "timestampadd(HOUR, CAST(s_suppkey AS INT), TIMESTAMP'1995-01-01 00:00:00') AS wall",
+          """CASE CAST(s_suppkey % 4 AS INT) WHEN 0 THEN 'UTC' WHEN 1 THEN 'Asia/Tokyo'
+            |     WHEN 2 THEN 'Asia/Kolkata' ELSE '-07:00' END AS zone""".stripMargin)
+        .selectExpr("s_suppkey", "with_timezone(wall, zone) AS packed", "wall", "zone")
+        .selectExpr("s_suppkey",
+          "tz_millis(packed) AS millis_utc",
+          "tz_zone(packed) AS zone_out",
+          "tz_timezone_hour(packed) AS tz_hour",
+          "tz_timezone_minute(packed) AS tz_minute",
+          // zone survives a UTC detour; instant survives a re-tag
+          """tz_zone(tz_at_timezone(tz_at_timezone(packed, 'UTC'), zone)) = zone
+            |AND tz_millis(tz_at_timezone(packed, 'Asia/Tokyo')) = tz_millis(packed)
+            |AS roundtrip""".stripMargin,
+          "tz_format(packed) AS rendered")
     })
 }

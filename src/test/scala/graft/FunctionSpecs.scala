@@ -566,4 +566,39 @@ class FunctionSpecs extends AnyFunSuite {
     assert(bar(0.0, 4, rgb(255, 0, 0), rgb(0, 255, 0)).count(_ == '█') == 0)
     assert(bar(1.0, 4, rgb(255, 0, 0), rgb(0, 255, 0)).count(_ == '█') == 4)
   }
+
+  test("tstz packing: zone survives round-trips, offsets are DST-aware, Presto bit layout") {
+    import graft.functions.TimestampTzFunctions._
+    def wallMicros(s: String): Long =
+      java.time.LocalDateTime.parse(s).toInstant(java.time.ZoneOffset.UTC).toEpochMilli * 1000L
+    // bit layout: (millisUtc << 12) | zoneKey, key 0 = UTC
+    // (DateTimeEncoding.java:26-31, TimeZoneKey.java:41)
+    val utcNoon = withTimezone(wallMicros("2020-06-01T12:00:00"), "UTC")
+    assert((utcNoon & 0xFFFL) == 0L)
+    assert(unpackMillis(utcNoon) ==
+      java.time.Instant.parse("2020-06-01T12:00:00Z").toEpochMilli)
+    // with_timezone interprets the WALL clock in the zone: noon in LA
+    // winter = 20:00 UTC (PST, -8); summer = 19:00 UTC (PDT, -7)
+    val winter = withTimezone(wallMicros("2020-01-15T12:00:00"), "America/Los_Angeles")
+    val summer = withTimezone(wallMicros("2020-07-15T12:00:00"), "America/Los_Angeles")
+    assert(unpackMillis(winter) == java.time.Instant.parse("2020-01-15T20:00:00Z").toEpochMilli)
+    assert(unpackMillis(summer) == java.time.Instant.parse("2020-07-15T19:00:00Z").toEpochMilli)
+    assert(offsetSeconds(winter) == -8 * 3600 && offsetSeconds(summer) == -7 * 3600,
+      "timezone_hour must read the carried zone AT the carried instant (DST)")
+    // at_timezone: instant fixed, zone re-tagged; zone survives a detour
+    val tokyo = atTimezone(winter, "Asia/Tokyo")
+    assert(unpackMillis(tokyo) == unpackMillis(winter))
+    assert(unpackZone(atTimezone(tokyo, "America/Los_Angeles")) == "America/Los_Angeles")
+    assert(offsetSeconds(tokyo) == 9 * 3600)
+    // fixed-offset zones: +05:30 carries half-hour offsets
+    val ist = withTimezone(wallMicros("2020-01-01T00:00:00"), "+05:30")
+    assert(unpackZone(ist) == "+05:30" && offsetSeconds(ist) == 19800)
+    // rendering preserves the wall clock of the carrying zone
+    assert(format(winter) == "2020-01-15 12:00:00.000 America/Los_Angeles")
+    assert(format(tokyo) == "2020-01-16 05:00:00.000 Asia/Tokyo")
+    // zone keys: named zones round-trip through the 12-bit key space
+    Seq("UTC", "Europe/Paris", "Asia/Kolkata", "America/Phoenix", "+14:00", "-09:15")
+      .foreach(z => assert(zoneId(zoneKey(z)) == z, z))
+    intercept[IllegalArgumentException](zoneKey("Not/AZone"))
+  }
 }
