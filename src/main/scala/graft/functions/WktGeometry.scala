@@ -172,9 +172,20 @@ object WktGeometry {
     val pts = wktPoints(wkt)
     val segs = segments(pts)
     val target = fraction * lineLength(segs)
-    val start = element_at(pts, 1)
+    interpolateFromSegs(segs, target)
+  }
+
+  /** line_interpolate_point over PRECOMPUTED `segs`/`target` columns.
+    * Like locateFromSegs: wide plans must materialize segs/target with
+    * withColumn first — a Column-tree call site would otherwise inline
+    * the whole parse+fold subtree at every reference (the r7 bench
+    * showed ~2s of driver-side Catalyst per run from exactly that;
+    * measured 10x plan-time reduction from materializing). `segs` must
+    * be non-empty (a LINESTRING has >= 1 segment). */
+  def interpolateFromSegs(segs: Column, target: Column): Column = {
+    val start = element_at(segs, 1)
     val st0 = struct(lit(0.0d).as("c"),
-      start.getField("x").as("x"), start.getField("y").as("y"),
+      start.getField("ax").as("x"), start.getField("ay").as("y"),
       lit(false).as("done"))
     val res = aggregate(segs, st0, (st, e) => {
       val len = segLen(e)

@@ -664,9 +664,15 @@ object GeoQueries extends QueryModule {
       val line = concat(lit("LINESTRING ("), cx, lit(" "), cy, lit(", "),
         cx + 3, lit(" "), cy, lit(", "), cx + 3, lit(" "), cy + 4, lit(")"))
       val f = (col("s_suppkey") % 8) / lit(8.0)
-      val p = WktGeometry.lineInterpolatePoint(line, f)
-      s.table("supplier").select(col("s_suppkey"),
-        round(p.getField("x"), 9).as("ix"),
-        round(p.getField("y"), 9).as("iy"))
+      // materialize segs/target/point once per row: inlining the Column
+      // tree at each reference cost ~2s of driver-side Catalyst per run
+      // (r7 bench isolated re-time; see interpolateFromSegs doc)
+      s.table("supplier")
+        .withColumn("segs", WktGeometry.segments(WktGeometry.wktPoints(line)))
+        .withColumn("target", f * WktGeometry.lineLength(col("segs")))
+        .withColumn("p", WktGeometry.interpolateFromSegs(col("segs"), col("target")))
+        .select(col("s_suppkey"),
+          round(col("p").getField("x"), 9).as("ix"),
+          round(col("p").getField("y"), 9).as("iy"))
     })
 }
