@@ -323,6 +323,47 @@ object GeometryConstructors {
     if (out.length < 3) "POLYGON EMPTY" else renderRing(out.toArray)
   }
 
+  /** ST_Intersection for ARBITRARY simple polygons (non-convex both
+    * sides) — dispatch: a convex clip keeps the exact Sutherland–Hodgman
+    * path; otherwise Greiner–Hormann ([[PolygonClip]]). Result renders
+    * as POLYGON, MULTIPOLYGON (a non-convex pair can intersect in
+    * several parts), or POLYGON EMPTY. Holes raise (parseWkt). */
+  def stIntersection(subjectWkt: String, clipWkt: String): String = {
+    val subj = parseWkt(subjectWkt)._2
+    val clip = parseWkt(clipWkt)._2
+    def isConvex(p: Array[Pt]): Boolean = {
+      val c = if (signedArea2(p) < 0) p.reverse else p
+      isConvexCcw(c)
+    }
+    if (isConvex(clip)) stIntersectionConvex(subjectWkt, clipWkt)
+    else if (isConvex(subj)) stIntersectionConvex(clipWkt, subjectWkt)
+    else {
+      val parts = PolygonClip.intersect(subj, clip)
+      parts.length match {
+        case 0 => "POLYGON EMPTY"
+        case 1 => renderRing(parts.head)
+        case _ =>
+          "MULTIPOLYGON (" + parts.map(r =>
+            "((" + (r :+ r.head).map(p => s"${fmt(p._1)} ${fmt(p._2)}").mkString(", ") + "))")
+            .mkString(", ") + ")"
+      }
+    }
+  }
+
+  /** Area of POLYGON / MULTIPOLYGON / EMPTY WKT (hole-aware for
+    * POLYGON; multipolygon parts summed). */
+  def wktAreaMulti(wkt: String): Double = {
+    val t = wkt.trim
+    if (t.toUpperCase.startsWith("MULTIPOLYGON")) {
+      val body = t.drop("MULTIPOLYGON".length).trim
+      if (body.equalsIgnoreCase("EMPTY")) return 0.0
+      // split on ")), ((" part boundaries
+      body.stripPrefix("(").stripSuffix(")").split("\\)\\)\\s*,\\s*\\(\\(")
+        .map(part => wktArea("POLYGON ((" + part.stripPrefix("((").stripSuffix("))") + "))"))
+        .sum
+    } else wktArea(wkt)
+  }
+
   /** Shoelace area of a polygon WKT (Scala-side twin of the Column
     * stArea). Summed about the first vertex: coordinates far from the
     * origin otherwise cancel catastrophically (an r-sized shape at
@@ -442,6 +483,8 @@ object GeometryConstructors {
       (w: String, d: Double) => if (w == null) null else stBuffer(w, d))
     spark.udf.register("st_intersection_convex",
       (a: String, b: String) => if (a == null || b == null) null else stIntersectionConvex(a, b))
-    spark.udf.register("st_wkt_area", (w: String) => wktArea(w))
+    spark.udf.register("st_intersection",
+      (a: String, b: String) => if (a == null || b == null) null else stIntersection(a, b))
+    spark.udf.register("st_wkt_area", (w: String) => wktAreaMulti(w))
   }
 }

