@@ -18,11 +18,11 @@ import org.apache.spark.sql.SparkSession
   *  - ST_Buffer: points get a regular 32-gon disc; convex polygons get
   *    edge offsetting along outward normals with round (arc-sampled)
   *    joins at vertices — the standard straight-skeleton-free convex
-  *    offset construction. Non-convex polygon buffering (which needs
-  *    self-intersection cleanup) is out of scope and raises, like the
-  *    reference raises on unsupported geometry kinds.
+  *    offset construction. NON-CONVEX polygons go through the offset
+  *    curve + outer-face walk in [[PolygonClip.bufferPolygon]].
   *  - ST_Intersection: Sutherland–Hodgman clipping (Sutherland &
-  *    Hodgman 1974) — exact for convex clip polygons.
+  *    Hodgman 1974) — exact for convex clip polygons; non-convex pairs
+  *    dispatch to Greiner–Hormann ([[PolygonClip.intersect]]).
   *
   * Carrier: WKT strings (same convention as WktGeometry/SpatialJoinOps);
   * per-row UDFs — map-side, shuffle-free, scale is row-parallel.
@@ -244,8 +244,10 @@ object GeometryConstructors {
       case "POLYGON" =>
         // normalize to CCW so outward normals point left-to-right of travel
         val pts = if (signedArea2(pts0) < 0) pts0.reverse else pts0
-        require(isConvexCcw(pts),
-          "ST_Buffer: non-convex polygon buffering not supported (needs self-intersection cleanup)")
+        if (!isConvexCcw(pts))
+          // non-convex: offset curve + outer-face walk (PolygonClip);
+          // the convex path below stays — it needs no intersection pass
+          return renderRing(PolygonClip.bufferPolygon(pts, dist, CircleSegments))
         val n = pts.length
         val out = scala.collection.mutable.ArrayBuffer[Pt]()
         var i = 0

@@ -193,4 +193,149 @@ object PolygonClip {
     require(guard < 100000, "polygon clipping failed to converge (degenerate input?)")
     results.toSeq
   }
+
+  // ---- non-convex buffer: offset curve + outer-face walk ----
+
+  /** Outward buffer of an arbitrary SIMPLE polygon (no holes) by d > 0.
+    *
+    * Published construction (the straight-skeleton-free offset used by
+    * clipper-style libraries): emit each edge translated along its
+    * outward normal, join consecutive edges with sampled arcs at CONVEX
+    * vertices and a direct chord at REFLEX vertices (where the offset
+    * locally self-intersects), then resolve the self-intersecting closed
+    * curve by walking its OUTER face. A buffer of a simply-connected
+    * region is simply connected, so the outer boundary IS the buffer
+    * boundary — no hole bookkeeping exists by construction.
+    *
+    * The face walk is the standard planar-subdivision rule: split every
+    * segment at every proper intersection, start at the lowest node
+    * (guaranteed outer), and at each node take the first edge
+    * COUNTERclockwise from the reversed incoming direction — that traces
+    * the face with the interior on the left, i.e. the outer ring CCW.
+    */
+  def bufferPolygon(pts0: Array[Pt], d: Double, circleSegments: Int = 32): Array[Pt] = {
+    require(pts0.length >= 3, "polygon needs >= 3 vertices")
+    require(d > 0, "buffer distance must be positive")
+    // normalize CCW
+    var area2 = 0.0
+    pts0.indices.foreach { i =>
+      val a = pts0(i); val b = pts0((i + 1) % pts0.length)
+      area2 += a._1 * b._2 - b._1 * a._2
+    }
+    val pts = if (area2 < 0) pts0.reverse else pts0
+    val n = pts.length
+
+    // offset curve: edge strips + arcs (convex) / chords (reflex)
+    val curve = scala.collection.mutable.ArrayBuffer.empty[Pt]
+    var i = 0
+    while (i < n) {
+      val a = pts(i); val b = pts((i + 1) % n); val c = pts((i + 2) % n)
+      val (ex, ey) = (b._1 - a._1, b._2 - a._2)
+      val len = math.hypot(ex, ey)
+      val (nx, ny) = (ey / len, -ex / len) // outward normal of a CCW ring
+      curve += ((a._1 + d * nx, a._2 + d * ny))
+      curve += ((b._1 + d * nx, b._2 + d * ny))
+      val (fx, fy) = (c._1 - b._1, c._2 - b._2)
+      val flen = math.hypot(fx, fy)
+      val (mx, my) = (fy / flen, -fx / flen)
+      val cross = ex * fy - ey * fx
+      if (cross > 0) {
+        // convex vertex: arc from normal (nx,ny) to (mx,my), CCW
+        val a0 = math.atan2(ny, nx)
+        var a1 = math.atan2(my, mx)
+        if (a1 < a0) a1 += 2 * math.Pi
+        val sweep = a1 - a0
+        val steps = math.max(1, math.ceil(sweep / (2 * math.Pi / circleSegments)).toInt)
+        var k = 1
+        while (k < steps) {
+          val th = a0 + sweep * k / steps
+          curve += ((b._1 + d * math.cos(th), b._2 + d * math.sin(th)))
+          k += 1
+        }
+      }
+      // reflex vertex: fall through — the chord to the next edge's start
+      // creates the local loop the outer walk removes
+      i += 1
+    }
+
+    outerFace(curve.toArray)
+  }
+
+  /** Outer boundary of a closed, possibly self-intersecting curve. */
+  private[functions] def outerFace(curve: Array[Pt]): Array[Pt] = {
+    val m = curve.length
+    // split all segments at proper pairwise intersections
+    val splits = Array.fill(m)(scala.collection.mutable.ArrayBuffer.empty[(Double, Pt)])
+    var i = 0
+    while (i < m) {
+      var j = i + 1
+      while (j < m) {
+        val adjacent = (j == i + 1) || (i == 0 && j == m - 1)
+        if (!adjacent) {
+          val a = curve(i); val b = curve((i + 1) % m)
+          val c = curve(j); val d = curve((j + 1) % m)
+          val den = (b._1 - a._1) * (d._2 - c._2) - (b._2 - a._2) * (d._1 - c._1)
+          if (math.abs(den) > Eps) {
+            val t = ((c._1 - a._1) * (d._2 - c._2) - (c._2 - a._2) * (d._1 - c._1)) / den
+            val u = ((c._1 - a._1) * (b._2 - a._2) - (c._2 - a._2) * (b._1 - a._1)) / den
+            if (t > Eps && t < 1 - Eps && u > Eps && u < 1 - Eps) {
+              val p = (a._1 + t * (b._1 - a._1), a._2 + t * (b._2 - a._2))
+              splits(i) += ((t, p)); splits(j) += ((u, p))
+            }
+          }
+        }
+        j += 1
+      }
+      i += 1
+    }
+    // build the undirected node graph (coordinates quantized for identity)
+    def key(p: Pt): (Long, Long) =
+      (math.round(p._1 * 1e9), math.round(p._2 * 1e9))
+    val coord = scala.collection.mutable.Map.empty[(Long, Long), Pt]
+    val adj = scala.collection.mutable.Map.empty[(Long, Long), scala.collection.mutable.Set[(Long, Long)]]
+    def addEdge(p: Pt, q: Pt): Unit = {
+      val (kp, kq) = (key(p), key(q))
+      if (kp != kq) {
+        coord.getOrElseUpdate(kp, p); coord.getOrElseUpdate(kq, q)
+        adj.getOrElseUpdate(kp, scala.collection.mutable.Set.empty) += kq
+        adj.getOrElseUpdate(kq, scala.collection.mutable.Set.empty) += kp
+      }
+    }
+    i = 0
+    while (i < m) {
+      val a = curve(i); val b = curve((i + 1) % m)
+      val pointsOn = ((0.0, a) +: splits(i).sortBy(_._1).toSeq :+ ((1.0, b))).map(_._2)
+      pointsOn.sliding(2).foreach { w => addEdge(w(0), w(1)) }
+      i += 1
+    }
+    // outer walk: from the lowest node, first-clockwise-from-reverse rule
+    val start = adj.keys.minBy(k => (coord(k)._2, coord(k)._1))
+    def angle(from: (Long, Long), to: (Long, Long)): Double = {
+      val p = coord(from); val q = coord(to)
+      math.atan2(q._2 - p._2, q._1 - p._1)
+    }
+    // first hop: lowest node, leave along the smallest polar angle
+    var prev = start
+    var cur = adj(start).minBy(nb => angle(start, nb))
+    val ring = scala.collection.mutable.ArrayBuffer[Pt](coord(start))
+    var guard = 0
+    while (cur != start && guard < 100000) {
+      ring += coord(cur)
+      val rev = angle(cur, prev)
+      val nxt = adj(cur).filter(_ != prev) match {
+        case s if s.nonEmpty =>
+          s.minBy { nb =>
+            val delta = angle(cur, nb) - rev // first edge CCW from reverse
+            val dm = delta % (2 * math.Pi)
+            val pos = if (dm <= 0) dm + 2 * math.Pi else dm
+            pos
+          }
+        case _ => prev
+      }
+      prev = cur; cur = nxt
+      guard += 1
+    }
+    require(guard < 100000, "outer-face walk failed to converge (degenerate offset curve?)")
+    ring.toArray
+  }
 }

@@ -624,10 +624,16 @@ object GeoQueries extends QueryModule {
     //    3r^2 + 4r^2 = 7r^2 (wktAreaMulti sums MULTIPOLYGON parts).
     // All vertices are integer or half-integer multiples of r -> the
     // shoelace areas are exact in double; the oracle states them.
+    // (lbuf_area: the same L buffered by d=r/2 through the NON-CONVEX
+    // buffer path — offset curve + outer-face walk. Closed form: A + P*d
+    // + 5 convex right-angle arcs sampled at 8 steps (20 sin(pi/16) d^2)
+    // minus the reflex miter overlap d^2 tan(pi/4) = d^2.)
     Q("func_geometry_intersect_general",
       """SELECT s_suppkey,
         |  CAST(5 * r * r AS DOUBLE) AS l_area,
-        |  CAST(7 * r * r AS DOUBLE) AS u_area
+        |  CAST(7 * r * r AS DOUBLE) AS u_area,
+        |  round(12.0 * r * r + 16.0 * r * (r / 2.0)
+        |    + (20 * sin(pi() / 16) - 1) * (r / 2.0) * (r / 2.0), 6) AS lbuf_area
         |FROM (SELECT s_suppkey,
         |        (s_suppkey * 13) % 40 AS cx, (s_suppkey * 29) % 40 AS cy,
         |        1 + s_suppkey % 3 AS r
@@ -636,7 +642,7 @@ object GeoQueries extends QueryModule {
       val base = s.table("supplier").selectExpr("s_suppkey",
         "(s_suppkey * 13) % 40 AS cx", "(s_suppkey * 29) % 40 AS cy",
         "1 + s_suppkey % 3 AS r")
-      val withWkt = base.selectExpr("s_suppkey",
+      val withWkt = base.selectExpr("s_suppkey", "r",
         """concat('POLYGON ((', cx, ' ', cy, ', ', cx+4*r, ' ', cy, ', ',
           |  cx+4*r, ' ', cy+2*r, ', ', cx+2*r, ' ', cy+2*r, ', ',
           |  cx+2*r, ' ', cy+4*r, ', ', cx, ' ', cy+4*r, ', ',
@@ -658,7 +664,10 @@ object GeoQueries extends QueryModule {
         call_udf("st_wkt_area",
           call_udf("st_intersection", col("lshape"), col("lshape2"))).as("l_area"),
         call_udf("st_wkt_area",
-          call_udf("st_intersection", col("ushape"), col("bar"))).as("u_area"))
+          call_udf("st_intersection", col("ushape"), col("bar"))).as("u_area"),
+        round(call_udf("st_wkt_area",
+          call_udf("st_buffer", col("lshape"),
+            col("r").cast("double") / 2)), 6).as("lbuf_area"))
     },
 
     // ST_IsValid / geometry_invalid_reason (GeoFunctions.java stIsValid,

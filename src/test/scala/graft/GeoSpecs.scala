@@ -340,9 +340,34 @@ class GeoSpecs extends AnyFunSuite with BeforeAndAfterAll {
     val sqCw = stBuffer("POLYGON ((0 0, 0 1, 1 1, 1 0, 0 0))", 1.0)
     assert(math.abs(wktArea(sqCw) - a) < 1e-12)
     intercept[IllegalArgumentException](stBuffer("POINT (0 0)", -1.0))
-    // non-convex rejected (self-intersection cleanup out of scope)
-    intercept[IllegalArgumentException](
-      stBuffer("POLYGON ((0 0, 4 0, 4 4, 2 1, 0 4, 0 0))", 0.5))
+  }
+
+  test("st_buffer non-convex: offset curve + outer-face walk, miter-overlap exact") {
+    import graft.functions.GeometryConstructors._
+    // L-shape, legs 4, one right-angle reflex vertex. Closed form with
+    // sampled arcs (8 steps per quarter-circle at CircleSegments=32):
+    //   A + P*d + 5 * (8/2) sin(pi/16) d^2  (5 convex corners)
+    //   - d^2 * tan(pi/4)                    (reflex miter overlap)
+    val L = "POLYGON ((0 0, 4 0, 4 2, 2 2, 2 4, 0 4, 0 0))"
+    val d = 0.5
+    val buffered = stBuffer(L, d)
+    val expected = 12.0 + 16.0 * d + 20.0 * math.sin(math.Pi / 16) * d * d - d * d
+    assert(math.abs(wktArea(buffered) - expected) < 1e-9,
+      s"got ${wktArea(buffered)} want $expected")
+    // the result ring contains the original polygon entirely
+    assert(wktArea(buffered) > 12.0 + 16.0 * d)
+    // W-zigzag with two reflex vertices: area grows monotonically with d
+    // and stays below the convex-hull buffer (sanity envelope)
+    val W = "POLYGON ((0 0, 6 0, 6 3, 4.5 1.5, 3 3, 1.5 1.5, 0 3, 0 0))"
+    val aSmall = wktArea(stBuffer(W, 0.25))
+    val aBig = wktArea(stBuffer(W, 0.5))
+    val wArea = wktArea(W)
+    assert(aSmall > wArea && aBig > aSmall, s"$wArea $aSmall $aBig")
+    val hullBuf = wktArea(stBuffer(stConvexHull(W), 0.5))
+    assert(aBig < hullBuf, s"buffer must not exceed the hull's buffer: $aBig vs $hullBuf")
+    // orientation-insensitive
+    val Lcw = "POLYGON ((0 0, 0 4, 2 4, 2 2, 4 2, 4 0, 0 0))"
+    assert(math.abs(wktArea(stBuffer(Lcw, d)) - expected) < 1e-9)
   }
 
   test("st_is_valid / geometry_invalid_reason: rule per defect class") {
