@@ -130,7 +130,13 @@ object MlFunctions {
 
   // ---- logistic regression: standardized batch GD ----
 
+  /** Binary {0,1} labels -> "lr:" logistic model. More than two
+    * distinct labels -> one-vs-rest multiclass ("mlc:" — the standard
+    * published reduction; the reference reaches multiclass through
+    * libsvm's own OvR, documented delta). */
   def trainClassifier(samplesRaw: Array[(Double, Array[Double])]): String = {
+    val labels = samplesRaw.map(_._1).distinct.sorted
+    if (labels.length > 2) return trainMulticlass(samplesRaw, labels)
     val d = dims(samplesRaw)
     val n = samplesRaw.length
     if (n == 0 || d == 0) return "lr:0.0"
@@ -245,7 +251,25 @@ object MlFunctions {
     s
   }
 
+  /** One-vs-rest: a binary "lr:" head per class, argmax at apply time.
+    * Model text: "mlc:c1|c2|...;lr:...;lr:...". */
+  private def trainMulticlass(samples: Array[(Double, Array[Double])],
+      labels: Array[Double]): String = {
+    val heads = labels.map { c =>
+      trainClassifier(samples.map { case (y, x) => (if (y == c) 1.0 else 0.0, x) })
+    }
+    "mlc:" + labels.mkString("|") + ";" + heads.mkString(";")
+  }
+
   def classify(features: Map[Long, Double], model: String): Long = {
+    if (model.startsWith("mlc:")) {
+      val body = model.drop(4)
+      val sep = body.indexOf(';')
+      val labels = body.substring(0, sep).split('|').map(_.toDouble)
+      val heads = body.substring(sep + 1).split(';')
+      val scores = heads.map(h => dot(parseModel(h, "lr"), features))
+      return labels(scores.indices.maxBy(scores)).toLong
+    }
     val c = parseModel(model, "lr")
     if (1.0 / (1.0 + math.exp(-dot(c, features))) >= 0.5) 1L else 0L
   }

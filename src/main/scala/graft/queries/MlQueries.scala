@@ -74,5 +74,33 @@ object MlQueries extends QueryModule {
       scored.agg(
         count(lit(1)).as("n_total"),
         round(max(col("err")), 6).as("max_err"))
+    },
+
+    // Multiclass (one-vs-rest) — the reference reaches >2 classes
+    // through libsvm's own OvR; here learn_classifier detects >2
+    // distinct labels and trains an "mlc:" argmax-of-heads model.
+    // Three well-separated clusters (centers (0,0), (10,0), (0,10),
+    // jitter <= 1.5 in each coordinate, center distance 10) are
+    // linearly separable with a wide margin -> accuracy exactly 100%.
+    Q("ml_learn_multiclass",
+      """WITH pts AS (
+        |  SELECT c_custkey, c_custkey % 3 AS label,
+        |         CAST(c_custkey % 3 = 1 AS INT) * 10 + ((c_custkey * 7) % 30) / 20.0 AS x1,
+        |         CAST(c_custkey % 3 = 2 AS INT) * 10 + ((c_custkey * 13) % 30) / 20.0 AS x2
+        |  FROM customer)
+        |SELECT CAST(count(*) AS BIGINT) AS n_total,
+        |       CAST(count(*) AS BIGINT) AS n_correct
+        |FROM pts""".stripMargin) { (s, _) =>
+      graft.functions.FunctionRegistry.installAll(s)
+      val pts = s.table("customer").selectExpr(
+        "c_custkey", "c_custkey % 3 AS label",
+        "CAST(c_custkey % 3 = 1 AS INT) * 10 + ((c_custkey * 7) % 30) / 20.0 AS x1",
+        "CAST(c_custkey % 3 = 2 AS INT) * 10 + ((c_custkey * 13) % 30) / 20.0 AS x2")
+      val model = pts.agg(expr("learn_classifier(label, features(x1, x2))").as("model"))
+      val scored = pts.crossJoin(broadcast(model))
+        .withColumn("pred", expr("classify(features(x1, x2), model)"))
+      scored.agg(
+        count(lit(1)).as("n_total"),
+        count(when(col("pred") === col("label"), 1)).as("n_correct"))
     })
 }

@@ -43,6 +43,15 @@ import org.apache.spark.sql.types._
   * + segments; a 1000-segment topic is a 1000-task scan. Decoding is
   * per-row map-side work inside whole-stage codegen (json/csv).
   */
+/** Executor-side Avro schema cache (Schema parse once per JVM per
+  * schema text; readers are per-call, they are not thread-safe). */
+private[graft] object AvroSchemas {
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[String, org.apache.avro.Schema]()
+  def parse(json: String): org.apache.avro.Schema =
+    cache.computeIfAbsent(json, j => new org.apache.avro.Schema.Parser().parse(j))
+}
+
 object RecordLog {
 
   // ---- fixture writer (the "broker": segmented offset log on disk) ----
@@ -67,6 +76,22 @@ object RecordLog {
         if (msg != null) out.write(msg)
       } finally out.close()
     }
+  }
+
+  /** Fixture helper: one GenericRecord as an Avro data-file byte[] (the
+    * container format the reference's DataFileStream decodes). */
+  def avroDataFile(schemaJson: String)(
+      fill: org.apache.avro.generic.GenericData.Record => Unit): Array[Byte] = {
+    val schema = AvroSchemas.parse(schemaJson)
+    val rec = new org.apache.avro.generic.GenericData.Record(schema)
+    fill(rec)
+    val bos = new java.io.ByteArrayOutputStream()
+    val w = new org.apache.avro.file.DataFileWriter(
+      new org.apache.avro.generic.GenericDatumWriter[org.apache.avro.generic.GenericRecord](schema))
+    w.create(schema, bos)
+    w.append(rec)
+    w.close()
+    bos.toByteArray
   }
 
   // ---- split planning + cursor ----
@@ -195,6 +220,56 @@ object RecordLog {
       new java.util.HashMap[String, String]())
     val cols = fields.map { case (name, idx, tpe) =>
       parsed.getField(s"_c$idx").cast(tpe).as(name)
+    }
+    df.select(df.columns.map(col).toSeq ++ cols: _*)
+  }
+
+  /** avro decoder (AvroRowDecoder.java:59-66): each payload is an Avro
+    * DATA FILE (schema-embedded container, exactly what the reference's
+    * DataFileStream expects); the first record is decoded and `fields`
+    * maps output name -> (slash path, SQL type in LONG/DOUBLE/STRING/
+    * BOOLEAN). Uses avro-core's GenericDatumReader — the published
+    * generic-record API, no codegen classes. */
+  def decodeAvro(df: DataFrame, readerSchemaJson: String,
+      fields: Seq[(String, String, String)]): DataFrame = {
+    import org.apache.avro.generic.{GenericDatumReader, GenericRecord}
+    def extract(bytes: Array[Byte], path: String): Any = {
+      if (bytes == null) return null
+      val reader = new GenericDatumReader[GenericRecord](
+        AvroSchemas.parse(readerSchemaJson))
+      val dfs = new org.apache.avro.file.DataFileStream[GenericRecord](
+        new java.io.ByteArrayInputStream(bytes), reader)
+      try {
+        if (!dfs.hasNext) return null
+        var cur: Any = dfs.next()
+        path.split('/').filter(_.nonEmpty).foreach { step =>
+          cur = cur match {
+            case r: GenericRecord => r.get(step)
+            case _ => null
+          }
+        }
+        cur
+      } finally dfs.close()
+    }
+    val cols = fields.map { case (name, path, tpe) =>
+      val u = tpe.toUpperCase match {
+        case "LONG" | "BIGINT" => udf((b: Array[Byte]) => extract(b, path) match {
+          case n: Number => java.lang.Long.valueOf(n.longValue())
+          case _ => null.asInstanceOf[java.lang.Long]
+        })
+        case "DOUBLE" => udf((b: Array[Byte]) => extract(b, path) match {
+          case n: Number => java.lang.Double.valueOf(n.doubleValue())
+          case _ => null.asInstanceOf[java.lang.Double]
+        })
+        case "BOOLEAN" => udf((b: Array[Byte]) => extract(b, path) match {
+          case x: java.lang.Boolean => x
+          case _ => null.asInstanceOf[java.lang.Boolean]
+        })
+        case "STRING" | "VARCHAR" => udf((b: Array[Byte]) =>
+          Option(extract(b, path)).map(_.toString).orNull)
+        case other => throw new IllegalArgumentException(s"unsupported avro target type: $other")
+      }
+      u(col("_message")).as(name)
     }
     df.select(df.columns.map(col).toSeq ++ cols: _*)
   }

@@ -379,5 +379,52 @@ object SourceQueries extends QueryModule {
         .agg(count(lit(1)).as("n"), sum("k").as("key_sum"), sum("ck").as("cust_sum"),
           min("_partition_offset").as("min_off"), max("_partition_offset").as("max_off"))
         .orderBy("partition_id")
+    },
+
+    // Avro record decoder (AvroRowDecoder.java:59-66 — each payload is a
+    // schema-embedded Avro DATA FILE read through DataFileStream /
+    // GenericDatumReader): same log-coordinate fixture as
+    // src_kafka_decoder but avro-container payloads with a nested
+    // record, scanned over the complementary offset range [0, 99].
+    Q("src_kafka_avro",
+      """WITH base AS (SELECT o_orderkey, o_custkey FROM orders ORDER BY o_orderkey LIMIT 4000),
+        |log AS (SELECT o_orderkey % 4 AS p,
+        |    row_number() OVER (PARTITION BY o_orderkey % 4 ORDER BY o_orderkey) - 1 AS off,
+        |    o_orderkey AS k, o_custkey AS ck FROM base)
+        |SELECT CAST(p AS BIGINT) AS partition_id, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(k) AS BIGINT) AS key_sum, CAST(sum(ck) AS BIGINT) AS cust_sum,
+        |  CAST(max(off) AS BIGINT) AS max_off
+        |FROM log WHERE off <= 99
+        |GROUP BY p ORDER BY partition_id""".stripMargin) { (s, _) =>
+      val dir = "tmp/graft_recordlog_avro"
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+      val schemaJson =
+        """{"type":"record","name":"msg","fields":[
+          |  {"name":"k","type":"long"},
+          |  {"name":"d","type":{"type":"record","name":"dim","fields":[
+          |    {"name":"ck","type":"long"}]}}]}""".stripMargin
+      val slice = s.table("orders").select("o_orderkey", "o_custkey")
+        .orderBy("o_orderkey").limit(4000).collect()
+      (0 until 4).foreach { p =>
+        val recs = slice.filter(_.getLong(0) % 4 == p).sortBy(_.getLong(0))
+          .zipWithIndex.map { case (r, i) =>
+            val payload = RecordLog.avroDataFile(schemaJson) { rec =>
+              rec.put("k", r.getLong(0))
+              val d = new org.apache.avro.generic.GenericData.Record(
+                graft.sources.AvroSchemas.parse(schemaJson).getField("d").schema())
+              d.put("ck", r.getLong(1))
+              rec.put("d", d)
+            }
+            (i.toLong, null: Array[Byte], payload)
+          }.toSeq
+        RecordLog.writePartition(dir, "orders", p, recs, 250)
+      }
+      val scanned = RecordLog.readTopic(s, dir, "orders", offsetMin = 0, offsetMax = 99)
+      RecordLog.decodeAvro(scanned, schemaJson,
+          Seq(("k", "k", "LONG"), ("ck", "d/ck", "LONG")))
+        .groupBy(col("_partition_id").as("partition_id"))
+        .agg(count(lit(1)).as("n"), sum("k").as("key_sum"), sum("ck").as("cust_sum"),
+          max("_partition_offset").as("max_off"))
+        .orderBy("partition_id")
     })
 }

@@ -315,6 +315,32 @@ class EngineSpecs extends AnyFunSuite with BeforeAndAfterAll {
       Seq(("id", 0, "BIGINT"), ("name", 1, "STRING"), ("score", 2, "DOUBLE")))
     val r7 = csv.filter(col("id") === 7).head()
     assert(r7.getAs[String]("name") == "name7" && r7.getAs[Double]("score") == 10.5)
+    // avro decoder: schema-embedded data-file payloads, nested path,
+    // null payload -> null columns (not a crash)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    val schemaJson =
+      """{"type":"record","name":"m","fields":[{"name":"v","type":"long"},
+        |{"name":"s","type":"string"},
+        |{"name":"d","type":{"type":"record","name":"n","fields":[{"name":"w","type":"double"}]}}]}""".stripMargin
+    val avroRecs = (0L until 5L).map { i =>
+      val payload = RecordLog.avroDataFile(schemaJson) { rec =>
+        rec.put("v", i * 3)
+        rec.put("s", s"s$i")
+        val d = new org.apache.avro.generic.GenericData.Record(
+          graft.sources.AvroSchemas.parse(schemaJson).getField("d").schema())
+        d.put("w", i * 0.5)
+        rec.put("d", d)
+      }
+      (i, null: Array[Byte], payload)
+    } :+ ((5L, null: Array[Byte], null: Array[Byte]))
+    RecordLog.writePartition(dir, "a", 0, avroRecs, 100)
+    val avro = RecordLog.decodeAvro(RecordLog.readTopic(spark, dir, "a"),
+      schemaJson, Seq(("v", "v", "LONG"), ("s", "s", "STRING"), ("w", "d/w", "DOUBLE")))
+    val r3 = avro.filter(col("_partition_offset") === 3).head()
+    assert(r3.getAs[Long]("v") == 9L && r3.getAs[String]("s") == "s3" &&
+      r3.getAs[Double]("w") == 1.5)
+    assert(avro.filter(col("_partition_offset") === 5)
+      .select("v", "s", "w").head().anyNull)
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
   }
 

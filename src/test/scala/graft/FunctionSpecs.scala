@@ -507,6 +507,25 @@ class FunctionSpecs extends AnyFunSuite {
     assert(viaSortedA == viaSortedB)
   }
 
+  test("multiclass learn/classify: one-vs-rest argmax separates 3 planted clusters exactly") {
+    import graft.functions.MlFunctions
+    val samples = (0 until 300).map { i =>
+      val c = i % 3
+      val x1 = (if (c == 1) 10.0 else 0.0) + (i * 7 % 30) / 20.0
+      val x2 = (if (c == 2) 10.0 else 0.0) + (i * 13 % 30) / 20.0
+      (c.toDouble, Array(x1, x2))
+    }.toArray
+    val model = MlFunctions.trainClassifier(samples)
+    assert(model.startsWith("mlc:0.0|1.0|2.0;lr:"), model.take(40))
+    samples.foreach { case (y, x) =>
+      assert(MlFunctions.classify(Map(0L -> x(0), 1L -> x(1)), model) == y.toLong,
+        s"misclassified cluster $y at (${x(0)}, ${x(1)})")
+    }
+    // binary inputs still produce the plain lr: model (oracle stability)
+    val binary = samples.filter(_._1 < 2.0)
+    assert(MlFunctions.trainClassifier(binary).startsWith("lr:"))
+  }
+
   test("ML sample cap is KMV: retained subset is arrival-order-independent past the cap (r7 advice)") {
     import graft.functions.MlFunctions
     // n = cap + 20000: a keep-first cap would retain different subsets
