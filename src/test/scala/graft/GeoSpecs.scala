@@ -455,11 +455,22 @@ class GeoSpecs extends AnyFunSuite with BeforeAndAfterAll {
     assert(stIntersection(L, "POLYGON ((10 10, 12 10, 12 14, 10.5 12, 10 14, 10 10))") == "POLYGON EMPTY")
     val tiny = "POLYGON ((0.5 0.5, 1.5 0.5, 1.5 1.2, 1.0 0.9, 0.5 1.2, 0.5 0.5))" // non-convex, inside L
     assert(math.abs(wktAreaMulti(stIntersection(L, tiny)) - wktArea(tiny)) < 1e-12)
-    // degenerate (shared vertex) raises loudly rather than mis-tracing
+    // degenerate (shared vertex) raises loudly at the algorithm level...
     intercept[IllegalArgumentException](
       graft.functions.PolygonClip.intersect(
         Array((0.0,0.0),(4.0,0.0),(4.0,2.0),(2.0,2.0),(2.0,4.0),(0.0,4.0)),
         Array((4.0,2.0),(6.0,2.0),(6.0,6.0),(5.0,4.0),(4.0,6.0))))
+    // ...but st_intersection joggles the clip and still answers: two
+    // non-convex pentagons sharing vertex (4,2) barely overlap -> ~0
+    val touching = stIntersection(L,
+      "POLYGON ((4 2, 6 2, 6 6, 5 4, 4 6, 4 2))")
+    assert(wktAreaMulti(touching) < 1e-6, touching)
+    // vertex-on-edge degeneracy: non-convex clip with a vertex ON the
+    // subject's edge x=4 still intersects correctly (area ~ 1)
+    val vOnEdge = stIntersection(L,
+      "POLYGON ((3 0.5, 4 1, 5 0.5, 5 3.5, 4.5 2.5, 3 3.5, 3 0.5))")
+    val a2 = wktAreaMulti(vOnEdge)
+    assert(a2 > 0.5 && a2 < 3.0, s"joggled intersection area $a2")
   }
 
   test("st_intersection_convex: Sutherland-Hodgman exact on rectangles/diamonds") {
