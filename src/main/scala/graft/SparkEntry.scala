@@ -18,7 +18,7 @@ object SparkEntry {
   def modules: Seq[QueryModule] = Seq(
     TpchQueries, TpcdsShapeQueries, JoinQueries, AggQueries, WindowQueries, SetOpQueries, ShapeQueries,
     FuncQueries, GeoQueries, MlQueries, EventQueries, SketchQueries, LlmQueries, MultimodalQueries,
-    PipelineQueries, DdlQueries, SourceQueries, MiscQueries)
+    PipelineQueries, DdlQueries, MetaQueries, SourceQueries, MiscQueries)
 
   private lazy val all: Seq[Q] = modules.flatMap(_.queries)
 

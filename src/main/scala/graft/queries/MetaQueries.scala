@@ -1,0 +1,140 @@
+package graft.queries
+
+import org.apache.spark.sql.SparkSession
+import graft.sql.PrestoSql
+
+/** Metadata statement family through the SQL front door: SHOW COLUMNS /
+  * DESCRIBE, SHOW TABLES/SCHEMAS, SHOW CREATE TABLE, SHOW FUNCTIONS, and
+  * SHOW STATS FOR (table and filtered-query forms).
+  *
+  * Reference: SqlBase.g4:71-87; output shapes from ShowQueriesRewrite.java
+  * and ShowStatsRewrite.java (see graft.sql.Metadata). The SHOW STATS
+  * oracles are REAL aggregate SQL over the same parquet — DuckDB recomputes
+  * NDV / null fractions / ranges independently, so the statistics values
+  * themselves are verified, not just the statement plumbing.
+  */
+object MetaQueries extends QueryModule {
+
+  private def fd(s: SparkSession, sql: String) = PrestoSql.sql(s, sql)
+
+  def queries: Seq[Q] = Seq(
+
+    // SHOW COLUMNS FROM t — Column/Type/Extra/Comment with Presto type
+    // names (ShowQueriesRewrite.java:315-318).
+    Q("meta_show_columns",
+      """SELECT * FROM (VALUES
+        |  ('o_orderkey',    'bigint',    '', ''),
+        |  ('o_custkey',     'bigint',    '', ''),
+        |  ('o_orderstatus', 'varchar',   '', ''),
+        |  ('o_totalprice',  'double',    '', ''),
+        |  ('o_orderdate',   'timestamp', '', ''),
+        |  ('o_orderpriority','varchar',  '', '')
+        |) AS t("Column", "Type", "Extra", "Comment")""".stripMargin) { (s, _) =>
+      fd(s, "SHOW COLUMNS FROM orders")
+    },
+
+    // SHOW TABLES LIKE pattern — single "Table" column, LIKE-filtered
+    // (ShowQueriesRewrite.java:204).
+    Q("meta_show_tables",
+      """SELECT 'nation' AS "Table"""") { (s, _) =>
+      fd(s, "SHOW TABLES LIKE 'nat%'")
+    },
+
+    // SHOW SCHEMAS — single "Schema" column (ShowQueriesRewrite.java:277).
+    Q("meta_show_schemas",
+      """SELECT 'default' AS "Schema"""") { (s, _) =>
+      fd(s, "SHOW SCHEMAS LIKE 'def%'")
+    },
+
+    // SHOW CREATE TABLE — one "Create Table" row of Presto-dialect DDL
+    // (ShowQueriesRewrite.java:412; SqlFormatter 3-space indent).
+    Q("meta_show_create_table",
+      """SELECT 'CREATE TABLE region (' || chr(10) ||
+        |       '   r_regionkey integer,' || chr(10) ||
+        |       '   r_name varchar' || chr(10) ||
+        |       ')' AS "Create Table"""".stripMargin) { (s, _) =>
+      fd(s, "SHOW CREATE TABLE region")
+    },
+
+    // SHOW FUNCTIONS — Presto-named functions the registry installs are
+    // listed (ShowQueriesRewrite.java:464-499). Pinned to a fixed name
+    // slice so the oracle is stable across Spark builtin growth.
+    Q("meta_show_functions",
+      """SELECT * FROM (VALUES
+        |  ('approx_distinct', true),
+        |  ('arbitrary',       true),
+        |  ('codepoint',       true),
+        |  ('strpos',          true),
+        |  ('to_iso8601',      true),
+        |  ('truncate',        true)
+        |) AS t("Function", "Deterministic")""".stripMargin) { (s, _) =>
+      import s.implicits._
+      fd(s, "SHOW FUNCTIONS")
+        .where($"Function".isin("approx_distinct", "arbitrary", "codepoint",
+          "strpos", "to_iso8601", "truncate"))
+        .select("Function", "Deterministic")
+    },
+
+    // SHOW STATS FOR orders — per-column NDV / null fraction / data size /
+    // range plus the row_count summary row, all recomputed by DuckDB.
+    Q("meta_show_stats", statsOracle(filtered = false)) { (s, _) =>
+      fd(s, "SHOW STATS FOR orders")
+    },
+
+    // SHOW STATS FOR (SELECT * FROM orders WHERE ...) — the reference's
+    // pushdown-constraint variant (ShowStatsRewrite.java:142-163 only
+    // admits pushable conjuncts; same single-table SELECT * shape here).
+    Q("meta_show_stats_filtered", statsOracle(filtered = true)) { (s, _) =>
+      fd(s, "SHOW STATS FOR (SELECT * FROM orders WHERE o_orderstatus = 'F')")
+    })
+
+  /** DuckDB twin of Metadata.showStats over `orders` — the same UNION of
+    * per-column aggregates, value-identical rendering (fixed-scale decimal
+    * for doubles, second-resolution strftime for timestamps).
+    */
+  private def statsOracle(filtered: Boolean): String = {
+    val where = if (filtered) " WHERE o_orderstatus = 'F'" else ""
+    def bigintCol(c: String) =
+      s"""SELECT '$c' AS column_name, CAST(NULL AS DOUBLE) AS data_size,
+         |  CAST(count(DISTINCT $c) AS DOUBLE) AS distinct_values_count,
+         |  CAST(count(*) - count($c) AS DOUBLE) / count(*) AS nulls_fraction,
+         |  CAST(NULL AS DOUBLE) AS row_count,
+         |  CAST(min($c) AS VARCHAR) AS low_value,
+         |  CAST(max($c) AS VARCHAR) AS high_value FROM orders$where""".stripMargin
+    def varcharCol(c: String) =
+      s"""SELECT '$c', CAST(sum(length($c)) AS DOUBLE),
+         |  CAST(count(DISTINCT $c) AS DOUBLE),
+         |  CAST(count(*) - count($c) AS DOUBLE) / count(*),
+         |  CAST(NULL AS DOUBLE), CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)
+         |  FROM orders$where""".stripMargin
+    def doubleCol(c: String) =
+      s"""SELECT '$c', CAST(NULL AS DOUBLE),
+         |  CAST(count(DISTINCT $c) AS DOUBLE),
+         |  CAST(count(*) - count($c) AS DOUBLE) / count(*),
+         |  CAST(NULL AS DOUBLE),
+         |  CAST(CAST(min($c) AS DECIMAL(38,6)) AS VARCHAR),
+         |  CAST(CAST(max($c) AS DECIMAL(38,6)) AS VARCHAR)
+         |  FROM orders$where""".stripMargin
+    def tsCol(c: String) =
+      s"""SELECT '$c', CAST(NULL AS DOUBLE),
+         |  CAST(count(DISTINCT $c) AS DOUBLE),
+         |  CAST(count(*) - count($c) AS DOUBLE) / count(*),
+         |  CAST(NULL AS DOUBLE),
+         |  strftime(min($c), '%Y-%m-%d %H:%M:%S'),
+         |  strftime(max($c), '%Y-%m-%d %H:%M:%S')
+         |  FROM orders$where""".stripMargin
+    val summary =
+      s"""SELECT CAST(NULL AS VARCHAR), CAST(NULL AS DOUBLE),
+         |  CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+         |  CAST(count(*) AS DOUBLE), CAST(NULL AS VARCHAR),
+         |  CAST(NULL AS VARCHAR) FROM orders$where""".stripMargin
+    Seq(
+      bigintCol("o_orderkey"),
+      bigintCol("o_custkey"),
+      varcharCol("o_orderstatus"),
+      doubleCol("o_totalprice"),
+      tsCol("o_orderdate"),
+      varcharCol("o_orderpriority"),
+      summary).mkString("\nUNION ALL\n")
+  }
+}

@@ -253,6 +253,25 @@ object PrestoSql {
   private val setAuthRe =
     """(?is)\s*SET\s+SESSION\s+AUTHORIZATION\s+'?([\w]+)'?\s*""".r
 
+  // ---- Metadata statements (reference: SqlBase.g4:71-87, shapes from
+  // ShowQueriesRewrite.java / ShowStatsRewrite.java; implementation in
+  // Metadata.scala) ----
+  private val showTablesRe =
+    """(?is)\s*SHOW\s+TABLES(?:\s+(?:FROM|IN)\s+([\w.]+))?(?:\s+LIKE\s+'([^']*)'(?:\s+ESCAPE\s+'([^']*)')?)?\s*""".r
+  private val showSchemasRe =
+    """(?is)\s*SHOW\s+SCHEMAS(?:\s+(?:FROM|IN)\s+[\w.]+)?(?:\s+LIKE\s+'([^']*)'(?:\s+ESCAPE\s+'([^']*)')?)?\s*""".r
+  private val showCatalogsRe =
+    """(?is)\s*SHOW\s+CATALOGS(?:\s+LIKE\s+'([^']*)')?\s*""".r
+  private val showColumnsRe =
+    """(?is)\s*(?:SHOW\s+COLUMNS\s+(?:FROM|IN)|DESCRIBE|DESC)\s+([\w.]+)\s*""".r
+  private val showCreateTableRe =
+    """(?is)\s*SHOW\s+CREATE\s+TABLE\s+([\w.]+)\s*""".r
+  private val showFunctionsRe = """(?is)\s*SHOW\s+FUNCTIONS\s*""".r
+  private val showStatsTableRe =
+    """(?is)\s*SHOW\s+STATS\s+FOR\s+([\w.]+)\s*""".r
+  private val showStatsQueryRe =
+    """(?is)\s*SHOW\s+STATS\s+FOR\s*\(\s*SELECT\s+\*\s+FROM\s+([\w.]+)(?:\s+WHERE\s+(.+?))?\s*\)\s*""".r
+
   /** Split `USING a, b, c` argument text on top-level commas (string
     * literals and parens respected).
     */
@@ -335,6 +354,24 @@ object PrestoSql {
         Seq("RESET SESSION").toDF("result")
       case showSessionRe() =>
         propsOf(spark).toSeq.toDF("name", "value")
+      case showStatsQueryRe(table, where) =>
+        AccessControl.enforce(spark, s"SELECT * FROM $table")
+        Metadata.showStats(spark, table, Option(where).map(rewriteFull))
+      case showStatsTableRe(table) =>
+        AccessControl.enforce(spark, s"SELECT * FROM $table")
+        Metadata.showStats(spark, table, None)
+      case showCreateTableRe(table) =>
+        Metadata.showCreateTable(spark, table)
+      case showColumnsRe(table) =>
+        Metadata.showColumns(spark, table)
+      case showFunctionsRe() =>
+        Metadata.showFunctions(spark)
+      case showCatalogsRe(pattern) =>
+        Metadata.showCatalogs(spark, Option(pattern))
+      case showSchemasRe(pattern, escape) =>
+        Metadata.showSchemas(spark, Option(pattern), Option(escape))
+      case showTablesRe(schema, pattern, escape) =>
+        Metadata.showTables(spark, Option(schema), Option(pattern), Option(escape))
       case beginTxnRe() =>
         graft.operators.TransactionOps.begin(spark)
         Seq("START TRANSACTION").toDF("result")

@@ -1,0 +1,118 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.types._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+import graft.sql.{Metadata, PrestoSql}
+
+/** Metadata statement family (SHOW x / DESCRIBE / SHOW STATS) — shapes per
+  * ShowQueriesRewrite.java / ShowStatsRewrite.java, semantics pinned here.
+  */
+class MetadataSpecs extends AnyFunSuite with BeforeAndAfterAll {
+
+  private val sfDir = "/root/testdata/sf0.001"
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = graft.engine.Engine.session("local[4]", shufflePartitions = 4)
+    graft.engine.Engine.registerTables(spark, sfDir)
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  test("presto type names cover primitive and nested types") {
+    assert(Metadata.prestoType(StringType) == "varchar")
+    assert(Metadata.prestoType(LongType) == "bigint")
+    assert(Metadata.prestoType(FloatType) == "real")
+    assert(Metadata.prestoType(BinaryType) == "varbinary")
+    assert(Metadata.prestoType(DecimalType(12, 2)) == "decimal(12,2)")
+    assert(Metadata.prestoType(ArrayType(IntegerType)) == "array(integer)")
+    assert(Metadata.prestoType(MapType(StringType, DoubleType)) == "map(varchar, double)")
+    assert(Metadata.prestoType(StructType(Seq(
+      StructField("a", LongType), StructField("b", StringType)))) == "row(a bigint, b varchar)")
+  }
+
+  test("DESCRIBE and SHOW COLUMNS agree and use presto names") {
+    val a = PrestoSql.sql(spark, "DESCRIBE lineitem").collect()
+    val b = PrestoSql.sql(spark, "SHOW COLUMNS FROM lineitem").collect()
+    assert(a.toSeq == b.toSeq)
+    val types = a.map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(types("l_orderkey") == "bigint")
+    assert(types("l_returnflag") == "varchar")
+  }
+
+  test("SHOW TABLES honors LIKE with ESCAPE") {
+    spark.range(1).toDF("x").createOrReplaceTempView("meta_x_1")
+    spark.range(1).toDF("x").createOrReplaceTempView("meta_xa1")
+    // '_' is a single-char wildcard unless escaped: the escaped pattern
+    // must match only the literal-underscore name.
+    val unescaped = PrestoSql.sql(spark, "SHOW TABLES LIKE 'meta_x_1'")
+      .collect().map(_.getString(0)).toSet
+    val escaped = PrestoSql.sql(spark, "SHOW TABLES LIKE 'meta!_x!_1' ESCAPE '!'")
+      .collect().map(_.getString(0)).toSet
+    assert(unescaped == Set("meta_x_1", "meta_xa1"))
+    assert(escaped == Set("meta_x_1"))
+    spark.catalog.dropTempView("meta_x_1")
+    spark.catalog.dropTempView("meta_xa1")
+  }
+
+  test("SHOW STATS: one row per column plus summary; summary carries row_count") {
+    val df = PrestoSql.sql(spark, "SHOW STATS FOR nation")
+    assert(df.columns.toSeq == Seq("column_name", "data_size", "distinct_values_count",
+      "nulls_fraction", "row_count", "low_value", "high_value"))
+    val rows = df.collect()
+    val nCols = spark.table("nation").schema.size
+    assert(rows.length == nCols + 1)
+    val summary = rows.filter(_.isNullAt(0))
+    assert(summary.length == 1)
+    assert(summary.head.getDouble(4) == spark.table("nation").count().toDouble)
+    // column rows: NULL row_count, NDV present
+    val keyRow = rows.find(r => !r.isNullAt(0) && r.getString(0) == "n_nationkey").get
+    assert(keyRow.isNullAt(4))
+    assert(keyRow.getDouble(2) == spark.table("nation").count().toDouble)
+    assert(keyRow.getDouble(3) == 0.0)
+  }
+
+  test("SHOW STATS FOR (SELECT * FROM t WHERE p) computes stats of the slice") {
+    val all = PrestoSql.sql(spark, "SHOW STATS FOR orders").collect()
+      .find(_.isNullAt(0)).get.getDouble(4)
+    val slice = PrestoSql.sql(spark,
+      "SHOW STATS FOR (SELECT * FROM orders WHERE o_orderstatus = 'F')").collect()
+      .find(_.isNullAt(0)).get.getDouble(4)
+    assert(slice > 0 && slice < all)
+  }
+
+  test("SHOW STATS data_size only for variable-width columns") {
+    val rows = PrestoSql.sql(spark, "SHOW STATS FOR region").collect()
+      .filter(!_.isNullAt(0)).map(r => r.getString(0) -> !r.isNullAt(1)).toMap
+    assert(rows("r_name"))           // varchar: sized
+    assert(!rows("r_regionkey"))     // bigint: derivable, NULL
+  }
+
+  test("SHOW CREATE TABLE emits presto-dialect DDL") {
+    val ddl = PrestoSql.sql(spark, "SHOW CREATE TABLE region").collect().head.getString(0)
+    assert(ddl == "CREATE TABLE region (\n   r_regionkey integer,\n   r_name varchar\n)")
+  }
+
+  test("SHOW FUNCTIONS lists presto-registered names with the six-column shape") {
+    val df = PrestoSql.sql(spark, "SHOW FUNCTIONS")
+    assert(df.columns.toSeq == Seq("Function", "Return Type", "Argument Types",
+      "Function Type", "Deterministic", "Description"))
+    val names = df.collect().map(_.getString(0)).toSet
+    for (f <- Seq("approx_distinct", "strpos", "arbitrary", "codepoint", "truncate"))
+      assert(names.contains(f), s"missing $f")
+    // builtin aggregates carry the aggregate tag
+    val sumRow = df.where("Function = 'sum'").collect().head
+    assert(sumRow.getString(3) == "aggregate")
+  }
+
+  test("SHOW SCHEMAS / SHOW CATALOGS single-column shapes") {
+    val s = PrestoSql.sql(spark, "SHOW SCHEMAS")
+    assert(s.columns.toSeq == Seq("Schema"))
+    assert(s.collect().map(_.getString(0)).contains("default"))
+    val c = PrestoSql.sql(spark, "SHOW CATALOGS")
+    assert(c.columns.toSeq == Seq("Catalog"))
+    assert(c.collect().map(_.getString(0)).contains("spark_catalog"))
+  }
+}
