@@ -37,13 +37,21 @@ object Engine {
     * lineitem-wide distinct-shuffle per query — at 100 TB that is five
     * redundant shuffles of the biggest table for what is logically one
     * base table.
+    *
+    * ps_supplycost is cast through DOUBLE before the /10000.0: without
+    * the cast, bigint / literal-decimal is DECIMAL in both engines, and
+    * decimal aggregation takes Spark's boxed (object-hash) path — a
+    * measured ~20x CPU + GC-storm penalty on Q2's min-per-partkey at
+    * sf0.1 (5-10 CPU-s for a 590k-row aggregate that costs 0.25 CPU-s
+    * over double). Both engines do the identical IEEE double division,
+    * so oracle values are unchanged.
     */
   val partsuppSelect: String =
     """SELECT ps_partkey, ps_suppkey,
       |  CAST(round(p_retailprice * 100) AS BIGINT)
       |    * (5 + (ps_partkey * 31 + ps_suppkey) % 10) AS ps_costunits,
-      |  CAST(round(p_retailprice * 100) AS BIGINT)
-      |    * (5 + (ps_partkey * 31 + ps_suppkey) % 10) / 10000.0 AS ps_supplycost,
+      |  CAST(CAST(round(p_retailprice * 100) AS BIGINT)
+      |    * (5 + (ps_partkey * 31 + ps_suppkey) % 10) AS DOUBLE) / 10000.0 AS ps_supplycost,
       |  CAST((ps_partkey * 37 + ps_suppkey * 13) % 9000 + 1000 AS INT) AS ps_availqty
       |FROM (SELECT DISTINCT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey
       |      FROM lineitem) ps
@@ -117,7 +125,17 @@ object Engine {
           try spark.catalog.uncacheTable("partsupp")
           catch { case scala.util.control.NonFatal(_) => () }
         }
-        spark.sql(partsuppSelect).createOrReplaceTempView("partsupp")
+        // Cache HASH-PARTITIONED BY ps_partkey — the bucketed-CTAS layout.
+        // InMemoryRelation preserves the cached plan's outputPartitioning,
+        // so every downstream group-by/join keyed on ps_partkey (Q2's
+        // min-per-partkey, Q11's value rollup, the part joins) is
+        // exchange-free; partitioning on the leading key also satisfies
+        // clustering on (ps_partkey, ps_suppkey) supersets. 8 partitions
+        // ~= 2-17 MB each across the fixture SFs; a warehouse deployment
+        // would size by target bytes exactly as for any bucketed table.
+        spark.sql(partsuppSelect)
+          .repartition(8, org.apache.spark.sql.functions.col("ps_partkey"))
+          .createOrReplaceTempView("partsupp")
         spark.catalog.cacheTable("partsupp")
       }
       registered.put(spark, dir)
