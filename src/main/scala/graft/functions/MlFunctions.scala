@@ -28,8 +28,27 @@ import org.apache.spark.unsafe.types.UTF8String
   *    trainers are the published textbook algorithms: standardized
   *    batch gradient descent for logistic regression, normal equations
   *    (Gaussian elimination with partial pivoting) for linear
-  *    regression. Binary {0,1} labels; multi-class and the libsvm
-  *    kernel surface are documented out of scope.
+  *    regression. Binary {0,1} labels reach logistic directly; >2
+  *    distinct labels train one-vs-rest ("mlc:").
+  *
+  * Kernel surface (learn_libsvm_classifier / learn_libsvm_regressor —
+  * LearnLibSvmClassifierAggregation.java, LibSvmUtils.java:31-96
+  * "kernel=rbf,gamma=...,degree=...,coef0=..." param strings):
+  *  - kernel=linear: identical to learn_classifier/regressor;
+  *  - kernel=rbf: Random Fourier Features (Rahimi & Recht, NIPS 2007)
+  *    z_k(x) = sqrt(2/D) cos(w_k.x + b_k) with w ~ N(0, 2*gamma*I)
+  *    drawn from a FIXED splitmix64 stream (deterministic — the model
+  *    string only needs dims/D/gamma, not the matrix), then the linear
+  *    trainer in z-space. This is the standard scale-out approximation
+  *    of a kernel machine: the transform is a per-row map, so both
+  *    training input and model application stay map-side at any scale,
+  *    where an exact kernel SVM needs the O(n^2) Gram matrix;
+  *  - kernel=poly, degree=2: exact quadratic expansion
+  *    [x_i, x_i^2, x_i*x_j], which spans the poly-2 kernel's feature
+  *    space, so quadratic relationships fit to fp precision;
+  *  - kernel=sigmoid and degree>2 raise (documented out: tanh is not
+  *    PSD, and high-degree explicit expansion blows up — TensorSketch
+  *    is the published path if ever needed).
   *
   * Scale: learn_* is a one-shuffle aggregate with O(cap × dims) state;
   * classify/regress/features are per-row scalars (map-side, no
@@ -235,6 +254,107 @@ object MlFunctions {
     "linreg:" + sol.mkString(",")
   }
 
+  // ---- libsvm kernel surface ----
+
+  /** Parsed "key=value,..." params (LibSvmUtils.java:31-96; unknown keys
+    * are accepted-and-ignored like the reference's unsupported svm_parameter
+    * knobs). gamma <= 0 means "default 1/dims", libsvm's own default. */
+  final case class SvmParams(kernel: String, gamma: Double, degree: Int, coef0: Double)
+
+  def parseSvmParams(s: String): SvmParams = {
+    var kernel = "linear"; var gamma = 0.0; var degree = 3; var coef0 = 0.0
+    s.split(',').map(_.trim).filter(_.nonEmpty).foreach { pair =>
+      val kv = pair.split('=')
+      require(kv.length == 2, s"malformed libsvm parameter: '$pair'")
+      kv(0).trim.toLowerCase match {
+        case "kernel" => kernel = kv(1).trim.toLowerCase
+        case "gamma"  => gamma = kv(1).trim.toDouble
+        case "degree" => degree = kv(1).trim.toInt
+        case "coef0"  => coef0 = kv(1).trim.toDouble
+        case _        => // C/nu/eps/cache_size...: accepted, not used
+      }
+    }
+    SvmParams(kernel, gamma, degree, coef0)
+  }
+
+  /** RFF width: 64 keeps driver-side training at cap x 64 x iters flops
+    * while approximating smooth boundaries well at the dimensionalities
+    * the SQL features() surface produces. */
+  val RffD = 64
+  private val RffSeed = 0x1c3a9e5d7b2f4680L
+
+  private def unit(h: Long): Double = ((h >>> 11) + 1).toDouble / (1L << 53).toDouble
+
+  /** Deterministic N(0,1) stream member i (Box-Muller over splitmix64). */
+  private def gauss(i: Long): Double = {
+    val u1 = unit(mix64(RffSeed ^ (2 * i + 1)))
+    val u2 = unit(mix64(RffSeed ^ (2 * i + 2)))
+    math.sqrt(-2.0 * math.log(u1)) * math.cos(2.0 * math.Pi * u2)
+  }
+
+  /** z(x) for the RBF kernel exp(-gamma||x-y||^2): w ~ N(0, 2g I). */
+  def rffTransform(x: Array[Double], d: Int, bigD: Int, gamma: Double): Array[Double] = {
+    val scale = math.sqrt(2.0 * gamma)
+    val amp = math.sqrt(2.0 / bigD)
+    val z = new Array[Double](bigD)
+    var k = 0
+    while (k < bigD) {
+      var dot = 2.0 * math.Pi * unit(mix64(RffSeed ^ ~(k + 1).toLong)) // b_k
+      var j = 0
+      while (j < d) {
+        dot += scale * gauss(k.toLong * d + j) * (if (j < x.length) x(j) else 0.0)
+        j += 1
+      }
+      z(k) = amp * math.cos(dot)
+      k += 1
+    }
+    z
+  }
+
+  /** Exact poly-2 feature space: [x_i..., x_i^2..., x_i x_j (i<j)...]. */
+  def poly2Transform(x: Array[Double], d: Int): Array[Double] = {
+    def at(j: Int) = if (j < x.length) x(j) else 0.0
+    val out = new Array[Double](2 * d + d * (d - 1) / 2)
+    var p = 0
+    var i = 0
+    while (i < d) { out(p) = at(i); p += 1; i += 1 }
+    i = 0
+    while (i < d) { out(p) = at(i) * at(i); p += 1; i += 1 }
+    i = 0
+    while (i < d) {
+      var j = i + 1
+      while (j < d) { out(p) = at(i) * at(j); p += 1; j += 1 }
+      i += 1
+    }
+    out
+  }
+
+  private def kernelized(samples: Array[(Double, Array[Double])], p: SvmParams)
+      : (String, Array[(Double, Array[Double])]) = {
+    val d = dims(samples)
+    p.kernel match {
+      case "linear" => ("", samples)
+      case "rbf" =>
+        val g = if (p.gamma > 0) p.gamma else 1.0 / math.max(d, 1)
+        (s"rff:$d;$RffD;$g;",
+          samples.map { case (y, x) => (y, rffTransform(x, d, RffD, g)) })
+      case "poly" =>
+        require(p.degree == 2,
+          s"kernel=poly supports degree=2 (exact expansion); got degree=${p.degree}")
+        (s"poly2:$d;", samples.map { case (y, x) => (y, poly2Transform(x, d)) })
+      case "sigmoid" =>
+        throw new IllegalArgumentException(
+          "kernel=sigmoid is not supported (tanh kernel is not positive semi-definite)")
+      case other => throw new IllegalArgumentException(s"unknown kernel: $other")
+    }
+  }
+
+  def trainWithParams(samples: Array[(Double, Array[Double])], params: String,
+      classifier: Boolean): String = {
+    val (prefix, mapped) = kernelized(samples, parseSvmParams(params))
+    prefix + (if (classifier) trainClassifier(mapped) else trainRegressor(mapped))
+  }
+
   // ---- scalar application ----
 
   private def parseModel(model: String, kind: String): Array[Double] = {
@@ -261,7 +381,30 @@ object MlFunctions {
     "mlc:" + labels.mkString("|") + ";" + heads.mkString(";")
   }
 
+  /** Kernel-model unwrap: densify the feature map per the recorded input
+    * dims, apply the recorded transform, recurse on the inner model. */
+  private def unkernel(features: Map[Long, Double], model: String)
+      : Option[(Map[Long, Double], String)] = {
+    def dense(d: Int): Array[Double] = {
+      val x = new Array[Double](d)
+      features.foreach { case (k, v) => if (k >= 0 && k < d) x(k.toInt) = v }
+      x
+    }
+    def toMap(z: Array[Double]): Map[Long, Double] =
+      z.iterator.zipWithIndex.map { case (v, i) => i.toLong -> v }.toMap
+    if (model.startsWith("rff:")) {
+      val parts = model.drop(4).split(";", 4)
+      val (d, bigD, g) = (parts(0).toInt, parts(1).toInt, parts(2).toDouble)
+      Some((toMap(rffTransform(dense(d), d, bigD, g)), parts(3)))
+    } else if (model.startsWith("poly2:")) {
+      val parts = model.drop(6).split(";", 2)
+      val d = parts(0).toInt
+      Some((toMap(poly2Transform(dense(d), d)), parts(1)))
+    } else None
+  }
+
   def classify(features: Map[Long, Double], model: String): Long = {
+    unkernel(features, model).foreach { case (z, inner) => return classify(z, inner) }
     if (model.startsWith("mlc:")) {
       val body = model.drop(4)
       val sep = body.indexOf(';')
@@ -275,7 +418,10 @@ object MlFunctions {
   }
 
   def regress(features: Map[Long, Double], model: String): Double =
-    dot(parseModel(model, "linreg"), features)
+    unkernel(features, model) match {
+      case Some((z, inner)) => regress(z, inner)
+      case None => dot(parseModel(model, "linreg"), features)
+    }
 
   def install(spark: SparkSession): Unit = {
     // features(v1, ..., vN) -> map<bigint,double> with keys 0..N-1 —
@@ -292,6 +438,20 @@ object MlFunctions {
       args => LearnModelAgg(Cast(args(0), DoubleType), args(1), classifier = true), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction("learn_regressor",
       args => LearnModelAgg(Cast(args(0), DoubleType), args(1), classifier = false), "scala_udf")
+    // learn_libsvm_* take the libsvm param string as a literal third
+    // argument (the reference's Slice parameter is likewise a constant
+    // at the call site — LearnLibSvmClassifierAggregation.java:48-60).
+    def paramText(e: Expression): String = {
+      val v = e.eval()
+      require(v != null, "libsvm parameter string must be a non-null literal")
+      v.toString
+    }
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction("learn_libsvm_classifier",
+      args => LearnModelAgg(Cast(args(0), DoubleType), args(1), classifier = true,
+        params = paramText(args(2))), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction("learn_libsvm_regressor",
+      args => LearnModelAgg(Cast(args(0), DoubleType), args(1), classifier = false,
+        params = paramText(args(2))), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "evaluate_classifier_predictions",
       args => EvaluatePredictionsAgg(Cast(args(0), LongType), Cast(args(1), LongType)),
@@ -307,6 +467,7 @@ case class LearnModelAgg(
     left: Expression,
     right: Expression,
     classifier: Boolean,
+    params: String = "",
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[MlFunctions.Samples] with BinaryLike[Expression] {
@@ -333,8 +494,7 @@ case class LearnModelAgg(
 
   override def eval(buf: Samples): Any = {
     val s = MlFunctions.sorted(buf)
-    UTF8String.fromString(
-      if (classifier) trainClassifier(s) else trainRegressor(s))
+    UTF8String.fromString(MlFunctions.trainWithParams(s, params, classifier))
   }
 
   override def serialize(buf: Samples): Array[Byte] = MlFunctions.serializeSamples(buf)

@@ -102,5 +102,75 @@ object MlQueries extends QueryModule {
       scored.agg(
         count(lit(1)).as("n_total"),
         count(when(col("pred") === col("label"), 1)).as("n_correct"))
+    },
+
+    // libsvm kernel surface: RBF via random Fourier features
+    // (LearnLibSvmClassifierAggregation.java, LibSvmUtils.java:31-96;
+    // MlFunctions scaladoc for the RFF construction). Contract: a disk-
+    // vs-ring labeling in [-1,1]^2 (inside r^2 < 0.35 -> 1, outside
+    // r^2 > 0.65 -> 0, the annulus in between excluded) is NOT linearly
+    // separable — the linear kernel must misclassify a material
+    // fraction — while the RBF model must reach exactly 100% on the
+    // same points. Both branches train on the same deterministic
+    // key-derived grid, so the oracle states both outcomes exactly.
+    Q("ml_learn_libsvm_rbf",
+      """WITH pts AS (
+        |  SELECT c_custkey,
+        |         ((c_custkey * 7919) % 201 - 100) / 100.0 AS x1,
+        |         ((c_custkey * 104729) % 201 - 100) / 100.0 AS x2
+        |  FROM customer),
+        |lab AS (
+        |  SELECT x1, x2, CASE WHEN x1*x1 + x2*x2 < 0.35 THEN 1 ELSE 0 END AS label
+        |  FROM pts
+        |  WHERE x1*x1 + x2*x2 < 0.35 OR x1*x1 + x2*x2 > 0.65)
+        |SELECT CAST(count(*) AS BIGINT) AS n_total,
+        |       true AS rbf_all_correct,
+        |       true AS linear_imperfect
+        |FROM lab""".stripMargin) { (s, _) =>
+      graft.functions.FunctionRegistry.installAll(s)
+      val lab = s.table("customer")
+        .selectExpr(
+          "((c_custkey * 7919) % 201 - 100) / 100.0 AS x1",
+          "((c_custkey * 104729) % 201 - 100) / 100.0 AS x2")
+        .filter(expr("x1*x1 + x2*x2 < 0.35 OR x1*x1 + x2*x2 > 0.65"))
+        .withColumn("label", expr("CASE WHEN x1*x1 + x2*x2 < 0.35 THEN 1 ELSE 0 END"))
+      val models = lab.agg(
+        expr("learn_libsvm_classifier(label, features(x1, x2), 'kernel=rbf,gamma=4')").as("rbf"),
+        expr("learn_libsvm_classifier(label, features(x1, x2), 'kernel=linear')").as("lin"))
+      val scored = lab.crossJoin(broadcast(models))
+        .withColumn("p_rbf", expr("classify(features(x1, x2), rbf)"))
+        .withColumn("p_lin", expr("classify(features(x1, x2), lin)"))
+      scored.agg(
+        count(lit(1)).as("n_total"),
+        (count(when(col("p_rbf") === col("label"), 1)) === count(lit(1)))
+          .as("rbf_all_correct"),
+        (count(when(col("p_lin") === col("label"), 1)) < count(lit(1)))
+          .as("linear_imperfect"))
+    },
+
+    // kernel=poly degree=2: the exact quadratic expansion must fit a
+    // quadratic target to fp precision (normal equations over
+    // [x1, x2, x1^2, x2^2, x1*x2] — the poly-2 kernel's feature space).
+    Q("ml_learn_libsvm_poly",
+      """WITH pts AS (
+        |  SELECT ((c_custkey * 7) % 100) / 10.0 AS x1,
+        |         ((c_custkey * 13) % 100) / 10.0 AS x2
+        |  FROM customer)
+        |SELECT CAST(count(*) AS BIGINT) AS n_total,
+        |       CAST(0 AS DOUBLE) AS max_err
+        |FROM pts""".stripMargin) { (s, _) =>
+      graft.functions.FunctionRegistry.installAll(s)
+      val pts = s.table("customer")
+        .selectExpr(
+          "((c_custkey * 7) % 100) / 10.0 AS x1",
+          "((c_custkey * 13) % 100) / 10.0 AS x2")
+        .withColumn("y", expr("1 + 2*x1 - x2 + 3*x1*x1 + 2*x1*x2 + 0.5*x2*x2"))
+      val model = pts.agg(
+        expr("learn_libsvm_regressor(y, features(x1, x2), 'kernel=poly,degree=2')").as("model"))
+      val scored = pts.crossJoin(broadcast(model))
+        .withColumn("err", abs(expr("regress(features(x1, x2), model)") - col("y")))
+      scored.agg(
+        count(lit(1)).as("n_total"),
+        round(max(col("err")), 6).as("max_err"))
     })
 }

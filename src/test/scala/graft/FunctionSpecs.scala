@@ -526,6 +526,51 @@ class FunctionSpecs extends AnyFunSuite {
     assert(MlFunctions.trainClassifier(binary).startsWith("lr:"))
   }
 
+  test("libsvm kernels: rbf (RFF) separates the disk-vs-ring set the linear kernel cannot") {
+    import graft.functions.MlFunctions
+    val all = (0 until 2000).flatMap { i =>
+      val x1 = (i * 7919 % 201 - 100) / 100.0
+      val x2 = (i * 104729 % 201 - 100) / 100.0
+      val r2 = x1 * x1 + x2 * x2
+      if (r2 < 0.35) Some((1.0, Array(x1, x2)))
+      else if (r2 > 0.65) Some((0.0, Array(x1, x2)))
+      else None
+    }.toArray
+    val rbf = MlFunctions.trainWithParams(all, "kernel=rbf,gamma=4", classifier = true)
+    assert(rbf.startsWith("rff:2;"), rbf.take(30))
+    val rbfErr = all.count { case (y, x) =>
+      MlFunctions.classify(Map(0L -> x(0), 1L -> x(1)), rbf) != y.toLong }
+    assert(rbfErr == 0, s"rbf misclassified $rbfErr of ${all.length}")
+    val lin = MlFunctions.trainWithParams(all, "kernel=linear", classifier = true)
+    val linErr = all.count { case (y, x) =>
+      MlFunctions.classify(Map(0L -> x(0), 1L -> x(1)), lin) != y.toLong }
+    assert(linErr > 0, "a linear separator cannot be exact on a disk-vs-ring labeling")
+    // determinism: the fixed splitmix64 RFF stream yields the identical model text
+    assert(rbf == MlFunctions.trainWithParams(all, "kernel=rbf,gamma=4", classifier = true))
+  }
+
+  test("libsvm kernels: poly degree=2 fits a quadratic target exactly; unsupported kinds raise") {
+    import graft.functions.MlFunctions
+    val samples = (0 until 300).map { i =>
+      val x1 = (i * 7 % 100) / 10.0; val x2 = (i * 13 % 100) / 10.0
+      (1.0 + 2 * x1 - x2 + 3 * x1 * x1 + 2 * x1 * x2 + 0.5 * x2 * x2, Array(x1, x2))
+    }.toArray
+    val m = MlFunctions.trainWithParams(samples, "kernel=poly,degree=2", classifier = false)
+    assert(m.startsWith("poly2:2;linreg:"), m.take(30))
+    samples.foreach { case (y, x) =>
+      assert(math.abs(MlFunctions.regress(Map(0L -> x(0), 1L -> x(1)), m) - y) < 1e-6)
+    }
+    intercept[IllegalArgumentException] {
+      MlFunctions.trainWithParams(samples, "kernel=sigmoid", classifier = true)
+    }
+    intercept[IllegalArgumentException] {
+      MlFunctions.trainWithParams(samples, "kernel=poly,degree=3", classifier = false)
+    }
+    // param parsing mirrors LibSvmUtils: unknown keys ignored, defaults applied
+    val p = MlFunctions.parseSvmParams("kernel=rbf,C=10,cache_size=100")
+    assert(p.kernel == "rbf" && p.gamma == 0.0)
+  }
+
   test("ML sample cap is KMV: retained subset is arrival-order-independent past the cap (r7 advice)") {
     import graft.functions.MlFunctions
     // n = cap + 20000: a keep-first cap would retain different subsets
