@@ -37,6 +37,10 @@ object Bench {
       // 1MB floor coalesces a 3MB candidate-pair exchange to 3 tasks and
       // serializes the (expensive) downstream verify on a 32-core box.
       .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64kb")
+      // One merged shuffle file per map task instead of one per reduce
+      // partition — see Engine.session for the measurement; matches the
+      // writer path a >200-reducer cluster job takes anyway.
+      .config("spark.shuffle.sort.bypassMergeThreshold", "1")
       .config("spark.sql.autoBroadcastJoinThreshold", (32L * 1024 * 1024).toString)
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -69,6 +69,15 @@ object Engine {
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       // See Bench: keep compute-dense, byte-light shuffles parallel.
       .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64kb")
+      // The bypass-merge shuffle writer opens one file PER REDUCE
+      // PARTITION per map task whenever reducers <= 200; the sort path
+      // writes one spill-merged file. File open/mmap cost dominates
+      // small-shuffle CPU on this box (stack-sampled: open0/map0 ~60%
+      // of a 32x32 shuffle's cycles; ~30% CPU off q21 and the
+      // orderkey group-by with the sort path). A 1000-executor job has
+      // reducers >> 200 so bypass never applies there — threshold=1
+      // simply gives local runs the same writer big clusters use.
+      .config("spark.shuffle.sort.bypassMergeThreshold", "1")
       .config("spark.sql.cbo.enabled", "true")
       .config("spark.sql.autoBroadcastJoinThreshold", (32L * 1024 * 1024).toString)
       .config("spark.ui.enabled", "false")
