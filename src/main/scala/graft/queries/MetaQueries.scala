@@ -75,6 +75,22 @@ object MetaQueries extends QueryModule {
         .select("Function", "Deterministic")
     },
 
+    // EXPLAIN (TYPE VALIDATE) — ExplainRewrite.java:123: analysis-only,
+    // single "Valid"=true row.
+    Q("meta_explain_validate",
+      """SELECT true AS "Valid"""") { (s, _) =>
+      fd(s, "EXPLAIN (TYPE VALIDATE) SELECT l_orderkey FROM lineitem WHERE l_quantity > 0")
+    },
+
+    // EXPLAIN (TYPE IO) — IOPlanPrinter.java JSON of scanned tables.
+    Q("meta_explain_io",
+      """SELECT '{"inputTableColumnInfos":[' ||
+        |  '{"table":{"catalog":"spark_catalog","schemaTable":{"schema":"default","table":"lineitem"}}},' ||
+        |  '{"table":{"catalog":"spark_catalog","schemaTable":{"schema":"default","table":"orders"}}}' ||
+        |  ']}' AS "Query Plan"""".stripMargin) { (s, _) =>
+      fd(s, "EXPLAIN (TYPE IO) SELECT count(*) FROM lineitem JOIN orders ON l_orderkey = o_orderkey")
+    },
+
     // SHOW STATS FOR orders — per-column NDV / null fraction / data size /
     // range plus the row_count summary row, all recomputed by DuckDB.
     Q("meta_show_stats", statsOracle(filtered = false)) { (s, _) =>

@@ -162,6 +162,61 @@ object Metadata {
       "Deterministic", "Description")
   }
 
+  /** EXPLAIN (TYPE ..., FORMAT ...) — ExplainRewrite.java:116-140:
+    * VALIDATE analyzes only and returns one "Valid"=true row; LOGICAL /
+    * DISTRIBUTED return the one-row "Query Plan" text (optimized logical
+    * plan / physical plan — the reference's fragmented distributed plan
+    * maps to Spark's exchanged-marked physical plan); IO returns the
+    * IOPlanPrinter.java JSON of input tables (catalog/schema/table, one
+    * entry per scanned relation, sorted). FORMAT JSON serializes the
+    * plan tree via Catalyst's own toJSON; GRAPHVIZ is not supported
+    * (documented — the reference shells out to graphviz rendering).
+    */
+  def explainTyped(spark: SparkSession, sql: String, planType: String,
+      format: String): DataFrame = {
+    import spark.implicits._
+    require(format != "GRAPHVIZ", "FORMAT GRAPHVIZ is not supported (TEXT or JSON)")
+    val qe = spark.sql(sql).queryExecution
+    planType match {
+      case "VALIDATE" =>
+        qe.analyzed // analysis errors propagate; reaching here means valid
+        Seq(true).toDF("Valid")
+      case "LOGICAL" =>
+        val text = if (format == "JSON") qe.optimizedPlan.toJSON
+          else qe.optimizedPlan.treeString
+        Seq(text).toDF("Query Plan")
+      case "DISTRIBUTED" =>
+        val text = if (format == "JSON") qe.executedPlan.toJSON
+          else qe.explainString(org.apache.spark.sql.execution.FormattedMode)
+        Seq(text).toDF("Query Plan")
+      case "IO" =>
+        // input tables from the analyzed tree: temp-view scans surface as
+        // SubqueryAlias directly over a relation leaf, catalog tables via
+        // their identifier. Sorted for determinism.
+        import org.apache.spark.sql.catalyst.plans.logical._
+        val names = scala.collection.mutable.SortedSet.empty[String]
+        def walk(p: LogicalPlan): Unit = p match {
+          // temp views resolve as SubqueryAlias(name, View(leaf)); direct
+          // DataFrame-registered views as SubqueryAlias(name, leaf)
+          case SubqueryAlias(id, v: View) if v.child.children.isEmpty =>
+            names += id.name
+          case SubqueryAlias(id, child) if child.children.isEmpty =>
+            names += id.name
+          case other =>
+            other.children.foreach(walk)
+            other.subqueries.foreach(walk)
+        }
+        walk(qe.analyzed)
+        val entries = names.toSeq.map { t =>
+          s"""{"table":{"catalog":"spark_catalog","schemaTable":{"schema":"default","table":"$t"}}}"""
+        }
+        Seq(entries.mkString("{\"inputTableColumnInfos\":[", ",", "]}"))
+          .toDF("Query Plan")
+      case other =>
+        throw new IllegalArgumentException(s"unknown EXPLAIN type: $other")
+    }
+  }
+
   /** SHOW STATS FOR t / SHOW STATS FOR (SELECT * FROM t WHERE p).
     *
     * One row per column + a summary row (ShowStatsRewrite.java:255-296):

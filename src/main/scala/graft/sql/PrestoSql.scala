@@ -166,6 +166,9 @@ object PrestoSql {
   private val executeRe = """(?is)\s*EXECUTE\s+(\w+)\s*(?:USING\s+(.+))?""".r
   private val deallocRe = """(?is)\s*DEALLOCATE\s+(?:PREPARE\s+)?(\w+)\s*""".r
   private val explainAnalyzeRe = """(?is)\s*EXPLAIN\s+ANALYZE\s+(.+)""".r
+  // EXPLAIN (TYPE LOGICAL|DISTRIBUTED|VALIDATE|IO [, FORMAT TEXT|JSON]) q
+  // — SqlBase.g4 explainOption, ExplainRewrite.java:91-140.
+  private val explainOptsRe = """(?is)\s*EXPLAIN\s*\(\s*([^)]*?)\s*\)\s+(.+)""".r
 
   // ---- SET SESSION / RESET SESSION / SHOW SESSION (reference:
   // execution/SetSessionTask.java, ResetSessionTask.java,
@@ -330,6 +333,13 @@ object PrestoSql {
         // the runtime-metric-annotated plan as a one-row result.
         val (planText, _) = ExplainAnalyze.analyze(spark.sql(rewriteFull(query)))
         Seq(planText).toDF("plan")
+      case explainOptsRe(opts, query) =>
+        val o = opts.toUpperCase.split(',').map(_.trim).filter(_.nonEmpty)
+        val planType = o.collectFirst { case s if s.startsWith("TYPE") => s.drop(4).trim }
+          .getOrElse("LOGICAL")
+        val format = o.collectFirst { case s if s.startsWith("FORMAT") => s.drop(6).trim }
+          .getOrElse("TEXT")
+        Metadata.explainTyped(spark, rewriteFull(query), planType, format)
       case setAuthRe(user) =>
         AccessControl.setPrincipal(spark, user)
         Seq("SET SESSION AUTHORIZATION").toDF("result")

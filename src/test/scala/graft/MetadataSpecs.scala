@@ -107,6 +107,35 @@ class MetadataSpecs extends AnyFunSuite with BeforeAndAfterAll {
     assert(sumRow.getString(3) == "aggregate")
   }
 
+  test("EXPLAIN (TYPE ...) variants: LOGICAL/DISTRIBUTED text, JSON format, graphviz raises") {
+    val logical = PrestoSql.sql(spark, "EXPLAIN (TYPE LOGICAL) SELECT count(*) FROM nation")
+    assert(logical.columns.toSeq == Seq("Query Plan"))
+    assert(logical.collect().head.getString(0).contains("Aggregate"))
+    val dist = PrestoSql.sql(spark, "EXPLAIN (TYPE DISTRIBUTED) SELECT count(*) FROM nation")
+      .collect().head.getString(0)
+    assert(dist.contains("HashAggregate") || dist.contains("Exchange"), dist.take(200))
+    val json = PrestoSql.sql(spark,
+      "EXPLAIN (TYPE LOGICAL, FORMAT JSON) SELECT count(*) FROM nation")
+      .collect().head.getString(0)
+    assert(json.trim.startsWith("["))
+    intercept[IllegalArgumentException] {
+      PrestoSql.sql(spark, "EXPLAIN (FORMAT GRAPHVIZ) SELECT 1")
+    }
+    // VALIDATE surfaces analysis errors rather than returning a row
+    intercept[Exception] {
+      PrestoSql.sql(spark, "EXPLAIN (TYPE VALIDATE) SELECT no_such_col FROM nation").collect()
+    }
+  }
+
+  test("EXPLAIN (TYPE IO) walks through view bodies to base relations") {
+    // q2-style query through the partsupp VIEW must report the base
+    // parquet relations, not the view name
+    val io = PrestoSql.sql(spark,
+      "EXPLAIN (TYPE IO) SELECT ps_partkey FROM partsupp WHERE ps_availqty > 0")
+      .collect().head.getString(0)
+    assert(io.contains("\"table\":\"lineitem\"") && io.contains("\"table\":\"part\""), io)
+  }
+
   test("SHOW SCHEMAS / SHOW CATALOGS single-column shapes") {
     val s = PrestoSql.sql(spark, "SHOW SCHEMAS")
     assert(s.columns.toSeq == Seq("Schema"))
