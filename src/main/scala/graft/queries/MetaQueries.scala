@@ -75,6 +75,30 @@ object MetaQueries extends QueryModule {
         .select("Function", "Deterministic")
     },
 
+    // DESCRIBE INPUT — one (Position, Type) row per ? parameter
+    // (DescribeInputRewrite.java:118-144; Type is the reference's own
+    // "unknown" placeholder absent coercion analysis).
+    Q("meta_describe_input",
+      """SELECT * FROM (VALUES (CAST(0 AS BIGINT), 'unknown'),
+        |                      (CAST(1 AS BIGINT), 'unknown'))
+        |  AS t("Position", "Type")""".stripMargin) { (s, _) =>
+      fd(s, "PREPARE graft_di FROM SELECT l_orderkey FROM lineitem WHERE l_quantity > ? AND l_partkey = ?")
+      fd(s, "DESCRIBE INPUT graft_di")
+    },
+
+    // DESCRIBE OUTPUT — per-column name/type/size rows
+    // (DescribeOutputRewrite.java:107-155; origin-table lineage not
+    // tracked by Spark's schema -> empty Catalog/Schema/Table, see
+    // Metadata.describeOutput).
+    Q("meta_describe_output",
+      """SELECT * FROM (VALUES
+        |  ('l_returnflag', '', '', '', 'varchar', CAST(0 AS BIGINT), false),
+        |  ('sum_qty',      '', '', '', 'double',  CAST(8 AS BIGINT), false))
+        |  AS t("Column Name", "Catalog", "Schema", "Table", "Type", "Type Size", "Aliased")""".stripMargin) { (s, _) =>
+      fd(s, "PREPARE graft_do FROM SELECT l_returnflag, sum(l_quantity) AS sum_qty FROM lineitem GROUP BY l_returnflag")
+      fd(s, "DESCRIBE OUTPUT graft_do")
+    },
+
     // EXPLAIN (TYPE VALIDATE) — ExplainRewrite.java:123: analysis-only,
     // single "Valid"=true row.
     Q("meta_explain_validate",

@@ -162,6 +162,64 @@ object Metadata {
       "Deterministic", "Description")
   }
 
+  /** Fixed-width sizes per the reference's FixedWidthType implementations
+    * (used by DESCRIBE OUTPUT's Type Size column; variable-width -> 0). */
+  private def typeSize(dt: DataType): Long = dt match {
+    case LongType | DoubleType | _: TimestampType | TimestampNTZType => 8L
+    case IntegerType | DateType | FloatType                          => 4L
+    case ShortType                                                   => 2L
+    case ByteType | BooleanType                                      => 1L
+    case d: DecimalType                                              => if (d.precision <= 18) 8L else 16L
+    case _                                                           => 0L
+  }
+
+  /** DESCRIBE INPUT name (DescribeInputRewrite.java:118-144): one
+    * (Position, Type) row per `?` parameter of the prepared statement,
+    * ordered by position; a statement with no parameters yields the
+    * single all-null row the reference emits. Documented delta: the
+    * reference runs type coercion analysis to name each parameter's
+    * type; Spark has no unbound-parameter analysis, so Type is the
+    * reference's own "unknown" placeholder for every position.
+    */
+  def describeInput(spark: SparkSession, preparedText: String): DataFrame = {
+    import spark.implicits._
+    // count '?' outside string literals (same scan as EXECUTE binding)
+    var in = false
+    var n = 0
+    preparedText.foreach {
+      case '\'' => in = !in
+      case '?' if !in => n += 1
+      case _ =>
+    }
+    if (n == 0)
+      Seq((null.asInstanceOf[java.lang.Long], null.asInstanceOf[String]))
+        .toDF("Position", "Type")
+    else (0 until n).map(i => (i.toLong, "unknown")).toDF("Position", "Type")
+  }
+
+  /** DESCRIBE OUTPUT name (DescribeOutputRewrite.java:107-155): one row
+    * per output column — Column Name, Catalog/Schema/Table, Type,
+    * Type Size, Aliased. Parameters are bound to NULL for analysis (the
+    * reference analyzes with placeholder parameters the same way).
+    * Documented delta: Spark's analyzed schema does not carry per-column
+    * origin-table lineage, so Catalog/Schema/Table are empty and Aliased
+    * is false — the fields the reference fills from Field.getOriginTable.
+    */
+  def describeOutput(spark: SparkSession, preparedSql: String): DataFrame = {
+    import spark.implicits._
+    val sb = new StringBuilder
+    var in = false
+    preparedSql.foreach { c =>
+      if (c == '\'') { in = !in; sb.append(c) }
+      else if (c == '?' && !in) sb.append("NULL")
+      else sb.append(c)
+    }
+    val schema = spark.sql(sb.toString).schema
+    schema.fields.toSeq
+      .map(f => (f.name, "", "", "", prestoType(f.dataType), typeSize(f.dataType), false))
+      .toDF("Column Name", "Catalog", "Schema", "Table", "Type", "Type Size", "Aliased")
+  }
+
   /** EXPLAIN (TYPE ..., FORMAT ...) — ExplainRewrite.java:116-140:
     * VALIDATE analyzes only and returns one "Valid"=true row; LOGICAL /
     * DISTRIBUTED return the one-row "Query Plan" text (optimized logical

@@ -267,6 +267,10 @@ object PrestoSql {
     """(?is)\s*SHOW\s+CATALOGS(?:\s+LIKE\s+'([^']*)')?\s*""".r
   private val showColumnsRe =
     """(?is)\s*(?:SHOW\s+COLUMNS\s+(?:FROM|IN)|DESCRIBE|DESC)\s+([\w.]+)\s*""".r
+  // DESCRIBE INPUT/OUTPUT of a prepared statement (SqlBase.g4:96-97,
+  // DescribeInputRewrite.java / DescribeOutputRewrite.java).
+  private val describeInputRe = """(?is)\s*DESCRIBE\s+INPUT\s+(\w+)\s*""".r
+  private val describeOutputRe = """(?is)\s*DESCRIBE\s+OUTPUT\s+(\w+)\s*""".r
   private val showCreateTableRe =
     """(?is)\s*SHOW\s+CREATE\s+TABLE\s+([\w.]+)\s*""".r
   private val showFunctionsRe = """(?is)\s*SHOW\s+FUNCTIONS\s*""".r
@@ -372,6 +376,14 @@ object PrestoSql {
         Metadata.showStats(spark, table, None)
       case showCreateTableRe(table) =>
         Metadata.showCreateTable(spark, table)
+      case describeInputRe(name) =>
+        val q = stmtsOf(spark).getOrElse(name.toLowerCase,
+          throw new IllegalArgumentException(s"Prepared statement not found: $name"))
+        Metadata.describeInput(spark, q)
+      case describeOutputRe(name) =>
+        val q = stmtsOf(spark).getOrElse(name.toLowerCase,
+          throw new IllegalArgumentException(s"Prepared statement not found: $name"))
+        Metadata.describeOutput(spark, rewriteFull(q))
       case showColumnsRe(table) =>
         Metadata.showColumns(spark, table)
       case showFunctionsRe() =>

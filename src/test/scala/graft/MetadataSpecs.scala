@@ -136,6 +136,26 @@ class MetadataSpecs extends AnyFunSuite with BeforeAndAfterAll {
     assert(io.contains("\"table\":\"lineitem\"") && io.contains("\"table\":\"part\""), io)
   }
 
+  test("DESCRIBE INPUT/OUTPUT of prepared statements") {
+    PrestoSql.sql(spark, "PREPARE di_spec FROM SELECT * FROM nation WHERE n_nationkey = ?")
+    val in = PrestoSql.sql(spark, "DESCRIBE INPUT di_spec").collect()
+    assert(in.map(r => (r.getLong(0), r.getString(1))).toSeq == Seq((0L, "unknown")))
+    // parameterless statement: the reference's single all-null row
+    PrestoSql.sql(spark, "PREPARE di0_spec FROM SELECT 1")
+    val in0 = PrestoSql.sql(spark, "DESCRIBE INPUT di0_spec").collect()
+    assert(in0.length == 1 && in0.head.isNullAt(0) && in0.head.isNullAt(1))
+    // a '?' inside a string literal is not a parameter
+    PrestoSql.sql(spark, "PREPARE di1_spec FROM SELECT '?' AS q FROM nation WHERE n_nationkey = ?")
+    assert(PrestoSql.sql(spark, "DESCRIBE INPUT di1_spec").collect().length == 1)
+    // OUTPUT: analysis runs with NULL-bound parameters, presto type names
+    val out = PrestoSql.sql(spark, "DESCRIBE OUTPUT di_spec").collect()
+    assert(out.map(_.getString(0)).toSeq == spark.table("nation").columns.toSeq)
+    assert(out.head.getString(4) == "integer" && out.head.getLong(5) == 4L)
+    intercept[IllegalArgumentException] {
+      PrestoSql.sql(spark, "DESCRIBE INPUT never_prepared")
+    }
+  }
+
   test("SHOW SCHEMAS / SHOW CATALOGS single-column shapes") {
     val s = PrestoSql.sql(spark, "SHOW SCHEMAS")
     assert(s.columns.toSeq == Seq("Schema"))
