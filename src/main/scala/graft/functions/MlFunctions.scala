@@ -174,14 +174,18 @@ object MlFunctions {
     val w = new Array[Double](d); var b = 0.0
     val lr = 0.5
     var it = 0
-    while (it < 500) {
+    var settled = false
+    var settledSince = -1
+    while (it < 500 && !settled) {
       val gw = new Array[Double](d); var gb = 0.0
       var i = 0
+      var errs = 0
       while (i < n) {
         var dot = b
         var k = 0
         while (k < d) { dot += w(k) * z(i)(k); k += 1 }
         val p = 1.0 / (1.0 + math.exp(-dot))
+        if ((dot >= 0) != (ys(i) > 0.5)) errs += 1
         val err = p - ys(i)
         k = 0
         while (k < d) { gw(k) += err * z(i)(k); k += 1 }
@@ -192,6 +196,17 @@ object MlFunctions {
       while (k < d) { w(k) -= lr * gw(k) / n; k += 1 }
       b -= lr * gb / n
       it += 1
+      // Deterministic early stop (liblinear's epsilon-stopping analog,
+      // expressed on the 0/1 objective): once the decision function
+      // classifies every training row correctly AND has had 50 further
+      // iterations of margin growth, more epochs cannot change any
+      // classify() output sign. Non-separable inputs never trigger it
+      // and still run the full 500. Pure function of the (sorted,
+      // capped) sample set, so partitioning-invariance is untouched.
+      if (errs == 0 && it >= 50) {
+        if (settledSince < 0) settledSince = it
+        if (it - settledSince >= 50) settled = true
+      } else settledSince = -1
     }
     // unscale: w'_j = w_j/std_j ; b' = b - sum w_j mean_j / std_j
     val wOut = Array.tabulate(d)(j => w(j) / std(j))
