@@ -365,6 +365,89 @@ object GeometryConstructors {
     }
   }
 
+  /** Render a flat Greiner–Hormann ring set as WKT, classifying shells
+    * vs holes by point containment: a ring inside an odd number of other
+    * rings is a hole of its (unique, for boolean-op output) containing
+    * shell. One shell -> POLYGON [with holes]; several -> MULTIPOLYGON;
+    * none -> POLYGON EMPTY. */
+  /** Group a flat ring set into (shell, holes*) polygons by containment
+    * depth. Safe within ONE boolean-op output: its rings never share
+    * points (each spliced intersection vertex is consumed by exactly one
+    * traced ring), so the vertex-containment test never lands on a
+    * boundary. */
+  private def classifyParts(parts: Seq[Array[Pt]]): Seq[Array[Array[Pt]]] = {
+    val depth = parts.indices.map { i =>
+      parts.indices.count(j => j != i && PolygonClip.insideRing(parts(i)(0), parts(j)))
+    }
+    val shells = parts.indices.filter(depth(_) % 2 == 0)
+    shells.map { s =>
+      (parts(s) +: parts.indices.filter(h =>
+        depth(h) % 2 == 1 && PolygonClip.insideRing(parts(h)(0), parts(s))).map(parts)).toArray
+    }
+  }
+
+  private def renderGroups(groups: Seq[Array[Array[Pt]]]): String =
+    groups.length match {
+      case 0 => "POLYGON EMPTY"
+      case 1 => renderPolygon(groups.head)
+      case _ =>
+        "MULTIPOLYGON (" + groups.map { g =>
+          "(" + g.map(r =>
+            "(" + (r :+ r.head).map(p => s"${fmt(p._1)} ${fmt(p._2)}").mkString(", ") + ")")
+            .mkString(", ") + ")"
+        }.mkString(", ") + ")"
+    }
+
+  private def renderParts(parts: Seq[Array[Pt]]): String =
+    renderGroups(classifyParts(parts))
+
+  /** Shared overlay driver with the stIntersection joggle fallback. */
+  private def overlay(aWkt: String, bWkt: String,
+      op: (Array[Pt], Array[Pt]) => Seq[Array[Pt]]): String = {
+    val a = parseWkt(aWkt)._2
+    val b = parseWkt(bWkt)._2
+    val parts =
+      try op(a, b)
+      catch {
+        case _: IllegalArgumentException =>
+          val e = 1e-9
+          val joggled = b.map(p => (p._1 + e * 0.7548776662, p._2 + e * 0.5698402910))
+          op(a, joggled)
+      }
+    renderParts(parts)
+  }
+
+  /** ST_Union for arbitrary simple polygons (GeoFunctions.java:619-634
+    * delegates to the ESRI core) — Greiner–Hormann with both mark sets
+    * inverted; two C-shapes closing around a region correctly emit the
+    * enclosed hole (shell/hole classification in renderParts). */
+  def stUnion(aWkt: String, bWkt: String): String =
+    overlay(aWkt, bWkt, PolygonClip.union)
+
+  /** ST_Difference (GeoFunctions.java:907-918): subject marks inverted;
+    * a clip interior to the subject yields the holed polygon. */
+  def stDifference(aWkt: String, bWkt: String): String =
+    overlay(aWkt, bWkt, PolygonClip.difference)
+
+  /** ST_SymDifference (GeoFunctions.java:979-990) = (A\B) ∪ (B\A). The
+    * two difference ring sets are interior-disjoint but SHARE boundary
+    * points (the A∩B boundary), so each set is shell/hole-classified on
+    * its own and the polygons concatenate into the MULTIPOLYGON — a
+    * cross-set containment test could land exactly on a shared vertex. */
+  def stSymDifference(aWkt: String, bWkt: String): String = {
+    val a = parseWkt(aWkt)._2
+    val b = parseWkt(bWkt)._2
+    def diff(x: Array[Pt], y: Array[Pt]): Seq[Array[Pt]] =
+      try PolygonClip.difference(x, y)
+      catch {
+        case _: IllegalArgumentException =>
+          val e = 1e-9
+          val joggled = y.map(p => (p._1 + e * 0.7548776662, p._2 + e * 0.5698402910))
+          PolygonClip.difference(x, joggled)
+      }
+    renderGroups(classifyParts(diff(a, b)) ++ classifyParts(diff(b, a)))
+  }
+
   /** Area of POLYGON / MULTIPOLYGON / EMPTY WKT (hole-aware for
     * POLYGON; multipolygon parts summed). */
   def wktAreaMulti(wkt: String): Double = {
@@ -501,5 +584,11 @@ object GeometryConstructors {
     spark.udf.register("st_intersection",
       (a: String, b: String) => if (a == null || b == null) null else stIntersection(a, b))
     spark.udf.register("st_wkt_area", (w: String) => wktAreaMulti(w))
+    spark.udf.register("st_union",
+      (a: String, b: String) => if (a == null || b == null) null else stUnion(a, b))
+    spark.udf.register("st_difference",
+      (a: String, b: String) => if (a == null || b == null) null else stDifference(a, b))
+    spark.udf.register("st_sym_difference",
+      (a: String, b: String) => if (a == null || b == null) null else stSymDifference(a, b))
   }
 }

@@ -51,7 +51,7 @@ object PolygonClip {
     verts(0)
   }
 
-  private def insideRing(p: Pt, ring: Array[Pt]): Boolean = {
+  private[functions] def insideRing(p: Pt, ring: Array[Pt]): Boolean = {
     // even-odd ray cast (PNPOLY, Franklin)
     var in = false
     var i = 0
@@ -81,7 +81,43 @@ object PolygonClip {
 
   /** Intersection of two simple rings (no holes), general position.
     * Returns the result parts as rings (possibly empty / several). */
-  def intersect(subject0: Array[Pt], clip0: Array[Pt]): Seq[Array[Pt]] = {
+  /** A ∩ B. No-intersection policy: contained polygon, or EMPTY. */
+  def intersect(subject0: Array[Pt], clip0: Array[Pt]): Seq[Array[Pt]] =
+    clipCore(subject0, clip0, invSubject = false, invClip = false).getOrElse {
+      if (insideRing(subject0(0), clip0)) Seq(subject0)
+      else if (insideRing(clip0(0), subject0)) Seq(clip0)
+      else Seq.empty
+    }
+
+  /** A ∪ B — same machinery with BOTH entry mark sets inverted (the
+    * published Greiner–Hormann boolean-op table): the forward walks then
+    * collect the arcs OUTSIDE the other polygon. Output rings may nest
+    * (two C-shapes can enclose a hole) — the caller classifies
+    * shells/holes by containment. No intersections: containment keeps
+    * the outer polygon, disjoint keeps both. */
+  def union(subject0: Array[Pt], clip0: Array[Pt]): Seq[Array[Pt]] =
+    clipCore(subject0, clip0, invSubject = true, invClip = true).getOrElse {
+      if (insideRing(subject0(0), clip0)) Seq(clip0)
+      else if (insideRing(clip0(0), subject0)) Seq(subject0)
+      else Seq(subject0, clip0)
+    }
+
+  /** A \ B — subject marks inverted only: forward walks collect
+    * subject-outside-B arcs and clip-inside-A arcs (traversed reverse).
+    * No intersections: B interior to A yields (A, B) — B classifies as
+    * A's hole by containment; A inside B yields EMPTY; disjoint yields
+    * A. */
+  def difference(subject0: Array[Pt], clip0: Array[Pt]): Seq[Array[Pt]] =
+    clipCore(subject0, clip0, invSubject = true, invClip = false).getOrElse {
+      if (insideRing(clip0(0), subject0)) Seq(subject0, clip0)
+      else if (insideRing(subject0(0), clip0)) Seq.empty
+      else Seq(subject0)
+    }
+
+  /** Greiner–Hormann core; None when the boundaries do not intersect
+    * (caller applies the per-operation containment policy). */
+  private def clipCore(subject0: Array[Pt], clip0: Array[Pt],
+      invSubject: Boolean, invClip: Boolean): Option[Seq[Array[Pt]]] = {
     require(subject0.length >= 3 && clip0.length >= 3, "polygon needs >= 3 vertices")
     val subject = subject0
     val clip = clip0
@@ -109,13 +145,7 @@ object PolygonClip {
         nInter += 1
       }
     }
-    if (nInter == 0) {
-      // containment or disjoint
-      return (
-        if (insideRing(subject(0), clip)) Seq(subject)
-        else if (insideRing(clip(0), subject)) Seq(clip)
-        else Seq.empty)
-    }
+    if (nInter == 0) return None // containment/disjoint policy is per-op
     // splice AFTER collecting (orig .next pointers change as we insert,
     // so insert each edge's batch in one pass against the saved stop)
     def spliceAll(): Unit = {
@@ -140,9 +170,10 @@ object PolygonClip {
     }
     spliceAll()
 
-    // phase 2: entry/exit marking by parity
-    def markEntries(head: Vert, n: Int, other: Array[Pt]): Unit = {
-      var entry = !insideRing((head.x, head.y), other)
+    // phase 2: entry/exit marking by parity (inverted per the GH
+    // boolean-op table when the caller asks for union/difference arcs)
+    def markEntries(head: Vert, n: Int, other: Array[Pt], inv: Boolean): Unit = {
+      var entry = !insideRing((head.x, head.y), other) ^ inv
       var v = head
       var count = 0
       val total = n + nInter
@@ -151,8 +182,8 @@ object PolygonClip {
         v = v.next; count += 1
       }
     }
-    markEntries(sHead, subject.length, clip)
-    markEntries(cHead, clip.length, subject)
+    markEntries(sHead, subject.length, clip, invSubject)
+    markEntries(cHead, clip.length, subject, invClip)
 
     // phase 3: trace
     val results = scala.collection.mutable.ArrayBuffer.empty[Array[Pt]]
@@ -191,7 +222,7 @@ object PolygonClip {
       guard += 1
     }
     require(guard < 100000, "polygon clipping failed to converge (degenerate input?)")
-    results.toSeq
+    Some(results.toSeq)
   }
 
   // ---- non-convex buffer: offset curve + outer-face walk ----

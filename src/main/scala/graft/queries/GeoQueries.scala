@@ -670,6 +670,66 @@ object GeoQueries extends QueryModule {
             col("r").cast("double") / 2)), 6).as("lbuf_area"))
     },
 
+    // ST_Union / ST_Difference / ST_SymDifference for arbitrary simple
+    // polygons (GeoFunctions.java:619-634, 907-918, 979-990 — ESRI
+    // overlay ops; here Greiner-Hormann with per-op entry-mark inversion,
+    // PolygonClip.union/difference). Closed-form oracle: the L-shape pair
+    // has area 12r^2 each and intersection 5r^2 (pinned by
+    // func_geometry_intersect_general), so union = 19r^2, difference =
+    // 7r^2, symdifference = 14r^2 by inclusion-exclusion. The frame case
+    // unions two interlocking L pieces whose union is a 4r x 4r square
+    // with a 2r x 2r hole (12r^2) — exercising the shell/hole classifier
+    // AND the degeneracy joggle (the pieces share collinear edges); the
+    // holed-difference case subtracts an interior r x r square (15r^2).
+    Q("func_geometry_overlay",
+      """SELECT s_suppkey,
+        |  CAST(19 * r * r AS DOUBLE) AS union_area,
+        |  CAST(7 * r * r AS DOUBLE) AS diff_area,
+        |  CAST(14 * r * r AS DOUBLE) AS symdiff_area,
+        |  CAST(12 * r * r AS DOUBLE) AS frame_area,
+        |  CAST(15 * r * r AS DOUBLE) AS holed_diff_area
+        |FROM (SELECT s_suppkey, 1 + s_suppkey % 3 AS r FROM supplier) t""".stripMargin) { (s, _) =>
+      graft.functions.FunctionRegistry.installAll(s)
+      val base = s.table("supplier").selectExpr("s_suppkey",
+        "(s_suppkey * 13) % 40 AS cx", "(s_suppkey * 29) % 40 AS cy",
+        "1 + s_suppkey % 3 AS r")
+      val withWkt = base.selectExpr("s_suppkey", "r",
+        """concat('POLYGON ((', cx, ' ', cy, ', ', cx+4*r, ' ', cy, ', ',
+          |  cx+4*r, ' ', cy+2*r, ', ', cx+2*r, ' ', cy+2*r, ', ',
+          |  cx+2*r, ' ', cy+4*r, ', ', cx, ' ', cy+4*r, ', ',
+          |  cx, ' ', cy, '))') AS lshape""".stripMargin,
+        """concat('POLYGON ((', cx+r, ' ', cy+r, ', ', cx+5*r, ' ', cy+r, ', ',
+          |  cx+5*r, ' ', cy+3*r, ', ', cx+3*r, ' ', cy+3*r, ', ',
+          |  cx+3*r, ' ', cy+5*r, ', ', cx+r, ' ', cy+5*r, ', ',
+          |  cx+r, ' ', cy+r, '))') AS lshape2""".stripMargin,
+        // frame halves: bottom strip + right column / top strip + left column
+        """concat('POLYGON ((', cx, ' ', cy, ', ', cx+4*r, ' ', cy, ', ',
+          |  cx+4*r, ' ', cy+4*r, ', ', cx+3*r, ' ', cy+4*r, ', ',
+          |  cx+3*r, ' ', cy+r, ', ', cx, ' ', cy+r, ', ',
+          |  cx, ' ', cy, '))') AS frame_a""".stripMargin,
+        """concat('POLYGON ((', cx, ' ', cy, ', ', cx+r, ' ', cy, ', ',
+          |  cx+r, ' ', cy+3*r, ', ', cx+4*r, ' ', cy+3*r, ', ',
+          |  cx+4*r, ' ', cy+4*r, ', ', cx, ' ', cy+4*r, ', ',
+          |  cx, ' ', cy, '))') AS frame_b""".stripMargin,
+        """concat('POLYGON ((', cx, ' ', cy, ', ', cx+4*r, ' ', cy, ', ',
+          |  cx+4*r, ' ', cy+4*r, ', ', cx, ' ', cy+4*r, ', ',
+          |  cx, ' ', cy, '))') AS square""".stripMargin,
+        """concat('POLYGON ((', cx+r, ' ', cy+r, ', ', cx+2*r, ' ', cy+r, ', ',
+          |  cx+2*r, ' ', cy+2*r, ', ', cx+r, ' ', cy+2*r, ', ',
+          |  cx+r, ' ', cy+r, '))') AS inner_sq""".stripMargin)
+      withWkt.select(col("s_suppkey"),
+        round(call_udf("st_wkt_area",
+          call_udf("st_union", col("lshape"), col("lshape2"))), 6).as("union_area"),
+        round(call_udf("st_wkt_area",
+          call_udf("st_difference", col("lshape"), col("lshape2"))), 6).as("diff_area"),
+        round(call_udf("st_wkt_area",
+          call_udf("st_sym_difference", col("lshape"), col("lshape2"))), 6).as("symdiff_area"),
+        round(call_udf("st_wkt_area",
+          call_udf("st_union", col("frame_a"), col("frame_b"))), 6).as("frame_area"),
+        round(call_udf("st_wkt_area",
+          call_udf("st_difference", col("square"), col("inner_sq"))), 6).as("holed_diff_area"))
+    },
+
     // ST_IsValid / geometry_invalid_reason (GeoFunctions.java stIsValid,
     // invalidReason): per-row parity picks a valid diamond, a bowtie
     // (proper self-intersection, exact integer orientation tests), or a

@@ -426,6 +426,40 @@ class GeoSpecs extends AnyFunSuite with BeforeAndAfterAll {
     assert(wktArea(stConvexHull(holed)) == 64.0)
   }
 
+  test("overlay ops: union/difference/symdifference with holes, multiparts, containment") {
+    import graft.functions.GeometryConstructors._
+    def sq(x0: Double, y0: Double, s: Double) =
+      s"POLYGON (($x0 $y0, ${x0 + s} $y0, ${x0 + s} ${y0 + s}, $x0 ${y0 + s}, $x0 $y0))"
+    val a = sq(0, 0, 2); val b = sq(1, 1, 2)
+    // inclusion-exclusion on overlapping squares (intersection = 1)
+    assert(wktAreaMulti(stUnion(a, b)) == 7.0)
+    assert(wktAreaMulti(stDifference(a, b)) == 3.0)
+    assert(wktAreaMulti(stSymDifference(a, b)) == 6.0)
+    // containment / disjoint policies
+    assert(wktAreaMulti(stUnion(a, sq(0.5, 0.5, 0.5))) == 4.0)          // inner absorbed
+    val dis = stUnion(a, sq(100, 100, 2))
+    assert(dis.startsWith("MULTIPOLYGON") && wktAreaMulti(dis) == 8.0)  // disjoint keeps both
+    assert(stDifference(sq(1.2, 1.2, 0.5), b) == "POLYGON EMPTY")       // A inside B
+    assert(wktAreaMulti(stDifference(a, sq(100, 100, 2))) == 4.0)       // disjoint keeps A
+    // interior clip -> POLYGON with a hole, ring-aware area
+    val holed = stDifference(sq(0, 0, 4), sq(1, 1, 1))
+    assert(holed.startsWith("POLYGON ((") && holed.count(_ == '(') == 3, holed)
+    assert(wktAreaMulti(holed) == 15.0)
+    // non-convex pair (GH path): L areas 12 each, intersection 5
+    val l1 = "POLYGON ((0 0, 4 0, 4 2, 2 2, 2 4, 0 4, 0 0))"
+    val l2 = "POLYGON ((1 1, 5 1, 5 3, 3 3, 3 5, 1 5, 1 1))"
+    assert(math.abs(wktAreaMulti(stUnion(l1, l2)) - 19.0) < 1e-9)
+    assert(math.abs(wktAreaMulti(stDifference(l1, l2)) - 7.0) < 1e-9)
+    assert(math.abs(wktAreaMulti(stSymDifference(l1, l2)) - 14.0) < 1e-9)
+    // interlocking frame halves: union = 4x4 square with 2x2 hole —
+    // exercises the shell/hole classifier AND the collinear-edge joggle
+    val fa = "POLYGON ((0 0, 4 0, 4 4, 3 4, 3 1, 0 1, 0 0))"
+    val fb = "POLYGON ((0 0, 1 0, 1 3, 4 3, 4 4, 0 4, 0 0))"
+    val frame = stUnion(fa, fb)
+    assert(frame.startsWith("POLYGON ((") && frame.count(_ == '(') == 3, frame)
+    assert(math.abs(wktAreaMulti(frame) - 12.0) < 1e-6)
+  }
+
   test("st_intersection general: Greiner-Hormann on non-convex pairs, multi-part results") {
     import graft.functions.GeometryConstructors._
     // L-shape (area 12: 4x4 minus 2x2 notch at top-right) clipped by a
