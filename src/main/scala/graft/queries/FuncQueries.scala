@@ -948,5 +948,75 @@ object FuncQueries extends QueryModule {
             |AND tz_millis(tz_at_timezone(packed, 'Asia/Tokyo')) = tz_millis(packed)
             |AS roundtrip""".stripMargin,
           "tz_format(packed) AS rendered")
+    },
+
+    // Presto-name parity wave (round 8, PrestoNames.scala): the SQL
+    // names from the reference's @ScalarFunction surface that resolved
+    // only under Spark spellings before — varbinary codecs + SHA-2
+    // (VarbinaryFunctions.java; sha256/sha512 return VARBINARY, hence
+    // to_hex), bitwise functions (MathFunctions.java, bigint),
+    // combine_hash (CombineHashFunction.java: 31*h1 + h2), URL
+    // extraction (UrlFunctions.java), normalize/levenshtein_distance
+    // (StringFunctions.java), json_parse/json_format (JsonOperators),
+    // ngrams (ArrayNgramsFunction.java), date_parse (MySQL patterns).
+    // sha512 + HMAC answers are published vectors (NIST / RFC 2202)
+    // because DuckDB lacks those functions.
+    Q("func_presto_names",
+      """WITH u AS (
+        |  SELECT p_partkey, p_name, p_brand, CAST(p_size AS BIGINT) AS sz FROM part)
+        |SELECT p_partkey,
+        |  p_name AS rt_name,
+        |  upper(sha256(p_brand)) AS sha_hex,
+        |  'DDAF35A193617ABACC417349AE20413112E6FA4E89A97EA20A9EEEE64B55D39A2192992A274FC1A836BA3C23A3FEEBBD454D4423643CE80E2A9AC94FA54CA49F' AS sha512_vec,
+        |  '750C783E6AB0B503EAA86E310A5DB738' AS hmac_md5_vec,
+        |  'EFFCDF6AE5EB2FA2D27416D5F184DF9C259A7C79' AS hmac_sha1_vec,
+        |  CAST(levenshtein(p_brand, 'Brand#25') AS BIGINT) AS lev,
+        |  p_partkey & sz AS band,
+        |  p_partkey | sz AS bor,
+        |  xor(p_partkey, sz) AS bxor,
+        |  ~p_partkey AS bnot,
+        |  31 * p_partkey + sz AS chash,
+        |  'https' AS proto,
+        |  'shop.example.com' AS host,
+        |  CAST(8080 AS BIGINT) AS port,
+        |  '/parts/' || p_partkey AS path,
+        |  'size=' || sz || '&x=1' AS qry,
+        |  'sec' AS frag,
+        |  CAST(sz AS VARCHAR) AS size_param,
+        |  nfc_normalize(p_name) AS norm,
+        |  '{"k":' || p_partkey || ',"s":"' || p_brand || '"}' AS js,
+        |  CAST(greatest(len(string_split(p_name, ' ')) - 1, 0) AS BIGINT) AS bigram_ct,
+        |  strptime('2024-03-' || lpad(CAST(p_partkey % 28 + 1 AS VARCHAR), 2, '0'), '%Y-%m-%d') AS dp
+        |FROM u""".stripMargin) { (s, _) =>
+      s.sql(
+        """WITH u AS (
+          |  SELECT p_partkey, p_name, p_brand, CAST(p_size AS BIGINT) AS sz,
+          |    concat('https://shop.example.com:8080/parts/', CAST(p_partkey AS STRING),
+          |           '?size=', CAST(p_size AS STRING), '&x=1#sec') AS url
+          |  FROM part)
+          |SELECT p_partkey,
+          |  from_utf8(from_base64(to_base64(to_utf8(p_name)))) AS rt_name,
+          |  to_hex(sha256(to_utf8(p_brand))) AS sha_hex,
+          |  to_hex(sha512(to_utf8('abc'))) AS sha512_vec,
+          |  to_hex(hmac_md5(to_utf8('Jefe'), to_utf8('what do ya want for nothing?'))) AS hmac_md5_vec,
+          |  to_hex(hmac_sha1(to_utf8('Jefe'), to_utf8('what do ya want for nothing?'))) AS hmac_sha1_vec,
+          |  levenshtein_distance(p_brand, 'Brand#25') AS lev,
+          |  bitwise_and(p_partkey, sz) AS band,
+          |  bitwise_or(p_partkey, sz) AS bor,
+          |  bitwise_xor(p_partkey, sz) AS bxor,
+          |  bitwise_not(p_partkey) AS bnot,
+          |  combine_hash(p_partkey, sz) AS chash,
+          |  url_extract_protocol(url) AS proto,
+          |  url_extract_host(url) AS host,
+          |  url_extract_port(url) AS port,
+          |  url_extract_path(url) AS path,
+          |  url_extract_query(url) AS qry,
+          |  url_extract_fragment(url) AS frag,
+          |  url_extract_parameter(url, 'size') AS size_param,
+          |  normalize(p_name) AS norm,
+          |  json_format(json_parse(concat('{"k":', CAST(p_partkey AS STRING), ',"s":"', p_brand, '"}'))) AS js,
+          |  CAST(cardinality(ngrams(split(p_name, ' '), 2)) AS BIGINT) AS bigram_ct,
+          |  date_parse(concat('2024-03-', lpad(CAST(p_partkey % 28 + 1 AS STRING), 2, '0')), '%Y-%m-%d') AS dp
+          |FROM u""".stripMargin)
     })
 }

@@ -789,5 +789,80 @@ object GeoQueries extends QueryModule {
         .select(col("s_suppkey"),
           round(col("p").getField("x"), 9).as("ix"),
           round(col("p").getField("y"), 9).as("iy"))
+    },
+
+    // Presto-name parity wave (round 8, PrestoNames.scala), geo slice:
+    // the BingTile STRUCT signatures (BingTileFunctions.java:86-347 —
+    // bing_tile / bing_tile_at / bing_tile_coordinates /
+    // bing_tile_zoom_level / bing_tile_quadkey(tile) /
+    // bing_tiles_around), scalar line_locate_point (GeoFunctions.java
+    // lineLocatePoint) and geometry_union over an array
+    // (GeoFunctions.java:619). Oracle replays the tile arithmetic
+    // (dyadic-exact, same as func_bing_tile) and closed forms: the
+    // locate fraction on the 20-length L-line is least(px,10)/20; the
+    // union of 2x2 squares offset d is a (2+d)x2 rectangle.
+    Q("func_presto_names_geo",
+      """WITH pts AS (
+        |  SELECT c_custkey,
+        |    (c_custkey * 7919 % 16000) / 100.0 - 80.0 AS lat,
+        |    (c_custkey * 104729 % 35000) / 100.0 - 175.0 AS lng,
+        |    CAST(5 + c_custkey % 11 AS INT) AS z,
+        |    CAST(c_custkey % 12 AS INT) AS px,
+        |    CAST(c_custkey % 2 AS DOUBLE) AS d
+        |  FROM customer),
+        |sz AS (SELECT *, 256.0 * power(2.0, z) AS ms FROM pts),
+        |txy AS (
+        |  SELECT *,
+        |    CAST(floor(least(greatest((lng + 180.0) / 360.0 * ms, 0.0), ms - 1.0) / 256.0) AS INT) AS tx,
+        |    CAST(floor(least(greatest(
+        |      (0.5 - ln((1.0 + sin(lat * pi() / 180.0)) / (1.0 - sin(lat * pi() / 180.0))) / (4.0 * pi())) * ms,
+        |      0.0), ms - 1.0) / 256.0) AS INT) AS ty
+        |  FROM sz)
+        |SELECT c_custkey, tx, ty, z AS z_rt, tx AS tx_rt,
+        |  CAST((CASE WHEN tx = 0 OR tx = CAST(power(2.0, z) - 1.0 AS INT) THEN 2 ELSE 3 END)
+        |     * (CASE WHEN ty = 0 OR ty = CAST(power(2.0, z) - 1.0 AS INT) THEN 2 ELSE 3 END) AS INT) AS around_ct,
+        |  round(least(px, 10.0) / 20.0, 6) AS frac,
+        |  round(4.0 + 2.0 * d, 6) AS union_area
+        |FROM txy""".stripMargin) { (s, _) =>
+      s.sql(
+        """WITH pts AS (
+          |  SELECT c_custkey,
+          |    (c_custkey * 7919 % 16000) / 100.0 - 80.0 AS lat,
+          |    (c_custkey * 104729 % 35000) / 100.0 - 175.0 AS lng,
+          |    CAST(5 + c_custkey % 11 AS INT) AS z,
+          |    CAST(c_custkey % 12 AS INT) AS px,
+          |    CAST(c_custkey % 2 AS DOUBLE) AS d
+          |  FROM customer)
+          |SELECT c_custkey,
+          |  bing_tile_coordinates(bing_tile_at(lat, lng, z)).x AS tx,
+          |  bing_tile_coordinates(bing_tile_at(lat, lng, z)).y AS ty,
+          |  bing_tile_zoom_level(bing_tile(bing_tile_quadkey(bing_tile_at(lat, lng, z)))) AS z_rt,
+          |  bing_tile_coordinates(bing_tile(bing_tile_quadkey(bing_tile_at(lat, lng, z)))).x AS tx_rt,
+          |  cardinality(bing_tiles_around(lat, lng, z)) AS around_ct,
+          |  round(line_locate_point('LINESTRING (0 0, 10 0, 10 10)',
+          |    concat('POINT (', px, ' 0)')), 6) AS frac,
+          |  round(st_wkt_area(geometry_union(array(
+          |    'POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0))',
+          |    concat('POLYGON ((', d, ' 0, ', d + 2, ' 0, ', d + 2, ' 2, ', d, ' 2, ', d, ' 0))')))), 6) AS union_area
+          |FROM pts""".stripMargin)
+    },
+
+    // geometry_union_agg (GeometryUnionAgg.java): incremental pairwise
+    // union with a one-geometry buffer — never a collect-all (at 100 TB
+    // the partial/final state is bounded by result complexity). Each
+    // nation's DISTINCT offset squares ({0}, {1} or {0,1} 2x2 squares
+    // at x-offset c_custkey % 2) union to a rectangle whose area is the
+    // closed form 2 * (max_d - min_d + 2).
+    Q("agg_geometry_union",
+      """SELECT c_nationkey,
+        |  round(2.0 * (max(CAST(c_custkey % 2 AS DOUBLE)) - min(CAST(c_custkey % 2 AS DOUBLE)) + 2.0), 5) AS area
+        |FROM customer GROUP BY c_nationkey""".stripMargin) { (s, _) =>
+      s.sql(
+        """WITH sq AS (
+          |  SELECT DISTINCT c_nationkey,
+          |    concat('POLYGON ((', d, ' 0, ', d + 2, ' 0, ', d + 2, ' 2, ', d, ' 2, ', d, ' 0))') AS poly
+          |  FROM (SELECT c_nationkey, CAST(c_custkey % 2 AS DOUBLE) AS d FROM customer))
+          |SELECT c_nationkey, round(st_wkt_area(geometry_union_agg(poly)), 5) AS area
+          |FROM sq GROUP BY c_nationkey""".stripMargin)
     })
 }
