@@ -44,6 +44,7 @@ object FunctionRegistry {
       GeometryConstructors.install(spark)
       MlFunctions.install(spark)
       TimestampTzFunctions.install(spark)
+      GenericMapAgg.install(spark)
       PrestoNames.install(spark) // must be last: aliases installed names
       installed.put(spark, java.lang.Boolean.TRUE)
     }

@@ -257,6 +257,15 @@ object PrestoNames {
     register(spark, "sha256") { a => Unhex(Sha2(a.head, Literal(256))) }
     register(spark, "sha512") { a => Unhex(Sha2(a.head, Literal(512))) }
 
+    // ---- array/date aliases from the docs sweep (array.rst,
+    // datetime.rst, regexp.rst): regexp_split preserves trailing empties
+    // in both engines (split limit -1); zip is Spark's arrays_zip
+    // (anonymous row fields arrive named by position); day_of_month is
+    // the Presto spelling of dayofmonth.
+    register(spark, "regexp_split") { a => StringSplit(a(0), a(1), Literal(-1)) }
+    register(spark, "zip") { a => ArraysZip(a) }
+    register(spark, "day_of_month") { a => DayOfMonth(a.head) }
+
     // ---- string distance (StringFunctions.java levenshteinDistance).
     register(spark, "levenshtein_distance") { a =>
       Cast(Levenshtein(a(0), a(1)), LongType)

@@ -260,16 +260,20 @@ object AggQueries extends QueryModule {
           .as("max5_price"))
     },
 
-    // map_agg(k, v) — MapAggregationFunction.java:48. Rendered as sorted
-    // "k=v" strings so the compare is map-order-independent.
+    // map_agg(k, v) — MapAggregationFunction.java:48, since r8 a real
+    // aggregate function (GenericMapAggs: distinct-key-bounded buffer,
+    // map-side combine) instead of a map_from_entries(collect_list)
+    // composition whose partial state was the ROW LIST. Rendered as
+    // sorted "k=v" strings so the compare is map-order-independent.
     Q("agg_map_agg",
       """SELECT array_to_string(list_sort(list_transform(map_entries(map_from_entries(
         |    array_agg({'k': c_custkey, 'v': c_name}))), e -> CAST(e.key AS VARCHAR) || '=' || e.value)), ',') AS kv
         |FROM customer WHERE c_custkey <= 20""".stripMargin) { (s, _) =>
-      s.table("customer").filter(col("c_custkey") <= 20).agg(
-        array_join(sort_array(transform(
-          map_entries(map_from_entries(collect_list(struct(col("c_custkey").as("k"), col("c_name").as("v"))))),
-          e => concat(e.getField("key").cast("string"), lit("="), e.getField("value")))), ",").as("kv"))
+      graft.functions.FunctionRegistry.installAll(s)
+      s.sql(
+        """SELECT array_join(array_sort(transform(map_entries(map_agg(c_custkey, c_name)),
+          |    e -> concat(CAST(e.key AS STRING), '=', e.value))), ',') AS kv
+          |FROM customer WHERE c_custkey <= 20""".stripMargin)
     },
 
     // map_union(map) — MapUnionAggregation.java:46. Per-flag maps with
@@ -319,23 +323,34 @@ object AggQueries extends QueryModule {
         |  array_to_string(list_sort(list_transform(map_entries(histogram(CAST(l_quantity AS INT))),
         |    e -> lpad(CAST(e.key AS VARCHAR), 2, '0') || ':' || CAST(e.value AS VARCHAR))), ',') AS qty_histogram
         |FROM lineitem WHERE l_quantity <= 5 GROUP BY l_returnflag""".stripMargin) { (s, _) =>
-      val counts = s.table("lineitem").filter(col("l_quantity") <= 5)
-        .groupBy(col("l_returnflag"), col("l_quantity").cast("int").as("q"))
-        .agg(count(lit(1)).as("cnt"))
-      counts.groupBy("l_returnflag").agg(
-        array_join(sort_array(collect_list(
-          concat(lpad(col("q").cast("string"), 2, "0"), lit(":"), col("cnt")))), ",")
-          .as("qty_histogram"))
+      // r8: the real histogram() aggregate (GenericMapAggs) replaces the
+      // two-level group-by composition — one shuffle instead of two, and
+      // the partial state is the value->count map itself.
+      graft.functions.FunctionRegistry.installAll(s)
+      s.sql(
+        """SELECT l_returnflag,
+          |  array_join(array_sort(transform(map_entries(histogram(CAST(l_quantity AS INT))),
+          |    e -> concat(lpad(CAST(e.key AS STRING), 2, '0'), ':', CAST(e.value AS STRING)))), ',') AS qty_histogram
+          |FROM lineitem WHERE l_quantity <= 5 GROUP BY l_returnflag""".stripMargin)
     },
 
     // multimap_agg(k, v) -> map k -> array<v> — multimapagg/; rendered as
     // "k=[v1|v2|...]" rows (one per key) for order-independent compare.
     Q("agg_multimap",
-      """SELECT c_nationkey AS nk,
+      """SELECT c_mktsegment, c_nationkey AS nk,
         |  array_to_string(list_sort(array_agg(c_name)), '|') AS members
-        |FROM customer GROUP BY c_nationkey""".stripMargin) { (s, _) =>
-      s.table("customer").groupBy(col("c_nationkey").as("nk"))
-        .agg(array_join(sort_array(collect_list("c_name")), "|").as("members"))
+        |FROM customer GROUP BY c_mktsegment, c_nationkey""".stripMargin) { (s, _) =>
+      // r8: the real multimap_agg() aggregate (GenericMapAggs), grouped
+      // by segment so the shuffle stays parallel (the map key carries
+      // the nation sub-grouping). element_at pulls each key's list back
+      // out, proving key routing; sorted render keeps the compare
+      // order-independent.
+      graft.functions.FunctionRegistry.installAll(s)
+      s.sql(
+        """SELECT c_mktsegment, nk, array_join(array_sort(element_at(mm, nk)), '|') AS members
+          |FROM (SELECT c_mktsegment, multimap_agg(c_nationkey, c_name) AS mm
+          |      FROM customer GROUP BY c_mktsegment)
+          |LATERAL VIEW explode(map_keys(mm)) AS nk""".stripMargin)
     },
 
     // reduce_agg(input, init, lambda) — ReduceAggregationFunction.java.

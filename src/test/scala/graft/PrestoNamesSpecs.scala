@@ -139,6 +139,39 @@ class PrestoNamesSpecs extends AnyFunSuite with BeforeAndAfterAll {
     assert(math.abs(a - 6.0) < 1e-5)
   }
 
+  test("histogram/map_agg/multimap_agg aggregate with distinct-key-bounded buffers") {
+    val ss = spark; import ss.implicits._
+    // 8 partitions force real partial/final serialization round-trips
+    (1 to 1000).map(i => (i % 7, s"v$i")).toDF("k", "v").repartition(8)
+      .createOrReplaceTempView("mk")
+    val h = spark.sql("SELECT histogram(k) AS h FROM mk").head()
+      .getMap[Int, Long](0)
+    assert(h.size == 7 && h.values.sum == 1000)
+    assert(h(0) == 142 && h(1) == 143) // 1000 rows over k = i % 7
+    val mm = spark.sql("SELECT multimap_agg(k, v) AS m FROM mk").head()
+      .getMap[Int, scala.collection.Seq[String]](0)
+    assert(mm.size == 7 && mm.values.map(_.size).sum == 1000)
+    assert(mm(3).toSet.contains("v3") && mm(3).forall(s => (s.drop(1).toInt - 3) % 7 == 0))
+    // map_agg keeps one value per key; null keys are skipped
+    Seq((Some(1), "a"), (Some(1), "b"), (None, "x"), (Some(2), "c"))
+      .toDF("k", "v").createOrReplaceTempView("ma")
+    val m = spark.sql("SELECT map_agg(k, v) AS m FROM ma").head()
+      .getMap[Int, String](0)
+    assert(m.keySet == Set(1, 2) && m(2) == "c" && Set("a", "b").contains(m(1)))
+    // empty input -> NULL map (reference returns NULL, not empty map)
+    assert(spark.sql("SELECT map_agg(k, v) AS m FROM ma WHERE k > 99").head().get(0) == null)
+  }
+
+  test("regexp_split / zip / day_of_month aliases") {
+    assert(one("regexp_split('a1b22c', '[0-9]+')")
+      .asInstanceOf[scala.collection.Seq[String]] == Seq("a", "b", "c"))
+    // trailing empty strings preserved (regexp.rst)
+    assert(one("regexp_split('a.b.', '\\\\.')")
+      .asInstanceOf[scala.collection.Seq[String]] == Seq("a", "b", ""))
+    assert(one("cardinality(zip(array(1, 2), array('a', 'b')))") == 2)
+    assert(one("day_of_month(DATE'2024-03-15')") == 15)
+  }
+
   test("sha256/sha512/to_utf8/from_utf8/base64 compose as varbinary codecs") {
     assert(one("from_utf8(from_base64(to_base64(to_utf8('hello'))))") == "hello")
     assert(one("to_hex(sha256(to_utf8('abc')))") ==
