@@ -227,6 +227,26 @@ object GeometryConstructors {
     * reference rejects negative distances too). */
   def stBuffer(wkt: String, dist: Double): String = {
     require(dist >= 0, "buffer distance must be non-negative")
+    // Holed POLYGON (r8): buffer(S \ ∪H) = buffer(S) \ ∪erode(H, d) —
+    // every point of a hole's interior has its nearest geometry point on
+    // the hole's own boundary, so dilation shrinks each hole by exactly
+    // d. Erosion kernel is half-plane-intersection (exact) and therefore
+    // CONVEX-only; non-convex interior rings raise rather than silently
+    // mis-shrinking. A hole narrower than 2d vanishes.
+    val (kindPeek, ringsPeek) = parseRings(wkt)
+    if (kindPeek == "POLYGON" && ringsPeek.length > 1) {
+      if (dist == 0) return renderPolygon(ringsPeek)
+      val shell0 = ringsPeek(0)
+      val shellRing = parseRings(
+        stBuffer(renderRing(shell0), dist))._2(0)
+      val holes = ringsPeek.tail.flatMap { h0 =>
+        val h = if (signedArea2(h0) < 0) h0.reverse else h0
+        require(isConvexCcw(h),
+          "ST_Buffer: non-convex interior rings unsupported (exact erosion kernel is convex-only)")
+        erodeConvex(h, dist)
+      }
+      return renderPolygon(shellRing +: holes)
+    }
     val (kind, pts0) = parseWkt(wkt)
     if (dist == 0) return kind match {
       case "POINT" => renderPoint(pts0(0))
@@ -285,6 +305,50 @@ object GeometryConstructors {
     }
   }
 
+  /** Erosion of a CONVEX CCW ring by d: intersect the inward-offset
+    * half-planes (Sutherland–Hodgman against each offset edge line).
+    * None when the ring is narrower than 2d (erosion empty). Exact for
+    * convex rings — erosion of a convex set IS the half-plane
+    * intersection; for non-convex rings it would over-approximate,
+    * hence the convex guard at the call site. */
+  private def erodeConvex(ring: Array[Pt], d: Double): Option[Array[Pt]] = {
+    var out = ring.toVector
+    var i = 0
+    while (i < ring.length && out.nonEmpty) {
+      val a0 = ring(i); val b0 = ring((i + 1) % ring.length)
+      val (ex, ey) = (b0._1 - a0._1, b0._2 - a0._2)
+      val len = math.hypot(ex, ey)
+      // inward (left) normal of a CCW ring
+      val (nx, ny) = (-ey / len, ex / len)
+      val a = (a0._1 + d * nx, a0._2 + d * ny)
+      val b = (b0._1 + d * nx, b0._2 + d * ny)
+      def inside(p: Pt): Boolean =
+        (b._1 - a._1) * (p._2 - a._2) - (b._2 - a._2) * (p._1 - a._1) >= 0
+      def cross(p: Pt, q: Pt): Pt = {
+        val (x1, y1) = p; val (x2, y2) = q
+        val (x3, y3) = a; val (x4, y4) = b
+        val den = (x1 - x2) * (y3 - y4) - (y1 - y2) * (x3 - x4)
+        val t = ((x1 - x3) * (y3 - y4) - (y1 - y3) * (x3 - x4)) / den
+        (x1 + t * (x2 - x1), y1 + t * (y2 - y1))
+      }
+      val in = out
+      val next = scala.collection.mutable.ArrayBuffer[Pt]()
+      var j = 0
+      while (j < in.length) {
+        val cur = in(j); val prev = in((j + in.length - 1) % in.length)
+        if (inside(cur)) {
+          if (!inside(prev)) next += cross(prev, cur)
+          next += cur
+        } else if (inside(prev)) next += cross(prev, cur)
+        j += 1
+      }
+      out = next.toVector
+      i += 1
+    }
+    if (out.length >= 3 && math.abs(signedArea2(out.toArray)) > 1e-18) Some(out.toArray)
+    else None
+  }
+
   // ---- ST_Intersection (convex clip: Sutherland–Hodgman) ----
 
   /** Clip subject polygon by a CONVEX clip polygon. Exact for convex
@@ -331,6 +395,8 @@ object GeometryConstructors {
     * as POLYGON, MULTIPOLYGON (a non-convex pair can intersect in
     * several parts), or POLYGON EMPTY. Holes raise (parseWkt). */
   def stIntersection(subjectWkt: String, clipWkt: String): String = {
+    if (!isSimplePolygon(subjectWkt) || !isSimplePolygon(clipWkt))
+      return renderGroups(intersectRegion(parseRegion(subjectWkt), parseRegion(clipWkt)))
     val subj = parseWkt(subjectWkt)._2
     val clip = parseWkt(clipWkt)._2
     def isConvex(p: Array[Pt]): Boolean = {
@@ -417,36 +483,159 @@ object GeometryConstructors {
     renderParts(parts)
   }
 
+  // ---- region layer: overlays with HOLED / MULTIPOLYGON inputs (r8) ----
+  //
+  // A Region is a set of interior-disjoint polygons, each rings(0)=shell
+  // plus interior rings — exactly classifyParts' output shape, so every
+  // overlay OUTPUT round-trips back in as an INPUT. The ring-level
+  // Greiner–Hormann primitives stay the only geometry kernels; the
+  // region ops are set algebra over them:
+  //   X \ (S\H)  = (X\S) ∪ (X ∩ ⋃h)          (holes h ⊂ S, disjoint)
+  //   (S₁\H₁) ∩ (S₂\H₂) = (S₁∩S₂) \ ⋃h
+  //   A ∪ B      = (S₁∪S₂) \ ((H₁\B) ∪ (H₂\A))   (single-shell pair)
+  //   A ∪ B      = A ⊎ (B\A)                  (multi-shell general case;
+  //                touching parts render as MULTIPOLYGON — same region)
+  // Recursion depth is bounded by hole nesting; a guard raises at 64.
+
+  private type Poly = Array[Array[Pt]]
+  private type Region = Seq[Poly]
+
+  private def ringOp(op: (Array[Pt], Array[Pt]) => Seq[Array[Pt]])(
+      a: Array[Pt], b: Array[Pt]): Seq[Array[Pt]] =
+    try op(a, b)
+    catch {
+      case _: IllegalArgumentException =>
+        val e = 1e-9
+        op(a, b.map(p => (p._1 + e * 0.7548776662, p._2 + e * 0.5698402910)))
+    }
+
+  /** Cut each of `cuts` (simple rings, pairwise interior-disjoint, and
+    * never CROSSING a hole already present in `region` — callers
+    * guarantee this structurally) out of the region. Hole bookkeeping is
+    * containment-only: an existing hole is dropped when the cut subsumes
+    * it (interiors can only nest or be disjoint, never cross) and
+    * otherwise reassigned to the new shell that contains it.
+    */
+  private def cutShells(region0: Region, cuts: Seq[Array[Pt]]): Region =
+    cuts.foldLeft(region0) { (region, cut) =>
+      region.flatMap { poly =>
+        val parts = classifyParts(ringOp(PolygonClip.difference)(poly(0), cut))
+        val keptOld = poly.drop(1).filterNot(h => PolygonClip.insideRing(h(0), cut))
+        parts.map(p => p ++ keptOld.filter(h => PolygonClip.insideRing(h(0), p(0))))
+      }
+    }
+
+  /** region minus interior(ring): (S \ ∪H) \ R = (S\R) \ ∪(H\R). The
+    * shells of each H\R part are interior-disjoint from (S\R)'s holes
+    * (those are ⊆ R), so one containment-aware cut pass suffices — no
+    * recursion. A part of h\R with R as its hole (R ⊂ h) cuts by its
+    * SHELL h alone: the R-disk is already excluded by \R, and the
+    * subsumed-hole drop rule removes the double-count.
+    */
+  private def subtractRing(region: Region, ring: Array[Pt]): Region =
+    region.flatMap { poly =>
+      val base: Region = classifyParts(ringOp(PolygonClip.difference)(poly(0), ring))
+      val holeCuts = poly.drop(1)
+        .flatMap(h => classifyParts(ringOp(PolygonClip.difference)(h, ring)).map(_(0)))
+      cutShells(base, holeCuts)
+    }
+
+  /** region ∩ interior(ring): (S \ ∪H) ∩ R = (S∩R) \ ∪(H∩R). */
+  private def intersectRing(region: Region, ring: Array[Pt]): Region =
+    region.flatMap { poly =>
+      val base: Region = classifyParts(ringOp(PolygonClip.intersect)(poly(0), ring))
+      val holeCuts = poly.drop(1)
+        .flatMap(h => classifyParts(ringOp(PolygonClip.intersect)(h, ring)).map(_(0)))
+      cutShells(base, holeCuts)
+    }
+
+  /** region minus one holed polygon: X \ (S\∪h) = (X\S) ⊎ ⋃(X ∩ h). */
+  private def subtractPoly(x: Region, poly: Poly): Region =
+    subtractRing(x, poly(0)) ++ poly.drop(1).flatMap(h => intersectRing(x, h))
+
+  private def subtractRegion(x: Region, y: Region): Region = y.foldLeft(x)(subtractPoly)
+
+  private def intersectRegion(a: Region, b: Region): Region =
+    for {
+      pa <- a; pb <- b
+      p <- pb.drop(1).foldLeft(intersectRing(Seq(pa), pb(0)))((cur, h) => subtractRing(cur, h))
+    } yield p
+
+  private def unionRegion(a: Region, b: Region): Region =
+    if (a.isEmpty) b
+    else if (b.isEmpty) a
+    else if (a.length == 1 && b.length == 1) {
+      val pa = a.head; val pb = b.head
+      val u0: Region = classifyParts(ringOp(PolygonClip.union)(pa(0), pb(0)))
+      val survivingHoles =
+        pa.drop(1).flatMap(h => subtractRegion(Seq(Array(h)), b)) ++
+          pb.drop(1).flatMap(h => subtractRegion(Seq(Array(h)), a))
+      subtractRegion(u0, survivingHoles)
+    } else a ++ subtractRegion(b, a)
+
+  /** Parse POLYGON (holes ok) / MULTIPOLYGON into a Region; every ring
+    * normalized CCW (the clipper's expected winding). */
+  private def parseRegion(wkt: String): Region = {
+    def ccw(r: Array[Pt]): Array[Pt] = if (signedArea2(r) < 0) r.reverse else r
+    val t = wkt.trim
+    if (t.toUpperCase.startsWith("MULTIPOLYGON")) {
+      val body = t.drop("MULTIPOLYGON".length).trim
+      if (body.equalsIgnoreCase("EMPTY")) Seq.empty
+      else body.stripPrefix("(").stripSuffix(")").split("\\)\\)\\s*,\\s*\\(\\(")
+        .map { part =>
+          parseRings("POLYGON ((" + part.stripPrefix("((").stripSuffix("))") + "))")
+            ._2.map(ccw)
+        }.toSeq
+    } else {
+      val (kind, rings) = parseRings(wkt)
+      require(kind == "POLYGON", s"overlay requires POLYGON/MULTIPOLYGON, got $kind")
+      if (rings.isEmpty) Seq.empty else Seq(rings.map(ccw))
+    }
+  }
+
+  private def isSimplePolygon(wkt: String): Boolean = {
+    val t = wkt.trim
+    !t.toUpperCase.startsWith("MULTIPOLYGON") && {
+      val (kind, rings) = parseRings(wkt)
+      kind == "POLYGON" && rings.length <= 1
+    }
+  }
+
   /** ST_Union for arbitrary simple polygons (GeoFunctions.java:619-634
     * delegates to the ESRI core) — Greiner–Hormann with both mark sets
     * inverted; two C-shapes closing around a region correctly emit the
-    * enclosed hole (shell/hole classification in renderParts). */
+    * enclosed hole (shell/hole classification in renderParts). Holed /
+    * MULTIPOLYGON inputs route through the region layer. */
   def stUnion(aWkt: String, bWkt: String): String =
-    overlay(aWkt, bWkt, PolygonClip.union)
+    if (isSimplePolygon(aWkt) && isSimplePolygon(bWkt))
+      overlay(aWkt, bWkt, PolygonClip.union)
+    else renderGroups(unionRegion(parseRegion(aWkt), parseRegion(bWkt)))
 
   /** ST_Difference (GeoFunctions.java:907-918): subject marks inverted;
-    * a clip interior to the subject yields the holed polygon. */
+    * a clip interior to the subject yields the holed polygon. Holed /
+    * MULTIPOLYGON inputs route through the region layer. */
   def stDifference(aWkt: String, bWkt: String): String =
-    overlay(aWkt, bWkt, PolygonClip.difference)
+    if (isSimplePolygon(aWkt) && isSimplePolygon(bWkt))
+      overlay(aWkt, bWkt, PolygonClip.difference)
+    else renderGroups(subtractRegion(parseRegion(aWkt), parseRegion(bWkt)))
 
   /** ST_SymDifference (GeoFunctions.java:979-990) = (A\B) ∪ (B\A). The
     * two difference ring sets are interior-disjoint but SHARE boundary
     * points (the A∩B boundary), so each set is shell/hole-classified on
     * its own and the polygons concatenate into the MULTIPOLYGON — a
     * cross-set containment test could land exactly on a shared vertex. */
-  def stSymDifference(aWkt: String, bWkt: String): String = {
-    val a = parseWkt(aWkt)._2
-    val b = parseWkt(bWkt)._2
-    def diff(x: Array[Pt], y: Array[Pt]): Seq[Array[Pt]] =
-      try PolygonClip.difference(x, y)
-      catch {
-        case _: IllegalArgumentException =>
-          val e = 1e-9
-          val joggled = y.map(p => (p._1 + e * 0.7548776662, p._2 + e * 0.5698402910))
-          PolygonClip.difference(x, joggled)
-      }
-    renderGroups(classifyParts(diff(a, b)) ++ classifyParts(diff(b, a)))
-  }
+  def stSymDifference(aWkt: String, bWkt: String): String =
+    if (isSimplePolygon(aWkt) && isSimplePolygon(bWkt)) {
+      val a = parseWkt(aWkt)._2
+      val b = parseWkt(bWkt)._2
+      renderGroups(
+        classifyParts(ringOp(PolygonClip.difference)(a, b)) ++
+          classifyParts(ringOp(PolygonClip.difference)(b, a)))
+    } else {
+      // (A\B) ⊎ (B\A) — interior-disjoint regions concatenate
+      val ra = parseRegion(aWkt); val rb = parseRegion(bWkt)
+      renderGroups(subtractRegion(ra, rb) ++ subtractRegion(rb, ra))
+    }
 
   /** Area of POLYGON / MULTIPOLYGON / EMPTY WKT (hole-aware for
     * POLYGON; multipolygon parts summed). */

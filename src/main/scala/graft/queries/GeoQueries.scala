@@ -847,6 +847,53 @@ object GeoQueries extends QueryModule {
           |FROM pts""".stripMargin)
     },
 
+    // Holed-input overlays (round 8 region layer,
+    // GeometryConstructors.scala subtractRing/intersectRing/cutShells):
+    // ST_Intersection/Union/Difference/SymDifference over POLYGONs WITH
+    // INTERIOR RINGS — the r7 "holed inputs raise" gap closed. Fixtures
+    // translate by t = s_suppkey % 5 per row (areas invariant); oracle
+    // values are closed forms by inclusion-exclusion: A = 6x6 with 2x2
+    // hole (32), B = 6x6 at (+3,+3) with 1x1 hole (35): A∩B = 8,
+    // A∪B = 59, A\B = 24, B\A = 27, symdiff = 51. The MULTIPOLYGON
+    // round-trip feeds a union OUTPUT back as an input: two unit squares
+    // ∩ a spanning strip = 1.
+    Q("func_geometry_overlay_holes",
+      """SELECT s_suppkey,
+        |  CAST(8 AS DOUBLE) AS i_area, CAST(59 AS DOUBLE) AS u_area,
+        |  CAST(24 AS DOUBLE) AS d_area, CAST(27 AS DOUBLE) AS rd_area,
+        |  CAST(51 AS DOUBLE) AS sd_area, CAST(1 AS DOUBLE) AS strip_area
+        |FROM supplier""".stripMargin) { (s, _) =>
+      s.sql(
+        """WITH g AS (
+          |  SELECT s_suppkey, CAST(s_suppkey % 5 AS DOUBLE) AS t FROM supplier),
+          |shapes AS (
+          |  SELECT s_suppkey,
+          |    concat('POLYGON ((', t, ' ', t, ', ', t + 6, ' ', t, ', ', t + 6, ' ', t + 6,
+          |      ', ', t, ' ', t + 6, ', ', t, ' ', t, '), (', t + 2, ' ', t + 2, ', ', t + 4,
+          |      ' ', t + 2, ', ', t + 4, ' ', t + 4, ', ', t + 2, ' ', t + 4, ', ', t + 2,
+          |      ' ', t + 2, '))') AS a,
+          |    concat('POLYGON ((', t + 3, ' ', t + 3, ', ', t + 9, ' ', t + 3, ', ', t + 9,
+          |      ' ', t + 9, ', ', t + 3, ' ', t + 9, ', ', t + 3, ' ', t + 3, '), (', t + 7,
+          |      ' ', t + 7, ', ', t + 8, ' ', t + 7, ', ', t + 8, ' ', t + 8, ', ', t + 7,
+          |      ' ', t + 8, ', ', t + 7, ' ', t + 7, '))') AS b,
+          |    concat('POLYGON ((', t, ' ', t, ', ', t + 1, ' ', t, ', ', t + 1, ' ', t + 1,
+          |      ', ', t, ' ', t + 1, ', ', t, ' ', t, '))') AS c1,
+          |    concat('POLYGON ((', t + 3, ' ', t, ', ', t + 4, ' ', t, ', ', t + 4, ' ', t + 1,
+          |      ', ', t + 3, ' ', t + 1, ', ', t + 3, ' ', t, '))') AS c2,
+          |    concat('POLYGON ((', t - 1, ' ', t - 0.25, ', ', t + 10, ' ', t - 0.25, ', ',
+          |      t + 10, ' ', t + 0.5, ', ', t - 1, ' ', t + 0.5, ', ', t - 1, ' ', t - 0.25,
+          |      '))') AS strip
+          |  FROM g)
+          |SELECT s_suppkey,
+          |  round(st_wkt_area(st_intersection(a, b)), 5) AS i_area,
+          |  round(st_wkt_area(st_union(a, b)), 5) AS u_area,
+          |  round(st_wkt_area(st_difference(a, b)), 5) AS d_area,
+          |  round(st_wkt_area(st_difference(b, a)), 5) AS rd_area,
+          |  round(st_wkt_area(st_sym_difference(a, b)), 5) AS sd_area,
+          |  round(st_wkt_area(st_intersection(st_union(c1, c2), strip)), 5) AS strip_area
+          |FROM shapes""".stripMargin)
+    },
+
     // geometry_union_agg (GeometryUnionAgg.java): incremental pairwise
     // union with a one-geometry buffer — never a collect-all (at 100 TB
     // the partial/final state is bounded by result complexity). Each

@@ -406,7 +406,7 @@ class GeoSpecs extends AnyFunSuite with BeforeAndAfterAll {
       "POLYGON ((0 0, 9 0, 9 9, 0 9, 0 0), (2 2, 4 2, 4 4, 2 4, 2 2))"))
   }
 
-  test("interior rings: hole-aware area/simplify; buffer raises instead of dropping holes") {
+  test("interior rings: hole-aware area/simplify; buffer dilates shell + erodes convex holes") {
     import graft.functions.GeometryConstructors._
     val holed = "POLYGON ((0 0, 4 0, 8 0, 8 8, 0 8, 0 0), (2 2, 6 2, 6 6, 2 6, 2 2))"
     // annulus area: 64 - 16
@@ -418,8 +418,20 @@ class GeoSpecs extends AnyFunSuite with BeforeAndAfterAll {
     // a hole collapsing below the tolerance is dropped, not corrupted
     val tinyHole = "POLYGON ((0 0, 8 0, 8 8, 0 8, 0 0), (4 4, 4.01 4, 4 4.01, 4 4))"
     assert(simplifyGeometry(tinyHole, 0.1) == "POLYGON ((0 0, 8 0, 8 8, 0 8, 0 0))")
-    // buffer/intersection fail loudly on holed input (no silent exterior-only)
-    intercept[IllegalArgumentException](stBuffer(holed, 1.0))
+    // r8: buffer ACCEPTS holed input — shell dilates, convex holes erode
+    // by exactly d (buffer(S\H) = buffer(S) \ erode(H, d))
+    val buffered = stBuffer(holed, 1.0)
+    val shellOnly = stBuffer("POLYGON ((0 0, 8 0, 8 8, 0 8, 0 0))", 1.0)
+    // hole [2,6]^2 erodes to [3,5]^2 (area 4)
+    assert(math.abs(wktAreaMulti(buffered) - (wktAreaMulti(shellOnly) - 4.0)) < 1e-9)
+    assert(buffered.count(_ == '(') == 3, buffered) // hole ring present
+    // a hole narrower than 2d vanishes
+    assert(math.abs(wktAreaMulti(stBuffer(holed, 2.0)) - wktAreaMulti(
+      stBuffer("POLYGON ((0 0, 8 0, 8 8, 0 8, 0 0))", 2.0))) < 1e-9)
+    // non-convex holes raise (exact erosion kernel is convex-only)
+    intercept[IllegalArgumentException](stBuffer(
+      "POLYGON ((0 0, 8 0, 8 8, 0 8, 0 0), (2 2, 6 2, 6 6, 4 6, 4 4, 2 4, 2 2))", 0.5))
+    // the exact convex-clip path still fails loudly on holed input
     intercept[IllegalArgumentException](
       stIntersectionConvex(holed, "POLYGON ((0 0, 9 0, 9 9, 0 9, 0 0))"))
     // hull over all vertices is unaffected by holes
@@ -458,6 +470,36 @@ class GeoSpecs extends AnyFunSuite with BeforeAndAfterAll {
     val frame = stUnion(fa, fb)
     assert(frame.startsWith("POLYGON ((") && frame.count(_ == '(') == 3, frame)
     assert(math.abs(wktAreaMulti(frame) - 12.0) < 1e-6)
+  }
+
+  test("overlay ops accept HOLED and MULTIPOLYGON inputs (r8 region layer)") {
+    import graft.functions.GeometryConstructors._
+    // A = [0,6]^2 with hole [2,4]^2 (area 32); B = [3,9]^2 with hole
+    // [7,8]^2 (area 35). Closed forms by inclusion-exclusion:
+    val a = "POLYGON ((0 0, 6 0, 6 6, 0 6, 0 0), (2 2, 4 2, 4 4, 2 4, 2 2))"
+    val b = "POLYGON ((3 3, 9 3, 9 9, 3 9, 3 3), (7 7, 8 7, 8 8, 7 8, 7 7))"
+    assert(math.abs(wktAreaMulti(stIntersection(a, b)) - 8.0) < 1e-6)
+    assert(math.abs(wktAreaMulti(stUnion(a, b)) - 59.0) < 1e-6)
+    assert(math.abs(wktAreaMulti(stDifference(a, b)) - 24.0) < 1e-6)
+    assert(math.abs(wktAreaMulti(stDifference(b, a)) - 27.0) < 1e-6)
+    assert(math.abs(wktAreaMulti(stSymDifference(a, b)) - 51.0) < 1e-6)
+    // holed vs simple: hole survives where the other side doesn't cover it
+    val c = "POLYGON ((1 1, 3 1, 3 3, 1 3, 1 1))" // area 4, covers [2,3]^2 of the hole... no: c=[1,3]^2
+    assert(math.abs(wktAreaMulti(stIntersection(a, c)) - 3.0) < 1e-6) // 4 - [2,3]^2 overlap 1
+    assert(math.abs(wktAreaMulti(stUnion(a, c)) - 33.0) < 1e-6)      // 36 - (hole \ c) = 36 - 3
+    assert(math.abs(wktAreaMulti(stDifference(a, c)) - 29.0) < 1e-6)
+    assert(math.abs(wktAreaMulti(stDifference(c, a)) - 1.0) < 1e-6)  // c ∩ hole
+    // MULTIPOLYGON round-trip: a union OUTPUT feeds back in as an input
+    val m = stUnion("POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))",
+      "POLYGON ((3 0, 4 0, 4 1, 3 1, 3 0))")
+    assert(m.startsWith("MULTIPOLYGON"))
+    val strip = "POLYGON ((-1 -0.25, 10 -0.25, 10 0.5, -1 0.5, -1 -0.25))"
+    assert(math.abs(wktAreaMulti(stIntersection(m, strip)) - 1.0) < 1e-6)
+    assert(math.abs(wktAreaMulti(stUnion(m, strip)) - (2.0 + 8.25 - 1.0)) < 1e-6)
+    assert(math.abs(wktAreaMulti(stDifference(m, strip)) - 1.0) < 1e-6)
+    // holed output of the region layer round-trips too
+    val holedOut = stDifference(a, b) // L-shaped with the [2,4]^2 hole bites
+    assert(math.abs(wktAreaMulti(stIntersection(holedOut, a)) - 24.0) < 1e-6)
   }
 
   test("st_intersection general: Greiner-Hormann on non-convex pairs, multi-part results") {
