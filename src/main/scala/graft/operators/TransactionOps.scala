@@ -46,6 +46,9 @@ import org.apache.spark.sql.functions._
 object TransactionOps {
 
   final class Txn {
+    // identity + birth time surfaced by system.runtime.transactions
+    val id: String = java.util.UUID.randomUUID().toString
+    val createdAtMs: Long = System.currentTimeMillis()
     // table root -> version observed at first touch inside this txn
     val snapshots = scala.collection.mutable.Map[String, Int]()
     // table root -> staged (uncommitted) version
@@ -274,6 +277,11 @@ object TransactionOps {
   }
 
   def inTransaction(spark: SparkSession): Boolean = currentTxn(spark).isDefined
+
+  /** (id, createdAtMs, tables staged for write) of this session's open
+    * transaction, if any — the system.runtime.transactions row. */
+  def activeTransaction(spark: SparkSession): Option[(String, Long, Seq[String])] =
+    currentTxn(spark).map(t => (t.id, t.createdAtMs, t.staged.keys.toSeq.sorted))
 
   /** Versions currently on disk (ascending). */
   def versions(root: String): Seq[Int] =

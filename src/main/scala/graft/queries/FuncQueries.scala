@@ -993,13 +993,17 @@ object FuncQueries extends QueryModule {
           |  SELECT p_partkey, p_name, p_brand, CAST(p_size AS BIGINT) AS sz,
           |    concat('https://shop.example.com:8080/parts/', CAST(p_partkey AS STRING),
           |           '?size=', CAST(p_size AS STRING), '&x=1#sec') AS url
-          |  FROM part)
+          |  FROM part),
+          |v AS (
+          |  -- constant published vectors: UDFs are not constant-folded, so
+          |  -- evaluate once and broadcast rather than once per row
+          |  SELECT to_hex(sha512(to_utf8('abc'))) AS sha512_vec,
+          |    to_hex(hmac_md5(to_utf8('Jefe'), to_utf8('what do ya want for nothing?'))) AS hmac_md5_vec,
+          |    to_hex(hmac_sha1(to_utf8('Jefe'), to_utf8('what do ya want for nothing?'))) AS hmac_sha1_vec)
           |SELECT p_partkey,
           |  from_utf8(from_base64(to_base64(to_utf8(p_name)))) AS rt_name,
           |  to_hex(sha256(to_utf8(p_brand))) AS sha_hex,
-          |  to_hex(sha512(to_utf8('abc'))) AS sha512_vec,
-          |  to_hex(hmac_md5(to_utf8('Jefe'), to_utf8('what do ya want for nothing?'))) AS hmac_md5_vec,
-          |  to_hex(hmac_sha1(to_utf8('Jefe'), to_utf8('what do ya want for nothing?'))) AS hmac_sha1_vec,
+          |  sha512_vec, hmac_md5_vec, hmac_sha1_vec,
           |  levenshtein_distance(p_brand, 'Brand#25') AS lev,
           |  bitwise_and(p_partkey, sz) AS band,
           |  bitwise_or(p_partkey, sz) AS bor,
@@ -1017,6 +1021,6 @@ object FuncQueries extends QueryModule {
           |  json_format(json_parse(concat('{"k":', CAST(p_partkey AS STRING), ',"s":"', p_brand, '"}'))) AS js,
           |  CAST(cardinality(ngrams(split(p_name, ' '), 2)) AS BIGINT) AS bigram_ct,
           |  date_parse(concat('2024-03-', lpad(CAST(p_partkey % 28 + 1 AS STRING), 2, '0')), '%Y-%m-%d') AS dp
-          |FROM u""".stripMargin)
+          |FROM u CROSS JOIN v""".stripMargin)
     })
 }

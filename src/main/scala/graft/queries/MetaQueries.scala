@@ -126,6 +126,43 @@ object MetaQueries extends QueryModule {
     // admits pushable conjuncts; same single-table SELECT * shape here).
     Q("meta_show_stats_filtered", statsOracle(filtered = true)) { (s, _) =>
       fd(s, "SHOW STATS FOR (SELECT * FROM orders WHERE o_orderstatus = 'F')")
+    },
+
+    // system.runtime tables (r8, graft.sql.SystemTables): nodes /
+    // queries / transactions resolved as fully-qualified names through
+    // the front door. Property oracle (the runtime state itself is not
+    // DuckDB-recomputable): the driver node reports as coordinator, the
+    // query log records both a FINISHED and a FAILED statement, and an
+    // open transaction is visible with SNAPSHOT isolation then gone
+    // after rollback.
+    Q("meta_system_runtime",
+      """SELECT true AS has_node, true AS node_is_coordinator,
+        |  true AS queries_logged, true AS failure_logged,
+        |  true AS txn_visible, true AS txn_gone""".stripMargin) { (s, _) =>
+      import s.implicits._
+      fd(s, "SELECT 1 AS probe").collect()
+      try fd(s, "SELECT FROM WHERE broken").collect()
+      catch { case scala.util.control.NonFatal(_) => () }
+      val nodes = fd(s,
+        """SELECT count(*) AS n, bool_or(coordinator) AS coord
+          |FROM system.runtime.nodes""".stripMargin).head()
+      val qlog = fd(s,
+        """SELECT sum(CASE WHEN state = 'FINISHED' THEN 1 ELSE 0 END) AS fin,
+          |       sum(CASE WHEN state = 'FAILED' THEN 1 ELSE 0 END) AS failed
+          |FROM system.runtime.queries WHERE query LIKE '%probe%' OR query LIKE '%broken%'
+          |""".stripMargin).head()
+      fd(s, "START TRANSACTION")
+      val tx = fd(s,
+        """SELECT count(*) AS n, bool_and(isolation_level = 'SNAPSHOT') AS iso
+          |FROM system.runtime.transactions""".stripMargin).head()
+      fd(s, "ROLLBACK")
+      val tx2 = fd(s,
+        "SELECT count(*) AS n FROM system.runtime.transactions").head()
+      Seq((nodes.getLong(0) >= 1L, nodes.getBoolean(1),
+        qlog.getLong(0) >= 1L, qlog.getLong(1) >= 1L,
+        tx.getLong(0) == 1L && tx.getBoolean(1), tx2.getLong(0) == 0L))
+        .toDF("has_node", "node_is_coordinator", "queries_logged",
+          "failure_logged", "txn_visible", "txn_gone")
     })
 
   /** DuckDB twin of Metadata.showStats over `orders` — the same UNION of

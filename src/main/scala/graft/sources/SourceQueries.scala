@@ -426,5 +426,32 @@ object SourceQueries extends QueryModule {
         .agg(count(lit(1)).as("n"), sum("k").as("key_sum"), sum("ck").as("cust_sum"),
           max("_partition_offset").as("max_off"))
         .orderBy("partition_id")
+    },
+
+    // presto-local-file connector slice (LocalFileOps): http_request_log
+    // over a directory of tab-separated, time-ordered log files —
+    // LocalFileTables.java:113-128 schema, LocalFileRecordCursor.java
+    // tab splitter + ISO offset timestamps + first-record file skip
+    // (done at plan time here). Content derives from `orders`, so the
+    // oracle replays the derivation straight from parquet; the 06:00
+    // lower bound prunes the first two 3-hour-bucket files (spec-pinned)
+    // and the row filter finishes the job.
+    Q("src_local_file_log",
+      """SELECT CASE CAST(o_orderkey % 4 AS INT) WHEN 0 THEN 'GET' WHEN 1 THEN 'POST'
+        |            WHEN 2 THEN 'PUT' ELSE 'DELETE' END AS method,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS resp_bytes,
+        |  CAST(sum(CASE WHEN o_orderkey % 10 IN (7, 8) THEN 1 ELSE 0 END) AS BIGINT) AS not_found
+        |FROM orders WHERE (o_orderkey * 7919) % 86400 >= 21600
+        |GROUP BY 1""".stripMargin) { (s, dir) =>
+      val logDir = s"/tmp/graft_localfile_${new java.io.File(dir).getName}"
+      LocalFileOps.writeHttpLogs(s, logDir)
+      val bound = java.time.OffsetDateTime.parse("1995-01-01T06:00:00+00:00")
+      LocalFileOps.readHttpRequestLog(s, logDir, minTs = Some(bound))
+        .filter(col("timestamp") >= lit("1995-01-01 06:00:00").cast("timestamp"))
+        .groupBy(col("method"))
+        .agg(count(lit(1)).as("n"),
+          sum("response_size").as("resp_bytes"),
+          sum(when(col("response_code") === 404, 1).otherwise(0)).as("not_found"))
     })
 }

@@ -319,5 +319,28 @@ object DdlQueries extends QueryModule {
         AccessControl.setPrincipal(s, "admin")
         AccessControl.clear()
       }
+    },
+
+    // ALTER TABLE family + USE (r8, SqlBase.g4:35-36,52-58 — UseTask /
+    // RenameTableTask / RenameColumnTask / DropColumnTask /
+    // AddColumnTask). Alters over graft tables are metadata-only view
+    // re-registrations (zero data I/O — the reference's contract for
+    // metadata operations). The oracle replays the net effect of the
+    // alter chain as a plain projection over nation.
+    Q("ddl_alter_table",
+      """SELECT n_nationkey AS nation_id, n_name, CAST(NULL AS DOUBLE) AS score
+        |FROM nation WHERE n_regionkey = 2""".stripMargin) { (s, _) =>
+      PrestoSql.sql(s,
+        "CREATE OR REPLACE TEMPORARY VIEW alter_t AS " +
+          "SELECT n_nationkey, n_name, n_regionkey FROM nation")
+      PrestoSql.sql(s, "USE default")
+      PrestoSql.sql(s, "ALTER TABLE alter_t ADD COLUMN score double")
+      PrestoSql.sql(s, "ALTER TABLE alter_t RENAME COLUMN n_nationkey TO nation_id")
+      PrestoSql.sql(s, "ALTER TABLE alter_t RENAME TO alter_t2")
+      PrestoSql.sql(s, "ALTER TABLE alter_t2 DROP COLUMN n_regionkey")
+      PrestoSql.sql(s,
+        """SELECT nation_id, n_name, score FROM alter_t2
+          |WHERE nation_id IN (SELECT n_nationkey FROM nation WHERE n_regionkey = 2)
+          |""".stripMargin)
     })
 }

@@ -275,6 +275,34 @@ object PrestoSql {
   private val showCreateTableRe =
     """(?is)\s*SHOW\s+CREATE\s+TABLE\s+([\w.]+)\s*""".r
   private val showFunctionsRe = """(?is)\s*SHOW\s+FUNCTIONS\s*""".r
+  private val showCreateViewRe =
+    """(?is)\s*SHOW\s+CREATE\s+VIEW\s+([\w.]+)\s*""".r
+  // USE schema | USE catalog.schema (SqlBase.g4:35-36, UseTask.java:
+  // validates the schema exists, then sets the session default).
+  private val useRe = """(?is)\s*USE\s+(?:(\w+)\.)?(\w+)\s*""".r
+  // ALTER TABLE family (SqlBase.g4:52-58; RenameTableTask.java,
+  // RenameColumnTask.java, DropColumnTask.java, AddColumnTask.java).
+  // graft tables are session temp views, so each alter re-registers the
+  // view with the transformed projection — metadata-only, zero data I/O,
+  // exactly the reference's metadata-operation contract.
+  private val alterRenameTableRe =
+    """(?is)\s*ALTER\s+TABLE\s+([\w.]+)\s+RENAME\s+TO\s+([\w.]+)\s*""".r
+  private val alterRenameColRe =
+    """(?is)\s*ALTER\s+TABLE\s+([\w.]+)\s+RENAME\s+COLUMN\s+(\w+)\s+TO\s+(\w+)\s*""".r
+  private val alterDropColRe =
+    """(?is)\s*ALTER\s+TABLE\s+([\w.]+)\s+DROP\s+COLUMN\s+(\w+)\s*""".r
+  private val alterAddColRe =
+    """(?is)\s*ALTER\s+TABLE\s+([\w.]+)\s+ADD\s+COLUMN\s+(\w+)\s+(\w+(?:\(\s*\d+\s*(?:,\s*\d+\s*)?\))?)\s*""".r
+
+  /** Presto type name -> Spark DDL type (ALTER ADD COLUMN surface). */
+  private def prestoType(t: String): String = t.trim.toLowerCase match {
+    case "varchar" => "string"
+    case s if s.startsWith("varchar(") || s.startsWith("char(") => "string"
+    case "real" => "float"
+    case "integer" => "int"
+    case "varbinary" => "binary"
+    case other => other // bigint, double, boolean, date, timestamp, decimal(p,s), ...
+  }
   private val showStatsTableRe =
     """(?is)\s*SHOW\s+STATS\s+FOR\s+([\w.]+)\s*""".r
   private val showStatsQueryRe =
@@ -330,6 +358,21 @@ object PrestoSql {
     * DEALLOCATE PREPARE name).
     */
   def sql(spark: SparkSession, text: String): DataFrame = {
+    val created = System.currentTimeMillis()
+    try {
+      val out = sqlImpl(spark, text)
+      // the front door plans synchronously; completion here = the
+      // reference's FINISHED for control statements (SystemTables doc)
+      SystemTables.record(spark, text, "FINISHED", created)
+      out
+    } catch {
+      case e: Throwable =>
+        SystemTables.record(spark, text, "FAILED", created)
+        throw e
+    }
+  }
+
+  private def sqlImpl(spark: SparkSession, text: String): DataFrame = {
     graft.functions.FunctionRegistry.installAll(spark)
     import spark.implicits._
     text match {
@@ -377,6 +420,40 @@ object PrestoSql {
         Metadata.showStats(spark, table, None)
       case showCreateTableRe(table) =>
         Metadata.showCreateTable(spark, table)
+      case showCreateViewRe(view) =>
+        // views and tables share the temp-view carrier; same renderer
+        Metadata.showCreateTable(spark, view)
+      case useRe(catalog, schema) =>
+        if (catalog != null)
+          require(Seq("graft", "spark_catalog").contains(catalog.toLowerCase),
+            s"Catalog does not exist: $catalog")
+        require(spark.catalog.databaseExists(schema),
+          s"Schema does not exist: $schema")
+        spark.catalog.setCurrentDatabase(schema)
+        Seq("USE").toDF("result")
+      case alterRenameTableRe(from, to) =>
+        val df = spark.table(from)
+        df.createOrReplaceTempView(to)
+        spark.catalog.dropTempView(from)
+        Seq("RENAME TABLE").toDF("result")
+      case alterRenameColRe(table, from, to) =>
+        spark.table(table).withColumnRenamed(from, to)
+          .createOrReplaceTempView(table)
+        Seq("RENAME COLUMN").toDF("result")
+      case alterDropColRe(table, colName) =>
+        val df = spark.table(table)
+        require(df.columns.map(_.toLowerCase).contains(colName.toLowerCase),
+          s"Column '$colName' does not exist")
+        df.drop(colName).createOrReplaceTempView(table)
+        Seq("DROP COLUMN").toDF("result")
+      case alterAddColRe(table, colName, typ) =>
+        val df = spark.table(table)
+        require(!df.columns.map(_.toLowerCase).contains(colName.toLowerCase),
+          s"Column '$colName' already exists")
+        df.withColumn(colName,
+            org.apache.spark.sql.functions.lit(null).cast(prestoType(typ)))
+          .createOrReplaceTempView(table)
+        Seq("ADD COLUMN").toDF("result")
       case describeInputRe(name) =>
         val q = stmtsOf(spark).getOrElse(name.toLowerCase,
           throw new IllegalArgumentException(s"Prepared statement not found: $name"))
@@ -418,7 +495,12 @@ object PrestoSql {
         AccessControl.enforce(spark, bound)
         spark.sql(bound)
       case _ =>
-        val rewritten = rewriteFull(text)
+        var rewritten = rewriteFull(text)
+        if (SystemTables.referencesSystemTables(rewritten)) {
+          // statement-time snapshot of system.runtime.* then name rewrite
+          SystemTables.refreshViews(spark)
+          rewritten = SystemTables.rewriteRefs(rewritten)
+        }
         AccessControl.enforce(spark, rewritten)
         spark.sql(rewritten)
     }

@@ -1,0 +1,114 @@
+package graft.sql
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** The global system connector's runtime tables (reference:
+  * presto-main/.../connector/system/ — NodeSystemTable.java:50-55,
+  * QuerySystemTable.java:56-71, TaskSystemTable.java,
+  * TransactionsSystemTable.java:60-68; wired by
+  * GlobalSystemConnector.java). `SELECT ... FROM system.runtime.X`
+  * resolves through the PrestoSql front door: the fully-qualified names
+  * rewrite to session temp views refreshed (snapshot semantics) at
+  * statement time.
+  *
+  * Spark mapping: nodes come from the SparkContext status tracker
+  * (driver = coordinator — SURVEY §3.4: Spark's driver IS the
+  * coordinator), tasks from the stage snapshot, queries from a
+  * per-session bounded ring of front-door statements, transactions from
+  * [[graft.operators.TransactionOps]]. Documented deltas: the query log
+  * records front-door completion (no queued/analysis phase split — the
+  * driver plans synchronously), and tasks are Spark STAGES (the
+  * execution unit Spark schedules; Presto tasks = stage x node).
+  */
+object SystemTables {
+
+  final case class QueryRecord(id: String, state: String, user: String,
+      source: String, query: String, createdMs: Long, endMs: Long)
+
+  private val counter = new java.util.concurrent.atomic.AtomicLong(0)
+  private val logs =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[SparkSession, scala.collection.mutable.ArrayBuffer[QueryRecord]]())
+  private val MaxLog = 1000
+
+  private def logOf(spark: SparkSession) = {
+    var l = logs.get(spark)
+    if (l == null) { l = scala.collection.mutable.ArrayBuffer.empty[QueryRecord]; logs.put(spark, l) }
+    l
+  }
+
+  /** Record a front-door statement (QueryId shape: reference
+    * QueryIdGenerator — yyyyMMdd_HHmmss_counter_suffix). */
+  def record(spark: SparkSession, query: String, state: String,
+      createdMs: Long): Unit = {
+    val l = logOf(spark)
+    l.synchronized {
+      val ts = new java.text.SimpleDateFormat("yyyyMMdd_HHmmss")
+      ts.setTimeZone(java.util.TimeZone.getTimeZone("UTC"))
+      l += QueryRecord(
+        s"${ts.format(new java.util.Date(createdMs))}_${"%05d".format(counter.incrementAndGet())}_graft",
+        state, AccessControl.principal(spark), "graft", query,
+        createdMs, System.currentTimeMillis())
+      if (l.length > MaxLog) l.remove(0, l.length - MaxLog)
+    }
+  }
+
+  /** Does the statement reference a system.runtime table? */
+  private val sysRef = "(?i)system\\.runtime\\.(nodes|queries|tasks|transactions)".r
+
+  def referencesSystemTables(text: String): Boolean =
+    sysRef.findFirstIn(text).isDefined
+
+  /** Rewrite fully-qualified system.runtime.X references to the temp
+    * view names (after [[refreshViews]] has materialized snapshots). */
+  def rewriteRefs(text: String): String =
+    sysRef.replaceAllIn(text, m => s"system_runtime_${m.group(1).toLowerCase}")
+
+  /** Materialize statement-time snapshots of the four runtime tables. */
+  def refreshViews(spark: SparkSession): Unit = {
+    import spark.implicits._
+    val tracker = spark.sparkContext.statusTracker
+
+    // system.runtime.nodes (NodeSystemTable.java:50-55)
+    val execs = tracker.getExecutorInfos.toSeq.map { e =>
+      val id = e.host + ":" + e.port
+      (id, s"http://$id", spark.version, true, "active")
+    }
+    execs.toDF("node_id", "http_uri", "node_version", "coordinator", "state")
+      .createOrReplaceTempView("system_runtime_nodes")
+
+    // system.runtime.queries (QuerySystemTable.java:56-71 core columns)
+    val l = logOf(spark)
+    val qs = l.synchronized { l.toSeq }
+    qs.map(r => (r.id, r.state, r.user, r.source, r.query,
+        new java.sql.Timestamp(r.createdMs), new java.sql.Timestamp(r.endMs)))
+      .toDF("query_id", "state", "user", "source", "query", "created", "end")
+      .createOrReplaceTempView("system_runtime_queries")
+
+    // system.runtime.tasks (TaskSystemTable.java; Spark stage = the
+    // scheduled execution unit)
+    val stages = tracker.getActiveStageIds.toSeq.flatMap(id =>
+      Option(tracker.getStageInfo(id)).filter(_.isDefined).map(_.get))
+      .map { s =>
+        (s"stage-${s.stageId}.${s.currentAttemptId}", s.stageId.toLong,
+          "driver", "RUNNING", s.numTasks.toLong, s.numActiveTasks.toLong,
+          s.numCompletedTasks.toLong, s.numFailedTasks.toLong)
+      }
+    stages.toDF("task_id", "stage_id", "node_id", "state", "splits",
+        "running_splits", "completed_splits", "failed_splits")
+      .createOrReplaceTempView("system_runtime_tasks")
+
+    // system.runtime.transactions (TransactionsSystemTable.java:60-68)
+    val txns = graft.operators.TransactionOps.activeTransaction(spark).toSeq
+      .map { case (id, created, staged) =>
+        (id, "SNAPSHOT", staged.isEmpty, false,
+          new java.sql.Timestamp(created),
+          (System.currentTimeMillis() - created) / 1000L,
+          staged.headOption.orNull, staged)
+      }
+    txns.toDF("transaction_id", "isolation_level", "read_only",
+        "auto_commit_context", "create_time", "idle_time_secs",
+        "written_catalog", "catalogs")
+      .createOrReplaceTempView("system_runtime_transactions")
+  }
+}

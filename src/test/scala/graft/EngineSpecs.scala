@@ -278,6 +278,34 @@ class EngineSpecs extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("local-file connector: timestamp bound prunes whole files; parse is lossless") {
+    import graft.sources.LocalFileOps
+    graft.engine.Engine.registerTables(spark, "/root/testdata/sf0.001")
+    val dir = "tmp/graft_localfile_spec"
+    LocalFileOps.writeHttpLogs(spark, dir)
+    val all = LocalFileOps.plannedLogFiles(dir, None)
+    assert(all.size >= 6, s"expected ~8 bucket files, got ${all.size}") // 8 3h buckets (sparse fixtures may skip one)
+    // 06:00 bound: every file except (possibly) the one containing the
+    // boundary and later ones is pruned — strictly fewer files, and
+    // never a file whose successor still starts before the bound
+    val bound = java.time.OffsetDateTime.parse("1995-01-01T06:00:00+00:00")
+    val kept = LocalFileOps.plannedLogFiles(dir, Some(bound))
+    assert(kept.size < all.size && kept.nonEmpty)
+    // pruning is sound: the kept files contain every matching row
+    val full = LocalFileOps.readHttpRequestLog(spark, dir)
+      .filter(org.apache.spark.sql.functions.col("timestamp") >=
+        org.apache.spark.sql.functions.lit("1995-01-01 06:00:00").cast("timestamp"))
+    val pruned = LocalFileOps.readHttpRequestLog(spark, dir, minTs = Some(bound))
+      .filter(org.apache.spark.sql.functions.col("timestamp") >=
+        org.apache.spark.sql.functions.lit("1995-01-01 06:00:00").cast("timestamp"))
+    assert(full.count() == pruned.count() && full.count() > 0)
+    // schema matches LocalFileTables.java ordering incl. injected server_address
+    assert(pruned.columns.toSeq == "server_address" +: LocalFileOps.FileColumns)
+    // lossless typed parse: response codes only from the derivation set
+    val codes = pruned.select("response_code").distinct().collect().map(_.getLong(0)).toSet
+    assert(codes.subsetOf(Set(200L, 404L, 500L)))
+  }
+
   test("record log: offset predicate prunes segments from metadata; csv/raw decoders round-trip") {
     import graft.sources.RecordLog
     import org.apache.spark.sql.functions._
