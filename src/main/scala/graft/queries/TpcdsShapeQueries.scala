@@ -105,5 +105,70 @@ object TpcdsShapeQueries extends QueryModule {
         |  CAST(count(*) FILTER (WHERE l_quantity >= 20 AND l_quantity < 35 AND l_discount >= 0.03) AS BIGINT) AS b6,
         |  CAST(count(*) FILTER (WHERE l_quantity >= 35 AND l_discount < 0.03) AS BIGINT) AS b7,
         |  CAST(count(*) FILTER (WHERE l_quantity >= 35 AND l_discount >= 0.03) AS BIGINT) AS b8
-        |FROM lineitem""".stripMargin))
+        |FROM lineitem""".stripMargin),
+
+    // q76/q71 shape: cross-channel UNION ALL with a channel tag, one
+    // grouped aggregate over the union. The union is three scans of the
+    // same fact with disjoint predicates (channel = line band — the
+    // fixture has no shipmode column); Spark plans Union -> one agg
+    // shuffle on (channel, yr) with partials pushed below the Union, so
+    // adding channels never adds shuffles.
+    sqlQ("ds_channel_union",
+      """WITH channels AS (
+        |  SELECT 'first_line' AS channel, year(l_shipdate) AS yr,
+        |    CAST(l_extendedprice AS DECIMAL(18,2)) AS amount
+        |  FROM lineitem WHERE l_linenumber = 1
+        |  UNION ALL
+        |  SELECT 'mid_lines', year(l_shipdate), CAST(l_extendedprice AS DECIMAL(18,2))
+        |  FROM lineitem WHERE l_linenumber IN (2, 3)
+        |  UNION ALL
+        |  SELECT 'tail_lines', year(l_shipdate), CAST(l_extendedprice AS DECIMAL(18,2))
+        |  FROM lineitem WHERE l_linenumber >= 4)
+        |SELECT channel, yr, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(amount) AS DOUBLE) AS amt
+        |FROM channels GROUP BY channel, yr""".stripMargin),
+
+    // q34 shape: per-ticket item counts -> a count band -> join back to
+    // the customer. The per-order aggregate is keyed on the SAME column
+    // as the orders join, so one hash partitioning serves both (no
+    // second exchange — EnsureRequirements reuses the distribution);
+    // customer broadcasts.
+    sqlQ("ds_ticket_band",
+      """WITH per_order AS (
+        |  SELECT l_orderkey, CAST(count(*) AS BIGINT) AS items
+        |  FROM lineitem GROUP BY l_orderkey)
+        |SELECT c_name, o_orderkey, items
+        |FROM per_order
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE items BETWEEN 5 AND 7""".stripMargin),
+
+    // q51 shape: two per-series cumulative windows FULL OUTER JOINed on
+    // (group, date), then a comparison of the running totals. Exact
+    // integer cents keep the cumulative comparison engine-stable; each
+    // series aggregates then windows inside ONE (brand) partitioning;
+    // the full join keys on (brand, day) so the window output
+    // co-partitions into it.
+    sqlQ("ds_cumulative_compare",
+      """WITH a AS (
+        |  SELECT p_brand, l_shipdate AS d,
+        |    CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))) * 100) AS BIGINT) AS rev_c
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE l_returnflag = 'A' GROUP BY p_brand, l_shipdate),
+        |r AS (
+        |  SELECT p_brand, l_shipdate AS d,
+        |    CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))) * 100) AS BIGINT) AS rev_c
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE l_returnflag = 'R' GROUP BY p_brand, l_shipdate),
+        |ac AS (SELECT p_brand, d,
+        |  sum(rev_c) OVER (PARTITION BY p_brand ORDER BY d) AS cum_a FROM a),
+        |rc AS (SELECT p_brand, d,
+        |  sum(rev_c) OVER (PARTITION BY p_brand ORDER BY d) AS cum_r FROM r),
+        |j AS (
+        |  SELECT coalesce(ac.p_brand, rc.p_brand) AS brand,
+        |    coalesce(ac.cum_a, 0) AS cum_a, coalesce(rc.cum_r, 0) AS cum_r
+        |  FROM ac FULL OUTER JOIN rc ON ac.p_brand = rc.p_brand AND ac.d = rc.d)
+        |SELECT brand, CAST(count(*) AS BIGINT) AS n_days,
+        |  CAST(sum(CASE WHEN cum_a > cum_r THEN 1 ELSE 0 END) AS BIGINT) AS a_ahead_days
+        |FROM j GROUP BY brand""".stripMargin))
 }

@@ -149,6 +149,22 @@ class EngineSpecs extends AnyFunSuite with BeforeAndAfterAll {
     val buckets = SparkEntry.queries("ds_channel_buckets")(spark, sfDir)
     assert(countNodes(executedPlan(buckets))(_.nodeName.contains("Scan")) == 1,
       "multi-band counts must come from a single scan")
+    // q76 shape: partial aggregation must sit BELOW the Union (one
+    // final agg shuffle regardless of channel count).
+    val union = SparkEntry.queries("ds_channel_union")(spark, sfDir)
+    assert(countNodes(executedPlan(union))(
+        _.nodeName.contains("ShuffleExchange")) <= 1,
+      "channel union must aggregate with one shuffle")
+    // q34 shape: the per-order count agg and the orders join share the
+    // l_orderkey hash distribution -> at most the two key exchanges
+    // (lineitem + orders), never a third for the join; customer rides a
+    // broadcast.
+    val band = SparkEntry.queries("ds_ticket_band")(spark, sfDir)
+    val bandPlan = executedPlan(band)
+    assert(countNodes(bandPlan)(_.nodeName.contains("ShuffleExchange")) <= 2,
+      "per-order agg must reuse its partitioning for the orders join")
+    assert(countNodes(bandPlan)(_.nodeName.contains("BroadcastHashJoin")) >= 1,
+      "customer must broadcast")
   }
 
   test("top-k per group uses the WindowGroupLimit fast path") {
