@@ -277,6 +277,11 @@ object PrestoSql {
   private val showFunctionsRe = """(?is)\s*SHOW\s+FUNCTIONS\s*""".r
   private val showCreateViewRe =
     """(?is)\s*SHOW\s+CREATE\s+VIEW\s+([\w.]+)\s*""".r
+  // CALL system.runtime.kill_query('id') — SqlBase.g4:61 #call,
+  // KillQueryProcedure.java (the only system procedure in the
+  // reference's global connector).
+  private val killQueryRe =
+    """(?is)\s*CALL\s+system\.runtime\.kill_query\s*\(\s*'([^']+)'\s*\)\s*""".r
   // USE schema | USE catalog.schema (SqlBase.g4:35-36, UseTask.java:
   // validates the schema exists, then sets the session default).
   private val useRe = """(?is)\s*USE\s+(?:(\w+)\.)?(\w+)\s*""".r
@@ -359,15 +364,21 @@ object PrestoSql {
     */
   def sql(spark: SparkSession, text: String): DataFrame = {
     val created = System.currentTimeMillis()
+    val queryId = SystemTables.newQueryId(created)
+    // tag the calling thread so every job this statement runs (now for
+    // eager control statements, later for actions on the returned lazy
+    // frame — job groups are sticky thread-locals) is cancellable by
+    // CALL system.runtime.kill_query(queryId)
+    spark.sparkContext.setJobGroup(queryId, text.take(200), interruptOnCancel = true)
     try {
       val out = sqlImpl(spark, text)
       // the front door plans synchronously; completion here = the
       // reference's FINISHED for control statements (SystemTables doc)
-      SystemTables.record(spark, text, "FINISHED", created)
+      SystemTables.record(spark, queryId, text, "FINISHED", created)
       out
     } catch {
       case e: Throwable =>
-        SystemTables.record(spark, text, "FAILED", created)
+        SystemTables.record(spark, queryId, text, "FAILED", created)
         throw e
     }
   }
@@ -423,6 +434,9 @@ object PrestoSql {
       case showCreateViewRe(view) =>
         // views and tables share the temp-view carrier; same renderer
         Metadata.showCreateTable(spark, view)
+      case killQueryRe(queryId) =>
+        SystemTables.killQuery(spark, queryId)
+        Seq("CALL").toDF("result")
       case useRe(catalog, schema) =>
         if (catalog != null)
           require(Seq("graft", "spark_catalog").contains(catalog.toLowerCase),

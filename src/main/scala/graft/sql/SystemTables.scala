@@ -37,19 +37,38 @@ object SystemTables {
     l
   }
 
-  /** Record a front-door statement (QueryId shape: reference
-    * QueryIdGenerator — yyyyMMdd_HHmmss_counter_suffix). */
-  def record(spark: SparkSession, query: String, state: String,
+  /** QueryId shape: reference QueryIdGenerator —
+    * yyyyMMdd_HHmmss_counter_suffix. */
+  def newQueryId(createdMs: Long): String = {
+    val ts = new java.text.SimpleDateFormat("yyyyMMdd_HHmmss")
+    ts.setTimeZone(java.util.TimeZone.getTimeZone("UTC"))
+    s"${ts.format(new java.util.Date(createdMs))}_${"%05d".format(counter.incrementAndGet())}_graft"
+  }
+
+  /** Record a front-door statement under its pre-assigned id. */
+  def record(spark: SparkSession, id: String, query: String, state: String,
       createdMs: Long): Unit = {
     val l = logOf(spark)
     l.synchronized {
-      val ts = new java.text.SimpleDateFormat("yyyyMMdd_HHmmss")
-      ts.setTimeZone(java.util.TimeZone.getTimeZone("UTC"))
-      l += QueryRecord(
-        s"${ts.format(new java.util.Date(createdMs))}_${"%05d".format(counter.incrementAndGet())}_graft",
-        state, AccessControl.principal(spark), "graft", query,
-        createdMs, System.currentTimeMillis())
+      l += QueryRecord(id, state, AccessControl.principal(spark), "graft",
+        query, createdMs, System.currentTimeMillis())
       if (l.length > MaxLog) l.remove(0, l.length - MaxLog)
+    }
+  }
+
+  /** CALL system.runtime.kill_query(id) — KillQueryProcedure.java:
+    * cancels every Spark job tagged with the query's job group (the
+    * front door tags the calling thread per statement, and Spark job
+    * groups are sticky thread-locals, so later actions on a returned
+    * lazy DataFrame from that thread carry the id). Marks the log
+    * entry FAILED like the reference's generic user-cancel error.
+    */
+  def killQuery(spark: SparkSession, id: String): Unit = {
+    spark.sparkContext.cancelJobGroup(id)
+    val l = logOf(spark)
+    l.synchronized {
+      val i = l.indexWhere(_.id == id)
+      if (i >= 0) l(i) = l(i).copy(state = "FAILED")
     }
   }
 

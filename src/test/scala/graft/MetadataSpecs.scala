@@ -164,4 +164,54 @@ class MetadataSpecs extends AnyFunSuite with BeforeAndAfterAll {
     assert(c.columns.toSeq == Seq("Catalog"))
     assert(c.collect().map(_.getString(0)).contains("spark_catalog"))
   }
+
+  test("USE validates the schema; ALTER TABLE family is metadata-only") {
+    PrestoSql.sql(spark, "USE default")
+    intercept[IllegalArgumentException](PrestoSql.sql(spark, "USE no_such_schema"))
+    intercept[IllegalArgumentException](PrestoSql.sql(spark, "USE badcat.default"))
+    PrestoSql.sql(spark,
+      "CREATE OR REPLACE TEMPORARY VIEW alt_spec AS SELECT n_nationkey, n_name FROM nation")
+    PrestoSql.sql(spark, "ALTER TABLE alt_spec ADD COLUMN note varchar")
+    intercept[IllegalArgumentException](
+      PrestoSql.sql(spark, "ALTER TABLE alt_spec ADD COLUMN note varchar")) // duplicate
+    PrestoSql.sql(spark, "ALTER TABLE alt_spec RENAME COLUMN n_name TO nation_name")
+    PrestoSql.sql(spark, "ALTER TABLE alt_spec DROP COLUMN n_nationkey")
+    intercept[IllegalArgumentException](
+      PrestoSql.sql(spark, "ALTER TABLE alt_spec DROP COLUMN ghost"))
+    PrestoSql.sql(spark, "ALTER TABLE alt_spec RENAME TO alt_spec2")
+    assert(spark.table("alt_spec2").columns.toSeq == Seq("nation_name", "note"))
+    assert(!spark.catalog.tableExists("alt_spec"))
+    spark.catalog.dropTempView("alt_spec2")
+  }
+
+  test("CALL system.runtime.kill_query cancels a running statement (KillQueryProcedure.java)") {
+    val ready = new java.util.concurrent.CountDownLatch(1)
+    @volatile var err: Throwable = null
+    val t = new Thread(() => {
+      try {
+        // the /*killme*/ marker makes the log entry findable; the front
+        // door records the id at plan time, the collect runs after
+        val df = PrestoSql.sql(spark,
+          "SELECT /*killme*/ sum(xxhash64(a.id + b.id)) AS n " +
+            "FROM range(30000000) a CROSS JOIN range(30000000) b")
+        ready.countDown()
+        df.collect()
+      } catch { case e: Throwable => err = e; ready.countDown() }
+    })
+    t.start()
+    ready.await()
+    Thread.sleep(1000) // let the cartesian jobs actually start
+    val id = PrestoSql.sql(spark,
+      "SELECT query_id FROM system.runtime.queries " +
+        "WHERE query LIKE '%kill' || 'me%' ORDER BY created DESC LIMIT 1")
+      .head().getString(0)
+    PrestoSql.sql(spark, s"CALL system.runtime.kill_query('$id')")
+    t.join(60000)
+    assert(!t.isAlive, "killed query thread should have terminated")
+    assert(err != null, "cancelled collect must raise")
+    val st = PrestoSql.sql(spark,
+      s"SELECT state FROM system.runtime.queries WHERE query_id = '$id'")
+      .head().getString(0)
+    assert(st == "FAILED")
+  }
 }
