@@ -133,7 +133,27 @@ object PrestoSql {
   /** All dialect rewrites: quantified comparisons, then function/cast
     * renames.
     */
-  def rewriteFull(text: String): String = rewrite(rewriteQuantified(text))
+  // ---- AT TIME ZONE operator (SqlBase.g4 valueExpression #atTimeZone,
+  // DesugarAtTimeZoneRewriter.java) — Spark has no operator syntax, so
+  // the front door desugars `x AT TIME ZONE z` to at_timezone(x, z).
+  // Operand coverage: TIMESTAMP literals, function calls with simple
+  // args, and column/identifier chains (the forms Presto queries use);
+  // the zone is a string literal or identifier. Matches starting inside
+  // a string literal are left alone (TIMESTAMP-literal operands START
+  // outside their quote, like the date_add unit in `rewrite`).
+  private val atTimeZoneRe: Regex =
+    ("""(?is)((?:TIMESTAMP\s+'[^']+')|(?:[\w.]+\s*\([^()]*\))|(?:[\w.]+))""" +
+      """\s+AT\s+TIME\s+ZONE\s+('[^']*'|[\w.]+)""").r
+
+  private def rewriteAtTimeZone(sql: String): String = {
+    val lit = literalMap(sql)
+    atTimeZoneRe.replaceAllIn(sql, m =>
+      if (lit(m.start)) Regex.quoteReplacement(m.matched)
+      else Regex.quoteReplacement(s"at_timezone(${m.group(1)}, ${m.group(2)})"))
+  }
+
+  def rewriteFull(text: String): String =
+    rewrite(rewriteAtTimeZone(rewriteQuantified(text)))
 
   // ---- PREPARE / EXECUTE / DEALLOCATE (reference: QueryPreparer.java;
   // SqlBase.g4 Prepare/Execute/Deallocate statements). The reference

@@ -60,6 +60,27 @@ class SketchAndSqlSpecs extends AnyFunSuite {
       "SELECT timestampadd(DAY, 1, ts), 'AS VARCHAR)' FROM t")
   }
 
+  test("AT TIME ZONE operator desugars to at_timezone (DesugarAtTimeZoneRewriter)") {
+    assert(PrestoSql.rewriteFull("SELECT ts AT TIME ZONE 'Asia/Tokyo' FROM t") ==
+      "SELECT at_timezone(ts, 'Asia/Tokyo') FROM t")
+    assert(PrestoSql.rewriteFull(
+      "SELECT TIMESTAMP '2020-01-01 00:00:00' AT TIME ZONE 'UTC'") ==
+      "SELECT at_timezone(TIMESTAMP '2020-01-01 00:00:00', 'UTC')")
+    assert(PrestoSql.rewriteFull("SELECT max(ts) AT TIME ZONE zone_col FROM t") ==
+      "SELECT at_timezone(max(ts), zone_col) FROM t")
+    // inside string literals: untouched
+    assert(PrestoSql.rewriteFull("SELECT 'x AT TIME ZONE y' AS s FROM t") ==
+      "SELECT 'x AT TIME ZONE y' AS s FROM t")
+    // end-to-end through the front door: Tokyo wall clock of a UTC instant
+    val spark = graft.engine.Engine.session("local[2]", shufflePartitions = 2)
+    graft.functions.FunctionRegistry.installAll(spark)
+    // at_timezone renders ISO_OFFSET_DATE_TIME in the target zone
+    val r = PrestoSql.sql(spark,
+      "SELECT TIMESTAMP '2020-01-01 00:00:00' AT TIME ZONE 'Asia/Tokyo' AS t")
+      .head().getString(0)
+    assert(r.startsWith("2020-01-01T09:00:00"), r)
+  }
+
   test("quantified comparison rewrites (ALL/ANY/SOME)") {
     assert(PrestoSql.rewriteFull("SELECT * FROM t WHERE x > ALL (SELECT v FROM u)") ==
       "SELECT * FROM t WHERE x > (SELECT max(__graft_qc) FROM (SELECT v FROM u) AS __graft_q(__graft_qc))")
