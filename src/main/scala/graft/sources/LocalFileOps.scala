@@ -132,6 +132,22 @@ object LocalFileOps {
             org.apache.spark.sql.types.StructField("value",
               org.apache.spark.sql.types.StringType))))
       else spark.read.text(files.map(_.toString): _*)
+    parseLog(raw, serverAddress)
+  }
+
+  /** STREAMING read of the log directory — new .log files appended by a
+    * live server become micro-batches (Spark's FileStreamSource watches
+    * the glob; the reference's connector re-lists the directory per
+    * query, this is its continuous analog). Same typed parse; callers
+    * add watermarks/windows downstream.
+    */
+  def streamHttpRequestLog(spark: SparkSession, dir: String,
+      serverAddress: String = "localhost:8080"): DataFrame =
+    parseLog(spark.readStream.text(s"$dir/*.log"), serverAddress)
+
+  /** Typed columns per LocalFileTables.java — all-native split/cast
+    * parse, server_address injected. Shared by batch + streaming. */
+  private def parseLog(raw: DataFrame, serverAddress: String): DataFrame = {
     val f = split(col("value"), "\t")
     raw.select(
       lit(serverAddress).as("server_address"),

@@ -129,6 +129,39 @@ class StreamingSpecs extends AnyFunSuite with BeforeAndAfterAll {
     assert(sessions.toSeq == Seq((7L, "2024-01-01 10:00:00.0", "2024-01-01 10:10:00.0", 2L, 3.0)))
   }
 
+  test("local-file log streams: appended .log files become micro-batches") {
+    val dir = new java.io.File("tmp/graft_localfile_stream")
+    org.apache.commons.io.FileUtils.deleteQuietly(dir)
+    dir.mkdirs()
+    def writeLog(name: String, lines: Seq[String]): Unit =
+      java.nio.file.Files.write(new java.io.File(dir, name).toPath,
+        lines.mkString("\n").getBytes)
+    def line(t: String, code: Int, uri: String): String =
+      s"1995-01-01T$t+00:00\t10.0.0.1\tGET\t$uri\tu1\tcli\t$code\t10\t100\t5\ttok"
+
+    writeLog("http-00-0.log", Seq(
+      line("00:00:01", 200, "/a"), line("00:00:02", 404, "/b"),
+      line("00:00:03", 200, "/c")))
+    val parsed = graft.sources.LocalFileOps.streamHttpRequestLog(spark, dir.toString)
+    val query = parsed.groupBy("response_code").count()
+      .writeStream.format("memory").queryName("lf_stream").outputMode("complete").start()
+    try {
+      query.processAllAvailable()
+      val first = spark.table("lf_stream").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(first == Map(200L -> 2L, 404L -> 1L))
+      // a second file appended by the "server" arrives as a new batch
+      writeLog("http-01-0.log", Seq(
+        line("03:00:01", 500, "/d"), line("03:00:02", 200, "/e")))
+      query.processAllAvailable()
+      val second = spark.table("lf_stream").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(second == Map(200L -> 3L, 404L -> 1L, 500L -> 1L))
+      // typed parse carries through the stream (timestamp is real)
+      assert(parsed.schema("timestamp").dataType.typeName == "timestamp")
+    } finally query.stop()
+  }
+
   test("streaming transform matches its batch twin on the same data") {
     import spark.implicits._
     val batch = Seq(
