@@ -152,8 +152,35 @@ object PrestoSql {
       else Regex.quoteReplacement(s"at_timezone(${m.group(1)}, ${m.group(2)})"))
   }
 
+  // ---- DECIMAL 'x.y' literals (SqlBase.g4 #decimalLiteral,
+  // type/DecimalParseResult via Decimals.parse: precision = total
+  // digits, scale = fraction digits). Spark has no DECIMAL literal
+  // keyword; rewrite to a CAST with the exact parsed precision/scale.
+  private val decimalLitRe: Regex =
+    """(?is)(?<![\w.])DECIMAL\s+'\s*([+-]?)(\d*)(?:\.(\d*))?\s*'""".r
+
+  private def rewriteDecimalLiteral(sql: String): String = {
+    val lit = literalMap(sql)
+    decimalLitRe.replaceAllIn(sql, m =>
+      if (lit(m.start)) Regex.quoteReplacement(m.matched)
+      else {
+        val sign = Option(m.group(1)).getOrElse("")
+        val whole = Option(m.group(2)).getOrElse("")
+        val frac = Option(m.group(3)).getOrElse("")
+        require(whole.nonEmpty || frac.nonEmpty, s"Invalid decimal literal: ${m.matched}")
+        val scale = frac.length
+        // Decimals.parse (Decimals.java:101-118): leading zeros of the
+        // integer part do NOT count toward precision; minimum 1
+        val integral = whole.dropWhile(_ == '0')
+        val precision = math.max(integral.length + scale, 1)
+        require(precision <= 38, s"DECIMAL precision exceeds 38: ${m.matched}")
+        Regex.quoteReplacement(
+          s"CAST('$sign$whole${if (frac.nonEmpty) "." + frac else ""}' AS DECIMAL($precision,$scale))")
+      })
+  }
+
   def rewriteFull(text: String): String =
-    rewrite(rewriteAtTimeZone(rewriteQuantified(text)))
+    rewrite(rewriteAtTimeZone(rewriteDecimalLiteral(rewriteQuantified(text))))
 
   // ---- PREPARE / EXECUTE / DEALLOCATE (reference: QueryPreparer.java;
   // SqlBase.g4 Prepare/Execute/Deallocate statements). The reference

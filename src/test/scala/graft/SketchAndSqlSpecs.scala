@@ -81,6 +81,25 @@ class SketchAndSqlSpecs extends AnyFunSuite {
     assert(r.startsWith("2020-01-01T09:00:00"), r)
   }
 
+  test("DECIMAL 'x' literals rewrite to exact-precision casts (Decimals.parse)") {
+    assert(PrestoSql.rewriteFull("SELECT DECIMAL '1.23' AS d") ==
+      "SELECT CAST('1.23' AS DECIMAL(3,2)) AS d")
+    // leading integer zeros do not count toward precision (Decimals.java:115)
+    assert(PrestoSql.rewriteFull("SELECT DECIMAL '-0.05'") ==
+      "SELECT CAST('-0.05' AS DECIMAL(2,2))")
+    assert(PrestoSql.rewriteFull("SELECT DECIMAL '0'") ==
+      "SELECT CAST('0' AS DECIMAL(1,0))")
+    assert(PrestoSql.rewriteFull("SELECT DECIMAL '123'") ==
+      "SELECT CAST('123' AS DECIMAL(3,0))")
+    assert(PrestoSql.rewriteFull("SELECT DECIMAL '.5'") ==
+      "SELECT CAST('.5' AS DECIMAL(1,1))")
+    // not fired on the type name in CASTs or inside string literals
+    assert(PrestoSql.rewriteFull("SELECT CAST(x AS DECIMAL(10,2)) FROM t") ==
+      "SELECT CAST(x AS DECIMAL(10,2)) FROM t")
+    assert(PrestoSql.rewriteFull("SELECT 'DECIMAL ''1.2''' AS s") ==
+      "SELECT 'DECIMAL ''1.2''' AS s")
+  }
+
   test("quantified comparison rewrites (ALL/ANY/SOME)") {
     assert(PrestoSql.rewriteFull("SELECT * FROM t WHERE x > ALL (SELECT v FROM u)") ==
       "SELECT * FROM t WHERE x > (SELECT max(__graft_qc) FROM (SELECT v FROM u) AS __graft_q(__graft_qc))")
