@@ -179,8 +179,115 @@ object PrestoSql {
       })
   }
 
+  // ---- ARRAY[...] constructors and [] subscripts ----
+  //
+  // Presto: ARRAY[1, 2] builds an array; expr[i] subscripts are 1-BASED
+  // for arrays and key lookups for maps (ArraySubscriptOperator.java —
+  // out-of-bounds ERRORS). Spark: no bracket constructor, and expr[i]
+  // is getItem — 0-BASED. Left as-is, a Presto query like arr[1] would
+  // SILENTLY return the second element. The front door therefore
+  // rewrites (a) ARRAY[..] -> array(..) and (b) every remaining
+  // subscript expr[s] -> element_at(expr, s), which carries exactly
+  // Presto's semantics in Spark: 1-based for arrays, by-key for maps,
+  // and erroring on out-of-bounds under ANSI mode.
+
+  /** Pass A: ARRAY[ .. ] -> array( .. ), balance-aware (inner subscript
+    * brackets keep their own kind on the stack). */
+  private def rewriteArrayConstructor(sql: String): String = {
+    val lit = literalMap(sql)
+    val sb = new StringBuilder
+    val kinds = scala.collection.mutable.Stack[Boolean]() // true = constructor
+    var i = 0
+    while (i < sql.length) {
+      val c = sql(i)
+      if (!lit(i) && (c == 'A' || c == 'a') &&
+          sql.regionMatches(true, i, "ARRAY", 0, 5) &&
+          (i == 0 || !sql(i - 1).isLetterOrDigit && sql(i - 1) != '_' && sql(i - 1) != '.')) {
+        var j = i + 5
+        while (j < sql.length && sql(j).isWhitespace) j += 1
+        if (j < sql.length && sql(j) == '[') {
+          sb.append("array("); kinds.push(true); i = j + 1
+        } else { sb.append(sql.substring(i, i + 5)); i += 5 }
+      } else if (!lit(i) && c == '[') { kinds.push(false); sb.append(c); i += 1 }
+      else if (!lit(i) && c == ']' && kinds.nonEmpty) {
+        sb.append(if (kinds.pop()) ")" else "]"); i += 1
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+
+  /** Pass B: outermost-first expr[s] -> element_at(expr, s); iterate to
+    * a fixpoint so chained/nested subscripts (a[1][2], a[b[1]]) resolve.
+    * The operand is scanned backward over identifier chars and balanced
+    * ()/[] groups (function calls, parenthesized expressions, inner
+    * subscripts). */
+  private def rewriteSubscripts(sql0: String): String = {
+    var sql = sql0
+    var changed = true
+    var guard = 0
+    while (changed && guard < 64) {
+      changed = false; guard += 1
+      val lit = literalMap(sql)
+      // first '[' outside literals
+      var open = -1
+      var i = 0
+      while (open < 0 && i < sql.length) {
+        if (sql(i) == '[' && !lit(i)) open = i
+        i += 1
+      }
+      if (open >= 0) {
+        // operand start: walk backward over ws, then one chain of
+        // identifier / () / [] groups
+        var s = open - 1
+        while (s >= 0 && sql(s).isWhitespace) s -= 1
+        var start = -1
+        var cont = true
+        while (cont && s >= 0) {
+          sql(s) match {
+            case ')' | ']' =>
+              val close = sql(s)
+              val openCh = if (close == ')') '(' else '['
+              var depth = 0
+              var k = s
+              while (k >= 0 && { val cc = sql(k)
+                  if (cc == close && !lit(k)) depth += 1
+                  else if (cc == openCh && !lit(k)) depth -= 1
+                  depth != 0 }) k -= 1
+              require(k >= 0, s"unbalanced brackets before subscript: $sql")
+              s = k - 1; start = k
+            case ch if ch.isLetterOrDigit || ch == '_' || ch == '.' =>
+              var k = s
+              while (k >= 0 && (sql(k).isLetterOrDigit || sql(k) == '_' || sql(k) == '.')) k -= 1
+              start = k + 1; s = k
+              cont = false // an identifier terminates the chain leftward
+            case _ => cont = false
+          }
+          // a chain like f(x)[1] or a[1][2]: after a group, continue
+          // only if the next char leftward extends the chain
+          if (cont && s >= 0 && !(sql(s).isLetterOrDigit || sql(s) == '_' ||
+              sql(s) == '.' || sql(s) == ')' || sql(s) == ']')) cont = false
+        }
+        require(start >= 0, s"subscript with no operand: $sql")
+        // matching ']' forward
+        var depth = 0
+        var e = open
+        while (e < sql.length && { val cc = sql(e)
+            if (cc == '[' && !lit(e)) depth += 1
+            else if (cc == ']' && !lit(e)) depth -= 1
+            depth != 0 }) e += 1
+        require(e < sql.length, s"unbalanced subscript bracket: $sql")
+        val operand = sql.substring(start, open).trim
+        val sub = sql.substring(open + 1, e)
+        sql = sql.substring(0, start) + s"element_at($operand, $sub)" + sql.substring(e + 1)
+        changed = true
+      }
+    }
+    sql
+  }
+
   def rewriteFull(text: String): String =
-    rewrite(rewriteAtTimeZone(rewriteDecimalLiteral(rewriteQuantified(text))))
+    rewrite(rewriteAtTimeZone(rewriteDecimalLiteral(
+      rewriteSubscripts(rewriteArrayConstructor(rewriteQuantified(text))))))
 
   // ---- PREPARE / EXECUTE / DEALLOCATE (reference: QueryPreparer.java;
   // SqlBase.g4 Prepare/Execute/Deallocate statements). The reference

@@ -100,6 +100,35 @@ class SketchAndSqlSpecs extends AnyFunSuite {
       "SELECT 'DECIMAL ''1.2''' AS s")
   }
 
+  test("ARRAY[..] constructors and 1-based [] subscripts (ArraySubscriptOperator)") {
+    assert(PrestoSql.rewriteFull("SELECT ARRAY[1, 2, 3]") ==
+      "SELECT array(1, 2, 3)")
+    // subscript -> element_at (1-based arrays, by-key maps)
+    assert(PrestoSql.rewriteFull("SELECT arr[1] FROM t") ==
+      "SELECT element_at(arr, 1) FROM t")
+    assert(PrestoSql.rewriteFull("SELECT m['k'] FROM t") ==
+      "SELECT element_at(m, 'k') FROM t")
+    // chains + nesting: f(x)[1], a[1][2], a[b[1]]
+    assert(PrestoSql.rewriteFull("SELECT split(s, ',')[2] FROM t") ==
+      "SELECT element_at(split(s, ','), 2) FROM t")
+    assert(PrestoSql.rewriteFull("SELECT a[1][2] FROM t") ==
+      "SELECT element_at(element_at(a, 1), 2) FROM t")
+    assert(PrestoSql.rewriteFull("SELECT a[b[1]] FROM t") ==
+      "SELECT element_at(a, element_at(b, 1)) FROM t")
+    // constructor + immediate subscript
+    assert(PrestoSql.rewriteFull("SELECT ARRAY[10, 20][1]") ==
+      "SELECT element_at(array(10, 20), 1)")
+    // literals untouched
+    assert(PrestoSql.rewriteFull("SELECT 'a[1]' AS s, x FROM t") ==
+      "SELECT 'a[1]' AS s, x FROM t")
+    // end to end: Presto 1-based indexing through the front door
+    val spark = graft.engine.Engine.session("local[2]", shufflePartitions = 2)
+    graft.functions.FunctionRegistry.installAll(spark)
+    assert(PrestoSql.sql(spark, "SELECT ARRAY[7, 8, 9][1] AS v").head().getInt(0) == 7)
+    assert(PrestoSql.sql(spark,
+      "SELECT map_from_arrays(ARRAY['a', 'b'], ARRAY[1, 2])['b'] AS v").head().getInt(0) == 2)
+  }
+
   test("quantified comparison rewrites (ALL/ANY/SOME)") {
     assert(PrestoSql.rewriteFull("SELECT * FROM t WHERE x > ALL (SELECT v FROM u)") ==
       "SELECT * FROM t WHERE x > (SELECT max(__graft_qc) FROM (SELECT v FROM u) AS __graft_q(__graft_qc))")
