@@ -285,9 +285,26 @@ object PrestoSql {
     sql
   }
 
+  // ---- zoned TIMESTAMP literals (SqlBase.g4 #typeConstructor +
+  // DateTimeUtils.parseTimestampWithTimeZone): TIMESTAMP '.. <zone>'
+  // is a TIMESTAMP WITH TIME ZONE value — the wall clock interpreted in
+  // the named zone. Maps onto the packed-tstz family's constructor
+  // (TimestampTzFunctions.with_timezone), which carries the zone.
+  private val zonedTsLitRe: Regex =
+    ("""(?is)(?<![\w.])TIMESTAMP\s+'(\d{4}-\d{2}-\d{2}[ T]\d{2}:\d{2}(?::\d{2}(?:\.\d+)?)?)""" +
+      """\s+([A-Za-z][\w/_]*(?:[+-]\d{1,2}(?::\d{2})?)?|[+-]\d{2}:\d{2})'""").r
+
+  private def rewriteZonedTimestampLiteral(sql: String): String = {
+    val lit = literalMap(sql)
+    zonedTsLitRe.replaceAllIn(sql, m =>
+      if (lit(m.start)) Regex.quoteReplacement(m.matched)
+      else Regex.quoteReplacement(
+        s"with_timezone(TIMESTAMP '${m.group(1)}', '${m.group(2)}')"))
+  }
+
   def rewriteFull(text: String): String =
-    rewrite(rewriteAtTimeZone(rewriteDecimalLiteral(
-      rewriteSubscripts(rewriteArrayConstructor(rewriteQuantified(text))))))
+    rewrite(rewriteAtTimeZone(rewriteDecimalLiteral(rewriteZonedTimestampLiteral(
+      rewriteSubscripts(rewriteArrayConstructor(rewriteQuantified(text)))))))
 
   // ---- PREPARE / EXECUTE / DEALLOCATE (reference: QueryPreparer.java;
   // SqlBase.g4 Prepare/Execute/Deallocate statements). The reference

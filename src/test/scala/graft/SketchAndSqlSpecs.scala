@@ -129,6 +129,23 @@ class SketchAndSqlSpecs extends AnyFunSuite {
       "SELECT map_from_arrays(ARRAY['a', 'b'], ARRAY[1, 2])['b'] AS v").head().getInt(0) == 2)
   }
 
+  test("zoned TIMESTAMP literals construct packed tstz values") {
+    assert(PrestoSql.rewriteFull("SELECT TIMESTAMP '2020-01-01 00:00:00 Asia/Tokyo'") ==
+      "SELECT with_timezone(TIMESTAMP '2020-01-01 00:00:00', 'Asia/Tokyo')")
+    assert(PrestoSql.rewriteFull("SELECT TIMESTAMP '2020-01-01 00:00:00 +05:30'") ==
+      "SELECT with_timezone(TIMESTAMP '2020-01-01 00:00:00', '+05:30')")
+    // plain timestamps untouched
+    assert(PrestoSql.rewriteFull("SELECT TIMESTAMP '2020-01-01 00:00:00'") ==
+      "SELECT TIMESTAMP '2020-01-01 00:00:00'")
+    // end to end: the carried zone reads back out of the packed value
+    val spark = graft.engine.Engine.session("local[2]", shufflePartitions = 2)
+    graft.functions.FunctionRegistry.installAll(spark)
+    val r = PrestoSql.sql(spark,
+      "SELECT tz_zone(TIMESTAMP '2020-06-01 12:00:00 Asia/Tokyo') AS z, " +
+        "tz_timezone_hour(TIMESTAMP '2020-06-01 12:00:00 Asia/Tokyo') AS h").head()
+    assert(r.getString(0) == "Asia/Tokyo" && r.getLong(1) == 9L)
+  }
+
   test("quantified comparison rewrites (ALL/ANY/SOME)") {
     assert(PrestoSql.rewriteFull("SELECT * FROM t WHERE x > ALL (SELECT v FROM u)") ==
       "SELECT * FROM t WHERE x > (SELECT max(__graft_qc) FROM (SELECT v FROM u) AS __graft_q(__graft_qc))")
