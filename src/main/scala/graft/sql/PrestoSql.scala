@@ -302,9 +302,95 @@ object PrestoSql {
         s"with_timezone(TIMESTAMP '${m.group(1)}', '${m.group(2)}')"))
   }
 
+  // ---- Presto type syntax in CAST targets (SqlBase.g4 `type`:
+  // ARRAY(T) / MAP(K, V) / ROW(name T, ...) + base-type spellings) —
+  // Spark wants ARRAY<T> / MAP<K, V> / STRUCT<name: T>. Applied only
+  // where a type can appear: after `AS` with one of the three
+  // constructor keywords.
+
+  private def splitTopLevel(s: String): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer[String]()
+    var depth = 0
+    var start = 0
+    var i = 0
+    while (i < s.length) {
+      s(i) match {
+        case '(' | '<' => depth += 1
+        case ')' | '>' => depth -= 1
+        case ',' if depth == 0 => out += s.substring(start, i); start = i + 1
+        case _ =>
+      }
+      i += 1
+    }
+    out += s.substring(start)
+    out.toSeq
+  }
+
+  /** Presto type expression -> Spark DDL type. */
+  private def translateType(t0: String): String = {
+    val s = t0.trim
+    val u = s.toUpperCase
+    def inner(prefix: Int): String = {
+      val open = s.indexOf('(', prefix)
+      s.substring(open + 1, s.lastIndexOf(')'))
+    }
+    if (u.startsWith("ARRAY") && s.contains("("))
+      s"ARRAY<${translateType(inner(5))}>"
+    else if (u.startsWith("MAP") && s.contains("(")) {
+      val Seq(k, v) = splitTopLevel(inner(3)).map(translateType): @unchecked
+      s"MAP<$k, $v>"
+    } else if (u.startsWith("ROW") && s.contains("(")) {
+      val fields = splitTopLevel(inner(3)).map { f =>
+        val ft = f.trim
+        val sp = ft.indexOf(' ')
+        require(sp > 0, s"ROW field needs 'name type': $ft")
+        s"${ft.substring(0, sp)}: ${translateType(ft.substring(sp + 1))}"
+      }
+      s"STRUCT<${fields.mkString(", ")}>"
+    } else u match {
+      case "VARCHAR" | "JSON" => "STRING"
+      case v if v.startsWith("VARCHAR(") || v.startsWith("CHAR(") => "STRING"
+      case "REAL" => "FLOAT"
+      case "VARBINARY" => "BINARY"
+      case _ => s
+    }
+  }
+
+  private val castTypeRe: Regex = """(?is)\bAS\s+(ARRAY|MAP|ROW)\s*\(""".r
+
+  private def rewriteCastTypes(sql0: String): String = {
+    var sql = sql0
+    var searchFrom = 0
+    var guard = 0
+    while (guard < 64) {
+      guard += 1
+      val lit = literalMap(sql)
+      castTypeRe.findFirstMatchIn(sql.substring(searchFrom)) match {
+        case None => return sql
+        case Some(mm) =>
+          val mStart = searchFrom + mm.start
+          if (lit(mStart)) searchFrom = searchFrom + mm.end // inside a literal: skip
+          else {
+            // balanced close of the type expression
+            var depth = 0
+            var e = sql.indexOf('(', mStart)
+            while (e < sql.length && { val c = sql(e)
+                if (c == '(') depth += 1 else if (c == ')') depth -= 1
+                depth != 0 }) e += 1
+            require(e < sql.length, s"unbalanced type parentheses: $sql")
+            val typeStart = mStart + mm.matched.toUpperCase.indexOf(mm.group(1).toUpperCase)
+            sql = sql.substring(0, typeStart) +
+              translateType(sql.substring(typeStart, e + 1)) + sql.substring(e + 1)
+            searchFrom = 0
+          }
+      }
+    }
+    sql
+  }
+
   def rewriteFull(text: String): String =
     rewrite(rewriteAtTimeZone(rewriteDecimalLiteral(rewriteZonedTimestampLiteral(
-      rewriteSubscripts(rewriteArrayConstructor(rewriteQuantified(text)))))))
+      rewriteCastTypes(rewriteSubscripts(rewriteArrayConstructor(rewriteQuantified(text))))))))
 
   // ---- PREPARE / EXECUTE / DEALLOCATE (reference: QueryPreparer.java;
   // SqlBase.g4 Prepare/Execute/Deallocate statements). The reference

@@ -146,6 +146,26 @@ class SketchAndSqlSpecs extends AnyFunSuite {
     assert(r.getString(0) == "Asia/Tokyo" && r.getLong(1) == 9L)
   }
 
+  test("Presto type syntax in CASTs: ARRAY(T)/MAP(K,V)/ROW(n T) -> Spark DDL types") {
+    assert(PrestoSql.rewriteFull("SELECT CAST(a AS ARRAY(BIGINT)) FROM t") ==
+      "SELECT CAST(a AS ARRAY<BIGINT>) FROM t")
+    assert(PrestoSql.rewriteFull("SELECT CAST(m AS MAP(VARCHAR, BIGINT)) FROM t") ==
+      "SELECT CAST(m AS MAP<STRING, BIGINT>) FROM t")
+    assert(PrestoSql.rewriteFull("SELECT CAST(r AS ROW(a BIGINT, b ARRAY(DOUBLE))) FROM t") ==
+      "SELECT CAST(r AS STRUCT<a: BIGINT, b: ARRAY<DOUBLE>>) FROM t")
+    assert(PrestoSql.rewriteFull("SELECT CAST(x AS MAP(VARCHAR, ARRAY(VARCHAR)))") ==
+      "SELECT CAST(x AS MAP<STRING, ARRAY<STRING>>)")
+    // untouched: literals and non-type uses
+    assert(PrestoSql.rewriteFull("SELECT 'AS ARRAY(x)' AS s FROM t") ==
+      "SELECT 'AS ARRAY(x)' AS s FROM t")
+    // end to end through the front door
+    val spark = graft.engine.Engine.session("local[2]", shufflePartitions = 2)
+    graft.functions.FunctionRegistry.installAll(spark)
+    val r = PrestoSql.sql(spark,
+      "SELECT CAST(ARRAY[1, 2] AS ARRAY(VARCHAR))[2] AS v").head()
+    assert(r.getString(0) == "2")
+  }
+
   test("quantified comparison rewrites (ALL/ANY/SOME)") {
     assert(PrestoSql.rewriteFull("SELECT * FROM t WHERE x > ALL (SELECT v FROM u)") ==
       "SELECT * FROM t WHERE x > (SELECT max(__graft_qc) FROM (SELECT v FROM u) AS __graft_q(__graft_qc))")
