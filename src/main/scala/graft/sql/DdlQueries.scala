@@ -95,6 +95,34 @@ object DdlQueries extends QueryModule {
           |FROM orders""".stripMargin)
     },
 
+    // Round-8 dialect wave end-to-end (rewriters spec'd individually in
+    // SketchAndSqlSpecs; this oracle-gates the composition): ARRAY[..]
+    // constructors, 1-BASED subscripts (ArraySubscriptOperator — Spark's
+    // native bracket is 0-based getItem, the silent-wrong-answer trap
+    // the front door closes), DECIMAL 'x' literals, zoned TIMESTAMP
+    // literals carrying their zone, AT TIME ZONE desugaring, and Presto
+    // type syntax in CAST targets. DuckDB restates with its own 1-based
+    // lists and precomputed zone constants.
+    Q("sql_presto_dialect2",
+      """SELECT p_partkey,
+        |  CAST(p_size * 2 AS BIGINT) AS twice,
+        |  string_split(p_name, ' ')[1] AS first_word,
+        |  CAST(round(1.25 * p_size, 2) AS DOUBLE) AS scaled,
+        |  CAST(9 AS BIGINT) AS tokyo_h,
+        |  CAST(p_size AS VARCHAR) AS size_str,
+        |  '2020-01-01T05:30:00+05:30' AS kolkata
+        |FROM part""".stripMargin) { (s, _) =>
+      PrestoSql.sql(s,
+        """SELECT p_partkey,
+          |  CAST(ARRAY[p_size, p_size * 2, p_size * 3][2] AS BIGINT) AS twice,
+          |  split(p_name, ' ')[1] AS first_word,
+          |  round(CAST(DECIMAL '1.25' * p_size AS DOUBLE), 2) AS scaled,
+          |  tz_timezone_hour(TIMESTAMP '2020-06-01 12:00:00 Asia/Tokyo') AS tokyo_h,
+          |  CAST(ARRAY[p_size] AS ARRAY(VARCHAR))[1] AS size_str,
+          |  TIMESTAMP '2020-01-01 00:00:00' AT TIME ZONE 'Asia/Kolkata' AS kolkata
+          |FROM part""".stripMargin)
+    },
+
     // PREPARE / EXECUTE / DEALLOCATE — the reference's QueryPreparer
     // .java prepared-statement surface: PREPARE stores the text in
     // session state, EXECUTE ... USING binds positional ? parameters
