@@ -263,6 +263,8 @@ object PrestoNames {
     // (anonymous row fields arrive named by position); day_of_month is
     // the Presto spelling of dayofmonth.
     register(spark, "regexp_split") { a => StringSplit(a(0), a(1), Literal(-1)) }
+    // ROW(a, b, ...) constructor (RowType / SqlBase.g4 #rowConstructor)
+    register(spark, "row") { a => CreateStruct(a) }
     register(spark, "zip") { a => ArraysZip(a) }
     register(spark, "day_of_month") { a => DayOfMonth(a.head) }
 

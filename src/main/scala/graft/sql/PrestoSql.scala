@@ -22,7 +22,7 @@ object PrestoSql {
   // TRY( must not swallow try_cast/try_divide/...: require a word
   // boundary before TRY and no word char after it.
   private val combined: Regex =
-    """(?i)(date_add\s*\(\s*'(\w+)'\s*,)|(date_diff\s*\(\s*'(\w+)'\s*,)|(AS\s+VARCHAR\s*\))|(?<![\w.])(TRY\s*\()|(?<![\w.])(LOCALTIME)(?![\w(])""".r
+    """(?i)(date_add\s*\(\s*'(\w+)'\s*,)|(date_diff\s*\(\s*'(\w+)'\s*,)|(AS\s+VARCHAR\s*\))|(?<![\w.])(TRY\s*\()|(?<![\w.])(LOCALTIME)(?![\w(])|(?<![\w.])(LIMIT\s+ALL)(?![\w])""".r
 
   /** Rewrite in one pass over the original text, skipping any match that
     * starts inside a single-quoted string literal ('' escapes handled) —
@@ -47,6 +47,7 @@ object PrestoSql {
       else if (m.group(3) != null) s"timestampdiff(${m.group(4).toUpperCase},"
       else if (m.group(6) != null) "try_eval("
       else if (m.group(7) != null) "localtime()" // bare keyword in Presto's grammar
+      else if (m.group(8) != null) "" // LIMIT ALL = no limit (SqlBase.g4 limit clause)
       else "AS STRING)")
   }
 

@@ -166,6 +166,19 @@ class SketchAndSqlSpecs extends AnyFunSuite {
     assert(r.getString(0) == "2")
   }
 
+  test("ROW constructor and LIMIT ALL") {
+    assert(PrestoSql.rewriteFull("SELECT * FROM t LIMIT ALL").trim ==
+      "SELECT * FROM t")
+    // LIMIT ALL must not swallow `x > ALL (...)` or literals
+    assert(PrestoSql.rewriteFull("SELECT 'LIMIT ALL' AS s FROM t") ==
+      "SELECT 'LIMIT ALL' AS s FROM t")
+    val spark = graft.engine.Engine.session("local[2]", shufflePartitions = 2)
+    graft.functions.FunctionRegistry.installAll(spark)
+    val r = PrestoSql.sql(spark, "SELECT ROW(1, 'a').col2 AS f").head()
+    assert(r.getString(0) == "a")
+    assert(PrestoSql.sql(spark, "SELECT 42 AS v LIMIT ALL").head().getInt(0) == 42)
+  }
+
   test("quantified comparison rewrites (ALL/ANY/SOME)") {
     assert(PrestoSql.rewriteFull("SELECT * FROM t WHERE x > ALL (SELECT v FROM u)") ==
       "SELECT * FROM t WHERE x > (SELECT max(__graft_qc) FROM (SELECT v FROM u) AS __graft_q(__graft_qc))")
