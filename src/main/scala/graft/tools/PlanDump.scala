@@ -22,7 +22,9 @@ object PlanDump {
       "join_asof", "join_range_binned",
       "join_spatial_contains", "join_spatial_intersects", "join_spatial_polygon",
       "join_spatial_polygon_holes", "join_spatial_kdb", "join_geo_tile",
-      "agg_convex_hull", "llm_decontam_bloom", "llm_tfidf")
+      "agg_convex_hull", "llm_decontam_bloom", "llm_tfidf",
+      "ds_rollup_topk", "ds_ticket_band", "ds_channel_union",
+      "agg_histogram", "src_local_file_log")
     val spark = graft.engine.Engine.session("local[4]", shufflePartitions = 8)
     graft.engine.Engine.registerTables(spark, sfDir)
     val sb = new StringBuilder
