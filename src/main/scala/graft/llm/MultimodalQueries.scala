@@ -52,7 +52,171 @@ object MultimodalQueries extends QueryModule {
     out.toByteArray
   }
 
+  /** Render the deterministic test "recording" for `doc_id` as a REAL
+    * RIFF/WAVE file (16-bit little-endian PCM mono @8 kHz — the actual
+    * on-disk format, built byte-for-byte; no external codec needed):
+    * a square wave of amplitude A and period P samples, exactly K
+    * periods. Square (not sine) keeps every analysis quantity integer-
+    * exact: |sample| = A everywhere, and sign flips land on the half-
+    * period lattice — so the oracle replays peak / energy / crossings
+    * in closed form.
+    */
+  def encodeWav(docId: Long): Array[Byte] = {
+    val amp = ((docId % 100 + 50) * 100).toInt
+    val period = 2 * (docId % 7 + 2).toInt
+    val periods = (100 + docId % 9).toInt
+    val n = period * periods
+    val dataBytes = n * 2
+    val bb = java.nio.ByteBuffer.allocate(44 + dataBytes)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes); bb.putInt(36 + dataBytes); bb.put("WAVE".getBytes)
+    bb.put("fmt ".getBytes); bb.putInt(16)
+    bb.putShort(1) // PCM
+    bb.putShort(1) // mono
+    bb.putInt(8000) // sample rate
+    bb.putInt(8000 * 2) // byte rate
+    bb.putShort(2) // block align
+    bb.putShort(16) // bits per sample
+    bb.put("data".getBytes); bb.putInt(dataBytes)
+    var i = 0
+    while (i < n) {
+      val phase = (i / (period / 2)) % 2
+      bb.putShort((if (phase == 0) amp else -amp).toShort)
+      i += 1
+    }
+    bb.array()
+  }
+
   def queries: Seq[Q] = Seq(
+
+    // Real audio pipeline: stage 1 encodes a RIFF/WAVE file into the
+    // binary column (executor-side); stage 2 PARSES the WAV container
+    // (fmt chunk: channels/rate/bits; data chunk: PCM samples) in a
+    // mapPartitions batch and emits waveform features. The oracle never
+    // sees a byte of WAV — it replays the square wave's closed forms:
+    // |sample| = A so energy = n*A^2 and peak = A; sign flips on the
+    // half-period lattice give exactly 2K-1 zero crossings for K whole
+    // periods; duration = n/8000 s. Any header/endianness/sample error
+    // breaks the hash. Scale shape: identical to the image decode —
+    // map-side batches, only small features shuffle.
+    Q("mm_audio_features",
+      """WITH p AS (
+        |  SELECT doc_id,
+        |    CAST((doc_id % 100 + 50) * 100 AS BIGINT) AS amp,
+        |    CAST(2 * (doc_id % 7 + 2) AS BIGINT) AS period,
+        |    CAST(100 + doc_id % 9 AS BIGINT) AS periods
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(1 AS INT) AS channels,
+        |  CAST(8000 AS INT) AS sample_rate,
+        |  CAST(16 AS INT) AS bits,
+        |  CAST(period * periods AS BIGINT) AS n_samples,
+        |  CAST(period * periods * 1000 // 8000 AS BIGINT) AS duration_ms,
+        |  amp AS peak,
+        |  CAST(period * periods * amp * amp AS BIGINT) AS energy,
+        |  CAST(2 * periods - 1 AS BIGINT) AS zero_crossings
+        |FROM p""".stripMargin) { (s, _) =>
+      val binSchema = StructType(Seq(
+        StructField("doc_id", LongType),
+        StructField("media", BinaryType)))
+      val featSchema = StructType(Seq(
+        StructField("doc_id", LongType),
+        StructField("channels", IntegerType),
+        StructField("sample_rate", IntegerType),
+        StructField("bits", IntegerType),
+        StructField("n_samples", LongType),
+        StructField("duration_ms", LongType),
+        StructField("peak", LongType),
+        StructField("energy", LongType),
+        StructField("zero_crossings", LongType)))
+      val binEnc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(binSchema)
+      val featEnc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(featSchema)
+      val binDf = s.table("documents").select(col("doc_id"))
+        .mapPartitions(rows => rows.map(r => Row(r.getLong(0), encodeWav(r.getLong(0)))))(binEnc)
+      binDf.mapPartitions { rows =>
+        rows.map { r =>
+          val docId = r.getLong(0)
+          val bb = java.nio.ByteBuffer.wrap(r.getAs[Array[Byte]](1))
+            .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+          require(bb.getInt(0) == 0x46464952, "not RIFF") // 'RIFF' LE
+          require(bb.getInt(8) == 0x45564157, "not WAVE") // 'WAVE' LE
+          val channels = bb.getShort(22).toInt
+          val rate = bb.getInt(24)
+          val bits = bb.getShort(34).toInt
+          val dataLen = bb.getInt(40)
+          val n = dataLen / 2
+          var peak = 0L; var energy = 0L; var crossings = 0L
+          var prev = 0
+          var i = 0
+          while (i < n) {
+            val v = bb.getShort(44 + 2 * i).toInt
+            if (math.abs(v) > peak) peak = math.abs(v)
+            energy += v.toLong * v
+            if (i > 0 && v.toLong * prev < 0) crossings += 1
+            prev = v
+            i += 1
+          }
+          Row(docId, channels, rate, bits, n.toLong,
+            n.toLong * 1000 / rate, peak, energy, crossings)
+        }
+      }(featEnc)
+    },
+
+    // Image RESIZE over the real decoded raster: PNG decode (imageio)
+    // then a nearest-neighbor downsample kernel — the index mapping
+    // xi = floor(x2 * w / w2) is pure integer arithmetic, so the oracle
+    // replays the resized lattice from the closed-form pixel function
+    // without touching a codec. Output is the resized pixel sum +
+    // corners; any resample-index or decode drift fails hash.
+    Q("mm_image_resize",
+      """WITH dims AS (
+        |  SELECT doc_id,
+        |    CAST(doc_id % 13 + 4 AS INT) AS w,
+        |    CAST(doc_id % 11 + 3 AS INT) AS h
+        |  FROM documents),
+        |px AS (
+        |  SELECT doc_id, w, h, x2.f AS xi, y2.f AS yi,
+        |    CAST((doc_id + 7 * (x2.f * w // 3) + 13 * (y2.f * h // 2)) % 256 AS BIGINT) AS v
+        |  FROM dims, unnest(range(3)) AS x2(f), unnest(range(2)) AS y2(f))
+        |SELECT doc_id, 3 AS out_w, 2 AS out_h,
+        |  CAST(sum(v) AS BIGINT) AS resized_sum,
+        |  CAST(max(CASE WHEN xi = 0 AND yi = 0 THEN v END) AS BIGINT) AS px00,
+        |  CAST(max(CASE WHEN xi = 2 AND yi = 1 THEN v END) AS BIGINT) AS px21
+        |FROM px GROUP BY doc_id""".stripMargin) { (s, _) =>
+      val outSchema = StructType(Seq(
+        StructField("doc_id", LongType),
+        StructField("out_w", IntegerType),
+        StructField("out_h", IntegerType),
+        StructField("resized_sum", LongType),
+        StructField("px00", LongType),
+        StructField("px21", LongType)))
+      val binSchema = StructType(Seq(
+        StructField("doc_id", LongType),
+        StructField("media", BinaryType)))
+      val binEnc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(binSchema)
+      val outEnc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema)
+      val binDf = s.table("documents").select(col("doc_id"))
+        .mapPartitions(rows => rows.map(r => Row(r.getLong(0), encodePng(r.getLong(0)))))(binEnc)
+      binDf.mapPartitions { rows =>
+        rows.map { r =>
+          val docId = r.getLong(0)
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](1)))
+          val w = img.getWidth; val h = img.getHeight
+          val (w2, h2) = (3, 2)
+          def at(x2: Int, y2: Int): Long =
+            (img.getRGB(x2 * w / w2, y2 * h / h2) & 0xFF).toLong
+          var sum = 0L
+          var y2 = 0
+          while (y2 < h2) {
+            var x2 = 0
+            while (x2 < w2) { sum += at(x2, y2); x2 += 1 }
+            y2 += 1
+          }
+          Row(docId, w2, h2, sum, at(0, 0), at(2, 1))
+        }
+      }(outEnc)
+    },
 
     // Pure-SQL binary feature extraction (no stub): byte length + header
     // bytes — verifiable against DuckDB blob functions.
