@@ -241,9 +241,11 @@ object GeometryConstructors {
         stBuffer(renderRing(shell0), dist))._2(0)
       val holes = ringsPeek.tail.flatMap { h0 =>
         val h = if (signedArea2(h0) < 0) h0.reverse else h0
-        require(isConvexCcw(h),
-          "ST_Buffer: non-convex interior rings unsupported (exact erosion kernel is convex-only)")
-        erodeConvex(h, dist)
+        // convex holes take the exact half-plane kernel; non-convex
+        // holes erode morphologically (boundary-strip subtraction) —
+        // possibly splitting into several hole parts
+        if (isConvexCcw(h)) erodeConvex(h, dist).toSeq
+        else erodeRing(h, dist)
       }
       return renderPolygon(shellRing +: holes)
     }
@@ -305,12 +307,62 @@ object GeometryConstructors {
     }
   }
 
+  /** Erosion of an ARBITRARY simple ring by d (morphological
+    * definition): erode(P, d) = P \ dilate(∂P, d), computed by
+    * subtracting the boundary's dilation — one sweep rectangle per edge
+    * plus one CircleSegments-gon disc per vertex — through the r8
+    * region layer. Exact up to the shared arc sampling (the same
+    * CircleSegments discretization stBuffer's round joins use); fully
+    * coincident cut edges (e.g. axis-aligned rectangles) fall to the
+    * 1e-9 joggle, whose residual slivers are covered by the adjacent
+    * vertex discs. The result may be several parts (an hourglass waist
+    * narrower than 2d splits); parts are hole-free for simple input.
+    */
+  private def erodeRing(ring0: Array[Pt], d: Double): Seq[Array[Pt]] = {
+    val ring = if (signedArea2(ring0) < 0) ring0.reverse else ring0
+    val n = ring.length
+    val cuts = scala.collection.mutable.ArrayBuffer[Array[Pt]]()
+    var i = 0
+    while (i < n) {
+      val a = ring(i); val b = ring((i + 1) % n)
+      val (ex, ey) = (b._1 - a._1, b._2 - a._2)
+      val len = math.hypot(ex, ey)
+      if (len > 0) {
+        val (nx, ny) = (-ey / len * d, ex / len * d)
+        cuts += Array(
+          (a._1 + nx, a._2 + ny), (b._1 + nx, b._2 + ny),
+          (b._1 - nx, b._2 - ny), (a._1 - nx, a._2 - ny))
+      }
+      cuts += Array.tabulate(CircleSegments) { k =>
+        val th = 2 * math.Pi * k / CircleSegments
+        (a._1 + d * math.cos(th), a._2 + d * math.sin(th))
+      }
+      i += 1
+    }
+    // Per-cut deterministic pre-joggle (golden-angle directions): the
+    // cuts are SYSTEMATICALLY degenerate against the ring and each
+    // other (edge rects collinear with edges; discs touching rect
+    // corners), and the shared single-vector joggle in ringOp would
+    // leave successive cuts mutually collinear again. 1e-9-scale
+    // translations cost O(eps * perimeter) area — below tolerance.
+    val region = cuts.zipWithIndex.foldLeft(Seq(Array(ring)): Region) {
+      case (reg, (cut, ci)) =>
+        val th = 2.399963229728653 * (ci + 1) // golden angle
+        val (jx, jy) = (1e-9 * math.cos(th), 1e-9 * math.sin(th))
+        subtractRing(reg, cut.map(p => (p._1 + jx, p._2 + jy)))
+    }
+    region.map { part =>
+      require(part.length == 1,
+        "erosion produced a holed part (non-simple input ring?)")
+      part(0)
+    }
+  }
+
   /** Erosion of a CONVEX CCW ring by d: intersect the inward-offset
     * half-planes (Sutherland–Hodgman against each offset edge line).
     * None when the ring is narrower than 2d (erosion empty). Exact for
     * convex rings — erosion of a convex set IS the half-plane
-    * intersection; for non-convex rings it would over-approximate,
-    * hence the convex guard at the call site. */
+    * intersection; non-convex rings take [[erodeRing]]. */
   private def erodeConvex(ring: Array[Pt], d: Double): Option[Array[Pt]] = {
     var out = ring.toVector
     var i = 0

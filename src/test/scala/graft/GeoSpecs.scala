@@ -428,9 +428,19 @@ class GeoSpecs extends AnyFunSuite with BeforeAndAfterAll {
     // a hole narrower than 2d vanishes
     assert(math.abs(wktAreaMulti(stBuffer(holed, 2.0)) - wktAreaMulti(
       stBuffer("POLYGON ((0 0, 8 0, 8 8, 0 8, 0 0))", 2.0))) < 1e-9)
-    // non-convex holes raise (exact erosion kernel is convex-only)
-    intercept[IllegalArgumentException](stBuffer(
-      "POLYGON ((0 0, 8 0, 8 8, 0 8, 0 0), (2 2, 6 2, 6 6, 4 6, 4 4, 2 4, 2 2))", 0.5))
+    // NON-CONVEX holes erode morphologically (r8 erodeRing: boundary
+    // strip subtracted through the region layer). L-shaped hole
+    // [2,6]^2 minus its NE quadrant, eroded by 0.5: the rectilinear
+    // shrink (area 5) plus the reflex-corner region between the
+    // erosion arc and the corner square (1/4 - pi/16) - closed form
+    // 5.25 - pi/16, to arc-sampling tolerance.
+    val lHoled =
+      "POLYGON ((0 0, 8 0, 8 8, 0 8, 0 0), (2 2, 6 2, 6 4, 4 4, 4 6, 2 6, 2 2))"
+    val lBuffered = stBuffer(lHoled, 0.5)
+    val expectedHole = 5.25 - math.Pi / 16
+    assert(math.abs(wktAreaMulti(lBuffered) -
+      (wktAreaMulti(stBuffer("POLYGON ((0 0, 8 0, 8 8, 0 8, 0 0))", 0.5)) - expectedHole)) < 1e-2,
+      lBuffered.take(120))
     // the exact convex-clip path still fails loudly on holed input
     intercept[IllegalArgumentException](
       stIntersectionConvex(holed, "POLYGON ((0 0, 9 0, 9 9, 0 9, 0 0))"))
