@@ -170,12 +170,34 @@ object Bench {
     // Full per-query detail goes to a file: the driver captures only the
     // last ~2000 chars of stdout, so the printed line must stay compact
     // (190+ timing objects would overflow and leave the line unparseable).
+    // Output-row counts for queries whose cost is output-bound (the
+    // spatial polygon joins: sf1 packs x10 shapes into a fixed area so
+    // matched pairs grow x100 by construction — publishing the count
+    // makes per-pair cost auditable from the artifact). One extra
+    // untimed execution per matching query, so it's opt-in by prefix:
+    // GRAFT_COUNT_ROWS=join_spatial (set for the sf1 probe runs).
+    val countRows: Map[String, Long] =
+      sys.env.get("GRAFT_COUNT_ROWS").map(_.split(",").toSeq) match {
+        case None => Map.empty
+        case Some(prefixes) =>
+          results.collect {
+            case (k, fn, r, _) if r.wall >= 0 && prefixes.exists(k.startsWith) =>
+              k -> (try fn(spark, sfDir).count()
+              catch { case scala.util.control.NonFatal(_) => -1L })
+          }.toMap
+      }
     val fullQs = results.map { case (k, _, r, t1) =>
       val iso = isolated.get(k).map(i =>
         ",\"isolated\":" + r3(i.wall) + ",\"isolated_cpu\":" + r3(i.cpu) +
           ",\"isolated_steal_pct\":" + r3(i.stealPct)).getOrElse("")
+      // Algorithm-internal counters (LSH candidate counts, bucket
+      // occupancies, ...) recorded by the query build via QueryStats:
+      // the falsifiability channel for scale claims.
+      val extra = (graft.tools.QueryStats.snapshot(k).map { case (sk, sv) =>
+        ",\"" + sk + "\":" + sv
+      } ++ countRows.get(k).map(c => ",\"out_rows\":" + c)).mkString
       "\"" + k + "\":{\"wall\":" + r3(r.wall) + ",\"cpu\":" + r3(r.cpu) +
-        ",\"t1\":" + r3(t1) + ",\"steal_pct\":" + r3(r.stealPct) + iso + "}"
+        ",\"t1\":" + r3(t1) + ",\"steal_pct\":" + r3(r.stealPct) + iso + extra + "}"
     }.mkString("{", ",", "}")
     val full =
       s"""{"metric":"total","value":${r3(wallTotal)},"cpu":${r3(cpuTotal)},"unit":"sec","n_queries":${results.size},"steal_pct":${r3(runStealPct)},"methodology":"min-of-2 wall per query, second pass after full suite; cpu = executorCpuTime of the min run; steal_pct = host steal share of the run's /proc/stat window; 10 slowest re-timed post-suite as isolated","queries":$fullQs,"failures":$failures,"sf":"$sfDir"}"""
@@ -190,7 +212,12 @@ object Bench {
       .groupBy(_._1.split('_').head).toSeq.sortBy(_._1)
       .map { case (g, rs) => "\"" + g + "\":" + r3(rs.map(_._3.wall).sum) }
     val qs = (headline ++ groups).mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${r3(wallTotal)},"cpu":${r3(cpuTotal)},"unit":"sec","n_queries":${results.size},"steal_pct":${r3(runStealPct)},"queries":$qs,"failures":$failures,"sf":"$sfDir","detail":"BENCH_FULL.json"}""")
+    // Stop Spark BEFORE printing: the driver parses the LAST line of
+    // captured stdout, and shutdown-time log lines landing after the
+    // JSON left BENCH_r08's `parsed` field null (VERDICT r8 #9). Print
+    // last, flush, and exit without further output.
     spark.stop()
+    println(s"""{"metric":"total","value":${r3(wallTotal)},"cpu":${r3(cpuTotal)},"unit":"sec","n_queries":${results.size},"steal_pct":${r3(runStealPct)},"queries":$qs,"failures":$failures,"sf":"$sfDir","detail":"BENCH_FULL.json"}""")
+    System.out.flush()
   }
 }

@@ -187,6 +187,74 @@ class EngineSpecs extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("embedding dedup splits oversized clustered buckets and bounds candidates") {
+    // Adversarial fixture for the occupancy cap: a 400-member cluster
+    // around one direction (pairwise cos ~0.95 — similar enough to share
+    // sign bits, not near-dups) plus 1600 uniform vectors. Without the
+    // cap the cluster forms one >128 bucket per band and contributes
+    // ~80k candidate pairs; with the 12-extra-bit split its buckets
+    // shatter and the candidate count recorded in QueryStats must drop
+    // well below the unsplit cluster-pair count. This is the scale
+    // contract behind the r8 sf1 superlinearity fix.
+    val sp = spark
+    import sp.implicits._
+    val rnd = new scala.util.Random(7)
+    val dim = 64
+    val raw = Array.fill(dim)(rnd.nextGaussian())
+    val nrm = math.sqrt(raw.map(x => x * x).sum)
+    // Unit-length center + 0.07-sigma noise -> pairwise cos ~0.87:
+    // similar enough to share sign bits (one hot bucket per band), far
+    // enough that the extra split bits disagree and shatter it. An
+    // unnormalized center would make the cluster near-exact dups
+    // (cos ~0.995), which the split correctly KEEPS together.
+    val center = raw.map(x => (x / nrm).toFloat)
+    val rows: Seq[(Long, Array[Float])] =
+      (0 until 400).map { i =>
+        (i.toLong, center.map(c => c + 0.07f * rnd.nextGaussian().toFloat))
+      } ++ (400 until 2000).map { i =>
+        (i.toLong, Array.fill(dim)(rnd.nextGaussian().toFloat))
+      }
+    val emb = rows.toDF("vec_id", "embedding")
+    val out = graft.llm.LlmQueries.embeddingNearDupPairs(
+      spark, emb, tau = 0.4, statsName = "spec_clustered_dedup")
+    out.write.format("noop").mode("overwrite").save()
+    val stats = graft.tools.QueryStats.snapshot("spec_clustered_dedup").toMap
+    assert(stats("max_occupancy_presplit") > 128,
+      s"cluster must form an oversized bucket, got ${stats("max_occupancy_presplit")}")
+    assert(stats("max_occupancy") < stats("max_occupancy_presplit"),
+      "split must reduce max occupancy")
+    val clusterPairs = 400L * 399 / 2 * 4 // all-pairs x 4 bands if unsplit
+    assert(stats("candidate_pairs") < clusterPairs / 2,
+      s"split must bound candidates, got ${stats("candidate_pairs")} vs unsplit ~$clusterPairs")
+  }
+
+  test("embedding dedup recovers planted near-exact duplicates") {
+    // Recall contract at the similarity production dedup targets: 50
+    // planted pairs at cos >= ~0.999 (per-bit collision p ~ 0.99 ->
+    // >=99.9% chance of colliding in at least one band even with the
+    // split bits in the key) in a 2000-vector uniform corpus. Banding
+    // recall at the fixture's tau=0.4 is intentionally partial (the
+    // oracle pins banded semantics); THIS is the recall that matters.
+    val sp = spark
+    import sp.implicits._
+    val rnd = new scala.util.Random(11)
+    val dim = 64
+    val base = (0 until 1950).map(i => (i.toLong, Array.fill(dim)(rnd.nextGaussian().toFloat)))
+    val planted = (0 until 50).flatMap { i =>
+      val v = Array.fill(dim)(rnd.nextGaussian().toFloat)
+      val dup = v.map(x => x + 0.02f * rnd.nextGaussian().toFloat)
+      Seq((10000L + 2 * i, v), (10001L + 2 * i, dup))
+    }
+    val emb = (base ++ planted).toDF("vec_id", "embedding")
+    val found = graft.llm.LlmQueries.embeddingNearDupPairs(
+        spark, emb, tau = 0.9, statsName = "spec_planted_dedup")
+      .filter(org.apache.spark.sql.functions.col("vec_a") >= 10000 &&
+        org.apache.spark.sql.functions.col("vec_b") ===
+          org.apache.spark.sql.functions.col("vec_a") + 1)
+      .count()
+    assert(found >= 45, s"planted near-exact dup recall $found/50 below 0.9")
+  }
+
   test("benchmark windows partition on a real key (no global/low-card windows)") {
     // A window with an empty PARTITION BY funnels the whole input through
     // one task; a 3-value key through 3. Since r7, NO win_ query is
