@@ -453,6 +453,15 @@ class EngineSpecs extends AnyFunSuite with BeforeAndAfterAll {
       r3.getAs[Double]("w") == 1.5)
     assert(avro.filter(col("_partition_offset") === 5)
       .select("v", "s", "w").head().anyNull)
+    // Single-parse contract (r8 finding: one UDF per field re-parsed the
+    // container M times per row): a full materialization of all 3
+    // extracted fields over 5 non-null payloads must open exactly 5
+    // DataFileStreams, not 15. local-mode executors share the JVM, so
+    // the static counter observes every decode.
+    val before = RecordLog.avroContainerDecodes.get()
+    avro.select("v", "s", "w").collect()
+    val decodes = RecordLog.avroContainerDecodes.get() - before
+    assert(decodes == 5L, s"expected one container decode per non-null row (5), got $decodes")
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
   }
 
