@@ -52,6 +52,26 @@ object AccessControl {
 
   private def norm(s: String): String = s.trim.toLowerCase
 
+  /** Canonical ACL key for a table reference: `schema.table`, resolved
+    * the way the session would resolve the name (CreateTableTask.java
+    * and friends check privileges on the FULLY QUALIFIED object). A
+    * bare name is qualified with the session's current schema — except
+    * temp views, which Spark resolves schema-independently and which
+    * therefore key on the bare name. Three-part catalog.schema.table
+    * drops the catalog (single-catalog engine). Keying on the last
+    * part alone (pre-r9) collapsed `schema_a.t` and `schema_b.t` into
+    * one entry, so a grant on one leaked onto the other.
+    */
+  private def qualify(spark: SparkSession, name0: String): String = {
+    val parts = name0.split('.').map(norm).filter(_.nonEmpty).toSeq
+    parts match {
+      case Seq(single) =>
+        if (spark.sessionState.catalog.getTempView(single).isDefined) single
+        else s"${norm(spark.catalog.currentDatabase)}.$single"
+      case more => more.takeRight(2).mkString(".")
+    }
+  }
+
   /** Parse a privilege list: "SELECT, INSERT" / "ALL PRIVILEGES". */
   def parsePrivileges(text: String): Seq[String] = {
     val t = text.trim.toUpperCase
@@ -69,7 +89,7 @@ object AccessControl {
 
   def grant(spark: SparkSession, privText: String, table0: String,
       grantee: String, withGrantOption: Boolean): Unit = {
-    val table = norm(table0)
+    val table = qualify(spark, table0)
     val who = principal(spark)
     parsePrivileges(privText).foreach { p =>
       if (!canGrant(who, table, p))
@@ -85,7 +105,7 @@ object AccessControl {
 
   def revoke(spark: SparkSession, privText: String, table0: String,
       grantee: String, grantOptionOnly: Boolean): Unit = {
-    val table = norm(table0)
+    val table = qualify(spark, table0)
     val who = principal(spark)
     parsePrivileges(privText).foreach { p =>
       if (!canGrant(who, table, p))
@@ -102,11 +122,15 @@ object AccessControl {
     }
   }
 
-  /** SHOW GRANTS [ON table] rows, deterministically ordered. */
-  def grants(tableFilter: Option[String]): Seq[Grant] = lock.synchronized {
+  /** SHOW GRANTS [ON table] rows, deterministically ordered. The
+    * filter resolves through the same qualification as grants do. */
+  def grants(spark: SparkSession, tableFilter: Option[String]): Seq[Grant] =
+    grantsByKey(tableFilter.map(qualify(spark, _)))
+
+  private def grantsByKey(keyFilter: Option[String]): Seq[Grant] = lock.synchronized {
     (for {
       (table, byGrantee) <- acl.toSeq
-      if tableFilter.forall(f => norm(f) == table)
+      if keyFilter.forall(_ == table)
       (grantee, privs) <- byGrantee.toSeq
       (p, grantable) <- privs.toSeq
     } yield Grant(grantee, table, p, grantable))
@@ -116,7 +140,7 @@ object AccessControl {
   /** Throws AccessDeniedException iff `table` is ACL-managed and the
     * session principal lacks `priv`. Unmanaged tables are allow-all. */
   def check(spark: SparkSession, table0: String, priv: String): Unit = {
-    val table = norm(table0)
+    val table = qualify(spark, table0)
     val who = principal(spark)
     if (who == AdminPrincipal) return
     val managed = lock.synchronized { acl.get(table).map(_.toMap.view.mapValues(_.toMap).toMap) }
@@ -128,34 +152,48 @@ object AccessControl {
 
   /** Enforce privileges for every ACL-managed table a statement
     * references: INSERT targets need INSERT, DELETE targets DELETE,
-    * every other relation SELECT. Fast-path exit when no table is
-    * managed. Called by the front door pre-execution. */
+    * CTAS / CREATE VIEW / REPLACE targets need INSERT (the
+    * write-equivalent of the reference's CREATE check in
+    * CreateTableTask.java), every other relation SELECT. Tables key on
+    * their qualified `schema.table` name — see [[qualify]]. Fast-path
+    * exit when no table is managed. Called by the front door
+    * pre-execution. */
   def enforce(spark: SparkSession, sqlText: String): Unit = {
     val empty = lock.synchronized(acl.isEmpty)
     if (empty || principal(spark) == AdminPrincipal) return
     val plan = spark.sessionState.sqlParser.parsePlan(sqlText)
-    import org.apache.spark.sql.catalyst.analysis.UnresolvedRelation
-    import org.apache.spark.sql.catalyst.plans.logical.{DeleteFromTable, InsertIntoStatement}
+    import org.apache.spark.sql.catalyst.analysis.{UnresolvedIdentifier, UnresolvedRelation}
+    import org.apache.spark.sql.catalyst.plans.logical.{CreateTableAsSelect, CreateView, DeleteFromTable, InsertIntoStatement, ReplaceTableAsSelect}
     val writes = scala.collection.mutable.Set[String]()
+    def write(name: String, priv: String): Unit = {
+      writes += qualify(spark, name); check(spark, name, priv)
+    }
+    def identName(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Option[String] =
+      p match {
+        case u: UnresolvedIdentifier => Some(u.nameParts.mkString("."))
+        case _ => None
+      }
     plan.foreach {
       case i: InsertIntoStatement => i.table match {
-        case r: UnresolvedRelation =>
-          val n = r.multipartIdentifier.last
-          writes += norm(n); check(spark, n, "INSERT")
+        case r: UnresolvedRelation => write(r.multipartIdentifier.mkString("."), "INSERT")
         case _ =>
       }
       case d: DeleteFromTable => d.table match {
-        case r: UnresolvedRelation =>
-          val n = r.multipartIdentifier.last
-          writes += norm(n); check(spark, n, "DELETE")
+        case r: UnresolvedRelation => write(r.multipartIdentifier.mkString("."), "DELETE")
         case _ =>
       }
+      case c: CreateTableAsSelect =>
+        identName(c.name).foreach(write(_, "INSERT"))
+      case c: ReplaceTableAsSelect =>
+        identName(c.name).foreach(write(_, "INSERT"))
+      case v: CreateView =>
+        identName(v.child).foreach(write(_, "INSERT"))
       case _ =>
     }
     plan.foreach {
       case r: UnresolvedRelation =>
-        val n = r.multipartIdentifier.last
-        if (!writes.contains(norm(n))) check(spark, n, "SELECT")
+        val n = r.multipartIdentifier.mkString(".")
+        if (!writes.contains(qualify(spark, n))) check(spark, n, "SELECT")
       case _ =>
     }
   }

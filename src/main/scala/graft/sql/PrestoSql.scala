@@ -667,7 +667,7 @@ object PrestoSql {
         AccessControl.revoke(spark, privs, table, grantee, optOnly != null)
         Seq("REVOKE").toDF("result")
       case showGrantsRe(table) =>
-        AccessControl.grants(Option(table))
+        AccessControl.grants(spark, Option(table))
           .map(g => (g.grantee, g.table, g.privilege, g.grantable))
           .toDF("grantee", "table_name", "privilege_type", "is_grantable")
       case setSessionRe(name, value) =>

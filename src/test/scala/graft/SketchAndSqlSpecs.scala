@@ -437,6 +437,61 @@ class SketchAndSqlSpecs extends AnyFunSuite {
     }
   }
 
+  test("access control: schema-qualified grants do not leak across schemas; CTAS/CREATE VIEW are writes") {
+    import graft.sql.{AccessControl, PrestoSql}
+    val spark = graft.engine.Engine.session("local[2]", shufflePartitions = 2)
+    try {
+      spark.sql("CREATE DATABASE IF NOT EXISTS acl_a")
+      spark.sql("CREATE DATABASE IF NOT EXISTS acl_b")
+      spark.sql("DROP TABLE IF EXISTS acl_a.t")
+      spark.sql("DROP TABLE IF EXISTS acl_b.t")
+      spark.sql("CREATE TABLE acl_a.t USING PARQUET AS SELECT 1 AS k")
+      spark.sql("CREATE TABLE acl_b.t USING PARQUET AS SELECT 2 AS k")
+      // Managing acl_a.t must NOT protect (or expose) acl_b.t: the
+      // pre-r9 last-part keying collapsed both onto "t".
+      PrestoSql.sql(spark, "GRANT SELECT ON acl_a.t TO carol")
+      PrestoSql.sql(spark, "SET SESSION AUTHORIZATION carol")
+      assert(PrestoSql.sql(spark, "SELECT k FROM acl_a.t").head().getInt(0) == 1)
+      assert(PrestoSql.sql(spark, "SELECT k FROM acl_b.t").head().getInt(0) == 2,
+        "acl_b.t is unmanaged and must stay allow-all")
+      PrestoSql.sql(spark, "SET SESSION AUTHORIZATION dave")
+      intercept[AccessControl.AccessDeniedException](
+        PrestoSql.sql(spark, "SELECT k FROM acl_a.t"))
+      assert(PrestoSql.sql(spark, "SELECT k FROM acl_b.t").head().getInt(0) == 2)
+      // A bare name resolves against the current schema, so the grant
+      // written as acl_a.t governs `t` only under USE acl_a.
+      PrestoSql.sql(spark, "SET SESSION AUTHORIZATION admin")
+      PrestoSql.sql(spark, "USE acl_a")
+      PrestoSql.sql(spark, "SET SESSION AUTHORIZATION carol")
+      assert(PrestoSql.sql(spark, "SELECT k FROM t").head().getInt(0) == 1)
+      PrestoSql.sql(spark, "SET SESSION AUTHORIZATION dave")
+      intercept[AccessControl.AccessDeniedException](
+        PrestoSql.sql(spark, "SELECT k FROM t"))
+      // CTAS / CREATE VIEW target an ACL-managed name -> INSERT-equivalent
+      // write check (CreateTableTask.java's CREATE privilege check).
+      PrestoSql.sql(spark, "SET SESSION AUTHORIZATION admin")
+      spark.sql("DROP TABLE IF EXISTS acl_a.ctas_tgt")
+      PrestoSql.sql(spark, "REVOKE INSERT ON acl_a.ctas_tgt FROM nobody") // enters managed mode
+      PrestoSql.sql(spark, "SET SESSION AUTHORIZATION carol")
+      intercept[AccessControl.AccessDeniedException](
+        PrestoSql.sql(spark, "CREATE TABLE acl_a.ctas_tgt USING PARQUET AS SELECT k FROM acl_a.t"))
+      intercept[AccessControl.AccessDeniedException](
+        PrestoSql.sql(spark, "CREATE VIEW acl_a.ctas_tgt AS SELECT k FROM acl_a.t"))
+      // ... and a grantee with INSERT may CTAS it.
+      PrestoSql.sql(spark, "SET SESSION AUTHORIZATION admin")
+      PrestoSql.sql(spark, "GRANT INSERT ON acl_a.ctas_tgt TO carol")
+      PrestoSql.sql(spark, "SET SESSION AUTHORIZATION carol")
+      PrestoSql.sql(spark, "CREATE TABLE acl_a.ctas_tgt USING PARQUET AS SELECT k FROM acl_a.t")
+      assert(spark.table("acl_a.ctas_tgt").count() == 1)
+    } finally {
+      AccessControl.setPrincipal(spark, "admin")
+      AccessControl.clear()
+      spark.catalog.setCurrentDatabase("default")
+      spark.sql("DROP DATABASE IF EXISTS acl_a CASCADE")
+      spark.sql("DROP DATABASE IF EXISTS acl_b CASCADE")
+    }
+  }
+
   // ---- TransactionOps protocol edges ----
 
   test("transactions: nesting rejected, stray commit rejected, rollback cleans staging") {
