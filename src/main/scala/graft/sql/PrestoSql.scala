@@ -622,7 +622,16 @@ object PrestoSql {
     */
   def sql(spark: SparkSession, text: String): DataFrame = {
     val created = System.currentTimeMillis()
-    val queryId = SystemTables.newQueryId(created)
+    sqlWithId(spark, text, SystemTables.newQueryId(created), created)
+  }
+
+  /** [[sql]] with a caller-assigned query id — the HTTP protocol server
+    * pre-assigns the id (it must appear in the POST response before
+    * planning finishes) and then drives the statement through the same
+    * front door, so HTTP-submitted queries land in the same query log,
+    * job group, and kill path as direct calls. */
+  def sqlWithId(spark: SparkSession, text: String, queryId: String,
+      created: Long): DataFrame = {
     // tag the calling thread so every job this statement runs (now for
     // eager control statements, later for actions on the returned lazy
     // frame — job groups are sticky thread-locals) is cancellable by

@@ -1,0 +1,288 @@
+package graft.sql
+
+import java.net.InetSocketAddress
+import java.nio.charset.StandardCharsets.UTF_8
+import java.util.concurrent.atomic.AtomicReference
+import java.util.concurrent.{ArrayBlockingQueue, ConcurrentHashMap, Executors, TimeUnit}
+
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.types._
+
+/** Loopback HTTP statement protocol — the reference's client front door
+  * (presto-main/.../server/protocol/StatementResource.java:84 `@Path
+  * "/v1/statement"`, createQuery :130, paged GET :166; the client loop
+  * lives in presto-client StatementClient). Every real client (CLI,
+  * JDBC) drives this three-verb loop:
+  *
+  *   POST /v1/statement            body = SQL  -> { id, nextUri, stats }
+  *   GET  /v1/statement/{id}/{tok}             -> { columns, data, nextUri?, stats }
+  *   DELETE /v1/statement/{id}/{tok}           -> cancel (job-group kill)
+  *
+  * A response WITHOUT nextUri is the protocol's end-of-results signal;
+  * the client polls nextUri until then. Cancellation and failure
+  * surface in system.runtime.queries exactly like direct front-door
+  * statements because submission rides [[PrestoSql.sqlWithId]] — same
+  * query ids, same job group, same log.
+  *
+  * Execution/backpressure model (the scale story): each query runs on
+  * ONE worker thread that owns all Spark actions — it drives
+  * `toLocalIterator()` (one partition materialized at a time, never a
+  * whole-result collect) and hands fixed-size pages to a BOUNDED queue
+  * (capacity 16). A slow client therefore stalls the worker at ~16
+  * pages of buffered rows, not at the full result set — the driver's
+  * memory for a 100 TB result drain is O(pageSize x 16). GET handlers
+  * never touch Spark: they only poll the queue, so the job-group
+  * thread-local stays on the worker and DELETE's cancelJobGroup
+  * interrupts the real execution.
+  *
+  * JSON is hand-rendered: the envelope is small and flat, and keeping
+  * the server dependency-free matters more than a mapper.
+  */
+object StatementServer {
+
+  private val PageRows = 1024
+  private val PageQueueCap = 16
+
+  private sealed trait Slot
+  private final case class PageSlot(rows: Seq[Seq[Any]]) extends Slot
+  private case object EndSlot extends Slot
+
+  private final class QueryExec(val id: String, val sqlText: String) {
+    val state = new AtomicReference[String]("QUEUED")
+    @volatile var columns: Seq[(String, String)] = Seq.empty
+    @volatile var error: Option[String] = None
+    val pages = new ArrayBlockingQueue[Slot](PageQueueCap)
+    // Sequential-token contract with single-step retry: the client may
+    // re-GET the token it just fetched (its POST/GET response may have
+    // been lost) and gets the identical page back (StatementResource's
+    // last-result caching).
+    @volatile var nextToken: Long = 0L
+    @volatile var lastServed: Option[(Long, String)] = None
+    @volatile var done: Boolean = false
+  }
+
+  final class Server private[StatementServer] (
+      spark: SparkSession, http: HttpServer, val port: Int) {
+    private[StatementServer] val queries = new ConcurrentHashMap[String, QueryExec]()
+    private[StatementServer] val pool = Executors.newCachedThreadPool(r => {
+      val t = new Thread(r, "graft-statement-worker")
+      t.setDaemon(true)
+      t
+    })
+    private[StatementServer] def session: SparkSession = spark
+
+    def baseUri: String = s"http://127.0.0.1:$port"
+
+    def stop(): Unit = {
+      http.stop(0)
+      pool.shutdownNow()
+      ()
+    }
+  }
+
+  /** Bind a loopback server for `spark` on `port` (0 = ephemeral; the
+    * bound port is known at create time, before start). */
+  def start(spark: SparkSession, port: Int = 0): Server = {
+    val http = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
+    val bound = new Server(spark, http, http.getAddress.getPort)
+    http.createContext("/v1/statement", (ex: HttpExchange) => handle(bound, ex))
+    http.setExecutor(Executors.newFixedThreadPool(4, r => {
+      val t = new Thread(r, "graft-statement-http")
+      t.setDaemon(true)
+      t
+    }))
+    http.start()
+    bound
+  }
+
+  // ---- request routing ----
+
+  private def handle(server: Server, ex: HttpExchange): Unit =
+    try {
+      val path = ex.getRequestURI.getPath.stripPrefix("/v1/statement")
+      (ex.getRequestMethod, path.split('/').filter(_.nonEmpty).toSeq) match {
+        case ("POST", Seq()) => submit(server, ex)
+        case ("GET", Seq(id, tok)) => page(server, ex, id, tok.toLong)
+        case ("DELETE", Seq(id, _)) => cancel(server, ex, id)
+        case _ => respond(ex, 404, """{"error":"not found"}""")
+      }
+    } catch {
+      case t: Throwable =>
+        respond(ex, 500, s"""{"error":${jsonString(Option(t.getMessage).getOrElse(t.toString))}}""")
+    } finally ex.close()
+
+  private def submit(server: Server, ex: HttpExchange): Unit = {
+    val sqlText = new String(ex.getRequestBody.readAllBytes(), UTF_8).trim
+    if (sqlText.isEmpty) { respond(ex, 400, """{"error":"empty statement"}"""); return }
+    val created = System.currentTimeMillis()
+    val id = SystemTables.newQueryId(created)
+    val q = new QueryExec(id, sqlText)
+    server.queries.put(id, q)
+    // visible in system.runtime.queries from submission on, like the
+    // reference's QUEUED state
+    SystemTables.record(server.session, id, sqlText, "QUEUED", created)
+    server.pool.execute(() => run(server, q, created))
+    respond(ex, 200, envelope(server, q, data = Seq.empty, includeNext = true))
+  }
+
+  private def run(server: Server, q: QueryExec, created: Long): Unit =
+    try {
+      q.state.set("RUNNING")
+      SystemTables.updateState(server.session, q.id, "RUNNING")
+      val df = PrestoSql.sqlWithId(server.session, q.sqlText, q.id, created)
+      q.columns = df.schema.fields.toSeq.map(f => (f.name, prestoTypeName(f.dataType)))
+      val it = df.toLocalIterator()
+      val buf = scala.collection.mutable.ArrayBuffer.empty[Seq[Any]]
+      while (it.hasNext) {
+        buf += it.next().toSeq
+        if (buf.length >= PageRows) {
+          q.pages.put(PageSlot(buf.toSeq)) // blocks at cap: client backpressure
+          buf.clear()
+        }
+      }
+      if (buf.nonEmpty) q.pages.put(PageSlot(buf.toSeq))
+      q.pages.put(EndSlot)
+      q.state.set("FINISHED")
+      SystemTables.updateState(server.session, q.id, "FINISHED")
+    } catch {
+      case t: Throwable =>
+        q.error = Some(Option(t.getMessage).getOrElse(t.toString))
+        // a DELETE-initiated job-group cancel lands here too; the
+        // reference reports user cancellation as a FAILED query
+        q.state.set("FAILED")
+        SystemTables.updateState(server.session, q.id, "FAILED")
+        q.pages.clear()
+        while (!q.pages.offer(EndSlot)) q.pages.clear()
+    }
+
+  private def page(server: Server, ex: HttpExchange, id: String, token: Long): Unit = {
+    val q = server.queries.get(id)
+    if (q == null) { respond(ex, 404, """{"error":"unknown query"}"""); return }
+    q.synchronized {
+      q.lastServed match {
+        case Some((t, body)) if t == token => respond(ex, 200, body); return
+        case _ =>
+      }
+      if (token != q.nextToken) {
+        respond(ex, 410, """{"error":"token is gone (sequential access only)"}""")
+        return
+      }
+      // Poll briefly; an empty page with the SAME nextUri token tells
+      // the client to come back (reference: partial results + nextUri).
+      val slot =
+        if (q.done) EndSlot
+        else Option(q.pages.poll(100, TimeUnit.MILLISECONDS)).getOrElse(PageSlot(Seq.empty))
+      slot match {
+        case EndSlot =>
+          q.done = true
+          respond(ex, 200, envelope(server, q, Seq.empty, includeNext = false))
+        case PageSlot(rows) =>
+          val advance = rows.nonEmpty
+          if (advance) q.nextToken = token + 1
+          val body = envelope(server, q, rows, includeNext = true)
+          if (advance) q.lastServed = Some((token, body))
+          respond(ex, 200, body)
+      }
+    }
+  }
+
+  private def cancel(server: Server, ex: HttpExchange, id: String): Unit = {
+    val q = server.queries.get(id)
+    if (q == null) { respond(ex, 404, """{"error":"unknown query"}"""); return }
+    SystemTables.killQuery(server.session, id) // job-group cancel + FAILED in the log
+    q.state.set("FAILED")
+    q.error = q.error.orElse(Some("Query was canceled by user"))
+    q.done = true
+    // unblock a worker parked on the bounded queue; its next Spark
+    // action then hits the cancelled job group and takes the FAILED path
+    q.pages.clear()
+    respond(ex, 204, "")
+  }
+
+  // ---- response rendering ----
+
+  private def envelope(server: Server, q: QueryExec, data: Seq[Seq[Any]],
+      includeNext: Boolean): String = {
+    val sb = new StringBuilder(256)
+    sb.append("{\"id\":").append(jsonString(q.id))
+    sb.append(",\"infoUri\":").append(jsonString(s"${server.baseUri}/v1/query/${q.id}"))
+    if (includeNext && !q.done)
+      sb.append(",\"nextUri\":")
+        .append(jsonString(s"${server.baseUri}/v1/statement/${q.id}/${q.nextToken}"))
+    if (q.columns.nonEmpty) {
+      sb.append(",\"columns\":[")
+      sb.append(q.columns.map { case (n, t) =>
+        s"""{"name":${jsonString(n)},"type":${jsonString(t)}}"""
+      }.mkString(","))
+      sb.append(']')
+    }
+    if (data.nonEmpty) {
+      sb.append(",\"data\":[")
+      var first = true
+      data.foreach { row =>
+        if (!first) sb.append(',')
+        first = false
+        sb.append(row.map(jsonValue).mkString("[", ",", "]"))
+      }
+      sb.append(']')
+    }
+    q.error.foreach { e =>
+      sb.append(",\"error\":{\"message\":").append(jsonString(e)).append('}')
+    }
+    sb.append(",\"stats\":{\"state\":").append(jsonString(q.state.get())).append("}}")
+    sb.toString
+  }
+
+  private def respond(ex: HttpExchange, code: Int, body: String): Unit = {
+    val bytes = body.getBytes(UTF_8)
+    ex.getResponseHeaders.set("Content-Type", "application/json")
+    if (code == 204) ex.sendResponseHeaders(code, -1)
+    else { ex.sendResponseHeaders(code, bytes.length.toLong); ex.getResponseBody.write(bytes) }
+  }
+
+  /** Spark type -> reference client type name (ClientTypeSignature):
+    * same rendering the metadata family already pins in
+    * [[Metadata.prestoType]]. */
+  private[sql] def prestoTypeName(dt: DataType): String = graft.sql.Metadata.prestoType(dt)
+
+  private def jsonValue(v: Any): String = v match {
+    case null => "null"
+    case s: String => jsonString(s)
+    case b: Boolean => b.toString
+    case d: Double => if (d.isNaN || d.isInfinite) jsonString(d.toString) else d.toString
+    case f: Float => jsonValue(f.toDouble)
+    case n: Byte => n.toString
+    case n: Short => n.toString
+    case n: Int => n.toString
+    case n: Long => n.toString
+    case d: java.math.BigDecimal => d.toPlainString
+    case d: scala.math.BigDecimal => d.bigDecimal.toPlainString
+    case d: java.sql.Date => jsonString(d.toString)
+    case t: java.sql.Timestamp => jsonString(t.toString)
+    case b: Array[Byte] => jsonString(java.util.Base64.getEncoder.encodeToString(b))
+    case seq: scala.collection.Seq[_] => seq.map(jsonValue).mkString("[", ",", "]")
+    case arr: Array[_] => arr.map(jsonValue).mkString("[", ",", "]")
+    case m: scala.collection.Map[_, _] =>
+      m.map { case (k, mv) => s"${jsonString(String.valueOf(k))}:${jsonValue(mv)}" }
+        .mkString("{", ",", "}")
+    case r: org.apache.spark.sql.Row => r.toSeq.map(jsonValue).mkString("[", ",", "]")
+    case other => jsonString(String.valueOf(other))
+  }
+
+  private def jsonString(s: String): String = {
+    val sb = new StringBuilder(s.length + 2)
+    sb.append('"')
+    s.foreach {
+      case '"' => sb.append("\\\"")
+      case '\\' => sb.append("\\\\")
+      case '\n' => sb.append("\\n")
+      case '\r' => sb.append("\\r")
+      case '\t' => sb.append("\\t")
+      case c if c < ' ' => sb.append(f"\\u${c.toInt}%04x")
+      case c => sb.append(c)
+    }
+    sb.append('"')
+    sb.toString
+  }
+}

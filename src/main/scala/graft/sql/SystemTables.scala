@@ -45,14 +45,34 @@ object SystemTables {
     s"${ts.format(new java.util.Date(createdMs))}_${"%05d".format(counter.incrementAndGet())}_graft"
   }
 
-  /** Record a front-door statement under its pre-assigned id. */
+  /** Record a front-door statement under its pre-assigned id. Upsert:
+    * the HTTP protocol server records QUEUED/RUNNING before planning,
+    * and the front door's completion record then transitions the same
+    * entry rather than appending a duplicate id. */
   def record(spark: SparkSession, id: String, query: String, state: String,
       createdMs: Long): Unit = {
     val l = logOf(spark)
     l.synchronized {
-      l += QueryRecord(id, state, AccessControl.principal(spark), "graft",
+      val rec = QueryRecord(id, state, AccessControl.principal(spark), "graft",
         query, createdMs, System.currentTimeMillis())
-      if (l.length > MaxLog) l.remove(0, l.length - MaxLog)
+      val i = l.indexWhere(_.id == id)
+      if (i >= 0) l(i) = rec
+      else {
+        l += rec
+        if (l.length > MaxLog) l.remove(0, l.length - MaxLog)
+      }
+    }
+  }
+
+  /** In-place state transition for an already-recorded query (the HTTP
+    * protocol server's RUNNING -> FINISHED/FAILED lifecycle; the
+    * reference's Query.java drives the same transitions on
+    * QueryStateMachine). No-op if the id is unknown. */
+  def updateState(spark: SparkSession, id: String, state: String): Unit = {
+    val l = logOf(spark)
+    l.synchronized {
+      val i = l.indexWhere(_.id == id)
+      if (i >= 0) l(i) = l(i).copy(state = state, endMs = System.currentTimeMillis())
     }
   }
 

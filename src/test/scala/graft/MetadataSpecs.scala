@@ -214,4 +214,126 @@ class MetadataSpecs extends AnyFunSuite with BeforeAndAfterAll {
       .head().getString(0)
     assert(st == "FAILED")
   }
+
+  // ---- HTTP statement protocol (StatementResource.java:84,130,166) ----
+
+  private def httpSend(method: String, uri: String, body: Option[String] = None)
+      : (Int, String) = {
+    val client = java.net.http.HttpClient.newHttpClient()
+    val b = java.net.http.HttpRequest.newBuilder(java.net.URI.create(uri))
+    val req = (method match {
+      case "POST" => b.POST(java.net.http.HttpRequest.BodyPublishers.ofString(body.get))
+      case "DELETE" => b.DELETE()
+      case _ => b.GET()
+    }).build()
+    val resp = client.send(req, java.net.http.HttpResponse.BodyHandlers.ofString())
+    (resp.statusCode(), resp.body())
+  }
+
+  // minimal JSON field readers over the protocol envelope (jackson rides
+  // the Spark classpath; using it keeps the spec honest about shape)
+  private def json(body: String): com.fasterxml.jackson.databind.JsonNode =
+    new com.fasterxml.jackson.databind.ObjectMapper().readTree(body)
+
+  test("HTTP protocol: POST returns id+nextUri, GET pages the full result, log shows FINISHED") {
+    val server = graft.sql.StatementServer.start(spark)
+    try {
+      spark.range(3000).selectExpr("id AS k", "CAST(id * 2 AS DOUBLE) AS v")
+        .createOrReplaceTempView("http_rows")
+      val (code, postBody) = httpSend("POST", s"${server.baseUri}/v1/statement",
+        Some("SELECT k, v FROM http_rows ORDER BY k"))
+      assert(code == 200)
+      val post = json(postBody)
+      val id = post.get("id").asText()
+      assert(id.endsWith("_graft"), s"reference-shaped query id, got $id")
+      assert(post.has("nextUri"), "POST must hand back a nextUri to poll")
+      // client loop: follow nextUri until absent, accumulating data
+      var uri = post.get("nextUri").asText()
+      val rows = scala.collection.mutable.ArrayBuffer.empty[(Long, Double)]
+      var pagesWithData = 0
+      var cols: Option[String] = None
+      var spins = 0
+      while (uri != null && spins < 500) {
+        val (c, body) = httpSend("GET", uri)
+        assert(c == 200, s"GET $uri -> $c: $body")
+        val node = json(body)
+        if (node.has("columns") && cols.isEmpty)
+          cols = Some(node.get("columns").toString)
+        if (node.has("data")) {
+          pagesWithData += 1
+          node.get("data").forEach(r => rows += ((r.get(0).asLong(), r.get(1).asDouble())))
+        }
+        uri = if (node.has("nextUri")) node.get("nextUri").asText() else null
+        spins += 1
+      }
+      assert(rows.size == 3000, s"paged drain must return every row, got ${rows.size}")
+      assert(pagesWithData >= 2, "3000 rows over 1024-row pages must span multiple pages")
+      assert(rows.toSeq == (0L until 3000L).map(i => (i, i * 2.0)),
+        "ordered values must round-trip the wire")
+      assert(cols.exists(c => c.contains("\"k\"") && c.contains("bigint")
+        && c.contains("\"v\"") && c.contains("double")), s"columns metadata: $cols")
+      // the HTTP-submitted query is a first-class query-log citizen
+      val st = PrestoSql.sql(spark,
+        s"SELECT state FROM system.runtime.queries WHERE query_id = '$id'")
+        .head().getString(0)
+      assert(st == "FINISHED")
+    } finally server.stop()
+  }
+
+  test("HTTP protocol: DELETE cancels the running statement and the log shows FAILED") {
+    val server = graft.sql.StatementServer.start(spark)
+    try {
+      val (code, postBody) = httpSend("POST", s"${server.baseUri}/v1/statement",
+        Some("SELECT sum(xxhash64(a.id + b.id)) AS n " +
+          "FROM range(30000000) a CROSS JOIN range(30000000) b"))
+      assert(code == 200)
+      val post = json(postBody)
+      val id = post.get("id").asText()
+      Thread.sleep(1500) // let the cartesian jobs actually start
+      val (dc, _) = httpSend("DELETE", s"${server.baseUri}/v1/statement/$id/0")
+      assert(dc == 204)
+      // the next GET reports the terminal state without a nextUri
+      var state = ""
+      var deadline = System.currentTimeMillis() + 60000
+      while (state != "FAILED" && System.currentTimeMillis() < deadline) {
+        val (_, body) = httpSend("GET", s"${server.baseUri}/v1/statement/$id/0")
+        val node = json(body)
+        state = node.get("stats").get("state").asText()
+        if (state != "FAILED") Thread.sleep(200)
+      }
+      assert(state == "FAILED", "canceled query must surface FAILED through GET")
+      val st = PrestoSql.sql(spark,
+        s"SELECT state FROM system.runtime.queries WHERE query_id = '$id'")
+        .head().getString(0)
+      assert(st == "FAILED")
+    } finally server.stop()
+  }
+
+  test("HTTP protocol: last-page retry is idempotent; out-of-order tokens are gone (410)") {
+    val server = graft.sql.StatementServer.start(spark)
+    try {
+      spark.range(10).selectExpr("id AS k").createOrReplaceTempView("http_small")
+      val (_, postBody) = httpSend("POST", s"${server.baseUri}/v1/statement",
+        Some("SELECT k FROM http_small ORDER BY k"))
+      val id = json(postBody).get("id").asText()
+      // poll token 0 until the data page lands
+      var body = ""
+      var spins = 0
+      var gotData = false
+      while (!gotData && spins < 200) {
+        body = httpSend("GET", s"${server.baseUri}/v1/statement/$id/0")._2
+        gotData = json(body).has("data")
+        spins += 1
+        if (!gotData) Thread.sleep(50)
+      }
+      assert(gotData, "data page must arrive")
+      // retrying the SAME token returns the identical page (client
+      // retry semantics after a lost response)
+      val retry = httpSend("GET", s"${server.baseUri}/v1/statement/$id/0")._2
+      assert(retry == body, "same-token retry must be byte-identical")
+      // skipping ahead is a protocol error
+      val (gone, _) = httpSend("GET", s"${server.baseUri}/v1/statement/$id/5")
+      assert(gone == 410)
+    } finally server.stop()
+  }
 }
