@@ -31,6 +31,7 @@ object FunctionRegistry {
       SketchAggregates.install(spark)
       QuantileSketchFunctions.install(spark)
       ArrayCosineSimilarity.install(spark)
+      PrestoSubscript.install(spark)
       TypedAggregators.install(spark)
       HeavyHitters.install(spark)
       MapHistogramAggs.install(spark)

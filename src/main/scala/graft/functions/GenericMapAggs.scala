@@ -23,7 +23,9 @@ import java.io.{ByteArrayInputStream, ByteArrayOutputStream, DataInputStream, Da
   * Values are Catalyst-internal (UTF8String etc.); the serializer tags
   * nothing — the child's DataType fixes the wire format at plan time
   * (supported: the fixture-relevant primitive types + string/date/
-  * timestamp; unsupported types are rejected at registration).
+  * timestamp; an unsupported element type fails loudly at
+  * serialize/eval time — the aggregate is registered generically, so
+  * the first buffered row is where the type is actually seen).
   */
 object GenericDatum {
   def write(out: DataOutputStream, dt: DataType, v: Any): Unit = {

@@ -230,9 +230,10 @@ object GeometryConstructors {
     // Holed POLYGON (r8): buffer(S \ ∪H) = buffer(S) \ ∪erode(H, d) —
     // every point of a hole's interior has its nearest geometry point on
     // the hole's own boundary, so dilation shrinks each hole by exactly
-    // d. Erosion kernel is half-plane-intersection (exact) and therefore
-    // CONVEX-only; non-convex interior rings raise rather than silently
-    // mis-shrinking. A hole narrower than 2d vanishes.
+    // d. Convex holes take the exact half-plane-intersection erosion
+    // kernel; non-convex holes erode morphologically (boundary-strip
+    // subtraction, see erodeRing below). A hole narrower than 2d
+    // vanishes.
     val (kindPeek, ringsPeek) = parseRings(wkt)
     if (kindPeek == "POLYGON" && ringsPeek.length > 1) {
       if (dist == 0) return renderPolygon(ringsPeek)

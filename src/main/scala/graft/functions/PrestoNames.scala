@@ -166,6 +166,9 @@ object PrestoNames {
   }
 
   private def hmac(algo: String, key: Array[Byte], data: Array[Byte]): Array[Byte] = {
+    // scalar null-in-null-out (VarbinaryFunctions.java convention): a
+    // NULL key or data yields NULL, not a SecretKeySpec/Mac NPE
+    if (key == null || data == null) return null
     val mac = javax.crypto.Mac.getInstance(algo)
     mac.init(new javax.crypto.spec.SecretKeySpec(key, algo))
     mac.doFinal(data)

@@ -188,9 +188,12 @@ object PrestoSql {
   // is getItem — 0-BASED. Left as-is, a Presto query like arr[1] would
   // SILENTLY return the second element. The front door therefore
   // rewrites (a) ARRAY[..] -> array(..) and (b) every remaining
-  // subscript expr[s] -> element_at(expr, s), which carries exactly
-  // Presto's semantics in Spark: 1-based for arrays, by-key for maps,
-  // and erroring on out-of-bounds under ANSI mode.
+  // subscript expr[s] -> presto_subscript(expr, s), a native expression
+  // ([[graft.functions.PrestoSubscript]]) carrying the reference's
+  // exact semantics: 1-based for arrays, by-key for maps, and ERRORS
+  // for index 0 / negative / out-of-bounds / missing map key (Spark's
+  // element_at returns NULL in all four positions under the default
+  // non-ANSI session — a silent wrong-answer path, r8 ADVICE).
 
   /** Pass A: ARRAY[ .. ] -> array( .. ), balance-aware (inner subscript
     * brackets keep their own kind on the stack). */
@@ -279,9 +282,21 @@ object PrestoSql {
         require(e < sql.length, s"unbalanced subscript bracket: $sql")
         val operand = sql.substring(start, open).trim
         val sub = sql.substring(open + 1, e)
-        sql = sql.substring(0, start) + s"element_at($operand, $sub)" + sql.substring(e + 1)
+        sql = sql.substring(0, start) + s"presto_subscript($operand, $sub)" + sql.substring(e + 1)
         changed = true
       }
+    }
+    // A statement with more subscripts than the fixpoint guard allows
+    // must fail loudly: any '[' left outside literals would reach Spark
+    // as a 0-BASED getItem — a silent off-by-one wrong answer (r8
+    // ADVICE). 64 iterations is far beyond hand-written SQL; this is a
+    // correctness backstop, not a limit users should meet.
+    val lit = literalMap(sql)
+    var r = 0
+    while (r < sql.length) {
+      require(sql(r) != '[' || lit(r),
+        s"statement exceeds the subscript-rewrite budget (64); refusing to run with raw brackets: $sql")
+      r += 1
     }
     sql
   }

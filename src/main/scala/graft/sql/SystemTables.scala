@@ -108,10 +108,15 @@ object SystemTables {
     import spark.implicits._
     val tracker = spark.sparkContext.statusTracker
 
-    // system.runtime.nodes (NodeSystemTable.java:50-55)
+    // system.runtime.nodes (NodeSystemTable.java:50-55). Only the
+    // driver row is the coordinator (NodeSystemTable flags exactly one);
+    // executors match by the driver's block-manager host:port — in
+    // local mode the single entry IS the driver, on a cluster workers
+    // report false.
+    val driverHostPort = org.apache.spark.sql.graft.DriverNode.hostPort()
     val execs = tracker.getExecutorInfos.toSeq.map { e =>
       val id = e.host + ":" + e.port
-      (id, s"http://$id", spark.version, true, "active")
+      (id, s"http://$id", spark.version, id == driverHostPort, "active")
     }
     execs.toDF("node_id", "http_uri", "node_version", "coordinator", "state")
       .createOrReplaceTempView("system_runtime_nodes")

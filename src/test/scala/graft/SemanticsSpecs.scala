@@ -40,19 +40,21 @@ class SemanticsSpecs extends AnyFunSuite with BeforeAndAfterAll {
     assert(one("SELECT try_element_at(array(1, 2), 9)") == null)
   }
 
-  test("DOCUMENTED DIVERGENCE: bare [n] subscript is 0-based in Spark SQL") {
+  test("DOCUMENTED DIVERGENCE: bare [n] subscript is 0-based in RAW Spark SQL") {
     // Presto arr[1] is the FIRST element; Spark's arr[1] is the SECOND
-    // and arr[0] the first. The front door does not rewrite subscripts —
-    // Presto SQL using [n] must move to element_at(arr, n). Pinned so the
-    // delta is loud, not latent.
+    // and arr[0] the first. The PrestoSql front door rewrites every
+    // bracket subscript to presto_subscript (1-based, reference error
+    // semantics) — this pin documents what a caller bypassing the front
+    // door and using spark.sql directly gets.
     assert(one("SELECT array(10, 20, 30)[1]") == 20)
   }
 
   test("map missing-key: element_at returns NULL; strict access via assertion") {
     // Presto map[k] errors on a missing key ("Key not present in map");
     // Spark's element_at is the lenient form (NULL) even under ANSI, and
-    // map[k] behaves the same. Strict parity is expressible with a
-    // raise_error guard when required.
+    // raw-Spark map[k] behaves the same. The front door's bracket
+    // rewrite (presto_subscript) carries the strict reference
+    // semantics; this pins the lenient raw-Spark forms.
     assert(one("SELECT element_at(map('a', 1), 'zz')") == null)
     assert(one("SELECT map('a', 1)['zz']") == null)
     assertThrows[Exception](

@@ -103,21 +103,22 @@ class SketchAndSqlSpecs extends AnyFunSuite {
   test("ARRAY[..] constructors and 1-based [] subscripts (ArraySubscriptOperator)") {
     assert(PrestoSql.rewriteFull("SELECT ARRAY[1, 2, 3]") ==
       "SELECT array(1, 2, 3)")
-    // subscript -> element_at (1-based arrays, by-key maps)
+    // subscript -> presto_subscript (1-based arrays, by-key maps,
+    // reference ERROR semantics on bad access)
     assert(PrestoSql.rewriteFull("SELECT arr[1] FROM t") ==
-      "SELECT element_at(arr, 1) FROM t")
+      "SELECT presto_subscript(arr, 1) FROM t")
     assert(PrestoSql.rewriteFull("SELECT m['k'] FROM t") ==
-      "SELECT element_at(m, 'k') FROM t")
+      "SELECT presto_subscript(m, 'k') FROM t")
     // chains + nesting: f(x)[1], a[1][2], a[b[1]]
     assert(PrestoSql.rewriteFull("SELECT split(s, ',')[2] FROM t") ==
-      "SELECT element_at(split(s, ','), 2) FROM t")
+      "SELECT presto_subscript(split(s, ','), 2) FROM t")
     assert(PrestoSql.rewriteFull("SELECT a[1][2] FROM t") ==
-      "SELECT element_at(element_at(a, 1), 2) FROM t")
+      "SELECT presto_subscript(presto_subscript(a, 1), 2) FROM t")
     assert(PrestoSql.rewriteFull("SELECT a[b[1]] FROM t") ==
-      "SELECT element_at(a, element_at(b, 1)) FROM t")
+      "SELECT presto_subscript(a, presto_subscript(b, 1)) FROM t")
     // constructor + immediate subscript
     assert(PrestoSql.rewriteFull("SELECT ARRAY[10, 20][1]") ==
-      "SELECT element_at(array(10, 20), 1)")
+      "SELECT presto_subscript(array(10, 20), 1)")
     // literals untouched
     assert(PrestoSql.rewriteFull("SELECT 'a[1]' AS s, x FROM t") ==
       "SELECT 'a[1]' AS s, x FROM t")
@@ -127,6 +128,27 @@ class SketchAndSqlSpecs extends AnyFunSuite {
     assert(PrestoSql.sql(spark, "SELECT ARRAY[7, 8, 9][1] AS v").head().getInt(0) == 7)
     assert(PrestoSql.sql(spark,
       "SELECT map_from_arrays(ARRAY['a', 'b'], ARRAY[1, 2])['b'] AS v").head().getInt(0) == 2)
+    // reference ERROR semantics (ArraySubscriptOperator/MapSubscriptOperator;
+    // r8 ADVICE: element_at returned NULL for negative and missing-key):
+    def failsWith(q: String, msg: String): Unit = {
+      val e = intercept[Exception](PrestoSql.sql(spark, q).collect())
+      def messages(t: Throwable): Seq[String] =
+        if (t == null) Seq.empty
+        else Option(t.getMessage).toSeq ++ messages(t.getCause)
+      assert(messages(e).exists(_.contains(msg)), s"$q: ${e.getMessage}")
+    }
+    failsWith("SELECT ARRAY[1, 2][9] AS v", "Array subscript must be less than or equal")
+    failsWith("SELECT ARRAY[1, 2][0] AS v", "SQL array indices start at 1")
+    failsWith("SELECT ARRAY[1, 2][-1] AS v", "Array subscript is negative")
+    failsWith("SELECT map_from_arrays(ARRAY['a'], ARRAY[1])['zz'] AS v", "Key not present in map")
+    // TRY(..) turns the reference's subscript errors into NULL, like TRY()
+    assert(PrestoSql.sql(spark, "SELECT TRY(ARRAY[1, 2][9]) AS v").head().isNullAt(0))
+    // NULL container / NULL index stay null-in-null-out
+    assert(PrestoSql.sql(spark,
+      "SELECT (CAST(NULL AS ARRAY<INT>))[1] AS v").head().isNullAt(0))
+    // bigint-keyed map with an integer-literal subscript (runtime coercion)
+    assert(PrestoSql.sql(spark,
+      "SELECT map_from_arrays(ARRAY[CAST(10 AS BIGINT)], ARRAY[5])[10] AS v").head().getInt(0) == 5)
   }
 
   test("zoned TIMESTAMP literals construct packed tstz values") {
