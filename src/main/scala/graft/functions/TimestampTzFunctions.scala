@@ -22,10 +22,10 @@ import org.apache.spark.sql.SparkSession
   *
   * Zone keys: 0 = UTC (reference TimeZoneKey.java:41); fixed-offset
   * zones get key 1024 + offsetMinutes (±840 fits the 12-bit mask);
-  * named region zones get keys 2048.. assigned over the SORTED JVM tzdb
-  * id list — deterministic within a JVM, the packed value is not
-  * exchanged across tzdb versions (the reference pins a zone-index file
-  * instead; documented delta).
+  * named region zones get keys 2048.. from a PERSISTED zone-index file
+  * (the reference's TimeZoneKey approach): first use writes the sorted
+  * tzdb list, later JVMs read it back, and new zones append without
+  * moving existing keys — packed values survive JVM/tzdb changes.
   *
   * Scale: pure per-row long arithmetic + java.time offset lookup;
   * map-side, shuffle-free, no driver state.
@@ -37,12 +37,81 @@ object TimestampTzFunctions {
   private val OffsetBase = 1024
   private val NamedBase = 2048
 
-  private lazy val namedZones: Array[String] = {
-    import scala.jdk.CollectionConverters._
-    java.time.ZoneId.getAvailableZoneIds.asScala.toArray.sorted
+  // ---- persisted named-zone index (TimeZoneKey.java pins a zone-index
+  // file for exactly this reason: a packed value's 12-bit zone key must
+  // mean the same zone on every node and across tzdb updates). First
+  // use WRITES the sorted JVM tzdb list to a versioned index file;
+  // every later JVM READS the file, so file order — not the local
+  // tzdb — defines the keys. Zones new to a JVM are APPENDED (existing
+  // keys never move) and the file atomically rewritten. Path:
+  // -Dgraft.tz.index / $GRAFT_TZ_INDEX, else <user.dir>/tmp/zone-index.v1
+  // (a deployment shares one path cluster-wide the way it shares its
+  // catalogs).
+
+  private val IndexHeader = "graft-zone-index v1"
+  private val indexLock = new Object
+  @volatile private var zonesArr: Array[String] = null
+  @volatile private var zoneMap: Map[String, Int] = null
+
+  private def indexPath: java.nio.file.Path =
+    java.nio.file.Paths.get(
+      sys.props.get("graft.tz.index")
+        .orElse(sys.env.get("GRAFT_TZ_INDEX"))
+        .getOrElse(sys.props("user.dir") + "/tmp/zone-index.v1"))
+
+  /** Drop the in-memory index so the next use re-reads the file (spec
+    * hook for simulating a fresh JVM / session). */
+  private[graft] def reloadZoneIndex(): Unit = indexLock.synchronized {
+    zonesArr = null
+    zoneMap = null
   }
-  private lazy val namedToKey: Map[String, Int] =
-    namedZones.zipWithIndex.map { case (z, i) => z -> (NamedBase + i) }.toMap
+
+  private def writeIndex(p: java.nio.file.Path, zones: Seq[String]): Unit = {
+    import java.nio.file.{Files, StandardCopyOption}
+    Option(p.getParent).foreach(Files.createDirectories(_))
+    val tmp = p.resolveSibling(p.getFileName.toString + ".tmp" + System.nanoTime())
+    Files.write(tmp, (IndexHeader +: zones).mkString("\n")
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    try Files.move(tmp, p, StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+    catch { case _: java.nio.file.AtomicMoveNotSupportedException =>
+      Files.move(tmp, p, StandardCopyOption.REPLACE_EXISTING) }
+  }
+
+  private def ensureLoaded(): Unit = if (zonesArr == null) indexLock.synchronized {
+    if (zonesArr == null) {
+      import scala.jdk.CollectionConverters._
+      import java.nio.file.Files
+      val jvmZones = java.time.ZoneId.getAvailableZoneIds.asScala.toArray.sorted
+      val p = indexPath
+      val zones: Array[String] =
+        if (Files.exists(p)) {
+          val lines = new String(Files.readAllBytes(p),
+            java.nio.charset.StandardCharsets.UTF_8).split("\n", -1).toSeq
+          require(lines.headOption.contains(IndexHeader),
+            s"unrecognized zone index header in $p: ${lines.headOption.getOrElse("")}")
+          val fileZones = lines.tail.filter(_.nonEmpty).toArray
+          val known = fileZones.toSet
+          val appended = jvmZones.filterNot(known)
+          if (appended.isEmpty) fileZones
+          else {
+            val merged = fileZones ++ appended
+            writeIndex(p, merged.toSeq)
+            merged
+          }
+        } else {
+          writeIndex(p, jvmZones.toSeq)
+          jvmZones
+        }
+      require(zones.length <= 4096 - NamedBase,
+        s"zone index exceeds the 12-bit key space: ${zones.length}")
+      zoneMap = zones.zipWithIndex.map { case (z, i) => z -> (NamedBase + i) }.toMap
+      zonesArr = zones
+    }
+  }
+
+  private def namedZones: Array[String] = { ensureLoaded(); zonesArr }
+  private def namedToKey: Map[String, Int] = { ensureLoaded(); zoneMap }
 
   def zoneKey(zoneId: String): Int = zoneId match {
     case "UTC" | "Z" | "+00:00" => 0

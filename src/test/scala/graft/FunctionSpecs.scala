@@ -665,4 +665,59 @@ class FunctionSpecs extends AnyFunSuite {
       .foreach(z => assert(zoneId(zoneKey(z)) == z, z))
     intercept[IllegalArgumentException](zoneKey("Not/AZone"))
   }
+
+  test("tstz zone-key index persists: file order rules across sessions and tzdb reorderings") {
+    import graft.functions.TimestampTzFunctions
+    import java.nio.file.{Files, Paths}
+    import java.nio.charset.StandardCharsets.UTF_8
+    val dir = Files.createTempDirectory("graft_tzidx")
+    val idx = dir.resolve("zone-index.v1")
+    val prev = sys.props.get("graft.tz.index")
+    try {
+      sys.props("graft.tz.index") = idx.toString
+      TimestampTzFunctions.reloadZoneIndex()
+      // first use writes the versioned index file (TimeZoneKey.java model)
+      val k1 = TimestampTzFunctions.zoneKey("Asia/Tokyo")
+      assert(Files.exists(idx), "first use must persist the index")
+      val lines0 = new String(Files.readAllBytes(idx), UTF_8).split("\n").toSeq
+      assert(lines0.head == "graft-zone-index v1")
+      // key = 2048 + position in the FILE, and the same file read by a
+      // "second session" (reload = fresh JVM) yields identical keys:
+      // packed values round-trip across sessions.
+      assert(k1 == 2048 + lines0.tail.indexOf("Asia/Tokyo"))
+      val packed = TimestampTzFunctions.pack(1234567890123L, "Asia/Tokyo")
+      TimestampTzFunctions.reloadZoneIndex()
+      assert(TimestampTzFunctions.zoneKey("Asia/Tokyo") == k1)
+      assert(TimestampTzFunctions.unpackZone(packed) == "Asia/Tokyo")
+      // synthetically REORDER the index (what a key-from-local-tzdb
+      // scheme would produce after a tzdb update): file order, not the
+      // JVM's sorted list, must define the keys.
+      Files.write(idx, (lines0.head +: lines0.tail.reverse).mkString("\n").getBytes(UTF_8))
+      TimestampTzFunctions.reloadZoneIndex()
+      val zones = lines0.tail.filter(_.nonEmpty)
+      val kRev = TimestampTzFunctions.zoneKey("Asia/Tokyo")
+      assert(kRev == 2048 + zones.reverse.indexOf("Asia/Tokyo"))
+      assert(TimestampTzFunctions.unpackZone(
+        TimestampTzFunctions.pack(7L, "Asia/Tokyo")) == "Asia/Tokyo")
+      // a zone the file lacks but the JVM has APPENDS (existing keys
+      // never move) and the file is rewritten
+      val dropped = zones.reverse.last // drop the zone at the END of the reversed file
+      Files.write(idx,
+        (lines0.head +: zones.reverse.filterNot(_ == dropped)).mkString("\n").getBytes(UTF_8))
+      TimestampTzFunctions.reloadZoneIndex()
+      assert(TimestampTzFunctions.zoneKey("Asia/Tokyo") == kRev, "existing keys must not move")
+      assert(TimestampTzFunctions.zoneKey(dropped) == 2048 + zones.length - 1,
+        "unknown zones append at the end")
+      val rewritten = new String(Files.readAllBytes(idx), UTF_8).split("\n").toSeq
+      assert(rewritten.last == dropped, "append must be persisted")
+    } finally {
+      prev match {
+        case Some(v) => sys.props("graft.tz.index") = v
+        case None => sys.props.remove("graft.tz.index")
+      }
+      TimestampTzFunctions.reloadZoneIndex()
+      Files.deleteIfExists(idx)
+      Files.deleteIfExists(dir)
+    }
+  }
 }
