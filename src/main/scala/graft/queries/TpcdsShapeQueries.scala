@@ -170,5 +170,72 @@ object TpcdsShapeQueries extends QueryModule {
         |  FROM ac FULL OUTER JOIN rc ON ac.p_brand = rc.p_brand AND ac.d = rc.d)
         |SELECT brand, CAST(count(*) AS BIGINT) AS n_days,
         |  CAST(sum(CASE WHEN cum_a > cum_r THEN 1 ELSE 0 END) AS BIGINT) AS a_ahead_days
-        |FROM j GROUP BY brand""".stripMargin))
+        |FROM j GROUP BY brand""".stripMargin),
+
+    // q95 shape: a CHAIN of semi-joins on the same key — orders whose
+    // lines ship from at least two distinct suppliers (correlated
+    // EXISTS with an inequality against another alias of the same
+    // fact) AND that have a returned line (second EXISTS). Both
+    // EXISTS plan as left-semi hash joins keyed on l_orderkey/
+    // o_orderkey, so all three fact scans share ONE hash
+    // distribution — the multi-warehouse reachability plan q95 wants
+    // (no fact row is ever duplicated the way an IN-to-inner-join
+    // rewrite would).
+    sqlQ("ds_reachability_semi",
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders
+        |WHERE EXISTS (
+        |    SELECT 1 FROM lineitem l1
+        |    WHERE l1.l_orderkey = o_orderkey AND EXISTS (
+        |      SELECT 1 FROM lineitem l2
+        |      WHERE l2.l_orderkey = l1.l_orderkey
+        |        AND l2.l_suppkey <> l1.l_suppkey))
+        |  AND EXISTS (
+        |    SELECT 1 FROM lineitem lr
+        |    WHERE lr.l_orderkey = o_orderkey AND lr.l_returnflag = 'R')
+        |GROUP BY o_orderpriority""".stripMargin),
+
+    // q23 shape: a "frequent items" CTE (first aggregation pass sets a
+    // membership threshold) gates the second fact pass via semi-join,
+    // which then aggregates per customer and keeps the heavy hitters.
+    // Two full fact passes, each ONE agg shuffle; the membership probe
+    // is a semi-join on l_partkey (broadcastable: frequent-item sets
+    // are small by construction at any scale because the threshold
+    // scales with the data).
+    sqlQ("ds_frequent_items",
+      """WITH freq AS (
+        |  SELECT l_partkey
+        |  FROM lineitem
+        |  GROUP BY l_partkey
+        |  HAVING count(*) > (SELECT count(*) / count(DISTINCT l_partkey) FROM lineitem)),
+        |spend AS (
+        |  SELECT o_custkey,
+        |    CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))) * 100) AS BIGINT) AS cents
+        |  FROM lineitem
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  WHERE l_partkey IN (SELECT l_partkey FROM freq)
+        |  GROUP BY o_custkey)
+        |SELECT o_custkey, CAST(cents AS DOUBLE) / 100 AS freq_spend
+        |FROM spend
+        |WHERE cents > 500 * 100 * 100""".stripMargin),
+
+    // q38/q87 shape: multi-channel customer-set INTERSECT — the set
+    // operation over DISTINCT projections of the same fact filtered
+    // three ways (returnflag partitions stand in for the
+    // store/catalog/web channels). INTERSECT plans as two semi-join
+    // stages over hash-distinct inputs sharing the (c_custkey) hash
+    // distribution; the count is exact set cardinality, not a join
+    // fan-out.
+    sqlQ("ds_channel_intersect",
+      """SELECT CAST(count(*) AS BIGINT) AS hot_customers
+        |FROM (
+        |  SELECT o_custkey FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+        |  WHERE l_returnflag = 'A'
+        |  INTERSECT
+        |  SELECT o_custkey FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+        |  WHERE l_returnflag = 'N'
+        |  INTERSECT
+        |  SELECT o_custkey FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+        |  WHERE l_returnflag = 'R') t""".stripMargin))
 }

@@ -24,6 +24,7 @@ object PlanDump {
       "join_spatial_polygon_holes", "join_spatial_kdb", "join_geo_tile",
       "agg_convex_hull", "llm_decontam_bloom", "llm_tfidf",
       "ds_rollup_topk", "ds_ticket_band", "ds_channel_union",
+      "ds_reachability_semi", "ds_frequent_items", "ds_channel_intersect",
       "agg_histogram", "src_local_file_log")
     val spark = graft.engine.Engine.session("local[4]", shufflePartitions = 8)
     graft.engine.Engine.registerTables(spark, sfDir)

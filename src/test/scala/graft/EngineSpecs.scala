@@ -165,6 +165,16 @@ class EngineSpecs extends AnyFunSuite with BeforeAndAfterAll {
       "per-order agg must reuse its partitioning for the orders join")
     assert(countNodes(bandPlan)(_.nodeName.contains("BroadcastHashJoin")) >= 1,
       "customer must broadcast")
+    // q95 shape: both EXISTS chains must plan as LEFT-SEMI joins (no
+    // fact duplication from an IN-to-inner rewrite).
+    val reach = planString(SparkEntry.queries("ds_reachability_semi")(spark, sfDir))
+    assert("LeftSemi".r.findAllIn(reach).size >= 2,
+      "reachability EXISTS chain must plan as semi-joins")
+    assert(!reach.contains("CartesianProduct"), "no cartesian in the semi chain")
+    // q38 shape: INTERSECT must aggregate-distinct then semi-join, not
+    // explode through inner joins.
+    val inter = planString(SparkEntry.queries("ds_channel_intersect")(spark, sfDir))
+    assert(inter.contains("LeftSemi"), "INTERSECT plans as semi-joins over distinct inputs")
   }
 
   test("top-k per group uses the WindowGroupLimit fast path") {
