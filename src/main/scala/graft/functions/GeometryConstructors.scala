@@ -459,19 +459,16 @@ object GeometryConstructors {
     if (isConvex(clip)) stIntersectionConvex(subjectWkt, clipWkt)
     else if (isConvex(subj)) stIntersectionConvex(clipWkt, subjectWkt)
     else {
-      // Degenerate positions (vertex-on-edge, coincident edges) raise in
-      // PolygonClip; retry with the clip JOGGLED by a tiny irrational
-      // translation — the classic published degeneracy-breaking move
-      // (perturbation in the spirit of Edelsbrunner-Mücke's Simulation
-      // of Simplicity). Area error is O(eps * perimeter) ~ 1e-9,
-      // below every oracle's rounding.
+      // Degenerate positions (vertex-on-edge, shared vertices,
+      // coincident edges) raise in PolygonClip; the EXACT
+      // planar-arrangement overlay resolves them without perturbation
+      // (r9 — replaces the 1e-9 joggle, whose O(eps) slivers the
+      // oracles had to round away).
       val parts =
         try PolygonClip.intersect(subj, clip)
         catch {
           case _: IllegalArgumentException =>
-            val e = 1e-9
-            val joggled = clip.map(p => (p._1 + e * 0.7548776662, p._2 + e * 0.5698402910))
-            PolygonClip.intersect(subj, joggled)
+            ExactOverlay.run(ExactOverlay.OpIntersect, subj, clip)
         }
       parts.length match {
         case 0 => "POLYGON EMPTY"
@@ -520,20 +517,12 @@ object GeometryConstructors {
   private def renderParts(parts: Seq[Array[Pt]]): String =
     renderGroups(classifyParts(parts))
 
-  /** Shared overlay driver with the stIntersection joggle fallback. */
+  /** Shared overlay driver with the exact-overlay degeneracy fallback. */
   private def overlay(aWkt: String, bWkt: String,
-      op: (Array[Pt], Array[Pt]) => Seq[Array[Pt]]): String = {
+      op: ExactOverlay.BoolOp): String = {
     val a = parseWkt(aWkt)._2
     val b = parseWkt(bWkt)._2
-    val parts =
-      try op(a, b)
-      catch {
-        case _: IllegalArgumentException =>
-          val e = 1e-9
-          val joggled = b.map(p => (p._1 + e * 0.7548776662, p._2 + e * 0.5698402910))
-          op(a, joggled)
-      }
-    renderParts(parts)
+    renderParts(ringOp(op)(a, b))
   }
 
   // ---- region layer: overlays with HOLED / MULTIPOLYGON inputs (r8) ----
@@ -553,13 +542,11 @@ object GeometryConstructors {
   private type Poly = Array[Array[Pt]]
   private type Region = Seq[Poly]
 
-  private def ringOp(op: (Array[Pt], Array[Pt]) => Seq[Array[Pt]])(
+  private def ringOp(op: ExactOverlay.BoolOp)(
       a: Array[Pt], b: Array[Pt]): Seq[Array[Pt]] =
-    try op(a, b)
+    try PolygonClip.run(op, a, b)
     catch {
-      case _: IllegalArgumentException =>
-        val e = 1e-9
-        op(a, b.map(p => (p._1 + e * 0.7548776662, p._2 + e * 0.5698402910)))
+      case _: IllegalArgumentException => ExactOverlay.run(op, a, b)
     }
 
   /** Cut each of `cuts` (simple rings, pairwise interior-disjoint, and
@@ -572,7 +559,7 @@ object GeometryConstructors {
   private def cutShells(region0: Region, cuts: Seq[Array[Pt]]): Region =
     cuts.foldLeft(region0) { (region, cut) =>
       region.flatMap { poly =>
-        val parts = classifyParts(ringOp(PolygonClip.difference)(poly(0), cut))
+        val parts = classifyParts(ringOp(ExactOverlay.OpDifference)(poly(0), cut))
         val keptOld = poly.drop(1).filterNot(h => PolygonClip.insideRing(h(0), cut))
         parts.map(p => p ++ keptOld.filter(h => PolygonClip.insideRing(h(0), p(0))))
       }
@@ -587,18 +574,18 @@ object GeometryConstructors {
     */
   private def subtractRing(region: Region, ring: Array[Pt]): Region =
     region.flatMap { poly =>
-      val base: Region = classifyParts(ringOp(PolygonClip.difference)(poly(0), ring))
+      val base: Region = classifyParts(ringOp(ExactOverlay.OpDifference)(poly(0), ring))
       val holeCuts = poly.drop(1)
-        .flatMap(h => classifyParts(ringOp(PolygonClip.difference)(h, ring)).map(_(0)))
+        .flatMap(h => classifyParts(ringOp(ExactOverlay.OpDifference)(h, ring)).map(_(0)))
       cutShells(base, holeCuts)
     }
 
   /** region ∩ interior(ring): (S \ ∪H) ∩ R = (S∩R) \ ∪(H∩R). */
   private def intersectRing(region: Region, ring: Array[Pt]): Region =
     region.flatMap { poly =>
-      val base: Region = classifyParts(ringOp(PolygonClip.intersect)(poly(0), ring))
+      val base: Region = classifyParts(ringOp(ExactOverlay.OpIntersect)(poly(0), ring))
       val holeCuts = poly.drop(1)
-        .flatMap(h => classifyParts(ringOp(PolygonClip.intersect)(h, ring)).map(_(0)))
+        .flatMap(h => classifyParts(ringOp(ExactOverlay.OpIntersect)(h, ring)).map(_(0)))
       cutShells(base, holeCuts)
     }
 
@@ -619,7 +606,7 @@ object GeometryConstructors {
     else if (b.isEmpty) a
     else if (a.length == 1 && b.length == 1) {
       val pa = a.head; val pb = b.head
-      val u0: Region = classifyParts(ringOp(PolygonClip.union)(pa(0), pb(0)))
+      val u0: Region = classifyParts(ringOp(ExactOverlay.OpUnion)(pa(0), pb(0)))
       val survivingHoles =
         pa.drop(1).flatMap(h => subtractRegion(Seq(Array(h)), b)) ++
           pb.drop(1).flatMap(h => subtractRegion(Seq(Array(h)), a))
@@ -661,7 +648,7 @@ object GeometryConstructors {
     * MULTIPOLYGON inputs route through the region layer. */
   def stUnion(aWkt: String, bWkt: String): String =
     if (isSimplePolygon(aWkt) && isSimplePolygon(bWkt))
-      overlay(aWkt, bWkt, PolygonClip.union)
+      overlay(aWkt, bWkt, ExactOverlay.OpUnion)
     else renderGroups(unionRegion(parseRegion(aWkt), parseRegion(bWkt)))
 
   /** ST_Difference (GeoFunctions.java:907-918): subject marks inverted;
@@ -669,7 +656,7 @@ object GeometryConstructors {
     * MULTIPOLYGON inputs route through the region layer. */
   def stDifference(aWkt: String, bWkt: String): String =
     if (isSimplePolygon(aWkt) && isSimplePolygon(bWkt))
-      overlay(aWkt, bWkt, PolygonClip.difference)
+      overlay(aWkt, bWkt, ExactOverlay.OpDifference)
     else renderGroups(subtractRegion(parseRegion(aWkt), parseRegion(bWkt)))
 
   /** ST_SymDifference (GeoFunctions.java:979-990) = (A\B) ∪ (B\A). The
@@ -682,8 +669,8 @@ object GeometryConstructors {
       val a = parseWkt(aWkt)._2
       val b = parseWkt(bWkt)._2
       renderGroups(
-        classifyParts(ringOp(PolygonClip.difference)(a, b)) ++
-          classifyParts(ringOp(PolygonClip.difference)(b, a)))
+        classifyParts(ringOp(ExactOverlay.OpDifference)(a, b)) ++
+          classifyParts(ringOp(ExactOverlay.OpDifference)(b, a)))
     } else {
       // (A\B) ⊎ (B\A) — interior-disjoint regions concatenate
       val ra = parseRegion(aWkt); val rb = parseRegion(bWkt)

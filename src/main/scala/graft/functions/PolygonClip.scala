@@ -20,10 +20,13 @@ package graft.functions
   * intersect in several parts), or POLYGON EMPTY.
   *
   * Degeneracy policy: inputs in general position. An intersection
-  * landing exactly on a vertex, or collinear overlapping edges, RAISES
-  * (like the other unsupported-kind errors in this module) rather than
-  * silently producing a wrong ring — the reference's ESRI core resolves
-  * these with symbolic perturbation, out of scope here (documented).
+  * landing exactly on a vertex, or collinear overlapping edges, RAISES —
+  * callers catch and hand the input to [[ExactOverlay]] (exact rational
+  * planar-arrangement overlay), which resolves every degenerate
+  * configuration without perturbation. This split keeps the hot path in
+  * doubles and the exact path on the measure-zero degenerate inputs
+  * (the reference's ESRI core reaches the same end with robust
+  * arithmetic inside one code path).
   *
   * Scale: per-row scalar over WKT, O(nm) edge pairs — map-side,
   * shuffle-free, row-parallel like the rest of the geometry surface.
@@ -31,6 +34,14 @@ package graft.functions
 object PolygonClip {
 
   type Pt = (Double, Double)
+
+  /** Dispatch by boolean-op tag ([[ExactOverlay.BoolOp]]) — the shared
+    * vocabulary between the fast path here and the exact fallback. */
+  def run(op: ExactOverlay.BoolOp, a: Array[Pt], b: Array[Pt]): Seq[Array[Pt]] = op match {
+    case ExactOverlay.OpIntersect => intersect(a, b)
+    case ExactOverlay.OpUnion => union(a, b)
+    case ExactOverlay.OpDifference => difference(a, b)
+  }
   private val Eps = 1e-12
 
   private final class Vert(

@@ -730,6 +730,58 @@ object GeoQueries extends QueryModule {
           call_udf("st_difference", col("square"), col("inner_sq"))), 6).as("holed_diff_area"))
     },
 
+    // Exactly-degenerate overlay positions — EVERY case here raises in
+    // the double-precision Greiner-Hormann and is resolved by the EXACT
+    // rational planar-arrangement fallback (ExactOverlay; r9 — replaces
+    // the 1e-9 joggle, so the areas are EXACT, not rounded-to-forgive).
+    // Fixtures per row (square A = [0,2r]^2 translated to (cx,cy)):
+    //  - B_band = [0,2r] x [r,3r]: its bottom edge's endpoints are
+    //    T-touches ON A's side edges, and both its vertical edges
+    //    OVERLAP A's collinearly. inter = 2r^2, diff = 2r^2,
+    //    symdiff = (A\B) + (B\A) = 4r^2.
+    //  - B_edge = [2r,4r] x [0,2r]: shares A's ENTIRE right edge.
+    //    union = 8r^2 (one rectangle, no sliver seam).
+    //  - B_vertex = [2r,3r] x [2r,3r]: shares exactly the corner
+    //    vertex (2r,2r). union = 5r^2 as a two-part MULTIPOLYGON.
+    //  - B_half = [r,3r] x [2r,4r]: shares HALF of A's top edge
+    //    (collinear partial overlap). union = 8r^2.
+    Q("func_geometry_overlay_exact",
+      """SELECT s_suppkey,
+        |  CAST(2 * r * r AS DOUBLE) AS band_inter,
+        |  CAST(2 * r * r AS DOUBLE) AS band_diff,
+        |  CAST(4 * r * r AS DOUBLE) AS band_symdiff,
+        |  CAST(8 * r * r AS DOUBLE) AS edge_union,
+        |  CAST(5 * r * r AS DOUBLE) AS vertex_union,
+        |  CAST(8 * r * r AS DOUBLE) AS half_union
+        |FROM (SELECT s_suppkey, 1 + s_suppkey % 3 AS r FROM supplier) t""".stripMargin) { (s, _) =>
+      graft.functions.FunctionRegistry.installAll(s)
+      val base = s.table("supplier").selectExpr("s_suppkey",
+        "(s_suppkey * 17) % 40 AS cx", "(s_suppkey * 31) % 40 AS cy",
+        "1 + s_suppkey % 3 AS r")
+      def rect(x0: String, y0: String, x1: String, y1: String): String =
+        s"""concat('POLYGON ((', $x0, ' ', $y0, ', ', $x1, ' ', $y0, ', ',
+           |  $x1, ' ', $y1, ', ', $x0, ' ', $y1, ', ', $x0, ' ', $y0, '))')""".stripMargin
+      val withWkt = base.selectExpr("s_suppkey", "r",
+        rect("cx", "cy", "cx+2*r", "cy+2*r") + " AS a",
+        rect("cx", "cy+r", "cx+2*r", "cy+3*r") + " AS b_band",
+        rect("cx+2*r", "cy", "cx+4*r", "cy+2*r") + " AS b_edge",
+        rect("cx+2*r", "cy+2*r", "cx+3*r", "cy+3*r") + " AS b_vertex",
+        rect("cx+r", "cy+2*r", "cx+3*r", "cy+4*r") + " AS b_half")
+      withWkt.select(col("s_suppkey"),
+        call_udf("st_wkt_area",
+          call_udf("st_intersection", col("a"), col("b_band"))).as("band_inter"),
+        call_udf("st_wkt_area",
+          call_udf("st_difference", col("a"), col("b_band"))).as("band_diff"),
+        call_udf("st_wkt_area",
+          call_udf("st_sym_difference", col("a"), col("b_band"))).as("band_symdiff"),
+        call_udf("st_wkt_area",
+          call_udf("st_union", col("a"), col("b_edge"))).as("edge_union"),
+        call_udf("st_wkt_area",
+          call_udf("st_union", col("a"), col("b_vertex"))).as("vertex_union"),
+        call_udf("st_wkt_area",
+          call_udf("st_union", col("a"), col("b_half"))).as("half_union"))
+    },
+
     // ST_IsValid / geometry_invalid_reason (GeoFunctions.java stIsValid,
     // invalidReason): per-row parity picks a valid diamond, a bowtie
     // (proper self-intersection, exact integer orientation tests), or a

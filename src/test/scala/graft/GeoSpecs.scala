@@ -581,4 +581,59 @@ class GeoSpecs extends AnyFunSuite with BeforeAndAfterAll {
       "POLYGON ((-5 -5, 5 -5, 5 5, -5 5, -5 -5))")
     assert(math.abs(wktArea(i3) - 1.0) < 1e-12)
   }
+
+  test("exact overlay resolves every degenerate position without perturbation") {
+    import graft.functions.ExactOverlay
+    import graft.functions.ExactOverlay.{OpDifference, OpIntersect, OpUnion}
+    type Pt = (Double, Double)
+    def area(r: Array[Pt]): Double = {
+      var s = 0.0
+      r.indices.foreach { i =>
+        val a = r(i); val b = r((i + 1) % r.length)
+        s += a._1 * b._2 - b._1 * a._2
+      }
+      s / 2
+    }
+    def areas(rings: Seq[Array[Pt]]): Seq[Double] = rings.map(area).sorted
+    val sq = Array((0.0, 0.0), (1.0, 0.0), (1.0, 1.0), (0.0, 1.0))
+    // EXACT equality throughout — the joggle this replaces could only
+    // promise |err| <= 1e-9 * perimeter.
+    // shared full edge: interiors disjoint, union seamless
+    val right = sq.map(p => (p._1 + 1.0, p._2))
+    assert(ExactOverlay.run(OpIntersect, sq, right).isEmpty)
+    assert(areas(ExactOverlay.run(OpUnion, sq, right)) == Seq(2.0))
+    assert(areas(ExactOverlay.run(OpDifference, sq, right)) == Seq(1.0))
+    // shared single vertex: union = two shells (pinch point), not one
+    val diag = sq.map(p => (p._1 + 1.0, p._2 + 1.0))
+    assert(ExactOverlay.run(OpIntersect, sq, diag).isEmpty)
+    assert(areas(ExactOverlay.run(OpUnion, sq, diag)) == Seq(1.0, 1.0))
+    // T-touch: triangle vertex ON the square's top edge interior
+    val tri = Array((0.5, 1.0), (1.5, 2.0), (-0.5, 2.0))
+    assert(areas(ExactOverlay.run(OpUnion, sq, tri)) == Seq(1.0, 1.0))
+    assert(areas(ExactOverlay.run(OpDifference, sq, tri)) == Seq(1.0))
+    // collinear PARTIAL edge overlap
+    val partB = Array((0.5, 1.0), (1.5, 1.0), (1.5, 2.0), (0.5, 2.0))
+    assert(ExactOverlay.run(OpIntersect, sq, partB).isEmpty)
+    assert(areas(ExactOverlay.run(OpUnion, sq, partB)) == Seq(2.0))
+    // band with T-touch endpoints + both vertical edges collinear-overlapping
+    val band = Array((0.0, 0.5), (1.0, 0.5), (1.0, 1.5), (0.0, 1.5))
+    assert(areas(ExactOverlay.run(OpIntersect, sq, band)) == Seq(0.5))
+    assert(areas(ExactOverlay.run(OpUnion, sq, band)) == Seq(1.5))
+    assert(areas(ExactOverlay.run(OpDifference, sq, band)) == Seq(0.5))
+    // non-degenerate cross-check against the double-precision GH path
+    // (absolute areas: GH's trace direction differs per op, and the
+    // downstream classifier is orientation-agnostic)
+    def absAreas(rings: Seq[Array[Pt]]): Seq[Double] = rings.map(r => math.abs(area(r))).sorted
+    val off = sq.map(p => (p._1 + 0.5, p._2 + 0.5))
+    assert(absAreas(ExactOverlay.run(OpIntersect, sq, off)) ==
+      absAreas(graft.functions.PolygonClip.intersect(sq, off)))
+    assert(absAreas(ExactOverlay.run(OpUnion, sq, off)) ==
+      absAreas(graft.functions.PolygonClip.union(sq, off)))
+    // end to end: the UDFs route degenerate input through the exact path
+    graft.functions.FunctionRegistry.installAll(spark)
+    val r = spark.range(1).selectExpr(
+      "st_wkt_area(st_union('POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0))', " +
+        "'POLYGON ((2 0, 4 0, 4 2, 2 2, 2 0))')) AS a").head().getDouble(0)
+    assert(r == 8.0, s"edge-sharing union must be exactly 8.0, got $r")
+  }
 }
