@@ -428,6 +428,48 @@ object SourceQueries extends QueryModule {
         .orderBy("partition_id")
     },
 
+    // Document-store connector slice (DocStore; presto-mongodb
+    // MongoSession.buildQuery/buildProjection): BSON-layout documents
+    // with a deliberately OVERSIZED unrequested subtree — the cursor
+    // reads k / meta.ck / meta.pr by trie walk, length-skips the
+    // payload subdocument wholesale, and applies the meta.ck range
+    // predicate before any row materializes. The oracle replays the
+    // derivation from orders; the pushdown mechanics (skip bytes,
+    // decoded-field counts, cursor-level rejection) are spec-pinned in
+    // EngineSpecs.
+    Q("src_docstore_projection",
+      """WITH base AS (SELECT o_orderkey, o_custkey, o_totalprice
+        |              FROM orders ORDER BY o_orderkey LIMIT 3000)
+        |SELECT CAST(o_orderkey % 8 AS BIGINT) AS bucket,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(o_custkey) AS BIGINT) AS ck_sum,
+        |  CAST(round(sum(o_totalprice) * 100) AS BIGINT) AS price_c
+        |FROM base WHERE o_custkey % 5 >= 2
+        |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, _) =>
+      val dir = "tmp/graft_docstore"
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+      val slice = s.table("orders").select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy("o_orderkey").limit(3000).collect()
+      val docs = slice.toSeq.map { r =>
+        Seq[(String, Any)](
+          "k" -> r.getLong(0),
+          "meta" -> Seq[(String, Any)]("ck" -> r.getLong(1), "pr" -> r.getDouble(2),
+            "ckm" -> r.getLong(1) % 5),
+          // the subtree projection pushdown must SKIP, not decode
+          "payload" -> Seq[(String, Any)]((0 until 16).map(i =>
+            s"f$i" -> s"junk-${r.getLong(0)}-$i" * 4): _*))
+      }
+      DocStore.writeCollection(dir, "orders", docs, docsPerSegment = 500)
+      DocStore.readCollection(s, dir, "orders",
+          projection = Seq(("k", "k", "BIGINT"), ("ck", "meta.ck", "BIGINT"),
+            ("pr", "meta.pr", "DOUBLE")),
+          filters = Seq(DocStore.Pred("meta.ckm", ">=", 2L)))
+        .groupBy((col("k") % 8).as("bucket"))
+        .agg(count(lit(1)).as("n"), sum("ck").as("ck_sum"),
+          round(sum("pr") * 100).cast("long").as("price_c"))
+        .orderBy("bucket")
+    },
+
     // presto-local-file connector slice (LocalFileOps): http_request_log
     // over a directory of tab-separated, time-ordered log files —
     // LocalFileTables.java:113-128 schema, LocalFileRecordCursor.java

@@ -475,6 +475,43 @@ class EngineSpecs extends AnyFunSuite with BeforeAndAfterAll {
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
   }
 
+  test("doc store: projection pushdown length-skips unrequested subtrees; filters reject in-cursor") {
+    import graft.sources.DocStore
+    val dir = "/tmp/graft_docstore_spec"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    // 60 docs: 3 small meta fields + one payload subdocument ~50x the
+    // projected data volume
+    val docs = (0 until 60).map { i =>
+      Seq[(String, Any)](
+        "k" -> i.toLong,
+        "meta" -> Seq[(String, Any)]("ck" -> (i * 7).toLong, "name" -> s"doc-$i"),
+        "payload" -> Seq[(String, Any)]((0 until 20).map(j =>
+          s"f$j" -> ("x" * 40 + j.toString)): _*))
+    }
+    DocStore.writeCollection(dir, "c", docs, docsPerSegment = 25)
+    assert(DocStore.plannedSplits(dir, "c") == 3, "ceil(60/25) segment splits")
+    val d0 = DocStore.fieldsDecoded.get()
+    val s0 = DocStore.bytesSkipped.get()
+    val r0 = DocStore.docsRejected.get()
+    val rows = DocStore.readCollection(spark, dir, "c",
+        projection = Seq(("k", "k", "BIGINT"), ("ck", "meta.ck", "BIGINT")),
+        filters = Seq(DocStore.Pred("k", ">=", 10L)))
+      .collect()
+    assert(rows.length == 50)
+    assert(rows.map(_.getLong(1)).sum == (10 until 60).map(_ * 7).sum)
+    // pushdown contracts: exactly the 2 requested fields decode per doc
+    // (payload and meta.name never do), the payload subtree's bytes are
+    // length-skipped wholesale, and the k<10 docs die in the cursor.
+    val decoded = DocStore.fieldsDecoded.get() - d0
+    val skipped = DocStore.bytesSkipped.get() - s0
+    val rejected = DocStore.docsRejected.get() - r0
+    assert(decoded == 120, s"2 fields x 60 docs must decode, got $decoded")
+    // each payload: 20 fields x (~41-42 chars + bson string overhead) > 800 bytes
+    assert(skipped > 60L * 800, s"payload subtrees must be skipped by length, got $skipped")
+    assert(rejected == 10, s"filter must reject 10 docs in-cursor, got $rejected")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+  }
+
   test("bucketed tables join co-located: no shuffle on either side") {
     import org.apache.spark.sql.functions._
     spark.sql("DROP TABLE IF EXISTS graft_b_li")
