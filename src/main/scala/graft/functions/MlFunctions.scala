@@ -46,9 +46,14 @@ import org.apache.spark.unsafe.types.UTF8String
   *  - kernel=poly, degree=2: exact quadratic expansion
   *    [x_i, x_i^2, x_i*x_j], which spans the poly-2 kernel's feature
   *    space, so quadratic relationships fit to fp precision;
-  *  - kernel=sigmoid and degree>2 raise (documented out: tanh is not
-  *    PSD, and high-degree explicit expansion blows up — TensorSketch
-  *    is the published path if ever needed).
+  *  - kernel=sigmoid / kernel=poly with degree != 2: Nystrom landmark
+  *    features (Williams & Seeger, NIPS 2001) z(x) = K_mm^{-1/2} k_x
+  *    over 32 landmarks — kernel-agnostic (no spectral structure
+  *    needed, unlike RFF), with the spectrum-flip |lambda|^{-1/2}
+  *    treatment absorbing the tanh kernel's indefiniteness (Pekalska &
+  *    Duin's published handling; these kernels previously raised).
+  *    The transform is a per-row map at apply time, so the scale story
+  *    matches RFF's.
   *
   * Scale: learn_* is a one-shuffle aggregate with O(cap × dims) state;
   * classify/regress/features are per-row scalars (map-side, no
@@ -344,22 +349,152 @@ object MlFunctions {
     out
   }
 
+  // ---- Nyström landmark features (Williams & Seeger, NIPS 2001): the
+  // kernel-agnostic low-rank path serving kernel=sigmoid and
+  // kernel=poly with degree != 2. z(x) = K_mm^{-1/2} k_x over m
+  // landmark points; a linear model on z approximates the kernel
+  // machine. Unlike RFF (shift-invariant kernels only) Nyström needs
+  // no spectral structure, and eigenvalue CLIPPING in K_mm^{-1/2}
+  // handles the tanh kernel's indefiniteness (the reason sigmoid
+  // previously raised): negative components are projected out, which
+  // is the published fix for indefinite Gram matrices. Landmarks come
+  // evenly spaced from the KMV-capped sample buffer, so the model is
+  // arrival-order-independent like the cap itself. ----
+
+  private val NystromM = 32
+
+  private def kernelValue(kernel: String, gamma: Double, coef0: Double,
+      degree: Int, x: Array[Double], y: Array[Double]): Double = {
+    var dp = 0.0
+    var i = 0
+    val n = math.min(x.length, y.length)
+    while (i < n) { dp += x(i) * y(i); i += 1 }
+    kernel match {
+      case "sigmoid" => math.tanh(gamma * dp + coef0)
+      case "poly" => math.pow(gamma * dp + coef0, degree.toDouble)
+      case other => throw new IllegalArgumentException(s"no Nystrom kernel: $other")
+    }
+  }
+
+  /** Cyclic Jacobi eigendecomposition of a symmetric m x m matrix.
+    * Returns (eigenvalues, eigenvectors as columns). */
+  private[functions] def jacobiEigen(a0: Array[Array[Double]]): (Array[Double], Array[Array[Double]]) = {
+    val m = a0.length
+    val a = a0.map(_.clone())
+    val v = Array.tabulate(m, m)((i, j) => if (i == j) 1.0 else 0.0)
+    var sweep = 0
+    var off = Double.MaxValue
+    while (off > 1e-12 && sweep < 100) {
+      off = 0.0
+      var p = 0
+      while (p < m) {
+        var q = p + 1
+        while (q < m) {
+          off += 2 * a(p)(q) * a(p)(q)
+          if (math.abs(a(p)(q)) > 1e-15) {
+            val theta = (a(q)(q) - a(p)(p)) / (2 * a(p)(q))
+            val t = math.signum(theta) / (math.abs(theta) + math.sqrt(theta * theta + 1))
+            val c = 1.0 / math.sqrt(t * t + 1)
+            val s = t * c
+            var k = 0
+            while (k < m) {
+              val akp = a(k)(p); val akq = a(k)(q)
+              a(k)(p) = c * akp - s * akq
+              a(k)(q) = s * akp + c * akq
+              k += 1
+            }
+            k = 0
+            while (k < m) {
+              val apk = a(p)(k); val aqk = a(q)(k)
+              a(p)(k) = c * apk - s * aqk
+              a(q)(k) = s * apk + c * aqk
+              val vkp = v(k)(p); val vkq = v(k)(q)
+              v(k)(p) = c * vkp - s * vkq
+              v(k)(q) = s * vkp + c * vkq
+              k += 1
+            }
+          }
+          q += 1
+        }
+        p += 1
+      }
+      sweep += 1
+    }
+    (Array.tabulate(m)(i => a(i)(i)), v)
+  }
+
+  /** W = V diag(|lambda|^{-1/2}) V^T for the landmark Gram matrix —
+    * the spectrum FLIP treatment for indefinite kernels (Pekalska &
+    * Duin's published handling): the tanh kernel's negative-eigenvalue
+    * directions carry real signal (odd components), so flipping keeps
+    * them where clipping would zero them; the downstream linear model
+    * absorbs the sign. Identical to the plain inverse square root for
+    * PSD kernels. Near-zero eigenvalues drop (rank deficiency). */
+  private def nystromW(land: Array[Array[Double]], kernel: String, gamma: Double,
+      coef0: Double, degree: Int): Array[Double] = {
+    val m = land.length
+    val gram = Array.tabulate(m, m)((i, j) =>
+      kernelValue(kernel, gamma, coef0, degree, land(i), land(j)))
+    val (lam, v) = jacobiEigen(gram)
+    val inv = lam.map(l => if (math.abs(l) > 1e-10) 1.0 / math.sqrt(math.abs(l)) else 0.0)
+    val w = new Array[Double](m * m)
+    var i = 0
+    while (i < m) {
+      var j = 0
+      while (j < m) {
+        var s = 0.0
+        var k = 0
+        while (k < m) { s += v(i)(k) * inv(k) * v(j)(k); k += 1 }
+        w(i * m + j) = s
+        j += 1
+      }
+      i += 1
+    }
+    w
+  }
+
+  def nystromTransform(x: Array[Double], land: Array[Array[Double]], w: Array[Double],
+      kernel: String, gamma: Double, coef0: Double, degree: Int): Array[Double] = {
+    val m = land.length
+    val kx = Array.tabulate(m)(i => kernelValue(kernel, gamma, coef0, degree, x, land(i)))
+    val z = new Array[Double](m)
+    var i = 0
+    while (i < m) {
+      var s = 0.0
+      var j = 0
+      while (j < m) { s += w(i * m + j) * kx(j); j += 1 }
+      z(i) = s
+      i += 1
+    }
+    z
+  }
+
   private def kernelized(samples: Array[(Double, Array[Double])], p: SvmParams)
       : (String, Array[(Double, Array[Double])]) = {
     val d = dims(samples)
+    def nystrom(kernel: String): (String, Array[(Double, Array[Double])]) = {
+      val g = if (p.gamma > 0) p.gamma else 1.0 / math.max(d, 1)
+      val m = math.min(NystromM, samples.length)
+      require(m > 0, "no samples to learn from")
+      val step = math.max(1, samples.length / m)
+      val land = (0 until m).map(i => samples((i * step) % samples.length)._2).toArray
+      val w = nystromW(land, kernel, g, p.coef0, p.degree)
+      val landTxt = land.map(_.mkString(",")).mkString("|")
+      val prefix = s"nys:$d;$m;$kernel;$g;${p.coef0};${p.degree};$landTxt;${w.mkString(",")};"
+      (prefix, samples.map { case (y, x) =>
+        (y, nystromTransform(x, land, w, kernel, g, p.coef0, p.degree))
+      })
+    }
     p.kernel match {
       case "linear" => ("", samples)
       case "rbf" =>
         val g = if (p.gamma > 0) p.gamma else 1.0 / math.max(d, 1)
         (s"rff:$d;$RffD;$g;",
           samples.map { case (y, x) => (y, rffTransform(x, d, RffD, g)) })
-      case "poly" =>
-        require(p.degree == 2,
-          s"kernel=poly supports degree=2 (exact expansion); got degree=${p.degree}")
+      case "poly" if p.degree == 2 =>
         (s"poly2:$d;", samples.map { case (y, x) => (y, poly2Transform(x, d)) })
-      case "sigmoid" =>
-        throw new IllegalArgumentException(
-          "kernel=sigmoid is not supported (tanh kernel is not positive semi-definite)")
+      case "poly" => nystrom("poly") // degree 1, 3+ via landmark features
+      case "sigmoid" => nystrom("sigmoid")
       case other => throw new IllegalArgumentException(s"unknown kernel: $other")
     }
   }
@@ -415,6 +550,16 @@ object MlFunctions {
       val parts = model.drop(6).split(";", 2)
       val d = parts(0).toInt
       Some((toMap(poly2Transform(dense(d), d)), parts(1)))
+    } else if (model.startsWith("nys:")) {
+      val parts = model.drop(4).split(";", 9)
+      val d = parts(0).toInt
+      val kernel = parts(2)
+      val g = parts(3).toDouble
+      val c0 = parts(4).toDouble
+      val deg = parts(5).toInt
+      val land = parts(6).split('|').map(_.split(',').map(_.toDouble))
+      val w = parts(7).split(',').map(_.toDouble)
+      Some((toMap(nystromTransform(dense(d), land, w, kernel, g, c0, deg)), parts(8)))
     } else None
   }
 

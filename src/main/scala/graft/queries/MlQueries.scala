@@ -172,5 +172,49 @@ object MlQueries extends QueryModule {
       scored.agg(
         count(lit(1)).as("n_total"),
         round(max(col("err")), 6).as("max_err"))
+    },
+
+    // kernel=sigmoid and kernel=poly degree=3 via Nystrom landmark
+    // features (Williams & Seeger 2001; spectrum flip for tanh's
+    // indefiniteness — both kernels previously raised). Planted 1-D
+    // target sign(x^3 - x) has THREE decision boundaries: a quadratic
+    // feature space supports at most two sign changes, so poly-2 CANNOT
+    // be exact while the cubic landmark features are, and the shifted
+    // tanh units get >= 95%. Margin 0.1 off the roots keeps every
+    // boundary decision deterministic across SFs.
+    Q("ml_learn_libsvm_nystrom",
+      """WITH pts AS (
+        |  SELECT ((c_custkey * 7919) % 401 - 200) / 100.0 AS x FROM customer),
+        |lab AS (
+        |  SELECT x, CASE WHEN x*x*x - x > 0 THEN 1 ELSE 0 END AS label
+        |  FROM pts WHERE abs(x*x*x - x) > 0.1)
+        |SELECT CAST(count(*) AS BIGINT) AS n_total,
+        |       true AS poly3_all_correct,
+        |       true AS sigmoid_strong,
+        |       true AS poly2_imperfect
+        |FROM lab""".stripMargin) { (s, _) =>
+      graft.functions.FunctionRegistry.installAll(s)
+      val lab = s.table("customer")
+        .selectExpr("((c_custkey * 7919) % 401 - 200) / 100.0 AS x")
+        .filter(expr("abs(x*x*x - x) > 0.1"))
+        .withColumn("label", expr("CASE WHEN x*x*x - x > 0 THEN 1 ELSE 0 END"))
+      val models = lab.agg(
+        expr("learn_libsvm_classifier(label, features(x), 'kernel=poly,degree=3,gamma=1,coef0=1')")
+          .as("p3"),
+        expr("learn_libsvm_classifier(label, features(x), 'kernel=sigmoid,gamma=2')").as("sig"),
+        expr("learn_libsvm_classifier(label, features(x), 'kernel=poly,degree=2,gamma=1,coef0=1')")
+          .as("p2"))
+      val scored = lab.crossJoin(broadcast(models))
+        .withColumn("h3", expr("classify(features(x), p3)"))
+        .withColumn("hs", expr("classify(features(x), sig)"))
+        .withColumn("h2", expr("classify(features(x), p2)"))
+      scored.agg(
+        count(lit(1)).as("n_total"),
+        (count(when(col("h3") === col("label"), 1)) === count(lit(1)))
+          .as("poly3_all_correct"),
+        (count(when(col("hs") === col("label"), 1)).cast("double") / count(lit(1)) >= 0.95)
+          .as("sigmoid_strong"),
+        (count(when(col("h2") === col("label"), 1)) < count(lit(1)))
+          .as("poly2_imperfect"))
     })
 }

@@ -120,8 +120,10 @@ object StatementServer {
     val q = new QueryExec(id, sqlText)
     server.queries.put(id, q)
     // visible in system.runtime.queries from submission on, like the
-    // reference's QUEUED state
-    SystemTables.record(server.session, id, sqlText, "QUEUED", created)
+    // reference's QUEUED state; source = the client's X-Presto-Source
+    // header (StatementResource reads the same), default "http"
+    val source = Option(ex.getRequestHeaders.getFirst("X-Presto-Source")).getOrElse("http")
+    SystemTables.record(server.session, id, sqlText, "QUEUED", created, source)
     server.pool.execute(() => run(server, q, created))
     respond(ex, 200, envelope(server, q, data = Seq.empty, includeNext = true))
   }

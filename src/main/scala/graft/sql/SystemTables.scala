@@ -47,18 +47,21 @@ object SystemTables {
 
   /** Record a front-door statement under its pre-assigned id. Upsert:
     * the HTTP protocol server records QUEUED/RUNNING before planning,
-    * and the front door's completion record then transitions the same
-    * entry rather than appending a duplicate id. */
+    * and the front door's completion record then TRANSITIONS the same
+    * entry (state + end time only — the submission's user/source/
+    * created are the facts of record, like the reference's
+    * QueryStateMachine) rather than appending a duplicate id. `source`
+    * is the client identity (QuerySystemTable's source column; the
+    * reference fills it from the X-Presto-Source header). */
   def record(spark: SparkSession, id: String, query: String, state: String,
-      createdMs: Long): Unit = {
+      createdMs: Long, source: String = "graft"): Unit = {
     val l = logOf(spark)
     l.synchronized {
-      val rec = QueryRecord(id, state, AccessControl.principal(spark), "graft",
-        query, createdMs, System.currentTimeMillis())
       val i = l.indexWhere(_.id == id)
-      if (i >= 0) l(i) = rec
+      if (i >= 0) l(i) = l(i).copy(state = state, endMs = System.currentTimeMillis())
       else {
-        l += rec
+        l += QueryRecord(id, state, AccessControl.principal(spark), source,
+          query, createdMs, System.currentTimeMillis())
         if (l.length > MaxLog) l.remove(0, l.length - MaxLog)
       }
     }

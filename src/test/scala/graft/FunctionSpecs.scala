@@ -561,14 +561,40 @@ class FunctionSpecs extends AnyFunSuite {
       assert(math.abs(MlFunctions.regress(Map(0L -> x(0), 1L -> x(1)), m) - y) < 1e-6)
     }
     intercept[IllegalArgumentException] {
-      MlFunctions.trainWithParams(samples, "kernel=sigmoid", classifier = true)
-    }
-    intercept[IllegalArgumentException] {
-      MlFunctions.trainWithParams(samples, "kernel=poly,degree=3", classifier = false)
+      MlFunctions.trainWithParams(samples, "kernel=chi2", classifier = true)
     }
     // param parsing mirrors LibSvmUtils: unknown keys ignored, defaults applied
     val p = MlFunctions.parseSvmParams("kernel=rbf,C=10,cache_size=100")
     assert(p.kernel == "rbf" && p.gamma == 0.0)
+  }
+
+  test("libsvm kernels: sigmoid and poly-3 classify via Nystrom landmarks (formerly raised)") {
+    import graft.functions.MlFunctions
+    // 1-D target sign(x^3 - x): THREE decision boundaries (-1, 0, 1).
+    // A quadratic feature space [x, x^2] supports at most two sign
+    // changes, so poly-2 cannot be exact; Nystrom poly-3 features are
+    // linear combos of (g*x*l + c)^3 cubics and sigmoid features are
+    // shifted tanh units — both express the boundary.
+    val all = (-200 to 200).map(_ / 100.0)
+      .filter(x => math.abs(x * x * x - x) > 0.08) // margin off the roots
+      .map(x => (if (x * x * x - x > 0) 1.0 else 0.0, Array(x))).toArray
+    def errors(model: String): Int = all.count { case (y, x) =>
+      MlFunctions.classify(Map(0L -> x(0)), model) != y.toLong }
+    val p3 = MlFunctions.trainWithParams(all, "kernel=poly,degree=3,gamma=1,coef0=1",
+      classifier = true)
+    assert(p3.startsWith("nys:1;"), p3.take(30))
+    assert(errors(p3) == 0, s"poly-3 misclassified ${errors(p3)} of ${all.length}")
+    val sig = MlFunctions.trainWithParams(all, "kernel=sigmoid,gamma=2,coef0=0",
+      classifier = true)
+    assert(sig.startsWith("nys:1;"), sig.take(30))
+    assert(errors(sig).toDouble / all.length < 0.05,
+      s"sigmoid misclassified ${errors(sig)} of ${all.length}")
+    val p2 = MlFunctions.trainWithParams(all, "kernel=poly,degree=2", classifier = true)
+    assert(errors(p2) > 0, "a quadratic cannot express three sign changes")
+    // determinism: landmarks come from the KMV-ordered buffer, so the
+    // model text is bit-identical across retrains
+    assert(p3 == MlFunctions.trainWithParams(all, "kernel=poly,degree=3,gamma=1,coef0=1",
+      classifier = true))
   }
 
   test("ML sample cap is KMV: retained subset is arrival-order-independent past the cap (r7 advice)") {

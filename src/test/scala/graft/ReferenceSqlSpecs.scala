@@ -100,4 +100,21 @@ class ReferenceSqlSpecs extends AnyFunSuite with BeforeAndAfterAll {
       .agg(sum(col("l_extendedprice") * col("l_discount"))).head().getDouble(0)
     assert(math.abs(ref - direct) < 1e-6 * math.abs(direct))
   }
+
+  test("the reference's distributed_sort bench texts run verbatim and count every row") {
+    // presto-benchto-benchmarks/.../distributed_sort/sort_query_{1,6}_cols.sql:
+    // count over a fully sorted subquery — the reference's distributed
+    // full-sort exercise (here: Spark's range-partitioned global sort).
+    val dir = "/root/reference/presto-benchto-benchmarks/src/main/resources/sql/presto/distributed_sort"
+    val expected = spark.table("lineitem").count()
+    Seq("sort_query_1_col", "sort_query_6_cols").foreach { q =>
+      val text = scala.io.Source.fromFile(s"$dir/$q.sql").mkString
+        .replaceAll("\\$\\{database\\}\\.\\$\\{schema\\}\\.(\\w+)", "tpch_$1")
+        .trim.stripSuffix(";")
+      val row = PrestoSql.sql(spark, text).head()
+      (0 until row.length).foreach { i =>
+        assert(row.getLong(i) == expected, s"$q col $i: ${row.getLong(i)} != $expected")
+      }
+    }
+  }
 }
