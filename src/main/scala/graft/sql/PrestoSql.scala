@@ -439,7 +439,10 @@ object PrestoSql {
   private val prepareRe = """(?is)\s*PREPARE\s+(\w+)\s+FROM\s+(.+)""".r
   private val executeRe = """(?is)\s*EXECUTE\s+(\w+)\s*(?:USING\s+(.+))?""".r
   private val deallocRe = """(?is)\s*DEALLOCATE\s+(?:PREPARE\s+)?(\w+)\s*""".r
-  private val explainAnalyzeRe = """(?is)\s*EXPLAIN\s+ANALYZE\s+(.+)""".r
+  // VERBOSE (SqlBase.g4:72 `EXPLAIN ANALYZE? VERBOSE?`) adds operator
+  // detail in the reference; our analyzed plan text is already the
+  // detailed form, so the keyword is accepted and absorbed.
+  private val explainAnalyzeRe = """(?is)\s*EXPLAIN\s+ANALYZE(?:\s+VERBOSE)?\s+(.+)""".r
   // EXPLAIN (TYPE LOGICAL|DISTRIBUTED|VALIDATE|IO [, FORMAT TEXT|JSON]) q
   // — SqlBase.g4 explainOption, ExplainRewrite.java:91-140.
   private val explainOptsRe = """(?is)\s*EXPLAIN\s*\(\s*([^)]*?)\s*\)\s+(.+)""".r
@@ -558,6 +561,16 @@ object PrestoSql {
   // USE schema | USE catalog.schema (SqlBase.g4:35-36, UseTask.java:
   // validates the schema exists, then sets the session default).
   private val useRe = """(?is)\s*USE\s+(?:(\w+)\.)?(\w+)\s*""".r
+  // SET PATH (SqlBase.g4:98, SetPathTask.java): the SQL-path for
+  // function resolution. Single-catalog engine with one function
+  // registry -> recorded as a session property, semantically a no-op.
+  private val setPathRe = """(?is)\s*SET\s+PATH\s+(.+?)\s*""".r
+  // ALTER SCHEMA x RENAME TO y (SqlBase.g4:40): the reference's
+  // RenameSchemaTask delegates to the connector, and its primary
+  // connectors throw ("This connector does not support renaming
+  // schemas") — same contract here, loudly rather than silently.
+  private val renameSchemaRe =
+    """(?is)\s*ALTER\s+SCHEMA\s+([\w.]+)\s+RENAME\s+TO\s+(\w+)\s*""".r
   // ALTER TABLE family (SqlBase.g4:52-58; RenameTableTask.java,
   // RenameColumnTask.java, DropColumnTask.java, AddColumnTask.java).
   // graft tables are session temp views, so each alter re-registers the
@@ -719,6 +732,12 @@ object PrestoSql {
       case killQueryRe(queryId) =>
         SystemTables.killQuery(spark, queryId)
         Seq("CALL").toDF("result")
+      case renameSchemaRe(_, _) =>
+        throw new UnsupportedOperationException(
+          "This connector does not support renaming schemas")
+      case setPathRe(path) =>
+        propsOf(spark).put("path", path.trim)
+        Seq("SET PATH").toDF("result")
       case useRe(catalog, schema) =>
         if (catalog != null)
           require(Seq("graft", "spark_catalog").contains(catalog.toLowerCase),

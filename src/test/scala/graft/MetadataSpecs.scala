@@ -182,6 +182,19 @@ class MetadataSpecs extends AnyFunSuite with BeforeAndAfterAll {
     assert(spark.table("alt_spec2").columns.toSeq == Seq("nation_name", "note"))
     assert(!spark.catalog.tableExists("alt_spec"))
     spark.catalog.dropTempView("alt_spec2")
+    // schema DDL rides Spark natively; ALTER SCHEMA RENAME matches the
+    // reference's primary-connector contract (RenameSchemaTask -> the
+    // connector throws); SET PATH (SetPathTask) records and no-ops.
+    PrestoSql.sql(spark, "CREATE SCHEMA IF NOT EXISTS meta_sch_spec")
+    assert(spark.catalog.databaseExists("meta_sch_spec"))
+    intercept[UnsupportedOperationException](
+      PrestoSql.sql(spark, "ALTER SCHEMA meta_sch_spec RENAME TO meta_sch_spec2"))
+    PrestoSql.sql(spark, "DROP SCHEMA meta_sch_spec")
+    assert(!spark.catalog.databaseExists("meta_sch_spec"))
+    assert(PrestoSql.sql(spark, "SET PATH a.b").head().getString(0) == "SET PATH")
+    // EXPLAIN ANALYZE VERBOSE parses (SqlBase.g4:72) and returns the plan
+    assert(PrestoSql.sql(spark, "EXPLAIN ANALYZE VERBOSE SELECT 1 AS x")
+      .head().getString(0).nonEmpty)
   }
 
   test("CALL system.runtime.kill_query cancels a running statement (KillQueryProcedure.java)") {
