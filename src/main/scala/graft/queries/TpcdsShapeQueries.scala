@@ -204,11 +204,11 @@ object TpcdsShapeQueries extends QueryModule {
     // are small by construction at any scale because the threshold
     // scales with the data).
     sqlQ("ds_frequent_items",
-      """WITH freq AS (
-        |  SELECT l_partkey
-        |  FROM lineitem
-        |  GROUP BY l_partkey
-        |  HAVING count(*) > (SELECT count(*) / count(DISTINCT l_partkey) FROM lineitem)),
+      """WITH counts AS (
+        |  SELECT l_partkey, count(*) AS cnt FROM lineitem GROUP BY l_partkey),
+        |freq AS (
+        |  SELECT l_partkey FROM counts
+        |  WHERE cnt > (SELECT avg(cnt) FROM counts)),
         |spend AS (
         |  SELECT o_custkey,
         |    CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))) * 100) AS BIGINT) AS cents
