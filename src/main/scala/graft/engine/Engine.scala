@@ -97,7 +97,18 @@ object Engine {
   /** Register every fixture table under `dir` as a temp view. Idempotent
     * per (session, dir). Also installs the graft function extensions.
     */
+  /** Install the graft optimizer rules once per session (idempotent).
+    * extraOptimizations rather than injectOptimizerRule so sessions
+    * built by ANY builder (Bench constructs its own) get the rules the
+    * moment they register the catalog. */
+  def installOptimizerRules(spark: SparkSession): Unit =
+    if (!spark.experimental.extraOptimizations.contains(graft.plans.KeyPredicatePropagation)) {
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ graft.plans.KeyPredicatePropagation
+    }
+
   def registerTables(spark: SparkSession, dir: String): Unit = {
+    installOptimizerRules(spark)
     if (registered.get(spark) != dir) {
       // Fixture generations differ on events.ts: older drivers wrote
       // TIMESTAMP(NANOS) (which the vectorized reader rejects — read

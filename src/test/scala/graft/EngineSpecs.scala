@@ -177,6 +177,36 @@ class EngineSpecs extends AnyFunSuite with BeforeAndAfterAll {
     assert(inter.contains("LeftSemi"), "INTERSECT plans as semi-joins over distinct inputs")
   }
 
+  test("key-predicate propagation reaches the fact scan under a decorrelated LATERAL") {
+    // Spark's own constraint inference stops at the decorrelation's
+    // null-safe domain join, so the outer `o_orderkey <= 2000` used to
+    // leave the lineitem aggregate scanning EVERY row (48.9 CPU-s at
+    // sf1 for a 2000-key answer). KeyPredicatePropagation carries
+    // key-only predicates across equi-join conjuncts; the pushed
+    // predicate must reach the lineitem parquet scan, and the result
+    // must be row-identical with the rule disabled.
+    val sql =
+      """SELECT o.o_orderkey, t.mq, t.lines
+        |FROM orders o,
+        |LATERAL (SELECT max(l_quantity) AS mq, CAST(count(*) AS BIGINT) AS lines
+        |         FROM lineitem WHERE l_orderkey = o.o_orderkey) t
+        |WHERE o.o_orderkey <= 2000""".stripMargin
+    val withRule = spark.sql(sql)
+    val planText = planString(withRule)
+    val lineitemScan = planText.linesIterator
+      .filter(l => l.contains("lineitem.parquet") && l.contains("PushedFilters"))
+      .mkString("\n")
+    assert(lineitemScan.contains("LessThanOrEqual(l_orderkey,2000)"),
+      s"outer key predicate must reach the fact scan:\n$lineitemScan")
+    val expect = withRule.orderBy("o_orderkey").collect().toSeq
+    val saved = spark.experimental.extraOptimizations
+    try {
+      spark.experimental.extraOptimizations = Seq.empty
+      val baseline = spark.sql(sql).orderBy("o_orderkey").collect().toSeq
+      assert(expect == baseline, "propagation must not change any row")
+    } finally spark.experimental.extraOptimizations = saved
+  }
+
   test("top-k per group uses the WindowGroupLimit fast path") {
     // the reference's TopNRowNumberOperator; Spark >= 3.5 InferWindowGroupLimit
     val df = SparkEntry.queries("win_topk_per_group")(spark, sfDir)
