@@ -22,6 +22,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     new ExpressionInfo(classOf[GraftExtensions].getName, name)
 
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // Engine optimizer rules (Engine.installOptimizerRules adds the same
+    // via extraOptimizations for sessions built without the extension).
+    ext.injectOptimizerRule(_ => graft.plans.KeyPredicatePropagation)
     ext.injectFunction((FunctionIdentifier("cosine_similarity"), info("cosine_similarity"),
       (args: Seq[Expression]) => ArrayCosineSimilarity(
         Cast(args(0), ArrayType(DoubleType)), Cast(args(1), ArrayType(DoubleType)))))

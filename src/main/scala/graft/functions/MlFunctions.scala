@@ -551,16 +551,32 @@ object MlFunctions {
       val d = parts(0).toInt
       Some((toMap(poly2Transform(dense(d), d)), parts(1)))
     } else if (model.startsWith("nys:")) {
-      val parts = model.drop(4).split(";", 9)
-      val d = parts(0).toInt
-      val kernel = parts(2)
-      val g = parts(3).toDouble
-      val c0 = parts(4).toDouble
-      val deg = parts(5).toInt
-      val land = parts(6).split('|').map(_.split(',').map(_.toDouble))
-      val w = parts(7).split(',').map(_.toDouble)
-      Some((toMap(nystromTransform(dense(d), land, w, kernel, g, c0, deg)), parts(8)))
+      // The nys model text carries ~1.5k doubles (landmarks + whitening
+      // matrix); parsing it PER ROW dominated apply time (~10s for a
+      // 13k-row scoring pass at sf0.1). Parse once per executor per
+      // distinct model string.
+      val (d, land, w, kernel, g, c0, deg, inner) =
+        nysParseCache.computeIfAbsent(model, { m =>
+          val parts = m.drop(4).split(";", 9)
+          (parts(0).toInt,
+            parts(6).split('|').map(_.split(',').map(_.toDouble)),
+            parts(7).split(',').map(_.toDouble),
+            parts(2), parts(3).toDouble, parts(4).toDouble, parts(5).toInt, parts(8))
+        })
+      Some((toMap(nystromTransform(dense(d), land, w, kernel, g, c0, deg)), inner))
     } else None
+  }
+
+  // Bounded memo of parsed nys models (few distinct models live at a
+  // time; clear on overflow rather than LRU bookkeeping).
+  private val nysParseCache = new java.util.concurrent.ConcurrentHashMap[
+    String, (Int, Array[Array[Double]], Array[Double], String, Double, Double, Int, String)]() {
+    override def computeIfAbsent(key: String,
+        f: java.util.function.Function[_ >: String, _ <: (Int, Array[Array[Double]], Array[Double], String, Double, Double, Int, String)])
+        : (Int, Array[Array[Double]], Array[Double], String, Double, Double, Int, String) = {
+      if (size() > 64) clear()
+      super.computeIfAbsent(key, f)
+    }
   }
 
   def classify(features: Map[Long, Double], model: String): Long = {
