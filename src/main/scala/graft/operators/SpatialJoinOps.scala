@@ -211,18 +211,17 @@ object SpatialJoinOps {
     * NOT contained, matching ST_Contains (OGC: the point's interior
     * must meet the polygon's interior). Works for any simple polygon,
     * convex or not.
+    *
+    * Evaluated by the native codegen'd [[graft.functions.PointInRings]]
+    * kernel (the HOF formulation it replaces materialized an edge-struct
+    * array per candidate, interpreted — see that file's scaladoc).
     */
-  def pointInPolygon(pts: Column, px: Column, py: Column): Column = {
-    val crossings = size(filter(ringEdges(pts), e => {
-      val ax = e.getField("a").getField("x")
-      val ay = e.getField("a").getField("y")
-      val bx = e.getField("b").getField("x")
-      val by = e.getField("b").getField("y")
-      ((ay > py) =!= (by > py)) &&
-        (px < (bx - ax) * (py - ay) / (by - ay) + ax)
-    }))
-    crossings % 2 === 1
-  }
+  def pointInPolygon(pts: Column, px: Column, py: Column): Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.functions.PointInRings(
+        org.apache.spark.sql.graft.ColumnBridge.expression(pts),
+        org.apache.spark.sql.graft.ColumnBridge.expression(px.cast("double")),
+        org.apache.spark.sql.graft.ColumnBridge.expression(py.cast("double"))))
 
   /** Parse a multi-ring `POLYGON ((outer), (hole1), ...)` WKT to
     * array<array<struct<x,y>>> — one vertex array per ring, closing
@@ -252,23 +251,18 @@ object SpatialJoinOps {
         element_at(split(trim(t), "\\s+"), 2).cast("double").as("y"))))
   }
 
-  private def rayCrossings(pts: Column, px: Column, py: Column): Column =
-    size(filter(ringEdges(pts), e => {
-      val ax = e.getField("a").getField("x")
-      val ay = e.getField("a").getField("y")
-      val bx = e.getField("b").getField("x")
-      val by = e.getField("b").getField("y")
-      ((ay > py) =!= (by > py)) &&
-        (px < (bx - ax) * (py - ay) / (by - ay) + ax)
-    }))
-
   /** Even-odd point-in-polygon over MULTIPLE rings: holes fall out of
     * the parity sum (a point inside the outer ring and inside a hole
     * crosses both boundaries -> even -> outside), which is exactly how
     * the even-odd rule defines polygon-with-holes interiors. Boundary
-    * points are not contained (as in pointInPolygon). */
+    * points are not contained (as in pointInPolygon). Same native
+    * codegen'd kernel ([[graft.functions.PointInRings]]). */
   def pointInPolygonRings(rings: Column, px: Column, py: Column): Column =
-    aggregate(rings, lit(0), (acc, pts) => acc + rayCrossings(pts, px, py)) % 2 === 1
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.functions.PointInRings(
+        org.apache.spark.sql.graft.ColumnBridge.expression(rings),
+        org.apache.spark.sql.graft.ColumnBridge.expression(px.cast("double")),
+        org.apache.spark.sql.graft.ColumnBridge.expression(py.cast("double"))))
 
   /** ST_Contains(polygon-with-holes / multipolygon, point) join.
     *
@@ -323,10 +317,13 @@ object SpatialJoinOps {
     val cellP = points
       .withColumn("__cx", floor(col(px) / cellSize).cast("long"))
       .withColumn("__cy", floor(col(py) / cellSize).cast("long"))
+    val bbHit = org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.functions.AnyBoxContainsPoint(
+        org.apache.spark.sql.graft.ColumnBridge.expression(col("__bb")),
+        org.apache.spark.sql.graft.ColumnBridge.expression(col(px).cast("double")),
+        org.apache.spark.sql.graft.ColumnBridge.expression(col(py).cast("double"))))
     cellPoly.join(cellP, Seq("__cx", "__cy"))
-      .filter(exists(col("__bb"), b =>
-        col(px) >= b.getField("xmin") && col(px) <= b.getField("xmax") &&
-          col(py) >= b.getField("ymin") && col(py) <= b.getField("ymax")))
+      .filter(bbHit)
       .filter(pointInPolygonRings(col("__rings"), col(px), col(py)))
       .drop("__cx", "__cy", "__rings", "__bb")
   }

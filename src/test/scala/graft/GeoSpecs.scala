@@ -282,6 +282,92 @@ class GeoSpecs extends AnyFunSuite with BeforeAndAfterAll {
     assert(!r.getBoolean(4))
   }
 
+  test("native point_in_rings kernel matches an independent PNPOLY on random data") {
+    import graft.operators.SpatialJoinOps._
+    // independent scalar reference (classic PNPOLY, written against the
+    // published Franklin formulation, not the expression under test)
+    def refContains(rings: Seq[Seq[(Double, Double)]], px: Double, py: Double): Boolean = {
+      var c = 0
+      rings.foreach { pts =>
+        var i = 1
+        while (i < pts.length) {
+          val (ax, ay) = pts(i - 1); val (bx, by) = pts(i)
+          if (((ay > py) != (by > py)) && (px < (bx - ax) * (py - ay) / (by - ay) + ax)) c += 1
+          i += 1
+        }
+      }
+      c % 2 == 1
+    }
+    val rnd = new scala.util.Random(42)
+    // random convex-ish stars: radial polygons around random centers,
+    // sometimes with a similar hole
+    val cases = (0 until 60).map { _ =>
+      def ring(cx: Double, cy: Double, r: Double, n: Int): Seq[(Double, Double)] = {
+        val pts = (0 until n).map { k =>
+          val th = 2 * math.Pi * k / n
+          val rr = r * (0.6 + 0.4 * rnd.nextDouble())
+          (cx + rr * math.cos(th), cy + rr * math.sin(th))
+        }
+        pts :+ pts.head
+      }
+      val cx = rnd.nextDouble() * 20; val cy = rnd.nextDouble() * 20
+      val outer = ring(cx, cy, 2 + 3 * rnd.nextDouble(), 5 + rnd.nextInt(8))
+      val rings = if (rnd.nextBoolean()) Seq(outer, ring(cx, cy, 0.8, 5)) else Seq(outer)
+      val px = cx + (rnd.nextDouble() - 0.5) * 10
+      val py = cy + (rnd.nextDouble() - 0.5) * 10
+      (rings, px, py, refContains(rings, px, py))
+    }
+    val wkts = cases.map { case (rings, px, py, exp) =>
+      val body = rings.map(r => "(" + r.map(p => s"${p._1} ${p._2}").mkString(", ") + ")")
+        .mkString(", ")
+      (s"POLYGON ($body)", px, py, exp)
+    }
+    val s2 = spark
+    import s2.implicits._
+    val df = wkts.toDF("wkt", "px", "py", "expected")
+    def run(): Seq[org.apache.spark.sql.Row] = df.select(
+      pointInPolygonRings(parsePolygonRingsWkt(col("wkt")), col("px"), col("py")).as("got"),
+      col("expected")).collect().toSeq
+    // codegen path
+    run().foreach(r => assert(r.getBoolean(0) == r.getBoolean(1), r))
+    // interpreted path (nullSafeEval)
+    val prev = spark.conf.get("spark.sql.codegen.wholeStage")
+    val prevFb = spark.conf.get("spark.sql.codegen.factoryMode", "FALLBACK")
+    try {
+      spark.conf.set("spark.sql.codegen.wholeStage", "false")
+      spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+      run().foreach(r => assert(r.getBoolean(0) == r.getBoolean(1), r))
+    } finally {
+      spark.conf.set("spark.sql.codegen.wholeStage", prev)
+      spark.conf.set("spark.sql.codegen.factoryMode", prevFb)
+    }
+  }
+
+  test("native any_box_contains_point matches the struct-field disjunction") {
+    import org.apache.spark.sql.graft.ColumnBridge
+    val s2 = spark
+    import s2.implicits._
+    val rnd = new scala.util.Random(7)
+    val rows = (0 until 200).map { _ =>
+      val boxes = (0 until 1 + rnd.nextInt(3)).map { _ =>
+        val x0 = rnd.nextDouble() * 10; val y0 = rnd.nextDouble() * 10
+        (x0, y0, x0 + rnd.nextDouble() * 3, y0 + rnd.nextDouble() * 3)
+      }
+      val px = rnd.nextDouble() * 12; val py = rnd.nextDouble() * 12
+      val exp = boxes.exists(b => px >= b._1 && px <= b._3 && py >= b._2 && py <= b._4)
+      (boxes, px, py, exp)
+    }
+    val df = rows.toDF("boxes", "px", "py", "expected")
+      .withColumn("bb", expr(
+        "transform(boxes, b -> struct(b._1 as xmin, b._2 as ymin, b._3 as xmax, b._4 as ymax))"))
+    val got = df.select(
+      ColumnBridge.column(graft.functions.AnyBoxContainsPoint(
+        ColumnBridge.expression(col("bb")),
+        ColumnBridge.expression(col("px")),
+        ColumnBridge.expression(col("py")))).as("got"), col("expected")).collect()
+    got.foreach(r => assert(r.getBoolean(0) == r.getBoolean(1), r))
+  }
+
   test("join_spatial_polygon_holes plans an equi-join, no cartesian") {
     graft.engine.Engine.registerTables(spark, "/root/testdata/sf0.001")
     val df = graft.queries.GeoQueries.queries.find(_.name == "join_spatial_polygon_holes").get
