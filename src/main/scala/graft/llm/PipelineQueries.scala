@@ -231,5 +231,92 @@ object PipelineQueries extends QueryModule {
           }
         }
         .toDF("doc_id", "source", "seq_id", "tok_offset", "n_tokens")
+    },
+
+    // Temperature-scaled domain mixing — the multilingual-LM sampling
+    // scheme (XLM-R/mT5: sample domain i with probability proportional
+    // to (n_i/N)^alpha, alpha<1 upweights low-resource domains). With a
+    // fixed output budget B the per-domain keep rate is
+    // r_i = min(1, B * q_i / n_i), q_i = n_i^alpha / sum n_j^alpha
+    // (alpha = 0.5 here, so sqrt — bit-identical in both engines).
+    // Per-doc keep is a DETERMINISTIC hash Bernoulli (Knuth
+    // multiplicative on doc_id), so the sample is reproducible and
+    // oracle-replayable at any scale: one tiny per-domain aggregate,
+    // broadcast-joined back, then a map-side filter — no shuffle of the
+    // corpus, no rand() nondeterminism.
+    Q("llm_mixture_sample",
+      """WITH stats AS (SELECT source, count(*) AS n FROM documents GROUP BY source),
+        |tot AS (SELECT sum(n) AS n_total, sum(sqrt(n)) AS z FROM stats),
+        |rates AS (
+        |  SELECT s.source,
+        |         least(1.0, 0.3 * t.n_total * (sqrt(s.n) / t.z) / s.n) AS keep_rate
+        |  FROM stats s, tot t)
+        |SELECT d.doc_id, d.source, round(r.keep_rate, 6) AS keep_rate
+        |FROM documents d JOIN rates r ON d.source = r.source
+        |WHERE ((d.doc_id * 2654435761) % 1000000) / 1000000.0 < r.keep_rate""".stripMargin) { (s, _) =>
+      val docs = s.table("documents").select(col("doc_id"), col("source"))
+      val stats = docs.groupBy("source").agg(count(lit(1)).as("n"))
+      val tot = stats.agg(sum("n").as("n_total"), sum(sqrt(col("n"))).as("z"))
+      val rates = stats.crossJoin(broadcast(tot))
+        .select(col("source"),
+          least(lit(1.0), lit(0.3) * col("n_total") * (sqrt(col("n")) / col("z")) / col("n"))
+            .as("keep_rate"))
+      docs.join(broadcast(rates), "source")
+        .filter((col("doc_id") * 2654435761L % 1000000L) / 1000000.0 < col("keep_rate"))
+        .select(col("doc_id"), col("source"), round(col("keep_rate"), 6).as("keep_rate"))
+    },
+
+    // Token-budget corpus selection — keep the highest-quality documents
+    // until a token budget is exhausted (the data-selection step before
+    // training: rank by score, take the prefix that fits). The oracle is
+    // a single global window cumsum; the engine side computes the SAME
+    // prefix sum distributed: range-partition by the rank order, one
+    // O(partitions) aggregate of per-partition token totals, broadcast
+    // the exclusive prefix offsets back, then a partition-local
+    // streaming cumsum — no single-partition window, no global sort
+    // bottleneck (the 100 TB shape; partition count scales freely).
+    // Score = mean word length (deterministic, exact in double); doc_id
+    // breaks ties so the order — and thus the kept set — is total.
+    Q("llm_token_budget_select",
+      """WITH t AS (
+        |  SELECT doc_id, len(string_split(text, ' ')) AS n_tok,
+        |         n_chars * 1.0 / len(string_split(text, ' ')) AS score
+        |  FROM documents),
+        |b AS (SELECT 0.25 * sum(n_tok) AS budget FROM t),
+        |c AS (SELECT doc_id, n_tok, score,
+        |        sum(n_tok) OVER (ORDER BY score DESC, doc_id) AS cum
+        |      FROM t)
+        |SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tok, round(score, 6) AS score
+        |FROM c, b WHERE cum <= budget""".stripMargin) { (s, _) =>
+      import s.implicits._
+      val t = s.table("documents").select(
+        col("doc_id").cast("long").as("doc_id"),
+        size(split(col("text"), " ", -1)).cast("long").as("n_tok"),
+        (col("n_chars") * 1.0 / size(split(col("text"), " ", -1))).as("score"))
+      val budget = 0.25 * t.agg(sum("n_tok")).head().getLong(0)
+      val parts = math.max(1, s.sparkContext.defaultParallelism / 2)
+      // ONE RDD instance for both passes: the range boundaries are
+      // sampled when this DAG is built, and the second pass reuses the
+      // same shuffle (stage skipped), so offsets and data can't drift.
+      val rankedRdd = t.repartitionByRange(parts, col("score").desc, col("doc_id"))
+        .sortWithinPartitions(col("score").desc, col("doc_id"))
+        .as[(Long, Long, Double)].rdd
+      // exclusive prefix offset per partition: O(partitions) driver state
+      val partTotals = rankedRdd
+        .mapPartitionsWithIndex { case (pid, it) =>
+          Iterator((pid, it.map(_._2).sum))
+        }.collect().sortBy(_._1).map(_._2)
+      val offsets = partTotals.scanLeft(0L)(_ + _)
+      val bcOff = s.sparkContext.broadcast(offsets)
+      val kept = rankedRdd.mapPartitionsWithIndex { case (pid, it) =>
+        var cum = bcOff.value(pid)
+        it.flatMap { case (id, n, sc) =>
+          cum += n
+          if (cum <= budget) Some((id, n, sc)) else None
+        }
+      }
+      s.createDataFrame(kept).toDF("doc_id", "n_tok", "score")
+        .select(col("doc_id"), col("n_tok"),
+          round(col("score"), 6).as("score"))
     })
 }

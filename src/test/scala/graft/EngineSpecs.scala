@@ -1098,6 +1098,53 @@ class EngineSpecs extends AnyFunSuite with BeforeAndAfterAll {
     assert(perSrc == 0, "bin ids not dense per source")
   }
 
+  test("token-budget select: distributed prefix sum is partition-count invariant and prefix-exact") {
+    import org.apache.spark.sql.functions._
+    val q = SparkEntry.queries("llm_token_budget_select")
+    val base = q(spark, sfDir).collect().map(_.toString).sorted.toSeq
+    // the same selection must come out of a 1-partition run (where the
+    // prefix sum is trivially exact) and the default multi-partition run
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", "1")
+      val single = q(spark, sfDir).collect().map(_.toString).sorted.toSeq
+      assert(single == base, "kept set depends on partitioning")
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    // prefix property: the kept set is exactly the window-cumsum prefix
+    val t = spark.table("documents").select(
+      col("doc_id").cast("long").as("doc_id"),
+      size(split(col("text"), " ", -1)).cast("long").as("n_tok"),
+      (col("n_chars") * 1.0 / size(split(col("text"), " ", -1))).as("score"))
+    val budget = 0.25 * t.agg(sum("n_tok")).head().getLong(0)
+    val expected = t
+      .withColumn("cum", sum("n_tok").over(org.apache.spark.sql.expressions.Window
+        .orderBy(col("score").desc, col("doc_id"))))
+      .filter(col("cum") <= budget)
+      .select(col("doc_id"), col("n_tok"), round(col("score"), 6).as("score"))
+      .collect().map(_.toString).sorted.toSeq
+    assert(base == expected, "distributed prefix sum disagrees with the single-window oracle")
+  }
+
+  test("mixture sample: deterministic, subset, and rates follow the temperature formula") {
+    import org.apache.spark.sql.functions._
+    val q = SparkEntry.queries("llm_mixture_sample")
+    val a = q(spark, sfDir).collect().map(_.toString).sorted.toSeq
+    val b = q(spark, sfDir).collect().map(_.toString).sorted.toSeq
+    assert(a == b, "hash Bernoulli must be reproducible")
+    // empirical keep fraction per source tracks the published rate
+    val got = q(spark, sfDir)
+    val joined = spark.table("documents").groupBy("source").agg(count(lit(1)).as("n"))
+      .join(got.groupBy("source").agg(count(lit(1)).as("k"),
+        first("keep_rate").as("r")), Seq("source"))
+      .collect()
+    joined.foreach { row =>
+      val n = row.getLong(1).toDouble; val k = row.getLong(2).toDouble
+      val r = row.getDouble(3)
+      assert(math.abs(k / n - r) <= 4.0 * math.sqrt(r * (1 - r) / n) + 0.02,
+        s"source ${row.getString(0)}: kept ${k / n} vs rate $r")
+    }
+  }
+
   test("bloom decontamination: exact result, and the bloom prunes most training grams") {
     import org.apache.spark.sql.functions._
     // result identity with the exact semi-join procedure
