@@ -25,7 +25,8 @@ object PlanDump {
       "agg_convex_hull", "llm_decontam_bloom", "llm_tfidf",
       "ds_rollup_topk", "ds_ticket_band", "ds_channel_union",
       "ds_reachability_semi", "ds_frequent_items", "ds_channel_intersect",
-      "agg_histogram", "src_local_file_log")
+      "agg_histogram", "src_local_file_log",
+      "llm_mixture_sample", "llm_token_budget_select")
     val spark = graft.engine.Engine.session("local[4]", shufflePartitions = 8)
     graft.engine.Engine.registerTables(spark, sfDir)
     val sb = new StringBuilder
