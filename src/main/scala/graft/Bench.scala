@@ -57,8 +57,9 @@ object Bench {
         val si = ev.stageInfo
         cpuNs.addAndGet(si.taskMetrics.executorCpuTime)
         if (stageDebug) {
+          val thresholdMs = sys.env.get("GRAFT_STAGE_DEBUG").flatMap(_.toLongOption).getOrElse(3000L)
           val dur = for { s <- si.submissionTime; c <- si.completionTime } yield c - s
-          if (dur.exists(_ > 3000))
+          if (dur.exists(_ > thresholdMs))
             System.err.println(s"[stage] id=${si.stageId} tasks=${si.numTasks} ms=${dur.get} " +
               s"cpuMs=${si.taskMetrics.executorCpuTime / 1000000} " +
               s"runMs=${si.taskMetrics.executorRunTime} gcMs=${si.taskMetrics.jvmGCTime} " +

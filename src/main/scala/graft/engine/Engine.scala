@@ -83,6 +83,8 @@ object Engine {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // zero-cost in-flow counters (observe API) -> bench artifact
+    graft.tools.QueryStats.installListener(spark)
     spark
   }
 
@@ -109,6 +111,7 @@ object Engine {
 
   def registerTables(spark: SparkSession, dir: String): Unit = {
     installOptimizerRules(spark)
+    graft.tools.QueryStats.installListener(spark)
     if (registered.get(spark) != dir) {
       // Fixture generations differ on events.ts: older drivers wrote
       // TIMESTAMP(NANOS) (which the vectorized reader rejects — read

@@ -828,9 +828,16 @@ object LlmQueries extends QueryModule {
     // makes the verified edge set equal the exact edge set, so the
     // cluster assignment is identical to llm_dedup_groups — the oracle
     // replays the same exact recursive CTE.
+    // Scale falsifiability (the llm_dedup_embedding precedent): the
+    // est-passed candidate count and the exact-verify fan-out row count
+    // land in BENCH_FULL via zero-cost `observe` metrics — both measure
+    // LINEAR (x10 on x10 docs, max band-bucket 4) on the sf0.1->sf1
+    // probe, so the LSH-verify-CC pipeline has no quadratic stage.
     Q("llm_dedup_groups_lsh", dedupGroupsOracle) { (s, _) =>
-      val cand = lshVerifiedPairs(s, 0.7)
-        .select(col("doc_a").as("d1"), col("doc_b").as("d2"))
+      val cand = graft.tools.QueryStats.observed(
+        lshVerifiedPairs(s, 0.7)
+          .select(col("doc_a").as("d1"), col("doc_b").as("d2")),
+        "llm_dedup_groups_lsh", count(lit(1)).as("est_passed_candidates"))
       val sh = cappedShingleRows(s)
       val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
       // Exact verify restricted to candidates: shingles of d1 fan out
@@ -839,8 +846,10 @@ object LlmQueries extends QueryModule {
       // No caller-side cache: each stage feeds exactly one consumer, and
       // minLabel checkpoints its edge input up front (one execution, and
       // the CC loop never re-analyzes this pipeline's plan).
-      val verified = sh.select(col("doc_id").as("d1"), col("sh"))
-        .join(cand, "d1")
+      val verified = graft.tools.QueryStats.observed(
+        sh.select(col("doc_id").as("d1"), col("sh"))
+          .join(cand, "d1"),
+        "llm_dedup_groups_lsh", count(lit(1)).as("verify_fanout_rows"))
         .join(sh.select(col("doc_id").as("d2"), col("sh")), Seq("d2", "sh"))
         .groupBy("d1", "d2").agg(count(lit(1)).as("common"))
         .join(sizes.select(col("doc_id").as("d1"), col("n").as("n1")), "d1")

@@ -35,4 +35,51 @@ object QueryStats {
   }
 
   def clear(): Unit = stats.clear()
+
+  /** Zero-cost in-flow counters via Spark's observation API: attach
+    * `observe` metrics to a pipeline stage (computed DURING the normal
+    * execution — no extra job, no plan change beyond a CollectMetrics
+    * node) and have them land in this registry when the query finishes.
+    * The observation name encodes the target query; one listener per
+    * session routes every `qstats:`-prefixed observation here.
+    */
+  private val ObsPrefix = "qstats:"
+
+  private val obsSeq = new java.util.concurrent.atomic.AtomicLong()
+
+  def observed(df: org.apache.spark.sql.DataFrame, query: String,
+      metric: org.apache.spark.sql.Column, more: org.apache.spark.sql.Column*)
+      : org.apache.spark.sql.DataFrame = {
+    // observation names must be unique within one query execution; the
+    // metric aliases carry the key names
+    df.observe(ObsPrefix + query + ":" + obsSeq.incrementAndGet(), metric, more: _*)
+  }
+
+  private val listenerInstalled =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[org.apache.spark.sql.SparkSession, java.lang.Boolean]())
+
+  def installListener(spark: org.apache.spark.sql.SparkSession): Unit = {
+    if (listenerInstalled.put(spark, java.lang.Boolean.TRUE) == null) {
+      spark.listenerManager.register(new org.apache.spark.sql.util.QueryExecutionListener {
+        override def onSuccess(funcName: String,
+            qe: org.apache.spark.sql.execution.QueryExecution, durationNs: Long): Unit = {
+          qe.observedMetrics.foreach { case (name, row) =>
+            if (name.startsWith(ObsPrefix)) {
+              val query = name.drop(ObsPrefix.length).split(":")(0)
+              row.schema.fields.zipWithIndex.foreach { case (f, i) =>
+                if (!row.isNullAt(i)) row.get(i) match {
+                  case l: Long => record(query, f.name, l)
+                  case i2: Int => record(query, f.name, i2.toLong)
+                  case _ => ()
+                }
+              }
+            }
+          }
+        }
+        override def onFailure(funcName: String,
+            qe: org.apache.spark.sql.execution.QueryExecution, ex: Exception): Unit = ()
+      })
+    }
+  }
 }
