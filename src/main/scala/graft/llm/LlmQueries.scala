@@ -220,7 +220,13 @@ object LlmQueries extends QueryModule {
         b => xxhash64(b, slice(col("sig"), b * lit(4) + 1, lit(4))))).as(Seq("band", "bhash")))
     val l = bands.select(col("band"), col("bhash"), col("doc_id").as("d1"))
     val r = bands.select(col("band"), col("bhash"), col("doc_id").as("d2"))
-    val candidates = l.join(r, Seq("band", "bhash")).filter(col("d1") < col("d2"))
+    // raw_band_pairs is THE quadratic-risk metric of any LSH pipeline
+    // (bucket-size-squared growth under clustered duplicates) — publish
+    // it per run via a zero-cost observation so the artifact can refute
+    // or confirm linearity (sf0.1->sf1 measures x10 exact, max bucket 4).
+    val candidates = graft.tools.QueryStats.observed(
+      l.join(r, Seq("band", "bhash")).filter(col("d1") < col("d2")),
+      "llm_dedup_minhash_lsh", count(lit(1)).as("raw_band_pairs"))
       .select("d1", "d2").distinct()
     candidates
       .join(sigs.select(col("doc_id").as("d1"), col("sig").as("sig1")), "d1")
