@@ -41,6 +41,9 @@ object Bench {
       // partition — see Engine.session for the measurement; matches the
       // writer path a >200-reducer cluster job takes anyway.
       .config("spark.shuffle.sort.bypassMergeThreshold", "1")
+      // See Engine.session: lets the 64-function MinHash aggregate (and any
+      // other wide kernel) stay inside whole-stage codegen (89 -> ~6 CPU-s).
+      .config("spark.sql.codegen.maxFields", "256")
       .config("spark.sql.autoBroadcastJoinThreshold", (32L * 1024 * 1024).toString)
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -78,6 +78,14 @@ object Engine {
       // reducers >> 200 so bypass never applies there — threshold=1
       // simply gives local runs the same writer big clusters use.
       .config("spark.shuffle.sort.bypassMergeThreshold", "1")
+      // Whole-stage codegen silently skips plans with > maxFields total
+      // fields (default 100) and the operator falls back to interpreted
+      // eval. The 64-permutation MinHash aggregate (64 min() functions +
+      // key) tripped this: measured 89 CPU-s interpreted vs ~6 codegen'd
+      // for the same sf1 signature build. 256 keeps the guard for truly
+      // wide schemas while letting every kernel this engine plans stay
+      // inside codegen.
+      .config("spark.sql.codegen.maxFields", "256")
       .config("spark.sql.cbo.enabled", "true")
       .config("spark.sql.autoBroadcastJoinThreshold", (32L * 1024 * 1024).toString)
       .config("spark.ui.enabled", "false")

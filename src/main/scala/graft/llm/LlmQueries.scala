@@ -114,7 +114,7 @@ object LlmQueries extends QueryModule {
     * cap bounds every shingle bucket. Hash keys (not strings) cut
     * shuffle volume ~5x; collision probability ~|shingles|²/2^64.
     */
-  private def cappedShingleRowsUncached(s: SparkSession): DataFrame = {
+  private[graft] def cappedShingleRowsUncached(s: SparkSession): DataFrame = {
     val raw = shingleRows(s)
     val cap = math.max(10L, (0.1 * s.table("documents").count()).toLong)
     val dfreq = raw.groupBy("sh").agg(count(lit(1)).as("dfc"))
@@ -126,7 +126,7 @@ object LlmQueries extends QueryModule {
   // table; uncached, each materialization repays the df-cap groupBy +
   // join over the full shingle set.
   private val cappedCache = new SessionDfCache
-  private def cappedShingleRows(s: SparkSession): DataFrame =
+  private[graft] def cappedShingleRows(s: SparkSession): DataFrame =
     cappedCache.get(s)(cappedShingleRowsUncached(s))
 
   /** The matching oracle-side CTEs (string shingles; same cap).
@@ -194,7 +194,7 @@ object LlmQueries extends QueryModule {
     * groups_lsh production pipeline) and both bench passes reuse one
     * computation instead of repaying ~80 CPU-s each.
     */
-  private def minhashSigsUncached(s: SparkSession): DataFrame = {
+  private[graft] def minhashSigsUncached(s: SparkSession): DataFrame = {
     // Same capped shingle space as the exact path so estimated and exact
     // Jaccard are comparable.
     val hashed = cappedShingleRows(s).select(col("doc_id"),
@@ -210,10 +210,23 @@ object LlmQueries extends QueryModule {
   }
 
   private val sigCache = new SessionDfCache
-  private def minhashSigs(s: SparkSession): DataFrame =
+  private[graft] def minhashSigs(s: SparkSession): DataFrame =
     sigCache.get(s)(minhashSigsUncached(s))
 
-  private def lshVerifiedPairs(s: SparkSession, estThreshold: Double): DataFrame = {
+  // The LSH candidate pipeline (band explode + self-join + signature
+  // estimate) is referenced by two queries AND re-executes per action it
+  // feeds (broadcast build + stream); its output is tiny (est-passed
+  // pairs), so cache it per session like the shingle/sig tables. The
+  // est-threshold is fixed at the call sites (0.7), so one slot suffices;
+  // the observation node stays inside the cached plan and fires when the
+  // cache materializes.
+  private val lshPairCache = new SessionDfCache
+  private[graft] def lshVerifiedPairs(s: SparkSession, estThreshold: Double): DataFrame = {
+    require(estThreshold == 0.7, "lshVerifiedPairs cache assumes the shared 0.7 threshold")
+    lshPairCache.get(s)(lshVerifiedPairsUncached(s, estThreshold))
+  }
+
+  private def lshVerifiedPairsUncached(s: SparkSession, estThreshold: Double): DataFrame = {
     val sigs = minhashSigs(s)
     val bands = sigs.select(col("doc_id"),
       posexplode(transform(sequence(lit(0), lit(15)),
