@@ -2,7 +2,7 @@ package graft.plans
 
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.logical._
-import org.apache.spark.sql.catalyst.plans.{Inner, LeftOuter, LeftSemi}
+import org.apache.spark.sql.catalyst.plans.{ExistenceJoin, Inner, InnerLike, LeftAnti, LeftOuter, LeftSemi, RightOuter}
 import org.apache.spark.sql.catalyst.rules.Rule
 
 /** Transitive key-predicate propagation across equi-joins — the
@@ -55,14 +55,30 @@ object KeyPredicatePropagation extends Rule[LogicalPlan] with PredicateHelper {
       !p.exists(_.isInstanceOf[PlanExpression[_]])
 
   /** Deterministic key-only filter conjuncts visible in `plan` (walking
-    * down only through nodes that preserve the key attribute). */
+    * down only through nodes that preserve the key attribute AND cannot
+    * null-extend it). A filter P(key) found below the null-supplying
+    * side of an outer join does NOT hold on that join's output: the
+    * null-extended rows bypassed it, so under a null-safe top conjunct
+    * (`<=>`, where null keys DO match) propagating P would drop
+    * null-key rows from the other side that should have matched the
+    * null-extended ones. We therefore descend only through join sides
+    * whose key values reach the output unchanged: any Inner child, and
+    * the left (row-preserving) side of LeftOuter / LeftSemi / LeftAnti
+    * / Existence joins. RightOuter mirrors; FullOuter extends both. */
   private def keyPreds(plan: LogicalPlan, key: Attribute): Seq[Expression] = plan match {
     case Filter(cond, child) =>
       splitConjunctivePredicates(cond).filter(isPropagatable(_, key)) ++ keyPreds(child, key)
     case p: Project if p.child.outputSet.contains(key) => keyPreds(p.child, key)
     case a: Aggregate if a.child.outputSet.contains(key) => keyPreds(a.child, key)
     case j: Join =>
-      j.children.filter(_.outputSet.contains(key)).flatMap(keyPreds(_, key))
+      val safe: Seq[LogicalPlan] = j.joinType match {
+        case _: InnerLike                          => j.children // Inner + Cross
+        case LeftOuter | LeftSemi | LeftAnti       => Seq(j.left)
+        case RightOuter                            => Seq(j.right)
+        case _: ExistenceJoin                      => Seq(j.left)
+        case _                                     => Seq.empty // FullOuter
+      }
+      safe.filter(_.outputSet.contains(key)).flatMap(keyPreds(_, key))
     case _ => Seq.empty
   }
 
