@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver parses graft.Bench's one-line JSON summary from stdout.
+// sbt's default LoggedOutput relogs every forked line with an
+// "[info] " prefix, which is not valid JSON — inherit the parent's
+// stdout instead so the line lands raw (BENCH_r* `parsed` was null
+// through round 9 because of the prefix).
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
