@@ -644,6 +644,94 @@ object PrestoSql {
     sb.toString
   }
 
+  // ---- client-carried session state (HTTP statement protocol) ----
+  //
+  // The reference keeps NO session state server-side for protocol
+  // clients: the client echoes back what the server told it via
+  // headers (presto-client/.../PrestoHeaders.java:26-35 —
+  // X-Presto-Session / X-Presto-Prepared-Statement /
+  // X-Presto-Transaction-Id on requests; Set-Session / Clear-Session /
+  // Added-Prepare / Deallocated-Prepare / Started-Transaction-Id /
+  // Clear-Transaction-Id on responses; consumed by
+  // StatementClient.processResponse, produced per-statement by
+  // StatementResource/QuerySessionSupplier). `clientStatement` is that
+  // contract over the one shared SparkSession: header state is overlaid
+  // before the statement runs, the statement's own state effects are
+  // diffed OUT for the response headers, and `restore()` reverts the
+  // shared maps afterwards so state genuinely lives with the client.
+  // The overlay window is visible to concurrent statements on the same
+  // session (one SQLConf per SparkSession) — same caveat as any shared
+  // conf; apply/restore themselves are lock-serialized.
+
+  final case class ClientStatementResult(
+      df: DataFrame,
+      setSession: Seq[(String, String)],
+      clearSession: Seq[String],
+      addedPrepare: Seq[(String, String)],
+      deallocatedPrepare: Seq[String],
+      startedTransactionId: Option[String],
+      clearTransactionId: Boolean,
+      restore: () => Unit)
+
+  private val clientStateLock = new java.util.concurrent.locks.ReentrantLock()
+
+  def clientStatement(spark: SparkSession, text: String, queryId: String,
+      created: Long, headerProps: Seq[(String, String)],
+      headerStmts: Seq[(String, String)],
+      headerTxn: Option[String]): ClientStatementResult = {
+    val props = propsOf(spark)
+    val stmts = stmtsOf(spark)
+    clientStateLock.lock()
+    val savedProps = props.toSeq
+    val savedStmts = stmts.toMap
+    try {
+      headerProps.foreach { case (k, v) =>
+        props.put(k.toLowerCase, v); applySessionProp(spark, k, v)
+      }
+      headerStmts.foreach { case (n, s) => stmts.put(n.toLowerCase, s) }
+    } finally clientStateLock.unlock()
+    def restore(): Unit = {
+      clientStateLock.lock()
+      try {
+        props.keys.toSeq.foreach(k => resetSessionProp(spark, k))
+        props.clear()
+        savedProps.foreach { case (k, v) =>
+          props.put(k, v); applySessionProp(spark, k, v)
+        }
+        stmts.clear(); stmts ++= savedStmts
+      } finally clientStateLock.unlock()
+    }
+    try {
+      val activeBefore =
+        graft.operators.TransactionOps.activeTransaction(spark).map(_._1)
+      headerTxn.filterNot(_.equalsIgnoreCase("NONE")).foreach { tid =>
+        require(activeBefore.contains(tid), s"Unknown transaction ID: $tid")
+      }
+      val df = sqlWithId(spark, text, queryId, created)
+      // statement-caused state changes, with the header overlay factored
+      // out: these become the response headers the client accumulates
+      val overlaidProps =
+        savedProps.toMap ++ headerProps.map { case (k, v) => (k.toLowerCase, v) }
+      val overlaidStmts =
+        savedStmts ++ headerStmts.map { case (n, s) => (n.toLowerCase, s) }
+      val setSession =
+        props.toSeq.filterNot { case (k, v) => overlaidProps.get(k).contains(v) }
+      val clearSession =
+        overlaidProps.keys.filterNot(props.contains).toSeq.sorted
+      val addedPrepare =
+        stmts.toSeq.filterNot { case (n, s) => overlaidStmts.get(n).contains(s) }
+      val deallocatedPrepare =
+        overlaidStmts.keys.filterNot(stmts.contains).toSeq.sorted
+      val activeAfter =
+        graft.operators.TransactionOps.activeTransaction(spark).map(_._1)
+      ClientStatementResult(df,
+        setSession, clearSession, addedPrepare, deallocatedPrepare,
+        startedTransactionId = activeAfter.filterNot(activeBefore.contains),
+        clearTransactionId = activeBefore.nonEmpty && activeAfter.isEmpty,
+        restore = () => restore())
+    } catch { case t: Throwable => restore(); throw t }
+  }
+
   /** Run Presto-dialect SQL on the graft engine (including the prepared-
     * statement surface: PREPARE name FROM q / EXECUTE name [USING ...] /
     * DEALLOCATE PREPARE name).

@@ -20,7 +20,20 @@ import org.apache.spark.sql.types._
   *   DELETE /v1/statement/{id}/{tok}           -> cancel (job-group kill)
   *
   * A response WITHOUT nextUri is the protocol's end-of-results signal;
-  * the client polls nextUri until then. Cancellation and failure
+  * the client polls nextUri until then.
+  *
+  * Session state is client-carried, exactly the reference's wire
+  * contract (PrestoHeaders.java:26-37): requests may bring
+  * `X-Presto-Session: k=v,...`, `X-Presto-Prepared-Statement:
+  * name=urlencoded-sql,...` and `X-Presto-Transaction-Id: id`; the
+  * server overlays them for the statement, and answers state-changing
+  * statements (SET/RESET SESSION, PREPARE/DEALLOCATE, START
+  * TRANSACTION/COMMIT/ROLLBACK) with `X-Presto-Set-Session` /
+  * `X-Presto-Clear-Session` / `X-Presto-Added-Prepare` /
+  * `X-Presto-Deallocated-Prepare` / `X-Presto-Started-Transaction-Id` /
+  * `X-Presto-Clear-Transaction-Id` for the client to fold into its next
+  * request — the loop every JDBC/CLI client drives after its first
+  * query. See [[PrestoSql.clientStatement]] for the overlay semantics. Cancellation and failure
   * surface in system.runtime.queries exactly like direct front-door
   * statements because submission rides [[PrestoSql.sqlWithId]] — same
   * query ids, same job group, same log.
@@ -48,7 +61,10 @@ object StatementServer {
   private final case class PageSlot(rows: Seq[Seq[Any]]) extends Slot
   private case object EndSlot extends Slot
 
-  private final class QueryExec(val id: String, val sqlText: String) {
+  private final class QueryExec(val id: String, val sqlText: String,
+      val headerProps: Seq[(String, String)],
+      val headerStmts: Seq[(String, String)],
+      val headerTxn: Option[String]) {
     val state = new AtomicReference[String]("QUEUED")
     @volatile var columns: Seq[(String, String)] = Seq.empty
     @volatile var error: Option[String] = None
@@ -60,6 +76,20 @@ object StatementServer {
     @volatile var nextToken: Long = 0L
     @volatile var lastServed: Option[(Long, String)] = None
     @volatile var done: Boolean = false
+    // DELETE poison flag: the worker re-checks it before every blocking
+    // queue hand-off, so a cancelled query's worker exits promptly
+    // instead of re-parking on slots nobody will drain.
+    @volatile var cancelled: Boolean = false
+    @volatile var workerFinished: Boolean = false
+    // Statement-caused session-state changes, diffed against the
+    // client-supplied header overlay — rendered as the response headers
+    // the client accumulates (reference StatementClient.processResponse).
+    @volatile var setSession: Seq[(String, String)] = Seq.empty
+    @volatile var clearSession: Seq[String] = Seq.empty
+    @volatile var addedPrepare: Seq[(String, String)] = Seq.empty
+    @volatile var deallocatedPrepare: Seq[String] = Seq.empty
+    @volatile var startedTxn: Option[String] = None
+    @volatile var clearTxn: Boolean = false
   }
 
   final class Server private[StatementServer] (
@@ -73,6 +103,11 @@ object StatementServer {
     private[StatementServer] def session: SparkSession = spark
 
     def baseUri: String = s"http://127.0.0.1:$port"
+
+    /** True once the query's worker thread has fully exited (pages
+      * drained or cancel observed) — the DELETE-hygiene observable. */
+    def workerFinished(id: String): Boolean =
+      Option(queries.get(id)).forall(_.workerFinished)
 
     def stop(): Unit = {
       http.stop(0)
@@ -112,12 +147,35 @@ object StatementServer {
         respond(ex, 500, s"""{"error":${jsonString(Option(t.getMessage).getOrElse(t.toString))}}""")
     } finally ex.close()
 
+  /** `k=v[,k2=v2]` request-header lists (X-Presto-Session /
+    * X-Presto-Prepared-Statement). Values are URL-encoded on the wire
+    * (the reference client urlEncodes prepared SQL, which contains
+    * commas and equals signs); decode after the first '='. Repeated
+    * headers concatenate. */
+  private def kvHeader(ex: HttpExchange, name: String): Seq[(String, String)] = {
+    val vs = ex.getRequestHeaders.get(name)
+    if (vs == null) Seq.empty
+    else {
+      import scala.jdk.CollectionConverters._
+      vs.asScala.toSeq.flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty).flatMap { kv =>
+        kv.split("=", 2) match {
+          case Array(k, v) =>
+            Some(k.trim -> java.net.URLDecoder.decode(v.trim, UTF_8))
+          case _ => None
+        }
+      }
+    }
+  }
+
   private def submit(server: Server, ex: HttpExchange): Unit = {
     val sqlText = new String(ex.getRequestBody.readAllBytes(), UTF_8).trim
     if (sqlText.isEmpty) { respond(ex, 400, """{"error":"empty statement"}"""); return }
     val created = System.currentTimeMillis()
     val id = SystemTables.newQueryId(created)
-    val q = new QueryExec(id, sqlText)
+    val q = new QueryExec(id, sqlText,
+      headerProps = kvHeader(ex, "X-Presto-Session"),
+      headerStmts = kvHeader(ex, "X-Presto-Prepared-Statement"),
+      headerTxn = Option(ex.getRequestHeaders.getFirst("X-Presto-Transaction-Id")))
     server.queries.put(id, q)
     // visible in system.runtime.queries from submission on, like the
     // reference's QUEUED state; source = the client's X-Presto-Source
@@ -128,23 +186,45 @@ object StatementServer {
     respond(ex, 200, envelope(server, q, data = Seq.empty, includeNext = true))
   }
 
-  private def run(server: Server, q: QueryExec, created: Long): Unit =
+  private def run(server: Server, q: QueryExec, created: Long): Unit = {
+    // Bounded hand-off that re-checks the DELETE poison flag: a worker
+    // whose client vanished parks at most 100 ms per check instead of
+    // forever (post-cancel, GETs serve EndSlot without draining the
+    // queue, so an unconditional put could never unblock).
+    def putSlot(s: Slot): Boolean = {
+      while (!q.cancelled) {
+        if (q.pages.offer(s, 100, TimeUnit.MILLISECONDS)) return true
+      }
+      false
+    }
+    var restore: () => Unit = () => ()
     try {
       q.state.set("RUNNING")
       SystemTables.updateState(server.session, q.id, "RUNNING")
-      val df = PrestoSql.sqlWithId(server.session, q.sqlText, q.id, created)
+      val st = PrestoSql.clientStatement(server.session, q.sqlText, q.id,
+        created, q.headerProps, q.headerStmts, q.headerTxn)
+      restore = st.restore
+      q.setSession = st.setSession
+      q.clearSession = st.clearSession
+      q.addedPrepare = st.addedPrepare
+      q.deallocatedPrepare = st.deallocatedPrepare
+      q.startedTxn = st.startedTransactionId
+      q.clearTxn = st.clearTransactionId
+      val df = st.df
       q.columns = df.schema.fields.toSeq.map(f => (f.name, prestoTypeName(f.dataType)))
       val it = df.toLocalIterator()
       val buf = scala.collection.mutable.ArrayBuffer.empty[Seq[Any]]
-      while (it.hasNext) {
+      var alive = true
+      while (alive && !q.cancelled && it.hasNext) {
         buf += it.next().toSeq
         if (buf.length >= PageRows) {
-          q.pages.put(PageSlot(buf.toSeq)) // blocks at cap: client backpressure
+          alive = putSlot(PageSlot(buf.toSeq)) // blocks at cap: client backpressure
           buf.clear()
         }
       }
-      if (buf.nonEmpty) q.pages.put(PageSlot(buf.toSeq))
-      q.pages.put(EndSlot)
+      if (q.cancelled) throw new InterruptedException("Query was canceled by user")
+      if (buf.nonEmpty) putSlot(PageSlot(buf.toSeq))
+      putSlot(EndSlot)
       q.state.set("FINISHED")
       SystemTables.updateState(server.session, q.id, "FINISHED")
     } catch {
@@ -155,13 +235,18 @@ object StatementServer {
         q.state.set("FAILED")
         SystemTables.updateState(server.session, q.id, "FAILED")
         q.pages.clear()
-        while (!q.pages.offer(EndSlot)) q.pages.clear()
+        while (!q.cancelled && !q.pages.offer(EndSlot)) q.pages.clear()
+    } finally {
+      restore()
+      q.workerFinished = true
     }
+  }
 
   private def page(server: Server, ex: HttpExchange, id: String, token: Long): Unit = {
     val q = server.queries.get(id)
     if (q == null) { respond(ex, 404, """{"error":"unknown query"}"""); return }
     q.synchronized {
+      stateHeaders(ex, q)
       q.lastServed match {
         case Some((t, body)) if t == token => respond(ex, 200, body); return
         case _ =>
@@ -196,8 +281,11 @@ object StatementServer {
     q.state.set("FAILED")
     q.error = q.error.orElse(Some("Query was canceled by user"))
     q.done = true
-    // unblock a worker parked on the bounded queue; its next Spark
-    // action then hits the cancelled job group and takes the FAILED path
+    // poison first, then drain: the worker re-checks `cancelled` before
+    // every bounded-queue hand-off, so it can never re-park after this
+    // (a single clear() alone left it blocked forever once it refilled
+    // the 16 slots from already-fetched rows)
+    q.cancelled = true
     q.pages.clear()
     respond(ex, 204, "")
   }
@@ -234,6 +322,20 @@ object StatementServer {
     }
     sb.append(",\"stats\":{\"state\":").append(jsonString(q.state.get())).append("}}")
     sb.toString
+  }
+
+  /** Attach the statement's session-state effects as the reference's
+    * response headers (PrestoHeaders.java:27-37; the client loop folds
+    * these into the state it echoes back on subsequent requests). */
+  private def stateHeaders(ex: HttpExchange, q: QueryExec): Unit = {
+    val h = ex.getResponseHeaders
+    def enc(s: String): String = java.net.URLEncoder.encode(s, UTF_8)
+    q.setSession.foreach { case (k, v) => h.add("X-Presto-Set-Session", s"$k=${enc(v)}") }
+    q.clearSession.foreach(k => h.add("X-Presto-Clear-Session", k))
+    q.addedPrepare.foreach { case (n, s) => h.add("X-Presto-Added-Prepare", s"$n=${enc(s)}") }
+    q.deallocatedPrepare.foreach(n => h.add("X-Presto-Deallocated-Prepare", n))
+    q.startedTxn.foreach(id => h.add("X-Presto-Started-Transaction-Id", id))
+    if (q.clearTxn) h.add("X-Presto-Clear-Transaction-Id", "true")
   }
 
   private def respond(ex: HttpExchange, code: Int, body: String): Unit = {

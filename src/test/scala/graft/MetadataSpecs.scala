@@ -349,4 +349,148 @@ class MetadataSpecs extends AnyFunSuite with BeforeAndAfterAll {
       assert(gone == 410)
     } finally server.stop()
   }
+
+  // ---- client-carried session state over the wire (PrestoHeaders.java:
+  // 26-37; StatementClient.processResponse folds response headers into
+  // the state it echoes on later requests — this drives that loop) ----
+
+  /** POST a statement with request headers, follow nextUri to the end;
+    * returns (data rows as JSON arrays, accumulated response headers). */
+  private def httpStatement(base: String, sql: String,
+      headers: Seq[(String, String)] = Seq.empty)
+      : (Seq[com.fasterxml.jackson.databind.JsonNode], Map[String, Seq[String]]) = {
+    val client = java.net.http.HttpClient.newHttpClient()
+    def send(method: String, uri: String, body: Option[String]) = {
+      var b = java.net.http.HttpRequest.newBuilder(java.net.URI.create(uri))
+      headers.foreach { case (k, v) => b = b.header(k, v) }
+      val req = (method match {
+        case "POST" => b.POST(java.net.http.HttpRequest.BodyPublishers.ofString(body.get))
+        case _ => b.GET()
+      }).build()
+      client.send(req, java.net.http.HttpResponse.BodyHandlers.ofString())
+    }
+    val rows = scala.collection.mutable.ArrayBuffer.empty[com.fasterxml.jackson.databind.JsonNode]
+    var hdrs = Map.empty[String, Seq[String]]
+    var resp = send("POST", s"$base/v1/statement", Some(sql))
+    var spins = 0
+    var done = false
+    while (!done && spins < 600) {
+      assert(resp.statusCode() == 200, s"${resp.statusCode()}: ${resp.body()}")
+      import scala.jdk.CollectionConverters._
+      resp.headers().map().asScala.foreach { case (k, vs) =>
+        if (k.toLowerCase.startsWith("x-presto-"))
+          hdrs = hdrs.updated(k.toLowerCase, hdrs.getOrElse(k.toLowerCase, Seq.empty) ++ vs.asScala)
+      }
+      val node = json(resp.body())
+      if (node.has("error"))
+        throw new RuntimeException(node.get("error").get("message").asText())
+      if (node.has("data")) node.get("data").forEach(r => rows += r)
+      if (node.has("nextUri")) { resp = send("GET", node.get("nextUri").asText(), None); spins += 1 }
+      else done = true
+    }
+    assert(done, "statement did not finish draining")
+    (rows.toSeq, hdrs)
+  }
+
+  test("HTTP protocol: SET SESSION round-trips via X-Presto-Session headers") {
+    val server = graft.sql.StatementServer.start(spark)
+    try {
+      // SET SESSION answers with a Set-Session header for the client to
+      // accumulate — and leaves NO state behind server-side
+      val (_, setHdrs) = httpStatement(server.baseUri, "SET SESSION hash_partition_count = 7")
+      assert(setHdrs.get("x-presto-set-session").exists(_.contains("hash_partition_count=7")),
+        s"Set-Session header must carry the property: $setHdrs")
+      // a client echoing the property back sees it in SHOW SESSION
+      val (withState, _) = httpStatement(server.baseUri, "SHOW SESSION",
+        Seq("X-Presto-Session" -> "hash_partition_count=7"))
+      assert(withState.exists(r => r.get(0).asText() == "hash_partition_count"
+        && r.get(1).asText() == "7"), s"header-carried property must be visible: $withState")
+      // a client WITHOUT the header shares no state with the first one
+      val (bare, _) = httpStatement(server.baseUri, "SHOW SESSION")
+      assert(!bare.exists(_.get(0).asText() == "hash_partition_count"),
+        "session state must live with the client, not the server")
+      // RESET SESSION answers Clear-Session
+      val (_, clrHdrs) = httpStatement(server.baseUri, "RESET SESSION hash_partition_count",
+        Seq("X-Presto-Session" -> "hash_partition_count=7"))
+      assert(clrHdrs.get("x-presto-clear-session").exists(_.contains("hash_partition_count")),
+        s"Clear-Session header must name the property: $clrHdrs")
+    } finally server.stop()
+  }
+
+  test("HTTP protocol: server-side prepared statements ride the prepare headers") {
+    val server = graft.sql.StatementServer.start(spark)
+    try {
+      spark.range(10).selectExpr("id AS k").createOrReplaceTempView("http_prep")
+      val prepSql = "SELECT k FROM http_prep WHERE k < ?"
+      val (_, addHdrs) = httpStatement(server.baseUri, s"PREPARE ps1 FROM $prepSql")
+      val added = addHdrs.getOrElse("x-presto-added-prepare", Seq.empty)
+      assert(added.exists(_.startsWith("ps1=")), s"Added-Prepare must carry ps1: $addHdrs")
+      val encoded = added.find(_.startsWith("ps1=")).get
+      // EXECUTE with the client echoing the prepared statement back
+      val (rows, _) = httpStatement(server.baseUri, "EXECUTE ps1 USING 5",
+        Seq("X-Presto-Prepared-Statement" -> encoded))
+      assert(rows.map(_.get(0).asLong()).sorted == Seq(0L, 1L, 2L, 3L, 4L),
+        s"bound execute over the wire: $rows")
+      // without the header the statement does not exist server-side
+      val bare = intercept[RuntimeException](
+        httpStatement(server.baseUri, "EXECUTE ps1 USING 5"))
+      assert(bare.getMessage.contains("Prepared statement not found"))
+      // DEALLOCATE answers Deallocated-Prepare
+      val (_, dropHdrs) = httpStatement(server.baseUri, "DEALLOCATE PREPARE ps1",
+        Seq("X-Presto-Prepared-Statement" -> encoded))
+      assert(dropHdrs.get("x-presto-deallocated-prepare").exists(_.contains("ps1")),
+        s"Deallocated-Prepare must name ps1: $dropHdrs")
+    } finally server.stop()
+  }
+
+  test("HTTP protocol: a transaction spans statements via X-Presto-Transaction-Id") {
+    val server = graft.sql.StatementServer.start(spark)
+    try {
+      val (_, startHdrs) = httpStatement(server.baseUri, "START TRANSACTION")
+      val txnId = startHdrs.getOrElse("x-presto-started-transaction-id", Seq.empty).headOption
+        .getOrElse(fail("START TRANSACTION must answer Started-Transaction-Id"))
+      try {
+        // two statements ride the same transaction id
+        val (r1, _) = httpStatement(server.baseUri, "SELECT 1 AS x",
+          Seq("X-Presto-Transaction-Id" -> txnId))
+        assert(r1.head.get(0).asInt() == 1)
+        val (r2, _) = httpStatement(server.baseUri, "SELECT 2 AS x",
+          Seq("X-Presto-Transaction-Id" -> txnId))
+        assert(r2.head.get(0).asInt() == 2)
+        // an unknown id is the reference's error, not silent adoption
+        val bad = intercept[RuntimeException](httpStatement(server.baseUri, "SELECT 3",
+          Seq("X-Presto-Transaction-Id" -> "txn_deadbeef")))
+        assert(bad.getMessage.contains("Unknown transaction"), bad.getMessage)
+      } finally {
+        val (_, endHdrs) = httpStatement(server.baseUri, "COMMIT",
+          Seq("X-Presto-Transaction-Id" -> txnId))
+        assert(endHdrs.get("x-presto-clear-transaction-id").exists(_.contains("true")),
+          s"COMMIT must answer Clear-Transaction-Id: $endHdrs")
+      }
+    } finally server.stop()
+  }
+
+  test("HTTP protocol: DELETE terminates the worker thread (no re-park on the page queue)") {
+    val server = graft.sql.StatementServer.start(spark)
+    try {
+      // >16 pages of already-cheap rows: without the poison flag the
+      // worker refills the 16-slot queue after cancel() drains it once
+      // and parks forever on put (VERDICT r9 finding)
+      spark.range(100000).selectExpr("id AS k").createOrReplaceTempView("http_big")
+      val (_, postBody) = httpSend("POST", s"${server.baseUri}/v1/statement",
+        Some("SELECT k FROM http_big"))
+      val id = json(postBody).get("id").asText()
+      // let the worker fill the queue to capacity
+      var spins = 0
+      while (spins < 100 && server.workerFinished(id)) { Thread.sleep(20); spins += 1 }
+      Thread.sleep(300)
+      val (dc, _) = httpSend("DELETE", s"${server.baseUri}/v1/statement/$id/0")
+      assert(dc == 204)
+      val deadline = System.currentTimeMillis() + 15000
+      while (!server.workerFinished(id) && System.currentTimeMillis() < deadline)
+        Thread.sleep(50)
+      assert(server.workerFinished(id),
+        "cancelled query's worker must exit instead of re-parking on the bounded queue")
+    } finally server.stop()
+  }
 }
