@@ -678,7 +678,8 @@ object PrestoSql {
   def clientStatement(spark: SparkSession, text: String, queryId: String,
       created: Long, headerProps: Seq[(String, String)],
       headerStmts: Seq[(String, String)],
-      headerTxn: Option[String]): ClientStatementResult = {
+      headerTxn: Option[String],
+      source: String = "http"): ClientStatementResult = {
     val props = propsOf(spark)
     val stmts = stmtsOf(spark)
     clientStateLock.lock()
@@ -707,7 +708,7 @@ object PrestoSql {
       headerTxn.filterNot(_.equalsIgnoreCase("NONE")).foreach { tid =>
         require(activeBefore.contains(tid), s"Unknown transaction ID: $tid")
       }
-      val df = sqlWithId(spark, text, queryId, created)
+      val df = sqlWithId(spark, text, queryId, created, source)
       // statement-caused state changes, with the header overlay factored
       // out: these become the response headers the client accumulates
       val overlaidProps =
@@ -747,13 +748,32 @@ object PrestoSql {
     * front door, so HTTP-submitted queries land in the same query log,
     * job group, and kill path as direct calls. */
   def sqlWithId(spark: SparkSession, text: String, queryId: String,
-      created: Long): DataFrame = {
-    // tag the calling thread so every job this statement runs (now for
-    // eager control statements, later for actions on the returned lazy
-    // frame — job groups are sticky thread-locals) is cancellable by
-    // CALL system.runtime.kill_query(queryId)
-    spark.sparkContext.setJobGroup(queryId, text.take(200), interruptOnCancel = true)
+      created: Long, source: String = "graft"): DataFrame = {
+    val user = AccessControl.principal(spark)
+    // resource-group admission (no-op unless ResourceGroups.configure
+    // installed a tree; reentrant under the HTTP worker's outer permit):
+    // blocks QUEUED until the group has a slot, rejects at maxQueued —
+    // the reference submits every query through
+    // InternalResourceGroupManager the same way. The front door is a
+    // synchronous planner, so its slot spans the statement's eager work;
+    // the HTTP server holds its permit until the result is drained.
+    val permit = ResourceGroups.acquire(spark, user, source,
+      onQueued = () => SystemTables.record(spark, queryId, text, "QUEUED", created))
+    // session property defaults (presto-session-property-managers):
+    // merged UNDER explicit session properties — only keys the session
+    // has not SET get their Spark-conf analogs applied, and only for
+    // this statement's window
+    val defaults = SessionDefaults.defaultsFor(spark, user, source)
+      .filterNot { case (k, _) => propsOf(spark).contains(k.toLowerCase) }
+    defaults.foreach { case (k, v) => applySessionProp(spark, k, v) }
+    val prevSource = currentSource.get()
+    currentSource.set(source)
     try {
+      // tag the calling thread so every job this statement runs (now for
+      // eager control statements, later for actions on the returned lazy
+      // frame — job groups are sticky thread-locals) is cancellable by
+      // CALL system.runtime.kill_query(queryId)
+      spark.sparkContext.setJobGroup(queryId, text.take(200), interruptOnCancel = true)
       val out = sqlImpl(spark, text)
       // the front door plans synchronously; completion here = the
       // reference's FINISHED for control statements (SystemTables doc)
@@ -763,7 +783,22 @@ object PrestoSql {
       case e: Throwable =>
         SystemTables.record(spark, queryId, text, "FAILED", created)
         throw e
+    } finally {
+      currentSource.set(prevSource)
+      // keys the statement itself SET keep their conf analog — the
+      // explicit value took over the default's slot
+      defaults.foreach { case (k, _) =>
+        if (!propsOf(spark).contains(k.toLowerCase)) resetSessionProp(spark, k)
+      }
+      permit.release()
     }
+  }
+
+  // The source of the statement currently planning on this thread —
+  // lets SHOW SESSION (inside sqlImpl) merge the right per-source
+  // defaults without threading the parameter through every branch.
+  private val currentSource = new ThreadLocal[String] {
+    override def initialValue(): String = "graft"
   }
 
   private def sqlImpl(spark: SparkSession, text: String): DataFrame = {
@@ -805,7 +840,12 @@ object PrestoSql {
         resetSessionProp(spark, name)
         Seq("RESET SESSION").toDF("result")
       case showSessionRe() =>
-        propsOf(spark).toSeq.toDF("name", "value")
+        // configured defaults surface here, under explicit SET SESSION
+        // values (QuerySessionSupplier's merge order)
+        val defaults = SessionDefaults.defaultsFor(spark,
+          AccessControl.principal(spark), currentSource.get())
+        (defaults.filterNot { case (k, _) => propsOf(spark).contains(k) } ++
+          propsOf(spark).toSeq).toDF("name", "value")
       case showStatsQueryRe(table, where) =>
         AccessControl.enforce(spark, s"SELECT * FROM $table")
         Metadata.showStats(spark, table, Option(where).map(rewriteFull))

@@ -1,0 +1,236 @@
+package graft.sql
+
+import org.apache.spark.sql.SparkSession
+
+/** Resource-group admission control — the reference's query gate
+  * (presto-main/.../execution/resourceGroups/InternalResourceGroup.java:
+  * 96-98 hardConcurrencyLimit/maxQueuedQueries, canRunMore/canQueueMore;
+  * InternalResourceGroupManager submits every query through a group;
+  * QueryQueueFullException.java:30 is the rejection shape). Config is
+  * the file manager's JSON (presto-resource-group-managers/.../
+  * FileResourceGroupConfigurationManager.java + ResourceGroupSpec.java:
+  * rootGroups with subGroups, StaticSelector.java user/source regex ->
+  * group id, ResourceGroupIdTemplate `${USER}`/`${SOURCE}` expansion).
+  *
+  * Spark-first shape: admission is a DRIVER front-door concern — the
+  * cluster's data plane never sees it, so this is a tree of counters
+  * under one lock, not an operator. A query acquires a slot in its
+  * selected leaf group AND every ancestor (running counts propagate up,
+  * exactly the reference's recursive canRunWithinLimits); if any group
+  * on the path is at its hard concurrency limit the query parks QUEUED
+  * (FIFO) unless a group's queue is full, which rejects with the
+  * reference's error text. Slots release on query completion and the
+  * longest-waiting runnable query is promoted.
+  *
+  * At 100 TB this is what stands between a 1000-executor cluster and a
+  * thundering herd of ad-hoc scans: the scheduler can only arbitrate
+  * tasks of ADMITTED queries, so concurrency caps per tenant group are
+  * enforced before planning, like the reference.
+  *
+  * Scheduling-policy/memory/cpu-quota fields of the config are parsed
+  * and accepted but inert: Spark's own scheduler pools and unified
+  * memory manager own intra-query arbitration (SURVEY §7.0 — engine
+  * internals delegated to Spark built-ins).
+  */
+object ResourceGroups {
+
+  final case class GroupSpec(
+      name: String,
+      hardConcurrencyLimit: Int,
+      maxQueued: Int,
+      subGroups: Seq[GroupSpec])
+
+  final case class Selector(
+      user: Option[scala.util.matching.Regex],
+      source: Option[scala.util.matching.Regex],
+      group: String)
+
+  final case class Config(rootGroups: Seq[GroupSpec], selectors: Seq[Selector])
+
+  /** Runtime counters of one concrete (template-expanded) group. */
+  private final class GroupState(val id: String, val spec: GroupSpec) {
+    var running: Int = 0
+    var queued: Int = 0
+  }
+
+  private final class Waiter(val path: Seq[GroupState]) {
+    val latch = new java.util.concurrent.CountDownLatch(1)
+  }
+
+  private final class Manager(val config: Config) {
+    val lock = new Object
+    val states = scala.collection.mutable.Map.empty[String, GroupState]
+    val waiters = new java.util.ArrayDeque[Waiter]()
+  }
+
+  /** An admitted query's slot; `release()` exactly once. */
+  final class Permit private[ResourceGroups] (
+      mgr: Option[Manager], path: Seq[GroupState]) {
+    val groupId: Option[String] = path.lastOption.map(_.id)
+    private val owner = Thread.currentThread()
+    private val released = new java.util.concurrent.atomic.AtomicBoolean(false)
+    def release(): Unit =
+      if (released.compareAndSet(false, true)) mgr.foreach { m =>
+        if (Thread.currentThread() eq owner) holding.set(false)
+        m.lock.synchronized {
+          path.foreach(_.running -= 1)
+          promoteLocked(m)
+        }
+      }
+  }
+
+  // Reentrancy: the HTTP worker acquires for the statement's whole
+  // lifetime and then drives PrestoSql.sqlWithId on the same thread —
+  // the inner front-door acquire must not take a second slot (instant
+  // self-deadlock at hardConcurrencyLimit 1).
+  private val holding = new ThreadLocal[java.lang.Boolean] {
+    override def initialValue(): java.lang.Boolean = java.lang.Boolean.FALSE
+  }
+
+  private val managers =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[SparkSession, Manager]())
+
+  // ---- configuration ----
+
+  /** Install a group tree + selectors for `spark` from the reference's
+    * JSON config file shape. Replaces any previous configuration. */
+  def configure(spark: SparkSession, jsonPath: String): Unit =
+    configure(spark, parseConfig(
+      new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(jsonPath)),
+        java.nio.charset.StandardCharsets.UTF_8)))
+
+  def configure(spark: SparkSession, config: Config): Unit =
+    managers.put(spark, new Manager(config))
+
+  /** Remove admission control (the default: every query runs at once). */
+  def disable(spark: SparkSession): Unit = managers.remove(spark)
+
+  def enabled(spark: SparkSession): Boolean = managers.get(spark) != null
+
+  private[graft] def parseConfig(jsonText: String): Config = {
+    val root = new com.fasterxml.jackson.databind.ObjectMapper().readTree(jsonText)
+    def groups(node: com.fasterxml.jackson.databind.JsonNode): Seq[GroupSpec] =
+      if (node == null) Seq.empty
+      else {
+        val b = Seq.newBuilder[GroupSpec]
+        node.forEach { g =>
+          // maxRunning is the spec's legacy alias for hardConcurrencyLimit
+          val hard =
+            if (g.has("hardConcurrencyLimit")) g.get("hardConcurrencyLimit").asInt()
+            else if (g.has("maxRunning")) g.get("maxRunning").asInt()
+            else Int.MaxValue
+          b += GroupSpec(
+            name = g.get("name").asText(),
+            hardConcurrencyLimit = hard,
+            maxQueued = if (g.has("maxQueued")) g.get("maxQueued").asInt() else Int.MaxValue,
+            subGroups = groups(g.get("subGroups")))
+        }
+        b.result()
+      }
+    val sels = Seq.newBuilder[Selector]
+    Option(root.get("selectors")).foreach(_.forEach { s =>
+      sels += Selector(
+        user = Option(s.get("user")).map(_.asText().r),
+        source = Option(s.get("source")).map(_.asText().r),
+        group = s.get("group").asText())
+    })
+    Config(groups(root.get("rootGroups")), sels.result())
+  }
+
+  // ---- selection (StaticSelector.java semantics: first match wins) ----
+
+  /** Resolve (user, source) to a concrete dotted group id, expanding
+    * `${USER}`/`${SOURCE}` template segments. None = no selector
+    * matched (the reference rejects the query; so do we). */
+  private[graft] def selectGroup(config: Config, user: String, source: String): Option[String] =
+    config.selectors.collectFirst {
+      case s if s.user.forall(_.matches(user)) && s.source.forall(_.matches(source)) =>
+        s.group.replace("${USER}", user).replace("${SOURCE}", source)
+    }
+
+  /** Concrete group states along the path root..leaf for a dotted id,
+    * instantiating template (`${USER}`/`${SOURCE}`) groups on demand.
+    * Throws if the id names no configured group. */
+  private def pathFor(m: Manager, id: String, user: String, source: String): Seq[GroupState] = {
+    val segs = id.split('.').toSeq
+    var specs = m.config.rootGroups
+    var prefix = List.empty[String]
+    val path = Seq.newBuilder[GroupState]
+    segs.foreach { seg =>
+      val spec = specs.find(_.name == seg)
+        .orElse(specs.find(s => s.name.replace("${USER}", user)
+          .replace("${SOURCE}", source) == seg))
+        .getOrElse(throw new IllegalArgumentException(
+          s"No resource group configured for '$id' (missing segment '$seg')"))
+      prefix = seg :: prefix
+      val concrete = prefix.reverse.mkString(".")
+      path += m.states.getOrElseUpdate(concrete, new GroupState(concrete, spec))
+      specs = spec.subGroups
+    }
+    path.result()
+  }
+
+  private def canRunLocked(path: Seq[GroupState]): Boolean =
+    path.forall(g => g.running < g.spec.hardConcurrencyLimit)
+
+  private def promoteLocked(m: Manager): Unit = {
+    val it = m.waiters.iterator()
+    while (it.hasNext) {
+      val w = it.next()
+      if (canRunLocked(w.path)) {
+        w.path.foreach { g => g.running += 1 }
+        w.path.foreach { g => g.queued -= 1 }
+        it.remove()
+        w.latch.countDown()
+      }
+    }
+  }
+
+  /** Admit a query: returns when a slot is held on every group along
+    * the selected path. `onQueued` fires once if the query has to wait
+    * (the caller surfaces the QUEUED state). Throws the reference's
+    * queue-full error when any group's queue is at maxQueued, and an
+    * unknown-group error when no selector matches.
+    *
+    * When no configuration is installed this is free: a no-op permit. */
+  def acquire(spark: SparkSession, user: String, source: String,
+      onQueued: () => Unit = () => ()): Permit = {
+    val m = managers.get(spark)
+    if (m == null || holding.get()) return new Permit(None, Seq.empty)
+    val groupId = selectGroup(m.config, user, source).getOrElse(
+      throw new IllegalArgumentException(
+        s"Query did not match any selector (user '$user', source '$source')"))
+    val waiter = m.lock.synchronized {
+      val path = pathFor(m, groupId, user, source)
+      if (canRunLocked(path)) {
+        path.foreach(_.running += 1)
+        holding.set(true)
+        return new Permit(Some(m), path)
+      }
+      path.find(g => g.queued >= g.spec.maxQueued).foreach { g =>
+        // QueryQueueFullException.java:30
+        throw new IllegalStateException(s"""Too many queued queries for "${g.id}"""")
+      }
+      path.foreach(_.queued += 1)
+      val w = new Waiter(path)
+      m.waiters.addLast(w)
+      w
+    }
+    onQueued()
+    waiter.latch.await()
+    holding.set(true)
+    new Permit(Some(m), waiter.path)
+  }
+
+  /** (groupId, running, queued, hardConcurrencyLimit, maxQueued) rows —
+    * observability for system.runtime-style introspection and specs. */
+  def snapshot(spark: SparkSession): Seq[(String, Int, Int, Int, Int)] = {
+    val m = managers.get(spark)
+    if (m == null) Seq.empty
+    else m.lock.synchronized {
+      m.states.values.toSeq.sortBy(_.id).map(g =>
+        (g.id, g.running, g.queued, g.spec.hardConcurrencyLimit, g.spec.maxQueued))
+    }
+  }
+}

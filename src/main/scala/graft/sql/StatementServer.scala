@@ -64,7 +64,8 @@ object StatementServer {
   private final class QueryExec(val id: String, val sqlText: String,
       val headerProps: Seq[(String, String)],
       val headerStmts: Seq[(String, String)],
-      val headerTxn: Option[String]) {
+      val headerTxn: Option[String],
+      val source: String) {
     val state = new AtomicReference[String]("QUEUED")
     @volatile var columns: Seq[(String, String)] = Seq.empty
     @volatile var error: Option[String] = None
@@ -175,13 +176,15 @@ object StatementServer {
     val q = new QueryExec(id, sqlText,
       headerProps = kvHeader(ex, "X-Presto-Session"),
       headerStmts = kvHeader(ex, "X-Presto-Prepared-Statement"),
-      headerTxn = Option(ex.getRequestHeaders.getFirst("X-Presto-Transaction-Id")))
+      headerTxn = Option(ex.getRequestHeaders.getFirst("X-Presto-Transaction-Id")),
+      // source = the client's X-Presto-Source header (StatementResource
+      // reads the same), default "http"; also the resource-group
+      // selector input
+      source = Option(ex.getRequestHeaders.getFirst("X-Presto-Source")).getOrElse("http"))
     server.queries.put(id, q)
     // visible in system.runtime.queries from submission on, like the
-    // reference's QUEUED state; source = the client's X-Presto-Source
-    // header (StatementResource reads the same), default "http"
-    val source = Option(ex.getRequestHeaders.getFirst("X-Presto-Source")).getOrElse("http")
-    SystemTables.record(server.session, id, sqlText, "QUEUED", created, source)
+    // reference's QUEUED state
+    SystemTables.record(server.session, id, sqlText, "QUEUED", created, q.source)
     server.pool.execute(() => run(server, q, created))
     respond(ex, 200, envelope(server, q, data = Seq.empty, includeNext = true))
   }
@@ -198,11 +201,18 @@ object StatementServer {
       false
     }
     var restore: () => Unit = () => ()
+    // Resource-group admission: stays QUEUED (already recorded at
+    // submit) until the group frees a slot; the permit spans the whole
+    // drain so concurrency counts cover execution, not just planning.
+    // Queue-full rejection takes the ordinary FAILED path below.
+    var permit: Option[ResourceGroups.Permit] = None
     try {
+      permit = Some(ResourceGroups.acquire(server.session,
+        AccessControl.principal(server.session), q.source))
       q.state.set("RUNNING")
       SystemTables.updateState(server.session, q.id, "RUNNING")
       val st = PrestoSql.clientStatement(server.session, q.sqlText, q.id,
-        created, q.headerProps, q.headerStmts, q.headerTxn)
+        created, q.headerProps, q.headerStmts, q.headerTxn, q.source)
       restore = st.restore
       q.setSession = st.setSession
       q.clearSession = st.clearSession
@@ -237,6 +247,7 @@ object StatementServer {
         q.pages.clear()
         while (!q.cancelled && !q.pages.offer(EndSlot)) q.pages.clear()
     } finally {
+      permit.foreach(_.release())
       restore()
       q.workerFinished = true
     }

@@ -470,6 +470,136 @@ class MetadataSpecs extends AnyFunSuite with BeforeAndAfterAll {
     } finally server.stop()
   }
 
+  // ---- resource-group admission (InternalResourceGroup.java
+  // hardConcurrencyLimit/maxQueuedQueries; QueryQueueFullException.java;
+  // FileResourceGroupConfigurationManager config shape) ----
+
+  test("resource groups: concurrency-1 group queues, promotes, and rejects at maxQueued") {
+    import graft.sql.ResourceGroups
+    // http-sourced queries ride the gated group; the spec's own
+    // front-door probes (source "graft") ride an unlimited one — the
+    // per-source selector split the reference's StaticSelector does
+    val cfg = ResourceGroups.Config(
+      rootGroups = Seq(
+        ResourceGroups.GroupSpec("limited", hardConcurrencyLimit = 1, maxQueued = 1, Nil),
+        ResourceGroups.GroupSpec("adhoc", Int.MaxValue, Int.MaxValue, Nil)),
+      selectors = Seq(
+        ResourceGroups.Selector(None, Some("http".r), "limited"),
+        ResourceGroups.Selector(None, None, "adhoc")))
+    ResourceGroups.configure(spark, cfg)
+    val server = graft.sql.StatementServer.start(spark)
+    try {
+      // q1 occupies the single slot: its worker parks on page
+      // backpressure (no GETs yet) holding the permit mid-drain
+      spark.range(100000).selectExpr("id AS k").createOrReplaceTempView("rg_rows")
+      val (_, b1) = httpSend("POST", s"${server.baseUri}/v1/statement",
+        Some("SELECT k FROM rg_rows"))
+      val id1 = json(b1).get("id").asText()
+      // q2 must go QUEUED (visible in system.runtime.queries), not run
+      val (_, b2) = httpSend("POST", s"${server.baseUri}/v1/statement",
+        Some("SELECT 42 AS x"))
+      val id2 = json(b2).get("id").asText()
+      def stateOf(id: String): String = PrestoSql.sql(spark,
+        s"SELECT state FROM system.runtime.queries WHERE query_id = '$id'")
+        .head().getString(0)
+      Thread.sleep(500)
+      assert(stateOf(id2) == "QUEUED",
+        s"second query must wait for the group slot, got ${stateOf(id2)}")
+      assert(ResourceGroups.snapshot(spark)
+        .exists { case (g, running, queued, _, _) => g == "limited" && running == 1 && queued == 1 },
+        s"group counters: ${ResourceGroups.snapshot(spark)}")
+      // q3 overflows maxQueued=1: the reference's QUERY_QUEUE_FULL shape
+      val (_, b3) = httpSend("POST", s"${server.baseUri}/v1/statement",
+        Some("SELECT 43 AS x"))
+      val id3 = json(b3).get("id").asText()
+      var err3 = ""
+      var spins = 0
+      while (err3.isEmpty && spins < 100) {
+        val node = json(httpSend("GET", s"${server.baseUri}/v1/statement/$id3/0")._2)
+        if (node.has("error")) err3 = node.get("error").get("message").asText()
+        else { Thread.sleep(50); spins += 1 }
+      }
+      assert(err3.contains("Too many queued queries for \"limited\""), s"got: $err3")
+      // drain q1 -> slot frees -> q2 promotes and finishes with data
+      var uri = s"${server.baseUri}/v1/statement/$id1/0"
+      var n1 = 0
+      while (uri != null) {
+        val node = json(httpSend("GET", uri)._2)
+        if (node.has("data")) node.get("data").forEach(_ => n1 += 1)
+        uri = if (node.has("nextUri")) node.get("nextUri").asText() else null
+      }
+      assert(n1 == 100000, s"q1 must drain fully, got $n1")
+      val deadline = System.currentTimeMillis() + 20000
+      while (stateOf(id2) != "FINISHED" && System.currentTimeMillis() < deadline)
+        Thread.sleep(100)
+      assert(stateOf(id2) == "FINISHED", s"queued query must promote and run: ${stateOf(id2)}")
+      val r2 = json(httpSend("GET", s"${server.baseUri}/v1/statement/$id2/0")._2)
+      assert(r2.has("data") && r2.get("data").get(0).get(0).asInt() == 42)
+    } finally {
+      ResourceGroups.disable(spark)
+      server.stop()
+    }
+  }
+
+  test("resource groups: reference JSON config parses; selectors expand ${USER} templates") {
+    import graft.sql.ResourceGroups
+    val cfg = ResourceGroups.parseConfig(
+      """{
+        |  "rootGroups": [
+        |    {"name": "global", "softMemoryLimit": "1MB", "hardConcurrencyLimit": 100,
+        |     "maxQueued": 1000, "softCpuLimit": "1h", "schedulingPolicy": "weighted",
+        |     "subGroups": [
+        |       {"name": "${USER}", "maxRunning": 3, "maxQueued": 4, "schedulingWeight": 5}
+        |     ]}
+        |  ],
+        |  "selectors": [
+        |    {"user": "bob|alice", "group": "global.${USER}"},
+        |    {"source": ".*etl.*", "group": "global"}
+        |  ],
+        |  "cpuQuotaPeriod": "1h"
+        |}""".stripMargin)
+    assert(cfg.rootGroups.map(_.name) == Seq("global"))
+    assert(cfg.rootGroups.head.hardConcurrencyLimit == 100 && cfg.rootGroups.head.maxQueued == 1000)
+    assert(cfg.rootGroups.head.subGroups.head.hardConcurrencyLimit == 3, "maxRunning alias")
+    assert(ResourceGroups.selectGroup(cfg, "bob", "cli") == Some("global.bob"),
+      "first-match selector with template expansion")
+    assert(ResourceGroups.selectGroup(cfg, "eve", "nightly-etl") == Some("global"))
+    assert(ResourceGroups.selectGroup(cfg, "eve", "cli") == None, "no selector -> rejected")
+  }
+
+  test("session property defaults apply under SET SESSION (FileSessionPropertyManager)") {
+    import graft.sql.SessionDefaults
+    val specs = SessionDefaults.parse(
+      """{"sessionProperties": [
+        |  {"sessionProperties": {"query_max_run_time": "2h"}},
+        |  {"source": "http", "sessionProperties": {"hash_partition_count": "11"}},
+        |  {"user": "nobody-matches", "sessionProperties": {"query_priority": "1"}}
+        |]}""".stripMargin)
+    SessionDefaults.configure(spark, specs)
+    try {
+      // configured default is visible in SHOW SESSION without any SET
+      def show(): Map[String, String] = PrestoSql.sql(spark, "SHOW SESSION")
+        .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+      assert(show().get("query_max_run_time") == Some("2h"),
+        s"matching default must surface: ${show()}")
+      assert(!show().contains("query_priority"), "non-matching spec must not apply")
+      assert(!show().contains("hash_partition_count"),
+        "source-scoped default must not apply to the graft front door")
+      // explicit SET SESSION overrides the default
+      PrestoSql.sql(spark, "SET SESSION query_max_run_time = '5m'")
+      assert(show().get("query_max_run_time") == Some("5m"), "SET SESSION wins over default")
+      PrestoSql.sql(spark, "RESET SESSION query_max_run_time")
+      assert(show().get("query_max_run_time") == Some("2h"), "RESET falls back to the default")
+      // the http-scoped default reaches an HTTP-submitted SHOW SESSION
+      val server = graft.sql.StatementServer.start(spark)
+      try {
+        val (rows, _) = httpStatement(server.baseUri, "SHOW SESSION")
+        assert(rows.exists(r => r.get(0).asText() == "hash_partition_count"
+          && r.get(1).asText() == "11"), s"per-source default over HTTP: $rows")
+      } finally server.stop()
+    } finally SessionDefaults.disable(spark)
+  }
+
   test("HTTP protocol: DELETE terminates the worker thread (no re-park on the page queue)") {
     val server = graft.sql.StatementServer.start(spark)
     try {
