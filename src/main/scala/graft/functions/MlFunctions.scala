@@ -186,11 +186,12 @@ object MlFunctions {
     // in chunk order: embarrassingly parallel over samples, and the
     // fixed chunking keeps the result a pure function of the (sorted,
     // capped) sample set — independent of partitioning, thread timing,
-    // and run count. (The reference's LibSVM trainer is likewise a
-    // single-node in-memory solver; this parallelizes its epoch, not
-    // its semantics.)
-    val chunks = if (n.toLong * d >= (1L << 20))
-      math.min(8, Runtime.getRuntime.availableProcessors) else 1
+    // run count, AND host core count (always 8 chunks above the size
+    // threshold; only the pool size varies with hardware, which cannot
+    // change the chunk-ordered float summation). (The reference's
+    // LibSVM trainer is likewise a single-node in-memory solver; this
+    // parallelizes its epoch, not its semantics.)
+    val chunks = if (n.toLong * d >= (1L << 20)) 8 else 1
     while (it < 500 && !settled) {
       val gw = new Array[Double](d); var gb = 0.0
       var errs = 0

@@ -44,9 +44,14 @@ object TimestampTzFunctions {
   // every later JVM READS the file, so file order — not the local
   // tzdb — defines the keys. Zones new to a JVM are APPENDED (existing
   // keys never move) and the file atomically rewritten. Path:
-  // -Dgraft.tz.index / $GRAFT_TZ_INDEX, else <user.dir>/tmp/zone-index.v1
-  // (a deployment shares one path cluster-wide the way it shares its
-  // catalogs).
+  // -Dgraft.tz.index / $GRAFT_TZ_INDEX, else <user.dir>/tmp/zone-index.v1.
+  // The default is a per-JVM convenience for local runs ONLY: a real
+  // deployment MUST set graft.tz.index/GRAFT_TZ_INDEX to one shared
+  // path cluster-wide (the way it shares its catalogs) — driver and
+  // executors resolving different files would re-introduce exactly the
+  // key divergence this index exists to prevent. Concurrent first-use
+  // appends from multiple JVMs are serialized by a FileLock on a
+  // sibling .lock file (see withFileLock).
 
   private val IndexHeader = "graft-zone-index v1"
   private val indexLock = new Object
@@ -78,13 +83,31 @@ object TimestampTzFunctions {
       Files.move(tmp, p, StandardCopyOption.REPLACE_EXISTING) }
   }
 
+  /** Runs `body` while holding an exclusive cross-JVM lock on a sibling
+    * `.lock` file, so two JVMs doing concurrent first-use read-merge-
+    * rewrites cannot lose each other's appends (the in-JVM `indexLock`
+    * only serializes threads of ONE process).
+    */
+  private def withFileLock[A](p: java.nio.file.Path)(body: => A): A = {
+    import java.nio.file.{Files, StandardOpenOption}
+    Option(p.getParent).foreach(Files.createDirectories(_))
+    val ch = java.nio.channels.FileChannel.open(
+      p.resolveSibling(p.getFileName.toString + ".lock"),
+      StandardOpenOption.CREATE, StandardOpenOption.WRITE)
+    try { val l = ch.lock(); try body finally l.release() }
+    finally ch.close()
+  }
+
   private def ensureLoaded(): Unit = if (zonesArr == null) indexLock.synchronized {
     if (zonesArr == null) {
       import scala.jdk.CollectionConverters._
       import java.nio.file.Files
       val jvmZones = java.time.ZoneId.getAvailableZoneIds.asScala.toArray.sorted
       val p = indexPath
-      val zones: Array[String] =
+      // the whole read-merge-rewrite is one critical section: re-read
+      // under the lock so a concurrent JVM's appends are merged, not
+      // clobbered
+      val zones: Array[String] = withFileLock(p) {
         if (Files.exists(p)) {
           val lines = new String(Files.readAllBytes(p),
             java.nio.charset.StandardCharsets.UTF_8).split("\n", -1).toSeq
@@ -103,6 +126,7 @@ object TimestampTzFunctions {
           writeIndex(p, jvmZones.toSeq)
           jvmZones
         }
+      }
       require(zones.length <= 4096 - NamedBase,
         s"zone index exceeds the 12-bit key space: ${zones.length}")
       zoneMap = zones.zipWithIndex.map { case (z, i) => z -> (NamedBase + i) }.toMap

@@ -62,6 +62,42 @@ class SemanticsSpecs extends AnyFunSuite with BeforeAndAfterAll {
         .collect())
   }
 
+  test("map subscript stays in whole-stage codegen over table-backed columns") {
+    // The map branch of PrestoSubscript.doGenCode boxes a possibly-
+    // primitive key via an (Object) cast and unboxes the result via
+    // ($javaType)(($boxed)$out). Constant-foldable literals never reach
+    // that generated code, so this drives it through a real table-backed
+    // map column — string->string, int->int (primitive key AND primitive
+    // value), and string->array — with codegen fallback DISABLED: if
+    // Janino rejected the casts, the query would throw instead of
+    // silently de-compiling the whole stage to interpreted.
+    val strict = spark.newSession()
+    strict.conf.set("spark.sql.codegen.fallback", "false")
+    graft.functions.FunctionRegistry.installAll(strict)
+    import strict.implicits._
+    // through parquet: a local Seq relation would be constant-collapsed
+    // by ConvertToLocalRelation and never reach generated code
+    val dir = java.nio.file.Files.createTempDirectory("graft-subscript").toString
+    Seq(
+      (Map("a" -> "x", "b" -> "y"), Map(1 -> 10, 2 -> 20), Map("k" -> Seq(7, 8))),
+      (Map("b" -> "z"), Map(2 -> 22), Map("k" -> Seq(9)))
+    ).toDF("ms", "mi", "ma").write.mode("overwrite").parquet(dir)
+    strict.read.parquet(dir).createOrReplaceTempView("graft_subscript_maps")
+    val rows = strict.sql(
+      """SELECT presto_subscript(ms, 'b') AS s,
+        |       presto_subscript(mi, 2) AS i,
+        |       presto_subscript(presto_subscript(ma, 'k'), 1) AS a
+        |FROM graft_subscript_maps ORDER BY i""".stripMargin).collect()
+    assert(rows.map(r => (r.getString(0), r.getInt(1), r.getInt(2))).toSeq ==
+      Seq(("y", 20, 7), ("z", 22, 9)))
+    // and the plan actually runs under WholeStageCodegen (the spans exist)
+    val plan = strict.sql(
+      "SELECT presto_subscript(mi, 2) FROM graft_subscript_maps")
+      .queryExecution.executedPlan.toString
+    // "*(n)" prefixes mark WholeStageCodegen spans in the plan string
+    assert(plan.contains("*(1) Project"), s"no codegen span in:\n$plan")
+  }
+
   // ---- char(n) trailing-space semantics (presto-spi Chars.java:
   //      padded comparison; padSpaces on cast) ----
 
