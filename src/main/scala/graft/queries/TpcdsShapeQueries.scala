@@ -237,5 +237,122 @@ object TpcdsShapeQueries extends QueryModule {
         |  WHERE l_returnflag = 'N'
         |  INTERSECT
         |  SELECT o_custkey FROM orders JOIN lineitem ON l_orderkey = o_orderkey
-        |  WHERE l_returnflag = 'R') t""".stripMargin))
+        |  WHERE l_returnflag = 'R') t""".stripMargin),
+
+    // q67 proper: the WIDE rollup — six grouping columns spanning the
+    // part hierarchy (brand, type), the date hierarchy (year, quarter,
+    // month) and an order attribute, i.e. a 7-level Expand over a
+    // fact-dim-dim join, then rank() per top-level category over the
+    // whole rollup output, top-10. ds_rollup_topk pins the narrow
+    // (3-col) variant; this one exercises what q67 actually stresses —
+    // the Expand multiplies the fact ONCE (one shuffle on the expanded
+    // keys, partial aggs below it), NOT one aggregation pass per level,
+    // so adding rollup depth adds rows-in-flight, never extra fact
+    // scans. Rank order is total (exact decimal sums, then gid + every
+    // grouping column, NULLS FIRST pinned).
+    sqlQ("ds_wide_rollup_rank",
+      """WITH agg AS (
+        |  SELECT p_brand, p_type, year(l_shipdate) AS yr, quarter(l_shipdate) AS qoy,
+        |    month(l_shipdate) AS moy, o_orderpriority AS prio,
+        |    CAST(grouping(p_brand) * 32 + grouping(p_type) * 16 +
+        |         grouping(year(l_shipdate)) * 8 + grouping(quarter(l_shipdate)) * 4 +
+        |         grouping(month(l_shipdate)) * 2 + grouping(o_orderpriority) AS BIGINT) AS gid,
+        |    sum(CAST(l_quantity AS DECIMAL(18,2))) AS qty,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM lineitem
+        |  JOIN part ON l_partkey = p_partkey
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  WHERE p_size <= 20
+        |  GROUP BY ROLLUP (p_brand, p_type, year(l_shipdate), quarter(l_shipdate),
+        |                   month(l_shipdate), o_orderpriority))
+        |SELECT p_brand, p_type, yr, qoy, moy, prio, gid,
+        |  CAST(qty AS DOUBLE) AS sum_qty, n, rk
+        |FROM (
+        |  SELECT *, CAST(rank() OVER (
+        |      PARTITION BY coalesce(p_brand, 'ALL')
+        |      ORDER BY qty DESC, gid, p_type NULLS FIRST, yr NULLS FIRST,
+        |               qoy NULLS FIRST, moy NULLS FIRST, prio NULLS FIRST)
+        |    AS BIGINT) AS rk
+        |  FROM agg) t
+        |WHERE rk <= 10""".stripMargin),
+
+    // q14 shape: cross-channel CTE reuse — cross_items (parts present
+    // in ALL three channels, via INTERSECT of DISTINCT projections) and
+    // a global threshold CTE are BOTH referenced by each of the three
+    // per-channel aggregate branches of a UNION ALL. The threshold
+    // compare is exact DECIMAL(38,0) arithmetic (group cents * total
+    // count > total cents * 50 — BIGINT products would overflow around
+    // sf1) so membership cannot flip on float drift between engines.
+    //
+    // Engine side is deliberately NOT the inlined SQL: Presto inlines
+    // WITH bodies, and Spark's InferFiltersFromConstraints then copies
+    // the cross_items semi-join onto BOTH join sides — the oracle text
+    // replans the INTERSECT six times (~21 fact scans). The Spark-first
+    // plan materializes the small cross-items set ONCE (cache), reuses
+    // it as a broadcast semi-join probe in every branch, and joins the
+    // one-row stats aggregate instead of a re-executed scalar subquery:
+    // 7 fact scans total (1 stats + 3 intersect + 3 branches), flat in
+    // branch count. The DuckDB oracle runs the equivalent inlined SQL.
+    Q("ds_cross_channel_cte",
+      """WITH cross_items AS (
+        |  SELECT l_partkey AS item FROM lineitem WHERE l_returnflag = 'A'
+        |  INTERSECT
+        |  SELECT l_partkey FROM lineitem WHERE l_returnflag = 'N'
+        |  INTERSECT
+        |  SELECT l_partkey FROM lineitem WHERE l_returnflag = 'R'),
+        |stats AS (
+        |  SELECT CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))) * 100) AS BIGINT) AS total_c,
+        |    CAST(count(*) AS BIGINT) AS cnt
+        |  FROM lineitem)
+        |SELECT channel, p_brand, n, CAST(cents AS DOUBLE) / 100 AS amt
+        |FROM (
+        |  SELECT 'returned' AS channel, p_brand, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))) * 100) AS BIGINT) AS cents
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE l_returnflag = 'A' AND l_partkey IN (SELECT item FROM cross_items)
+        |  GROUP BY p_brand
+        |  HAVING CAST(CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))) * 100) AS BIGINT) AS DECIMAL(38,0))
+        |       * (SELECT cnt FROM stats) > CAST((SELECT total_c FROM stats) AS DECIMAL(38,0)) * 50
+        |  UNION ALL
+        |  SELECT 'regular', p_brand, CAST(count(*) AS BIGINT),
+        |    CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))) * 100) AS BIGINT)
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE l_returnflag = 'N' AND l_partkey IN (SELECT item FROM cross_items)
+        |  GROUP BY p_brand
+        |  HAVING CAST(CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))) * 100) AS BIGINT) AS DECIMAL(38,0))
+        |       * (SELECT cnt FROM stats) > CAST((SELECT total_c FROM stats) AS DECIMAL(38,0)) * 50
+        |  UNION ALL
+        |  SELECT 'refunded', p_brand, CAST(count(*) AS BIGINT),
+        |    CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))) * 100) AS BIGINT)
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE l_returnflag = 'R' AND l_partkey IN (SELECT item FROM cross_items)
+        |  GROUP BY p_brand
+        |  HAVING CAST(CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))) * 100) AS BIGINT) AS DECIMAL(38,0))
+        |       * (SELECT cnt FROM stats) > CAST((SELECT total_c FROM stats) AS DECIMAL(38,0)) * 50) u""".stripMargin) { (s, _) =>
+      import org.apache.spark.sql.functions._
+      import s.implicits._
+      val li = s.table("lineitem")
+      def itemsOf(flag: String) =
+        li.filter($"l_returnflag" === flag).select($"l_partkey")
+      val cross = itemsOf("A").intersect(itemsOf("N")).intersect(itemsOf("R"))
+        .withColumnRenamed("l_partkey", "item").cache()
+      val cents =
+        round(sum($"l_extendedprice".cast("decimal(18,2)")) * 100).cast("long")
+      val stats = li.agg(cents.as("total_c"), count(lit(1)).cast("long").as("cnt"))
+        .cache() // one-row threshold: built once, joined into all three branches
+      def branch(flag: String, label: String) =
+        li.filter($"l_returnflag" === flag)
+          .join(s.table("part"), $"l_partkey" === $"p_partkey")
+          .join(broadcast(cross), $"l_partkey" === $"item", "left_semi")
+          .groupBy($"p_brand")
+          .agg(count(lit(1)).cast("long").as("n"), cents.as("cents"))
+          .crossJoin(broadcast(stats))
+          .filter($"cents".cast("decimal(38,0)") * $"cnt" >
+            $"total_c".cast("decimal(38,0)") * 50)
+          .select(lit(label).as("channel"), $"p_brand", $"n",
+            ($"cents".cast("double") / 100).as("amt"))
+      branch("A", "returned")
+        .unionAll(branch("N", "regular"))
+        .unionAll(branch("R", "refunded"))
+    })
 }

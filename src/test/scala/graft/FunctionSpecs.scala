@@ -743,6 +743,7 @@ class FunctionSpecs extends AnyFunSuite {
       }
       TimestampTzFunctions.reloadZoneIndex()
       Files.deleteIfExists(idx)
+      Files.deleteIfExists(idx.resolveSibling(idx.getFileName.toString + ".lock"))
       Files.deleteIfExists(dir)
     }
   }
