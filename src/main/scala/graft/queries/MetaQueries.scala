@@ -163,6 +163,35 @@ object MetaQueries extends QueryModule {
         tx.getLong(0) == 1L && tx.getBoolean(1), tx2.getLong(0) == 0L))
         .toDF("has_node", "node_is_coordinator", "queries_logged",
           "failure_logged", "txn_visible", "txn_gone")
+    },
+
+    // system.runtime.resource_groups — admission-control observability
+    // (the reference exposes per-group running/queued via
+    // ResourceGroupInfo on the coordinator). A group tree is installed,
+    // the SELECT itself is admitted through it (instantiating the
+    // pipeline.ingest path and holding one running slot on the path
+    // while the statement-time snapshot is taken — the deterministic
+    // running=1 below), and the counters surface through the same SQL
+    // front door as every other runtime table.
+    Q("meta_resource_groups",
+      """SELECT * FROM (VALUES
+        |  ('pipeline',        1, 0, 8, 100),
+        |  ('pipeline.ingest', 1, 0, 2, 50)
+        |) AS t(group_id, running, queued, hard_concurrency_limit, max_queued)""".stripMargin) { (s, _) =>
+      import graft.sql.ResourceGroups
+      ResourceGroups.configure(s, ResourceGroups.Config(
+        rootGroups = Seq(ResourceGroups.GroupSpec("pipeline", 8, 100, Seq(
+          ResourceGroups.GroupSpec("ingest", 2, 50, Nil)))),
+        selectors = Seq(ResourceGroups.Selector(None, None, "pipeline.ingest"))))
+      try {
+        // the statement-time snapshot is embedded in a LocalRelation, so
+        // the frame stays correct after the config is torn down
+        val out = fd(s,
+          """SELECT group_id, running, queued, hard_concurrency_limit, max_queued
+            |FROM system.runtime.resource_groups ORDER BY group_id""".stripMargin)
+        out.collect() // materialize under the installed config
+        out
+      } finally ResourceGroups.disable(s)
     })
 
   /** DuckDB twin of Metadata.showStats over `orders` — the same UNION of

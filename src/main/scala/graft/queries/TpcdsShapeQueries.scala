@@ -354,5 +354,40 @@ object TpcdsShapeQueries extends QueryModule {
       branch("A", "returned")
         .unionAll(branch("N", "regular"))
         .unionAll(branch("R", "refunded"))
-    })
+    },
+
+    // q72 stress shape (the heaviest SF10 assignment in the reference's
+    // tpcds.yaml): fact-to-fact join — the order fact against an
+    // inventory-style per-(item, month) stock aggregate — with a
+    // quantity inequality on the inventory side, a ship-lag date
+    // inequality, and the promotion LEFT JOIN anti-pattern check
+    // (count(*) vs count(promo)). The fixture has no inventory table,
+    // so the stock side is DERIVED from lineitem (one agg shuffle on
+    // (partkey, month)) exactly the way inventory is item x date_bucket
+    // x on_hand. Scale plan (EngineSpecs pins it): lineitem-orders is
+    // one fact shuffle per side on orderkey; the joined fact reshuffles
+    // ONCE on (partkey, month) against the inventory aggregate; part
+    // and promo broadcast; no cartesian anywhere. All inequality
+    // predicates are post-join filters on equi-joined rows, never join
+    // conditions that would degrade to NLJ.
+    sqlQ("ds_inventory_gap",
+      """WITH inventory AS (
+        |  SELECT l_partkey AS inv_partkey,
+        |    year(l_shipdate) * 100 + month(l_shipdate) AS inv_mo,
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS on_hand
+        |  FROM lineitem
+        |  GROUP BY l_partkey, year(l_shipdate) * 100 + month(l_shipdate)),
+        |promo AS (SELECT p_partkey AS promo_part FROM part WHERE p_size <= 2)
+        |SELECT p_brand, year(o_orderdate) AS yr,
+        |  CAST(count(*) AS BIGINT) AS gap_lines,
+        |  CAST(count(promo_part) AS BIGINT) AS promo_lines
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN inventory ON l_partkey = inv_partkey
+        |  AND year(o_orderdate) * 100 + month(o_orderdate) = inv_mo
+        |JOIN part ON l_partkey = p_partkey
+        |LEFT JOIN promo ON l_partkey = promo_part
+        |WHERE on_hand < CAST(l_quantity AS DECIMAL(18,2)) * 4
+        |  AND l_shipdate > o_orderdate + INTERVAL 20 DAY
+        |GROUP BY p_brand, year(o_orderdate)""".stripMargin))
 }

@@ -37,8 +37,30 @@ object AccessControl {
     java.util.Collections.synchronizedMap(
       new java.util.WeakHashMap[SparkSession, String]())
 
+  // Statement-scoped identity override: the HTTP protocol carries the
+  // user on every request (X-Presto-User, PrestoHeaders.java:25;
+  // QuerySessionSupplier builds the session identity from it), so a
+  // worker thread serving that statement must act as THAT user — for
+  // grants, resource-group selection, and session defaults — not as the
+  // server session's principal. Thread-local because the whole
+  // statement (enforce, selectors, defaults) runs on the one worker.
+  private val userOverride = new ThreadLocal[String]()
+
+  /** Run `f` with the session principal overridden to `user` on this
+    * thread (no-op when user is null). */
+  def withUser[T](user: String)(f: => T): T =
+    if (user == null) f
+    else {
+      val prev = userOverride.get()
+      userOverride.set(user)
+      try f finally {
+        if (prev == null) userOverride.remove() else userOverride.set(prev)
+      }
+    }
+
   def principal(spark: SparkSession): String =
-    Option(principals.get(spark)).getOrElse(AdminPrincipal)
+    Option(userOverride.get())
+      .orElse(Option(principals.get(spark))).getOrElse(AdminPrincipal)
 
   def setPrincipal(spark: SparkSession, user: String): Unit =
     principals.put(spark, user)

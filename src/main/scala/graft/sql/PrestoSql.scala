@@ -655,13 +655,23 @@ object PrestoSql {
   // Clear-Transaction-Id on responses; consumed by
   // StatementClient.processResponse, produced per-statement by
   // StatementResource/QuerySessionSupplier). `clientStatement` is that
-  // contract over the one shared SparkSession: header state is overlaid
-  // before the statement runs, the statement's own state effects are
-  // diffed OUT for the response headers, and `restore()` reverts the
-  // shared maps afterwards so state genuinely lives with the client.
-  // The overlay window is visible to concurrent statements on the same
-  // session (one SQLConf per SparkSession) — same caveat as any shared
-  // conf; apply/restore themselves are lock-serialized.
+  // contract over the one shared SparkSession.
+  //
+  // Concurrency model (one SQLConf per SparkSession, many protocol
+  // clients): the overlay -> execute-synchronous-part -> compute-headers
+  // span holds `clientStateLock`, so two statements never interleave
+  // their overlay windows; the response headers come from the
+  // statement's own RECORDED effects (the SET/RESET/PREPARE/DEALLOCATE
+  // handlers report what they did via a thread-local recorder), never
+  // from diffing the shared maps — so one client's headers can never
+  // carry another client's state. `restore()` runs after the result
+  // drain (session props span execution, like the reference's session
+  // lifetime) and is TARGETED: it reverts only the keys THIS statement
+  // touched, and only if they still hold the value this statement left
+  // (a later writer wins). The one unavoidable residue of a shared
+  // SQLConf: if two clients overlay the SAME key with overlapping
+  // drain windows, the last restorer reinstates the pre-statement value
+  // it saw, which may be the other client's transient.
 
   final case class ClientStatementResult(
       df: DataFrame,
@@ -675,62 +685,110 @@ object PrestoSql {
 
   private val clientStateLock = new java.util.concurrent.locks.ReentrantLock()
 
+  /** Session-state changes a statement performs, reported by the
+    * handlers themselves (SetSessionTask and friends know exactly what
+    * they changed — the reference builds its response headers from the
+    * QueryStateMachine's recorded setSessionProperties/addedPrepare,
+    * not by diffing session maps). Recording is active only inside
+    * clientStatement's window. */
+  private final class Effects {
+    val setProps = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    val resetProps = scala.collection.mutable.LinkedHashSet.empty[String]
+    val addedStmts = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    val removedStmts = scala.collection.mutable.LinkedHashSet.empty[String]
+  }
+  private val recording = new ThreadLocal[Effects]()
+  private def recordSet(k: String, v: String): Unit = {
+    val e = recording.get(); if (e != null) { e.setProps.put(k, v); e.resetProps -= k }
+  }
+  private def recordReset(k: String): Unit = {
+    val e = recording.get(); if (e != null) { e.setProps.remove(k); e.resetProps += k }
+  }
+  private def recordPrepare(n: String, s: String): Unit = {
+    val e = recording.get(); if (e != null) { e.addedStmts.put(n, s); e.removedStmts -= n }
+  }
+  private def recordDealloc(n: String): Unit = {
+    val e = recording.get(); if (e != null) { e.addedStmts.remove(n); e.removedStmts += n }
+  }
+
   def clientStatement(spark: SparkSession, text: String, queryId: String,
       created: Long, headerProps: Seq[(String, String)],
       headerStmts: Seq[(String, String)],
       headerTxn: Option[String],
-      source: String = "http"): ClientStatementResult = {
+      source: String = "http",
+      user: String = null): ClientStatementResult = {
     val props = propsOf(spark)
     val stmts = stmtsOf(spark)
     clientStateLock.lock()
-    val savedProps = props.toSeq
-    val savedStmts = stmts.toMap
     try {
-      headerProps.foreach { case (k, v) =>
-        props.put(k.toLowerCase, v); applySessionProp(spark, k, v)
+      val savedProps = props.toMap
+      val savedStmts = stmts.toMap
+      val overlayProps = headerProps.map { case (k, v) => (k.toLowerCase, v) }
+      val overlayStmts = headerStmts.map { case (n, s) => (n.toLowerCase, s) }
+      overlayProps.foreach { case (k, v) =>
+        props.put(k, v); applySessionProp(spark, k, v)
       }
-      headerStmts.foreach { case (n, s) => stmts.put(n.toLowerCase, s) }
-    } finally clientStateLock.unlock()
-    def restore(): Unit = {
-      clientStateLock.lock()
-      try {
-        props.keys.toSeq.foreach(k => resetSessionProp(spark, k))
-        props.clear()
-        savedProps.foreach { case (k, v) =>
-          props.put(k, v); applySessionProp(spark, k, v)
+      overlayStmts.foreach { case (n, s) => stmts.put(n, s) }
+      val eff = new Effects
+      recording.set(eff)
+
+      /** Revert exactly the keys this statement touched (header overlay
+        * + recorded effects), each only if it still holds the value this
+        * statement left — concurrent later writers win. Must run under
+        * clientStateLock. */
+      def restoreLocked(): Unit = {
+        val overlayMap = overlayProps.toMap
+        val touchedProps =
+          overlayMap.keySet ++ eff.setProps.keySet ++ eff.resetProps
+        touchedProps.foreach { k =>
+          val left: Option[String] =
+            eff.setProps.get(k).orElse(
+              if (eff.resetProps.contains(k)) None else overlayMap.get(k))
+          if (props.get(k) == left) savedProps.get(k) match {
+            case Some(orig) => props.put(k, orig); applySessionProp(spark, k, orig)
+            case None => props.remove(k); resetSessionProp(spark, k)
+          }
         }
-        stmts.clear(); stmts ++= savedStmts
-      } finally clientStateLock.unlock()
-    }
-    try {
-      val activeBefore =
-        graft.operators.TransactionOps.activeTransaction(spark).map(_._1)
-      headerTxn.filterNot(_.equalsIgnoreCase("NONE")).foreach { tid =>
-        require(activeBefore.contains(tid), s"Unknown transaction ID: $tid")
+        val overlayStmtMap = overlayStmts.toMap
+        val touchedStmts =
+          overlayStmtMap.keySet ++ eff.addedStmts.keySet ++ eff.removedStmts
+        touchedStmts.foreach { n =>
+          val left: Option[String] =
+            eff.addedStmts.get(n).orElse(
+              if (eff.removedStmts.contains(n)) None else overlayStmtMap.get(n))
+          if (stmts.get(n) == left) savedStmts.get(n) match {
+            case Some(orig) => stmts.put(n, orig)
+            case None => stmts.remove(n)
+          }
+        }
       }
-      val df = sqlWithId(spark, text, queryId, created, source)
-      // statement-caused state changes, with the header overlay factored
-      // out: these become the response headers the client accumulates
-      val overlaidProps =
-        savedProps.toMap ++ headerProps.map { case (k, v) => (k.toLowerCase, v) }
-      val overlaidStmts =
-        savedStmts ++ headerStmts.map { case (n, s) => (n.toLowerCase, s) }
-      val setSession =
-        props.toSeq.filterNot { case (k, v) => overlaidProps.get(k).contains(v) }
-      val clearSession =
-        overlaidProps.keys.filterNot(props.contains).toSeq.sorted
-      val addedPrepare =
-        stmts.toSeq.filterNot { case (n, s) => overlaidStmts.get(n).contains(s) }
-      val deallocatedPrepare =
-        overlaidStmts.keys.filterNot(stmts.contains).toSeq.sorted
-      val activeAfter =
-        graft.operators.TransactionOps.activeTransaction(spark).map(_._1)
-      ClientStatementResult(df,
-        setSession, clearSession, addedPrepare, deallocatedPrepare,
-        startedTransactionId = activeAfter.filterNot(activeBefore.contains),
-        clearTransactionId = activeBefore.nonEmpty && activeAfter.isEmpty,
-        restore = () => restore())
-    } catch { case t: Throwable => restore(); throw t }
+
+      try {
+        val activeBefore =
+          graft.operators.TransactionOps.activeTransaction(spark).map(_._1)
+        headerTxn.filterNot(_.equalsIgnoreCase("NONE")).foreach { tid =>
+          require(activeBefore.contains(tid), s"Unknown transaction ID: $tid")
+        }
+        val (df, finish) =
+          sqlWithIdDeferred(spark, text, queryId, created, source, user)
+        val activeAfter =
+          graft.operators.TransactionOps.activeTransaction(spark).map(_._1)
+        ClientStatementResult(df,
+          setSession = eff.setProps.toSeq,
+          clearSession = eff.resetProps.toSeq.sorted,
+          addedPrepare = eff.addedStmts.toSeq,
+          deallocatedPrepare = eff.removedStmts.toSeq.sorted,
+          startedTransactionId = activeAfter.filterNot(activeBefore.contains),
+          clearTransactionId = activeBefore.nonEmpty && activeAfter.isEmpty,
+          restore = () => {
+            clientStateLock.lock()
+            try restoreLocked() finally clientStateLock.unlock()
+            finish()
+          })
+      } catch {
+        case t: Throwable => restoreLocked(); throw t
+      } finally recording.remove()
+    } finally clientStateLock.unlock()
   }
 
   /** Run Presto-dialect SQL on the graft engine (including the prepared-
@@ -749,7 +807,29 @@ object PrestoSql {
     * job group, and kill path as direct calls. */
   def sqlWithId(spark: SparkSession, text: String, queryId: String,
       created: Long, source: String = "graft"): DataFrame = {
-    val user = AccessControl.principal(spark)
+    val (df, finish) = sqlWithIdDeferred(spark, text, queryId, created, source, null)
+    // synchronous front door: the statement's window ends here, so
+    // defaults apply to analysis + eager execution (documented delta:
+    // an action a direct caller later runs on the returned lazy frame
+    // falls outside the defaults window; the HTTP path defers `finish`
+    // past the drain and gets the reference's full-lifetime semantics)
+    finish()
+    df
+  }
+
+  /** [[sqlWithId]] with the end-of-statement work split out: `finish`
+    * reverts session-property DEFAULTS and disarms per-query limits, and
+    * must run when the statement's lifetime ends — immediately for the
+    * synchronous front door, AFTER the result drain for the HTTP server,
+    * so a default like hash_partition_count genuinely shapes execution
+    * (QuerySessionSupplier applies defaults for the query's whole life).
+    * `user` (nullable) is the client-carried identity (X-Presto-User):
+    * it drives resource-group selection, session defaults, ACL checks,
+    * and the query log's user column for this statement. */
+  private[sql] def sqlWithIdDeferred(spark: SparkSession, text: String,
+      queryId: String, created: Long, source: String,
+      user: String): (DataFrame, () => Unit) = {
+    val effectiveUser = Option(user).getOrElse(AccessControl.principal(spark))
     // resource-group admission (no-op unless ResourceGroups.configure
     // installed a tree; reentrant under the HTTP worker's outer permit):
     // blocks QUEUED until the group has a slot, rejects at maxQueued —
@@ -757,15 +837,28 @@ object PrestoSql {
     // InternalResourceGroupManager the same way. The front door is a
     // synchronous planner, so its slot spans the statement's eager work;
     // the HTTP server holds its permit until the result is drained.
-    val permit = ResourceGroups.acquire(spark, user, source,
-      onQueued = () => SystemTables.record(spark, queryId, text, "QUEUED", created))
+    val permit = ResourceGroups.acquire(spark, effectiveUser, source,
+      onQueued = () => SystemTables.record(spark, queryId, text, "QUEUED",
+        created, source, effectiveUser))
     // session property defaults (presto-session-property-managers):
     // merged UNDER explicit session properties — only keys the session
     // has not SET get their Spark-conf analogs applied, and only for
     // this statement's window
-    val defaults = SessionDefaults.defaultsFor(spark, user, source)
+    val defaults = SessionDefaults.defaultsFor(spark, effectiveUser, source)
       .filterNot { case (k, _) => propsOf(spark).contains(k.toLowerCase) }
     defaults.foreach { case (k, v) => applySessionProp(spark, k, v) }
+    // per-query kill ceilings from the merged property view (explicit
+    // over defaults) — armed for the statement's whole lifetime
+    val disarm = QueryLimits.arm(spark, queryId, created,
+      defaults.toMap ++ propsOf(spark))
+    val finish: () => Unit = () => {
+      // keys the statement itself SET keep their conf analog — the
+      // explicit value took over the default's slot
+      defaults.foreach { case (k, _) =>
+        if (!propsOf(spark).contains(k.toLowerCase)) resetSessionProp(spark, k)
+      }
+      disarm()
+    }
     val prevSource = currentSource.get()
     currentSource.set(source)
     try {
@@ -774,22 +867,18 @@ object PrestoSql {
       // frame — job groups are sticky thread-locals) is cancellable by
       // CALL system.runtime.kill_query(queryId)
       spark.sparkContext.setJobGroup(queryId, text.take(200), interruptOnCancel = true)
-      val out = sqlImpl(spark, text)
+      val out = AccessControl.withUser(user)(sqlImpl(spark, text))
       // the front door plans synchronously; completion here = the
       // reference's FINISHED for control statements (SystemTables doc)
-      SystemTables.record(spark, queryId, text, "FINISHED", created)
-      out
+      SystemTables.record(spark, queryId, text, "FINISHED", created, source, effectiveUser)
+      (out, finish)
     } catch {
       case e: Throwable =>
-        SystemTables.record(spark, queryId, text, "FAILED", created)
+        SystemTables.record(spark, queryId, text, "FAILED", created, source, effectiveUser)
+        finish()
         throw e
     } finally {
       currentSource.set(prevSource)
-      // keys the statement itself SET keep their conf analog — the
-      // explicit value took over the default's slot
-      defaults.foreach { case (k, _) =>
-        if (!propsOf(spark).contains(k.toLowerCase)) resetSessionProp(spark, k)
-      }
       permit.release()
     }
   }
@@ -834,10 +923,12 @@ object PrestoSql {
         val v = unquote(value)
         propsOf(spark).put(name.toLowerCase, v)
         applySessionProp(spark, name, v)
+        recordSet(name.toLowerCase, v)
         Seq("SET SESSION").toDF("result")
       case resetSessionRe(name) =>
         propsOf(spark).remove(name.toLowerCase)
         resetSessionProp(spark, name)
+        recordReset(name.toLowerCase)
         Seq("RESET SESSION").toDF("result")
       case showSessionRe() =>
         // configured defaults surface here, under explicit SET SESSION
@@ -865,6 +956,7 @@ object PrestoSql {
           "This connector does not support renaming schemas")
       case setPathRe(path) =>
         propsOf(spark).put("path", path.trim)
+        recordSet("path", path.trim)
         Seq("SET PATH").toDF("result")
       case useRe(catalog, schema) =>
         if (catalog != null)
@@ -926,9 +1018,11 @@ object PrestoSql {
         Seq("ROLLBACK").toDF("result")
       case prepareRe(name, query) =>
         stmtsOf(spark).put(name.toLowerCase, query.trim)
+        recordPrepare(name.toLowerCase, query.trim)
         Seq("PREPARE").toDF("result")
       case deallocRe(name) =>
         stmtsOf(spark).remove(name.toLowerCase)
+        recordDealloc(name.toLowerCase)
         Seq("DEALLOCATE").toDF("result")
       case executeRe(name, argText) =>
         val query = stmtsOf(spark).getOrElse(name.toLowerCase,

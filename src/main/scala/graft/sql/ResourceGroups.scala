@@ -55,6 +55,15 @@ object ResourceGroups {
 
   private final class Waiter(val path: Seq[GroupState]) {
     val latch = new java.util.concurrent.CountDownLatch(1)
+    // Lifecycle under the manager lock: QUEUED (in the deque, queued
+    // counters held) -> PROMOTED (running counters held, off the deque)
+    // or DISABLED (manager torn down; counters died with it). The
+    // awaiting thread consults this after the latch to know what it
+    // owns — and, on interrupt, what it must give back.
+    var state: Int = Waiter.Queued
+  }
+  private object Waiter {
+    val Queued = 0; val Promoted = 1; val Disabled = 2
   }
 
   private final class Manager(val config: Config) {
@@ -63,7 +72,10 @@ object ResourceGroups {
     val waiters = new java.util.ArrayDeque[Waiter]()
   }
 
-  /** An admitted query's slot; `release()` exactly once. */
+  /** An admitted query's slot; `release()` exactly once — from ANY
+    * thread (a reaper or error handler releasing on behalf of a parked
+    * worker must still clear the owner's reentrancy marker, or that
+    * pooled thread would bypass admission control forever). */
   final class Permit private[ResourceGroups] (
       mgr: Option[Manager], path: Seq[GroupState]) {
     val groupId: Option[String] = path.lastOption.map(_.id)
@@ -71,7 +83,10 @@ object ResourceGroups {
     private val released = new java.util.concurrent.atomic.AtomicBoolean(false)
     def release(): Unit =
       if (released.compareAndSet(false, true)) mgr.foreach { m =>
-        if (Thread.currentThread() eq owner) holding.set(false)
+        // value-keyed remove: clears the OWNER's marker no matter which
+        // thread calls release, and never clobbers a marker the owner
+        // has since re-pointed at a different manager
+        holders.remove(owner, m)
         m.lock.synchronized {
           path.foreach(_.running -= 1)
           promoteLocked(m)
@@ -82,10 +97,13 @@ object ResourceGroups {
   // Reentrancy: the HTTP worker acquires for the statement's whole
   // lifetime and then drives PrestoSql.sqlWithId on the same thread —
   // the inner front-door acquire must not take a second slot (instant
-  // self-deadlock at hardConcurrencyLimit 1).
-  private val holding = new ThreadLocal[java.lang.Boolean] {
-    override def initialValue(): java.lang.Boolean = java.lang.Boolean.FALSE
-  }
+  // self-deadlock at hardConcurrencyLimit 1). Keyed per (thread ->
+  // manager), NOT a bare thread flag: a permit held against one
+  // SparkSession's manager must not disable admission for a different
+  // configured session on the same thread, and off-thread release must
+  // be able to clear the owner's entry.
+  private val holders =
+    new java.util.concurrent.ConcurrentHashMap[Thread, Manager]()
 
   private val managers =
     java.util.Collections.synchronizedMap(
@@ -103,8 +121,22 @@ object ResourceGroups {
   def configure(spark: SparkSession, config: Config): Unit =
     managers.put(spark, new Manager(config))
 
-  /** Remove admission control (the default: every query runs at once). */
-  def disable(spark: SparkSession): Unit = managers.remove(spark)
+  /** Remove admission control (the default: every query runs at once).
+    * Parked waiters are drained and admitted as no-op permits — tearing
+    * down the config must never leave a thread blocked forever on a
+    * latch nobody will count down. */
+  def disable(spark: SparkSession): Unit = {
+    val m = managers.remove(spark)
+    if (m != null) m.lock.synchronized {
+      val it = m.waiters.iterator()
+      while (it.hasNext) {
+        val w = it.next()
+        it.remove()
+        w.state = Waiter.Disabled
+        w.latch.countDown()
+      }
+    }
+  }
 
   def enabled(spark: SparkSession): Boolean = managers.get(spark) != null
 
@@ -182,6 +214,7 @@ object ResourceGroups {
         w.path.foreach { g => g.running += 1 }
         w.path.foreach { g => g.queued -= 1 }
         it.remove()
+        w.state = Waiter.Promoted
         w.latch.countDown()
       }
     }
@@ -197,7 +230,8 @@ object ResourceGroups {
   def acquire(spark: SparkSession, user: String, source: String,
       onQueued: () => Unit = () => ()): Permit = {
     val m = managers.get(spark)
-    if (m == null || holding.get()) return new Permit(None, Seq.empty)
+    if (m == null || (holders.get(Thread.currentThread()) eq m))
+      return new Permit(None, Seq.empty)
     val groupId = selectGroup(m.config, user, source).getOrElse(
       throw new IllegalArgumentException(
         s"Query did not match any selector (user '$user', source '$source')"))
@@ -205,7 +239,7 @@ object ResourceGroups {
       val path = pathFor(m, groupId, user, source)
       if (canRunLocked(path)) {
         path.foreach(_.running += 1)
-        holding.set(true)
+        holders.put(Thread.currentThread(), m)
         return new Permit(Some(m), path)
       }
       path.find(g => g.queued >= g.spec.maxQueued).foreach { g =>
@@ -217,9 +251,33 @@ object ResourceGroups {
       m.waiters.addLast(w)
       w
     }
-    onQueued()
-    waiter.latch.await()
-    holding.set(true)
+    // Abnormal exit while queued (interrupted await — a cancel/reaper
+    // unparking us — or an onQueued callback failure) must give back
+    // exactly what this waiter holds at that instant: its queue slot if
+    // still QUEUED, or the running slots if a racing promoteLocked
+    // already handed them over before the interrupt landed. Without the
+    // rollback every such exit permanently shrinks maxQueued headroom
+    // or leaks a running slot (both observed as spurious rejections).
+    try {
+      onQueued()
+      waiter.latch.await()
+    } catch {
+      case t: Throwable =>
+        m.lock.synchronized {
+          waiter.state match {
+            case Waiter.Queued =>
+              m.waiters.remove(waiter)
+              waiter.path.foreach(_.queued -= 1)
+            case Waiter.Promoted =>
+              waiter.path.foreach(_.running -= 1)
+              promoteLocked(m)
+            case _ => // Disabled: manager torn down, counters are gone
+          }
+        }
+        throw t
+    }
+    if (waiter.state == Waiter.Disabled) return new Permit(None, Seq.empty)
+    holders.put(Thread.currentThread(), m)
     new Permit(Some(m), waiter.path)
   }
 

@@ -65,8 +65,19 @@ object StatementServer {
       val headerProps: Seq[(String, String)],
       val headerStmts: Seq[(String, String)],
       val headerTxn: Option[String],
-      val source: String) {
+      val source: String,
+      val user: String) {
     val state = new AtomicReference[String]("QUEUED")
+    // Worker thread while the query is live — cancel() interrupts it so
+    // a QUEUED waiter parked inside ResourceGroups.acquire unparks
+    // immediately (rolling back its queue slot) instead of being
+    // promoted later and executing a statement the user already
+    // cancelled. Guarded by `this` against the finished-worker/recycled-
+    // thread race.
+    var workerThread: Thread = null
+    // Client-liveness heartbeat (the reference's Query.getLastHeartbeat,
+    // updated on every poll) — the abandonment reaper's input.
+    @volatile var lastHeartbeat: Long = System.currentTimeMillis()
     @volatile var columns: Seq[(String, String)] = Seq.empty
     @volatile var error: Option[String] = None
     val pages = new ArrayBlockingQueue[Slot](PageQueueCap)
@@ -94,7 +105,8 @@ object StatementServer {
   }
 
   final class Server private[StatementServer] (
-      spark: SparkSession, http: HttpServer, val port: Int) {
+      spark: SparkSession, http: HttpServer, val port: Int,
+      clientTimeoutMs: Long) {
     private[StatementServer] val queries = new ConcurrentHashMap[String, QueryExec]()
     private[StatementServer] val pool = Executors.newCachedThreadPool(r => {
       val t = new Thread(r, "graft-statement-worker")
@@ -102,6 +114,29 @@ object StatementServer {
       t
     })
     private[StatementServer] def session: SparkSession = spark
+
+    // Abandonment reaper (QueryTracker.java:247-269 failAbandonedQueries
+    // + :273-276 isAbandoned): a client that stops polling — no GET, no
+    // DELETE — must not park its worker at the page-queue cap forever
+    // while it HOLDS its resource-group slot; under a concurrency-1
+    // group that is permanent starvation. Sweep cadence is a fraction
+    // of the timeout so detection lags by at most ~timeout/4.
+    private[StatementServer] val reaper =
+      Executors.newSingleThreadScheduledExecutor(r => {
+        val t = new Thread(r, "graft-statement-reaper")
+        t.setDaemon(true)
+        t
+      })
+    reaper.scheduleWithFixedDelay(() => {
+      val horizon = System.currentTimeMillis() - clientTimeoutMs
+      queries.values().forEach { q =>
+        if (!q.done && !q.workerFinished && q.lastHeartbeat < horizon)
+          doCancel(this, q,
+            // QueryTracker.java:259 error shape
+            s"Query ${q.id} has not been accessed since ${new java.sql.Timestamp(q.lastHeartbeat)}: currentTime ${new java.sql.Timestamp(System.currentTimeMillis())}")
+      }
+    }, math.max(1, clientTimeoutMs / 4), math.max(1, clientTimeoutMs / 4),
+      TimeUnit.MILLISECONDS)
 
     def baseUri: String = s"http://127.0.0.1:$port"
 
@@ -112,16 +147,21 @@ object StatementServer {
 
     def stop(): Unit = {
       http.stop(0)
+      reaper.shutdownNow()
       pool.shutdownNow()
       ()
     }
   }
 
   /** Bind a loopback server for `spark` on `port` (0 = ephemeral; the
-    * bound port is known at create time, before start). */
-  def start(spark: SparkSession, port: Int = 0): Server = {
+    * bound port is known at create time, before start).
+    * `clientTimeoutMs` = how long a live query may go without a client
+    * poll before the reaper cancels it (the reference's
+    * query.client.timeout, default 5 min). */
+  def start(spark: SparkSession, port: Int = 0,
+      clientTimeoutMs: Long = 5 * 60 * 1000L): Server = {
     val http = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
-    val bound = new Server(spark, http, http.getAddress.getPort)
+    val bound = new Server(spark, http, http.getAddress.getPort, clientTimeoutMs)
     http.createContext("/v1/statement", (ex: HttpExchange) => handle(bound, ex))
     http.setExecutor(Executors.newFixedThreadPool(4, r => {
       val t = new Thread(r, "graft-statement-http")
@@ -180,11 +220,19 @@ object StatementServer {
       // source = the client's X-Presto-Source header (StatementResource
       // reads the same), default "http"; also the resource-group
       // selector input
-      source = Option(ex.getRequestHeaders.getFirst("X-Presto-Source")).getOrElse("http"))
+      source = Option(ex.getRequestHeaders.getFirst("X-Presto-Source")).getOrElse("http"),
+      // user = the client's identity, mandatory on the reference's wire
+      // (PrestoHeaders.java:25 X-Presto-User; QuerySessionSupplier
+      // builds the session from it) — drives ${USER} resource groups,
+      // per-user session defaults, and GRANT enforcement for this
+      // statement. Absent header falls back to the server session's
+      // principal (the pre-r11 single-tenant behavior).
+      user = Option(ex.getRequestHeaders.getFirst("X-Presto-User"))
+        .getOrElse(AccessControl.principal(server.session)))
     server.queries.put(id, q)
     // visible in system.runtime.queries from submission on, like the
     // reference's QUEUED state
-    SystemTables.record(server.session, id, sqlText, "QUEUED", created, q.source)
+    SystemTables.record(server.session, id, sqlText, "QUEUED", created, q.source, q.user)
     server.pool.execute(() => run(server, q, created))
     respond(ex, 200, envelope(server, q, data = Seq.empty, includeNext = true))
   }
@@ -206,13 +254,18 @@ object StatementServer {
     // drain so concurrency counts cover execution, not just planning.
     // Queue-full rejection takes the ordinary FAILED path below.
     var permit: Option[ResourceGroups.Permit] = None
+    q.synchronized { q.workerThread = Thread.currentThread() }
     try {
-      permit = Some(ResourceGroups.acquire(server.session,
-        AccessControl.principal(server.session), q.source))
+      permit = Some(ResourceGroups.acquire(server.session, q.user, q.source))
+      // a DELETE that landed while we were QUEUED interrupted the parked
+      // acquire (rolling back the queue slot); if the promotion RACED the
+      // interrupt, the slot is ours — bail before the statement executes
+      // anything (a cancelled INSERT must never mutate data)
+      if (q.cancelled) throw new InterruptedException("Query was canceled by user")
       q.state.set("RUNNING")
       SystemTables.updateState(server.session, q.id, "RUNNING")
       val st = PrestoSql.clientStatement(server.session, q.sqlText, q.id,
-        created, q.headerProps, q.headerStmts, q.headerTxn, q.source)
+        created, q.headerProps, q.headerStmts, q.headerTxn, q.source, q.user)
       restore = st.restore
       q.setSession = st.setSession
       q.clearSession = st.clearSession
@@ -239,23 +292,37 @@ object StatementServer {
       SystemTables.updateState(server.session, q.id, "FINISHED")
     } catch {
       case t: Throwable =>
-        q.error = Some(Option(t.getMessage).getOrElse(t.toString))
         // a DELETE-initiated job-group cancel lands here too; the
-        // reference reports user cancellation as a FAILED query
+        // reference reports user cancellation as a FAILED query. A
+        // limit-enforcement kill surfaces its own PrestoException-shaped
+        // text, not Spark's generic cancelled-job message.
+        q.error = q.error.orElse(QueryLimits.errorFor(q.id))
+          .orElse(Some(Option(t.getMessage).getOrElse(t.toString)))
         q.state.set("FAILED")
         SystemTables.updateState(server.session, q.id, "FAILED")
         q.pages.clear()
         while (!q.cancelled && !q.pages.offer(EndSlot)) q.pages.clear()
     } finally {
+      // release the slot BEFORE restore(): restore takes the shared
+      // client-state lock, and a statement waiting on our slot must
+      // never be gated on that
       permit.foreach(_.release())
       restore()
-      q.workerFinished = true
+      q.synchronized {
+        q.workerThread = null
+        // swallow a cancel()-interrupt that landed after the work was
+        // done — this pooled thread must not carry the flag into its
+        // next task
+        Thread.interrupted()
+        q.workerFinished = true
+      }
     }
   }
 
   private def page(server: Server, ex: HttpExchange, id: String, token: Long): Unit = {
     val q = server.queries.get(id)
     if (q == null) { respond(ex, 404, """{"error":"unknown query"}"""); return }
+    q.lastHeartbeat = System.currentTimeMillis()
     q.synchronized {
       stateHeaders(ex, q)
       q.lastServed match {
@@ -288,9 +355,15 @@ object StatementServer {
   private def cancel(server: Server, ex: HttpExchange, id: String): Unit = {
     val q = server.queries.get(id)
     if (q == null) { respond(ex, 404, """{"error":"unknown query"}"""); return }
-    SystemTables.killQuery(server.session, id) // job-group cancel + FAILED in the log
+    doCancel(server, q, "Query was canceled by user")
+    respond(ex, 204, "")
+  }
+
+  /** Shared kill path: explicit DELETE and the abandonment reaper. */
+  private def doCancel(server: Server, q: QueryExec, reason: String): Unit = {
+    SystemTables.killQuery(server.session, q.id) // job-group cancel + FAILED in the log
     q.state.set("FAILED")
-    q.error = q.error.orElse(Some("Query was canceled by user"))
+    q.error = q.error.orElse(Some(reason))
     q.done = true
     // poison first, then drain: the worker re-checks `cancelled` before
     // every bounded-queue hand-off, so it can never re-park after this
@@ -298,7 +371,14 @@ object StatementServer {
     // the 16 slots from already-fetched rows)
     q.cancelled = true
     q.pages.clear()
-    respond(ex, 204, "")
+    // unpark a worker that is still QUEUED inside ResourceGroups.acquire
+    // (the job-group cancel can't reach it — no job exists yet): the
+    // interrupt makes acquire roll back the queue slot and the worker
+    // exit without ever executing the statement. Guarded against the
+    // finished-worker race so a recycled pool thread is never hit.
+    q.synchronized {
+      if (q.workerThread != null) q.workerThread.interrupt()
+    }
   }
 
   // ---- response rendering ----

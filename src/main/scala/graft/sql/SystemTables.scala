@@ -54,16 +54,29 @@ object SystemTables {
     * is the client identity (QuerySystemTable's source column; the
     * reference fills it from the X-Presto-Source header). */
   def record(spark: SparkSession, id: String, query: String, state: String,
-      createdMs: Long, source: String = "graft"): Unit = {
+      createdMs: Long, source: String = "graft", user: String = null): Unit = {
     val l = logOf(spark)
     l.synchronized {
       val i = l.indexWhere(_.id == id)
       if (i >= 0) l(i) = l(i).copy(state = state, endMs = System.currentTimeMillis())
       else {
-        l += QueryRecord(id, state, AccessControl.principal(spark), source,
+        l += QueryRecord(id, state,
+          Option(user).getOrElse(AccessControl.principal(spark)), source,
           query, createdMs, System.currentTimeMillis())
         if (l.length > MaxLog) l.remove(0, l.length - MaxLog)
       }
+    }
+  }
+
+  /** FAIL the entry only if it is still live (QUEUED/RUNNING) — the
+    * limit-enforcement timer's transition (QueryTracker.java's
+    * query.fail is a no-op on done queries the same way). */
+  def failIfActive(spark: SparkSession, id: String): Unit = {
+    val l = logOf(spark)
+    l.synchronized {
+      val i = l.indexWhere(_.id == id)
+      if (i >= 0 && (l(i).state == "QUEUED" || l(i).state == "RUNNING"))
+        l(i) = l(i).copy(state = "FAILED", endMs = System.currentTimeMillis())
     }
   }
 
@@ -96,7 +109,7 @@ object SystemTables {
   }
 
   /** Does the statement reference a system.runtime table? */
-  private val sysRef = "(?i)system\\.runtime\\.(nodes|queries|tasks|transactions)".r
+  private val sysRef = "(?i)system\\.runtime\\.(nodes|queries|tasks|transactions|resource_groups)".r
 
   def referencesSystemTables(text: String): Boolean =
     sysRef.findFirstIn(text).isDefined
@@ -157,5 +170,15 @@ object SystemTables {
         "auto_commit_context", "create_time", "idle_time_secs",
         "written_catalog", "catalogs")
       .createOrReplaceTempView("system_runtime_transactions")
+
+    // system.runtime.resource_groups — admission observability (the
+    // reference exposes per-group state via ResourceGroupInfo /
+    // ResourceGroupStateInfo on the coordinator): one row per
+    // instantiated group with live running/queued counters, so a parked
+    // QUEUED query is visible through the same front door as everything
+    // else. Empty when no configuration is installed.
+    ResourceGroups.snapshot(spark)
+      .toDF("group_id", "running", "queued", "hard_concurrency_limit", "max_queued")
+      .createOrReplaceTempView("system_runtime_resource_groups")
   }
 }

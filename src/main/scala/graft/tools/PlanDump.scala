@@ -25,7 +25,7 @@ object PlanDump {
       "agg_convex_hull", "llm_decontam_bloom", "llm_tfidf",
       "ds_rollup_topk", "ds_ticket_band", "ds_channel_union",
       "ds_reachability_semi", "ds_frequent_items", "ds_channel_intersect",
-      "ds_wide_rollup_rank", "ds_cross_channel_cte",
+      "ds_wide_rollup_rank", "ds_cross_channel_cte", "ds_inventory_gap",
       "agg_histogram", "src_local_file_log",
       "llm_mixture_sample", "llm_token_budget_select")
     val spark = graft.engine.Engine.session("local[4]", shufflePartitions = 8)

@@ -165,6 +165,17 @@ class EngineSpecs extends AnyFunSuite with BeforeAndAfterAll {
       "per-order agg must reuse its partitioning for the orders join")
     assert(countNodes(bandPlan)(_.nodeName.contains("BroadcastHashJoin")) >= 1,
       "customer must broadcast")
+    // q72 stress shape: fact-to-fact (lineitem-orders, then the derived
+    // per-(part,month) inventory aggregate) with promo LEFT JOIN — every
+    // inequality must ride as a post-join filter on an equi-join, never
+    // a nested-loop join condition; part/promo broadcast.
+    val invGap = SparkEntry.queries("ds_inventory_gap")(spark, sfDir)
+    val invStr = planString(invGap)
+    assert(!invStr.contains("CartesianProduct") &&
+      !invStr.contains("BroadcastNestedLoop"),
+      "inventory-gap inequalities must not degrade any join to NLJ")
+    assert(countNodes(executedPlan(invGap))(_.nodeName.contains("BroadcastHashJoin")) >= 2,
+      "part and promo must broadcast")
     // q95 shape: both EXISTS chains must plan as LEFT-SEMI joins (no
     // fact duplication from an IN-to-inner rewrite).
     val reach = planString(SparkEntry.queries("ds_reachability_semi")(spark, sfDir))
