@@ -163,6 +163,7 @@ object StatementServer {
     val http = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
     val bound = new Server(spark, http, http.getAddress.getPort, clientTimeoutMs)
     http.createContext("/v1/statement", (ex: HttpExchange) => handle(bound, ex))
+    http.createContext("/v1/query", (ex: HttpExchange) => handleQueryInfo(bound, ex))
     http.setExecutor(Executors.newFixedThreadPool(4, r => {
       val t = new Thread(r, "graft-statement-http")
       t.setDaemon(true)
@@ -358,6 +359,37 @@ object StatementServer {
     doCancel(server, q, "Query was canceled by user")
     respond(ex, 204, "")
   }
+
+  /** The infoUri target — the reference's QueryResource
+    * (server/QueryResource.java: GET /v1/query/{queryId} returns query
+    * info, DELETE cancels). A compact info document: id, state, the
+    * SQL text, user/source identity, and the error if failed. */
+  private def handleQueryInfo(server: Server, ex: HttpExchange): Unit =
+    try {
+      val id = ex.getRequestURI.getPath.stripPrefix("/v1/query")
+        .split('/').filter(_.nonEmpty).headOption.orNull
+      val q = if (id == null) null else server.queries.get(id)
+      if (q == null) { respond(ex, 404, """{"error":"unknown query"}"""); return }
+      ex.getRequestMethod match {
+        case "DELETE" =>
+          doCancel(server, q, "Query was canceled by user")
+          respond(ex, 204, "")
+        case _ =>
+          val sb = new StringBuilder(256)
+          sb.append("{\"queryId\":").append(jsonString(q.id))
+          sb.append(",\"state\":").append(jsonString(q.state.get()))
+          sb.append(",\"query\":").append(jsonString(q.sqlText))
+          sb.append(",\"session\":{\"user\":").append(jsonString(q.user))
+            .append(",\"source\":").append(jsonString(q.source)).append('}')
+          q.error.foreach(e =>
+            sb.append(",\"errorMessage\":").append(jsonString(e)))
+          sb.append('}')
+          respond(ex, 200, sb.toString)
+      }
+    } catch {
+      case t: Throwable =>
+        respond(ex, 500, s"""{"error":${jsonString(Option(t.getMessage).getOrElse(t.toString))}}""")
+    } finally ex.close()
 
   /** Shared kill path: explicit DELETE and the abandonment reaper. */
   private def doCancel(server: Server, q: QueryExec, reason: String): Unit = {

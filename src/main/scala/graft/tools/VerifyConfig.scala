@@ -1,0 +1,138 @@
+package graft.tools
+
+import org.apache.spark.sql.{Row, SparkSession}
+
+/** Cross-configuration verifier — the reference's presto-verifier
+  * contract (presto-verifier/.../Validator.java: replay a query corpus
+  * against a control and a test configuration, compare checksums/row
+  * counts, emit a per-query verdict) applied to the WHOLE oracle corpus
+  * rather than a hand-picked subset.
+  *
+  * Control = the ordinary session. Test = the forced-spill
+  * configuration from SpillSpecs (every blocking operator pushed to
+  * disk: sorter force-spill thresholds, operator buffer spill
+  * thresholds, object-agg sort fallback, broadcast disabled so joins
+  * take the spilling sort-merge path). Same shuffle partition count on
+  * both sides so partition-seeded operators (sampling) see identical
+  * inputs.
+  *
+  * What this pins at 100 TB: a production run WILL spill and WILL lose
+  * broadcast eligibility on some joins — every query's results must be
+  * independent of those physical choices. Row multisets compare
+  * pairwise after a canonical sort; double/float values at relative
+  * tolerance (spilling legitimately reorders float accumulation).
+  *
+  * Usage: sbt "runMain graft.tools.VerifyConfig [sfDir] [outJson]"
+  * Writes one JSON object with per-query {rows, match} + a summary.
+  */
+object VerifyConfig {
+
+  private def sortKey(v: Any): String = v match {
+    case d: Double => "%.6e".format(d)
+    case f: Float  => "%.4e".format(f)
+    case r: Row    => r.toSeq.map(sortKey).mkString("[", ",", "]")
+    case s: Seq[_] => s.map(sortKey).mkString("[", ",", "]")
+    case other     => String.valueOf(other)
+  }
+
+  private def valuesMatch(x: Any, y: Any): Boolean = (x, y) match {
+    case (a: Double, b: Double) =>
+      (a.isNaN && b.isNaN) || a == b ||
+        math.abs(a - b) <= 1e-9 * math.max(math.abs(a), math.abs(b))
+    case (a: Float, b: Float) =>
+      (a.isNaN && b.isNaN) || a == b ||
+        math.abs(a - b) <= 1e-5f * math.max(math.abs(a), math.abs(b))
+    case (a: Row, b: Row) =>
+      a.length == b.length && a.toSeq.zip(b.toSeq).forall(t => valuesMatch(t._1, t._2))
+    case (a: Seq[_], b: Seq[_]) =>
+      a.length == b.length && a.zip(b).forall(t => valuesMatch(t._1, t._2))
+    case (a: Array[_], b: Array[_]) =>
+      a.length == b.length && a.zip(b).forall(t => valuesMatch(t._1, t._2))
+    case (a, b) => String.valueOf(a) == String.valueOf(b)
+  }
+
+  /** Row-multiset checksum: MD5 over canonically rendered, sorted rows
+    * (floats at 6 significant digits — the INFORMATIONAL fingerprint;
+    * the verdict itself is the tolerance-based pairwise compare). */
+  private def checksum(rows: Array[Row]): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    rows.foreach(r => md.update(sortKey(r).getBytes("UTF-8")))
+    md.digest().map("%02x".format(_)).mkString
+  }
+
+  private def runCorpus(spark: SparkSession, sfDir: String)
+      : Map[String, Either[String, Array[Row]]] = {
+    graft.engine.Engine.registerTables(spark, sfDir)
+    graft.SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      name -> (try Right(fn(spark, sfDir).collect().sortBy(sortKey))
+        catch { case e: Throwable =>
+          Left(Option(e.getMessage).getOrElse(e.toString).take(300)) })
+    }.toMap
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val out = args.lift(1).getOrElse("VERIFY_CONFIG.json")
+
+    // control configuration: the ordinary engine session
+    val control = graft.engine.Engine.session("local[8]", shufflePartitions = 8)
+    val controlResults = try runCorpus(control, sfDir) finally control.stop()
+
+    // test configuration: forced spill + no broadcast (SpillSpecs knobs —
+    // core SparkConf settings, so a fresh context is required)
+    val test = SparkSession.builder()
+      .master("local[8]")
+      .appName("graft-verify-config")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.shuffle.spill.numElementsForceSpillThreshold", "2000")
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "2")
+      .config("spark.sql.windowExec.buffer.in.memory.threshold", "64")
+      .config("spark.sql.windowExec.buffer.spill.threshold", "128")
+      .config("spark.sql.sortMergeJoinExec.buffer.in.memory.threshold", "64")
+      .config("spark.sql.sortMergeJoinExec.buffer.spill.threshold", "128")
+      .config("spark.sql.autoBroadcastJoinThreshold", "-1")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    test.sparkContext.setLogLevel("WARN")
+    val testResults = try runCorpus(test, sfDir) finally test.stop()
+
+    def js(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"")
+      .replaceAll("[\\n\\r\\t]", " ") + "\""
+    val perQuery = controlResults.toSeq.sortBy(_._1).map { case (name, ctl) =>
+      val tst = testResults(name)
+      (ctl, tst) match {
+        case (Right(c), Right(t)) =>
+          val ok = c.length == t.length &&
+            c.zip(t).forall { case (a, b) => valuesMatch(a, b) }
+          s"${js(name)}: {\"rows\": ${c.length}, \"rows_test\": ${t.length}, " +
+            s"\"checksum\": ${js(checksum(c))}, \"checksum_test\": ${js(checksum(t))}, " +
+            s"\"match\": $ok}"
+        case (Left(e), _) =>
+          s"${js(name)}: {\"match\": false, \"error_control\": ${js(e)}}"
+        case (_, Left(e)) =>
+          s"${js(name)}: {\"match\": false, \"error_test\": ${js(e)}}"
+      }
+    }
+    val mismatches = controlResults.toSeq.sortBy(_._1).filterNot { case (name, ctl) =>
+      (ctl, testResults(name)) match {
+        case (Right(c), Right(t)) =>
+          c.length == t.length && c.zip(t).forall { case (a, b) => valuesMatch(a, b) }
+        case _ => false
+      }
+    }.map(_._1)
+    val json = new StringBuilder
+    json.append("{\"harness\": \"presto-verifier analog (Validator.java contract)\",\n")
+    json.append(s""" "sf": ${js(sfDir)},""")
+    json.append(s""" "test_config": "forced-spill + broadcast-off (SpillSpecs knobs)",""")
+    json.append(s""" "n_queries": ${controlResults.size},""")
+    json.append(s""" "n_match": ${controlResults.size - mismatches.size},""")
+    json.append(s""" "mismatches": [${mismatches.map(js).mkString(", ")}],\n""")
+    json.append(" \"queries\": {\n  ")
+    json.append(perQuery.mkString(",\n  "))
+    json.append("\n }}\n")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(out), json.toString)
+    println(s"wrote $out: ${controlResults.size - mismatches.size}/${controlResults.size} match" +
+      (if (mismatches.nonEmpty) s"; MISMATCHES: ${mismatches.mkString(", ")}" else ""))
+  }
+}

@@ -354,6 +354,132 @@ class LifecycleSpecs extends AnyFunSuite with BeforeAndAfterAll {
     } finally server.stop()
   }
 
+  test("query_max_execution_time kills from execution start with its own error text") {
+    val server = graft.sql.StatementServer.start(spark)
+    try {
+      val (_, b) = httpSend("POST", s"${server.baseUri}/v1/statement",
+        Some("SELECT count(xxhash64(a.id * b.id)) AS n " +
+          "FROM range(30000000) a CROSS JOIN range(30000000) b"),
+        Seq("X-Presto-Session" -> "query_max_execution_time=1s"))
+      val id = json(b).get("id").asText()
+      var err = ""
+      val deadline = System.currentTimeMillis() + 60000
+      while (err.isEmpty && System.currentTimeMillis() < deadline) {
+        val node = json(httpSend("GET", s"${server.baseUri}/v1/statement/$id/0")._2)
+        if (node.has("error")) err = node.get("error").get("message").asText()
+        else Thread.sleep(200)
+      }
+      // QueryTracker.java:184
+      assert(err == "Query exceeded the maximum execution time limit of 1.00s", s"got: $err")
+    } finally server.stop()
+  }
+
+  test("query_max_total_memory kills a query whose tasks exceed the ceiling") {
+    val server = graft.sql.StatementServer.start(spark)
+    try {
+      // any real shuffle's task peak memory clears a 1-byte ceiling on
+      // the first completed task — deterministic kill, bounded runtime
+      val (_, b) = httpSend("POST", s"${server.baseUri}/v1/statement",
+        Some("SELECT id % 1000 AS g, count(*) AS n FROM range(50000000) GROUP BY id % 1000"),
+        Seq("X-Presto-Session" -> "query_max_total_memory=1B"))
+      val id = json(b).get("id").asText()
+      var err = ""
+      val deadline = System.currentTimeMillis() + 60000
+      while (err.isEmpty && System.currentTimeMillis() < deadline) {
+        val node = json(httpSend("GET", s"${server.baseUri}/v1/statement/$id/0")._2)
+        if (node.has("error")) err = node.get("error").get("message").asText()
+        else Thread.sleep(200)
+      }
+      // ExceededMemoryLimitException.java:34 shape
+      assert(err == "Query exceeded distributed total memory limit of 1B", s"got: $err")
+      assert(logState(id) == "FAILED")
+    } finally server.stop()
+  }
+
+  // ---- concurrent protocol clients: header/session-state isolation ----
+
+  test("concurrent clients: one client's session state never leaks into another's headers") {
+    val server = graft.sql.StatementServer.start(spark)
+    try {
+      spark.range(100000).selectExpr("id AS k").createOrReplaceTempView("iso_rows")
+      // client A: long drain, carrying its own session overlay
+      val (_, ba) = httpSend("POST", s"${server.baseUri}/v1/statement",
+        Some("SELECT k FROM iso_rows"),
+        Seq("X-Presto-Session" -> "hash_partition_count=7"))
+      val idA = json(ba).get("id").asText()
+      // while A's overlay window is live (worker parked mid-drain),
+      // client B executes a state-changing statement
+      Thread.sleep(300)
+      val client = java.net.http.HttpClient.newHttpClient()
+      val reqB = java.net.http.HttpRequest.newBuilder(
+        java.net.URI.create(s"${server.baseUri}/v1/statement"))
+        .POST(java.net.http.HttpRequest.BodyPublishers.ofString(
+          "SET SESSION query_priority = '5'")).build()
+      var respB = client.send(reqB, java.net.http.HttpResponse.BodyHandlers.ofString())
+      val bHdrs = scala.collection.mutable.ArrayBuffer.empty[String]
+      var spins = 0
+      var uriB = Option(json(respB.body())).filter(_.has("nextUri"))
+        .map(_.get("nextUri").asText())
+      import scala.jdk.CollectionConverters._
+      def collectHdrs(r: java.net.http.HttpResponse[String]): Unit =
+        r.headers().map().asScala.foreach { case (k, vs) =>
+          if (k.equalsIgnoreCase("x-presto-set-session")) bHdrs ++= vs.asScala
+        }
+      collectHdrs(respB)
+      while (uriB.isDefined && spins < 200) {
+        respB = client.send(java.net.http.HttpRequest.newBuilder(
+          java.net.URI.create(uriB.get)).GET().build(),
+          java.net.http.HttpResponse.BodyHandlers.ofString())
+        collectHdrs(respB)
+        uriB = Option(json(respB.body())).filter(_.has("nextUri"))
+          .map(_.get("nextUri").asText())
+        spins += 1
+      }
+      // B's headers carry exactly B's own effect — never A's overlay
+      // (pre-r11 the diff-against-shared-maps could emit A's
+      // hash_partition_count here, permanently corrupting B's session)
+      assert(bHdrs.exists(_.startsWith("query_priority=")), s"B's own SET: $bHdrs")
+      assert(!bHdrs.exists(_.contains("hash_partition_count")),
+        s"A's header overlay must not leak into B's Set-Session: $bHdrs")
+      // drain A fully so its restore runs
+      var uriA = s"${server.baseUri}/v1/statement/$idA/0"
+      while (uriA != null) {
+        val node = json(httpSend("GET", uriA)._2)
+        uriA = if (node.has("nextUri")) node.get("nextUri").asText() else null
+      }
+      // after both statements: a bare client sees NO residue of either
+      val rows = httpQuery(server.baseUri, "SHOW SESSION").map(_.get(0).asText())
+      assert(!rows.contains("hash_partition_count") && !rows.contains("query_priority"),
+        s"server-side session must carry no client residue: $rows")
+    } finally server.stop()
+  }
+
+  test("infoUri endpoint: GET /v1/query/{id} serves query info; DELETE cancels") {
+    val server = graft.sql.StatementServer.start(spark)
+    try {
+      spark.range(100000).selectExpr("id AS k").createOrReplaceTempView("info_rows")
+      val (_, b) = httpSend("POST", s"${server.baseUri}/v1/statement",
+        Some("SELECT k FROM info_rows"), Seq("X-Presto-User" -> "carol"))
+      val post = json(b)
+      val id = post.get("id").asText()
+      val infoUri = post.get("infoUri").asText()
+      // QueryResource.java: GET returns the query document
+      val info = json(httpSend("GET", infoUri)._2)
+      assert(info.get("queryId").asText() == id)
+      assert(info.get("query").asText() == "SELECT k FROM info_rows")
+      assert(info.get("session").get("user").asText() == "carol")
+      // DELETE on the info URI cancels like the statement DELETE
+      assert(httpSend("DELETE", infoUri)._1 == 204)
+      val deadline = System.currentTimeMillis() + 15000
+      while (!server.workerFinished(id) && System.currentTimeMillis() < deadline)
+        Thread.sleep(50)
+      assert(server.workerFinished(id))
+      val after = json(httpSend("GET", infoUri)._2)
+      assert(after.get("state").asText() == "FAILED")
+      assert(after.has("errorMessage"))
+    } finally server.stop()
+  }
+
   // ---- admission observability through the front door ----
 
   test("system.runtime.resource_groups shows a QUEUED query's live counters") {
