@@ -148,6 +148,20 @@ object DdlQueries extends QueryModule {
       out
     },
 
+    // CURRENT_USER niladic (SqlBase.g4 specialForm; DesugarCurrentUser
+    // .java binds it at analysis, SessionFunctions.java carries the
+    // value): the front door binds the STATEMENT's principal — the
+    // default session principal here; LifecycleSpecs drives the
+    // per-request X-Presto-User binding over HTTP. The string-literal
+    // guard is part of the contract: a quoted 'current_user' must
+    // survive untouched.
+    Q("sql_current_user",
+      """SELECT 'admin' AS u, 'current_user' AS lit,
+        |       count(*) AS n FROM region""".stripMargin) { (s, _) =>
+      PrestoSql.sql(s,
+        "SELECT current_user AS u, 'current_user' AS lit, count(*) AS n FROM region")
+    },
+
     // DELETE — the reference's DeleteOperator.java/MetadataDeleteOperator
     // pair as file-pruned copy-on-write over parquet (DeleteOps). The
     // scratch table is range-clustered on o_orderkey so the key-range

@@ -830,6 +830,16 @@ object PrestoSql {
       queryId: String, created: Long, source: String,
       user: String): (DataFrame, () => Unit) = {
     val effectiveUser = Option(user).getOrElse(AccessControl.principal(spark))
+    // session property defaults (presto-session-property-managers):
+    // merged UNDER explicit session properties — only keys the session
+    // has not SET get their Spark-conf analogs applied, and only for
+    // this statement's window. Computed before admission: the merged
+    // query_priority drives promotion order in query_priority groups.
+    val defaults = SessionDefaults.defaultsFor(spark, effectiveUser, source)
+      .filterNot { case (k, _) => propsOf(spark).contains(k.toLowerCase) }
+    val priority = propsOf(spark).get("query_priority")
+      .orElse(defaults.collectFirst { case ("query_priority", v) => v })
+      .flatMap(_.toIntOption).getOrElse(1)
     // resource-group admission (no-op unless ResourceGroups.configure
     // installed a tree; reentrant under the HTTP worker's outer permit):
     // blocks QUEUED until the group has a slot, rejects at maxQueued —
@@ -839,13 +849,7 @@ object PrestoSql {
     // the HTTP server holds its permit until the result is drained.
     val permit = ResourceGroups.acquire(spark, effectiveUser, source,
       onQueued = () => SystemTables.record(spark, queryId, text, "QUEUED",
-        created, source, effectiveUser))
-    // session property defaults (presto-session-property-managers):
-    // merged UNDER explicit session properties — only keys the session
-    // has not SET get their Spark-conf analogs applied, and only for
-    // this statement's window
-    val defaults = SessionDefaults.defaultsFor(spark, effectiveUser, source)
-      .filterNot { case (k, _) => propsOf(spark).contains(k.toLowerCase) }
+        created, source, effectiveUser), priority = priority)
     defaults.foreach { case (k, v) => applySessionProp(spark, k, v) }
     // per-query kill ceilings from the merged property view (explicit
     // over defaults) — armed for the statement's whole lifetime
@@ -1028,11 +1032,11 @@ object PrestoSql {
         val query = stmtsOf(spark).getOrElse(name.toLowerCase,
           throw new IllegalArgumentException(s"Prepared statement not found: $name"))
         val args = if (argText == null) Seq.empty else splitArgs(argText)
-        val bound = rewriteFull(bindParams(query, args))
+        val bound = rewriteCurrentUser(spark, rewriteFull(bindParams(query, args)))
         AccessControl.enforce(spark, bound)
         spark.sql(bound)
       case _ =>
-        var rewritten = rewriteFull(text)
+        var rewritten = rewriteCurrentUser(spark, rewriteFull(text))
         if (SystemTables.referencesSystemTables(rewritten)) {
           // statement-time snapshot of system.runtime.* then name rewrite
           SystemTables.refreshViews(spark)
@@ -1041,5 +1045,29 @@ object PrestoSql {
         AccessControl.enforce(spark, rewritten)
         spark.sql(rewritten)
     }
+  }
+
+  /** Niladic CURRENT_USER (SqlBase.g4 specialForm; the reference
+    * desugars it at analysis to the session identity —
+    * DesugarCurrentUser.java, runtime value SessionFunctions.java):
+    * bound here to the STATEMENT's principal, so an HTTP request with
+    * X-Presto-User sees its own identity. Rewritten to a string literal
+    * outside quoted literals; `current_user(` is left for Spark's own
+    * builtin (parenthesized form is not Presto syntax). */
+  private def rewriteCurrentUser(spark: SparkSession, text: String): String = {
+    if (!text.toLowerCase.contains("current_user")) return text
+    val lit = literalMap(text)
+    val out = new StringBuilder
+    var last = 0
+    "(?i)\\bcurrent_user\\b".r.findAllMatchIn(text).foreach { m =>
+      out.append(text.substring(last, m.start))
+      val parenFollows =
+        text.drop(m.end).dropWhile(_.isWhitespace).headOption.contains('(')
+      if (lit(m.start) || parenFollows) out.append(m.matched)
+      else out.append("'" + AccessControl.principal(spark).replace("'", "''") + "'")
+      last = m.end
+    }
+    out.append(text.substring(last))
+    out.toString
   }
 }

@@ -29,11 +29,12 @@ import org.apache.spark.sql.SparkSession
   */
 object QueryLimits {
 
-  private final case class Armed(
-      spark: SparkSession,
-      memLimit: Long,
-      timers: Seq[ScheduledFuture[_]]) {
+  private final class Armed(
+      val spark: SparkSession,
+      val memLimit: Long) {
     val memUsed = new java.util.concurrent.atomic.AtomicLong(0L)
+    // filled after registration; guarded by `this` (disarm may race arm)
+    val timers = scala.collection.mutable.ArrayBuffer.empty[ScheduledFuture[_]]
   }
 
   private val armed = new ConcurrentHashMap[String, Armed]()
@@ -113,30 +114,31 @@ object QueryLimits {
     val maxMem = props.get("query_max_total_memory").orElse(props.get("query_max_memory"))
     if (runTime.isEmpty && execTime.isEmpty && maxMem.isEmpty) return () => ()
 
-    val timers = Seq.newBuilder[ScheduledFuture[_]]
-    lazy val entry: Armed = Armed(spark, maxMem.map(parseBytes).getOrElse(Long.MaxValue), timers.result())
-    runTime.foreach { raw =>
-      val delay = math.max(0L, createdMs + parseDuration(raw) - System.currentTimeMillis())
-      timers += scheduler.schedule(new Runnable {
-        def run(): Unit = fail(queryId, armed.get(queryId),
-          // QueryTracker.java:187
-          s"Query exceeded maximum time limit of ${renderDuration(raw)}")
-      }, delay, TimeUnit.MILLISECONDS)
-    }
-    execTime.foreach { raw =>
-      timers += scheduler.schedule(new Runnable {
-        def run(): Unit = fail(queryId, armed.get(queryId),
-          // QueryTracker.java:184
-          s"Query exceeded the maximum execution time limit of ${renderDuration(raw)}")
-      }, parseDuration(raw), TimeUnit.MILLISECONDS)
-    }
-    val e = entry
+    // register BEFORE scheduling: an already-expired deadline must kill
+    // immediately, not no-op because its timer beat the registration
+    val e = new Armed(spark, maxMem.map(parseBytes).getOrElse(Long.MaxValue))
     armed.put(queryId, e)
+    e.synchronized {
+      runTime.foreach { raw =>
+        val delay = math.max(0L, createdMs + parseDuration(raw) - System.currentTimeMillis())
+        e.timers += scheduler.schedule(new Runnable {
+          def run(): Unit = fail(queryId, armed.get(queryId),
+            // QueryTracker.java:187
+            s"Query exceeded maximum time limit of ${renderDuration(raw)}")
+        }, delay, TimeUnit.MILLISECONDS)
+      }
+      execTime.foreach { raw =>
+        e.timers += scheduler.schedule(new Runnable {
+          def run(): Unit = fail(queryId, armed.get(queryId),
+            // QueryTracker.java:184
+            s"Query exceeded the maximum execution time limit of ${renderDuration(raw)}")
+        }, parseDuration(raw), TimeUnit.MILLISECONDS)
+      }
+    }
     if (maxMem.isDefined) installListener(spark)
     () => {
-      val removed = armed.remove(queryId)
-      if (removed != null) removed.timers.foreach(_.cancel(false))
-      e.timers.foreach(_.cancel(false))
+      armed.remove(queryId)
+      e.synchronized(e.timers.foreach(_.cancel(false)))
     }
   }
 

@@ -34,11 +34,17 @@ import org.apache.spark.sql.SparkSession
   */
 object ResourceGroups {
 
+  /** `schedulingPolicy` per InternalResourceGroup.java / SchedulingPolicy:
+    * "fair" (FIFO, the default) or "query_priority" (highest session
+    * query_priority promotes first; FIFO among equals). The stochastic
+    * "weighted"/"weighted_fair" policies parse and fall back to fair —
+    * their randomized pick has no deterministic contract to verify. */
   final case class GroupSpec(
       name: String,
       hardConcurrencyLimit: Int,
       maxQueued: Int,
-      subGroups: Seq[GroupSpec])
+      subGroups: Seq[GroupSpec],
+      schedulingPolicy: String = "fair")
 
   final case class Selector(
       user: Option[scala.util.matching.Regex],
@@ -53,7 +59,8 @@ object ResourceGroups {
     var queued: Int = 0
   }
 
-  private final class Waiter(val path: Seq[GroupState]) {
+  private final class Waiter(val path: Seq[GroupState],
+      val priority: Int, val seq: Long) {
     val latch = new java.util.concurrent.CountDownLatch(1)
     // Lifecycle under the manager lock: QUEUED (in the deque, queued
     // counters held) -> PROMOTED (running counters held, off the deque)
@@ -70,6 +77,7 @@ object ResourceGroups {
     val lock = new Object
     val states = scala.collection.mutable.Map.empty[String, GroupState]
     val waiters = new java.util.ArrayDeque[Waiter]()
+    var seqCounter: Long = 0L
   }
 
   /** An admitted query's slot; `release()` exactly once — from ANY
@@ -156,7 +164,9 @@ object ResourceGroups {
             name = g.get("name").asText(),
             hardConcurrencyLimit = hard,
             maxQueued = if (g.has("maxQueued")) g.get("maxQueued").asInt() else Int.MaxValue,
-            subGroups = groups(g.get("subGroups")))
+            subGroups = groups(g.get("subGroups")),
+            schedulingPolicy =
+              if (g.has("schedulingPolicy")) g.get("schedulingPolicy").asText() else "fair")
         }
         b.result()
       }
@@ -206,16 +216,30 @@ object ResourceGroups {
   private def canRunLocked(path: Seq[GroupState]): Boolean =
     path.forall(g => g.running < g.spec.hardConcurrencyLimit)
 
+  /** Promote runnable waiters until none are eligible. Selection order
+    * (SchedulingPolicy semantics): the oldest eligible waiter names the
+    * contended group; if that group's policy is query_priority, the
+    * HIGHEST-priority eligible waiter OF THAT GROUP is promoted instead
+    * (FIFO among equals) — the reference's priority queue per group. */
   private def promoteLocked(m: Manager): Unit = {
-    val it = m.waiters.iterator()
-    while (it.hasNext) {
-      val w = it.next()
-      if (canRunLocked(w.path)) {
-        w.path.foreach { g => g.running += 1 }
-        w.path.foreach { g => g.queued -= 1 }
-        it.remove()
-        w.state = Waiter.Promoted
-        w.latch.countDown()
+    import scala.jdk.CollectionConverters._
+    var progressed = true
+    while (progressed) {
+      progressed = false
+      val eligible = m.waiters.iterator().asScala.filter(w => canRunLocked(w.path)).toSeq
+      if (eligible.nonEmpty) {
+        val oldest = eligible.head
+        val leaf = oldest.path.last
+        val pick =
+          if (leaf.spec.schedulingPolicy == "query_priority")
+            eligible.filter(_.path.last eq leaf).maxBy(w => (w.priority, -w.seq))
+          else oldest
+        pick.path.foreach { g => g.running += 1 }
+        pick.path.foreach { g => g.queued -= 1 }
+        m.waiters.remove(pick)
+        pick.state = Waiter.Promoted
+        pick.latch.countDown()
+        progressed = true
       }
     }
   }
@@ -228,7 +252,7 @@ object ResourceGroups {
     *
     * When no configuration is installed this is free: a no-op permit. */
   def acquire(spark: SparkSession, user: String, source: String,
-      onQueued: () => Unit = () => ()): Permit = {
+      onQueued: () => Unit = () => (), priority: Int = 1): Permit = {
     val m = managers.get(spark)
     if (m == null || (holders.get(Thread.currentThread()) eq m))
       return new Permit(None, Seq.empty)
@@ -247,7 +271,8 @@ object ResourceGroups {
         throw new IllegalStateException(s"""Too many queued queries for "${g.id}"""")
       }
       path.foreach(_.queued += 1)
-      val w = new Waiter(path)
+      m.seqCounter += 1
+      val w = new Waiter(path, priority, m.seqCounter)
       m.waiters.addLast(w)
       w
     }

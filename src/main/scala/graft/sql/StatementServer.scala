@@ -257,7 +257,15 @@ object StatementServer {
     var permit: Option[ResourceGroups.Permit] = None
     q.synchronized { q.workerThread = Thread.currentThread() }
     try {
-      permit = Some(ResourceGroups.acquire(server.session, q.user, q.source))
+      // merged query_priority (client header over per-user defaults)
+      // drives promotion order in query_priority-scheduled groups
+      val priority = q.headerProps
+        .collectFirst { case (k, v) if k.equalsIgnoreCase("query_priority") => v }
+        .orElse(SessionDefaults.defaultsFor(server.session, q.user, q.source)
+          .collectFirst { case ("query_priority", v) => v })
+        .flatMap(_.toIntOption).getOrElse(1)
+      permit = Some(ResourceGroups.acquire(server.session, q.user, q.source,
+        priority = priority))
       // a DELETE that landed while we were QUEUED interrupted the parked
       // acquire (rolling back the queue slot); if the promotion RACED the
       // interrupt, the slot is ours — bail before the statement executes

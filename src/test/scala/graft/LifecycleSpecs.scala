@@ -331,13 +331,61 @@ class LifecycleSpecs extends AnyFunSuite with BeforeAndAfterAll {
     p1.release()
   }
 
+  test("resource groups: query_priority scheduling promotes the highest-priority waiter first") {
+    ResourceGroups.configure(spark, ResourceGroups.Config(
+      rootGroups = Seq(ResourceGroups.GroupSpec("prio", 1, 10, Nil,
+        schedulingPolicy = "query_priority")),
+      selectors = Seq(ResourceGroups.Selector(None, None, "prio"))))
+    try {
+      val p1 = ResourceGroups.acquire(spark, "u", "s")
+      val order = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+      def waiter(name: String, prio: Int): Thread = {
+        val t = new Thread(() => {
+          val p = ResourceGroups.acquire(spark, "u", "s", priority = prio)
+          order.add(name)
+          Thread.sleep(50)
+          p.release()
+        })
+        t.start(); t
+      }
+      def queuedCount(): Int = ResourceGroups.snapshot(spark)
+        .collectFirst { case ("prio", _, q, _, _) => q }.getOrElse(0)
+      // enqueue low first, then high — FIFO would promote low first;
+      // query_priority (SchedulingPolicy) must pick high
+      val tLow = waiter("low", 1)
+      var spins = 0
+      while (queuedCount() < 1 && spins < 100) { Thread.sleep(20); spins += 1 }
+      val tHigh = waiter("high", 10)
+      while (queuedCount() < 2 && spins < 200) { Thread.sleep(20); spins += 1 }
+      p1.release()
+      tLow.join(10000); tHigh.join(10000)
+      assert(order.toArray.toSeq == Seq("high", "low"),
+        s"query_priority group must promote by priority, got ${order.toArray.toSeq}")
+    } finally ResourceGroups.disable(spark)
+  }
+
+  test("CURRENT_USER binds the per-request identity (DesugarCurrentUser)") {
+    val server = graft.sql.StatementServer.start(spark)
+    try {
+      val rows = httpQuery(server.baseUri,
+        "SELECT current_user AS u, 'current_user' AS lit",
+        Seq("X-Presto-User" -> "dave"))
+      assert(rows.head.get(0).asText() == "dave",
+        s"current_user must bind the X-Presto-User identity: $rows")
+      assert(rows.head.get(1).asText() == "current_user",
+        "quoted 'current_user' literal must survive the rewrite")
+    } finally server.stop()
+  }
+
   // ---- per-query limit enforcement (QueryTracker.enforceTimeLimits) ----
 
   test("query_max_run_time kills a runaway query with the reference's error text") {
     val server = graft.sql.StatementServer.start(spark)
     try {
+      // count (not sum): an ANSI long-sum overflow must not beat the
+      // 1 s timer to the error slot
       val (_, b) = httpSend("POST", s"${server.baseUri}/v1/statement",
-        Some("SELECT sum(xxhash64(a.id + b.id)) AS n " +
+        Some("SELECT count(xxhash64(a.id + b.id)) AS n " +
           "FROM range(30000000) a CROSS JOIN range(30000000) b"),
         Seq("X-Presto-Session" -> "query_max_run_time=1s"))
       val id = json(b).get("id").asText()
