@@ -681,6 +681,8 @@ object PrestoSql {
       deallocatedPrepare: Seq[String],
       startedTransactionId: Option[String],
       clearTransactionId: Boolean,
+      setCatalog: Option[String],
+      setSchema: Option[String],
       restore: () => Unit)
 
   private val clientStateLock = new java.util.concurrent.locks.ReentrantLock()
@@ -696,6 +698,10 @@ object PrestoSql {
     val resetProps = scala.collection.mutable.LinkedHashSet.empty[String]
     val addedStmts = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val removedStmts = scala.collection.mutable.LinkedHashSet.empty[String]
+    // USE [catalog.]schema (UseTask.java sets the session catalog/schema;
+    // StatementResource.java:216-217 answers Set-Catalog/Set-Schema)
+    var useCatalog: Option[String] = None
+    var useSchema: Option[String] = None
   }
   private val recording = new ThreadLocal[Effects]()
   private def recordSet(k: String, v: String): Unit = {
@@ -716,19 +722,32 @@ object PrestoSql {
       headerStmts: Seq[(String, String)],
       headerTxn: Option[String],
       source: String = "http",
-      user: String = null): ClientStatementResult = {
+      user: String = null,
+      headerCatalog: Option[String] = None,
+      headerSchema: Option[String] = None): ClientStatementResult = {
     val props = propsOf(spark)
     val stmts = stmtsOf(spark)
     clientStateLock.lock()
     try {
       val savedProps = props.toMap
       val savedStmts = stmts.toMap
+      val savedDb = spark.catalog.currentDatabase
       val overlayProps = headerProps.map { case (k, v) => (k.toLowerCase, v) }
       val overlayStmts = headerStmts.map { case (n, s) => (n.toLowerCase, s) }
       overlayProps.foreach { case (k, v) =>
         props.put(k, v); applySessionProp(spark, k, v)
       }
       overlayStmts.foreach { case (n, s) => stmts.put(n, s) }
+      // client-carried catalog/schema (PrestoHeaders.java:20-21 —
+      // QuerySessionSupplier builds the session's default schema from
+      // these; single-catalog engine, so catalog only validates)
+      headerCatalog.foreach(c =>
+        require(Seq("graft", "spark_catalog").contains(c.toLowerCase),
+          s"Catalog does not exist: $c"))
+      headerSchema.foreach { sch =>
+        require(spark.catalog.databaseExists(sch), s"Schema does not exist: $sch")
+        spark.catalog.setCurrentDatabase(sch)
+      }
       val eff = new Effects
       recording.set(eff)
 
@@ -761,6 +780,12 @@ object PrestoSql {
             case None => stmts.remove(n)
           }
         }
+        // schema: revert only if the current database is still the one
+        // this statement left (header overlay or its own USE)
+        eff.useSchema.orElse(headerSchema).foreach { left =>
+          if (spark.catalog.currentDatabase == left && left != savedDb)
+            spark.catalog.setCurrentDatabase(savedDb)
+        }
       }
 
       try {
@@ -780,6 +805,8 @@ object PrestoSql {
           deallocatedPrepare = eff.removedStmts.toSeq.sorted,
           startedTransactionId = activeAfter.filterNot(activeBefore.contains),
           clearTransactionId = activeBefore.nonEmpty && activeAfter.isEmpty,
+          setCatalog = eff.useCatalog,
+          setSchema = eff.useSchema,
           restore = () => {
             clientStateLock.lock()
             try restoreLocked() finally clientStateLock.unlock()
@@ -969,6 +996,11 @@ object PrestoSql {
         require(spark.catalog.databaseExists(schema),
           s"Schema does not exist: $schema")
         spark.catalog.setCurrentDatabase(schema)
+        val e = recording.get()
+        if (e != null) {
+          if (catalog != null) e.useCatalog = Some(catalog.toLowerCase)
+          e.useSchema = Some(schema)
+        }
         Seq("USE").toDF("result")
       case alterRenameTableRe(from, to) =>
         val df = spark.table(from)

@@ -66,7 +66,9 @@ object StatementServer {
       val headerStmts: Seq[(String, String)],
       val headerTxn: Option[String],
       val source: String,
-      val user: String) {
+      val user: String,
+      val headerCatalog: Option[String],
+      val headerSchema: Option[String]) {
     val state = new AtomicReference[String]("QUEUED")
     // Worker thread while the query is live — cancel() interrupts it so
     // a QUEUED waiter parked inside ResourceGroups.acquire unparks
@@ -102,6 +104,8 @@ object StatementServer {
     @volatile var deallocatedPrepare: Seq[String] = Seq.empty
     @volatile var startedTxn: Option[String] = None
     @volatile var clearTxn: Boolean = false
+    @volatile var setCatalog: Option[String] = None
+    @volatile var setSchema: Option[String] = None
   }
 
   final class Server private[StatementServer] (
@@ -229,7 +233,11 @@ object StatementServer {
       // statement. Absent header falls back to the server session's
       // principal (the pre-r11 single-tenant behavior).
       user = Option(ex.getRequestHeaders.getFirst("X-Presto-User"))
-        .getOrElse(AccessControl.principal(server.session)))
+        .getOrElse(AccessControl.principal(server.session)),
+      // catalog/schema context (PrestoHeaders.java:20-21); USE answers
+      // Set-Catalog/Set-Schema for the client to echo back here
+      headerCatalog = Option(ex.getRequestHeaders.getFirst("X-Presto-Catalog")),
+      headerSchema = Option(ex.getRequestHeaders.getFirst("X-Presto-Schema")))
     server.queries.put(id, q)
     // visible in system.runtime.queries from submission on, like the
     // reference's QUEUED state
@@ -274,7 +282,8 @@ object StatementServer {
       q.state.set("RUNNING")
       SystemTables.updateState(server.session, q.id, "RUNNING")
       val st = PrestoSql.clientStatement(server.session, q.sqlText, q.id,
-        created, q.headerProps, q.headerStmts, q.headerTxn, q.source, q.user)
+        created, q.headerProps, q.headerStmts, q.headerTxn, q.source, q.user,
+        q.headerCatalog, q.headerSchema)
       restore = st.restore
       q.setSession = st.setSession
       q.clearSession = st.clearSession
@@ -282,6 +291,8 @@ object StatementServer {
       q.deallocatedPrepare = st.deallocatedPrepare
       q.startedTxn = st.startedTransactionId
       q.clearTxn = st.clearTransactionId
+      q.setCatalog = st.setCatalog
+      q.setSchema = st.setSchema
       val df = st.df
       q.columns = df.schema.fields.toSeq.map(f => (f.name, prestoTypeName(f.dataType)))
       val it = df.toLocalIterator()
@@ -467,6 +478,8 @@ object StatementServer {
     q.deallocatedPrepare.foreach(n => h.add("X-Presto-Deallocated-Prepare", n))
     q.startedTxn.foreach(id => h.add("X-Presto-Started-Transaction-Id", id))
     if (q.clearTxn) h.add("X-Presto-Clear-Transaction-Id", "true")
+    q.setCatalog.foreach(c => h.add("X-Presto-Set-Catalog", c))
+    q.setSchema.foreach(s => h.add("X-Presto-Set-Schema", s))
   }
 
   private def respond(ex: HttpExchange, code: Int, body: String): Unit = {

@@ -70,6 +70,23 @@ object VerifyConfig {
     }.toMap
   }
 
+  /** The swept test configurations. forced-spill/broadcast-off exercises
+    * every disk-degradation path; aqe-off pins that no result depends on
+    * adaptive re-planning (skew splits, dynamic coalescing, runtime
+    * join-strategy switches) — both WILL differ between a laptop and a
+    * 1000-executor run. */
+  private val testConfigs: Seq[(String, Map[String, String])] = Seq(
+    "forced_spill" -> Map(
+      "spark.shuffle.spill.numElementsForceSpillThreshold" -> "2000",
+      "spark.sql.objectHashAggregate.sortBased.fallbackThreshold" -> "2",
+      "spark.sql.windowExec.buffer.in.memory.threshold" -> "64",
+      "spark.sql.windowExec.buffer.spill.threshold" -> "128",
+      "spark.sql.sortMergeJoinExec.buffer.in.memory.threshold" -> "64",
+      "spark.sql.sortMergeJoinExec.buffer.spill.threshold" -> "128",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1"),
+    "aqe_off" -> Map(
+      "spark.sql.adaptive.enabled" -> "false"))
+
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
     val out = args.lift(1).getOrElse("VERIFY_CONFIG.json")
@@ -78,61 +95,64 @@ object VerifyConfig {
     val control = graft.engine.Engine.session("local[8]", shufflePartitions = 8)
     val controlResults = try runCorpus(control, sfDir) finally control.stop()
 
-    // test configuration: forced spill + no broadcast (SpillSpecs knobs —
-    // core SparkConf settings, so a fresh context is required)
-    val test = SparkSession.builder()
-      .master("local[8]")
-      .appName("graft-verify-config")
-      .config("spark.sql.shuffle.partitions", "8")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.shuffle.spill.numElementsForceSpillThreshold", "2000")
-      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "2")
-      .config("spark.sql.windowExec.buffer.in.memory.threshold", "64")
-      .config("spark.sql.windowExec.buffer.spill.threshold", "128")
-      .config("spark.sql.sortMergeJoinExec.buffer.in.memory.threshold", "64")
-      .config("spark.sql.sortMergeJoinExec.buffer.spill.threshold", "128")
-      .config("spark.sql.autoBroadcastJoinThreshold", "-1")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    test.sparkContext.setLogLevel("WARN")
-    val testResults = try runCorpus(test, sfDir) finally test.stop()
+    // each test configuration gets a fresh context (several knobs are
+    // core SparkConf settings, not session-level SQLConf)
+    val testResults: Seq[(String, Map[String, Either[String, Array[Row]]])] =
+      testConfigs.map { case (label, confs) =>
+        val b = SparkSession.builder()
+          .master("local[8]")
+          .appName(s"graft-verify-$label")
+          .config("spark.sql.shuffle.partitions", "8")
+          .config("spark.sql.session.timeZone", "UTC")
+          .config("spark.ui.enabled", "false")
+        confs.foreach { case (k, v) => b.config(k, v) }
+        val s = b.getOrCreate()
+        s.sparkContext.setLogLevel("WARN")
+        val r = try runCorpus(s, sfDir) finally s.stop()
+        label -> r
+      }
 
     def js(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"")
       .replaceAll("[\\n\\r\\t]", " ") + "\""
-    val perQuery = controlResults.toSeq.sortBy(_._1).map { case (name, ctl) =>
-      val tst = testResults(name)
+    def matches(ctl: Either[String, Array[Row]], tst: Either[String, Array[Row]]): Boolean =
       (ctl, tst) match {
-        case (Right(c), Right(t)) =>
-          val ok = c.length == t.length &&
-            c.zip(t).forall { case (a, b) => valuesMatch(a, b) }
-          s"${js(name)}: {\"rows\": ${c.length}, \"rows_test\": ${t.length}, " +
-            s"\"checksum\": ${js(checksum(c))}, \"checksum_test\": ${js(checksum(t))}, " +
-            s"\"match\": $ok}"
-        case (Left(e), _) =>
-          s"${js(name)}: {\"match\": false, \"error_control\": ${js(e)}}"
-        case (_, Left(e)) =>
-          s"${js(name)}: {\"match\": false, \"error_test\": ${js(e)}}"
-      }
-    }
-    val mismatches = controlResults.toSeq.sortBy(_._1).filterNot { case (name, ctl) =>
-      (ctl, testResults(name)) match {
         case (Right(c), Right(t)) =>
           c.length == t.length && c.zip(t).forall { case (a, b) => valuesMatch(a, b) }
         case _ => false
       }
-    }.map(_._1)
+    val names = controlResults.keys.toSeq.sorted
+    val perQuery = names.map { name =>
+      val ctl = controlResults(name)
+      val per = testResults.map { case (label, res) =>
+        (ctl, res(name)) match {
+          case (Right(_), Right(t)) =>
+            s"${js(label)}: {\"rows\": ${t.length}, \"checksum\": ${js(checksum(t))}, " +
+              s"\"match\": ${matches(ctl, res(name))}}"
+          case (_, Left(e)) => s"${js(label)}: {\"match\": false, \"error\": ${js(e)}}"
+          case (Left(e), _) => s"${js(label)}: {\"match\": false, \"error_control\": ${js(e)}}"
+        }
+      }.mkString(", ")
+      val base = ctl match {
+        case Right(c) => s"\"rows\": ${c.length}, \"checksum\": ${js(checksum(c))}"
+        case Left(e) => s"\"error_control\": ${js(e)}"
+      }
+      s"${js(name)}: {$base, $per}"
+    }
+    val mismatches = names.filter(n =>
+      testResults.exists { case (_, res) => !matches(controlResults(n), res(n)) })
+    val nConfigs = testResults.size
     val json = new StringBuilder
     json.append("{\"harness\": \"presto-verifier analog (Validator.java contract)\",\n")
     json.append(s""" "sf": ${js(sfDir)},""")
-    json.append(s""" "test_config": "forced-spill + broadcast-off (SpillSpecs knobs)",""")
-    json.append(s""" "n_queries": ${controlResults.size},""")
-    json.append(s""" "n_match": ${controlResults.size - mismatches.size},""")
+    json.append(s""" "test_configs": [${testConfigs.map(c => js(c._1)).mkString(", ")}],""")
+    json.append(s""" "n_queries": ${names.size},""")
+    json.append(s""" "n_match_all_configs": ${names.size - mismatches.size},""")
     json.append(s""" "mismatches": [${mismatches.map(js).mkString(", ")}],\n""")
     json.append(" \"queries\": {\n  ")
     json.append(perQuery.mkString(",\n  "))
     json.append("\n }}\n")
     java.nio.file.Files.writeString(java.nio.file.Paths.get(out), json.toString)
-    println(s"wrote $out: ${controlResults.size - mismatches.size}/${controlResults.size} match" +
+    println(s"wrote $out: ${names.size - mismatches.size}/${names.size} match across $nConfigs configs" +
       (if (mismatches.nonEmpty) s"; MISMATCHES: ${mismatches.mkString(", ")}" else ""))
   }
 }

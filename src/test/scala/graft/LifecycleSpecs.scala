@@ -44,23 +44,45 @@ class LifecycleSpecs extends AnyFunSuite with BeforeAndAfterAll {
     * envelope's error message if the query fails. */
   private def httpQuery(base: String, sql: String,
       headers: Seq[(String, String)] = Seq.empty)
-      : Seq[com.fasterxml.jackson.databind.JsonNode] = {
+      : Seq[com.fasterxml.jackson.databind.JsonNode] =
+    httpQueryH(base, sql, headers)._1
+
+  /** As httpQuery, also accumulating X-Presto-* response headers. */
+  private def httpQueryH(base: String, sql: String,
+      headers: Seq[(String, String)] = Seq.empty)
+      : (Seq[com.fasterxml.jackson.databind.JsonNode], Map[String, Seq[String]]) = {
+    import scala.jdk.CollectionConverters._
+    val client = java.net.http.HttpClient.newHttpClient()
+    def send(method: String, uri: String, body: Option[String]) = {
+      var b = java.net.http.HttpRequest.newBuilder(java.net.URI.create(uri))
+      headers.foreach { case (k, v) => b = b.header(k, v) }
+      client.send((method match {
+        case "POST" => b.POST(java.net.http.HttpRequest.BodyPublishers.ofString(body.get))
+        case _ => b.GET()
+      }).build(), java.net.http.HttpResponse.BodyHandlers.ofString())
+    }
     val rows = scala.collection.mutable.ArrayBuffer.empty[com.fasterxml.jackson.databind.JsonNode]
-    var (_, body) = httpSend("POST", s"$base/v1/statement", Some(sql), headers)
+    var hdrs = Map.empty[String, Seq[String]]
+    var resp = send("POST", s"$base/v1/statement", Some(sql))
     var spins = 0
     var done = false
     while (!done && spins < 600) {
-      val node = json(body)
+      resp.headers().map().asScala.foreach { case (k, vs) =>
+        if (k.toLowerCase.startsWith("x-presto-"))
+          hdrs = hdrs.updated(k.toLowerCase,
+            hdrs.getOrElse(k.toLowerCase, Seq.empty) ++ vs.asScala)
+      }
+      val node = json(resp.body())
       if (node.has("error"))
         throw new RuntimeException(node.get("error").get("message").asText())
       if (node.has("data")) node.get("data").forEach(r => rows += r)
       if (node.has("nextUri")) {
-        body = httpSend("GET", node.get("nextUri").asText(), None, headers)._2
+        resp = send("GET", node.get("nextUri").asText(), None)
         spins += 1
       } else done = true
     }
     assert(done, "statement did not finish draining")
-    rows.toSeq
+    (rows.toSeq, hdrs)
   }
 
   private def logState(id: String): String = PrestoSql.sql(spark,
@@ -364,6 +386,35 @@ class LifecycleSpecs extends AnyFunSuite with BeforeAndAfterAll {
     } finally ResourceGroups.disable(spark)
   }
 
+  test("catalog/schema headers: X-Presto-Schema scopes the statement; USE answers Set-Catalog/Set-Schema") {
+    spark.sql("CREATE DATABASE IF NOT EXISTS http_sch")
+    val server = graft.sql.StatementServer.start(spark)
+    try {
+      val before = spark.catalog.currentDatabase
+      // the header schema scopes name resolution for THIS request
+      val scoped = httpQuery(server.baseUri, "SELECT current_database() AS db",
+        Seq("X-Presto-Schema" -> "http_sch"))
+      assert(scoped.head.get(0).asText() == "http_sch", s"header schema must bind: $scoped")
+      // a bare request is unaffected (state lives with the client)
+      val bare = httpQuery(server.baseUri, "SELECT current_database() AS db")
+      assert(bare.head.get(0).asText() == before)
+      // USE answers Set-Catalog/Set-Schema (StatementResource.java:216-217)
+      val (_, h) = httpQueryH(server.baseUri, "USE graft.http_sch")
+      assert(h.get("x-presto-set-catalog").exists(_.contains("graft")), s"$h")
+      assert(h.get("x-presto-set-schema").exists(_.contains("http_sch")), s"$h")
+      // and the server-side current database reverted after the drain
+      assert(spark.catalog.currentDatabase == before,
+        "USE over the wire must not leave server-side schema state")
+      // an unknown catalog is the reference's error
+      val bad = intercept[RuntimeException](httpQuery(server.baseUri,
+        "SELECT 1", Seq("X-Presto-Catalog" -> "nope")))
+      assert(bad.getMessage.contains("Catalog does not exist"), bad.getMessage)
+    } finally {
+      server.stop()
+      spark.sql("DROP DATABASE IF EXISTS http_sch")
+    }
+  }
+
   test("CURRENT_USER binds the per-request identity (DesugarCurrentUser)") {
     val server = graft.sql.StatementServer.start(spark)
     try {
@@ -425,10 +476,13 @@ class LifecycleSpecs extends AnyFunSuite with BeforeAndAfterAll {
   test("query_max_total_memory kills a query whose tasks exceed the ceiling") {
     val server = graft.sql.StatementServer.start(spark)
     try {
-      // any real shuffle's task peak memory clears a 1-byte ceiling on
-      // the first completed task — deterministic kill, bounded runtime
+      // any real agg task's peak memory clears a 1-byte ceiling on the
+      // first completed task. 64 slices ensure MANY tasks remain queued
+      // when the first ones finish — the async listener-bus kill must
+      // land mid-query, not race a 4-task job that completes first.
       val (_, b) = httpSend("POST", s"${server.baseUri}/v1/statement",
-        Some("SELECT id % 1000 AS g, count(*) AS n FROM range(50000000) GROUP BY id % 1000"),
+        Some("SELECT id % 1000 AS g, count(*) AS n " +
+          "FROM range(0, 2000000000, 1, 64) GROUP BY id % 1000"),
         Seq("X-Presto-Session" -> "query_max_total_memory=1B"))
       val id = json(b).get("id").asText()
       var err = ""
