@@ -175,19 +175,22 @@ object MetaQueries extends QueryModule {
     // front door as every other runtime table.
     Q("meta_resource_groups",
       """SELECT * FROM (VALUES
-        |  ('pipeline',        1, 0, 8, 100),
-        |  ('pipeline.ingest', 1, 0, 2, 50)
-        |) AS t(group_id, running, queued, hard_concurrency_limit, max_queued)""".stripMargin) { (s, _) =>
+        |  ('pipeline',        1, 0, 8, 100, 'weighted_fair', 1),
+        |  ('pipeline.ingest', 1, 0, 2, 50,  'fair',          3)
+        |) AS t(group_id, running, queued, hard_concurrency_limit, max_queued,
+        |       scheduling_policy, scheduling_weight)""".stripMargin) { (s, _) =>
       import graft.sql.ResourceGroups
       ResourceGroups.configure(s, ResourceGroups.Config(
         rootGroups = Seq(ResourceGroups.GroupSpec("pipeline", 8, 100, Seq(
-          ResourceGroups.GroupSpec("ingest", 2, 50, Nil)))),
+          ResourceGroups.GroupSpec("ingest", 2, 50, Nil, schedulingWeight = 3)),
+          schedulingPolicy = "weighted_fair")),
         selectors = Seq(ResourceGroups.Selector(None, None, "pipeline.ingest"))))
       try {
         // the statement-time snapshot is embedded in a LocalRelation, so
         // the frame stays correct after the config is torn down
         val out = fd(s,
-          """SELECT group_id, running, queued, hard_concurrency_limit, max_queued
+          """SELECT group_id, running, queued, hard_concurrency_limit, max_queued,
+            |       scheduling_policy, scheduling_weight
             |FROM system.runtime.resource_groups ORDER BY group_id""".stripMargin)
         out.collect() // materialize under the installed config
         out

@@ -35,16 +35,20 @@ import org.apache.spark.sql.SparkSession
 object ResourceGroups {
 
   /** `schedulingPolicy` per InternalResourceGroup.java / SchedulingPolicy:
-    * "fair" (FIFO, the default) or "query_priority" (highest session
-    * query_priority promotes first; FIFO among equals). The stochastic
-    * "weighted"/"weighted_fair" policies parse and fall back to fair —
-    * their randomized pick has no deterministic contract to verify. */
+    * "fair" (FIFO, the default); "query_priority" (a LEAF promotes its
+    * highest session query_priority first, FIFO among equals);
+    * "weighted_fair" (a PARENT arbitrates among its children by lowest
+    * running/schedulingWeight ratio — the reference's
+    * WeightedFairQueue pick, deterministic). The stochastic "weighted"
+    * policy parses and falls back to fair — a randomized pick has no
+    * deterministic contract to verify. */
   final case class GroupSpec(
       name: String,
       hardConcurrencyLimit: Int,
       maxQueued: Int,
       subGroups: Seq[GroupSpec],
-      schedulingPolicy: String = "fair")
+      schedulingPolicy: String = "fair",
+      schedulingWeight: Int = 1)
 
   final case class Selector(
       user: Option[scala.util.matching.Regex],
@@ -166,7 +170,9 @@ object ResourceGroups {
             maxQueued = if (g.has("maxQueued")) g.get("maxQueued").asInt() else Int.MaxValue,
             subGroups = groups(g.get("subGroups")),
             schedulingPolicy =
-              if (g.has("schedulingPolicy")) g.get("schedulingPolicy").asText() else "fair")
+              if (g.has("schedulingPolicy")) g.get("schedulingPolicy").asText() else "fair",
+            schedulingWeight =
+              if (g.has("schedulingWeight")) g.get("schedulingWeight").asInt() else 1)
         }
         b.result()
       }
@@ -218,9 +224,13 @@ object ResourceGroups {
 
   /** Promote runnable waiters until none are eligible. Selection order
     * (SchedulingPolicy semantics): the oldest eligible waiter names the
-    * contended group; if that group's policy is query_priority, the
-    * HIGHEST-priority eligible waiter OF THAT GROUP is promoted instead
-    * (FIFO among equals) — the reference's priority queue per group. */
+    * contended spot. If its LEAF group's policy is query_priority, the
+    * highest-priority eligible waiter of that leaf wins (FIFO among
+    * equals) — the reference's per-group priority queue. If its PARENT
+    * group's policy is weighted_fair, eligible waiters of sibling
+    * leaves compete by LOWEST leaf running/schedulingWeight ratio (FIFO
+    * among ties) — the reference's WeightedFairQueue arbitration among
+    * subgroups. Otherwise FIFO. */
   private def promoteLocked(m: Manager): Unit = {
     import scala.jdk.CollectionConverters._
     var progressed = true
@@ -230,10 +240,20 @@ object ResourceGroups {
       if (eligible.nonEmpty) {
         val oldest = eligible.head
         val leaf = oldest.path.last
+        val parent = if (oldest.path.length >= 2) Some(oldest.path(oldest.path.length - 2)) else None
         val pick =
           if (leaf.spec.schedulingPolicy == "query_priority")
             eligible.filter(_.path.last eq leaf).maxBy(w => (w.priority, -w.seq))
-          else oldest
+          else parent match {
+            case Some(p) if p.spec.schedulingPolicy == "weighted_fair" =>
+              eligible
+                .filter(w => w.path.length >= 2 && (w.path(w.path.length - 2) eq p))
+                .minBy { w =>
+                  val l = w.path.last
+                  (l.running.toDouble / math.max(1, l.spec.schedulingWeight), w.seq.toDouble)
+                }
+            case _ => oldest
+          }
         pick.path.foreach { g => g.running += 1 }
         pick.path.foreach { g => g.queued -= 1 }
         m.waiters.remove(pick)
@@ -308,12 +328,23 @@ object ResourceGroups {
 
   /** (groupId, running, queued, hardConcurrencyLimit, maxQueued) rows —
     * observability for system.runtime-style introspection and specs. */
-  def snapshot(spark: SparkSession): Seq[(String, Int, Int, Int, Int)] = {
+  def snapshot(spark: SparkSession): Seq[(String, Int, Int, Int, Int)] =
+    snapshotDetail(spark).map(r =>
+      (r.groupId, r.running, r.queued, r.hardConcurrencyLimit, r.maxQueued))
+
+  /** Full per-group rows for system.runtime.resource_groups (the
+    * reference's ResourceGroupInfo shape: state + limits + policy). */
+  final case class GroupRow(groupId: String, running: Int, queued: Int,
+      hardConcurrencyLimit: Int, maxQueued: Int,
+      schedulingPolicy: String, schedulingWeight: Int)
+
+  def snapshotDetail(spark: SparkSession): Seq[GroupRow] = {
     val m = managers.get(spark)
     if (m == null) Seq.empty
     else m.lock.synchronized {
       m.states.values.toSeq.sortBy(_.id).map(g =>
-        (g.id, g.running, g.queued, g.spec.hardConcurrencyLimit, g.spec.maxQueued))
+        GroupRow(g.id, g.running, g.queued, g.spec.hardConcurrencyLimit,
+          g.spec.maxQueued, g.spec.schedulingPolicy, g.spec.schedulingWeight))
     }
   }
 }

@@ -177,8 +177,11 @@ object SystemTables {
     // instantiated group with live running/queued counters, so a parked
     // QUEUED query is visible through the same front door as everything
     // else. Empty when no configuration is installed.
-    ResourceGroups.snapshot(spark)
-      .toDF("group_id", "running", "queued", "hard_concurrency_limit", "max_queued")
+    ResourceGroups.snapshotDetail(spark)
+      .map(r => (r.groupId, r.running, r.queued, r.hardConcurrencyLimit,
+        r.maxQueued, r.schedulingPolicy, r.schedulingWeight))
+      .toDF("group_id", "running", "queued", "hard_concurrency_limit",
+        "max_queued", "scheduling_policy", "scheduling_weight")
       .createOrReplaceTempView("system_runtime_resource_groups")
   }
 }

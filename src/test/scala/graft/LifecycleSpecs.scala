@@ -386,6 +386,65 @@ class LifecycleSpecs extends AnyFunSuite with BeforeAndAfterAll {
     } finally ResourceGroups.disable(spark)
   }
 
+  test("resource groups: weighted_fair parent promotes the child with the lowest running/weight") {
+    // root limit 3, children a (weight 1) and b (weight 3) — the
+    // reference's WeightedFairQueue picks the subgroup with the lowest
+    // running/weight ratio when a slot frees
+    ResourceGroups.configure(spark, ResourceGroups.Config(
+      rootGroups = Seq(ResourceGroups.GroupSpec("wf", 3, 10, Seq(
+        ResourceGroups.GroupSpec("a", 3, 10, Nil, schedulingWeight = 1),
+        ResourceGroups.GroupSpec("b", 3, 10, Nil, schedulingWeight = 3)),
+        schedulingPolicy = "weighted_fair")),
+      selectors = Seq(
+        ResourceGroups.Selector(None, Some("src_a".r), "wf.a"),
+        ResourceGroups.Selector(None, Some("src_b".r), "wf.b"))))
+    try {
+      // occupy the root with one slot in a and two in b — each on its
+      // OWN thread (same-thread acquires are reentrant no-ops by design)
+      def hold(source: String): (java.util.concurrent.CountDownLatch, Thread) = {
+        val release = new java.util.concurrent.CountDownLatch(1)
+        val held = new java.util.concurrent.CountDownLatch(1)
+        val t = new Thread(() => {
+          val p = ResourceGroups.acquire(spark, "u", source)
+          held.countDown()
+          release.await()
+          p.release()
+        })
+        t.start(); held.await()
+        (release, t)
+      }
+      val (pa, tha) = hold("src_a")
+      val (pb1, thb1) = hold("src_b")
+      val (pb2, thb2) = hold("src_b")
+      val order = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+      def park(name: String, source: String): Thread = {
+        val t = new Thread(() => {
+          val p = ResourceGroups.acquire(spark, "u", source)
+          order.add(name); Thread.sleep(20); p.release()
+        })
+        t.start(); t
+      }
+      def queuedTotal(): Int = ResourceGroups.snapshot(spark)
+        .collectFirst { case ("wf", _, q, _, _) => q }.getOrElse(0)
+      // a's waiter queues FIRST (older), then b's
+      val ta = park("a", "src_a")
+      var spins = 0
+      while (queuedTotal() < 1 && spins < 100) { Thread.sleep(20); spins += 1 }
+      val tb = park("b", "src_b")
+      while (queuedTotal() < 2 && spins < 200) { Thread.sleep(20); spins += 1 }
+      // free one b slot: ratios are a: 1/1 = 1.0, b: 1/3 = 0.33 — the
+      // WEIGHTED pick must promote b's waiter despite a's being older
+      pb1.countDown(); thb1.join(5000)
+      tb.join(10000)
+      assert(order.toArray.toSeq.headOption.contains("b"),
+        s"weighted_fair must promote the under-served child first: ${order.toArray.toSeq}")
+      pb2.countDown(); pa.countDown()
+      thb2.join(5000); tha.join(5000)
+      ta.join(10000)
+      assert(order.toArray.toSeq == Seq("b", "a"))
+    } finally ResourceGroups.disable(spark)
+  }
+
   test("catalog/schema headers: X-Presto-Schema scopes the statement; USE answers Set-Catalog/Set-Schema") {
     spark.sql("CREATE DATABASE IF NOT EXISTS http_sch")
     val server = graft.sql.StatementServer.start(spark)
