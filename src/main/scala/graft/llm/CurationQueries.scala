@@ -1,0 +1,260 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.queries.{Q, QueryModule}
+
+/** Corpus-curation operators: the data-selection half of an LLM training
+  * pipeline (the dedup half lives in LlmQueries / PipelineQueries).
+  *
+  *  - Gopher quality-rule battery (Rae et al. 2021, appendix A1.1): the
+  *    full per-document rule set — word count, mean word length, symbol
+  *    ratio, bullet/ellipsis line fractions, alpha-word ratio, stop-word
+  *    presence — as one codegen'd scan, no shuffle.
+  *  - DSIR importance resampling (Xie et al. 2023): hashed-n-gram
+  *    log-likelihood-ratio weights target-vs-raw; two hash aggregations
+  *    keyed on the gram hash plus one doc-keyed reduce.
+  *  - Distributed k-means (Lloyd) over the embedding column: broadcast
+  *    centroids, map-side assignment, `vec_mean` flat-buffer cell means —
+  *    per round one broadcast join + one exchange carrying k buffer rows
+  *    per partition, never dims-exploded rows.
+  *  - SemDeDup (Abbas et al. 2023): cluster-scoped near-duplicate
+  *    removal — pairwise cosine only WITHIN a cluster, so the quadratic
+  *    term is bounded by cluster occupancy, not corpus size.
+  *
+  * Determinism across engines: centroids are quantized to 6 decimals
+  * with an explicit half-up formula (`floor(x*1e6+0.5)/1e6`) after every
+  * Lloyd round, so Spark and DuckDB iterate on identical centroid bits
+  * and every distance comparison is engine-independent; cosine sums run
+  * in array order in both engines (bit-identical IEEE sequences).
+  */
+object CurationQueries extends QueryModule {
+
+  /** Quantize a double array to 6 decimals, explicit half-up — the same
+    * arithmetic (`floor(x*1e6+0.5)/1e6`) is inlined in the DuckDB
+    * oracle, so both engines see identical centroid bits.
+    */
+  private def quant(c: Column): Column =
+    transform(c, x => floor(x * lit(1000000.0d) + lit(0.5d)) / lit(1000000.0d))
+
+  /** Squared Euclidean distance over two array<double> columns,
+    * accumulated in array order (matches DuckDB `list_sum` order).
+    */
+  private def sqDist(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0d), (acc, x) => acc + x)
+
+  /** embeddings as (vec_id BIGINT, label, e array<double>). */
+  private def vecs(s: SparkSession): DataFrame =
+    s.table("embeddings").select(
+      col("vec_id").cast("long").as("vec_id"), col("label"),
+      transform(col("embedding"), x => x.cast("double")).as("e"))
+
+  def queries: Seq[Q] = Seq(
+
+    // Gopher quality-rule battery (Rae et al. 2021 A1.1). The fixture
+    // corpus is clean word soup, so rule-triggering structure (bullet
+    // lines, ellipsis endings, symbol runs, numeric tokens, function
+    // words) is injected deterministically from doc_id — same
+    // construction in both engines, same convention as llm_pii_redact.
+    // One projection over the scan: every signal is a codegen'd
+    // split/filter/regexp chain, zero shuffles at any corpus size.
+    Q("llm_quality_gopher",
+      """WITH noisy AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 7 = 0 THEN repeat('- bullet item' || chr(10), 10) ELSE '' END
+        |    || text
+        |    || CASE WHEN doc_id % 3 = 0 THEN ' of and that with' ELSE '' END
+        |    || CASE WHEN doc_id % 5 = 0 THEN repeat(' #', 8) ELSE '' END
+        |    || CASE WHEN doc_id % 13 = 0 THEN repeat(' 12345', 20) ELSE '' END
+        |    || CASE WHEN doc_id % 11 = 0 THEN chr(10) || 'to be continued...' || chr(10) || 'more...' ELSE '' END AS t
+        |  FROM documents),
+        |m AS (SELECT doc_id, t,
+        |    string_split_regex(t, '\s+') AS w,
+        |    string_split(t, chr(10)) AS lines
+        |  FROM noisy),
+        |r AS (SELECT doc_id,
+        |    CAST(len(w) AS BIGINT) AS n_words,
+        |    CAST(length(regexp_replace(t, '\s+', '', 'g')) AS DOUBLE) / len(w) AS mean_wl,
+        |    (length(t) - length(replace(t, '#', ''))
+        |       + len(regexp_extract_all(t, '\.\.\.'))) * 1.0 / len(w) AS symbol_ratio,
+        |    len(list_filter(lines, l -> starts_with(l, '- ') OR starts_with(l, '* '))) * 1.0 / len(lines) AS bullet_frac,
+        |    len(list_filter(lines, l -> ends_with(l, '...'))) * 1.0 / len(lines) AS ellipsis_frac,
+        |    len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]'))) * 1.0 / len(w) AS alpha_frac,
+        |    len(list_distinct(list_filter(w, x -> x IN ('the','be','to','of','and','that','have','with')))) AS n_stop
+        |  FROM m)
+        |SELECT doc_id, n_words, round(mean_wl, 6) AS mean_word_len,
+        |  n_words BETWEEN 50 AND 100000 AS pass_word_count,
+        |  mean_wl BETWEEN 3 AND 10 AS pass_word_len,
+        |  symbol_ratio <= 0.1 AS pass_symbol,
+        |  bullet_frac <= 0.9 AS pass_bullet,
+        |  ellipsis_frac <= 0.3 AS pass_ellipsis,
+        |  alpha_frac >= 0.8 AS pass_alpha,
+        |  n_stop >= 2 AS pass_stopwords,
+        |  (n_words BETWEEN 50 AND 100000) AND (mean_wl BETWEEN 3 AND 10)
+        |    AND symbol_ratio <= 0.1 AND bullet_frac <= 0.9 AND ellipsis_frac <= 0.3
+        |    AND alpha_frac >= 0.8 AND n_stop >= 2 AS keep
+        |FROM r""".stripMargin) { (s, _) =>
+      val stop = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+      val t = concat(
+        when(col("doc_id") % 7 === 0, lit("- bullet item\n" * 10)).otherwise(""),
+        col("text"),
+        when(col("doc_id") % 3 === 0, lit(" of and that with")).otherwise(""),
+        when(col("doc_id") % 5 === 0, lit(" #" * 8)).otherwise(""),
+        when(col("doc_id") % 13 === 0, lit(" 12345" * 20)).otherwise(""),
+        when(col("doc_id") % 11 === 0, lit("\nto be continued...\nmore...")).otherwise(""))
+      val base = s.table("documents").select(col("doc_id"), t.as("t"),
+        split(t, "\\s+").as("w"), split(t, "\n", -1).as("lines"))
+      val nWords = size(col("w"))
+      val meanWl = length(regexp_replace(col("t"), "\\s+", "")).cast("double") / nWords
+      val symbolRatio = (length(col("t")) - length(translate(col("t"), "#", ""))
+        + regexp_count(col("t"), lit("\\.\\.\\."))) * lit(1.0) / nWords
+      val bulletFrac = size(filter(col("lines"),
+        l => l.startsWith("- ") || l.startsWith("* "))) * lit(1.0) / size(col("lines"))
+      val ellipsisFrac = size(filter(col("lines"), l => l.endsWith("..."))) * lit(1.0) /
+        size(col("lines"))
+      val alphaFrac = size(filter(col("w"), x => x.rlike("[A-Za-z]"))) * lit(1.0) / nWords
+      val nStop = size(array_distinct(filter(col("w"), x => x.isInCollection(stop))))
+      val r = base.select(col("doc_id"), nWords.cast("long").as("n_words"),
+        meanWl.as("mean_wl"), symbolRatio.as("symbol_ratio"), bulletFrac.as("bullet_frac"),
+        ellipsisFrac.as("ellipsis_frac"), alphaFrac.as("alpha_frac"), nStop.as("n_stop"))
+      val passWc = col("n_words").between(50, 100000)
+      val passWl = col("mean_wl").between(3, 10)
+      val passSym = col("symbol_ratio") <= 0.1
+      val passBul = col("bullet_frac") <= 0.9
+      val passEll = col("ellipsis_frac") <= 0.3
+      val passAlpha = col("alpha_frac") >= 0.8
+      val passStop = col("n_stop") >= 2
+      r.select(col("doc_id"), col("n_words"), round(col("mean_wl"), 6).as("mean_word_len"),
+        passWc.as("pass_word_count"), passWl.as("pass_word_len"), passSym.as("pass_symbol"),
+        passBul.as("pass_bullet"), passEll.as("pass_ellipsis"), passAlpha.as("pass_alpha"),
+        passStop.as("pass_stopwords"),
+        (passWc && passWl && passSym && passBul && passEll && passAlpha && passStop).as("keep"))
+    },
+
+    // DSIR importance resampling (Xie et al. NeurIPS 2023): per-document
+    // weight = mean over its distinct word bigrams of the target/raw
+    // log-likelihood ratio (add-0.5 smoothed document frequencies);
+    // 'en'-labeled docs stand in for the target domain. The engine flows
+    // 8-byte gram HASHES (same kernel as decontamination), never strings:
+    // one gram-keyed hash agg counts both corpora in a single pass
+    // (count + conditional count), the λ-join reuses that partitioning,
+    // and one doc-keyed reduce emits the weight — three exchanges total,
+    // all linear in corpus gram count. Production would bucket hashes to
+    // B=10k features (collisions intended, per the paper); full-width
+    // hashes here keep the string-gram oracle exact.
+    Q("llm_importance_resample",
+      """WITH toks AS (SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents),
+        |g AS (SELECT doc_id, lang, unnest(list_distinct([w[i] || '_' || w[i+1]
+        |        for i in generate_series(1, len(w)-1)])) AS s
+        |      FROM toks WHERE len(w) >= 2),
+        |cnt AS (SELECT s, count(*) AS c_raw,
+        |          count(*) FILTER (lang = 'en') AS c_tgt
+        |        FROM g GROUP BY s),
+        |sc AS (SELECT g.doc_id, avg(ln((c_tgt + 0.5) / (c_raw + 0.5))) AS raw_score
+        |       FROM g JOIN cnt USING (s) GROUP BY g.doc_id)
+        |SELECT doc_id, round(raw_score, 6) AS dsir_weight,
+        |       raw_score >= -0.8 AS selected
+        |FROM sc""".stripMargin) { (s, _) =>
+      val grams = PipelineQueries.ngramHashRows(s, 2, distinct = true)
+      val lang = s.table("documents").select(col("doc_id").cast("long").as("doc_id"), col("lang"))
+      val g = grams.join(lang, "doc_id")
+      val cnt = g.groupBy("gh").agg(
+        count(lit(1)).as("c_raw"),
+        count(when(col("lang") === "en", lit(1))).as("c_tgt"))
+      g.join(cnt, "gh")
+        .groupBy("doc_id")
+        .agg(avg(log((col("c_tgt") + 0.5) / (col("c_raw") + 0.5))).as("raw_score"))
+        .select(col("doc_id"), round(col("raw_score"), 6).as("dsir_weight"),
+          (col("raw_score") >= -0.8).as("selected"))
+    },
+
+    // Distributed k-means (Lloyd) over the embedding column: k=8 seeds
+    // (lowest vec_ids — deterministic), two mean-update rounds, final
+    // assignment. Per round: centroids BROADCAST to the scan (k*dims
+    // doubles — bounded metadata), assignment is a map-side min_by over
+    // k codegen'd distances (ties to the lowest cluster id via the
+    // struct key), and cell means flow through `vec_mean`'s flat
+    // double[dims] buffer — one exchange carrying k rows per partition,
+    // never dims-exploded rows. At 100 TB this is 3 scans + 3 tiny
+    // exchanges; k scales with the target cluster occupancy, and the
+    // centroid set stays broadcast-sized through 100k clusters. The
+    // oracle unrolls the identical two rounds as CTEs; centroid
+    // quantization (see `quant`) makes every distance comparison
+    // engine-independent.
+    Q("llm_kmeans_cluster",
+      """WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings),
+        |c0 AS (SELECT vec_id AS cl, list_transform(e, x -> floor(x * 1000000 + 0.5) / 1000000) AS cent
+        |       FROM v WHERE vec_id < 8),
+        |d1 AS (SELECT v.vec_id, c0.cl,
+        |         list_sum(list_transform(list_zip(v.e, c0.cent), p -> (p[1]-p[2])*(p[1]-p[2]))) AS dist
+        |       FROM v CROSS JOIN c0),
+        |a1 AS (SELECT vec_id, cl FROM (SELECT vec_id, cl,
+        |         row_number() OVER (PARTITION BY vec_id ORDER BY dist, cl) rn FROM d1) WHERE rn=1),
+        |m1 AS (SELECT a1.cl, i.i, avg(v.e[i.i]) AS m
+        |       FROM v JOIN a1 USING (vec_id) CROSS JOIN generate_series(1, 64) AS i(i)
+        |       GROUP BY a1.cl, i.i),
+        |c1 AS (SELECT cl, list_transform(list(m ORDER BY i), x -> floor(x * 1000000 + 0.5) / 1000000) AS cent
+        |       FROM m1 GROUP BY cl),
+        |d2 AS (SELECT v.vec_id, c1.cl,
+        |         list_sum(list_transform(list_zip(v.e, c1.cent), p -> (p[1]-p[2])*(p[1]-p[2]))) AS dist
+        |       FROM v CROSS JOIN c1),
+        |a2 AS (SELECT vec_id, cl FROM (SELECT vec_id, cl,
+        |         row_number() OVER (PARTITION BY vec_id ORDER BY dist, cl) rn FROM d2) WHERE rn=1),
+        |m2 AS (SELECT a2.cl, i.i, avg(v.e[i.i]) AS m
+        |       FROM v JOIN a2 USING (vec_id) CROSS JOIN generate_series(1, 64) AS i(i)
+        |       GROUP BY a2.cl, i.i),
+        |c2 AS (SELECT cl, list_transform(list(m ORDER BY i), x -> floor(x * 1000000 + 0.5) / 1000000) AS cent
+        |       FROM m2 GROUP BY cl),
+        |d3 AS (SELECT v.vec_id, c2.cl,
+        |         list_sum(list_transform(list_zip(v.e, c2.cent), p -> (p[1]-p[2])*(p[1]-p[2]))) AS dist
+        |       FROM v CROSS JOIN c2),
+        |a3 AS (SELECT vec_id, cl FROM (SELECT vec_id, cl,
+        |         row_number() OVER (PARTITION BY vec_id ORDER BY dist, cl) rn FROM d3) WHERE rn=1)
+        |SELECT vec_id, cl AS cluster FROM a3""".stripMargin) { (s, _) =>
+      val e = vecs(s).select(col("vec_id"), col("e"))
+      val c0 = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("cl"), quant(col("e")).as("cent"))
+      def assign(cents: DataFrame): DataFrame = e.join(broadcast(cents))
+        .select(col("vec_id"), col("cl"), sqDist(col("e"), col("cent")).as("dist"))
+        .groupBy("vec_id")
+        .agg(min_by(col("cl"), struct(col("dist"), col("cl"))).as("cl"))
+      def means(assigned: DataFrame): DataFrame = assigned.join(e, "vec_id")
+        .groupBy("cl")
+        .agg(call_udf("vec_mean", col("e")).as("m"))
+        .select(col("cl"), quant(col("m")).as("cent"))
+      val c1 = means(assign(c0)).localCheckpoint()
+      val c2 = means(assign(c1)).localCheckpoint()
+      assign(c2).select(col("vec_id"), col("cl").as("cluster"))
+    },
+
+    // SemDeDup (Abbas et al. 2023): near-duplicate removal scoped to a
+    // cluster assignment (here the fixture's label column — the output
+    // of the upstream clustering step, see llm_kmeans_cluster). A vector
+    // is a duplicate if a LOWER-id vector in its cluster has cosine
+    // >= tau; it records the lowest such keeper. The pairwise term is
+    // O(sum of cluster_size^2) — bounded by cluster occupancy, never
+    // corpus-quadratic; the join shuffles on the cluster key only. At
+    // 100 TB the occupancy lever is k (see llm_kmeans_cluster) plus the
+    // same >cap bucket split used by llm_dedup_embedding.
+    Q("llm_cluster_semdedup",
+      """WITH v AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings),
+        |n AS (SELECT vec_id, label, e, sqrt(list_sum(list_transform(e, x -> x*x))) AS nrm FROM v),
+        |p AS (SELECT a.vec_id AS ia, b.vec_id AS ib,
+        |        list_sum(list_transform(list_zip(a.e, b.e), p -> p[1]*p[2])) / (a.nrm*b.nrm) AS cs
+        |      FROM n a JOIN n b ON a.label = b.label AND b.vec_id < a.vec_id)
+        |SELECT ia AS vec_id, min(ib) AS dup_of, count(*) AS n_dup_neighbors
+        |FROM p WHERE cs >= 0.35 GROUP BY ia""".stripMargin) { (s, _) =>
+      val n = vecs(s).select(col("vec_id"), col("label"), col("e"),
+        sqrt(aggregate(col("e"), lit(0.0d), (acc, x) => acc + x * x)).as("nrm"))
+      val a = n.select(col("label"), col("vec_id").as("ia"), col("e").as("ea"), col("nrm").as("na"))
+      val b = n.select(col("label"), col("vec_id").as("ib"), col("e").as("eb"), col("nrm").as("nb"))
+      a.join(b, Seq("label")).filter(col("ib") < col("ia"))
+        .select(col("ia"), col("ib"),
+          (aggregate(zip_with(col("ea"), col("eb"), (x, y) => x * y), lit(0.0d),
+            (acc, x) => acc + x) / (col("na") * col("nb"))).as("cs"))
+        .filter(col("cs") >= 0.35)
+        .groupBy("ia")
+        .agg(min("ib").as("dup_of"), count(lit(1)).as("n_dup_neighbors"))
+        .withColumnRenamed("ia", "vec_id")
+    }
+  )
+}

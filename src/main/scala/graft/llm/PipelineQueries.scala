@@ -25,7 +25,7 @@ object PipelineQueries extends QueryModule {
     * family as LlmQueries' 5-gram shingles (mapPartitions, hashed keys
     * on the wire, not strings).
     */
-  private def ngramHashRows(s: SparkSession, n: Int, distinct: Boolean): DataFrame = {
+  private[llm] def ngramHashRows(s: SparkSession, n: Int, distinct: Boolean): DataFrame = {
     import s.implicits._
     s.table("documents")
       .select(col("doc_id").cast("long"), col("text"))
