@@ -196,5 +196,34 @@ object EventQueries extends QueryModule {
         .groupBy("user_id")
         .agg(count(lit(1)).as("attributed"),
           round(sum("c_value"), 4).cast("double").as("attr_value"))
+    },
+
+    // Native session_window sessionization (the Structured-Streaming
+    // merging-window primitive, run here in batch; its streaming twin is
+    // spec-driven through a MemoryStream in StreamingSpecs). Semantics
+    // differ from ev_sessionize at the exact boundary: session_window
+    // merges iff gap < 30min STRICTLY, so the oracle's new-session
+    // condition is >= (not >), and the emitted end is last-ts + gap.
+    Q("ev_session_window",
+      """WITH flags AS (
+        |  SELECT user_id, ts, value, event_id,
+        |    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+        |           OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) >= INTERVAL 30 MINUTE
+        |         THEN 1 ELSE 0 END AS is_new
+        |  FROM events),
+        |sessions AS (
+        |  SELECT user_id, ts, value,
+        |    sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM flags)
+        |SELECT user_id, min(ts) AS session_start,
+        |  max(ts) + INTERVAL 30 MINUTE AS session_end,
+        |  CAST(count(*) AS BIGINT) AS n_events,
+        |  round(sum(value), 4) AS total_value
+        |FROM sessions GROUP BY user_id, sid""".stripMargin) { (s, _) =>
+      graft.streaming.StreamingOps
+        .sessionWindowStats(s.table("events"), streaming = false)
+        .select(col("user_id"), col("session_start"), col("session_end"),
+          col("n_events"), round(col("total_value"), 4).as("total_value"))
     })
 }

@@ -29,6 +29,28 @@ object StreamingOps {
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n_events"), col("total_value"))
 
+  /** Per-user session stats via Spark's NATIVE session_window (merging
+    * event-time windows — the streaming-first sessionization primitive,
+    * vs the lag/running-sum window-function formulation in
+    * EventQueries.ev_sessionize). Two events share a session iff their
+    * gap is strictly under `gap`; the emitted end is last-event-ts +
+    * gap. In streaming mode the watermark both bounds state (closed
+    * sessions are evicted) and gates append-mode emission; in batch the
+    * same expression runs as a regular merging-window aggregation. At
+    * 100 TB: one shuffle on user_id, per-key state is the OPEN sessions
+    * only — exactly the bounded-state discipline an always-on
+    * sessionizer needs.
+    */
+  def sessionWindowStats(events: DataFrame, gap: String = "30 minutes",
+      lateness: String = "30 minutes", streaming: Boolean = true): DataFrame = {
+    val base = if (streaming) events.withWatermark("ts", lateness) else events
+    base
+      .groupBy(col("user_id"), session_window(col("ts"), gap).as("sw"))
+      .agg(count(lit(1)).as("n_events"), sum("value").as("total_value"))
+      .select(col("user_id"), col("sw.start").as("session_start"),
+        col("sw.end").as("session_end"), col("n_events"), col("total_value"))
+  }
+
   /** Running per-user event counts (complete-mode style aggregation). */
   def perUserCounts(events: DataFrame): DataFrame =
     events.groupBy(col("user_id")).agg(count(lit(1)).as("n_events"))

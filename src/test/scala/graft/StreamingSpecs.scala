@@ -162,6 +162,44 @@ class StreamingSpecs extends AnyFunSuite with BeforeAndAfterAll {
     } finally query.stop()
   }
 
+  test("session_window: streaming append emits the same closed sessions as the batch twin") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val rows = Seq(
+      (ts("2024-01-01 10:00:00"), 1L, 1.0),
+      (ts("2024-01-01 10:10:00"), 1L, 2.0), // gap 10min -> same session
+      (ts("2024-01-01 11:30:00"), 1L, 4.0), // gap 80min -> new session
+      (ts("2024-01-01 10:05:00"), 2L, 8.0))
+    val sentinel = (ts("2024-01-01 15:00:00"), 99L, 0.0) // advances the watermark
+    val input = MemoryStream[(Timestamp, Long, Double)]
+    val events = input.toDF().toDF("ts", "user_id", "value")
+    val query = graft.streaming.StreamingOps.sessionWindowStats(events)
+      .writeStream.format("memory").queryName("sess_win").outputMode("append").start()
+    try {
+      input.addData(rows: _*)
+      query.processAllAvailable()
+      input.addData(sentinel)
+      query.processAllAvailable()
+      // one more batch so the state store evicts sessions the advanced
+      // watermark closed and append emits them
+      input.addData()
+      query.processAllAvailable()
+      val streamed = spark.table("sess_win")
+        .filter($"user_id" < 99).collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1).toString, r.getTimestamp(2).toString,
+          r.getLong(3), r.getDouble(4))).toSet
+      val batch = graft.streaming.StreamingOps
+        .sessionWindowStats((rows :+ sentinel).toDF("ts", "user_id", "value"), streaming = false)
+        .filter($"user_id" < 99).collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1).toString, r.getTimestamp(2).toString,
+          r.getLong(3), r.getDouble(4))).toSet
+      assert(streamed === batch)
+      assert(batch.size === 3) // user 1 splits at the 80-min gap; user 2 has one
+      // merged session aggregates both events; end = last ts + gap
+      assert(batch.contains((1L, "2024-01-01 10:00:00.0", "2024-01-01 10:40:00.0", 2L, 3.0)))
+    } finally query.stop()
+  }
+
   test("streaming transform matches its batch twin on the same data") {
     import spark.implicits._
     val batch = Seq(
