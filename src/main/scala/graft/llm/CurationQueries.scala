@@ -226,6 +226,77 @@ object CurationQueries extends QueryModule {
       assign(c2).select(col("vec_id"), col("cl").as("cluster"))
     },
 
+    // HTML main-content extraction (the CommonCrawl-to-text step every
+    // web-scale corpus starts with): deterministic synthetic HTML is
+    // built around each document's text (head/script, nav, ad div,
+    // footer boilerplate; the body split across two <p> blocks at the
+    // first space after the midpoint), then extracted back by a
+    // boilerplate-strip regex chain — remove head/nav/ad/footer blocks,
+    // strip remaining tags, collapse whitespace. Pure per-row codegen'd
+    // regexps (RE2/Java common subset — lazy .*? only), zero shuffles at
+    // any corpus size. The pinned property: extraction is LOSSLESS —
+    // `extracted = text` for every document (the split never lands
+    // mid-word), which the oracle checks as a published column.
+    Q("llm_html_extract",
+      """WITH sp AS (SELECT doc_id, text,
+        |    CAST(n_chars // 2 AS INT) + strpos(substr(text, CAST(n_chars // 2 AS INT) + 1), ' ') AS cut,
+        |    strpos(substr(text, CAST(n_chars // 2 AS INT) + 1), ' ') > 0 AS has_cut
+        |  FROM documents),
+        |parts AS (SELECT doc_id, text,
+        |    CASE WHEN has_cut THEN substr(text, 1, cut - 1) ELSE text END AS p1,
+        |    CASE WHEN has_cut THEN substr(text, cut + 1) ELSE '' END AS p2
+        |  FROM sp),
+        |html AS (SELECT doc_id, text,
+        |    '<html><head><title>Doc ' || doc_id || '</title><script>var x=' || doc_id || ';</script></head>'
+        |    || '<body><nav>home | about | contact</nav>'
+        |    || '<p>' || p1 || '</p>'
+        |    || '<div class="ad">BUY NOW limited offer!!!</div>'
+        |    || '<p>' || p2 || '</p>'
+        |    || '<footer>(c) 2024 example.com</footer></body></html>' AS h
+        |  FROM parts),
+        |x AS (SELECT doc_id, text, h,
+        |    trim(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(h,
+        |      '<head>.*?</head>', ' ', 'g'),
+        |      '<nav>.*?</nav>', ' ', 'g'),
+        |      '<div class="ad">.*?</div>', ' ', 'g'),
+        |      '<footer>.*?</footer>', ' ', 'g'),
+        |      '<[^>]*>', ' ', 'g'),
+        |      '\s+', ' ', 'g')) AS extracted
+        |  FROM html)
+        |SELECT doc_id, extracted, CAST(length(h) AS BIGINT) AS html_len,
+        |  round(1.0 - length(extracted) * 1.0 / length(h), 6) AS boilerplate_frac,
+        |  extracted = text AS lossless
+        |FROM x""".stripMargin) { (s, _) =>
+      val mid = floor(col("n_chars") / 2).cast("int")
+      val rest = col("text").substr(mid + 1, length(col("text")))
+      val spPos = instr(rest, " ")
+      val cut = mid + spPos
+      val hasCut = spPos > 0
+      val p1 = when(hasCut, col("text").substr(lit(1), cut - 1)).otherwise(col("text"))
+      val p2 = when(hasCut, col("text").substr(cut + 1, length(col("text")))).otherwise(lit(""))
+      val h = concat(
+        lit("<html><head><title>Doc "), col("doc_id").cast("string"),
+        lit("</title><script>var x="), col("doc_id").cast("string"),
+        lit(";</script></head>"),
+        lit("<body><nav>home | about | contact</nav>"),
+        lit("<p>"), p1, lit("</p>"),
+        lit("<div class=\"ad\">BUY NOW limited offer!!!</div>"),
+        lit("<p>"), p2, lit("</p>"),
+        lit("<footer>(c) 2024 example.com</footer></body></html>"))
+      val extracted = trim(
+        regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(h,
+          "<head>.*?</head>", " "),
+          "<nav>.*?</nav>", " "),
+          "<div class=\"ad\">.*?</div>", " "),
+          "<footer>.*?</footer>", " "),
+          "<[^>]*>", " "),
+          "\\s+", " "))
+      s.table("documents").select(col("doc_id"), extracted.as("extracted"),
+        length(h).cast("long").as("html_len"),
+        round(lit(1.0) - length(extracted) * lit(1.0) / length(h), 6).as("boilerplate_frac"),
+        (extracted === col("text")).as("lossless"))
+    },
+
     // SemDeDup (Abbas et al. 2023): near-duplicate removal scoped to a
     // cluster assignment (here the fixture's label column — the output
     // of the upstream clustering step, see llm_kmeans_cluster). A vector

@@ -87,6 +87,14 @@ class CurationSpecs extends AnyFunSuite with BeforeAndAfterAll {
     a4.unpersist()
   }
 
+  test("html extraction is lossless for every document and strips real boilerplate") {
+    val df = q("llm_html_extract").cache()
+    assert(df.filter(!col("lossless")).count() === 0) // extracted == original text, always
+    // boilerplate genuinely removed: every doc sheds >25% of its html bytes
+    assert(df.filter(col("boilerplate_frac") <= 0.25).count() === 0)
+    df.unpersist()
+  }
+
   test("semdedup: recorded pairs are same-cluster, lower-id, and genuinely over threshold") {
     val d = q("llm_cluster_semdedup")
     val e = spark.table("embeddings").select(
