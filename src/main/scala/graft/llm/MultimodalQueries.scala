@@ -1,6 +1,7 @@
 package graft.llm
 
 import org.apache.spark.sql.Row
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.queries.{Q, QueryModule}
@@ -294,6 +295,58 @@ object MultimodalQueries extends QueryModule {
             (img.getRGB(w - 1, h - 1) & 0xFF).toLong)
         }
       }(statEnc)
+    },
+
+    // Image dedup by DECODED content (the multimodal twin of
+    // llm_dedup_exact): the corpus plants duplicates by rendering each
+    // document's image from doc_id % 37 — ~13 docs share every raster —
+    // and the engine must rediscover exactly those groups by decoding
+    // the PNG and hashing the pixel CONTENT (FNV-1a over w, h, gray
+    // bytes), never the container bytes. Content-hashing is the real
+    // production semantic: the same raster re-encoded (different
+    // compressor level, metadata chunks) still dedups; a byte-hash
+    // would not. Scale shape: decode + hash are map-side (codec per
+    // partition batch); only (doc_id, 8-byte hash) shuffles once, and
+    // the group stats are a window over the hash key. The oracle knows
+    // the plant: groups must equal doc_id % 37 classes — any decode or
+    // hash defect splits or merges a class and fails row hash.
+    Q("mm_image_dedup",
+      """SELECT doc_id,
+        |  CAST(count(*) OVER (PARTITION BY doc_id % 37) AS BIGINT) AS n_copies,
+        |  CAST(min(doc_id) OVER (PARTITION BY doc_id % 37) AS BIGINT) AS canonical_id
+        |FROM documents""".stripMargin) { (s, _) =>
+      val binSchema = StructType(Seq(
+        StructField("doc_id", LongType),
+        StructField("media", BinaryType)))
+      val hashSchema = StructType(Seq(
+        StructField("doc_id", LongType),
+        StructField("ihash", LongType)))
+      val binEnc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(binSchema)
+      val hashEnc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(hashSchema)
+      val binDf = s.table("documents").select(col("doc_id"))
+        .mapPartitions(rows => rows.map(r => Row(r.getLong(0), encodePng(r.getLong(0) % 37))))(binEnc)
+      val hashed = binDf.mapPartitions { rows =>
+        rows.map { r =>
+          val docId = r.getLong(0)
+          val bytes = r.getAs[Array[Byte]](1)
+          val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+          val w = img.getWidth; val h = img.getHeight
+          var hsh = 0xcbf29ce484222325L // FNV-1a 64 offset basis
+          def mix(b: Int): Unit = { hsh ^= (b & 0xFF); hsh *= 0x100000001b3L }
+          mix(w); mix(w >> 8); mix(h); mix(h >> 8)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) { mix(img.getRGB(x, y) & 0xFF); x += 1 }
+            y += 1
+          }
+          Row(docId, hsh)
+        }
+      }(hashEnc)
+      val wByImg = Window.partitionBy("ihash")
+      hashed.select(col("doc_id"),
+        count(lit(1)).over(wByImg).as("n_copies"),
+        min("doc_id").over(wByImg).as("canonical_id"))
     },
 
     // Frame sampling — the 1→N row-expansion shape a video pipeline
