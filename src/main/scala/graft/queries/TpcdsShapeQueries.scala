@@ -389,5 +389,30 @@ object TpcdsShapeQueries extends QueryModule {
         |LEFT JOIN promo ON l_partkey = promo_part
         |WHERE on_hand < CAST(l_quantity AS DECIMAL(18,2)) * 4
         |  AND l_shipdate > o_orderdate + INTERVAL 20 DAY
-        |GROUP BY p_brand, year(o_orderdate)""".stripMargin))
+        |GROUP BY p_brand, year(o_orderdate)""".stripMargin),
+
+    // q4/q11 shape: year-over-year growth — one per-(customer, year)
+    // spend CTE SELF-JOINED on the shifted year key, exact-decimal
+    // delta, global top-20 by rank. The plan must materialize `spend`
+    // ONCE (ReusedExchange on the self-join's second side — both sides
+    // share the (cust, yr) aggregate exchange) and the rk <= 20
+    // predicate must ride WindowGroupLimit so no partition fully
+    // materializes the sort. Deltas/ranks are DECIMAL-exact with an
+    // all-integer tiebreak (cust, yr) — no float drift can flip a rank
+    // between engines. At scale: two shuffles total (agg, then the rank
+    // merge over 20-row partial tops).
+    sqlQ("ds_yoy_growth",
+      """WITH spend AS (
+        |  SELECT o_custkey AS cust, year(o_orderdate) AS yr,
+        |    sum(CAST(o_totalprice AS DECIMAL(18,2))) AS total
+        |  FROM orders GROUP BY o_custkey, year(o_orderdate)),
+        |yoy AS (
+        |  SELECT c.cust, c.yr, p.total AS prev_total, c.total AS cur_total,
+        |    c.total - p.total AS delta
+        |  FROM spend c JOIN spend p ON c.cust = p.cust AND c.yr = p.yr + 1)
+        |SELECT cust AS custkey, yr, CAST(prev_total AS DOUBLE) AS prev_spend,
+        |  CAST(cur_total AS DOUBLE) AS cur_spend, CAST(delta AS DOUBLE) AS spend_delta, rk
+        |FROM (SELECT *, CAST(rank() OVER (ORDER BY delta DESC, cust, yr) AS BIGINT) AS rk
+        |      FROM yoy WHERE delta > 0) t
+        |WHERE rk <= 20""".stripMargin))
 }

@@ -1224,4 +1224,18 @@ class EngineSpecs extends AnyFunSuite with BeforeAndAfterAll {
     assert(kept < 0.5 * total, f"bloom kept ${kept / total}%.2f of training grams")
     assert(kept >= trueHits, "bloom must never drop a true hit")
   }
+
+  test("ds_yoy_growth: self-joined spend CTE reuses one exchange; rank rides WindowGroupLimit") {
+    val df = SparkEntry.queries("ds_yoy_growth")(spark, sfDir)
+    val s = planString(df)
+    // the (cust, yr) aggregate must be materialized once — the second
+    // side of the self-join reads the SAME shuffle (q4/q11's CTE-reuse
+    // contract; without it the fact aggregates twice)
+    assert(s.contains("ReusedExchange") || s.contains("ReusedQueryStage"),
+      "spend self-join should reuse the aggregate exchange, not recompute it")
+    // global top-20 must prune per-partition before the single-partition
+    // rank merge (TopNRowNumberOperator analog)
+    assert(s.contains("WindowGroupLimit"),
+      "rank()<=20 should trigger WindowGroupLimit")
+  }
 }
