@@ -27,7 +27,10 @@ object PlanDump {
       "ds_reachability_semi", "ds_frequent_items", "ds_channel_intersect",
       "ds_wide_rollup_rank", "ds_cross_channel_cte", "ds_inventory_gap",
       "agg_histogram", "src_local_file_log",
-      "llm_mixture_sample", "llm_token_budget_select")
+      "llm_mixture_sample", "llm_token_budget_select",
+      "ds_yoy_growth", "llm_kmeans_cluster", "llm_cluster_semdedup",
+      "llm_importance_resample", "llm_quality_gopher", "llm_html_extract",
+      "mm_image_dedup", "ev_session_window")
     val spark = graft.engine.Engine.session("local[4]", shufflePartitions = 8)
     graft.engine.Engine.registerTables(spark, sfDir)
     val sb = new StringBuilder
