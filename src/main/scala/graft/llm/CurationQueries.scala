@@ -49,7 +49,83 @@ object CurationQueries extends QueryModule {
       col("vec_id").cast("long").as("vec_id"), col("label"),
       transform(col("embedding"), x => x.cast("double")).as("e"))
 
+  /** (doc_id, 1-based window position, 64-bit hash of the 13-gram at
+    * that position) — the positional variant of PipelineQueries'
+    * ngramHashRows (positions kept because span accounting needs them).
+    */
+  private def posGramRows(s: SparkSession, n: Int): DataFrame = {
+    import s.implicits._
+    s.table("documents")
+      .select(col("doc_id").cast("long"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        it.flatMap { case (id, text) =>
+          val w = text.split(" ", -1)
+          if (w.length < n) Iterator.empty
+          else (0 to w.length - n).iterator.map { i =>
+            val sb = new java.lang.StringBuilder(w(i))
+            var j = i + 1
+            while (j < i + n) { sb.append('_').append(w(j)); j += 1 }
+            val h = graft.functions.Hll.hashAny(
+              org.apache.spark.unsafe.types.UTF8String.fromString(sb.toString))
+            (id, i + 1L, h)
+          }
+        }
+      }.toDF("doc_id", "pos", "gh")
+  }
+
   def queries: Seq[Q] = Seq(
+
+    // Exact substring-span dedup (Lee et al. 2022, "Deduplicating
+    // Training Data Makes Language Models Better"): a window is
+    // duplicated iff its 13-gram occurs in ANOTHER document; per doc we
+    // publish the duplicated-window count, the number of MAXIMAL
+    // duplicated spans (the units that paper removes — islands via the
+    // pos - row_number trick), and the first duplicated position.
+    // Engine plan: positional gram hashes (8 bytes on the wire) ->
+    // one gram-keyed agg for cross-doc df -> semi-join back (reuses the
+    // gram partitioning) -> per-doc agg + one doc-partitioned window
+    // bounded by doc length. Everything is linear in corpus token
+    // count; nothing is corpus-quadratic (the suffix array the paper
+    // builds is replaced by the gram-keyed shuffle, the distributed
+    // equivalent).
+    Q("llm_dedup_substring_spans",
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |g AS (SELECT doc_id, unnest([{'pos': i, 's': array_to_string(w[i:i+12], '_')}
+        |        for i in generate_series(1, len(w)-12)], recursive := true)
+        |      FROM toks WHERE len(w) >= 13),
+        |df AS (SELECT s, count(DISTINCT doc_id) AS nd FROM g GROUP BY s),
+        |dup AS (SELECT g.doc_id, g.pos FROM g JOIN df USING (s) WHERE nd > 1),
+        |runs AS (SELECT doc_id, pos,
+        |           pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+        |         FROM dup),
+        |agg AS (SELECT doc_id, count(*) AS n_dup_windows,
+        |          count(DISTINCT grp) AS n_dup_spans, min(pos) AS first_dup_pos
+        |        FROM runs GROUP BY doc_id),
+        |tot AS (SELECT doc_id, count(*) AS n_windows FROM g GROUP BY doc_id)
+        |SELECT t.doc_id, CAST(n_windows AS BIGINT) AS n_windows,
+        |  CAST(coalesce(n_dup_windows, 0) AS BIGINT) AS n_dup_windows,
+        |  CAST(coalesce(n_dup_spans, 0) AS BIGINT) AS n_dup_spans,
+        |  CAST(coalesce(first_dup_pos, 0) AS BIGINT) AS first_dup_pos
+        |FROM tot t LEFT JOIN agg USING (doc_id)""".stripMargin) { (s, _) =>
+      import org.apache.spark.sql.expressions.Window
+      val g = posGramRows(s, 13)
+      val crossDoc = g.groupBy("gh")
+        .agg(count_distinct(col("doc_id")).as("nd"))
+        .filter(col("nd") > 1).select("gh")
+      val dup = g.join(crossDoc, "gh").select("doc_id", "pos")
+      val runs = dup.withColumn("grp",
+        col("pos") - row_number().over(Window.partitionBy("doc_id").orderBy("pos")))
+      val agg = runs.groupBy("doc_id").agg(
+        count(lit(1)).as("n_dup_windows"),
+        count_distinct(col("grp")).as("n_dup_spans"),
+        min("pos").as("first_dup_pos"))
+      val tot = g.groupBy("doc_id").agg(count(lit(1)).as("n_windows"))
+      tot.join(agg, Seq("doc_id"), "left").select(col("doc_id"), col("n_windows"),
+        coalesce(col("n_dup_windows"), lit(0L)).as("n_dup_windows"),
+        coalesce(col("n_dup_spans"), lit(0L)).as("n_dup_spans"),
+        coalesce(col("first_dup_pos"), lit(0L)).as("first_dup_pos"))
+    },
 
     // Gopher quality-rule battery (Rae et al. 2021 A1.1). The fixture
     // corpus is clean word soup, so rule-triggering structure (bullet
