@@ -127,6 +127,57 @@ object CurationQueries extends QueryModule {
         coalesce(col("first_dup_pos"), lit(0L)).as("first_dup_pos"))
     },
 
+    // URL canonicalization + dedup (the crawl-frontier/WARC dedup step):
+    // raw URLs carry host-case noise, www. prefixes, trailing slashes,
+    // utm_* tracking params and fragments; normalization lowercases the
+    // host, strips www./trailing-slash/fragment, and keeps ONLY the
+    // meaningful query param (id) — then documents dedup by canonical
+    // URL. The engine side runs through its own Presto URL function
+    // surface (url_extract_host/path/parameter — UrlFunctions.java
+    // parity, reference presto-main/.../scalar/UrlFunctions.java); the
+    // oracle re-derives the same canonical form with plain regexes, so
+    // any parse defect in the URL functions breaks the group structure.
+    // Per-row codegen'd work plus one shuffle on the canonical key.
+    Q("llm_url_dedup",
+      """WITH raw AS (SELECT doc_id,
+        |  'https://' || CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'WWW.Example.COM'
+        |       WHEN 1 THEN 'www.example.com' ELSE 'example.com' END
+        |  || '/articles/' || CAST(doc_id % 50 AS VARCHAR)
+        |  || CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END
+        |  || CASE WHEN doc_id % 2 = 0 THEN '?utm_source=feed&id=' || CAST(doc_id % 50 AS VARCHAR) || '&utm_campaign=x'
+        |          ELSE '?id=' || CAST(doc_id % 50 AS VARCHAR) END
+        |  || CASE WHEN doc_id % 5 = 0 THEN '#section2' ELSE '' END AS url
+        | FROM documents),
+        |norm AS (SELECT doc_id,
+        |  'https://' || regexp_replace(lower(regexp_extract(url, 'https://([^/]+)', 1)), '^www\.', '')
+        |  || regexp_replace(regexp_extract(url, 'https://[^/]+([^?#]*)', 1), '/$', '')
+        |  || '?id=' || regexp_extract(url, '[?&]id=([^&#]*)', 1) AS norm_url
+        | FROM raw)
+        |SELECT doc_id, norm_url,
+        |  CAST(count(*) OVER (PARTITION BY norm_url) AS BIGINT) AS n_copies,
+        |  CAST(min(doc_id) OVER (PARTITION BY norm_url) AS BIGINT) AS canonical_id
+        |FROM norm""".stripMargin) { (s, _) =>
+      s.sql(
+        """WITH raw AS (SELECT doc_id,
+          |  'https://' || CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'WWW.Example.COM'
+          |       WHEN 1 THEN 'www.example.com' ELSE 'example.com' END
+          |  || '/articles/' || CAST(doc_id % 50 AS STRING)
+          |  || CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END
+          |  || CASE WHEN doc_id % 2 = 0 THEN '?utm_source=feed&id=' || CAST(doc_id % 50 AS STRING) || '&utm_campaign=x'
+          |          ELSE '?id=' || CAST(doc_id % 50 AS STRING) END
+          |  || CASE WHEN doc_id % 5 = 0 THEN '#section2' ELSE '' END AS url
+          | FROM documents),
+          |norm AS (SELECT doc_id,
+          |  'https://' || regexp_replace(lower(url_extract_host(url)), '^www\\.', '')
+          |  || regexp_replace(url_extract_path(url), '/$', '')
+          |  || '?id=' || url_extract_parameter(url, 'id') AS norm_url
+          | FROM raw)
+          |SELECT doc_id, norm_url,
+          |  CAST(count(*) OVER (PARTITION BY norm_url) AS BIGINT) AS n_copies,
+          |  CAST(min(doc_id) OVER (PARTITION BY norm_url) AS BIGINT) AS canonical_id
+          |FROM norm""".stripMargin)
+    },
+
     // Gopher quality-rule battery (Rae et al. 2021 A1.1). The fixture
     // corpus is clean word soup, so rule-triggering structure (bullet
     // lines, ellipsis endings, symbol runs, numeric tokens, function
