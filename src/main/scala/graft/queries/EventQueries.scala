@@ -198,6 +198,21 @@ object EventQueries extends QueryModule {
           round(sum("c_value"), 4).cast("double").as("attr_value"))
     },
 
+    // LEFT OUTER interval attribution in batch — the same
+    // viewClickAttributionOuter operator the streaming spec drives:
+    // every view emits, converted ones once per in-window click,
+    // unconverted ones with NULL click columns (what the pipeline bills
+    // as unconverted impressions). Same one-shuffle interval-join shape
+    // as ev_view_click_attribution plus NULL-extension.
+    Q("ev_unconverted_attribution",
+      """SELECT v.user_id, v.ts AS v_ts, c.ts AS c_ts, c.value AS c_value
+        |FROM events v LEFT JOIN events c
+        |  ON c.user_id = v.user_id AND c.event_type = 'click'
+        |  AND v.ts <= c.ts AND c.ts <= v.ts + INTERVAL 30 MINUTE
+        |WHERE v.event_type = 'view'""".stripMargin) { (s, _) =>
+      graft.streaming.StreamingOps.viewClickAttributionOuter(s.table("events"))
+    },
+
     // Native session_window sessionization (the Structured-Streaming
     // merging-window primitive, run here in batch; its streaming twin is
     // spec-driven through a MemoryStream in StreamingSpecs). Semantics

@@ -90,6 +90,31 @@ object StreamingOps {
       expr(s"c_user = v_user AND v_ts <= c_ts AND c_ts <= v_ts + INTERVAL $attributionWindow"))
       .select(col("c_user").as("user_id"), col("v_ts"), col("c_ts"), col("c_value"))
   }
+
+  /** LEFT OUTER stream-stream interval join: every view emits — joined
+    * when a click lands inside the attribution window, with NULL click
+    * columns once the watermark proves no click can still arrive. The
+    * outer side is what an attribution pipeline actually bills on
+    * (unconverted impressions), and the NULL emission is watermark-
+    * driven state eviction: a view row is held in the join state only
+    * until watermark > v_ts + window + lateness, so state is bounded by
+    * the window span at any input rate.
+    */
+  def viewClickAttributionOuter(events: DataFrame,
+      attributionWindow: String = "30 minutes",
+      lateness: String = "10 minutes"): DataFrame = {
+    val views = events.filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("ts").as("v_ts"))
+      .withWatermark("v_ts", lateness)
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+        col("value").as("c_value"))
+      .withWatermark("c_ts", lateness)
+    views.join(clicks,
+      expr(s"c_user = v_user AND v_ts <= c_ts AND c_ts <= v_ts + INTERVAL $attributionWindow"),
+      "leftOuter")
+      .select(col("v_user").as("user_id"), col("v_ts"), col("c_ts"), col("c_value"))
+  }
 }
 
 /** Custom-state streaming: gap-based sessionization via

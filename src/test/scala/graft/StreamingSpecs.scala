@@ -162,6 +162,37 @@ class StreamingSpecs extends AnyFunSuite with BeforeAndAfterAll {
     } finally query.stop()
   }
 
+  test("left-outer stream-stream join emits unconverted views with NULLs after watermark eviction") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[(Timestamp, Long, String, Double)]
+    val events = input.toDF().toDF("ts", "user_id", "event_type", "value")
+    val query = graft.streaming.StreamingOps.viewClickAttributionOuter(events)
+      .writeStream.format("memory").queryName("outer_attr").outputMode("append").start()
+    try {
+      input.addData(
+        (ts("2024-01-01 10:00:00"), 1L, "view", 0.0),
+        (ts("2024-01-01 10:05:00"), 1L, "click", 7.0), // converts user 1's view
+        (ts("2024-01-01 10:00:00"), 2L, "view", 0.0))  // user 2 never clicks
+      query.processAllAvailable()
+      // push the watermark far past v_ts + window + lateness so user 2's
+      // view can no longer be matched and must be evicted with NULLs
+      input.addData(
+        (ts("2024-01-01 12:00:00"), 9L, "view", 0.0),
+        (ts("2024-01-01 12:00:00"), 9L, "click", 0.0))
+      query.processAllAvailable()
+      input.addData() // one more batch to flush evicted state into append
+      query.processAllAvailable()
+      val rows = spark.table("outer_attr").filter($"user_id" < 9).collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1).toString,
+          Option(r.getTimestamp(2)).map(_.toString).orNull)).toSet
+      assert(rows.contains((1L, "2024-01-01 10:00:00.0", "2024-01-01 10:05:00.0")),
+        s"converted view must join its click; got $rows")
+      assert(rows.contains((2L, "2024-01-01 10:00:00.0", null)),
+        s"unconverted view must emit with NULL click after eviction; got $rows")
+    } finally query.stop()
+  }
+
   test("session_window: streaming append emits the same closed sessions as the batch twin") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
