@@ -239,6 +239,53 @@ object TransactionOps {
       }
     }
 
+  /** ALTER TABLE ADD COLUMN as an O(1) METADATA-ONLY commit (the
+    * reference's AddColumnTask contract, SqlBase.g4:57-58): the new
+    * manifest carries the extended schema and the parent's EXACT file
+    * list — zero data rewritten at any table size; the parquet reader
+    * null-fills the new column for pre-evolution files. Time travel
+    * keeps each version's own schema (manifests are schema-versioned).
+    */
+  def addColumn(spark: SparkSession, root: String, name: String,
+      sparkType: String): Unit =
+    lockFor(root).synchronized {
+      val parent = readVersion(spark, root)
+      val (ddl, live) = readManifest(root, parent)
+      val st = org.apache.spark.sql.types.StructType.fromDDL(ddl)
+      require(!st.fieldNames.contains(name), s"column $name already exists")
+      val extended = st.add(name, sparkType)
+      val v = nextVersion(root)
+      writeManifest(root, v, extended.toDDL, live)
+      stageOrCommit(spark, root, v, Nil)
+    }
+
+  /** ALTER TABLE DROP COLUMN — also metadata-only (DropColumnTask,
+    * SqlBase.g4:55-56): the schema shrinks, the file list is shared
+    * verbatim; parquet reads project the surviving subset and simply
+    * never touch the dropped column's pages (columnar pruning makes the
+    * drop free at read time too).
+    */
+  def dropColumn(spark: SparkSession, root: String, name: String): Unit =
+    lockFor(root).synchronized {
+      val parent = readVersion(spark, root)
+      val (ddl, live) = readManifest(root, parent)
+      val st = org.apache.spark.sql.types.StructType.fromDDL(ddl)
+      require(st.fieldNames.contains(name), s"column $name does not exist")
+      val shrunk = org.apache.spark.sql.types.StructType(st.filterNot(_.name == name))
+      val v = nextVersion(root)
+      writeManifest(root, v, shrunk.toDDL, live)
+      stageOrCommit(spark, root, v, Nil)
+    }
+
+  /** The live data-file set of a version — exposed so specs/queries can
+    * PROVE a commit was metadata-only (file set shared with the parent).
+    */
+  def liveFileSet(root: String, v: Int): Set[String] =
+    readManifest(root, v)._2.toSet
+
+  /** Current committed version pointer (for time-travel assertions). */
+  def currentVersion(root: String): Int = readPointer(root)
+
   // ---- transaction protocol ----
 
   def begin(spark: SparkSession): Unit = {

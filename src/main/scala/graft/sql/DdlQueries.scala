@@ -313,6 +313,53 @@ object DdlQueries extends QueryModule {
       }
     },
 
+    // Schema evolution on the VERSIONED (delta-manifest) table: ADD
+    // COLUMN and DROP COLUMN are O(1) metadata-only commits — the
+    // contract row PROVES it by comparing live file SETS across the
+    // evolution commits (identical ⇒ zero data rewritten, at any table
+    // size), then exercises null-fill reads of pre-evolution files,
+    // inserts carrying the new column, and time travel back to the
+    // pre-evolution schema (each manifest version keeps its own DDL).
+    Q("ddl_schema_evolution",
+      """SELECT 3 AS cols_v0, 4 AS cols_after_add, true AS add_was_metadata_only,
+        |  25 AS null_scores_after_add, 30 AS rows_after_insert,
+        |  5 AS scored_rows, CAST(30.0 AS DOUBLE) AS sum_score,
+        |  3 AS cols_after_drop, true AS drop_was_metadata_only,
+        |  3 AS cols_time_travel_v0, 25 AS rows_time_travel_v0""".stripMargin) { (s, _) =>
+      import s.implicits._
+      import graft.operators.TransactionOps
+      val root = "tmp/graft_evolve_nation"
+      try {
+        TransactionOps.createTable(s, root, s.table("nation"))
+        val colsV0 = TransactionOps.read(s, root).columns.length
+        val filesV0 = TransactionOps.liveFileSet(root, TransactionOps.currentVersion(root))
+        TransactionOps.addColumn(s, root, "score", "double")
+        val vAdd = TransactionOps.currentVersion(root)
+        val colsAfterAdd = TransactionOps.read(s, root).columns.length
+        val addMetaOnly = TransactionOps.liveFileSet(root, vAdd) == filesV0
+        val nullScores = TransactionOps.read(s, root).filter(col("score").isNull).count()
+        TransactionOps.insertInto(s, root, s.table("nation").limit(5)
+          .withColumn("score", lit(6.0)))
+        val afterInsert = TransactionOps.read(s, root)
+        val rowsAfterInsert = afterInsert.count()
+        val scoredRows = afterInsert.filter(col("score").isNotNull).count()
+        val sumScore = afterInsert.agg(sum("score")).as[Double].head()
+        val filesPreDrop = TransactionOps.liveFileSet(root, TransactionOps.currentVersion(root))
+        TransactionOps.dropColumn(s, root, "score")
+        val vDrop = TransactionOps.currentVersion(root)
+        val colsAfterDrop = TransactionOps.read(s, root).columns.length
+        val dropMetaOnly = TransactionOps.liveFileSet(root, vDrop) == filesPreDrop
+        val v0 = TransactionOps.readAt(s, root, 0)
+        Seq((colsV0, colsAfterAdd, addMetaOnly, nullScores, rowsAfterInsert,
+          scoredRows, sumScore, colsAfterDrop, dropMetaOnly,
+          v0.columns.length, v0.count()))
+          .toDF("cols_v0", "cols_after_add", "add_was_metadata_only",
+            "null_scores_after_add", "rows_after_insert", "scored_rows",
+            "sum_score", "cols_after_drop", "drop_was_metadata_only",
+            "cols_time_travel_v0", "rows_time_travel_v0")
+      } finally TransactionOps.dropTable(root)
+    },
+
     // GRANT / REVOKE / SHOW GRANTS through the front door (SqlBase.g4:
     // 87-91, GrantTask/RevokeTask; AccessControl enforcement at plan
     // time). A table becomes ACL-managed at its first GRANT; admin
