@@ -277,6 +277,31 @@ object TransactionOps {
       stageOrCommit(spark, root, v, Nil)
     }
 
+  /** OPTIMIZE / compaction (the Raptor-style file-organization job —
+    * reference raptor compaction semantics: many small files from
+    * incremental commits rewritten into few, contents identical): the
+    * live row set is rewritten into `targetFiles` files as ONE new
+    * version; prior versions keep their manifests untouched, so time
+    * travel still reads the pre-compaction layout. At scale this runs
+    * per partition/bucket with the same manifest swap; the small-file
+    * problem is THE read-amplification killer at 100 TB (per-file open
+    * cost and footer reads dominate under thousands of tiny commits).
+    */
+  def compact(spark: SparkSession, root: String, targetFiles: Int = 1): Unit =
+    lockFor(root).synchronized {
+      val parent = readVersion(spark, root)
+      val (ddl, live) = readManifest(root, parent)
+      if (live.nonEmpty) {
+        val df = spark.read.schema(ddl)
+          .parquet(live.map(f => new java.io.File(root, f).toString): _*)
+          .coalesce(targetFiles)
+        val (dir, newFiles) = writeFileSet(root, df)
+        val v = nextVersion(root)
+        writeManifest(root, v, ddl, newFiles)
+        stageOrCommit(spark, root, v, List(dir))
+      }
+    }
+
   /** The live data-file set of a version — exposed so specs/queries can
     * PROVE a commit was metadata-only (file set shared with the parent).
     */

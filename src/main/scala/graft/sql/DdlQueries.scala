@@ -360,6 +360,45 @@ object DdlQueries extends QueryModule {
       } finally TransactionOps.dropTable(root)
     },
 
+    // Compaction (OPTIMIZE): five incremental inserts leave a
+    // many-small-file layout; compact() rewrites the live rows into ONE
+    // file in one new version. The contract proves: file count collapses
+    // to 1, the row multiset is IDENTICAL (count + an exact checksum-ish
+    // sum over all keys), and time travel still reads the
+    // pre-compaction small-file version — compaction never rewrites
+    // history. At 100 TB small files are the read-amplification killer;
+    // this is the manifest-swap organization job that fixes them.
+    Q("ddl_compaction",
+      """SELECT 6 AS files_before, 1 AS files_after,
+        |  50 AS rows_before, 50 AS rows_after,
+        |  true AS sums_match, 6 AS files_at_old_version""".stripMargin) { (s, _) =>
+      import s.implicits._
+      import graft.operators.TransactionOps
+      val root = "tmp/graft_compact_nation"
+      try {
+        TransactionOps.createTable(s, root, s.table("nation").coalesce(1))
+        for (i <- 0 until 5)
+          TransactionOps.insertInto(s, root,
+            s.table("nation").filter(col("n_nationkey") % 5 === i).limit(5).coalesce(1))
+        val vSmall = TransactionOps.currentVersion(root)
+        val filesBefore = TransactionOps.liveFileSet(root, vSmall).size
+        val before = TransactionOps.read(s, root)
+        val rowsBefore = before.count()
+        val sumBefore = before.agg(sum("n_nationkey")).as[Long].head()
+        TransactionOps.compact(s, root)
+        val vComp = TransactionOps.currentVersion(root)
+        val filesAfter = TransactionOps.liveFileSet(root, vComp).size
+        val after = TransactionOps.read(s, root)
+        val rowsAfter = after.count()
+        val sumAfter = after.agg(sum("n_nationkey")).as[Long].head()
+        val filesAtOld = TransactionOps.liveFileSet(root, vSmall).size
+        Seq((filesBefore, filesAfter, rowsBefore, rowsAfter,
+          sumBefore == sumAfter, filesAtOld))
+          .toDF("files_before", "files_after", "rows_before", "rows_after",
+            "sums_match", "files_at_old_version")
+      } finally TransactionOps.dropTable(root)
+    },
+
     // GRANT / REVOKE / SHOW GRANTS through the front door (SqlBase.g4:
     // 87-91, GrantTask/RevokeTask; AccessControl enforcement at plan
     // time). A table becomes ACL-managed at its first GRANT; admin
