@@ -127,6 +127,62 @@ object CurationQueries extends QueryModule {
         coalesce(col("first_dup_pos"), lit(0L)).as("first_dup_pos"))
     },
 
+    // Paragraph-level global exact dedup WITH document reconstruction —
+    // the removal step downstream of span detection (Lee et al. keep
+    // one occurrence of each repeated unit and rewrite the documents):
+    // texts split into 15-word paragraphs; a paragraph survives only at
+    // its corpus-FIRST occurrence (min (doc_id, idx) — dedups across
+    // AND within documents); each document is rebuilt from its
+    // surviving paragraphs in order. All-Catalyst: paragraph slicing is
+    // transform/slice/array_join + posexplode (no kernel), first
+    // occurrence is one hash agg keyed on the paragraph hash (8 bytes
+    // on the wire engine-side; the oracle joins full strings), and
+    // reconstruction is sort_array(collect_list(struct)) per doc —
+    // state bounded by document length, shuffles linear in paragraph
+    // count.
+    Q("llm_dedup_paragraph",
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |para AS (SELECT doc_id, unnest([{'idx': i, 'p': array_to_string(w[(i-1)*15+1:(i-1)*15+15], ' ')}
+        |          for i in generate_series(1, (len(w)+14)//15)], recursive := true)
+        |        FROM toks),
+        |firstocc AS (SELECT p, min(doc_id) AS d0 FROM para GROUP BY p),
+        |firstidx AS (SELECT f.p, f.d0, min(pa.idx) AS i0
+        |             FROM firstocc f JOIN para pa ON pa.p = f.p AND pa.doc_id = f.d0
+        |             GROUP BY f.p, f.d0),
+        |kept AS (SELECT pa.doc_id, pa.idx, pa.p
+        |         FROM para pa JOIN firstidx fi
+        |           ON pa.p = fi.p AND pa.doc_id = fi.d0 AND pa.idx = fi.i0),
+        |tot AS (SELECT doc_id, count(*) AS n_paras FROM para GROUP BY doc_id),
+        |ked AS (SELECT doc_id, count(*) AS n_kept,
+        |          string_agg(p, ' ' ORDER BY idx) AS cleaned_text
+        |        FROM kept GROUP BY doc_id)
+        |SELECT t.doc_id, CAST(n_paras AS BIGINT) AS n_paras,
+        |  CAST(coalesce(n_kept, 0) AS BIGINT) AS n_kept,
+        |  coalesce(cleaned_text, '') AS cleaned_text
+        |FROM tot t LEFT JOIN ked USING (doc_id)""".stripMargin) { (s, _) =>
+      val w = split(col("text"), " ", -1)
+      val nP = ceil(size(w) / lit(15.0)).cast("int")
+      val paras = s.table("documents").select(col("doc_id"),
+        posexplode(transform(sequence(lit(1), nP),
+          i => array_join(slice(w, (i - lit(1)) * 15 + 1, lit(15)), " "))))
+        .select(col("doc_id"), (col("pos") + 1).as("idx"), col("col").as("p"))
+        .withColumn("ph", xxhash64(col("p")))
+      val firstOcc = paras.groupBy("ph")
+        .agg(min(struct(col("doc_id"), col("idx"))).as("f"))
+        .select(col("ph"), col("f.doc_id").as("d0"), col("f.idx").as("i0"))
+      val kept = paras.join(firstOcc,
+        paras("ph") === firstOcc("ph") && col("doc_id") === col("d0") && col("idx") === col("i0"))
+        .select(col("doc_id"), col("idx"), col("p"))
+      val tot = paras.groupBy("doc_id").agg(count(lit(1)).as("n_paras"))
+      val ked = kept.groupBy("doc_id").agg(
+        count(lit(1)).as("n_kept"),
+        array_join(transform(sort_array(collect_list(struct(col("idx"), col("p")))),
+          x => x.getField("p")), " ").as("cleaned_text"))
+      tot.join(ked, Seq("doc_id"), "left").select(col("doc_id"), col("n_paras"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("cleaned_text"), lit("")).as("cleaned_text"))
+    },
+
     // URL canonicalization + dedup (the crawl-frontier/WARC dedup step):
     // raw URLs carry host-case noise, www. prefixes, trailing slashes,
     // utm_* tracking params and fragments; normalization lowercases the
