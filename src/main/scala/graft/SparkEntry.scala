@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.queries._
-import graft.llm.{CurationQueries, LlmQueries, MultimodalQueries, PipelineQueries}
+import graft.llm.{CurationQueries, LlmQueries, MultimodalQueries, PipelineQueries, TextIndexQueries}
 import graft.sql.DdlQueries
 import graft.sources.SourceQueries
 
@@ -18,7 +18,8 @@ object SparkEntry {
   def modules: Seq[QueryModule] = Seq(
     TpchQueries, TpcdsShapeQueries, JoinQueries, AggQueries, WindowQueries, SetOpQueries, ShapeQueries,
     FuncQueries, GeoQueries, MlQueries, EventQueries, SketchQueries, LlmQueries, MultimodalQueries,
-    PipelineQueries, CurationQueries, DdlQueries, MetaQueries, SourceQueries, MiscQueries)
+    PipelineQueries, CurationQueries, TextIndexQueries, DdlQueries, MetaQueries, SourceQueries,
+    MiscQueries)
 
   private lazy val all: Seq[Q] = modules.flatMap(_.queries)
 
