@@ -30,7 +30,9 @@ object PlanDump {
       "llm_mixture_sample", "llm_token_budget_select",
       "ds_yoy_growth", "llm_kmeans_cluster", "llm_cluster_semdedup",
       "llm_importance_resample", "llm_quality_gopher", "llm_html_extract",
-      "mm_image_dedup", "ev_session_window")
+      "mm_image_dedup", "ev_session_window",
+      "ds_multi_band_scan", "llm_inverted_index",
+      "llm_dedup_substring_spans", "llm_dedup_paragraph")
     val spark = graft.engine.Engine.session("local[4]", shufflePartitions = 8)
     graft.engine.Engine.registerTables(spark, sfDir)
     val sb = new StringBuilder
