@@ -509,6 +509,65 @@ object CurationQueries extends QueryModule {
         .groupBy("ia")
         .agg(min("ib").as("dup_of"), count(lit(1)).as("n_dup_neighbors"))
         .withColumnRenamed("ia", "vec_id")
+    },
+
+    // Link-graph PageRank (Page et al. 1999) — the host/URL authority
+    // signal a crawl-curation pipeline feeds into quality weighting
+    // (OPIC/harmonic-centrality role). Runs in FIXED-POINT INTEGER
+    // arithmetic (rank mass scaled by 1e12, damping 85/100, uniform
+    // out-degree 3, floor division everywhere): sums of integers are
+    // exact and summation-order-independent, so the result is
+    // bit-reproducible at ANY parallelism — no float-accumulation drift
+    // between engines or between cluster sizes. The link graph is
+    // synthesized deterministically from doc_id (same convention as
+    // mm_image_dedup): doc -> (doc*31 + {8,15,22}) mod N. Per round:
+    // one src-keyed join (edges pre-partitioned and persisted) and one
+    // dst-keyed agg — the classic one-shuffle-per-iteration shape;
+    // lineage truncated by persist+count each round. 5 rounds.
+    Q("llm_pagerank", {
+      val rounds = (1 to 5).map { i =>
+        s"""r$i AS (
+           |  SELECT nd.doc_id,
+           |         (150000000000 // nd.n + coalesce((85 * c.c) // 100, 0))::BIGINT AS r
+           |  FROM nodes nd LEFT JOIN (
+           |    SELECT dst, sum(r // 3)::BIGINT AS c
+           |    FROM edges JOIN r${i - 1} ON src = doc_id GROUP BY 1) c
+           |  ON c.dst = nd.doc_id)""".stripMargin
+      }
+      s"""WITH ncnt AS (SELECT count(*)::BIGINT AS n FROM documents),
+         |nodes AS (SELECT doc_id, n FROM documents, ncnt),
+         |edges AS (
+         |  SELECT doc_id AS src, (doc_id * 31 + off) % n AS dst
+         |  FROM nodes, (VALUES (8), (15), (22)) AS o(off)),
+         |r0 AS (SELECT doc_id, (1000000000000 // n)::BIGINT AS r FROM nodes),
+         |${rounds.mkString(",\n")}
+         |SELECT doc_id, r AS pr FROM r5""".stripMargin
+    }) { (s, _) =>
+      val ncnt = s.table("documents").agg(count(lit(1)).as("n"))
+      val nodes = s.table("documents").select(col("doc_id"))
+        .crossJoin(broadcast(ncnt)).persist()
+      val edges = nodes
+        .select(col("doc_id").as("src"),
+          explode(array(lit(8L), lit(15L), lit(22L))).as("off"), col("n"))
+        .select(col("src"), expr("(src * 31 + off) % n").as("dst"))
+        .repartition(col("dst")).persist()
+      edges.count()
+      var ranks = nodes.select(col("doc_id"), expr("1000000000000 div n").as("r")).persist()
+      try {
+        for (_ <- 1 to 5) {
+          val contrib = edges.join(ranks, edges("src") === ranks("doc_id"))
+            .groupBy(col("dst")).agg(sum(expr("r div 3")).as("c"))
+          val next = nodes
+            .join(contrib, col("doc_id") === col("dst"), "left")
+            .select(col("doc_id"),
+              (expr("150000000000 div n") + coalesce(expr("(85 * c) div 100"), lit(0L))).as("r"))
+            .persist()
+          next.count()
+          ranks.unpersist()
+          ranks = next
+        }
+        ranks.select(col("doc_id"), col("r").as("pr"))
+      } finally { edges.unpersist(); nodes.unpersist() }
     }
   )
 }

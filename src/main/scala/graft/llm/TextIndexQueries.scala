@@ -21,6 +21,16 @@ import graft.queries.{Q, QueryModule}
   *    left-to-right non-overlapping. Everything is Catalyst HOFs
   *    (`zip_with`/`aggregate`) — no UDF, no driver-side text.
   *
+  *  - BPE encoding (application): every document tokenized with the
+  *    learned merges by joining the corpus token stream against the
+  *    vocab-sized word->segmentation table (broadcastable at any corpus
+  *    scale); publishes the chars-per-token compression diagnostic.
+  *
+  *  - BM25 ranked retrieval (Robertson/Walker probabilistic ranking,
+  *    Lucene's +1 idf): tf shuffle filtered to the query terms
+  *    map-side; per-doc scores folded over a sorted contribution list
+  *    in both engines so the IEEE addition order is bit-identical.
+  *
   *  - Inverted index build: term -> ordered (doc_id: tf) posting list
   *    with document frequency. One shuffle keyed on (term, doc) for tf,
   *    one on term for the posting assembly; partial aggregation absorbs
@@ -87,8 +97,19 @@ object TextIndexQueries extends QueryModule {
 
   /** The DuckDB twin: unrolled rounds, each = pair-count agg + argmax +
     * a recursive CTE doing leftmost literal replace to fixpoint.
+    * `finalSelect` consumes the last vocab CTE (v$k: word, cnt, s) and
+    * the per-round argmax CTEs (b1..b$k) — llm_bpe_train reads the
+    * merge table, llm_bpe_encode reads the final segmentations.
     */
-  private def bpeOracle(k: Int): String = {
+  private def bpeOracle(k: Int): String = bpeOracleWith(k) {
+    val out = (1 to k)
+      .map(i => s"SELECT $i AS step, lft, rgt, lft || rgt AS merged, c::BIGINT AS cnt FROM b$i")
+      .mkString("\nUNION ALL\n")
+    s"""SELECT * FROM (
+       |$out) ORDER BY step""".stripMargin
+  }
+
+  private def bpeOracleWith(k: Int)(finalSelect: String): String = {
     val rounds = (1 to k).map { i =>
       s"""p$i AS (
          |  SELECT l[i] || ' ' || l[i+1] AS pair, sum(cnt) AS c
@@ -108,9 +129,6 @@ object TextIndexQueries extends QueryModule {
          |  SELECT f.word, f.cnt, f.s FROM f$i f, b$i b
          |  WHERE position((' ' || b.pair || ' ') IN f.s) = 0)""".stripMargin
     }
-    val out = (1 to k)
-      .map(i => s"SELECT $i AS step, lft, rgt, lft || rgt AS merged, c::BIGINT AS cnt FROM b$i")
-      .mkString("\nUNION ALL\n")
     s"""WITH RECURSIVE
        |words AS (
        |  SELECT w AS word, count(*)::BIGINT AS cnt
@@ -118,50 +136,93 @@ object TextIndexQueries extends QueryModule {
        |  GROUP BY 1),
        |v0 AS (SELECT word, cnt, ' ' || regexp_replace(word, '(.)', '\\1 ', 'g') AS s FROM words),
        |${rounds.mkString(",\n")}
-       |SELECT * FROM (
-       |$out) ORDER BY step""".stripMargin
+       |$finalSelect""".stripMargin
+  }
+
+  /** Run the merge-learning loop: corpus collapses ONCE to the
+    * (word, count) vocabulary, then each round is a vocab-sized
+    * pair-count agg + 1-row argmax + map-side fold. Returns the learned
+    * merge table and the final per-word segmentation (caller unpersists
+    * the returned DataFrame).
+    */
+  private def trainBpe(s: SparkSession): (Seq[(Int, String, String, String, Long)], DataFrame) = {
+    // Corpus -> vocabulary: the ONLY pass whose cost scales with the
+    // corpus. Everything after is vocab-sized.
+    val v0 = s.table("documents")
+      .select(wordCol.as("word"))
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+      .select(col("word"), col("cnt"), charSpaced(col("word")).as("s"))
+
+    var vocab = v0.persist()
+    val merges = ArrayBuffer.empty[(Int, String, String, String, Long)]
+    try {
+      for (step <- 1 to BpeRounds) {
+        // One hash-agg over the vocab; argmax is a 1-row collect
+        // (bounded driver metadata, like the k-means centroid pull).
+        val best = vocab
+          .select(col("cnt"), explode(pairsOf(col("s"))).as("pair"))
+          .groupBy("pair").agg(sum("cnt").as("c"))
+          .orderBy(col("c").desc, col("pair").asc)
+          .limit(1).collect()(0)
+        val pair = best.getString(0)
+        val c = best.getLong(1)
+        val Array(l, r) = pair.split(" ", 2)
+        merges += ((step, l, r, l + r, c))
+        // Materialize each round so lineage stays one fold deep
+        // (six nested folds would still codegen, but a 50k-round
+        // production run must truncate lineage every round).
+        val next = vocab
+          .select(col("word"), col("cnt"), applyMerge(col("s"), l, r).as("s")).persist()
+        next.count()
+        vocab.unpersist()
+        vocab = next
+      }
+      (merges.toSeq, vocab)
+    } catch { case e: Throwable => vocab.unpersist(); throw e }
   }
 
   def queries: Seq[Q] = Seq(
 
     Q("llm_bpe_train", bpeOracle(BpeRounds)) { (s, _) =>
       import s.implicits._
-      // Corpus -> vocabulary: the ONLY pass whose cost scales with the
-      // corpus. Everything after is vocab-sized.
-      val v0 = s.table("documents")
-        .select(wordCol.as("word"))
-        .groupBy("word").agg(count(lit(1)).as("cnt"))
-        .select(col("cnt"), charSpaced(col("word")).as("s"))
+      val (merges, vocab) = trainBpe(s)
+      vocab.unpersist() // the merge table lives driver-side already
+      merges.toDF("step", "lft", "rgt", "merged", "cnt")
+    },
 
-      var vocab = v0.persist()
-      val merges = ArrayBuffer.empty[(Int, String, String, String, Long)]
-      val retired = ArrayBuffer.empty[DataFrame]
-      try {
-        for (step <- 1 to BpeRounds) {
-          // One hash-agg over the vocab; argmax is a 1-row collect
-          // (bounded driver metadata, like the k-means centroid pull).
-          val best = vocab
-            .select(col("cnt"), explode(pairsOf(col("s"))).as("pair"))
-            .groupBy("pair").agg(sum("cnt").as("c"))
-            .orderBy(col("c").desc, col("pair").asc)
-            .limit(1).collect()(0)
-          val pair = best.getString(0)
-          val c = best.getLong(1)
-          val Array(l, r) = pair.split(" ", 2)
-          merges += ((step, l, r, l + r, c))
-          // Materialize each round so lineage stays one fold deep
-          // (six nested folds would still codegen, but a 50k-round
-          // production run must truncate lineage every round).
-          val next = vocab.select(col("cnt"), applyMerge(col("s"), l, r).as("s")).persist()
-          next.count()
-          retired += vocab
-          vocab = next
-        }
-        merges.toSeq.toDF("step", "lft", "rgt", "merged", "cnt")
-      } finally {
-        retired.foreach(_.unpersist())
-        vocab.unpersist()
-      }
+    // Tokenizer APPLICATION: encode every document with the learned
+    // merges. The per-word segmentation is vocab-sized, so the encode
+    // join broadcasts at any corpus scale; the corpus-sized side is one
+    // token explode + one doc-keyed agg. chars_per_token is the
+    // compression diagnostic a tokenizer-induction pipeline tracks.
+    Q("llm_bpe_encode", bpeOracleWith(BpeRounds)(
+      """,
+        |toks AS (
+        |  SELECT doc_id, w
+        |  FROM documents, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS t(w)),
+        |seg AS (
+        |  SELECT word, len(string_split(trim(s), ' '))::BIGINT AS n_sub FROM v6)
+        |SELECT doc_id, count(*)::BIGINT AS n_words, sum(n_sub)::BIGINT AS n_tokens,
+        |       sum(length(w))::BIGINT AS n_chars,
+        |       round(sum(length(w)) * 1.0 / sum(n_sub), 6) AS chars_per_token
+        |FROM toks JOIN seg ON w = word
+        |GROUP BY doc_id""".stripMargin)) { (s, _) =>
+      val (_, vocab) = trainBpe(s)
+      // Unpersisting is correctness-safe: the learned merges are baked
+      // into the fold lineage as literals, so execution just replays the
+      // (vocab-sized) segmentation chain off one extra corpus scan.
+      vocab.unpersist()
+      val seg = vocab.select(
+        col("word"), size(split(trim(col("s")), " ")).cast("long").as("n_sub"))
+      s.table("documents")
+        .select(col("doc_id"), wordCol.as("w"))
+        .join(broadcast(seg), col("w") === col("word"))
+        .groupBy("doc_id")
+        .agg(
+          count(lit(1)).as("n_words"),
+          sum("n_sub").as("n_tokens"),
+          sum(length(col("w"))).as("n_chars"),
+          round(sum(length(col("w"))) * lit(1.0) / sum("n_sub"), 6).as("chars_per_token"))
     },
 
     Q("llm_inverted_index",
@@ -191,5 +252,52 @@ object TextIndexQueries extends QueryModule {
         // scale (here every fixture term is under it).
         .filter(col("df") <= 10000)
         .orderBy("term")
+    },
+
+    // BM25 ranked retrieval (Robertson & Walker; the Lucene +1 idf
+    // variant, k1=1.2 b=0.75) for a fixed term query. Scale shape: the
+    // tf shuffle is filtered to the |query| terms MAP-SIDE, df and the
+    // (n_docs, avgdl) stats are broadcast one-row/vocab-sized sides, and
+    // the only corpus-keyed exchange is the doc-length agg. Per-doc
+    // scores are folded over a sorted contribution list in BOTH engines,
+    // so the IEEE addition sequence is bit-identical before rounding.
+    Q("llm_bm25_rank",
+      """WITH toks AS (
+        |  SELECT doc_id, w AS term
+        |  FROM documents, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS t(w)),
+        |dl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM toks GROUP BY 1),
+        |stats AS (SELECT count(*)::BIGINT AS n_docs, avg(dl) AS avgdl FROM dl),
+        |tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM toks
+        |       WHERE term IN ('spark', 'join', 'window', 'vector') GROUP BY 1, 2),
+        |dfs AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+        |c AS (
+        |  SELECT tf.doc_id,
+        |         ln(1 + (n_docs - df + 0.5) / (df + 0.5))
+        |           * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl.dl / avgdl)) AS contrib
+        |  FROM tf JOIN dfs USING (term) JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN stats)
+        |SELECT doc_id, count(*)::BIGINT AS matched,
+        |       round(list_sum(list(contrib ORDER BY contrib)), 6) AS bm25
+        |FROM c GROUP BY doc_id""".stripMargin) { (s, _) =>
+      val qTerms = Seq("spark", "join", "window", "vector")
+      val toks = s.table("documents")
+        .select(col("doc_id"), wordCol.as("term"))
+      val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+      val stats = dl.agg(count(lit(1)).as("n_docs"), avg("dl").as("avgdl"))
+      val tf = toks.filter(col("term").isin(qTerms: _*))
+        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val dfs = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      val contrib = tf.join(broadcast(dfs), "term")
+        .join(dl, "doc_id")
+        .crossJoin(broadcast(stats))
+        .withColumn("contrib",
+          log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+            * (col("tf") * lit(2.2))
+            / (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl"))))
+      contrib.groupBy("doc_id")
+        .agg(
+          count(lit(1)).as("matched"),
+          round(
+            aggregate(sort_array(collect_list(col("contrib"))), lit(0.0d), (acc, x) => acc + x),
+            6).as("bm25"))
     })
 }

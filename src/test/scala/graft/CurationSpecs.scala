@@ -110,4 +110,35 @@ class CurationSpecs extends AnyFunSuite with BeforeAndAfterAll {
         sqrt(aggregate(col("eb"), lit(0.0d), (a, x) => a + x * x))))
     assert(pairs.filter(cs < 0.35).count() === 0) // threshold truly met
   }
+
+  test("pagerank: equals a sequential integer replay, conserves rank mass, partition-invariant") {
+    val got = q("llm_pagerank").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+    // Sequential replay of the EXACT fixed-point arithmetic.
+    val n = spark.table("documents").count()
+    var r = Array.fill(n.toInt)(1000000000000L / n)
+    val base = 150000000000L / n
+    for (_ <- 1 to 5) {
+      val in = Array.fill(n.toInt)(0L)
+      for (d <- 0 until n.toInt; off <- Seq(8L, 15L, 22L))
+        in(((d * 31 + off) % n).toInt) += r(d) / 3
+      r = Array.tabulate(n.toInt)(d => base + 85 * in(d) / 100)
+    }
+    assert(got.size === n.toInt)
+    for (d <- 0 until n.toInt) assert(got(d.toLong) === r(d), s"doc $d")
+
+    // Fixed-point mass conservation: floor losses are bounded by ~4N/round.
+    val total = got.values.sum
+    assert(total <= 1000000000000L && total >= 1000000000000L - 25 * n)
+
+    // Bit-reproducible at any parallelism: rerun under a different
+    // shuffle-partition count and require IDENTICAL integers.
+    val before = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", "7")
+      val again = q("llm_pagerank").collect().map(r0 => r0.getLong(0) -> r0.getLong(1)).toMap
+      assert(again === got)
+    } finally spark.conf.set("spark.sql.shuffle.partitions", before)
+  }
 }

@@ -102,6 +102,76 @@ class TextIndexSpecs extends AnyFunSuite with BeforeAndAfterAll {
     df.unpersist()
   }
 
+  test("bpe_encode: per-doc token counts equal a sequential merge application") {
+    val got = q("llm_bpe_encode").collect()
+      .map(r => r.getAs[Long]("doc_id") -> (r.getAs[Long]("n_words"), r.getAs[Long]("n_tokens"),
+        r.getAs[Long]("n_chars"))).toMap
+    val tok = "[a-z]+".r
+    val docs = spark.table("documents").select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> tok.findAllIn(r.getString(1).toLowerCase).toVector)
+    val words = docs.iterator.flatMap(_._2)
+      .foldLeft(Map.empty[String, Long]) { (m, w) => m.updated(w, m.getOrElse(w, 0L) + 1L) }
+    val merges = seqBpe(words, 6)
+    // Apply the learned merges to each distinct word once (the same
+    // vocab-sized segmentation the engine joins with).
+    def encode(w: String): Int = {
+      var syms: Vector[String] = w.map(_.toString).toVector
+      for ((_, l, r, _, _) <- merges) {
+        val out = scala.collection.mutable.ArrayBuffer.empty[String]
+        for (x <- syms) {
+          if (out.nonEmpty && out.last == l && x == r) {
+            out.remove(out.length - 1); out += (l + r)
+          } else out += x
+        }
+        syms = out.toVector
+      }
+      syms.length
+    }
+    val nSub = words.keysIterator.map(w => w -> encode(w)).toMap
+    for ((id, ws) <- docs if ws.nonEmpty) {
+      val (nw, nt, nc) = got(id)
+      assert(nw === ws.length, s"doc $id n_words")
+      assert(nt === ws.map(nSub(_).toLong).sum, s"doc $id n_tokens")
+      assert(nc === ws.map(_.length.toLong).sum, s"doc $id n_chars")
+      assert(nt <= nc && nw <= nt)
+    }
+    // the learned merges genuinely compress: fewer tokens than chars overall
+    val (tc, cc) = (got.values.map(_._2).sum, got.values.map(_._3).sum)
+    assert(tc < cc)
+  }
+
+  test("bm25: scores equal a sequential BM25 with the same sorted-fold summation") {
+    val got = q("llm_bm25_rank").collect()
+      .map(r => r.getAs[Long]("doc_id") -> (r.getAs[Long]("matched"), r.getAs[Double]("bm25")))
+      .toMap
+    val qTerms = Set("spark", "join", "window", "vector")
+    val tok = "[a-z]+".r
+    val docs = spark.table("documents").select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> tok.findAllIn(r.getString(1).toLowerCase).toVector)
+    val dl = docs.map { case (id, ws) => id -> ws.length.toLong }.toMap
+    val nDocs = dl.size.toLong
+    val avgdl = dl.values.sum.toDouble / nDocs
+    val tf = docs.iterator.flatMap { case (id, ws) => ws.filter(qTerms).map(w => (id, w)) }
+      .toSeq.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val df = tf.keys.toSeq.groupBy(_._2).map { case (t, v) => t -> v.size.toLong }
+    val want = tf.toSeq.groupBy(_._1._1).map { case (id, entries) =>
+      val contribs = entries.map { case ((_, t), f) =>
+        math.log(1.0 + (nDocs - df(t) + 0.5) / (df(t) + 0.5)) *
+          (f * 2.2) / (f + 1.2 * (0.25 + 0.75 * dl(id) / avgdl))
+      }.sorted
+      id -> (entries.size.toLong,
+        BigDecimal(contribs.foldLeft(0.0)(_ + _)).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+          .toDouble)
+    }
+    assert(got.keySet === want.keySet)
+    for ((id, (m, s)) <- want) {
+      assert(got(id)._1 === m, s"doc $id matched")
+      assert(math.abs(got(id)._2 - s) < 1e-9, s"doc $id bm25: got ${got(id)._2} want $s")
+    }
+    // every query term drives at least one max-matched doc
+    assert(want.values.exists(_._1 === qTerms.size.toLong))
+  }
+
   test("ds_multi_band_scan: one scan of the fact, zero joins") {
     val df = TpcdsShapeQueries.queries.find(_.name == "ds_multi_band_scan").get.run(spark, sfDir)
     val plan = df.queryExecution.executedPlan.toString
