@@ -511,6 +511,101 @@ object CurationQueries extends QueryModule {
         .withColumnRenamed("ia", "vec_id")
     },
 
+    // CCNet-style per-paragraph LM bucketing (Wenzek et al. 2020): each
+    // 15-word paragraph scored by unigram-LM surprise (the exact
+    // perplexity proxy of llm_surprise, paragraph granularity), then
+    // split into head/middle/tail TERCILES of the corpus distribution —
+    // the quality gate CCNet uses before training-set selection. The
+    // tercile thresholds are EXACT order statistics computed
+    // distributed: max of the lowest k in the (surprise, doc, pidx)
+    // total order = orderBy().limit(k).agg(max) — a TopK, never a
+    // single-partition window; k comes from one bounded count. Bucket
+    // assignment is then map-side against two broadcast scalars.
+    Q("llm_ccnet_buckets",
+      """WITH toks0 AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |para AS (SELECT doc_id, unnest([{'pidx': i, 'ws': w[(i-1)*15+1:(i-1)*15+15]}
+        |          for i in generate_series(1, (len(w)+14)//15)], recursive := true)
+        |        FROM toks0),
+        |pt AS (SELECT doc_id, pidx, unnest(ws) AS term FROM para),
+        |ptn AS (SELECT * FROM pt WHERE term <> ''),
+        |vocab AS (SELECT term, count(*)::BIGINT AS cnt FROM ptn GROUP BY 1),
+        |tot AS (SELECT count(*)::BIGINT AS t FROM ptn),
+        |scored AS (SELECT doc_id, pidx, count(*)::BIGINT AS n_tokens,
+        |            round(-sum(ln(cnt::DOUBLE / t)) / count(*), 6) AS surprise
+        |           FROM ptn JOIN vocab USING (term) CROSS JOIN tot GROUP BY doc_id, pidx),
+        |n AS (SELECT count(*)::BIGINT AS c FROM scored),
+        |t1 AS (SELECT max(surprise) AS v FROM
+        |        (SELECT surprise FROM scored ORDER BY surprise, doc_id, pidx
+        |         LIMIT (SELECT c // 3 FROM n))),
+        |t2 AS (SELECT max(surprise) AS v FROM
+        |        (SELECT surprise FROM scored ORDER BY surprise, doc_id, pidx
+        |         LIMIT (SELECT 2 * c // 3 FROM n)))
+        |SELECT doc_id, pidx, n_tokens, surprise,
+        |  CASE WHEN surprise <= t1.v THEN 'head'
+        |       WHEN surprise <= t2.v THEN 'middle' ELSE 'tail' END AS bucket
+        |FROM scored, t1, t2""".stripMargin) { (s, _) =>
+      val w = split(col("text"), " ", -1)
+      val nP = ceil(size(w) / lit(15.0)).cast("int")
+      val paras = s.table("documents").select(col("doc_id"),
+        posexplode(transform(sequence(lit(1), nP),
+          i => slice(w, (i - lit(1)) * 15 + 1, lit(15)))))
+        .select(col("doc_id"), (col("pos") + 1).cast("long").as("pidx"), col("col").as("ws"))
+      val toks = paras.select(col("doc_id"), col("pidx"), explode(col("ws")).as("term"))
+        .filter(col("term") =!= "")
+      val vocab = toks.groupBy("term").agg(count(lit(1)).as("cnt"))
+      val tot = toks.agg(count(lit(1)).as("t"))
+      val scored = toks.join(broadcast(vocab), "term").crossJoin(broadcast(tot))
+        .groupBy("doc_id", "pidx")
+        .agg(count(lit(1)).as("n_tokens"),
+          round(-sum(log(col("cnt").cast("double") / col("t"))) / count(lit(1)), 6)
+            .as("surprise"))
+        .persist()
+      val n = scored.count()
+      // kth-smallest via distributed TopK + max — one bounded scalar each
+      def kth(k: Long): Double =
+        scored.orderBy(col("surprise"), col("doc_id"), col("pidx")).limit(k.toInt)
+          .agg(max("surprise")).collect()(0).getDouble(0)
+      val (t1, t2) = (kth(n / 3), kth(2 * n / 3))
+      scored.withColumn("bucket",
+        when(col("surprise") <= t1, "head")
+          .when(col("surprise") <= t2, "middle").otherwise("tail"))
+    },
+
+    // Johnson-Lindenstrauss random projection (Achlioptas 2003 ±1
+    // variant): 64-dim embeddings down to 16 dims with a PSEUDORANDOM
+    // sign matrix derived from a quadratic Lehmer hash of the flat
+    // index k = i*16+j (k²·48271 mod 65521, low bit — spec-checked
+    // near-orthogonal: max inter-column |dot| 22 of 64, random-like) —
+    // no stored matrix, no randomness source, so both engines and any
+    // cluster size regenerate identical signs. y_j = sum_i e[i]*s(i,j) / 4
+    // (sqrt(16)), folded in index order in BOTH engines for
+    // bit-identical IEEE sums. Map-side only — ZERO exchanges
+    // (spec-pinned): the dimensionality-reduction pre-step that makes
+    // downstream clustering/ANN shuffles 4x narrower at 100 TB.
+    Q("llm_random_projection", {
+      val dims = (0 until 16).map { j =>
+        val k = s"(i * 16 + $j)"
+        s"round(list_sum(list_transform(range(0, 64), i -> e[i+1] * " +
+          s"($k * $k * 48271 % 65521 % 2 * 2 - 1))) / 4.0, 6) AS y$j"
+      }
+      s"""WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+         |           FROM embeddings)
+         |SELECT vec_id,
+         |${dims.mkString(",\n")}
+         |FROM v""".stripMargin
+    }) { (s, _) =>
+      val cols = (0 until 16).map { j =>
+        round(
+          aggregate(sequence(lit(0L), lit(63L)), lit(0.0d), (acc, i) => {
+            val k = i * lit(16L) + lit(j.toLong)
+            acc + element_at(col("e"), (i + lit(1L)).cast("int")) *
+              ((k * k * lit(48271L)) % lit(65521L) % lit(2L) * lit(2L) - lit(1L)).cast("double")
+          }) / lit(4.0d),
+          6).as(s"y$j")
+      }
+      vecs(s).select(col("vec_id") +: cols: _*)
+    },
+
     // Link-graph PageRank (Page et al. 1999) — the host/URL authority
     // signal a crawl-curation pipeline feeds into quality weighting
     // (OPIC/harmonic-centrality role). Runs in FIXED-POINT INTEGER

@@ -111,6 +111,65 @@ class CurationSpecs extends AnyFunSuite with BeforeAndAfterAll {
     assert(pairs.filter(cs < 0.35).count() === 0) // threshold truly met
   }
 
+  test("random projection: zero exchanges, balanced signs, JL distance preservation") {
+    val df = q("llm_random_projection")
+    // Map-side only: the whole projection must plan without a shuffle.
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"projection must be shuffle-free:\n$plan")
+
+    // The pseudorandom sign matrix is balanced and near-orthogonal.
+    def sign(i: Int, j: Int): Int = {
+      val k = i.toLong * 16 + j
+      ((k * k * 48271L % 65521L) % 2).toInt * 2 - 1
+    }
+    for (j <- 0 until 16) {
+      val pos = (0 until 64).count(i => sign(i, j) > 0)
+      assert(pos >= 20 && pos <= 44, s"col $j degenerate: $pos/64 positive")
+    }
+    val colsAsVectors = (0 until 16).map(j => (0 until 64).map(i => sign(i, j)))
+    assert(colsAsVectors.distinct.size === 16, "sign columns must differ")
+    for (Seq(a, b) <- colsAsVectors.combinations(2)) {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      assert(math.abs(dot) <= 32, s"columns too correlated: |dot| = ${math.abs(dot)}")
+    }
+
+    // JL property on real data: squared distances preserved in the
+    // aggregate (K=16 is small, so bound loosely per pair, tightly on
+    // the mean ratio).
+    val proj = df.collect().map(r =>
+      r.getLong(0) -> (1 to 16).map(r.getDouble).toArray).toMap
+    val orig = spark.table("embeddings").select(col("vec_id").cast("long"),
+      transform(col("embedding"), x => x.cast("double"))).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    val ids = orig.keys.toArray.sorted.take(60)
+    val ratios = for {
+      a <- ids.indices; b <- (a + 1) until ids.length
+      da = orig(ids(a)).zip(orig(ids(b))).map { case (x, y) => (x - y) * (x - y) }.sum
+      if da > 1e-9
+      dp = proj(ids(a)).zip(proj(ids(b))).map { case (x, y) => (x - y) * (x - y) }.sum
+    } yield dp / da
+    assert(ratios.nonEmpty)
+    assert(ratios.forall(r => r > 0.05 && r < 5.0), "per-pair distortion out of bounds")
+    val mean = ratios.sum / ratios.size
+    assert(mean > 0.7 && mean < 1.3, s"mean distance ratio $mean")
+  }
+
+  test("ccnet buckets: terciles are balanced, ordered, and paragraph-sized") {
+    val rows = q("llm_ccnet_buckets").collect()
+      .map(r => (r.getAs[Long]("n_tokens"), r.getAs[Double]("surprise"), r.getAs[String]("bucket")))
+    val n = rows.length
+    assert(n > 100)
+    assert(rows.forall(_._1 <= 15)) // paragraphs are <=15 words
+    val byBucket = rows.groupBy(_._3).view.mapValues(_.map(_._2)).toMap
+    assert(byBucket.keySet === Set("head", "middle", "tail"))
+    // balanced within tie slack
+    for (b <- byBucket.keys)
+      assert(math.abs(byBucket(b).size - n / 3.0) < n / 10.0, s"$b: ${byBucket(b).size} of $n")
+    // ordered: head (lowest surprise = most fluent) < middle < tail
+    assert(byBucket("head").max <= byBucket("middle").min)
+    assert(byBucket("middle").max <= byBucket("tail").min)
+  }
+
   test("pagerank: equals a sequential integer replay, conserves rank mass, partition-invariant") {
     val got = q("llm_pagerank").collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
