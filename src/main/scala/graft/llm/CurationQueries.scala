@@ -313,6 +313,129 @@ object CurationQueries extends QueryModule {
         (passWc && passWl && passSym && passBul && passEll && passAlpha && passStop).as("keep"))
     },
 
+    // C4 cleaning battery (Raffel et al. 2020 §2.2, the T5 corpus): the
+    // full rule set on one pass — LINE filters (keep only lines ending
+    // in terminal punctuation, with >= 3 words, not mentioning
+    // javascript), PAGE filters (drop pages containing 'lorem ipsum' or
+    // a curly brace, or with < 5 retained sentences), then C4's
+    // distinctive GLOBAL dedup unit: any THREE-SENTENCE SPAN occurring
+    // more than once in the corpus survives only at its first
+    // occurrence, and the covered sentences are removed everywhere
+    // else; documents are rebuilt from surviving sentences. The fixture
+    // corpus is flat word soup, so lines/sentences are derived
+    // deterministically (8-word chunks + '.') and rule-triggering noise
+    // is injected from doc_id (same convention as llm_quality_gopher):
+    // %5 -> a shared 3-sentence intro (THE duplicated span), %7 -> an
+    // unpunctuated line, %11 -> a javascript line, %13 -> a 2-word
+    // line, %17/%19 -> lorem-ipsum / curly-brace page poison.
+    // Engine plan: line/page filters are codegen'd array ops on the
+    // scan (zero shuffle); span dedup is one hash agg on 8-byte span
+    // hashes (first occurrence = min over the doc_id*1000+idx key —
+    // idx is document-bounded, far below 1000) + an anti-join back +
+    // one per-doc rebuild bounded by document length — all linear in
+    // corpus sentence count. The oracle replays every rule on span
+    // STRINGS, so an engine-side hash defect breaks group structure.
+    Q("llm_c4_clean",
+      """WITH base AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |built AS (SELECT doc_id,
+        |    (CASE WHEN doc_id % 5 = 0 THEN
+        |       ['the data pipeline runs every day.',
+        |        'quality filters remove noisy content.',
+        |        'deduplication keeps one copy of each span.'] ELSE [] END)
+        |    || [array_to_string(w[(i-1)*8+1:(i-1)*8+8], ' ') || '.'
+        |        for i in generate_series(1, (len(w)+7)//8)]
+        |    || (CASE WHEN doc_id % 7 = 0 THEN ['click here to subscribe now'] ELSE [] END)
+        |    || (CASE WHEN doc_id % 11 = 0 THEN ['please enable javascript to continue.'] ELSE [] END)
+        |    || (CASE WHEN doc_id % 13 = 0 THEN ['ok thanks.'] ELSE [] END)
+        |    || (CASE WHEN doc_id % 17 = 0 THEN ['lorem ipsum dolor sit amet.'] ELSE [] END)
+        |    || (CASE WHEN doc_id % 19 = 0 THEN ['callback = function() { return x; }.'] ELSE [] END)
+        |    AS lines
+        |  FROM base),
+        |f AS (SELECT doc_id, lines,
+        |    list_filter(lines, l -> (ends_with(l, '.') OR ends_with(l, '!') OR ends_with(l, '?'))
+        |      AND len(string_split(l, ' ')) >= 3
+        |      AND NOT contains(l, 'javascript')) AS kept
+        |  FROM built),
+        |p AS (SELECT doc_id, len(lines) AS n_lines, len(kept) AS n_kept, kept,
+        |    NOT contains(array_to_string(lines, chr(10)), 'lorem ipsum')
+        |    AND NOT contains(array_to_string(lines, chr(10)), '{')
+        |    AND len(kept) >= 5 AS page_kept
+        |  FROM f),
+        |sent AS (SELECT doc_id, unnest([{'idx': i, 's': kept[i]}
+        |    for i in generate_series(1, len(kept))], recursive := true)
+        |  FROM p WHERE page_kept),
+        |led AS (SELECT doc_id, idx, s,
+        |    lead(s, 1) OVER (PARTITION BY doc_id ORDER BY idx) AS s1,
+        |    lead(s, 2) OVER (PARTITION BY doc_id ORDER BY idx) AS s2
+        |  FROM sent),
+        |sp AS (SELECT doc_id, idx, s || ' ' || s1 || ' ' || s2 AS span
+        |  FROM led WHERE s2 IS NOT NULL),
+        |firsts AS (SELECT span, min(doc_id * 1000 + idx) AS fk FROM sp GROUP BY span),
+        |dupcover AS (SELECT DISTINCT doc_id, unnest([idx, idx + 1, idx + 2]) AS idx
+        |  FROM sp JOIN firsts USING (span)
+        |  WHERE sp.doc_id * 1000 + sp.idx <> fk),
+        |fin AS (SELECT s.doc_id, count(*) AS n_final,
+        |    array_to_string(list(s.s ORDER BY s.idx), ' ') AS clean_text
+        |  FROM sent s LEFT JOIN dupcover d ON s.doc_id = d.doc_id AND s.idx = d.idx
+        |  WHERE d.doc_id IS NULL GROUP BY s.doc_id)
+        |SELECT p.doc_id, page_kept,
+        |  CAST(n_lines AS BIGINT) AS n_lines, CAST(n_kept AS BIGINT) AS n_kept,
+        |  CAST(CASE WHEN page_kept THEN coalesce(n_final, 0) ELSE 0 END AS BIGINT) AS n_final,
+        |  CASE WHEN page_kept THEN coalesce(clean_text, '') ELSE '' END AS clean_text
+        |FROM p LEFT JOIN fin ON p.doc_id = fin.doc_id""".stripMargin) { (s, _) =>
+      import org.apache.spark.sql.expressions.Window
+      val d = col("doc_id")
+      def optLine(cond: Column, line: String): Column =
+        when(cond, array(lit(line))).otherwise(array().cast("array<string>"))
+      val w = split(col("text"), " ", -1)
+      val body = transform(sequence(lit(1), ceil(size(w) / lit(8.0)).cast("int")),
+        i => concat(array_join(slice(w, (i - lit(1)) * 8 + 1, lit(8)), " "), lit(".")))
+      val lines = concat(
+        when(d % 5 === 0, array(
+          lit("the data pipeline runs every day."),
+          lit("quality filters remove noisy content."),
+          lit("deduplication keeps one copy of each span."))).otherwise(array().cast("array<string>")),
+        body,
+        optLine(d % 7 === 0, "click here to subscribe now"),
+        optLine(d % 11 === 0, "please enable javascript to continue."),
+        optLine(d % 13 === 0, "ok thanks."),
+        optLine(d % 17 === 0, "lorem ipsum dolor sit amet."),
+        optLine(d % 19 === 0, "callback = function() { return x; }."))
+      val kept = filter(lines, l =>
+        (l.endsWith(".") || l.endsWith("!") || l.endsWith("?")) &&
+          size(split(l, " ", -1)) >= 3 && !l.contains("javascript"))
+      val page = array_join(lines, "\n")
+      val docs = s.table("documents").select(d,
+        size(lines).as("n_lines"), size(kept).as("n_kept"), kept.as("kept"),
+        (!page.contains("lorem ipsum") && !page.contains("{") &&
+          size(kept) >= 5).as("page_kept"))
+      val sent = docs.filter(col("page_kept"))
+        .select(col("doc_id"), posexplode(col("kept")))
+        .select(col("doc_id"), (col("pos") + 1).as("idx"), col("col").as("s"))
+      val wd = Window.partitionBy("doc_id").orderBy("idx")
+      val sp = sent
+        .withColumn("s1", lead("s", 1).over(wd)).withColumn("s2", lead("s", 2).over(wd))
+        .filter(col("s2").isNotNull)
+        .select(col("doc_id"), col("idx"),
+          xxhash64(concat_ws(" ", col("s"), col("s1"), col("s2"))).as("sh"))
+      val firsts = sp.groupBy("sh").agg(min(col("doc_id") * 1000 + col("idx")).as("fk"))
+      val dupCover = sp.join(firsts, "sh")
+        .filter(col("doc_id") * 1000 + col("idx") =!= col("fk"))
+        .select(col("doc_id"), explode(sequence(col("idx"), col("idx") + 2)).as("idx"))
+        .distinct()
+      val fin = sent.join(dupCover, Seq("doc_id", "idx"), "left_anti")
+        .groupBy("doc_id").agg(
+          count(lit(1)).as("n_final"),
+          array_join(transform(sort_array(collect_list(struct(col("idx"), col("s")))),
+            x => x.getField("s")), " ").as("clean_text"))
+      docs.join(fin, Seq("doc_id"), "left").select(col("doc_id"), col("page_kept"),
+        col("n_lines").cast("long").as("n_lines"), col("n_kept").cast("long").as("n_kept"),
+        when(col("page_kept"), coalesce(col("n_final"), lit(0L))).otherwise(0L)
+          .cast("long").as("n_final"),
+        when(col("page_kept"), coalesce(col("clean_text"), lit(""))).otherwise("")
+          .as("clean_text"))
+    },
+
     // DSIR importance resampling (Xie et al. NeurIPS 2023): per-document
     // weight = mean over its distinct word bigrams of the target/raw
     // log-likelihood ratio (add-0.5 smoothed document frequencies);

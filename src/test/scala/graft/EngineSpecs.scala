@@ -275,6 +275,33 @@ class EngineSpecs extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("sq8 quantization: planted recall, 4x compression, bounded reads and error") {
+    // All four published contract columns (see llm_knn_sq8): exact
+    // planted-neighbor recovery through the byte codes, codes within
+    // [0,255] (one byte/dim = 4x vs float32), raw embeddings touched
+    // only for candidates, and |dequant - x| <= 1/255 on every element.
+    val r = SparkEntry.queries("llm_knn_sq8")(spark, sfDir).head()
+    assert(r.getBoolean(0), "sq8 planted recall not perfect")
+    assert(r.getBoolean(1), "sq8 codes escape one-byte range")
+    assert(r.getBoolean(2), "sq8 exact-read fraction not sublinear")
+    assert(r.getBoolean(3), "sq8 reconstruction error exceeds 1/255")
+  }
+
+  test("ds_frequent_buyers: CTE filters apply as broadcast semi joins, never a cartesian") {
+    // q23 contract: the frequent-parts and best-customers sets are
+    // selective — they must reach the fact as broadcast LeftSemi hash
+    // joins (shuffling the fact on their account would dominate at
+    // scale), and the 0.5*max spend threshold is a scalar subquery,
+    // not a join.
+    val df = SparkEntry.queries("ds_frequent_buyers")(spark, sfDir)
+    val s = planString(df)
+    val semis = "LeftSemi".r.findAllIn(s).size
+    assert(semis >= 2, s"expected both IN-subqueries as semi joins, saw $semis")
+    assert("BroadcastHashJoin.*LeftSemi".r.findFirstIn(s).isDefined,
+      "semi joins should broadcast their selective build sides")
+    assert(!s.contains("CartesianProduct"), "no cartesian in the q23 shape")
+  }
+
   test("embedding dedup splits oversized clustered buckets and bounds candidates") {
     // Adversarial fixture for the occupancy cap: a 400-member cluster
     // around one direction (pairwise cos ~0.95 — similar enough to share
