@@ -1235,6 +1235,60 @@ object LlmQueries extends QueryModule {
             .as("surprise"))
     },
 
+    // Interpolated bigram language model (Jelinek-Mercer smoothing, the
+    // exactly-computable step up from llm_surprise's unigram LM — the
+    // CCNet/KenLM perplexity filter's shape with a model small enough to
+    // verify bit-level): P(w2|w1) = 0.7*c(w1 w2)/c(w1 ·) + 0.3*c(w2)/N,
+    // counts from the corpus itself; per-doc score = mean -ln P over its
+    // bigram positions. Engine plan: the bigram stream is a map-side
+    // slice/zip (no window), then three gram-keyed hash aggs (bigram,
+    // context, unigram — all partial-agg'd map-side) and joins back that
+    // broadcast at scale (model tables are vocabulary-sized, not
+    // corpus-sized); one doc-keyed reduce emits the score. Identical
+    // expression shape both engines + round(6) absorbs libm ln ulps
+    // (repo convention).
+    Q("llm_bigram_lm",
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |pairs AS (SELECT doc_id, unnest([{'w1': w[i], 'w2': w[i+1]}
+        |    for i in generate_series(1, len(w)-1)], recursive := true)
+        |  FROM toks WHERE len(w) >= 2),
+        |uni AS (SELECT word, count(*) AS cu
+        |  FROM (SELECT unnest(w) AS word FROM toks) GROUP BY word),
+        |n AS (SELECT CAST(sum(cu) AS DOUBLE) AS nt FROM uni),
+        |ctx AS (SELECT w1, count(*) AS cc FROM pairs GROUP BY w1),
+        |bi AS (SELECT w1, w2, count(*) AS cb FROM pairs GROUP BY w1, w2)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+        |  round(avg(-ln(0.7 * (CAST(cb AS DOUBLE) / CAST(cc AS DOUBLE))
+        |              + 0.3 * (CAST(cu AS DOUBLE) / nt))), 6) AS bigram_nll
+        |FROM pairs
+        |JOIN bi USING (w1, w2) JOIN ctx USING (w1)
+        |JOIN uni ON pairs.w2 = uni.word, n
+        |GROUP BY doc_id""".stripMargin) { (s, _) =>
+      val w = split(col("text"), " ", -1)
+      val pairs = s.table("documents")
+        .select(col("doc_id"),
+          explode(zip_with(slice(w, lit(1), size(w) - 1), slice(w, lit(2), size(w) - 1),
+            (a, b) => struct(a.as("w1"), b.as("w2")))).as("pr"))
+        .select(col("doc_id"), col("pr.w1").as("w1"), col("pr.w2").as("w2"))
+      val toks = s.table("documents")
+        .select(col("doc_id"), explode(w).as("word"))
+      val uni = toks.groupBy("word").agg(count(lit(1)).as("cu"))
+      val nt = uni.agg(sum("cu").cast("double").as("nt"))
+      val ctx = pairs.groupBy(col("w1").as("cw1")).agg(count(lit(1)).as("cc"))
+      val bi = pairs.groupBy(col("w1").as("bw1"), col("w2").as("bw2"))
+        .agg(count(lit(1)).as("cb"))
+      val p = lit(0.7) * (col("cb").cast("double") / col("cc").cast("double")) +
+        lit(0.3) * (col("cu").cast("double") / col("nt"))
+      pairs
+        .join(bi, col("w1") === col("bw1") && col("w2") === col("bw2"))
+        .join(ctx, col("w1") === col("cw1"))
+        .join(uni, col("w2") === col("word"))
+        .crossJoin(broadcast(nt))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).cast("long").as("n_bigrams"),
+          round(avg(-log(p)), 6).as("bigram_nll"))
+    },
+
     Q("llm_fingerprint",
       """SELECT doc_id,
         |  md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp

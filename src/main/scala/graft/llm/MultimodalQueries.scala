@@ -53,6 +53,32 @@ object MultimodalQueries extends QueryModule {
     out.toByteArray
   }
 
+  /** Render the deterministic video frame for (videoId, scene): same
+    * closed form as encodePng but with a scene-shifted key and dims
+    * FIXED per video (a real cut changes content, not the container):
+    * w×h gray, value (videoId + 1000*scene + 7x + 13y) % 256.
+    */
+  def encodeFrame(videoId: Long, scene: Long): Array[Byte] = {
+    val w = (videoId % 13 + 4).toInt
+    val h = (videoId % 11 + 3).toInt
+    val key = videoId + 1000L * scene
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val v = ((key + 7L * x + 13L * y) % 256).toInt
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+        x += 1
+      }
+      y += 1
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
   /** Render the deterministic test "recording" for `doc_id` as a REAL
     * RIFF/WAVE file (16-bit little-endian PCM mono @8 kHz — the actual
     * on-disk format, built byte-for-byte; no external codec needed):
@@ -347,6 +373,82 @@ object MultimodalQueries extends QueryModule {
       hashed.select(col("doc_id"),
         count(lit(1)).over(wByImg).as("n_copies"),
         min("doc_id").over(wByImg).as("canonical_id"))
+    },
+
+    // Scene-cut detection — the shot-segmentation step of a video
+    // curation pipeline: each "video" (doc_id) is a frame sequence
+    // (F = id%5+8 frames, scene changes every id%3+3 frames) rendered
+    // into REAL PNG payloads; the engine decodes every frame
+    // (javax.imageio, per-partition batch), reduces it to an intensity
+    // signature, and declares a cut wherever the signature changes
+    // against the previous frame (within a scene the rendered frames
+    // are identical, so the exact-change rule is deterministic); scene
+    // numbers are a running sum of cuts. Scale shape: frame build +
+    // decode are map-side 1→N expansion, only (video, frame, 8-byte
+    // signature) rows ever shuffle, and the lag/running-sum windows are
+    // video-bounded. The oracle replays the closed-form pixel sums and
+    // the same change rule — a decode defect shifts a sum and moves a
+    // cut.
+    Q("mm_scene_cut",
+      """WITH fr AS (
+        |  SELECT doc_id, f.f AS frame_idx,
+        |    doc_id % 13 + 4 AS w, doc_id % 11 + 3 AS h,
+        |    doc_id + 1000 * (f.f // (doc_id % 3 + 3)) AS key
+        |  FROM documents, unnest(range(doc_id % 5 + 8)) AS f(f)),
+        |psums AS (
+        |  SELECT doc_id, frame_idx,
+        |    CAST(sum((key + 7 * x.xi + 13 * y.yi) % 256) AS BIGINT) AS psum
+        |  FROM fr, unnest(range(w)) AS x(xi), unnest(range(h)) AS y(yi)
+        |  GROUP BY doc_id, frame_idx),
+        |lagged AS (
+        |  SELECT doc_id, frame_idx, psum,
+        |    lag(psum) OVER (PARTITION BY doc_id ORDER BY frame_idx) AS pp
+        |  FROM psums)
+        |SELECT doc_id, CAST(frame_idx AS INT) AS frame_idx, psum,
+        |  (pp IS NOT NULL AND psum <> pp) AS is_cut,
+        |  CAST(1 + sum(CASE WHEN pp IS NOT NULL AND psum <> pp THEN 1 ELSE 0 END)
+        |    OVER (PARTITION BY doc_id ORDER BY frame_idx) AS BIGINT) AS scene_no
+        |FROM lagged""".stripMargin) { (s, _) =>
+      val binSchema = StructType(Seq(
+        StructField("doc_id", LongType),
+        StructField("frame_idx", IntegerType),
+        StructField("media", BinaryType)))
+      val sigSchema = StructType(Seq(
+        StructField("doc_id", LongType),
+        StructField("frame_idx", IntegerType),
+        StructField("psum", LongType)))
+      val binEnc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(binSchema)
+      val sigEnc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(sigSchema)
+      val frames = s.table("documents").select(col("doc_id")).mapPartitions { rows =>
+        rows.flatMap { r =>
+          val id = r.getLong(0)
+          val nFrames = (id % 5 + 8).toInt
+          val sceneLen = (id % 3 + 3).toInt
+          (0 until nFrames).iterator.map { f =>
+            Row(id, f, encodeFrame(id, f / sceneLen))
+          }
+        }
+      }(binEnc)
+      val sigs = frames.mapPartitions { rows =>
+        rows.map { r =>
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](2)))
+          var sum = 0L
+          var y = 0
+          while (y < img.getHeight) {
+            var x = 0
+            while (x < img.getWidth) { sum += (img.getRGB(x, y) & 0xFF); x += 1 }
+            y += 1
+          }
+          Row(r.getLong(0), r.getInt(1), sum)
+        }
+      }(sigEnc)
+      val wv = Window.partitionBy("doc_id").orderBy("frame_idx")
+      val cut = col("pp").isNotNull && col("psum") =!= col("pp")
+      sigs.withColumn("pp", lag("psum", 1).over(wv))
+        .select(col("doc_id"), col("frame_idx"), col("psum"),
+          cut.as("is_cut"),
+          (lit(1) + sum(when(cut, 1).otherwise(0)).over(wv)).cast("long").as("scene_no"))
     },
 
     // Frame sampling — the 1→N row-expansion shape a video pipeline

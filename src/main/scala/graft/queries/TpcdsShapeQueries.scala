@@ -416,6 +416,49 @@ object TpcdsShapeQueries extends QueryModule {
         |      FROM yoy WHERE delta > 0) t
         |WHERE rk <= 20""".stripMargin),
 
+    // q95 shape (tpcds/q95.sql "ws_wh"): ONE CTE (orders whose lines came
+    // from more than one supplier — q95's two-warehouse web orders)
+    // referenced TWICE — once as a plain IN-filter, once re-joined with
+    // the returns set inside the second IN — plus a distinct-agg HAVING.
+    // The reference plan materializes ws_wh once; naive CTE inlining
+    // computes the expensive distinct-supplier aggregate over the fact
+    // TWICE (and Spark's own inliner does exactly that — the second
+    // reference picks up an extra isnotnull pushdown that defeats
+    // ReusedExchange), so the Spark side pins the materialization with
+    // an explicit cache, the same remedy as ds_cross_channel_cte.
+    // Both filters reach the orders scan as broadcast semi joins.
+    Q("ds_order_returns",
+      """WITH multi_supp AS (
+        |  SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+        |  HAVING count(DISTINCT l_suppkey) > 1),
+        |returned AS (SELECT DISTINCT l_orderkey FROM lineitem WHERE l_returnflag = 'R')
+        |SELECT year(o_orderdate) AS yr,
+        |  CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+        |FROM orders
+        |WHERE o_orderkey IN (SELECT l_orderkey FROM multi_supp)
+        |  AND o_orderkey IN (SELECT m.l_orderkey FROM multi_supp m
+        |                     JOIN returned r ON m.l_orderkey = r.l_orderkey)
+        |GROUP BY year(o_orderdate)""".stripMargin) { (s, _) =>
+      import org.apache.spark.sql.functions._
+      val li = s.table("lineitem")
+      val multiSupp = li.groupBy("l_orderkey")
+        .agg(count_distinct(col("l_suppkey")).as("ns"))
+        .filter(col("ns") > 1).select("l_orderkey")
+        .cache() // q95's ws_wh: one materialization, two consumers
+      val returned = li.filter(col("l_returnflag") === "R")
+        .select("l_orderkey").distinct()
+      val multiReturned = multiSupp.join(returned, "l_orderkey")
+      s.table("orders")
+        .join(broadcast(multiSupp),
+          col("o_orderkey") === multiSupp("l_orderkey"), "left_semi")
+        .join(broadcast(multiReturned),
+          col("o_orderkey") === multiReturned("l_orderkey"), "left_semi")
+        .groupBy(year(col("o_orderdate")).as("yr"))
+        .agg(count(lit(1)).cast("long").as("n_orders"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("total_price"))
+    },
+
     // q23 shape (tpcds/q23.sql "with frequent_ss_items / best_ss_customer"):
     // two filtering CTEs — high-frequency items (HAVING count > N over a
     // multi-year join) and top-spending customers (spend above a fraction

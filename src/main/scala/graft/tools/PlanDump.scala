@@ -32,7 +32,8 @@ object PlanDump {
       "llm_importance_resample", "llm_quality_gopher", "llm_html_extract",
       "mm_image_dedup", "ev_session_window",
       "ds_multi_band_scan", "llm_inverted_index",
-      "llm_dedup_substring_spans", "llm_dedup_paragraph")
+      "llm_dedup_substring_spans", "llm_dedup_paragraph",
+      "ds_frequent_buyers", "llm_c4_clean", "llm_knn_sq8")
     val spark = graft.engine.Engine.session("local[4]", shufflePartitions = 8)
     graft.engine.Engine.registerTables(spark, sfDir)
     val sb = new StringBuilder

@@ -275,6 +275,62 @@ class EngineSpecs extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("ds_order_returns: the multi-supplier CTE materializes once; filters stay semi joins") {
+    // q95's ws_wh contract: the expensive distinct-supplier aggregate is
+    // referenced twice (plain IN + re-joined with returns) but must be
+    // computed once.
+    val df = SparkEntry.queries("ds_order_returns")(spark, sfDir)
+    val s = planString(df)
+    // the distinct-supplier agg is cached: both consumers must read the
+    // InMemoryRelation, not recompute the fact aggregate (Spark's CTE
+    // inliner would otherwise run it twice — see the query's Scaladoc)
+    assert("InMemoryTableScan|TableCacheQueryStage".r.findAllIn(s).size >= 2,
+      "multi_supp must be materialized once and read twice from cache")
+    assert("LeftSemi".r.findAllIn(s).size >= 2, "both IN filters should be semi joins")
+    assert(!s.contains("CartesianProduct"))
+  }
+
+  test("mm_scene_cut: cuts reproduce the closed-form scene boundaries exactly") {
+    val rows = SparkEntry.queries("mm_scene_cut")(spark, sfDir)
+      .select("doc_id", "frame_idx", "psum", "is_cut", "scene_no").collect()
+    def psum(id: Long, scene: Long): Long = {
+      val w = (id % 13 + 4).toInt; val h = (id % 11 + 3).toInt
+      val key = id + 1000L * scene
+      var sum = 0L
+      for (y <- 0 until h; x <- 0 until w) sum += (key + 7L * x + 13L * y) % 256
+      sum
+    }
+    assert(rows.nonEmpty)
+    var cuts = 0
+    rows.foreach { r =>
+      val id = r.getLong(0); val f = r.getInt(1)
+      val sceneLen = (id % 3 + 3).toInt
+      val scene = f / sceneLen
+      assert(r.getLong(2) == psum(id, scene), s"decoded sum drifted at ($id, $f)")
+      val expectCut = f > 0 && psum(id, scene) != psum(id, (f - 1) / sceneLen)
+      assert(r.getBoolean(3) == expectCut, s"cut flag wrong at ($id, $f)")
+      if (expectCut) cuts += 1
+    }
+    assert(cuts > 0, "fixture must contain scene boundaries")
+  }
+
+  test("bigram LM: per-doc position count is exact and the model beats the unigram LM") {
+    import org.apache.spark.sql.functions.{avg, col, size, split}
+    val bi = SparkEntry.queries("llm_bigram_lm")(spark, sfDir)
+      .withColumnRenamed("bigram_nll", "nll")
+    val words = spark.table("documents").select(col("doc_id"),
+      (size(split(col("text"), " ", -1)) - 1).cast("long").as("expect"))
+    assert(bi.join(words, "doc_id").filter(col("n_bigrams") =!= col("expect")).count() == 0,
+      "n_bigrams must be word count - 1")
+    assert(bi.filter(col("nll") <= 0).count() == 0, "NLL must be positive")
+    // a bigram model conditioned on context must fit its own corpus
+    // better than the unigram model on average
+    val uniMean = SparkEntry.queries("llm_surprise")(spark, sfDir)
+      .agg(avg("surprise")).head().getDouble(0)
+    val biMean = bi.agg(avg("nll")).head().getDouble(0)
+    assert(biMean < uniMean, s"bigram NLL $biMean should beat unigram $uniMean")
+  }
+
   test("sq8 quantization: planted recall, 4x compression, bounded reads and error") {
     // All four published contract columns (see llm_knn_sq8): exact
     // planted-neighbor recovery through the byte codes, codes within
