@@ -786,6 +786,158 @@ object CurationQueries extends QueryModule {
         }
         ranks.select(col("doc_id"), col("r").as("pr"))
       } finally { edges.unpersist(); nodes.unpersist() }
+    },
+
+    // Per-node triangle counting with DEGREE-ORDERED edge orientation
+    // (Suri & Vassilvitskii, WWW'11 — "the curse of the last reducer"):
+    // each undirected edge points from the lower-(degree, id) endpoint
+    // to the higher, so every wedge is generated at its lowest-degree
+    // vertex and per-node wedge fanout is bounded by O(sqrt(m)) — THE
+    // trick that keeps hub vertices from exploding the self-join at
+    // 100 TB (a naive shared-vertex join is quadratic in hub degree).
+    // Graph: ring edges d -> d+{1,2,3} mod N (every consecutive triple
+    // closes, so triangles exist at every node — the pagerank
+    // generator's multiplier graph has none), densified at d%7 nodes
+    // (extra +4/+5 edges -> locally varying counts), plus the
+    // long-range hub edge d -> (d*31+8) mod N for degree skew, so the
+    // orientation actually has work to do. Self-loops/dups dropped.
+    // Plan: degree agg (node-sized, broadcasts), one wedge
+    // self-join keyed on the wedge apex, one semi-join of (b, c)
+    // candidates against oriented edges, one explode(3)+agg to
+    // attribute each triangle to its corners. All-integer — exact at
+    // any parallelism.
+    Q("llm_triangle_count", {
+      """WITH ncnt AS (SELECT count(*)::BIGINT AS n FROM documents),
+        |raw AS (
+        |  SELECT doc_id AS src, (doc_id + off) % n AS dst
+        |  FROM documents, ncnt, (VALUES (1), (2), (3)) AS o(off)
+        |  UNION ALL
+        |  SELECT doc_id, (doc_id + off) % n
+        |  FROM documents, ncnt, (VALUES (4), (5)) AS o(off) WHERE doc_id % 7 = 0
+        |  UNION ALL
+        |  SELECT doc_id, (doc_id * 31 + 8) % n FROM documents, ncnt),
+        |und AS (
+        |  SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+        |  FROM raw WHERE src <> dst),
+        |deg AS (
+        |  SELECT node, count(*)::BIGINT AS d FROM (
+        |    SELECT u AS node FROM und UNION ALL SELECT v FROM und) GROUP BY node),
+        |ori AS (
+        |  SELECT CASE WHEN (du.d, e.u) < (dv.d, e.v) THEN e.u ELSE e.v END AS a,
+        |         CASE WHEN (du.d, e.u) < (dv.d, e.v) THEN e.v ELSE e.u END AS b
+        |  FROM und e JOIN deg du ON du.node = e.u JOIN deg dv ON dv.node = e.v),
+        |wedge AS (
+        |  SELECT e1.a AS w, e1.b AS x, e2.b AS y
+        |  FROM ori e1 JOIN ori e2 ON e1.a = e2.a AND e1.b < e2.b),
+        |tri AS (
+        |  SELECT w, x, y FROM wedge
+        |  WHERE EXISTS (SELECT 1 FROM ori WHERE (a = x AND b = y) OR (a = y AND b = x))),
+        |pernode AS (
+        |  SELECT node, count(*)::BIGINT AS tc FROM (
+        |    SELECT w AS node FROM tri UNION ALL SELECT x FROM tri
+        |    UNION ALL SELECT y FROM tri) GROUP BY node)
+        |SELECT d.doc_id, coalesce(tc, 0)::BIGINT AS n_triangles
+        |FROM documents d LEFT JOIN pernode ON pernode.node = d.doc_id""".stripMargin
+    }) { (s, _) =>
+      val ncnt = s.table("documents").agg(count(lit(1)).as("n"))
+      val docs = s.table("documents").select(col("doc_id")).crossJoin(broadcast(ncnt))
+      val raw = docs
+        .select(col("doc_id").as("src"),
+          explode(array(lit(1L), lit(2L), lit(3L))).as("off"), col("n"))
+        .select(col("src"), expr("(src + off) % n").as("dst"))
+        .unionAll(docs.filter(col("doc_id") % 7 === 0)
+          .select(col("doc_id").as("src"),
+            explode(array(lit(4L), lit(5L))).as("off"), col("n"))
+          .select(col("src"), expr("(src + off) % n").as("dst")))
+        .unionAll(docs.select(col("doc_id").as("src"),
+          expr("(doc_id * 31 + 8) % n").as("dst")))
+      val und = raw.filter(col("src") =!= col("dst"))
+        .select(least(col("src"), col("dst")).as("u"),
+          greatest(col("src"), col("dst")).as("v"))
+        .distinct()
+      val deg = und.select(col("u").as("node"))
+        .unionAll(und.select(col("v").as("node")))
+        .groupBy("node").agg(count(lit(1)).as("d"))
+      // deg is node-sized: broadcast both lookups, never shuffle edges
+      val du = broadcast(deg.select(col("node").as("u"), col("d").as("du")))
+      val dv = broadcast(deg.select(col("node").as("v"), col("d").as("dv")))
+      val uFirst = struct(col("du"), col("u")) < struct(col("dv"), col("v"))
+      val ori = und.join(du, "u").join(dv, "v")
+        .select(when(uFirst, col("u")).otherwise(col("v")).as("a"),
+          when(uFirst, col("v")).otherwise(col("u")).as("b"))
+      val e2 = ori.select(col("a").as("a2"), col("b").as("y"))
+      val wedge = ori.join(e2, col("a") === col("a2") && col("b") < col("y"))
+        .select(col("a").as("w"), col("b").as("x"), col("y"))
+      // closure check: the (x, y) side is degree-oriented but the wedge
+      // pair is only id-ordered — probe both orientations
+      val closing = ori.select(col("a").as("x"), col("b").as("y"))
+        .unionAll(ori.select(col("b").as("x"), col("a").as("y")))
+      val tri = wedge.join(closing, Seq("x", "y"), "left_semi")
+      val perNode = tri.select(explode(array(col("w"), col("x"), col("y"))).as("node"))
+        .groupBy("node").agg(count(lit(1)).as("tc"))
+      s.table("documents").select(col("doc_id"))
+        .join(perNode, col("doc_id") === col("node"), "left")
+        .select(col("doc_id"), coalesce(col("tc"), lit(0L)).cast("long").as("n_triangles"))
+    },
+
+    // Community detection by synchronous label propagation (Raghavan et
+    // al. 2007) — the other half of the graph toolkit next to
+    // ConnectedComponents' min-label (LPA converges to DENSITY
+    // communities, CC to reachability classes): 3 rounds over the
+    // symmetrized link graph; every node adopts the most frequent label
+    // among its neighbors, ties to the SMALLEST label (deterministic —
+    // asynchronous/random-order LPA would never cross engines). Per
+    // round: one edge join + one (node, label) count agg + one argmax
+    // agg — two keyed shuffles, all integers, bit-reproducible at any
+    // parallelism. The oracle unrolls the identical 3 rounds as CTEs.
+    Q("llm_label_propagation", {
+      val rounds = (1 to 3).map { i =>
+        s"""l$i AS (
+           |  SELECT node, label FROM (
+           |    SELECT e.dst AS node, l.label, count(*) AS c,
+           |      row_number() OVER (PARTITION BY e.dst ORDER BY count(*) DESC, l.label) AS rn
+           |    FROM sym e JOIN l${i - 1} l ON l.node = e.src
+           |    GROUP BY e.dst, l.label) t
+           |  WHERE rn = 1)""".stripMargin
+      }
+      s"""WITH ncnt AS (SELECT count(*)::BIGINT AS n FROM documents),
+         |raw AS (
+         |  SELECT doc_id AS src, (doc_id * 31 + off) % n AS dst
+         |  FROM documents, ncnt, (VALUES (8), (15), (22)) AS o(off)),
+         |sym AS (
+         |  SELECT DISTINCT src, dst FROM (
+         |    SELECT src, dst FROM raw UNION ALL SELECT dst, src FROM raw)
+         |  WHERE src <> dst),
+         |l0 AS (SELECT doc_id AS node, doc_id AS label FROM documents),
+         |${rounds.mkString(",\n")}
+         |SELECT node AS doc_id, label AS community FROM l3""".stripMargin
+    }) { (s, _) =>
+      val ncnt = s.table("documents").agg(count(lit(1)).as("n"))
+      val raw = s.table("documents").select(col("doc_id"))
+        .crossJoin(broadcast(ncnt))
+        .select(col("doc_id").as("src"),
+          explode(array(lit(8L), lit(15L), lit(22L))).as("off"), col("n"))
+        .select(col("src"), expr("(src * 31 + off) % n").as("dst"))
+      val sym = raw.unionAll(raw.select(col("dst").as("src"), col("src").as("dst")))
+        .filter(col("src") =!= col("dst")).distinct()
+        .repartition(col("src")).persist()
+      sym.count()
+      var labels = s.table("documents")
+        .select(col("doc_id").as("node"), col("doc_id").as("label")).persist()
+      try {
+        for (_ <- 1 to 3) {
+          val next = sym.join(labels, sym("src") === labels("node"))
+            .groupBy(sym("dst"), col("label")).agg(count(lit(1)).as("c"))
+            .groupBy(col("dst").as("node0"))
+            .agg(max_by(col("label"), struct(col("c"), -col("label"))).as("label"))
+            .select(col("node0").as("node"), col("label"))
+            .persist()
+          next.count()
+          labels.unpersist()
+          labels = next
+        }
+        labels.select(col("node").as("doc_id"), col("label").as("community"))
+      } finally sym.unpersist()
     }
   )
 }

@@ -29,6 +29,14 @@ import graft.queries.{Q, QueryModule}
   */
 object MultimodalQueries extends QueryModule {
 
+  // ImageIO's default stream cache is FILE-backed: every tiny encode/
+  // decode round-trips a temp file, which dominates small-image cost
+  // (mm_scene_cut's 50k frames spent ~7s in it). Memory-only caching is
+  // correct for byte-array streams and an order faster. Runs on object
+  // classload, i.e. once per JVM — driver here, each executor on a
+  // cluster (the encode/decode kernels are methods of this object).
+  javax.imageio.ImageIO.setUseCache(false)
+
   /** Render the deterministic test image for `doc_id` and return its
     * PNG encoding: w×h RGB, gray value (doc_id + 7x + 13y) % 256 at
     * pixel (x, y). The closed form is what the DuckDB oracle replays.

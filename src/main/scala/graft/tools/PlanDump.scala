@@ -33,7 +33,8 @@ object PlanDump {
       "mm_image_dedup", "ev_session_window",
       "ds_multi_band_scan", "llm_inverted_index",
       "llm_dedup_substring_spans", "llm_dedup_paragraph",
-      "ds_frequent_buyers", "llm_c4_clean", "llm_knn_sq8")
+      "ds_frequent_buyers", "llm_c4_clean", "llm_knn_sq8",
+      "ds_order_returns", "llm_triangle_count", "mm_scene_cut")
     val spark = graft.engine.Engine.session("local[4]", shufflePartitions = 8)
     graft.engine.Engine.registerTables(spark, sfDir)
     val sb = new StringBuilder

@@ -201,6 +201,44 @@ class CurationSpecs extends AnyFunSuite with BeforeAndAfterAll {
     } finally spark.conf.set("spark.sql.shuffle.partitions", before)
   }
 
+  test("triangle count: per-node sums are a 3-cover, counts vary, partition-invariant") {
+    val a = q("llm_triangle_count").cache()
+    try {
+      val n = spark.table("documents").count()
+      assert(a.count() == n, "every node must have a row")
+      val total = a.agg(sum("n_triangles")).head().getLong(0)
+      assert(total > 0 && total % 3 == 0,
+        s"per-node counts must 3-cover whole triangles, got $total")
+      assert(a.select("n_triangles").distinct().count() > 1,
+        "fixture must have varying triangle density")
+      // bit-identical at a different parallelism (all-integer pipeline)
+      val before = spark.conf.get("spark.sql.shuffle.partitions")
+      try {
+        spark.conf.set("spark.sql.shuffle.partitions", "7")
+        val b = q("llm_triangle_count")
+        assert(b.exceptAll(a).isEmpty && a.exceptAll(b).isEmpty)
+      } finally spark.conf.set("spark.sql.shuffle.partitions", before)
+    } finally a.unpersist()
+  }
+
+  test("label propagation: genuine coarsening, deterministic at any parallelism") {
+    val a = q("llm_label_propagation").cache()
+    try {
+      val n = spark.table("documents").count()
+      val k = a.select("community").distinct().count()
+      assert(k > 1 && k < n, s"expected 1 < communities < $n, got $k")
+      // labels come from the node-id space
+      val ids = spark.table("documents").select(col("doc_id").as("id"))
+      assert(a.join(ids, a("community") === ids("id"), "left_anti").count() == 0)
+      val before = spark.conf.get("spark.sql.shuffle.partitions")
+      try {
+        spark.conf.set("spark.sql.shuffle.partitions", "7")
+        val b = q("llm_label_propagation")
+        assert(b.exceptAll(a).isEmpty && a.exceptAll(b).isEmpty)
+      } finally spark.conf.set("spark.sql.shuffle.partitions", before)
+    } finally a.unpersist()
+  }
+
   test("c4 clean: every rule fires, poisoned pages drop, the intro span survives exactly once") {
     val df = q("llm_c4_clean").cache()
     try {
