@@ -299,5 +299,37 @@ object TextIndexQueries extends QueryModule {
           round(
             aggregate(sort_array(collect_list(col("contrib"))), lit(0.0d), (acc, x) => acc + x),
             6).as("bm25"))
+    },
+
+    // Exact phrase search ("table scan merge") over POSITIONAL postings
+    // — the adjacency query a positional inverted index exists for.
+    // Scale shape: the token stream filters to the |phrase| query terms
+    // MAP-SIDE (everything else never leaves the scan), each term's
+    // positions shift by its phrase offset, and the phrase match is a
+    // (doc_id, start)-keyed k-way equi-join — linear in query-term
+    // postings, never in corpus size; overlapping occurrences fall out
+    // of position arithmetic for free. Output: per matching document
+    // the occurrence count and first hit position (1-based).
+    Q("llm_phrase_search",
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |hits AS (
+        |  SELECT doc_id, unnest([i for i in generate_series(1, len(w) - 2)
+        |    if w[i] = 'table' AND w[i+1] = 'scan' AND w[i+2] = 'merge']) AS pos
+        |  FROM toks)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_occurrences,
+        |  CAST(min(pos) AS BIGINT) AS first_pos
+        |FROM hits GROUP BY doc_id""".stripMargin) { (s, _) =>
+      val phrase = Seq("table", "scan", "merge")
+      val toks = s.table("documents")
+        .select(col("doc_id"), posexplode(split(col("text"), " ", -1)))
+        .select(col("doc_id"), (col("pos") + 1).as("p"), col("col").as("term"))
+      val sets = phrase.zipWithIndex.map { case (t, off) =>
+        toks.filter(col("term") === t)
+          .select(col("doc_id"), (col("p") - off).as("start"))
+      }
+      sets.reduce((a, b) => a.join(b, Seq("doc_id", "start")))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).cast("long").as("n_occurrences"),
+          min("start").cast("long").as("first_pos"))
     })
 }

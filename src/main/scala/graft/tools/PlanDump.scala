@@ -34,7 +34,8 @@ object PlanDump {
       "ds_multi_band_scan", "llm_inverted_index",
       "llm_dedup_substring_spans", "llm_dedup_paragraph",
       "ds_frequent_buyers", "llm_c4_clean", "llm_knn_sq8",
-      "ds_order_returns", "llm_triangle_count", "mm_scene_cut")
+      "ds_order_returns", "llm_triangle_count", "mm_scene_cut",
+      "llm_phrase_search", "llm_bigram_lm")
     val spark = graft.engine.Engine.session("local[4]", shufflePartitions = 8)
     graft.engine.Engine.registerTables(spark, sfDir)
     val sb = new StringBuilder

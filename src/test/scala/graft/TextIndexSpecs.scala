@@ -172,6 +172,31 @@ class TextIndexSpecs extends AnyFunSuite with BeforeAndAfterAll {
     assert(want.values.exists(_._1 === qTerms.size.toLong))
   }
 
+  test("phrase search: every hit is real, every occurrence is found (regex cross-check)") {
+    import org.apache.spark.sql.functions.{col, concat, lit, regexp_count}
+    val got = q("llm_phrase_search")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got.nonEmpty, "the fixture corpus must contain the phrase")
+    // independent recount: lookahead regex on space-padded text counts
+    // overlapping-safe occurrences of the exact word sequence
+    val expect = spark.table("documents")
+      .select(col("doc_id"),
+        regexp_count(concat(lit(" "), col("text"), lit(" ")),
+          lit("(?= table scan merge )")).cast("long").as("c"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    for ((id, c) <- expect) {
+      if (c == 0) assert(!got.contains(id), s"doc $id false positive")
+      else assert(got.get(id).map(_._1).contains(c), s"doc $id count")
+    }
+    // first_pos really is the phrase start
+    val texts = spark.table("documents").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+    for ((id, (_, fp)) <- got) {
+      val w = texts(id).split(" ", -1)
+      assert(w(fp.toInt - 1) == "table" && w(fp.toInt) == "scan" && w(fp.toInt + 1) == "merge")
+    }
+  }
+
   test("ds_multi_band_scan: one scan of the fact, zero joins") {
     val df = TpcdsShapeQueries.queries.find(_.name == "ds_multi_band_scan").get.run(spark, sfDir)
     val plan = df.queryExecution.executedPlan.toString
