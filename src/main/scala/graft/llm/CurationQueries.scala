@@ -729,6 +729,79 @@ object CurationQueries extends QueryModule {
       vecs(s).select(col("vec_id") +: cols: _*)
     },
 
+    // Containment (quote) detection — the ASYMMETRIC dedup signal
+    // Jaccard misses: C(A, B) = |shingles(A) ∩ shingles(B)| / |shingles(A)|
+    // finds a short snippet embedded in a long document even though
+    // their symmetric Jaccard is tiny (Broder's containment, the
+    // quote/boilerplate case every web corpus hits). Fixture: each
+    // snippet is the first 16 words of a deterministically chosen
+    // source document ((id*7+3) mod N), so its shingle set is contained
+    // in the source by construction; the engine must rediscover the
+    // source as the best match. Scale shape: snippet/document shingles
+    // join on the 8-byte shingle hash (df-capped in production exactly
+    // like llm_dedup_ngram_jaccard), overlap agg keyed (snip, doc),
+    // one snippet-bounded window for best/second-best. The oracle
+    // replays string shingles, so hash defects break pair structure.
+    Q("llm_dedup_containment",
+      """WITH ncnt AS (SELECT count(*)::BIGINT AS c FROM documents),
+        |docs AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |snipsrc AS (SELECT d.doc_id AS snip_id, (d.doc_id * 7 + 3) % c AS src
+        |  FROM documents d, ncnt),
+        |stoks AS (SELECT snip_id, src, dd.w[1:16] AS sw
+        |  FROM snipsrc JOIN docs dd ON dd.doc_id = src),
+        |ssh AS (SELECT snip_id, src, unnest(list_distinct(
+        |    [array_to_string(sw[i:i+4], '_') for i in generate_series(1, len(sw)-4)])) AS sh
+        |  FROM stoks),
+        |ssize AS (SELECT snip_id, count(*) AS sz FROM ssh GROUP BY snip_id),
+        |dsh AS (SELECT doc_id, unnest(list_distinct(
+        |    [array_to_string(w[i:i+4], '_') for i in generate_series(1, len(w)-4)])) AS sh
+        |  FROM docs),
+        |ov AS (SELECT snip_id, src, doc_id, count(*) AS ovl
+        |  FROM ssh JOIN dsh USING (sh) GROUP BY 1, 2, 3),
+        |sc AS (SELECT snip_id, src, doc_id, ovl * 1.0 / sz AS cont
+        |  FROM ov JOIN ssize USING (snip_id)),
+        |rk AS (SELECT *, row_number() OVER (PARTITION BY snip_id
+        |    ORDER BY cont DESC, doc_id) AS rn,
+        |  count(*) OVER (PARTITION BY snip_id) AS nc FROM sc)
+        |SELECT snip_id, CAST(max(nc) AS BIGINT) AS n_candidates,
+        |  max(CASE WHEN rn = 1 THEN doc_id END) AS best_doc,
+        |  round(max(CASE WHEN rn = 1 THEN cont END), 6) AS best_containment,
+        |  round(coalesce(max(CASE WHEN rn = 2 THEN cont END), 0), 6) AS second_containment,
+        |  max(CASE WHEN rn = 1 THEN doc_id END) = max(src) AS is_source
+        |FROM rk GROUP BY snip_id""".stripMargin) { (s, _) =>
+      import org.apache.spark.sql.expressions.Window
+      def shingles(words: Column): Column = array_distinct(
+        transform(sequence(lit(1), greatest(size(words) - 4, lit(0))),
+          i => xxhash64(array_join(slice(words, i, lit(5)), "_"))))
+      val ncnt = s.table("documents").agg(count(lit(1)).as("c"))
+      val docs = s.table("documents")
+        .select(col("doc_id"), split(col("text"), " ", -1).as("w"))
+      val snipSrc = s.table("documents").select(col("doc_id").as("snip_id"))
+        .crossJoin(broadcast(ncnt))
+        .select(col("snip_id"), expr("(snip_id * 7 + 3) % c").as("src"))
+      val ssh = snipSrc
+        .join(docs.select(col("doc_id").as("src"), slice(col("w"), 1, 16).as("sw")), "src")
+        .select(col("snip_id"), col("src"), explode(shingles(col("sw"))).as("sh"))
+      val ssize = ssh.groupBy(col("snip_id").as("sid")).agg(count(lit(1)).as("sz"))
+      val dsh = docs.select(col("doc_id"), explode(shingles(col("w"))).as("sh"))
+      val ov = ssh.join(dsh, "sh")
+        .groupBy("snip_id", "src", "doc_id").agg(count(lit(1)).as("ovl"))
+      val sc = ov.join(ssize, col("snip_id") === col("sid"))
+        .select(col("snip_id"), col("src"), col("doc_id"),
+          (col("ovl") * lit(1.0) / col("sz")).as("cont"))
+      val wS = Window.partitionBy("snip_id")
+      val rk = sc
+        .withColumn("rn", row_number().over(wS.orderBy(col("cont").desc, col("doc_id"))))
+        .withColumn("nc", count(lit(1)).over(wS))
+      rk.groupBy("snip_id").agg(
+        max("nc").cast("long").as("n_candidates"),
+        max(when(col("rn") === 1, col("doc_id"))).as("best_doc"),
+        round(max(when(col("rn") === 1, col("cont"))), 6).as("best_containment"),
+        round(coalesce(max(when(col("rn") === 2, col("cont"))), lit(0.0d)), 6)
+          .as("second_containment"),
+        (max(when(col("rn") === 1, col("doc_id"))) === max(col("src"))).as("is_source"))
+    },
+
     // Link-graph PageRank (Page et al. 1999) — the host/URL authority
     // signal a crawl-curation pipeline feeds into quality weighting
     // (OPIC/harmonic-centrality role). Runs in FIXED-POINT INTEGER

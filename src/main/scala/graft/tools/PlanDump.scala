@@ -35,7 +35,7 @@ object PlanDump {
       "llm_dedup_substring_spans", "llm_dedup_paragraph",
       "ds_frequent_buyers", "llm_c4_clean", "llm_knn_sq8",
       "ds_order_returns", "llm_triangle_count", "mm_scene_cut",
-      "llm_phrase_search", "llm_bigram_lm")
+      "llm_phrase_search", "llm_bigram_lm", "llm_dedup_containment")
     val spark = graft.engine.Engine.session("local[4]", shufflePartitions = 8)
     graft.engine.Engine.registerTables(spark, sfDir)
     val sb = new StringBuilder

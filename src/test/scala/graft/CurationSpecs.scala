@@ -239,6 +239,27 @@ class CurationSpecs extends AnyFunSuite with BeforeAndAfterAll {
     } finally a.unpersist()
   }
 
+  test("containment dedup: every snippet is fully contained; non-source winners are exact ties") {
+    val a = q("llm_dedup_containment").cache()
+    try {
+      assert(a.count() > 0)
+      // by construction every snippet's shingles are a subset of its
+      // source document's — best containment must be exactly 1.0
+      assert(a.filter(col("best_containment") =!= 1.0).count() == 0)
+      // most snippets rediscover their designated source...
+      val n = a.count().toDouble
+      assert(a.filter(col("is_source")).count() / n > 0.8)
+      // ...and the only legitimate non-source winner is a full-text
+      // duplicate of the source tying at 1.0 (the corpus has exact
+      // copies — llm_dedup_exact), in which case a second candidate at
+      // containment 1.0 must exist
+      val losers = a.filter(!col("is_source"))
+      assert(losers.filter(col("second_containment") =!= 1.0).count() == 0,
+        "a non-source best match must be an exact containment tie")
+      assert(losers.filter(col("n_candidates") < 2).count() == 0)
+    } finally a.unpersist()
+  }
+
   test("c4 clean: every rule fires, poisoned pages drop, the intro span survives exactly once") {
     val df = q("llm_c4_clean").cache()
     try {
