@@ -240,5 +240,30 @@ object EventQueries extends QueryModule {
         .sessionWindowStats(s.table("events"), streaming = false)
         .select(col("user_id"), col("session_start"), col("session_end"),
           col("n_events"), round(col("total_value"), 4).as("total_value"))
+    },
+
+    // Per-type z-score anomaly flagging (the metric-outlier sweep of an
+    // event pipeline) with an INTEGER-EXACT boundary: an event is
+    // anomalous iff (v - mean)^2 > 9*var_pop, tested as
+    // (v*n - s)^2 > n*(9*sum(v^2)) - (3s)^2 on cent-scaled BIGINTs with
+    // the two squarings in DECIMAL(19,0)->(38,0) — no float ever
+    // touches the comparison, so a borderline event cannot flip between
+    // engines or cluster sizes (the repo's ds-shape determinism policy).
+    // Plan: one stats agg per type (5 rows, broadcast back), flagging
+    // is a codegen'd map-side CASE — two scans, zero wide shuffles.
+    {
+      val sql =
+        """WITH c AS (SELECT event_type, CAST(round(value*100) AS BIGINT) AS v FROM events),
+          |g AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n, CAST(sum(v) AS BIGINT) AS s,
+          |        CAST(9*sum(v*v) AS BIGINT) AS q9 FROM c GROUP BY event_type)
+          |SELECT c.event_type, CAST(max(n) AS BIGINT) AS n_events,
+          |  CAST(sum(CASE WHEN CAST(c.v*n - s AS DECIMAL(19,0)) * CAST(c.v*n - s AS DECIMAL(19,0))
+          |      > CAST(n AS DECIMAL(19,0)) * CAST(q9 AS DECIMAL(19,0))
+          |        - CAST(3*s AS DECIMAL(19,0)) * CAST(3*s AS DECIMAL(19,0))
+          |    THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalies,
+          |  CAST(max(abs(c.v*n - s)) AS BIGINT) AS max_dev_scaled
+          |FROM c JOIN g USING (event_type)
+          |GROUP BY c.event_type""".stripMargin
+      Q("ev_anomaly_zscore", sql)((s, _) => s.sql(sql))
     })
 }

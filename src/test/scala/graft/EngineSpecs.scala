@@ -331,6 +331,26 @@ class EngineSpecs extends AnyFunSuite with BeforeAndAfterAll {
     assert(biMean < uniMean, s"bigram NLL $biMean should beat unigram $uniMean")
   }
 
+  test("anomaly z-score: BigInt replay confirms every per-type count exactly") {
+    import org.apache.spark.sql.functions.{col, round => sround}
+    val got = SparkEntry.queries("ev_anomaly_zscore")(spark, sfDir)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val rows = spark.table("events")
+      .select(col("event_type"), sround(col("value") * 100).cast("long").as("v"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val byType = rows.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    for ((t, vs) <- byType) {
+      val n = BigInt(vs.length); val s = vs.map(BigInt(_)).sum
+      val q9 = 9 * vs.map(v => BigInt(v) * v).sum
+      val rhs = n * q9 - (3 * s) * (3 * s)
+      val anomalies = vs.count(v => { val d = BigInt(v) * n - s; d * d > rhs })
+      val maxDev = vs.map(v => (BigInt(v) * n - s).abs).max
+      assert(got(t)._1 == vs.length && got(t)._2 == anomalies && got(t)._3 == maxDev,
+        s"type $t: got ${got(t)}, want (${vs.length}, $anomalies, $maxDev)")
+      assert(anomalies > 0 && anomalies < vs.length, s"type $t: need mixed outcomes")
+    }
+  }
+
   test("sq8 quantization: planted recall, 4x compression, bounded reads and error") {
     // All four published contract columns (see llm_knn_sq8): exact
     // planted-neighbor recovery through the byte codes, codes within
