@@ -604,27 +604,82 @@ object CurationQueries extends QueryModule {
     },
 
     // SemDeDup (Abbas et al. 2023): near-duplicate removal scoped to a
-    // cluster assignment (here the fixture's label column — the output
-    // of the upstream clustering step, see llm_kmeans_cluster). A vector
-    // is a duplicate if a LOWER-id vector in its cluster has cosine
-    // >= tau; it records the lowest such keeper. The pairwise term is
-    // O(sum of cluster_size^2) — bounded by cluster occupancy, never
-    // corpus-quadratic; the join shuffles on the cluster key only. At
-    // 100 TB the occupancy lever is k (see llm_kmeans_cluster) plus the
-    // same >cap bucket split used by llm_dedup_embedding.
+    // k-means cell assignment — and, critically for scale, k GROWS WITH
+    // THE CORPUS: k = max(8, n/250), the paper's own lever (they use 50k
+    // clusters on LAION). A fixed cluster count makes occupancy — and
+    // the O(sum cluster²) pairwise term — grow linearly with n, i.e.
+    // corpus-quadratic work (the first cut of this op clustered on the
+    // 5-value label column and measured ×14.7 wall on ×10 data at the
+    // sf1 probe; cells with n-proportional k restore linear scaling:
+    // occupancy stays ~250 at every corpus size). Seeds/Lloyd rounds/
+    // 6dp half-up centroid quantization are identical to
+    // llm_kmeans_cluster, so the unrolled-CTE oracle iterates on the
+    // same bits; a vector is a duplicate if a LOWER-id vector in its
+    // final cell has cosine >= tau, recording the lowest such keeper.
+    // The pairwise join shuffles on the cell key only. The remaining
+    // n*k assignment term is the paper's own one-off clustering cost;
+    // at production scale the assignment itself goes through the
+    // coarse-quantizer probe (llm_knn_ivf's shape) instead of brute
+    // n*k distances — the cell-scoped pairwise stage here is unchanged
+    // by that substitution.
     Q("llm_cluster_semdedup",
-      """WITH v AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings),
-        |n AS (SELECT vec_id, label, e, sqrt(list_sum(list_transform(e, x -> x*x))) AS nrm FROM v),
+      """WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings),
+        |kk AS (SELECT greatest(8, count(*) // 250) AS k FROM v),
+        |c0 AS (SELECT vec_id AS cl, list_transform(e, x -> floor(x * 1000000 + 0.5) / 1000000) AS cent
+        |       FROM v, kk WHERE vec_id < k),
+        |d1 AS (SELECT v.vec_id, c0.cl,
+        |         list_sum(list_transform(list_zip(v.e, c0.cent), p -> (p[1]-p[2])*(p[1]-p[2]))) AS dist
+        |       FROM v CROSS JOIN c0),
+        |a1 AS (SELECT vec_id, cl FROM (SELECT vec_id, cl,
+        |         row_number() OVER (PARTITION BY vec_id ORDER BY dist, cl) rn FROM d1) WHERE rn=1),
+        |m1 AS (SELECT a1.cl, i.i, avg(v.e[i.i]) AS m
+        |       FROM v JOIN a1 USING (vec_id) CROSS JOIN generate_series(1, 64) AS i(i)
+        |       GROUP BY a1.cl, i.i),
+        |c1 AS (SELECT cl, list_transform(list(m ORDER BY i), x -> floor(x * 1000000 + 0.5) / 1000000) AS cent
+        |       FROM m1 GROUP BY cl),
+        |d2 AS (SELECT v.vec_id, c1.cl,
+        |         list_sum(list_transform(list_zip(v.e, c1.cent), p -> (p[1]-p[2])*(p[1]-p[2]))) AS dist
+        |       FROM v CROSS JOIN c1),
+        |a2 AS (SELECT vec_id, cl FROM (SELECT vec_id, cl,
+        |         row_number() OVER (PARTITION BY vec_id ORDER BY dist, cl) rn FROM d2) WHERE rn=1),
+        |m2 AS (SELECT a2.cl, i.i, avg(v.e[i.i]) AS m
+        |       FROM v JOIN a2 USING (vec_id) CROSS JOIN generate_series(1, 64) AS i(i)
+        |       GROUP BY a2.cl, i.i),
+        |c2 AS (SELECT cl, list_transform(list(m ORDER BY i), x -> floor(x * 1000000 + 0.5) / 1000000) AS cent
+        |       FROM m2 GROUP BY cl),
+        |d3 AS (SELECT v.vec_id, c2.cl,
+        |         list_sum(list_transform(list_zip(v.e, c2.cent), p -> (p[1]-p[2])*(p[1]-p[2]))) AS dist
+        |       FROM v CROSS JOIN c2),
+        |a3 AS (SELECT vec_id, cl FROM (SELECT vec_id, cl,
+        |         row_number() OVER (PARTITION BY vec_id ORDER BY dist, cl) rn FROM d3) WHERE rn=1),
+        |nn AS (SELECT v.vec_id, a3.cl, v.e,
+        |         sqrt(list_sum(list_transform(v.e, x -> x*x))) AS nrm
+        |       FROM v JOIN a3 USING (vec_id)),
         |p AS (SELECT a.vec_id AS ia, b.vec_id AS ib,
         |        list_sum(list_transform(list_zip(a.e, b.e), p -> p[1]*p[2])) / (a.nrm*b.nrm) AS cs
-        |      FROM n a JOIN n b ON a.label = b.label AND b.vec_id < a.vec_id)
+        |      FROM nn a JOIN nn b ON a.cl = b.cl AND b.vec_id < a.vec_id)
         |SELECT ia AS vec_id, min(ib) AS dup_of, count(*) AS n_dup_neighbors
         |FROM p WHERE cs >= 0.35 GROUP BY ia""".stripMargin) { (s, _) =>
-      val n = vecs(s).select(col("vec_id"), col("label"), col("e"),
+      val e = vecs(s).select(col("vec_id"), col("e"))
+      val kDf = e.agg(greatest(lit(8L), (count(lit(1)) / lit(250)).cast("long")).as("k"))
+      val c0 = e.crossJoin(broadcast(kDf)).filter(col("vec_id") < col("k"))
+        .select(col("vec_id").as("cl"), quant(col("e")).as("cent"))
+      def assign(cents: DataFrame): DataFrame = e.join(broadcast(cents))
+        .select(col("vec_id"), col("cl"), sqDist(col("e"), col("cent")).as("dist"))
+        .groupBy("vec_id")
+        .agg(min_by(col("cl"), struct(col("dist"), col("cl"))).as("cl"))
+      def means(assigned: DataFrame): DataFrame = assigned.join(e, "vec_id")
+        .groupBy("cl")
+        .agg(call_udf("vec_mean", col("e")).as("m"))
+        .select(col("cl"), quant(col("m")).as("cent"))
+      val c1 = means(assign(c0)).localCheckpoint()
+      val c2 = means(assign(c1)).localCheckpoint()
+      val cells = assign(c2)
+      val n = cells.join(e, "vec_id").select(col("vec_id"), col("cl"), col("e"),
         sqrt(aggregate(col("e"), lit(0.0d), (acc, x) => acc + x * x)).as("nrm"))
-      val a = n.select(col("label"), col("vec_id").as("ia"), col("e").as("ea"), col("nrm").as("na"))
-      val b = n.select(col("label"), col("vec_id").as("ib"), col("e").as("eb"), col("nrm").as("nb"))
-      a.join(b, Seq("label")).filter(col("ib") < col("ia"))
+      val a = n.select(col("cl"), col("vec_id").as("ia"), col("e").as("ea"), col("nrm").as("na"))
+      val b = n.select(col("cl"), col("vec_id").as("ib"), col("e").as("eb"), col("nrm").as("nb"))
+      a.join(b, Seq("cl")).filter(col("ib") < col("ia"))
         .select(col("ia"), col("ib"),
           (aggregate(zip_with(col("ea"), col("eb"), (x, y) => x * y), lit(0.0d),
             (acc, x) => acc + x) / (col("na") * col("nb"))).as("cs"))

@@ -95,20 +95,29 @@ class CurationSpecs extends AnyFunSuite with BeforeAndAfterAll {
     df.unpersist()
   }
 
-  test("semdedup: recorded pairs are same-cluster, lower-id, and genuinely over threshold") {
-    val d = q("llm_cluster_semdedup")
-    val e = spark.table("embeddings").select(
-      col("vec_id").cast("long").as("vec_id"), col("label"),
-      transform(col("embedding"), x => x.cast("double")).as("e"))
-    val pairs = d.join(e.select(col("vec_id"), col("label").as("la"), col("e").as("ea")), "vec_id")
-      .join(e.select(col("vec_id").as("dup_of"), col("label").as("lb"), col("e").as("eb")), "dup_of")
-    assert(pairs.count() > 0)
-    assert(pairs.filter(col("la") =!= col("lb")).count() === 0) // same cluster
-    assert(pairs.filter(col("dup_of") >= col("vec_id")).count() === 0) // keeper has lower id
-    val cs = (aggregate(zip_with(col("ea"), col("eb"), (x, y) => x * y), lit(0.0d), (a, x) => a + x) /
-      (sqrt(aggregate(col("ea"), lit(0.0d), (a, x) => a + x * x)) *
-        sqrt(aggregate(col("eb"), lit(0.0d), (a, x) => a + x * x))))
-    assert(pairs.filter(cs < 0.35).count() === 0) // threshold truly met
+  test("semdedup: pairs are lower-id and over threshold; the whole chain is parallelism-independent") {
+    val d = q("llm_cluster_semdedup").cache()
+    try {
+      val e = spark.table("embeddings").select(
+        col("vec_id").cast("long").as("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("e"))
+      val pairs = d.join(e.select(col("vec_id"), col("e").as("ea")), "vec_id")
+        .join(e.select(col("vec_id").as("dup_of"), col("e").as("eb")), "dup_of")
+      assert(pairs.count() > 0)
+      assert(pairs.filter(col("dup_of") >= col("vec_id")).count() === 0) // keeper has lower id
+      val cs = (aggregate(zip_with(col("ea"), col("eb"), (x, y) => x * y), lit(0.0d), (a, x) => a + x) /
+        (sqrt(aggregate(col("ea"), lit(0.0d), (a, x) => a + x * x)) *
+          sqrt(aggregate(col("eb"), lit(0.0d), (a, x) => a + x * x))))
+      assert(pairs.filter(cs < 0.35).count() === 0) // threshold truly met
+      // k-means seeds, quantized Lloyd rounds, cell-scoped pairwise:
+      // every step must be deterministic at any shuffle parallelism
+      val before = spark.conf.get("spark.sql.shuffle.partitions")
+      try {
+        spark.conf.set("spark.sql.shuffle.partitions", "7")
+        val again = q("llm_cluster_semdedup")
+        assert(again.exceptAll(d).isEmpty && d.exceptAll(again).isEmpty)
+      } finally spark.conf.set("spark.sql.shuffle.partitions", before)
+    } finally d.unpersist()
   }
 
   test("random projection: zero exchanges, balanced signs, JL distance preservation") {
