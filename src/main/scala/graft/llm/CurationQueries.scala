@@ -825,9 +825,14 @@ object CurationQueries extends QueryModule {
         |  max(CASE WHEN rn = 1 THEN doc_id END) = max(src) AS is_source
         |FROM rk GROUP BY snip_id""".stripMargin) { (s, _) =>
       import org.apache.spark.sql.expressions.Window
-      def shingles(words: Column): Column = array_distinct(
-        transform(sequence(lit(1), greatest(size(words) - 4, lit(0))),
-          i => xxhash64(array_join(slice(words, i, lit(5)), "_"))))
+      // guard: sequence(1, 0) is the DESCENDING [1, 0] in Spark, so a
+      // <5-word doc would slice at index 0 and crash (the hazard
+      // ScalarFunctions.ngrams documents) — emit no shingles instead,
+      // matching the oracle's empty generate_series
+      def shingles(words: Column): Column = when(size(words) >= 5,
+        array_distinct(transform(sequence(lit(1), size(words) - 4),
+          i => xxhash64(array_join(slice(words, i, lit(5)), "_")))))
+        .otherwise(array().cast("array<bigint>"))
       val ncnt = s.table("documents").agg(count(lit(1)).as("c"))
       val docs = s.table("documents")
         .select(col("doc_id"), split(col("text"), " ", -1).as("w"))
@@ -979,10 +984,14 @@ object CurationQueries extends QueryModule {
           .select(col("src"), expr("(src + off) % n").as("dst")))
         .unionAll(docs.select(col("doc_id").as("src"),
           expr("(doc_id * 31 + 8) % n").as("dst")))
+      // und feeds deg (twice-projected) and ori; ori feeds the wedge
+      // self-join and both closing orientations — materialize each once
+      // (localCheckpoint: eager, lineage-truncated, reclaimed on GC)
+      // instead of re-deriving the edge set per consumer.
       val und = raw.filter(col("src") =!= col("dst"))
         .select(least(col("src"), col("dst")).as("u"),
           greatest(col("src"), col("dst")).as("v"))
-        .distinct()
+        .distinct().localCheckpoint()
       val deg = und.select(col("u").as("node"))
         .unionAll(und.select(col("v").as("node")))
         .groupBy("node").agg(count(lit(1)).as("d"))
@@ -993,6 +1002,7 @@ object CurationQueries extends QueryModule {
       val ori = und.join(du, "u").join(dv, "v")
         .select(when(uFirst, col("u")).otherwise(col("v")).as("a"),
           when(uFirst, col("v")).otherwise(col("u")).as("b"))
+        .localCheckpoint()
       val e2 = ori.select(col("a").as("a2"), col("b").as("y"))
       val wedge = ori.join(e2, col("a") === col("a2") && col("b") < col("y"))
         .select(col("a").as("w"), col("b").as("x"), col("y"))

@@ -39,27 +39,11 @@ object MultimodalQueries extends QueryModule {
 
   /** Render the deterministic test image for `doc_id` and return its
     * PNG encoding: w×h RGB, gray value (doc_id + 7x + 13y) % 256 at
-    * pixel (x, y). The closed form is what the DuckDB oracle replays.
+    * pixel (x, y) — exactly encodeFrame at scene 0 (one shared render
+    * kernel, so the closed form both DuckDB oracles replay cannot
+    * drift between the image and video queries).
     */
-  def encodePng(docId: Long): Array[Byte] = {
-    val w = (docId % 13 + 4).toInt
-    val h = (docId % 11 + 3).toInt
-    val img = new java.awt.image.BufferedImage(
-      w, h, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
-    var y = 0
-    while (y < h) {
-      var x = 0
-      while (x < w) {
-        val v = ((docId + 7L * x + 13L * y) % 256).toInt
-        img.setRGB(x, y, (v << 16) | (v << 8) | v)
-        x += 1
-      }
-      y += 1
-    }
-    val out = new java.io.ByteArrayOutputStream()
-    javax.imageio.ImageIO.write(img, "png", out)
-    out.toByteArray
-  }
+  def encodePng(docId: Long): Array[Byte] = encodeFrame(docId, 0)
 
   /** Render the deterministic video frame for (videoId, scene): same
     * closed form as encodePng but with a scene-shifted key and dims

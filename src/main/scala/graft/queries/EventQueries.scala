@@ -251,19 +251,16 @@ object EventQueries extends QueryModule {
     // engines or cluster sizes (the repo's ds-shape determinism policy).
     // Plan: one stats agg per type (5 rows, broadcast back), flagging
     // is a codegen'd map-side CASE — two scans, zero wide shuffles.
-    {
-      val sql =
-        """WITH c AS (SELECT event_type, CAST(round(value*100) AS BIGINT) AS v FROM events),
-          |g AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n, CAST(sum(v) AS BIGINT) AS s,
-          |        CAST(9*sum(v*v) AS BIGINT) AS q9 FROM c GROUP BY event_type)
-          |SELECT c.event_type, CAST(max(n) AS BIGINT) AS n_events,
-          |  CAST(sum(CASE WHEN CAST(c.v*n - s AS DECIMAL(19,0)) * CAST(c.v*n - s AS DECIMAL(19,0))
-          |      > CAST(n AS DECIMAL(19,0)) * CAST(q9 AS DECIMAL(19,0))
-          |        - CAST(3*s AS DECIMAL(19,0)) * CAST(3*s AS DECIMAL(19,0))
-          |    THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalies,
-          |  CAST(max(abs(c.v*n - s)) AS BIGINT) AS max_dev_scaled
-          |FROM c JOIN g USING (event_type)
-          |GROUP BY c.event_type""".stripMargin
-      Q("ev_anomaly_zscore", sql)((s, _) => s.sql(sql))
-    })
+    Q.sameSql("ev_anomaly_zscore",
+      """WITH c AS (SELECT event_type, CAST(round(value*100) AS BIGINT) AS v FROM events),
+        |g AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n, CAST(sum(v) AS BIGINT) AS s,
+        |        CAST(9*sum(v*v) AS BIGINT) AS q9 FROM c GROUP BY event_type)
+        |SELECT c.event_type, CAST(max(n) AS BIGINT) AS n_events,
+        |  CAST(sum(CASE WHEN CAST(c.v*n - s AS DECIMAL(19,0)) * CAST(c.v*n - s AS DECIMAL(19,0))
+        |      > CAST(n AS DECIMAL(19,0)) * CAST(q9 AS DECIMAL(19,0))
+        |        - CAST(3*s AS DECIMAL(19,0)) * CAST(3*s AS DECIMAL(19,0))
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalies,
+        |  CAST(max(abs(c.v*n - s)) AS BIGINT) AS max_dev_scaled
+        |FROM c JOIN g USING (event_type)
+        |GROUP BY c.event_type""".stripMargin))
 }

@@ -39,6 +39,11 @@ object Q {
   /** Query with only a rows>0 check (non-SQL-expressible op). */
   def noOracle(name: String)(build: (SparkSession, String) => DataFrame): Q =
     Q(name, build, None)
+
+  /** The SAME SQL text runs on Spark and DuckDB — the strongest oracle
+    * form (any dialect shim or semantic delta fails the hash).
+    */
+  def sameSql(name: String, sql: String): Q = Q(name, sql)((s, _) => s.sql(sql))
 }
 
 /** A module of queries (one per SURVEY §2 area). */

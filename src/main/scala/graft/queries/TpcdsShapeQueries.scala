@@ -18,8 +18,7 @@ package graft.queries
   */
 object TpcdsShapeQueries extends QueryModule {
 
-  private def sqlQ(name: String, sql: String): Q =
-    Q(name, sql)((s, _) => s.sql(sql))
+  private def sqlQ(name: String, sql: String): Q = Q.sameSql(name, sql)
 
   def queries: Seq[Q] = Seq(
 

@@ -18,8 +18,7 @@ object TpchQueries extends QueryModule {
   /** Queries expressible identically in Spark SQL and DuckDB run the
     * same text on both engines.
     */
-  private def sqlQ(name: String, sql: String): Q =
-    Q(name, sql)((s, _) => s.sql(sql))
+  private def sqlQ(name: String, sql: String): Q = Q.sameSql(name, sql)
 
   private def extendedQueries: Seq[Q] = Seq(
 
