@@ -330,8 +330,9 @@ object CurationQueries extends QueryModule {
     // line, %17/%19 -> lorem-ipsum / curly-brace page poison.
     // Engine plan: line/page filters are codegen'd array ops on the
     // scan (zero shuffle); span dedup is one hash agg on 8-byte span
-    // hashes (first occurrence = min over the doc_id*1000+idx key —
-    // idx is document-bounded, far below 1000) + an anti-join back +
+    // hashes (first occurrence = min over the (doc_id, idx) row tuple —
+    // an arithmetic packing would collide on >=1000-sentence pages) +
+    // an anti-join back +
     // one per-doc rebuild bounded by document length — all linear in
     // corpus sentence count. The oracle replays every rule on span
     // STRINGS, so an engine-side hash defect breaks group structure.
@@ -370,10 +371,10 @@ object CurationQueries extends QueryModule {
         |  FROM sent),
         |sp AS (SELECT doc_id, idx, s || ' ' || s1 || ' ' || s2 AS span
         |  FROM led WHERE s2 IS NOT NULL),
-        |firsts AS (SELECT span, min(doc_id * 1000 + idx) AS fk FROM sp GROUP BY span),
+        |firsts AS (SELECT span, min(row(doc_id, idx)) AS fk FROM sp GROUP BY span),
         |dupcover AS (SELECT DISTINCT doc_id, unnest([idx, idx + 1, idx + 2]) AS idx
         |  FROM sp JOIN firsts USING (span)
-        |  WHERE sp.doc_id * 1000 + sp.idx <> fk),
+        |  WHERE row(sp.doc_id, sp.idx) <> fk),
         |fin AS (SELECT s.doc_id, count(*) AS n_final,
         |    array_to_string(list(s.s ORDER BY s.idx), ' ') AS clean_text
         |  FROM sent s LEFT JOIN dupcover d ON s.doc_id = d.doc_id AND s.idx = d.idx
@@ -418,9 +419,9 @@ object CurationQueries extends QueryModule {
         .filter(col("s2").isNotNull)
         .select(col("doc_id"), col("idx"),
           xxhash64(concat_ws(" ", col("s"), col("s1"), col("s2"))).as("sh"))
-      val firsts = sp.groupBy("sh").agg(min(col("doc_id") * 1000 + col("idx")).as("fk"))
+      val firsts = sp.groupBy("sh").agg(min(struct(col("doc_id"), col("idx"))).as("fk"))
       val dupCover = sp.join(firsts, "sh")
-        .filter(col("doc_id") * 1000 + col("idx") =!= col("fk"))
+        .filter(struct(col("doc_id"), col("idx")) =!= col("fk"))
         .select(col("doc_id"), explode(sequence(col("idx"), col("idx") + 2)).as("idx"))
         .distinct()
       val fin = sent.join(dupCover, Seq("doc_id", "idx"), "left_anti")
@@ -606,68 +607,145 @@ object CurationQueries extends QueryModule {
     // SemDeDup (Abbas et al. 2023): near-duplicate removal scoped to a
     // k-means cell assignment — and, critically for scale, k GROWS WITH
     // THE CORPUS: k = max(8, n/250), the paper's own lever (they use 50k
-    // clusters on LAION). A fixed cluster count makes occupancy — and
-    // the O(sum cluster²) pairwise term — grow linearly with n, i.e.
-    // corpus-quadratic work (the first cut of this op clustered on the
-    // 5-value label column and measured ×14.7 wall on ×10 data at the
-    // sf1 probe; cells with n-proportional k restore linear scaling:
-    // occupancy stays ~250 at every corpus size). Seeds/Lloyd rounds/
-    // 6dp half-up centroid quantization are identical to
-    // llm_kmeans_cluster, so the unrolled-CTE oracle iterates on the
-    // same bits; a vector is a duplicate if a LOWER-id vector in its
-    // final cell has cosine >= tau, recording the lowest such keeper.
-    // The pairwise join shuffles on the cell key only. The remaining
-    // n*k assignment term is the paper's own one-off clustering cost;
-    // at production scale the assignment itself goes through the
-    // coarse-quantizer probe (llm_knn_ivf's shape) instead of brute
-    // n*k distances — the cell-scoped pairwise stage here is unchanged
-    // by that substitution.
-    Q("llm_cluster_semdedup",
-      """WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings),
-        |kk AS (SELECT greatest(8, count(*) // 250) AS k FROM v),
-        |c0 AS (SELECT vec_id AS cl, list_transform(e, x -> floor(x * 1000000 + 0.5) / 1000000) AS cent
-        |       FROM v, kk WHERE vec_id < k),
-        |d1 AS (SELECT v.vec_id, c0.cl,
-        |         list_sum(list_transform(list_zip(v.e, c0.cent), p -> (p[1]-p[2])*(p[1]-p[2]))) AS dist
-        |       FROM v CROSS JOIN c0),
-        |a1 AS (SELECT vec_id, cl FROM (SELECT vec_id, cl,
-        |         row_number() OVER (PARTITION BY vec_id ORDER BY dist, cl) rn FROM d1) WHERE rn=1),
-        |m1 AS (SELECT a1.cl, i.i, avg(v.e[i.i]) AS m
-        |       FROM v JOIN a1 USING (vec_id) CROSS JOIN generate_series(1, 64) AS i(i)
-        |       GROUP BY a1.cl, i.i),
-        |c1 AS (SELECT cl, list_transform(list(m ORDER BY i), x -> floor(x * 1000000 + 0.5) / 1000000) AS cent
-        |       FROM m1 GROUP BY cl),
-        |d2 AS (SELECT v.vec_id, c1.cl,
-        |         list_sum(list_transform(list_zip(v.e, c1.cent), p -> (p[1]-p[2])*(p[1]-p[2]))) AS dist
-        |       FROM v CROSS JOIN c1),
-        |a2 AS (SELECT vec_id, cl FROM (SELECT vec_id, cl,
-        |         row_number() OVER (PARTITION BY vec_id ORDER BY dist, cl) rn FROM d2) WHERE rn=1),
-        |m2 AS (SELECT a2.cl, i.i, avg(v.e[i.i]) AS m
-        |       FROM v JOIN a2 USING (vec_id) CROSS JOIN generate_series(1, 64) AS i(i)
-        |       GROUP BY a2.cl, i.i),
-        |c2 AS (SELECT cl, list_transform(list(m ORDER BY i), x -> floor(x * 1000000 + 0.5) / 1000000) AS cent
-        |       FROM m2 GROUP BY cl),
-        |d3 AS (SELECT v.vec_id, c2.cl,
-        |         list_sum(list_transform(list_zip(v.e, c2.cent), p -> (p[1]-p[2])*(p[1]-p[2]))) AS dist
-        |       FROM v CROSS JOIN c2),
-        |a3 AS (SELECT vec_id, cl FROM (SELECT vec_id, cl,
-        |         row_number() OVER (PARTITION BY vec_id ORDER BY dist, cl) rn FROM d3) WHERE rn=1),
-        |nn AS (SELECT v.vec_id, a3.cl, v.e,
-        |         sqrt(list_sum(list_transform(v.e, x -> x*x))) AS nrm
-        |       FROM v JOIN a3 USING (vec_id)),
-        |p AS (SELECT a.vec_id AS ia, b.vec_id AS ib,
-        |        list_sum(list_transform(list_zip(a.e, b.e), p -> p[1]*p[2])) / (a.nrm*b.nrm) AS cs
-        |      FROM nn a JOIN nn b ON a.cl = b.cl AND b.vec_id < a.vec_id)
-        |SELECT ia AS vec_id, min(ib) AS dup_of, count(*) AS n_dup_neighbors
-        |FROM p WHERE cs >= 0.35 GROUP BY ia""".stripMargin) { (s, _) =>
+    // clusters on LAION), so cell occupancy — and the O(sum cluster²)
+    // pairwise term — stays ~250 at every corpus size. Centroid
+    // ASSIGNMENT goes through an IVF COARSE-QUANTIZER PROBE (the
+    // llm_knn_ivf shape) instead of brute n·k distances, which with
+    // k = n/250 would be n²/250 corpus-quadratic work (measured ×26.5
+    // CPU on ×10 data in r11): m = max(4, floor(sqrt(k))) coarse cells
+    // (one Lloyd round, always broadcast-sized), each point probes its
+    // top-2 coarse cells (a WindowGroupLimit-pruned top-2, ~2n rows on
+    // the wire), each fine centroid homes to its nearest coarse cell,
+    // and exact distances are computed only for (point, fine centroid)
+    // pairs that share a probed cell — a SHUFFLE join keyed on the
+    // coarse cell, so the k-row fine-centroid set is never broadcast.
+    // Points whose probe set holds no fine centroid (rare) fall back to
+    // a brute pass over only those points. Total assignment work is
+    // ~n·√k per Lloyd round instead of n·k. Seeds/rounds/6dp half-up
+    // centroid quantization follow llm_kmeans_cluster; the unrolled-CTE
+    // oracle replays the IDENTICAL probe algorithm bit-for-bit. A
+    // vector is a duplicate if a LOWER-id vector in its final cell has
+    // cosine >= tau, recording the lowest such keeper; the pairwise
+    // join shuffles on the cell key only.
+    Q("llm_cluster_semdedup", {
+      def dSql(a: String, b: String) =
+        s"list_sum(list_transform(list_zip($a, $b), z -> (z[1]-z[2])*(z[1]-z[2])))"
+      val qSql = "list_transform(%s, x -> floor(x * 1000000 + 0.5) / 1000000)"
+      // one probed-assignment round: cents c{r-1} -> assignment a{r}
+      def round(r: Int) = {
+        val c = s"c${r - 1}"
+        s"""hq$r AS (SELECT cl, ccl FROM (
+           |    SELECT $c.cl, cc1.ccl, row_number() OVER (PARTITION BY $c.cl
+           |      ORDER BY ${dSql(s"$c.cent", "cc1.cent")}, cc1.ccl) rn
+           |    FROM $c CROSS JOIN cc1) WHERE rn = 1),
+           |cand$r AS (SELECT pr.vec_id, ch.cl, ${dSql("v.e", "ch.cent")} AS dist
+           |  FROM probe pr
+           |  JOIN (SELECT $c.cl, $c.cent, hq$r.ccl FROM $c JOIN hq$r USING (cl)) ch
+           |    ON ch.ccl = pr.ccl
+           |  JOIN v ON v.vec_id = pr.vec_id),
+           |am$r AS (SELECT vec_id, cl FROM (SELECT vec_id, cl,
+           |    row_number() OVER (PARTITION BY vec_id ORDER BY dist, cl) rn FROM cand$r)
+           |  WHERE rn = 1),
+           |af$r AS (SELECT vec_id, cl FROM (
+           |    SELECT v.vec_id, $c.cl, row_number() OVER (PARTITION BY v.vec_id
+           |      ORDER BY ${dSql("v.e", s"$c.cent")}, $c.cl) rn
+           |    FROM v CROSS JOIN $c
+           |    WHERE v.vec_id NOT IN (SELECT vec_id FROM am$r)) WHERE rn = 1),
+           |a$r AS (SELECT * FROM am$r UNION ALL SELECT * FROM af$r)""".stripMargin
+      }
+      def meansSql(r: Int) =
+        s"""m$r AS (SELECT a$r.cl, i.i, avg(v.e[i.i]) AS m
+           |       FROM v JOIN a$r USING (vec_id) CROSS JOIN generate_series(1, 64) AS i(i)
+           |       GROUP BY a$r.cl, i.i),
+           |c$r AS (SELECT cl, ${qSql.format("list(m ORDER BY i)")} AS cent
+           |       FROM m$r GROUP BY cl)""".stripMargin
+      s"""WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings),
+         |kk AS (SELECT greatest(8, count(*) // 250) AS k,
+         |         greatest(4, CAST(floor(sqrt(greatest(8, count(*) // 250))) AS BIGINT)) AS cm
+         |       FROM v),
+         |cc0 AS (SELECT vec_id AS ccl, ${qSql.format("e")} AS cent
+         |        FROM v, kk WHERE vec_id < cm),
+         |cd1 AS (SELECT v.vec_id, cc0.ccl, ${dSql("v.e", "cc0.cent")} AS dist
+         |        FROM v CROSS JOIN cc0),
+         |ca1 AS (SELECT vec_id, ccl FROM (SELECT vec_id, ccl,
+         |          row_number() OVER (PARTITION BY vec_id ORDER BY dist, ccl) rn FROM cd1)
+         |        WHERE rn = 1),
+         |cm1 AS (SELECT ca1.ccl, i.i, avg(v.e[i.i]) AS m
+         |        FROM v JOIN ca1 USING (vec_id) CROSS JOIN generate_series(1, 64) AS i(i)
+         |        GROUP BY ca1.ccl, i.i),
+         |cc1 AS (SELECT ccl, ${qSql.format("list(m ORDER BY i)")} AS cent
+         |        FROM cm1 GROUP BY ccl),
+         |pd AS (SELECT v.vec_id, cc1.ccl, ${dSql("v.e", "cc1.cent")} AS dist
+         |       FROM v CROSS JOIN cc1),
+         |probe AS (SELECT vec_id, ccl FROM (SELECT vec_id, ccl,
+         |            row_number() OVER (PARTITION BY vec_id ORDER BY dist, ccl) rn FROM pd)
+         |          WHERE rn <= 2),
+         |c0 AS (SELECT vec_id AS cl, ${qSql.format("e")} AS cent
+         |       FROM v, kk WHERE vec_id < k),
+         |${round(1)},
+         |${meansSql(1)},
+         |${round(2)},
+         |${meansSql(2)},
+         |${round(3)},
+         |nn AS (SELECT v.vec_id, a3.cl, v.e,
+         |         sqrt(list_sum(list_transform(v.e, x -> x*x))) AS nrm
+         |       FROM v JOIN a3 USING (vec_id)),
+         |p AS (SELECT a.vec_id AS ia, b.vec_id AS ib,
+         |        list_sum(list_transform(list_zip(a.e, b.e), z -> z[1]*z[2])) / (a.nrm*b.nrm) AS cs
+         |      FROM nn a JOIN nn b ON a.cl = b.cl AND b.vec_id < a.vec_id)
+         |SELECT ia AS vec_id, min(ib) AS dup_of, count(*) AS n_dup_neighbors
+         |FROM p WHERE cs >= 0.35 GROUP BY ia""".stripMargin
+    }) { (s, _) =>
+      import org.apache.spark.sql.expressions.Window
       val e = vecs(s).select(col("vec_id"), col("e"))
       val kDf = e.agg(greatest(lit(8L), (count(lit(1)) / lit(250)).cast("long")).as("k"))
+        .select(col("k"), greatest(lit(4L), floor(sqrt(col("k"))).cast("long")).as("cm"))
+      // coarse quantizer: m seeds, one Lloyd mean round — m = sqrt(k)
+      // stays broadcast-sized at any corpus (k = n/250 does not)
+      val cc0 = e.crossJoin(broadcast(kDf)).filter(col("vec_id") < col("cm"))
+        .select(col("vec_id").as("ccl"), quant(col("e")).as("ccent"))
+      val ca1 = e.join(broadcast(cc0))
+        .select(col("vec_id"), col("ccl"), sqDist(col("e"), col("ccent")).as("dist"))
+        .groupBy("vec_id")
+        .agg(min_by(col("ccl"), struct(col("dist"), col("ccl"))).as("ccl"))
+      val cc1 = ca1.join(e, "vec_id").groupBy("ccl")
+        .agg(call_udf("vec_mean", col("e")).as("m"))
+        .select(col("ccl"), quant(col("m")).as("ccent"))
+        .localCheckpoint()
+      // top-2 probed coarse cells per point: the rn <= 2 filter plans as
+      // a WindowGroupLimit, so only ~2 rows per point survive the
+      // exchange (never the full n·m distance table)
+      val probe = e.join(broadcast(cc1))
+        .select(col("vec_id"), col("ccl"), sqDist(col("e"), col("ccent")).as("dist"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("vec_id").orderBy(col("dist"), col("ccl"))))
+        .filter(col("rn") <= 2).select("vec_id", "ccl")
+        .localCheckpoint()
       val c0 = e.crossJoin(broadcast(kDf)).filter(col("vec_id") < col("k"))
         .select(col("vec_id").as("cl"), quant(col("e")).as("cent"))
-      def assign(cents: DataFrame): DataFrame = e.join(broadcast(cents))
-        .select(col("vec_id"), col("cl"), sqDist(col("e"), col("cent")).as("dist"))
-        .groupBy("vec_id")
-        .agg(min_by(col("cl"), struct(col("dist"), col("cl"))).as("cl"))
+      // probed assignment: fine centroids home to their nearest coarse
+      // cell; exact distances only where point-probe and centroid-home
+      // meet, via a SHUFFLE join on the coarse cell (no k-row broadcast)
+      def assign(cents: DataFrame): DataFrame = {
+        val h = cents.join(broadcast(cc1))
+          .select(col("cl"), col("ccl"), sqDist(col("cent"), col("ccent")).as("dist"))
+          .groupBy("cl")
+          .agg(min_by(col("ccl"), struct(col("dist"), col("ccl"))).as("ccl"))
+        val centsH = cents.join(h, "cl")
+        // amain feeds both the union and the uncovered anti-join —
+        // materialize the (vec_id, cl) rows once (n small rows)
+        val amain = probe.join(e, "vec_id").join(centsH, "ccl")
+          .select(col("vec_id"), col("cl"), sqDist(col("e"), col("cent")).as("dist"))
+          .groupBy("vec_id")
+          .agg(min_by(col("cl"), struct(col("dist"), col("cl"))).as("cl"))
+          .localCheckpoint()
+        val uncovered = e.join(amain, Seq("vec_id"), "left_anti")
+        val afall = cents.crossJoin(broadcast(uncovered))
+          .select(col("vec_id"), col("cl"), sqDist(col("e"), col("cent")).as("dist"))
+          .groupBy("vec_id")
+          .agg(min_by(col("cl"), struct(col("dist"), col("cl"))).as("cl"))
+        amain.unionByName(afall)
+      }
       def means(assigned: DataFrame): DataFrame = assigned.join(e, "vec_id")
         .groupBy("cl")
         .agg(call_udf("vec_mean", col("e")).as("m"))
@@ -694,11 +772,17 @@ object CurationQueries extends QueryModule {
     // perplexity proxy of llm_surprise, paragraph granularity), then
     // split into head/middle/tail TERCILES of the corpus distribution —
     // the quality gate CCNet uses before training-set selection. The
-    // tercile thresholds are EXACT order statistics computed
-    // distributed: max of the lowest k in the (surprise, doc, pidx)
-    // total order = orderBy().limit(k).agg(max) — a TopK, never a
-    // single-partition window; k comes from one bounded count. Bucket
-    // assignment is then map-side against two broadcast scalars.
+    // tercile thresholds are EXACT order statistics selected by a
+    // COUNT-BASED BISECT on the 6dp-rounded surprise domain: each probe
+    // is one linear count(surprise <= mid) aggregate (both terciles
+    // share every pass), the interval halves until it isolates a single
+    // grid value (~26 passes for a 30-nat range), and one final max()
+    // pass pins the value — bounded driver state, never a
+    // single-partition exchange or an n/3-row TopK materialization (the
+    // previous orderBy().limit(n/3) funneled a third of the corpus into
+    // ONE task). Bucket assignment is then map-side against two
+    // broadcast scalars. The oracle keeps the naive LIMIT form: both
+    // select the identical kth-smallest surprise, so buckets agree.
     Q("llm_ccnet_buckets",
       """WITH toks0 AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
         |para AS (SELECT doc_id, unnest([{'pidx': i, 'ws': w[(i-1)*15+1:(i-1)*15+15]}
@@ -737,13 +821,45 @@ object CurationQueries extends QueryModule {
         .agg(count(lit(1)).as("n_tokens"),
           round(-sum(log(col("cnt").cast("double") / col("t"))) / count(lit(1)), 6)
             .as("surprise"))
-        .persist()
-      val n = scored.count()
-      // kth-smallest via distributed TopK + max — one bounded scalar each
-      def kth(k: Long): Double =
-        scored.orderBy(col("surprise"), col("doc_id"), col("pidx")).limit(k.toInt)
-          .agg(max("surprise")).collect()(0).getDouble(0)
-      val (t1, t2) = (kth(n / 3), kth(2 * n / 3))
+      val sp = scored.persist()
+      val n = sp.count()
+      val (k1, k2) = (n / 3, 2 * n / 3)
+      // Exact kth-smallest surprise by bisection: invariant
+      // count(<= lo) < k <= count(<= hi); distinct 6dp-rounded values
+      // are >= ~1e-6 apart, so once hi - lo <= 5e-7 the interval holds
+      // exactly one value — pinned by one max() pass. k = 0 (corpora
+      // with < 3 paragraphs) short-circuits to -inf: no row passes
+      // surprise <= -inf, matching the oracle's LIMIT-0 NULL threshold.
+      val (t1, t2) =
+        if (n == 0L) (Double.NegativeInfinity, Double.NegativeInfinity)
+        else {
+          val eps = 5e-7
+          val mm = sp.agg(min("surprise"), max("surprise")).collect()(0)
+          val (lo0, hi0) = (mm.getDouble(0) - 1e-6, mm.getDouble(1))
+          var (lo1, hi1) = (lo0, hi0)
+          var (lo2, hi2) = (lo0, hi0)
+          def open(lo: Double, hi: Double, k: Long) = k > 0L && hi - lo > eps
+          while (open(lo1, hi1, k1) || open(lo2, hi2, k2)) {
+            val m1 = (lo1 + hi1) / 2
+            val m2 = (lo2 + hi2) / 2
+            val r = sp.agg(
+              count(when(col("surprise") <= m1, 1)).as("c1"),
+              count(when(col("surprise") <= m2, 1)).as("c2")).collect()(0)
+            if (open(lo1, hi1, k1)) { if (r.getLong(0) >= k1) hi1 = m1 else lo1 = m1 }
+            if (open(lo2, hi2, k2)) { if (r.getLong(1) >= k2) hi2 = m2 else lo2 = m2 }
+          }
+          def pin(lo: Double, hi: Double) =
+            max(when(col("surprise") > lo && col("surprise") <= hi, col("surprise")))
+          if (k1 == 0L && k2 == 0L) (Double.NegativeInfinity, Double.NegativeInfinity)
+          else {
+            val f = sp.agg(pin(lo1, hi1).as("t1"), pin(lo2, hi2).as("t2")).collect()(0)
+            (if (k1 == 0L) Double.NegativeInfinity else f.getDouble(0),
+              if (k2 == 0L) Double.NegativeInfinity else f.getDouble(1))
+          }
+        }
+      // thresholds are collected scalars now — release the cache and
+      // return the recomputable plan (no session-lifetime residue)
+      sp.unpersist()
       scored.withColumn("bucket",
         when(col("surprise") <= t1, "head")
           .when(col("surprise") <= t2, "middle").otherwise("tail"))
@@ -872,9 +988,10 @@ object CurationQueries extends QueryModule {
     // between engines or between cluster sizes. The link graph is
     // synthesized deterministically from doc_id (same convention as
     // mm_image_dedup): doc -> (doc*31 + {8,15,22}) mod N. Per round:
-    // one src-keyed join (edges pre-partitioned and persisted) and one
-    // dst-keyed agg — the classic one-shuffle-per-iteration shape;
-    // lineage truncated by persist+count each round. 5 rounds.
+    // the rank join reuses the edges' persisted src partitioning (the
+    // rank side is the only thing that moves), then one dst-keyed agg —
+    // the classic one-edge-shuffle-per-iteration shape; lineage
+    // truncated by persist+count each round. 5 rounds.
     Q("llm_pagerank", {
       val rounds = (1 to 5).map { i =>
         s"""r$i AS (
@@ -901,7 +1018,7 @@ object CurationQueries extends QueryModule {
         .select(col("doc_id").as("src"),
           explode(array(lit(8L), lit(15L), lit(22L))).as("off"), col("n"))
         .select(col("src"), expr("(src * 31 + off) % n").as("dst"))
-        .repartition(col("dst")).persist()
+        .repartition(col("src")).persist()
       edges.count()
       var ranks = nodes.select(col("doc_id"), expr("1000000000000 div n").as("r")).persist()
       try {
@@ -917,7 +1034,12 @@ object CurationQueries extends QueryModule {
           ranks.unpersist()
           ranks = next
         }
-        ranks.select(col("doc_id"), col("r").as("pr"))
+        // localCheckpoint copies the final iterate out of the cache so
+        // the last loop frame can be unpersisted (no session-lifetime
+        // cache residue) while the returned plan stays materialized.
+        val out = ranks.select(col("doc_id"), col("r").as("pr")).localCheckpoint()
+        ranks.unpersist()
+        out
       } finally { edges.unpersist(); nodes.unpersist() }
     },
 
@@ -995,9 +1117,11 @@ object CurationQueries extends QueryModule {
       val deg = und.select(col("u").as("node"))
         .unionAll(und.select(col("v").as("node")))
         .groupBy("node").agg(count(lit(1)).as("d"))
-      // deg is node-sized: broadcast both lookups, never shuffle edges
-      val du = broadcast(deg.select(col("node").as("u"), col("d").as("du")))
-      val dv = broadcast(deg.select(col("node").as("v"), col("d").as("dv")))
+      // deg is node-sized — small here, but O(|V|) grows past broadcast
+      // range on billion-node graphs, so the annotation joins are plain
+      // shuffle joins (the plan shape that survives any graph size).
+      val du = deg.select(col("node").as("u"), col("d").as("du"))
+      val dv = deg.select(col("node").as("v"), col("d").as("dv"))
       val uFirst = struct(col("du"), col("u")) < struct(col("dv"), col("v"))
       val ori = und.join(du, "u").join(dv, "v")
         .select(when(uFirst, col("u")).otherwise(col("v")).as("a"),
@@ -1074,7 +1198,10 @@ object CurationQueries extends QueryModule {
           labels.unpersist()
           labels = next
         }
-        labels.select(col("node").as("doc_id"), col("label").as("community"))
+        val out = labels
+          .select(col("node").as("doc_id"), col("label").as("community")).localCheckpoint()
+        labels.unpersist()
+        out
       } finally sym.unpersist()
     }
   )

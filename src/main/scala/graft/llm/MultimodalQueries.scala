@@ -71,6 +71,46 @@ object MultimodalQueries extends QueryModule {
     out.toByteArray
   }
 
+  /** Render the perceptual-dedup test image for `doc_id` and return its
+    * PNG encoding. Class c = doc_id % 37 picks the underlying picture;
+    * variant t = doc_id % 4 applies a REAL near-duplicate transform:
+    * t=0 original 16×16 gray v(x,y) = (c·11 + 7x + 13y) % 224;
+    * t=1 re-exposed (+16 brightness, never clipping since v < 224+16);
+    * t=2 resized (2× pixel replication to 32×32 — a re-encoded upscale);
+    * t=3 occluded (pixel (7,8) → 255, a small sticker/watermark).
+    * dHash over a top-left-sampled 9×8 grid is EXACTLY invariant to
+    * t=1 (order-preserving brightness) and t=2 (floor(floor(2a)/2) =
+    * floor(a), so grid samples hit the same source pixels), and differs
+    * by ≤ 2 bits for t=3 (one grid cell feeds two adjacent
+    * comparisons) — the planted near-dup structure
+    * mm_image_dedup_perceptual must rediscover from the decoded bytes.
+    */
+  def encodeVariantPng(docId: Long): Array[Byte] = {
+    val c = docId % 37
+    val t = docId % 4
+    val scale = if (t == 2) 2 else 1
+    val n = 16 * scale
+    val img = new java.awt.image.BufferedImage(
+      n, n, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    var q = 0
+    while (q < n) {
+      var p = 0
+      while (p < n) {
+        val bx = p / scale
+        val by = q / scale
+        var v = ((c * 11 + 7L * bx + 13L * by) % 224).toInt
+        if (t == 1) v += 16
+        if (t == 3 && bx == 7 && by == 8) v = 255
+        img.setRGB(p, q, (v << 16) | (v << 8) | v)
+        p += 1
+      }
+      q += 1
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
   /** Render the deterministic test "recording" for `doc_id` as a REAL
     * RIFF/WAVE file (16-bit little-endian PCM mono @8 kHz — the actual
     * on-disk format, built byte-for-byte; no external codec needed):

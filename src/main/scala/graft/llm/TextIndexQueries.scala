@@ -208,12 +208,15 @@ object TextIndexQueries extends QueryModule {
         |FROM toks JOIN seg ON w = word
         |GROUP BY doc_id""".stripMargin)) { (s, _) =>
       val (_, vocab) = trainBpe(s)
-      // Unpersisting is correctness-safe: the learned merges are baked
-      // into the fold lineage as literals, so execution just replays the
-      // (vocab-sized) segmentation chain off one extra corpus scan.
-      vocab.unpersist()
+      // Materialize the (vocab-sized) segmentation table FIRST, then
+      // release the training cache: localCheckpoint pins seg's rows (a
+      // few blocks, GC-reclaimed), so executing the returned plan never
+      // replays the corpus word-count scan + six merge folds that
+      // trainBpe's caching exists to avoid.
       val seg = vocab.select(
         col("word"), size(split(trim(col("s")), " ")).cast("long").as("n_sub"))
+        .localCheckpoint()
+      vocab.unpersist()
       s.table("documents")
         .select(col("doc_id"), wordCol.as("w"))
         .join(broadcast(seg), col("w") === col("word"))

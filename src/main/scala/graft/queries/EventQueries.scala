@@ -245,22 +245,29 @@ object EventQueries extends QueryModule {
     // Per-type z-score anomaly flagging (the metric-outlier sweep of an
     // event pipeline) with an INTEGER-EXACT boundary: an event is
     // anomalous iff (v - mean)^2 > 9*var_pop, tested as
-    // (v*n - s)^2 > n*(9*sum(v^2)) - (3s)^2 on cent-scaled BIGINTs with
-    // the two squarings in DECIMAL(19,0)->(38,0) — no float ever
-    // touches the comparison, so a borderline event cannot flip between
-    // engines or cluster sizes (the repo's ds-shape determinism policy).
+    // (v*n - s)^2 > n*(9*sum(v^2)) - (3s)^2 on cent-scaled values with
+    // EVERY multiplication performed in DECIMAL (operands cast to
+    // DECIMAL(19,0) BEFORE multiplying; products clamp to DECIMAL(38,0)
+    // identically in Spark and DuckDB) — no BIGINT product ever forms,
+    // so the boundary cannot silently wrap on hot-valued event sets the
+    // way v*v or v*n in 64-bit would, and no float ever touches the
+    // comparison (the repo's ds-shape determinism policy).
     // Plan: one stats agg per type (5 rows, broadcast back), flagging
     // is a codegen'd map-side CASE — two scans, zero wide shuffles.
     Q.sameSql("ev_anomaly_zscore",
       """WITH c AS (SELECT event_type, CAST(round(value*100) AS BIGINT) AS v FROM events),
         |g AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n, CAST(sum(v) AS BIGINT) AS s,
-        |        CAST(9*sum(v*v) AS BIGINT) AS q9 FROM c GROUP BY event_type)
-        |SELECT c.event_type, CAST(max(n) AS BIGINT) AS n_events,
-        |  CAST(sum(CASE WHEN CAST(c.v*n - s AS DECIMAL(19,0)) * CAST(c.v*n - s AS DECIMAL(19,0))
-        |      > CAST(n AS DECIMAL(19,0)) * CAST(q9 AS DECIMAL(19,0))
-        |        - CAST(3*s AS DECIMAL(19,0)) * CAST(3*s AS DECIMAL(19,0))
-        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalies,
-        |  CAST(max(abs(c.v*n - s)) AS BIGINT) AS max_dev_scaled
-        |FROM c JOIN g USING (event_type)
-        |GROUP BY c.event_type""".stripMargin))
+        |        sum(CAST(v AS DECIMAL(19,0)) * CAST(v AS DECIMAL(19,0))) AS q
+        |      FROM c GROUP BY event_type),
+        |d AS (SELECT c.event_type, n,
+        |        CAST(c.v AS DECIMAL(19,0)) * CAST(n AS DECIMAL(19,0))
+        |          - CAST(s AS DECIMAL(19,0)) AS dev,
+        |        CAST(n AS DECIMAL(19,0)) * (CAST(9 AS DECIMAL(19,0)) * q)
+        |          - (CAST(3 AS DECIMAL(19,0)) * CAST(s AS DECIMAL(19,0)))
+        |            * (CAST(3 AS DECIMAL(19,0)) * CAST(s AS DECIMAL(19,0))) AS rhs
+        |      FROM c JOIN g USING (event_type))
+        |SELECT event_type, CAST(max(n) AS BIGINT) AS n_events,
+        |  CAST(sum(CASE WHEN dev * dev > rhs THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalies,
+        |  CAST(max(abs(dev)) AS BIGINT) AS max_dev_scaled
+        |FROM d GROUP BY event_type""".stripMargin))
 }

@@ -195,6 +195,44 @@ object MetaQueries extends QueryModule {
         out.collect() // materialize under the installed config
         out
       } finally ResourceGroups.disable(s)
+    },
+
+    // system.metadata.catalogs (CatalogSystemTable.java:44) — the
+    // queryable-table twin of SHOW CATALOGS, through the same front-door
+    // rewrite as system.runtime.
+    Q("meta_metadata_catalogs",
+      """SELECT 'spark_catalog' AS catalog_name,
+        |       'spark_catalog' AS connector_id""".stripMargin) { (s, _) =>
+      fd(s,
+        """SELECT catalog_name, connector_id
+          |FROM system.metadata.catalogs ORDER BY catalog_name""".stripMargin)
+    },
+
+    // system.metadata property tables (TablePropertiesSystemTable.java
+    // family): each catalog's declared WITH(...) property metadata. The
+    // column/analyze tables exist with the reference shape but declare
+    // no properties in this engine — pinned by the count arms.
+    Q("meta_metadata_properties",
+      """SELECT * FROM (VALUES
+        |  ('table',  'bucket_count',   '0',       'integer'),
+        |  ('table',  'bucketed_by',    '[]',      'array(varchar)'),
+        |  ('table',  'format',         'PARQUET', 'varchar'),
+        |  ('table',  'partitioned_by', '[]',      'array(varchar)'),
+        |  ('table',  'zorder_by',      '[]',      'array(varchar)'),
+        |  ('schema', 'location',       '',        'varchar')
+        |) AS t(family, property_name, default_value, type)""".stripMargin) { (s, _) =>
+      fd(s,
+        """SELECT 'table' AS family, property_name, default_value, type
+          |FROM system.metadata.table_properties
+          |UNION ALL
+          |SELECT 'schema', property_name, default_value, type
+          |FROM system.metadata.schema_properties
+          |UNION ALL
+          |SELECT 'column', property_name, default_value, type
+          |FROM system.metadata.column_properties
+          |UNION ALL
+          |SELECT 'analyze', property_name, default_value, type
+          |FROM system.metadata.analyze_properties""".stripMargin)
     })
 
   /** DuckDB twin of Metadata.showStats over `orders` — the same UNION of

@@ -162,6 +162,33 @@ object DdlQueries extends QueryModule {
         "SELECT current_user AS u, 'current_user' AS lit, count(*) AS n FROM region")
     },
 
+    // Session time zone (reference: Session.getTimeZoneKey built from
+    // X-Presto-Time-Zone, PrestoHeaders.java:23; DateTimeFunctions.java
+    // reads it throughout). time_zone_id maps live onto
+    // spark.sql.session.timeZone for the statement window, so every
+    // zone-sensitive rendering follows the CLIENT's zone; SHOW SESSION
+    // surfaces it; RESET restores the server zone. The per-request
+    // header form (two concurrent clients, different zones) is driven
+    // over HTTP in LifecycleSpecs.
+    Q("sql_session_time_zone",
+      """SELECT '1970-01-01 09:00:00' AS tokyo,
+        |  '1969-12-31 19:00:00' AS new_york,
+        |  true AS shown, true AS restored""".stripMargin) { (s, _) =>
+      import s.implicits._
+      val before = s.conf.get("spark.sql.session.timeZone")
+      PrestoSql.sql(s, "SET SESSION time_zone_id = 'Asia/Tokyo'")
+      val tokyo = PrestoSql.sql(s,
+        "SELECT CAST(from_unixtime(0) AS VARCHAR) AS t").head().getString(0)
+      val shown = PrestoSql.sql(s, "SHOW SESSION").collect()
+        .exists(r => r.getString(0) == "time_zone_id" && r.getString(1) == "Asia/Tokyo")
+      PrestoSql.sql(s, "SET SESSION time_zone_id = 'America/New_York'")
+      val ny = PrestoSql.sql(s,
+        "SELECT CAST(from_unixtime(0) AS VARCHAR) AS t").head().getString(0)
+      PrestoSql.sql(s, "RESET SESSION time_zone_id")
+      val restored = s.conf.get("spark.sql.session.timeZone") == before
+      Seq((tokyo, ny, shown, restored)).toDF("tokyo", "new_york", "shown", "restored")
+    },
+
     // DELETE — the reference's DeleteOperator.java/MetadataDeleteOperator
     // pair as file-pruned copy-on-write over parquet (DeleteOps). The
     // scratch table is range-clustered on o_orderkey so the key-range

@@ -485,6 +485,16 @@ object PrestoSql {
     name.toLowerCase match {
       case "hash_partition_count" =>
         Some("spark.sql.shuffle.partitions" -> Some(value))
+      case "time_zone_id" =>
+        // the session zone (reference: Session.getTimeZoneKey, built by
+        // QuerySessionSupplier from X-Presto-Time-Zone,
+        // PrestoHeaders.java:23; read throughout DateTimeFunctions.java).
+        // The StatementServer translates the wire header into this
+        // property, so the zone rides the existing overlay/restore
+        // machinery and surfaces in SHOW SESSION. Spark analysis bakes
+        // the zone into the plan (ResolveTimeZone), so concurrent
+        // drains keep their own renderings after restore().
+        Some("spark.sql.session.timeZone" -> Some(value))
       case "join_distribution_type" =>
         // PARTITIONED forbids broadcast joins; BROADCAST/AUTOMATIC keep
         // the stats-driven threshold — value None means "restore whatever
@@ -668,10 +678,11 @@ object PrestoSql {
   // drain (session props span execution, like the reference's session
   // lifetime) and is TARGETED: it reverts only the keys THIS statement
   // touched, and only if they still hold the value this statement left
-  // (a later writer wins). The one unavoidable residue of a shared
-  // SQLConf: if two clients overlay the SAME key with overlapping
-  // drain windows, the last restorer reinstates the pre-statement value
-  // it saw, which may be the other client's transient.
+  // (a later writer wins). Same-key overlays with overlapping drain
+  // windows ride per-key value stacks (`overlayStacks`): a restorer
+  // reinstates the most recent still-live overlay — or, last one out,
+  // the true pre-overlay server default — never another client's
+  // transient.
 
   final case class ClientStatementResult(
       df: DataFrame,
@@ -686,6 +697,33 @@ object PrestoSql {
       restore: () => Unit)
 
   private val clientStateLock = new java.util.concurrent.locks.ReentrantLock()
+
+  // Per-key overlay value stacks: when two clients overlay the SAME
+  // session key with overlapping drain windows, the FIRST overlayer's
+  // pre-overlay value is the true server default, and a later
+  // statement's savedProps snapshot sees the first client's TRANSIENT.
+  // Each overlay pushes its value; each restore removes its own value —
+  // if other overlays are still live, the most recent of THEIR values
+  // is reinstated, and the last one out restores the original. This
+  // closes the residue the pre-r12 comment documented, which a
+  // zone-carrying header turns from cosmetic into wrong answers (a
+  // polluted session zone changes every later client's renderings).
+  // Mutated only under clientStateLock.
+  private val overlayStacks =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[SparkSession, scala.collection.mutable.Map[
+        String, (Option[String], scala.collection.mutable.ArrayBuffer[String])]]())
+
+  private def overlayStacksOf(spark: SparkSession) =
+    overlayStacks.synchronized {
+      var m = overlayStacks.get(spark)
+      if (m == null) {
+        m = scala.collection.mutable.Map.empty[
+          String, (Option[String], scala.collection.mutable.ArrayBuffer[String])]
+        overlayStacks.put(spark, m)
+      }
+      m
+    }
 
   /** Session-state changes a statement performs, reported by the
     * handlers themselves (SetSessionTask and friends know exactly what
@@ -734,7 +772,13 @@ object PrestoSql {
       val savedDb = spark.catalog.currentDatabase
       val overlayProps = headerProps.map { case (k, v) => (k.toLowerCase, v) }
       val overlayStmts = headerStmts.map { case (n, s) => (n.toLowerCase, s) }
+      val od = overlayStacksOf(spark)
       overlayProps.foreach { case (k, v) =>
+        od.get(k) match {
+          case Some((_, stack)) => stack += v
+          case None =>
+            od(k) = (props.get(k), scala.collection.mutable.ArrayBuffer(v))
+        }
         props.put(k, v); applySessionProp(spark, k, v)
       }
       overlayStmts.foreach { case (n, s) => stmts.put(n, s) }
@@ -763,7 +807,34 @@ object PrestoSql {
           val left: Option[String] =
             eff.setProps.get(k).orElse(
               if (eff.resetProps.contains(k)) None else overlayMap.get(k))
-          if (props.get(k) == left) savedProps.get(k) match {
+          if (overlayMap.contains(k)) {
+            // exit the shared overlay window: remove THIS statement's
+            // value from the key's stack; reinstate the most recent
+            // still-live overlay if one remains, else the FIRST
+            // overlayer's pre-overlay value (the true server default —
+            // a later statement's savedProps snapshot would see an
+            // earlier client's transient).
+            od.get(k) match {
+              case Some((orig, stack)) =>
+                val idx = stack.lastIndexOf(overlayMap(k))
+                if (idx >= 0) stack.remove(idx)
+                if (stack.isEmpty) {
+                  od.remove(k)
+                  orig match {
+                    case Some(o) => props.put(k, o); applySessionProp(spark, k, o)
+                    case None => props.remove(k); resetSessionProp(spark, k)
+                  }
+                } else {
+                  val top = stack.last
+                  props.put(k, top); applySessionProp(spark, k, top)
+                }
+              case None => // stack lost (teardown): legacy value-check path
+                if (props.get(k) == left) savedProps.get(k) match {
+                  case Some(orig) => props.put(k, orig); applySessionProp(spark, k, orig)
+                  case None => props.remove(k); resetSessionProp(spark, k)
+                }
+            }
+          } else if (props.get(k) == left) savedProps.get(k) match {
             case Some(orig) => props.put(k, orig); applySessionProp(spark, k, orig)
             case None => props.remove(k); resetSessionProp(spark, k)
           }

@@ -50,10 +50,14 @@ object ResourceGroups {
       schedulingPolicy: String = "fair",
       schedulingWeight: Int = 1)
 
+  /** `clientTags` follows StaticSelector.java:45 subset semantics: the
+    * selector matches only when EVERY configured tag is present in the
+    * query's client-tag set (an untagged selector matches any query). */
   final case class Selector(
       user: Option[scala.util.matching.Regex],
       source: Option[scala.util.matching.Regex],
-      group: String)
+      group: String,
+      clientTags: Seq[String] = Seq.empty)
 
   final case class Config(rootGroups: Seq[GroupSpec], selectors: Seq[Selector])
 
@@ -178,22 +182,30 @@ object ResourceGroups {
       }
     val sels = Seq.newBuilder[Selector]
     Option(root.get("selectors")).foreach(_.forEach { s =>
+      val tags = Option(s.get("clientTags")).map { arr =>
+        val b = Seq.newBuilder[String]
+        arr.forEach(t => b += t.asText())
+        b.result()
+      }.getOrElse(Seq.empty)
       sels += Selector(
         user = Option(s.get("user")).map(_.asText().r),
         source = Option(s.get("source")).map(_.asText().r),
-        group = s.get("group").asText())
+        group = s.get("group").asText(),
+        clientTags = tags)
     })
     Config(groups(root.get("rootGroups")), sels.result())
   }
 
   // ---- selection (StaticSelector.java semantics: first match wins) ----
 
-  /** Resolve (user, source) to a concrete dotted group id, expanding
-    * `${USER}`/`${SOURCE}` template segments. None = no selector
-    * matched (the reference rejects the query; so do we). */
-  private[graft] def selectGroup(config: Config, user: String, source: String): Option[String] =
+  /** Resolve (user, source, clientTags) to a concrete dotted group id,
+    * expanding `${USER}`/`${SOURCE}` template segments. None = no
+    * selector matched (the reference rejects the query; so do we). */
+  private[graft] def selectGroup(config: Config, user: String, source: String,
+      clientTags: Seq[String] = Seq.empty): Option[String] =
     config.selectors.collectFirst {
-      case s if s.user.forall(_.matches(user)) && s.source.forall(_.matches(source)) =>
+      case s if s.user.forall(_.matches(user)) && s.source.forall(_.matches(source)) &&
+          s.clientTags.forall(clientTags.contains) =>
         s.group.replace("${USER}", user).replace("${SOURCE}", source)
     }
 
@@ -272,11 +284,12 @@ object ResourceGroups {
     *
     * When no configuration is installed this is free: a no-op permit. */
   def acquire(spark: SparkSession, user: String, source: String,
-      onQueued: () => Unit = () => (), priority: Int = 1): Permit = {
+      onQueued: () => Unit = () => (), priority: Int = 1,
+      clientTags: Seq[String] = Seq.empty): Permit = {
     val m = managers.get(spark)
     if (m == null || (holders.get(Thread.currentThread()) eq m))
       return new Permit(None, Seq.empty)
-    val groupId = selectGroup(m.config, user, source).getOrElse(
+    val groupId = selectGroup(m.config, user, source, clientTags).getOrElse(
       throw new IllegalArgumentException(
         s"Query did not match any selector (user '$user', source '$source')"))
     val waiter = m.lock.synchronized {

@@ -68,7 +68,10 @@ object StatementServer {
       val source: String,
       val user: String,
       val headerCatalog: Option[String],
-      val headerSchema: Option[String]) {
+      val headerSchema: Option[String],
+      val clientTags: Seq[String] = Seq.empty,
+      val clientInfo: Option[String] = None,
+      val traceToken: Option[String] = None) {
     val state = new AtomicReference[String]("QUEUED")
     // Worker thread while the query is live — cancel() interrupts it so
     // a QUEUED waiter parked inside ResourceGroups.acquire unparks
@@ -218,8 +221,28 @@ object StatementServer {
     if (sqlText.isEmpty) { respond(ex, 400, """{"error":"empty statement"}"""); return }
     val created = System.currentTimeMillis()
     val id = SystemTables.newQueryId(created)
+    // X-Presto-Time-Zone / X-Presto-Language (PrestoHeaders.java:23-24;
+    // QuerySessionSupplier builds the session zone/locale from them) ride
+    // the session-property overlay as time_zone_id / language — the zone
+    // maps onto spark.sql.session.timeZone for this statement's window
+    // (so current_time / AT TIME ZONE render in the CLIENT's zone), the
+    // locale is recorded session state. Header-derived entries are
+    // PREPENDED so an explicit X-Presto-Session key still wins.
+    val localeProps =
+      Option(ex.getRequestHeaders.getFirst("X-Presto-Time-Zone"))
+        .map { z =>
+          // validate BEFORE the overlay applies it to the live conf — a
+          // bogus zone must fail the request, not dirty shared state
+          // (reference: TimeZoneKey.getTimeZoneKey throws for unknown ids)
+          try java.time.ZoneId.of(z)
+          catch { case _: Exception =>
+            throw new IllegalArgumentException(s"Unknown time zone: $z") }
+          "time_zone_id" -> z
+        }.toSeq ++
+      Option(ex.getRequestHeaders.getFirst("X-Presto-Language"))
+        .map("language" -> _).toSeq
     val q = new QueryExec(id, sqlText,
-      headerProps = kvHeader(ex, "X-Presto-Session"),
+      headerProps = localeProps ++ kvHeader(ex, "X-Presto-Session"),
       headerStmts = kvHeader(ex, "X-Presto-Prepared-Statement"),
       headerTxn = Option(ex.getRequestHeaders.getFirst("X-Presto-Transaction-Id")),
       // source = the client's X-Presto-Source header (StatementResource
@@ -237,11 +260,21 @@ object StatementServer {
       // catalog/schema context (PrestoHeaders.java:20-21); USE answers
       // Set-Catalog/Set-Schema for the client to echo back here
       headerCatalog = Option(ex.getRequestHeaders.getFirst("X-Presto-Catalog")),
-      headerSchema = Option(ex.getRequestHeaders.getFirst("X-Presto-Schema")))
+      headerSchema = Option(ex.getRequestHeaders.getFirst("X-Presto-Schema")),
+      // client tags (PrestoHeaders.java:39, comma-separated set) route
+      // resource-group selection (StaticSelector.java subset match) and
+      // land in the query log; trace token / client info
+      // (PrestoHeaders.java:25,38) are recorded observability — the
+      // hooks distributed tracing reads off system.runtime.queries.
+      clientTags = Option(ex.getRequestHeaders.getFirst("X-Presto-Client-Tags"))
+        .toSeq.flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty),
+      clientInfo = Option(ex.getRequestHeaders.getFirst("X-Presto-Client-Info")),
+      traceToken = Option(ex.getRequestHeaders.getFirst("X-Presto-Trace-Token")))
     server.queries.put(id, q)
     // visible in system.runtime.queries from submission on, like the
     // reference's QUEUED state
-    SystemTables.record(server.session, id, sqlText, "QUEUED", created, q.source, q.user)
+    SystemTables.record(server.session, id, sqlText, "QUEUED", created, q.source, q.user,
+      clientTags = q.clientTags, clientInfo = q.clientInfo, traceToken = q.traceToken)
     server.pool.execute(() => run(server, q, created))
     respond(ex, 200, envelope(server, q, data = Seq.empty, includeNext = true))
   }
@@ -273,7 +306,7 @@ object StatementServer {
           .collectFirst { case ("query_priority", v) => v })
         .flatMap(_.toIntOption).getOrElse(1)
       permit = Some(ResourceGroups.acquire(server.session, q.user, q.source,
-        priority = priority))
+        priority = priority, clientTags = q.clientTags))
       // a DELETE that landed while we were QUEUED interrupted the parked
       // acquire (rolling back the queue slot); if the promotion RACED the
       // interrupt, the slot is ours — bail before the statement executes

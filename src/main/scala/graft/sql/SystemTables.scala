@@ -23,7 +23,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object SystemTables {
 
   final case class QueryRecord(id: String, state: String, user: String,
-      source: String, query: String, createdMs: Long, endMs: Long)
+      source: String, query: String, createdMs: Long, endMs: Long,
+      clientTags: Seq[String] = Seq.empty, clientInfo: Option[String] = None,
+      traceToken: Option[String] = None)
 
   private val counter = new java.util.concurrent.atomic.AtomicLong(0)
   private val logs =
@@ -54,7 +56,9 @@ object SystemTables {
     * is the client identity (QuerySystemTable's source column; the
     * reference fills it from the X-Presto-Source header). */
   def record(spark: SparkSession, id: String, query: String, state: String,
-      createdMs: Long, source: String = "graft", user: String = null): Unit = {
+      createdMs: Long, source: String = "graft", user: String = null,
+      clientTags: Seq[String] = Seq.empty, clientInfo: Option[String] = None,
+      traceToken: Option[String] = None): Unit = {
     val l = logOf(spark)
     l.synchronized {
       val i = l.indexWhere(_.id == id)
@@ -62,7 +66,8 @@ object SystemTables {
       else {
         l += QueryRecord(id, state,
           Option(user).getOrElse(AccessControl.principal(spark)), source,
-          query, createdMs, System.currentTimeMillis())
+          query, createdMs, System.currentTimeMillis(),
+          clientTags, clientInfo, traceToken)
         if (l.length > MaxLog) l.remove(0, l.length - MaxLog)
       }
     }
@@ -108,16 +113,20 @@ object SystemTables {
     }
   }
 
-  /** Does the statement reference a system.runtime table? */
-  private val sysRef = "(?i)system\\.runtime\\.(nodes|queries|tasks|transactions|resource_groups)".r
+  /** Does the statement reference a system.runtime / system.metadata
+    * table? (The reference's GlobalSystemConnector serves both schemas.) */
+  private val sysRef =
+    ("(?i)system\\.(runtime\\.(?:nodes|queries|tasks|transactions|resource_groups)" +
+      "|metadata\\.(?:catalogs|table_properties|schema_properties|column_properties" +
+      "|analyze_properties))").r
 
   def referencesSystemTables(text: String): Boolean =
     sysRef.findFirstIn(text).isDefined
 
-  /** Rewrite fully-qualified system.runtime.X references to the temp
-    * view names (after [[refreshViews]] has materialized snapshots). */
+  /** Rewrite fully-qualified system.X.Y references to the temp view
+    * names (after [[refreshViews]] has materialized snapshots). */
   def rewriteRefs(text: String): String =
-    sysRef.replaceAllIn(text, m => s"system_runtime_${m.group(1).toLowerCase}")
+    sysRef.replaceAllIn(text, m => s"system_${m.group(1).toLowerCase.replace('.', '_')}")
 
   /** Materialize statement-time snapshots of the four runtime tables. */
   def refreshViews(spark: SparkSession): Unit = {
@@ -137,12 +146,17 @@ object SystemTables {
     execs.toDF("node_id", "http_uri", "node_version", "coordinator", "state")
       .createOrReplaceTempView("system_runtime_nodes")
 
-    // system.runtime.queries (QuerySystemTable.java:56-71 core columns)
+    // system.runtime.queries (QuerySystemTable.java:56-71 core columns
+    // + client_tags / client_info / trace_token from the wire headers —
+    // PrestoHeaders.java:25,38,39; the reference records them on
+    // QueryInfo and this table is where tracing integrations read them)
     val l = logOf(spark)
     val qs = l.synchronized { l.toSeq }
     qs.map(r => (r.id, r.state, r.user, r.source, r.query,
-        new java.sql.Timestamp(r.createdMs), new java.sql.Timestamp(r.endMs)))
-      .toDF("query_id", "state", "user", "source", "query", "created", "end")
+        new java.sql.Timestamp(r.createdMs), new java.sql.Timestamp(r.endMs),
+        r.clientTags, r.clientInfo.orNull, r.traceToken.orNull))
+      .toDF("query_id", "state", "user", "source", "query", "created", "end",
+        "client_tags", "client_info", "trace_token")
       .createOrReplaceTempView("system_runtime_queries")
 
     // system.runtime.tasks (TaskSystemTable.java; Spark stage = the
@@ -183,5 +197,35 @@ object SystemTables {
       .toDF("group_id", "running", "queued", "hard_concurrency_limit",
         "max_queued", "scheduling_policy", "scheduling_weight")
       .createOrReplaceTempView("system_runtime_resource_groups")
+
+    // ---- system.metadata.* (the global connector's metadata schema:
+    // CatalogSystemTable.java:44 catalogs; TablePropertiesSystemTable /
+    // SchemaPropertiesSystemTable / ColumnPropertiesSystemTable /
+    // AnalyzePropertiesSystemTable expose each catalog's declared
+    // property metadata — the queryable form behind SHOW CATALOGS and
+    // the WITH (...) property surface). Properties listed are the ones
+    // this engine's writer paths actually honor.
+    val cats = spark.catalog.listCatalogs().collect().map(_.name).distinct.sorted.toSeq
+    cats.map(c => (c, c)).toDF("catalog_name", "connector_id")
+      .createOrReplaceTempView("system_metadata_catalogs")
+    val tblProps = cats.flatMap(c => Seq(
+      (c, "format", "PARQUET", "varchar", "File format for the table"),
+      (c, "partitioned_by", "[]", "array(varchar)", "Partition columns"),
+      (c, "bucketed_by", "[]", "array(varchar)", "Bucketing columns"),
+      (c, "bucket_count", "0", "integer", "Number of buckets"),
+      (c, "zorder_by", "[]", "array(varchar)", "Z-order layout columns")))
+    tblProps.toDF("catalog_name", "property_name", "default_value", "type", "description")
+      .createOrReplaceTempView("system_metadata_table_properties")
+    cats.map(c => (c, "location", "", "varchar", "Base file system location URI"))
+      .toDF("catalog_name", "property_name", "default_value", "type", "description")
+      .createOrReplaceTempView("system_metadata_schema_properties")
+    // column/analyze properties: none declared by this engine's
+    // connector — empty tables with the reference shape
+    Seq.empty[(String, String, String, String, String)]
+      .toDF("catalog_name", "property_name", "default_value", "type", "description")
+      .createOrReplaceTempView("system_metadata_column_properties")
+    Seq.empty[(String, String, String, String, String)]
+      .toDF("catalog_name", "property_name", "default_value", "type", "description")
+      .createOrReplaceTempView("system_metadata_analyze_properties")
   }
 }

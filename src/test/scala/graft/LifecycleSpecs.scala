@@ -684,4 +684,88 @@ class LifecycleSpecs extends AnyFunSuite with BeforeAndAfterAll {
       ResourceGroups.disable(spark)
     }
   }
+
+  // ---- X-Presto-Time-Zone: the session zone over the wire ----
+
+  test("HTTP time zone: concurrent clients with different zone headers get their own renderings") {
+    val server = graft.sql.StatementServer.start(spark)
+    try {
+      // zone-sensitive statement: epoch rendered in the session zone
+      val sql = "SELECT CAST(from_unixtime(0) AS VARCHAR) AS t"
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration._
+      import scala.concurrent.ExecutionContext.Implicits.global
+      // CONCURRENT submissions: each statement's plan bakes in its own
+      // client zone (analysis under the overlay window), so overlapping
+      // drains cannot leak one client's zone into the other's rows
+      val fTokyo = Future(httpQuery(server.baseUri, sql,
+        Seq("X-Presto-Time-Zone" -> "Asia/Tokyo")))
+      val fNy = Future(httpQuery(server.baseUri, sql,
+        Seq("X-Presto-Time-Zone" -> "America/New_York")))
+      val tokyo = Await.result(fTokyo, 60.seconds).head.get(0).asText()
+      val ny = Await.result(fNy, 60.seconds).head.get(0).asText()
+      assert(tokyo == "1970-01-01 09:00:00", s"Tokyo rendering: $tokyo")
+      assert(ny == "1969-12-31 19:00:00", s"New York rendering: $ny")
+      // the server session's zone is untouched after both statements
+      assert(spark.conf.get("spark.sql.session.timeZone") == "UTC")
+      val utc = httpQuery(server.baseUri, sql).head.get(0).asText()
+      assert(utc == "1970-01-01 00:00:00", s"headerless rendering: $utc")
+      // SHOW SESSION surfaces the client zone for the statement's window
+      val shown = httpQuery(server.baseUri, "SHOW SESSION",
+        Seq("X-Presto-Time-Zone" -> "Asia/Tokyo"))
+        .map(r => r.get(0).asText() -> r.get(1).asText()).toMap
+      assert(shown.get("time_zone_id") == Some("Asia/Tokyo"), s"SHOW SESSION: $shown")
+      // X-Presto-Language is recorded session state the same way
+      val lang = httpQuery(server.baseUri, "SHOW SESSION",
+        Seq("X-Presto-Language" -> "fr-FR"))
+        .map(r => r.get(0).asText() -> r.get(1).asText()).toMap
+      assert(lang.get("language") == Some("fr-FR"), s"SHOW SESSION: $lang")
+    } finally server.stop()
+  }
+
+  // ---- X-Presto-Client-Tags: tag-routed admission + observability ----
+
+  test("HTTP client tags: tag-bearing requests land in tag-selected groups; untagged fall through") {
+    // StaticSelector.java:45 subset semantics: the etl-tagged selector
+    // only matches queries carrying ALL its tags
+    ResourceGroups.configure(spark, ResourceGroups.Config(
+      rootGroups = Seq(
+        ResourceGroups.GroupSpec("etl", 10, 10, Nil),
+        ResourceGroups.GroupSpec("adhoc", Int.MaxValue, Int.MaxValue, Nil)),
+      selectors = Seq(
+        ResourceGroups.Selector(None, None, "etl", clientTags = Seq("etl", "nightly")),
+        ResourceGroups.Selector(None, None, "adhoc"))))
+    val server = graft.sql.StatementServer.start(spark)
+    try {
+      // unique statement texts: the suite-shared query log keeps every
+      // test's statements, so lookups must not collide across tests
+      httpQuery(server.baseUri, "SELECT 41 AS tagq",
+        Seq("X-Presto-Client-Tags" -> "nightly, etl",
+          "X-Presto-Client-Info" -> "airflow-dag-7",
+          "X-Presto-Trace-Token" -> "trace-abc-123"))
+      // a partially-tagged request does NOT match the subset selector
+      httpQuery(server.baseUri, "SELECT 42 AS tagq",
+        Seq("X-Presto-Client-Tags" -> "etl"))
+      httpQuery(server.baseUri, "SELECT 43 AS tagq")
+      val groups = ResourceGroups.snapshot(spark).map(_._1).toSet
+      assert(groups.contains("etl"), s"tagged query must instantiate etl: $groups")
+      // only the fully-tagged query went to etl; the rest fell through
+      val log = PrestoSql.sql(spark,
+        """SELECT query, array_join(client_tags, ','), client_info, trace_token
+          |FROM system.runtime.queries
+          |WHERE query LIKE 'SELECT 4_ AS tagq'""".stripMargin)
+        .collect().map(r => (r.getString(0), r.getString(1), r.getString(2), r.getString(3)))
+      val tagged = log.find(_._1 == "SELECT 41 AS tagq").get
+      assert(tagged._2 == "nightly,etl" && tagged._3 == "airflow-dag-7" &&
+        tagged._4 == "trace-abc-123", s"recorded wire metadata: $tagged")
+      val partial = log.find(_._1 == "SELECT 42 AS tagq").get
+      assert(partial._2 == "etl" && partial._3 == null && partial._4 == null,
+        s"partial tags recorded, no info/token: $partial")
+      assert(log.find(_._1 == "SELECT 43 AS tagq").get._2 == "",
+        "untagged query records an empty tag set")
+    } finally {
+      server.stop()
+      ResourceGroups.disable(spark)
+    }
+  }
 }
