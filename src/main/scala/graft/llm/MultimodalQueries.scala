@@ -517,5 +517,140 @@ object MultimodalQueries extends QueryModule {
           }
         }
       }(rowEnc)
+    },
+
+    // PERCEPTUAL near-duplicate image dedup — the signal exact-pixel
+    // hashing (mm_image_dedup) misses: re-exposed, re-encoded/upscaled,
+    // and lightly occluded copies of the same picture. Signature is a
+    // 64-bit dHash (adjacent-cell luma comparisons on a 9×8 grid,
+    // top-left sampling gx = i*w/9 — exactly invariant to integer
+    // pixel-replication resizes since floor(floor(2a)/2) = floor(a),
+    // and to order-preserving brightness shifts), kept as two uint32
+    // halves so band/XOR arithmetic never touches the BIGINT sign bit
+    // in either engine. Scale shape, the SimHash pattern: decode +
+    // dHash are map-side; docs collapse by EXACT signature first (one
+    // hash agg — the mass of true duplicates never reaches pairing);
+    // only distinct-signature REPRESENTATIVES enter 4×16-bit Hamming
+    // band candidate generation + exact bit_count verify. Banding is
+    // EXACT for the <=3 predicate (pigeonhole: 3 flipped bits cannot
+    // touch all 4 disjoint bands), and the planted occlusion flips <=2
+    // bits (one grid cell feeds two adjacent comparisons), so recall
+    // is 1 by construction, with NO all-pairs join anywhere. The
+    // oracle replays the render closed form, grid, bits, and brute
+    // rep-pairing in SQL.
+    Q("mm_image_dedup_perceptual",
+      """WITH d AS (SELECT doc_id, doc_id % 37 AS c, doc_id % 4 AS t FROM documents),
+        |cells AS (
+        |  SELECT doc_id, i.i AS i, j.j AS j,
+        |    CASE WHEN t = 3 AND i.i = 4 AND j.j = 4 THEN 255
+        |         ELSE (c*11 + 7*((i.i*16)//9) + 26*j.j) % 224
+        |              + CASE WHEN t = 1 THEN 16 ELSE 0 END END AS v
+        |  FROM d, range(9) i(i), range(8) j(j)),
+        |bits AS (
+        |  SELECT a.doc_id, (a.j * 8 + a.i) AS idx,
+        |    CASE WHEN b.v > a.v THEN 1 ELSE 0 END AS bit
+        |  FROM cells a JOIN cells b ON a.doc_id = b.doc_id AND a.j = b.j AND b.i = a.i + 1
+        |  WHERE a.i < 8),
+        |sig AS (
+        |  SELECT doc_id,
+        |    sum(CASE WHEN idx >= 32 THEN bit::BIGINT << (idx - 32) ELSE 0 END)::BIGINT AS psig_hi,
+        |    sum(CASE WHEN idx < 32 THEN bit::BIGINT << idx ELSE 0 END)::BIGINT AS psig_lo
+        |  FROM bits GROUP BY doc_id),
+        |ex AS (
+        |  SELECT doc_id, psig_hi, psig_lo,
+        |    min(doc_id) OVER (PARTITION BY psig_hi, psig_lo) AS exact_canonical,
+        |    count(*) OVER (PARTITION BY psig_hi, psig_lo)::BIGINT AS n_exact_copies
+        |  FROM sig),
+        |reps AS (SELECT psig_hi, psig_lo, min(doc_id) AS rep_doc FROM sig GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT a.psig_hi AS h1, a.psig_lo AS l1, b.rep_doc AS rep2,
+        |    bit_count(xor(a.psig_hi, b.psig_hi)) + bit_count(xor(a.psig_lo, b.psig_lo)) AS dist
+        |  FROM reps a JOIN reps b
+        |    ON a.psig_hi <> b.psig_hi OR a.psig_lo <> b.psig_lo),
+        |near AS (
+        |  SELECT h1, l1, rep2 AS near_dup_of, dist::BIGINT AS near_hamming FROM (
+        |    SELECT h1, l1, rep2, dist,
+        |      row_number() OVER (PARTITION BY h1, l1 ORDER BY dist, rep2) AS rn
+        |    FROM pairs WHERE dist BETWEEN 1 AND 3) WHERE rn = 1)
+        |SELECT e.doc_id, e.psig_hi, e.psig_lo, e.exact_canonical, e.n_exact_copies,
+        |  n.near_dup_of, n.near_hamming
+        |FROM ex e LEFT JOIN near n ON e.psig_hi = n.h1 AND e.psig_lo = n.l1""".stripMargin) { (s, _) =>
+      val binSchema = StructType(Seq(
+        StructField("doc_id", LongType),
+        StructField("media", BinaryType)))
+      val sigSchema = StructType(Seq(
+        StructField("doc_id", LongType),
+        StructField("psig_hi", LongType),
+        StructField("psig_lo", LongType)))
+      val binEnc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(binSchema)
+      val sigEnc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(sigSchema)
+      val binDf = s.table("documents").select(col("doc_id"))
+        .mapPartitions(rows => rows.map(r => Row(r.getLong(0), encodeVariantPng(r.getLong(0)))))(binEnc)
+      val sig = binDf.mapPartitions { rows =>
+        rows.map { r =>
+          val docId = r.getLong(0)
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](1)))
+          val w = img.getWidth; val h = img.getHeight
+          val cell = Array.ofDim[Int](9, 8)
+          var i = 0
+          while (i < 9) {
+            var j = 0
+            while (j < 8) {
+              cell(i)(j) = img.getRGB(i * w / 9, j * h / 8) & 0xFF
+              j += 1
+            }
+            i += 1
+          }
+          var hi = 0L; var lo = 0L
+          var j = 0
+          while (j < 8) {
+            var x = 0
+            while (x < 8) {
+              if (cell(x + 1)(j) > cell(x)(j)) {
+                val idx = j * 8 + x
+                if (idx < 32) lo |= 1L << idx else hi |= 1L << (idx - 32)
+              }
+              x += 1
+            }
+            j += 1
+          }
+          Row(docId, hi, lo)
+        }
+      }(sigEnc)
+      val wSig = Window.partitionBy("psig_hi", "psig_lo")
+      val withExact = sig.select(col("doc_id"), col("psig_hi"), col("psig_lo"),
+        min("doc_id").over(wSig).as("exact_canonical"),
+        count(lit(1)).over(wSig).cast("long").as("n_exact_copies"))
+      val reps = sig.groupBy("psig_hi", "psig_lo").agg(min("doc_id").as("rep_doc"))
+      val banded = reps.select(col("psig_hi"), col("psig_lo"), col("rep_doc"),
+        posexplode(array(
+          col("psig_lo").bitwiseAND(lit(65535L)),
+          shiftright(col("psig_lo"), 16).bitwiseAND(lit(65535L)),
+          col("psig_hi").bitwiseAND(lit(65535L)),
+          shiftright(col("psig_hi"), 16).bitwiseAND(lit(65535L)))))
+        .select(col("psig_hi"), col("psig_lo"), col("rep_doc"),
+          col("pos").as("band"), col("col").as("bval"))
+      val bA = banded.select(col("band"), col("bval"),
+        col("psig_hi").as("h1"), col("psig_lo").as("l1"))
+      val bB = banded.select(col("band"), col("bval"),
+        col("psig_hi").as("h2"), col("psig_lo").as("l2"), col("rep_doc").as("rep2"))
+      val cand = bA.join(bB, Seq("band", "bval"))
+        .filter(col("h1") =!= col("h2") || col("l1") =!= col("l2"))
+        .select("h1", "l1", "h2", "l2", "rep2").distinct()
+      val near = cand
+        .withColumn("dist",
+          bit_count(col("h1").bitwiseXOR(col("h2"))) +
+            bit_count(col("l1").bitwiseXOR(col("l2"))))
+        .filter(col("dist").between(1, 3))
+        .groupBy("h1", "l1")
+        .agg(min(struct(col("dist"), col("rep2"))).as("nn"))
+        .select(col("h1").as("psig_hi"), col("l1").as("psig_lo"),
+          col("nn.rep2").as("near_dup_of"),
+          col("nn.dist").cast("long").as("near_hamming"))
+      withExact.join(near, Seq("psig_hi", "psig_lo"), "left")
+        .select(col("doc_id"), col("psig_hi"), col("psig_lo"),
+          col("exact_canonical"), col("n_exact_copies"),
+          col("near_dup_of"), col("near_hamming"))
     })
 }

@@ -314,6 +314,45 @@ class EngineSpecs extends AnyFunSuite with BeforeAndAfterAll {
     assert(cuts > 0, "fixture must contain scene boundaries")
   }
 
+  test("perceptual image dedup: dHash invariances hold, occlusion flips <=2 bits, no all-pairs plan") {
+    val df = SparkEntry.queries("mm_image_dedup_perceptual")(spark, sfDir)
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    val byDoc = rows.map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    var nearSeen = 0
+    byDoc.keys.groupBy(_ % 37).foreach { case (_, ids) =>
+      val base = ids.filter(_ % 4 == 0)
+      if (base.nonEmpty) {
+        val s0 = byDoc(base.head)
+        // brightness (+16) and 2x pixel-replication resize leave the
+        // decoded dHash EXACTLY unchanged — the invariances the
+        // signature is designed around
+        ids.filter(_ % 4 <= 2).foreach(id =>
+          assert(byDoc(id) == s0, s"variant signature drifted for doc $id"))
+        // the occlusion variant touches one grid cell = at most two
+        // adjacent comparisons, so banding recall is 1 by pigeonhole
+        ids.filter(_ % 4 == 3).foreach { id =>
+          val (h, l) = byDoc(id)
+          val d = java.lang.Long.bitCount(h ^ s0._1) + java.lang.Long.bitCount(l ^ s0._2)
+          assert(d <= 2, s"occlusion must flip at most 2 dHash bits, got $d for doc $id")
+          if (d >= 1) nearSeen += 1
+        }
+      }
+    }
+    assert(nearSeen > 0, "fixture must contain >=1-bit occluded near-dups")
+    // every reported near match is a verified 1..3-bit neighbor
+    rows.filter(r => !r.isNullAt(5)).foreach { r =>
+      val d = r.getLong(6)
+      assert(d >= 1 && d <= 3, s"near_hamming out of band: $d")
+    }
+    assert(rows.exists(r => !r.isNullAt(5)), "near-dup pairs must be reported")
+    // candidate generation is banded (hash join on (band, value)) —
+    // never an all-pairs join
+    val s = planString(df)
+    assert(!s.contains("CartesianProduct") && !s.contains("BroadcastNestedLoop"),
+      "perceptual dedup must never form an all-pairs join")
+  }
+
   test("bigram LM: per-doc position count is exact and the model beats the unigram LM") {
     import org.apache.spark.sql.functions.{avg, col, size, split}
     val bi = SparkEntry.queries("llm_bigram_lm")(spark, sfDir)
