@@ -773,16 +773,18 @@ object CurationQueries extends QueryModule {
     // split into head/middle/tail TERCILES of the corpus distribution —
     // the quality gate CCNet uses before training-set selection. The
     // tercile thresholds are EXACT order statistics selected by a
-    // COUNT-BASED BISECT on the 6dp-rounded surprise domain: each probe
-    // is one linear count(surprise <= mid) aggregate (both terciles
-    // share every pass), the interval halves until it isolates a single
-    // grid value (~26 passes for a 30-nat range), and one final max()
-    // pass pins the value — bounded driver state, never a
-    // single-partition exchange or an n/3-row TopK materialization (the
-    // previous orderBy().limit(n/3) funneled a third of the corpus into
-    // ONE task). Bucket assignment is then map-side against two
-    // broadcast scalars. The oracle keeps the naive LIMIT form: both
-    // select the identical kth-smallest surprise, so buckets agree.
+    // COUNT-BASED 16-ARY BISECT on the 6dp-rounded surprise domain:
+    // each pass is ONE linear aggregate computing count(surprise <= m)
+    // at 15 evenly-spaced probe points per tercile (both terciles share
+    // every pass — 30 conditional counts in one codegen'd scan), the
+    // interval shrinks 16x per pass until it isolates a single grid
+    // value (~6 passes for a 30-nat range), and one final max() pass
+    // pins the value — bounded driver state, never a single-partition
+    // exchange or an n/3-row TopK materialization (the previous
+    // orderBy().limit(n/3) funneled a third of the corpus into ONE
+    // task). Bucket assignment is then map-side against two broadcast
+    // scalars. The oracle keeps the naive LIMIT form: both select the
+    // identical kth-smallest surprise, so buckets agree.
     Q("llm_ccnet_buckets",
       """WITH toks0 AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
         |para AS (SELECT doc_id, unnest([{'pidx': i, 'ws': w[(i-1)*15+1:(i-1)*15+15]}
@@ -834,19 +836,35 @@ object CurationQueries extends QueryModule {
         if (n == 0L) (Double.NegativeInfinity, Double.NegativeInfinity)
         else {
           val eps = 5e-7
+          val Fan = 16 // 15 interior probes per tercile per pass
           val mm = sp.agg(min("surprise"), max("surprise")).collect()(0)
           val (lo0, hi0) = (mm.getDouble(0) - 1e-6, mm.getDouble(1))
           var (lo1, hi1) = (lo0, hi0)
           var (lo2, hi2) = (lo0, hi0)
           def open(lo: Double, hi: Double, k: Long) = k > 0L && hi - lo > eps
+          def mids(lo: Double, hi: Double): Seq[Double] =
+            (1 until Fan).map(i => lo + (hi - lo) * i / Fan)
           while (open(lo1, hi1, k1) || open(lo2, hi2, k2)) {
-            val m1 = (lo1 + hi1) / 2
-            val m2 = (lo2 + hi2) / 2
+            val m1 = mids(lo1, hi1)
+            val m2 = mids(lo2, hi2)
+            val probes = m1 ++ m2
             val r = sp.agg(
-              count(when(col("surprise") <= m1, 1)).as("c1"),
-              count(when(col("surprise") <= m2, 1)).as("c2")).collect()(0)
-            if (open(lo1, hi1, k1)) { if (r.getLong(0) >= k1) hi1 = m1 else lo1 = m1 }
-            if (open(lo2, hi2, k2)) { if (r.getLong(1) >= k2) hi2 = m2 else lo2 = m2 }
+              count(when(col("surprise") <= probes.head, 1)),
+              probes.tail.map(m => count(when(col("surprise") <= m, 1))): _*).collect()(0)
+            val c = probes.indices.map(r.getLong)
+            def step(lo: Double, hi: Double, ms: Seq[Double], cs: Seq[Long], k: Long) = {
+              // smallest probe with count >= k bounds the kth from above;
+              // its predecessor (or lo) bounds it from below
+              val i = cs.indexWhere(_ >= k)
+              if (i < 0) (ms.last, hi)
+              else (if (i == 0) lo else ms(i - 1), ms(i))
+            }
+            if (open(lo1, hi1, k1)) {
+              val (l, h) = step(lo1, hi1, m1, c.take(Fan - 1), k1); lo1 = l; hi1 = h
+            }
+            if (open(lo2, hi2, k2)) {
+              val (l, h) = step(lo2, hi2, m2, c.drop(Fan - 1), k2); lo2 = l; hi2 = h
+            }
           }
           def pin(lo: Double, hi: Double) =
             max(when(col("surprise") > lo && col("surprise") <= hi, col("surprise")))
@@ -857,12 +875,16 @@ object CurationQueries extends QueryModule {
               if (k2 == 0L) Double.NegativeInfinity else f.getDouble(1))
           }
         }
-      // thresholds are collected scalars now — release the cache and
-      // return the recomputable plan (no session-lifetime residue)
-      sp.unpersist()
-      scored.withColumn("bucket",
+      // bucket map-side off the cached scores, copy the result out of
+      // the cache (localCheckpoint: eager, GC-reclaimed), then release —
+      // the returned plan neither recomputes the scoring pipeline nor
+      // leaves a session-lifetime cache entry
+      val out = sp.withColumn("bucket",
         when(col("surprise") <= t1, "head")
           .when(col("surprise") <= t2, "middle").otherwise("tail"))
+        .localCheckpoint()
+      sp.unpersist()
+      out
     },
 
     // Johnson-Lindenstrauss random projection (Achlioptas 2003 ±1

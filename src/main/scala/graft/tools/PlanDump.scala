@@ -35,7 +35,8 @@ object PlanDump {
       "llm_dedup_substring_spans", "llm_dedup_paragraph",
       "ds_frequent_buyers", "llm_c4_clean", "llm_knn_sq8",
       "ds_order_returns", "llm_triangle_count", "mm_scene_cut",
-      "llm_phrase_search", "llm_bigram_lm", "llm_dedup_containment")
+      "llm_phrase_search", "llm_bigram_lm", "llm_dedup_containment",
+      "llm_ccnet_buckets", "llm_pagerank", "mm_image_dedup_perceptual")
     val spark = graft.engine.Engine.session("local[4]", shufflePartitions = 8)
     graft.engine.Engine.registerTables(spark, sfDir)
     val sb = new StringBuilder
