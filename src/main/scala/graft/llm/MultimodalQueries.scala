@@ -519,6 +519,122 @@ object MultimodalQueries extends QueryModule {
       }(rowEnc)
     },
 
+    // Cross-video near-duplicate detection — the video analog of the
+    // document dedup family: two videos are near-dups when their FRAME
+    // CONTENT overlaps (trimmed openings, re-edited scenes), measured
+    // as Jaccard over decoded frame signatures. Fixture: each "video"
+    // (class c = doc_id % 29, variant t = doc_id % 3) is 10 frames of
+    // 5 scenes rendered through the shared encodeFrame kernel — t=0
+    // original (scenes 0-4), t=1 trimmed start (scenes 1-5), t=2
+    // re-edit (scene 2 replaced by the class-unique scene 51+32c; the
+    // +32c stride keeps the render's mod-256 pixel lattice from ever
+    // colliding replacement content with a real scene: Δscene·1000 ≡ 0
+    // (mod 256) iff Δ ≡ 0 (mod 32), and 51+32c−s ≡ 51−s ≢ 0 for all
+    // s ≤ 5 — so pixel equality is EXACTLY logical-scene equality and
+    // the closed-form oracle cannot drift from the decode path).
+    // J(orig,trim) = 4/6, J(orig,edit) = 4/6, J(trim,edit) = 3/7,
+    // cross-class 0 (dims differ). Scale shape: render+decode+hash are
+    // map-side 1→10 expansion with only 8-byte signatures shuffling;
+    // videos collapse by identical scene-SET fingerprint FIRST (exact
+    // re-uploads — the common case — never reach pairing), then the
+    // ~|distinct sets| representatives pair through a signature-keyed
+    // equi-join (shared-frame candidates only, never all pairs) with
+    // the Jaccard verify on bounded set sizes.
+    Q("mm_video_dedup",
+      """WITH d AS (SELECT doc_id, doc_id % 29 AS c, doc_id % 3 AS t FROM documents),
+        |fr AS (SELECT doc_id, c, t,
+        |         (f.f + CASE WHEN t = 1 THEN 2 ELSE 0 END) // 2 AS s0
+        |       FROM d, range(10) f(f)),
+        |sc AS (SELECT DISTINCT doc_id, c, t,
+        |         c * 1000 + CASE WHEN t = 2 AND s0 = 2 THEN 51 + 32*c ELSE s0 END AS scene
+        |       FROM fr),
+        |sizes AS (SELECT doc_id, count(*)::BIGINT AS n_scenes FROM sc GROUP BY 1),
+        |g AS (SELECT c, t, min(doc_id) AS gmin FROM d GROUP BY 1, 2),
+        |rsets AS (SELECT g.gmin, sc.scene FROM g JOIN sc ON sc.doc_id = g.gmin),
+        |rsizes AS (SELECT gmin, count(*)::BIGINT AS n FROM rsets GROUP BY 1),
+        |inter AS (SELECT a.gmin AS ga, b.gmin AS gb, count(*)::BIGINT AS ni
+        |          FROM rsets a JOIN rsets b ON a.scene = b.scene AND a.gmin < b.gmin
+        |          GROUP BY 1, 2),
+        |jc AS (SELECT ga, gb, ni * 1.0 / (x.n + y.n - ni) AS jac
+        |       FROM inter JOIN rsizes x ON x.gmin = ga JOIN rsizes y ON y.gmin = gb),
+        |cand AS (SELECT ga AS g1, gb AS g2, jac FROM jc WHERE jac >= 0.4
+        |         UNION ALL SELECT gb, ga, jac FROM jc WHERE jac >= 0.4),
+        |best AS (SELECT g1, g2 AS dup_of, round(jac, 6) AS jaccard FROM (
+        |           SELECT g1, g2, jac,
+        |             row_number() OVER (PARTITION BY g1 ORDER BY jac DESC, g2) AS rn
+        |           FROM cand) WHERE rn = 1)
+        |SELECT d.doc_id, sizes.n_scenes, g.gmin AS group_id,
+        |       best.dup_of, best.jaccard
+        |FROM d JOIN sizes USING (doc_id)
+        |JOIN g ON g.c = d.c AND g.t = d.t
+        |LEFT JOIN best ON best.g1 = g.gmin""".stripMargin) { (s, _) =>
+      val frameSchema = StructType(Seq(
+        StructField("doc_id", LongType),
+        StructField("sig", LongType)))
+      val frameEnc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(frameSchema)
+      val d = s.table("documents").select(col("doc_id"),
+        (col("doc_id") % 29).as("c"), (col("doc_id") % 3).as("t"))
+      val frames = d.select(col("doc_id"), col("c"), col("t"),
+          explode(sequence(lit(0L), lit(9L))).as("f"))
+        .withColumn("s0", expr("(f + CASE WHEN t = 1 THEN 2 ELSE 0 END) div 2"))
+        .withColumn("scene",
+          when(col("t") === 2 && col("s0") === 2, lit(51L) + lit(32L) * col("c"))
+            .otherwise(col("s0")))
+        .select(col("doc_id"), col("c"), col("scene"))
+      // render + decode + content-hash per frame, one codec per batch
+      val sigs = frames.mapPartitions { rows =>
+        rows.map { r =>
+          val bytes = encodeFrame(r.getLong(1), r.getLong(2))
+          val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+          val w = img.getWidth; val h = img.getHeight
+          var hsh = 0xcbf29ce484222325L
+          def mix(b: Int): Unit = { hsh ^= (b & 0xFF); hsh *= 0x100000001b3L }
+          mix(w); mix(w >> 8); mix(h); mix(h >> 8)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) { mix(img.getRGB(x, y) & 0xFF); x += 1 }
+            y += 1
+          }
+          Row(r.getLong(0), hsh)
+        }
+      }(frameEnc)
+      val sets = sigs.distinct()
+      val sizes = sets.groupBy("doc_id").agg(count(lit(1)).as("n_scenes"))
+      // exact-set collapse: order-independent fingerprint of the sorted
+      // signature list — identical videos never reach pairing
+      val setFp = sets.groupBy("doc_id")
+        .agg(xxhash64(concat_ws(",",
+          transform(sort_array(collect_list(col("sig"))), x => x.cast("string")))).as("fp"))
+      val groups = setFp.groupBy("fp").agg(min("doc_id").as("gmin"))
+      val repSets = sets.join(
+        groups.select(col("gmin").as("doc_id"), col("gmin")), "doc_id")
+        .select(col("gmin"), col("sig"))
+      val rSizes = repSets.groupBy("gmin").agg(count(lit(1)).as("n"))
+      val a = repSets.select(col("gmin").as("ga"), col("sig"))
+      val b = repSets.select(col("gmin").as("gb"), col("sig"))
+      val inter = a.join(b, "sig").filter(col("ga") < col("gb"))
+        .groupBy("ga", "gb").agg(count(lit(1)).as("ni"))
+      val jc = inter
+        .join(rSizes.select(col("gmin").as("ga"), col("n").as("na")), "ga")
+        .join(rSizes.select(col("gmin").as("gb"), col("n").as("nb")), "gb")
+        .select(col("ga"), col("gb"),
+          (col("ni") * lit(1.0) / (col("na") + col("nb") - col("ni"))).as("jac"))
+        .filter(col("jac") >= 0.4)
+      val cand = jc.select(col("ga").as("g1"), col("gb").as("g2"), col("jac"))
+        .unionByName(jc.select(col("gb").as("g1"), col("ga").as("g2"), col("jac")))
+      val best = cand.groupBy("g1")
+        .agg(min(struct((-col("jac")).as("nj"), col("g2").as("g2"))).as("nn"))
+        .select(col("g1"), col("nn.g2").as("dup_of"),
+          round(-col("nn.nj"), 6).as("jaccard"))
+      d.select(col("doc_id"))
+        .join(sizes, "doc_id")
+        .join(setFp, "doc_id").join(groups, "fp")
+        .join(best, col("gmin") === col("g1"), "left")
+        .select(col("doc_id"), col("n_scenes"), col("gmin").as("group_id"),
+          col("dup_of"), col("jaccard"))
+    },
+
     // PERCEPTUAL near-duplicate image dedup — the signal exact-pixel
     // hashing (mm_image_dedup) misses: re-exposed, re-encoded/upscaled,
     // and lightly occluded copies of the same picture. Signature is a

@@ -334,5 +334,99 @@ object TextIndexQueries extends QueryModule {
         .groupBy("doc_id")
         .agg(count(lit(1)).cast("long").as("n_occurrences"),
           min("start").cast("long").as("first_pos"))
+    },
+
+    // Hybrid retrieval with reciprocal-rank fusion (Cormack et al.
+    // SIGIR'09 — the standard lexical+semantic fusion every RAG/search
+    // pipeline runs): arm 1 ranks documents by the llm_bm25_rank BM25
+    // formula over four query terms; arm 2 ranks by cosine to a query
+    // embedding (vec_id 0's vector, the corpus id space shared with
+    // documents); fused score = Σ 1/(60 + rank) over the arms a doc
+    // appears in, final answer = top-10 by (rrf, doc_id). Scale shape:
+    // each arm is a TakeOrderedAndProject top-K (per-partition heaps of
+    // K=20, never a global sort); rank assignment is a window over the
+    // K survivors (bounded by K, not corpus size); fusion is a
+    // full-outer join of two 20-row frames. Determinism: both engines
+    // sum BM25 contributions in sorted order and cosine in array order
+    // (bit-identical doubles), all rank ties break on doc_id.
+    Q("llm_hybrid_retrieval_rrf",
+      """WITH toks AS (
+        |  SELECT doc_id, w AS term
+        |  FROM documents, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS t(w)),
+        |dl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM toks GROUP BY 1),
+        |stats AS (SELECT count(*)::BIGINT AS n_docs, avg(dl) AS avgdl FROM dl),
+        |tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM toks
+        |       WHERE term IN ('spark', 'join', 'window', 'vector') GROUP BY 1, 2),
+        |dfs AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+        |c AS (
+        |  SELECT tf.doc_id,
+        |         ln(1 + (n_docs - df + 0.5) / (df + 0.5))
+        |           * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl.dl / avgdl)) AS contrib
+        |  FROM tf JOIN dfs USING (term) JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN stats),
+        |bm AS (SELECT doc_id, list_sum(list(contrib ORDER BY contrib)) AS bm25
+        |       FROM c GROUP BY doc_id),
+        |lex AS (SELECT doc_id, row_number() OVER (ORDER BY bm25 DESC, doc_id) AS rank_lex
+        |        FROM bm QUALIFY rank_lex <= 20),
+        |v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        |      FROM embeddings),
+        |qv AS (SELECT e AS qe, sqrt(list_sum(list_transform(e, x -> x*x))) AS qn
+        |       FROM v WHERE vec_id = 0),
+        |cs AS (SELECT vec_id,
+        |         list_sum(list_transform(list_zip(e, qe), z -> z[1]*z[2]))
+        |           / (sqrt(list_sum(list_transform(e, x -> x*x))) * qn) AS cos
+        |       FROM v, qv WHERE vec_id <> 0),
+        |sem AS (SELECT vec_id AS doc_id,
+        |          row_number() OVER (ORDER BY cos DESC, vec_id) AS rank_sem
+        |        FROM cs QUALIFY rank_sem <= 20),
+        |f AS (SELECT coalesce(lex.doc_id, sem.doc_id) AS doc_id,
+        |        rank_lex, rank_sem,
+        |        round(coalesce(CAST(1 AS DOUBLE)/(60+rank_lex), 0)
+        |          + coalesce(CAST(1 AS DOUBLE)/(60+rank_sem), 0), 6) AS rrf
+        |      FROM lex FULL OUTER JOIN sem ON lex.doc_id = sem.doc_id)
+        |SELECT doc_id, rank_lex, rank_sem, rrf
+        |FROM f ORDER BY rrf DESC, doc_id LIMIT 10""".stripMargin) { (s, _) =>
+      import org.apache.spark.sql.expressions.Window
+      val K = 20
+      val qTerms = Seq("spark", "join", "window", "vector")
+      val toks = s.table("documents").select(col("doc_id"), wordCol.as("term"))
+      val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+      val stats = dl.agg(count(lit(1)).as("n_docs"), avg("dl").as("avgdl"))
+      val tf = toks.filter(col("term").isin(qTerms: _*))
+        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val dfs = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      val bm = tf.join(broadcast(dfs), "term")
+        .join(dl, "doc_id")
+        .crossJoin(broadcast(stats))
+        .withColumn("contrib",
+          log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+            * (col("tf") * lit(2.2))
+            / (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl"))))
+        .groupBy("doc_id")
+        .agg(aggregate(sort_array(collect_list(col("contrib"))), lit(0.0d),
+          (acc, x) => acc + x).as("bm25"))
+      // top-K per arm = TakeOrderedAndProject; ranks assigned over the
+      // K survivors only (the window is K-bounded, never corpus-bounded)
+      val lex = bm.orderBy(col("bm25").desc, col("doc_id")).limit(K)
+        .withColumn("rank_lex",
+          row_number().over(Window.orderBy(col("bm25").desc, col("doc_id"))))
+        .select(col("doc_id"), col("rank_lex").cast("long").as("rank_lex"))
+      val v = s.table("embeddings").select(col("vec_id").cast("long").as("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("e"))
+      def dot(a: Column, b: Column) =
+        aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, x) => acc + x)
+      def nrm(a: Column) = sqrt(aggregate(a, lit(0.0d), (acc, x) => acc + x * x))
+      val qv = v.filter(col("vec_id") === 0)
+        .select(col("e").as("qe"), nrm(col("e")).as("qn"))
+      val cs = v.crossJoin(broadcast(qv)).filter(col("vec_id") =!= 0)
+        .select(col("vec_id"), (dot(col("e"), col("qe")) / (nrm(col("e")) * col("qn"))).as("cos"))
+      val sem = cs.orderBy(col("cos").desc, col("vec_id")).limit(K)
+        .withColumn("rank_sem",
+          row_number().over(Window.orderBy(col("cos").desc, col("vec_id"))))
+        .select(col("vec_id").as("doc_id"), col("rank_sem").cast("long").as("rank_sem"))
+      lex.join(sem, Seq("doc_id"), "full_outer")
+        .select(col("doc_id"), col("rank_lex"), col("rank_sem"),
+          round(coalesce(lit(1.0) / (lit(60) + col("rank_lex")), lit(0.0))
+            + coalesce(lit(1.0) / (lit(60) + col("rank_sem")), lit(0.0)), 6).as("rrf"))
+        .orderBy(col("rrf").desc, col("doc_id")).limit(10)
     })
 }

@@ -36,7 +36,8 @@ object PlanDump {
       "ds_frequent_buyers", "llm_c4_clean", "llm_knn_sq8",
       "ds_order_returns", "llm_triangle_count", "mm_scene_cut",
       "llm_phrase_search", "llm_bigram_lm", "llm_dedup_containment",
-      "llm_ccnet_buckets", "llm_pagerank", "mm_image_dedup_perceptual")
+      "llm_ccnet_buckets", "llm_pagerank", "mm_image_dedup_perceptual",
+      "llm_hybrid_retrieval_rrf", "mm_video_dedup")
     val spark = graft.engine.Engine.session("local[4]", shufflePartitions = 8)
     graft.engine.Engine.registerTables(spark, sfDir)
     val sb = new StringBuilder

@@ -314,6 +314,35 @@ class EngineSpecs extends AnyFunSuite with BeforeAndAfterAll {
     assert(cuts > 0, "fixture must contain scene boundaries")
   }
 
+  test("video dedup: planted trim/re-edit variants pair at their closed-form Jaccard, no all-pairs plan") {
+    val df = SparkEntry.queries("mm_video_dedup")(spark, sfDir)
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    // planted overlaps: J(orig, trim) = J(orig, edit) = 4/6; J(trim, edit) = 3/7 < 0.4
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      assert(r.getLong(1) == 5L, s"every variant holds 5 distinct scenes, doc $id")
+      if (!r.isNullAt(3)) {
+        val j = r.getDouble(4)
+        assert(math.abs(j - 4.0 / 6.0) < 1e-6 || math.abs(j - 3.0 / 7.0) < 1e-6,
+          s"unexpected Jaccard $j for doc $id")
+      }
+    }
+    // the orig/trim/edit triple of each class pairs up above threshold:
+    // every group has a best match (4/6 >= 0.4 for all three variants)
+    assert(rows.forall(r => !r.isNullAt(3)),
+      "every planted variant must find a near-dup partner")
+    // different classes never pair (dims differ -> signatures disjoint):
+    // partner group must be the same class mod 29
+    rows.foreach { r =>
+      assert(r.getLong(3) % 29 == r.getLong(0) % 29,
+        s"cross-class pairing for doc ${r.getLong(0)}")
+    }
+    val s = planString(df)
+    assert(!s.contains("CartesianProduct") && !s.contains("BroadcastNestedLoop"),
+      "video dedup must pair through the signature join, never all pairs")
+  }
+
   test("perceptual image dedup: dHash invariances hold, occlusion flips <=2 bits, no all-pairs plan") {
     val df = SparkEntry.queries("mm_image_dedup_perceptual")(spark, sfDir)
     val rows = df.collect()
