@@ -74,6 +74,60 @@ object CurationQueries extends QueryModule {
       }.toDF("doc_id", "pos", "gh")
   }
 
+  /** llm_ccnet_buckets' paragraph-scoring plan (exposed for PlanDump:
+    * the pre-checkpoint evidence that scoring — and the bisect's
+    * conditional-count probe over it — holds no single-partition
+    * exchange; the returned query plan itself is a checkpoint scan).
+    */
+  private[graft] def ccnetScored(s: SparkSession): DataFrame = {
+    val w = split(col("text"), " ", -1)
+    val nP = ceil(size(w) / lit(15.0)).cast("int")
+    val paras = s.table("documents").select(col("doc_id"),
+      posexplode(transform(sequence(lit(1), nP),
+        i => slice(w, (i - lit(1)) * 15 + 1, lit(15)))))
+      .select(col("doc_id"), (col("pos") + 1).cast("long").as("pidx"), col("col").as("ws"))
+    val toks = paras.select(col("doc_id"), col("pidx"), explode(col("ws")).as("term"))
+      .filter(col("term") =!= "")
+    val vocab = toks.groupBy("term").agg(count(lit(1)).as("cnt"))
+    val tot = toks.agg(count(lit(1)).as("t"))
+    toks.join(broadcast(vocab), "term").crossJoin(broadcast(tot))
+      .groupBy("doc_id", "pidx")
+      .agg(count(lit(1)).as("n_tokens"),
+        round(-sum(log(col("cnt").cast("double") / col("t"))) / count(lit(1)), 6)
+          .as("surprise"))
+  }
+
+  /** llm_pagerank's deterministic link graph: nodes (persisted) and
+    * edges persisted PRE-PARTITIONED ON src, the per-round join key
+    * (exposed for PlanDump's per-round plan evidence). Caller
+    * unpersists both. */
+  private[graft] def pagerankGraph(s: SparkSession): (DataFrame, DataFrame) = {
+    val ncnt = s.table("documents").agg(count(lit(1)).as("n"))
+    val nodes = s.table("documents").select(col("doc_id"))
+      .crossJoin(broadcast(ncnt)).persist()
+    val edges = nodes
+      .select(col("doc_id").as("src"),
+        explode(array(lit(8L), lit(15L), lit(22L))).as("off"), col("n"))
+      .select(col("src"), expr("(src * 31 + off) % n").as("dst"))
+      .repartition(col("src")).persist()
+    edges.count()
+    (nodes, edges)
+  }
+
+  /** One PageRank round from a given rank frame: the rank side shuffles
+    * to the edges' persisted src layout, the dst-keyed contribution agg
+    * is the round's single edge-wide exchange. Shared by the query loop
+    * and PlanDump. */
+  private[graft] def pagerankRound(nodes: DataFrame, edges: DataFrame,
+      ranks: DataFrame): DataFrame = {
+    val contrib = edges.join(ranks, edges("src") === ranks("doc_id"))
+      .groupBy(col("dst")).agg(sum(expr("r div 3")).as("c"))
+    nodes
+      .join(contrib, col("doc_id") === col("dst"), "left")
+      .select(col("doc_id"),
+        (expr("150000000000 div n") + coalesce(expr("(85 * c) div 100"), lit(0L))).as("r"))
+  }
+
   def queries: Seq[Q] = Seq(
 
     // Exact substring-span dedup (Lee et al. 2022, "Deduplicating
@@ -808,21 +862,7 @@ object CurationQueries extends QueryModule {
         |  CASE WHEN surprise <= t1.v THEN 'head'
         |       WHEN surprise <= t2.v THEN 'middle' ELSE 'tail' END AS bucket
         |FROM scored, t1, t2""".stripMargin) { (s, _) =>
-      val w = split(col("text"), " ", -1)
-      val nP = ceil(size(w) / lit(15.0)).cast("int")
-      val paras = s.table("documents").select(col("doc_id"),
-        posexplode(transform(sequence(lit(1), nP),
-          i => slice(w, (i - lit(1)) * 15 + 1, lit(15)))))
-        .select(col("doc_id"), (col("pos") + 1).cast("long").as("pidx"), col("col").as("ws"))
-      val toks = paras.select(col("doc_id"), col("pidx"), explode(col("ws")).as("term"))
-        .filter(col("term") =!= "")
-      val vocab = toks.groupBy("term").agg(count(lit(1)).as("cnt"))
-      val tot = toks.agg(count(lit(1)).as("t"))
-      val scored = toks.join(broadcast(vocab), "term").crossJoin(broadcast(tot))
-        .groupBy("doc_id", "pidx")
-        .agg(count(lit(1)).as("n_tokens"),
-          round(-sum(log(col("cnt").cast("double") / col("t"))) / count(lit(1)), 6)
-            .as("surprise"))
+      val scored = ccnetScored(s)
       val sp = scored.persist()
       val n = sp.count()
       val (k1, k2) = (n / 3, 2 * n / 3)
@@ -1033,25 +1073,11 @@ object CurationQueries extends QueryModule {
          |${rounds.mkString(",\n")}
          |SELECT doc_id, r AS pr FROM r5""".stripMargin
     }) { (s, _) =>
-      val ncnt = s.table("documents").agg(count(lit(1)).as("n"))
-      val nodes = s.table("documents").select(col("doc_id"))
-        .crossJoin(broadcast(ncnt)).persist()
-      val edges = nodes
-        .select(col("doc_id").as("src"),
-          explode(array(lit(8L), lit(15L), lit(22L))).as("off"), col("n"))
-        .select(col("src"), expr("(src * 31 + off) % n").as("dst"))
-        .repartition(col("src")).persist()
-      edges.count()
+      val (nodes, edges) = pagerankGraph(s)
       var ranks = nodes.select(col("doc_id"), expr("1000000000000 div n").as("r")).persist()
       try {
         for (_ <- 1 to 5) {
-          val contrib = edges.join(ranks, edges("src") === ranks("doc_id"))
-            .groupBy(col("dst")).agg(sum(expr("r div 3")).as("c"))
-          val next = nodes
-            .join(contrib, col("doc_id") === col("dst"), "left")
-            .select(col("doc_id"),
-              (expr("150000000000 div n") + coalesce(expr("(85 * c) div 100"), lit(0L))).as("r"))
-            .persist()
+          val next = pagerankRound(nodes, edges, ranks).persist()
           next.count()
           ranks.unpersist()
           ranks = next

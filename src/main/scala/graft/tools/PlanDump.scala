@@ -56,6 +56,43 @@ object PlanDump {
         sb.append("\n```\n")
       }
     }
+
+    // Driver-side iterative queries return a localCheckpoint scan, so
+    // their headline dumps above show only an ExistingRDD; the plans
+    // that carry the scale claims are the INTERNAL per-pass plans —
+    // dumped here from the same builders the queries run.
+    def section(title: String, note: String, df: org.apache.spark.sql.DataFrame): Unit = {
+      sb.append(s"\n## $title\n\n$note\n\n```\n")
+      sb.append(df.queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode).take(8000))
+      sb.append("\n```\n")
+    }
+    {
+      import org.apache.spark.sql.functions._
+      val scored = graft.llm.CurationQueries.ccnetScored(spark)
+      section("llm_ccnet_buckets — scoring plan (pre-checkpoint)",
+        "The corpus-sized plan the bisect probes run over: partial/final " +
+          "aggregates around keyed exchanges only — no single-partition " +
+          "exchange, no global sort, no corpus-sized limit.", scored)
+      section("llm_ccnet_buckets — one 16-ary bisect probe pass",
+        "One of the ~6 threshold-selection passes: 30 conditional counts " +
+          "in a single partial/final aggregate over the cached scores.",
+        scored.agg(
+          count(when(col("surprise") <= 0.5, 1)),
+          (1 until 30).map(i => count(when(col("surprise") <= i * 0.1, 1))): _*))
+      val (nodes, edges) = graft.llm.CurationQueries.pagerankGraph(spark)
+      try {
+        val r0 = nodes.select(col("doc_id"), expr("1000000000000 div n").as("r"))
+        section("llm_pagerank — one iteration",
+          "Edges are persisted pre-partitioned on src (InMemoryTableScan " +
+            "keeps the layout): the rank side broadcasts at this SF (AQE) " +
+            "or exchanges to the edge layout at scale — the edge set " +
+            "itself never re-shuffles for the join; the dst-keyed " +
+            "contribution aggregate is the round's single edge-wide " +
+            "exchange.",
+          graft.llm.CurationQueries.pagerankRound(nodes, edges, r0))
+      } finally { edges.unpersist(); nodes.unpersist() }
+    }
     java.nio.file.Files.writeString(java.nio.file.Paths.get(out), sb.toString)
     println(s"wrote $out")
     spark.stop()
