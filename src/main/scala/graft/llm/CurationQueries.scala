@@ -864,6 +864,7 @@ object CurationQueries extends QueryModule {
         |FROM scored, t1, t2""".stripMargin) { (s, _) =>
       val scored = ccnetScored(s)
       val sp = scored.persist()
+      try {
       val n = sp.count()
       val (k1, k2) = (n / 3, 2 * n / 3)
       // Exact kth-smallest surprise by bisection: invariant
@@ -916,15 +917,15 @@ object CurationQueries extends QueryModule {
           }
         }
       // bucket map-side off the cached scores, copy the result out of
-      // the cache (localCheckpoint: eager, GC-reclaimed), then release —
-      // the returned plan neither recomputes the scoring pipeline nor
-      // leaves a session-lifetime cache entry
-      val out = sp.withColumn("bucket",
+      // the cache (localCheckpoint: eager, GC-reclaimed); the finally
+      // releases the scored cache on success AND on any mid-bisect
+      // failure — the returned plan neither recomputes the scoring
+      // pipeline nor leaves a session-lifetime cache entry
+      sp.withColumn("bucket",
         when(col("surprise") <= t1, "head")
           .when(col("surprise") <= t2, "middle").otherwise("tail"))
         .localCheckpoint()
-      sp.unpersist()
-      out
+      } finally sp.unpersist()
     },
 
     // Johnson-Lindenstrauss random projection (Achlioptas 2003 ±1
@@ -1085,10 +1086,11 @@ object CurationQueries extends QueryModule {
         // localCheckpoint copies the final iterate out of the cache so
         // the last loop frame can be unpersisted (no session-lifetime
         // cache residue) while the returned plan stays materialized.
-        val out = ranks.select(col("doc_id"), col("r").as("pr")).localCheckpoint()
-        ranks.unpersist()
-        out
-      } finally { edges.unpersist(); nodes.unpersist() }
+        ranks.select(col("doc_id"), col("r").as("pr")).localCheckpoint()
+      } finally {
+        // covers mid-loop failure too (double-unpersist is a no-op)
+        ranks.unpersist(); edges.unpersist(); nodes.unpersist()
+      }
     },
 
     // Per-node triangle counting with DEGREE-ORDERED edge orientation
@@ -1246,11 +1248,9 @@ object CurationQueries extends QueryModule {
           labels.unpersist()
           labels = next
         }
-        val out = labels
+        labels
           .select(col("node").as("doc_id"), col("label").as("community")).localCheckpoint()
-        labels.unpersist()
-        out
-      } finally sym.unpersist()
+      } finally { labels.unpersist(); sym.unpersist() }
     }
   )
 }

@@ -770,16 +770,75 @@ object PrestoSql {
       val savedProps = props.toMap
       val savedStmts = stmts.toMap
       val savedDb = spark.catalog.currentDatabase
+      // Dedupe by key, LAST occurrence wins (matching put-in-order
+      // semantics): a statement carrying the same key twice — e.g. an
+      // X-Presto-Time-Zone header plus the echoed X-Presto-Session
+      // time_zone_id from an earlier SET — must push exactly ONE stack
+      // entry, or restore's single pop would leave a permanent ghost
+      // overlay pinning the shared conf.
       val overlayProps = headerProps.map { case (k, v) => (k.toLowerCase, v) }
+        .foldLeft(scala.collection.immutable.ListMap.empty[String, String]) {
+          case (m, (k, v)) => m - k + (k -> v)
+        }.toSeq
       val overlayStmts = headerStmts.map { case (n, s) => (n.toLowerCase, s) }
       val od = overlayStacksOf(spark)
-      overlayProps.foreach { case (k, v) =>
-        od.get(k) match {
-          case Some((_, stack)) => stack += v
-          case None =>
-            od(k) = (props.get(k), scala.collection.mutable.ArrayBuffer(v))
+
+      /** Remove this statement's overlay entry for `k` (value `v`) from
+        * the key's stack and reinstate what should now be visible: the
+        * most recent still-live overlay, or — last one out — the FIRST
+        * overlayer's pre-overlay value. Both reinstatements honor
+        * later-writer-wins: if the key no longer holds `expect`, a
+        * concurrent SET took over and is left untouched (only the stack
+        * bookkeeping is unwound). `applyFn` tolerates a poisoned value
+        * so a failed overlay can never wedge another statement's
+        * restore. */
+      def overlayPop(k: String, v: String, expect: Option[String]): Unit = {
+        def applyQuietly(value: Option[String]): Unit =
+          try value match {
+            case Some(o) => applySessionProp(spark, k, o)
+            case None => resetSessionProp(spark, k)
+          } catch { case _: Exception => () }
+        od.get(k).foreach { case (orig, stack) =>
+          val idx = stack.lastIndexOf(v)
+          if (idx >= 0) stack.remove(idx)
+          if (stack.isEmpty) {
+            od.remove(k)
+            if (props.get(k) == expect) {
+              orig match {
+                case Some(o) => props.put(k, o)
+                case None => props.remove(k)
+              }
+              applyQuietly(orig)
+            }
+          } else if (props.get(k) == expect) {
+            val top = stack.last
+            props.put(k, top)
+            applyQuietly(Some(top))
+          }
         }
-        props.put(k, v); applySessionProp(spark, k, v)
+      }
+
+      // Push + apply, rolling back EVERY pushed entry if any apply
+      // throws (e.g. an invalid zone id smuggled through X-Presto-
+      // Session, which bypasses the server's header validation): a
+      // failed request must leave no stack entry, no props residue,
+      // and no half-applied conf.
+      val pushed = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+      try {
+        overlayProps.foreach { case (k, v) =>
+          od.get(k) match {
+            case Some((_, stack)) => stack += v
+            case None =>
+              od(k) = (props.get(k), scala.collection.mutable.ArrayBuffer(v))
+          }
+          props.put(k, v)
+          pushed += ((k, v))
+          applySessionProp(spark, k, v)
+        }
+      } catch {
+        case t: Throwable =>
+          pushed.reverseIterator.foreach { case (k, v) => overlayPop(k, v, Some(v)) }
+          throw t
       }
       overlayStmts.foreach { case (n, s) => stmts.put(n, s) }
       // client-carried catalog/schema (PrestoHeaders.java:20-21 —
@@ -813,26 +872,15 @@ object PrestoSql {
             // still-live overlay if one remains, else the FIRST
             // overlayer's pre-overlay value (the true server default —
             // a later statement's savedProps snapshot would see an
-            // earlier client's transient).
-            od.get(k) match {
-              case Some((orig, stack)) =>
-                val idx = stack.lastIndexOf(overlayMap(k))
-                if (idx >= 0) stack.remove(idx)
-                if (stack.isEmpty) {
-                  od.remove(k)
-                  orig match {
-                    case Some(o) => props.put(k, o); applySessionProp(spark, k, o)
-                    case None => props.remove(k); resetSessionProp(spark, k)
-                  }
-                } else {
-                  val top = stack.last
-                  props.put(k, top); applySessionProp(spark, k, top)
-                }
-              case None => // stack lost (teardown): legacy value-check path
-                if (props.get(k) == left) savedProps.get(k) match {
-                  case Some(orig) => props.put(k, orig); applySessionProp(spark, k, orig)
-                  case None => props.remove(k); resetSessionProp(spark, k)
-                }
+            // earlier client's transient). Later-writer-wins: the key
+            // is only rewritten if it still holds the value THIS
+            // statement left (a racing front-door SET keeps its value;
+            // the stack bookkeeping still unwinds).
+            if (od.contains(k)) overlayPop(k, overlayMap(k), left)
+            else if (props.get(k) == left) savedProps.get(k) match {
+              // stack lost (teardown): legacy value-check path
+              case Some(orig) => props.put(k, orig); applySessionProp(spark, k, orig)
+              case None => props.remove(k); resetSessionProp(spark, k)
             }
           } else if (props.get(k) == left) savedProps.get(k) match {
             case Some(orig) => props.put(k, orig); applySessionProp(spark, k, orig)

@@ -233,8 +233,11 @@ object StatementServer {
         .map { z =>
           // validate BEFORE the overlay applies it to the live conf — a
           // bogus zone must fail the request, not dirty shared state
-          // (reference: TimeZoneKey.getTimeZoneKey throws for unknown ids)
-          try java.time.ZoneId.of(z)
+          // (reference: TimeZoneKey.getTimeZoneKey throws for unknown
+          // ids). SHORT_IDS keeps legacy three-letter zones (EST,
+          // EST5EDT...) accepted, matching both Spark's getZoneId and
+          // the reference's zone-key table.
+          try java.time.ZoneId.of(z, java.time.ZoneId.SHORT_IDS)
           catch { case _: Exception =>
             throw new IllegalArgumentException(s"Unknown time zone: $z") }
           "time_zone_id" -> z

@@ -720,6 +720,26 @@ class LifecycleSpecs extends AnyFunSuite with BeforeAndAfterAll {
         Seq("X-Presto-Language" -> "fr-FR"))
         .map(r => r.get(0).asText() -> r.get(1).asText()).toMap
       assert(lang.get("language") == Some("fr-FR"), s"SHOW SESSION: $lang")
+      // a client echoing the zone BOTH ways (header + X-Presto-Session,
+      // the protocol loop after a SET) must push ONE overlay entry —
+      // the restore must still reach the server default afterwards
+      val both = httpQuery(server.baseUri, sql,
+        Seq("X-Presto-Time-Zone" -> "Asia/Tokyo",
+          "X-Presto-Session" -> "time_zone_id=Asia/Tokyo")).head.get(0).asText()
+      assert(both == "1970-01-01 09:00:00", s"doubled-zone rendering: $both")
+      assert(spark.conf.get("spark.sql.session.timeZone") == "UTC",
+        "doubled zone key must not leave a ghost overlay")
+      // legacy short ids are accepted (reference TimeZoneKey table)
+      httpQuery(server.baseUri, "SELECT 1 AS z", Seq("X-Presto-Time-Zone" -> "EST"))
+      // an invalid zone smuggled through X-Presto-Session (bypassing
+      // the header validation) fails the request AND leaves no residue
+      val bad = intercept[RuntimeException](httpQuery(server.baseUri, sql,
+        Seq("X-Presto-Session" -> "time_zone_id=Not/AZone")))
+      assert(bad.getMessage != null)
+      assert(spark.conf.get("spark.sql.session.timeZone") == "UTC",
+        "failed overlay must roll back the conf")
+      val after = httpQuery(server.baseUri, sql).head.get(0).asText()
+      assert(after == "1970-01-01 00:00:00", s"post-failure rendering: $after")
     } finally server.stop()
   }
 
