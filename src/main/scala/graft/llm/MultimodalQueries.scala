@@ -599,7 +599,12 @@ object MultimodalQueries extends QueryModule {
           Row(r.getLong(0), hsh)
         }
       }(frameEnc)
-      val sets = sigs.distinct()
+      // sets feeds four consumers (sizes, the set fingerprint, the
+      // representative scene sets, and the final join) — materialize
+      // the 8-byte-signature rows ONCE (localCheckpoint: eager,
+      // GC-reclaimed) so the corpus-wide render+decode pass runs once,
+      // not per consumer
+      val sets = sigs.distinct().localCheckpoint()
       val sizes = sets.groupBy("doc_id").agg(count(lit(1)).as("n_scenes"))
       // exact-set collapse: order-independent fingerprint of the sorted
       // signature list — identical videos never reach pairing

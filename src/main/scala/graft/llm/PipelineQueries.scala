@@ -318,5 +318,64 @@ object PipelineQueries extends QueryModule {
       s.createDataFrame(kept).toDF("doc_id", "n_tok", "score")
         .select(col("doc_id"), col("n_tok"),
           round(col("score"), 6).as("score"))
+    },
+
+    // DoReMi-style domain reweighting (Xie et al. 2023): one
+    // exponentiated-gradient update of the domain mixture — per-domain
+    // excess loss (unigram-LM surprise vs the easiest domain, the
+    // proxy-model role) exponentiated, normalized, then smoothed with
+    // the uniform mixture (the paper's (1-c)·α + c·u step, c = 0.1).
+    // Output is the per-domain sampling weight and its ppm token
+    // budget — the numbers a mixture-sampling stage (llm_mixture_sample)
+    // consumes. Determinism across engines: per-document surprise is
+    // fixed to INTEGER micro-nats (half-up at 6dp), so the domain
+    // average is an exact integer sum at any parallelism; exp() outputs
+    // are quantized half-up at 6dp before normalizing (the repo's
+    // libm-boundary policy). Scale shape: one vocab hash-agg + one
+    // doc-keyed agg (both linear in corpus tokens), then everything is
+    // |domains|-sized — two broadcasts, no driver state beyond scalars.
+    Q("llm_doremi_reweight",
+      """WITH toks AS (SELECT doc_id, lang, w
+        |  FROM documents, unnest(string_split(text, ' ')) AS t(w) WHERE w <> ''),
+        |vocab AS (SELECT w, count(*)::BIGINT AS cnt FROM toks GROUP BY 1),
+        |tot AS (SELECT count(*)::BIGINT AS t FROM toks),
+        |docsur AS (SELECT doc_id, lang,
+        |    CAST(floor((-sum(ln(cnt::DOUBLE / t)) / count(*)) * 1000000 + 0.5) AS BIGINT) AS sur6
+        |  FROM toks JOIN vocab USING (w) CROSS JOIN tot GROUP BY doc_id, lang),
+        |dom AS (SELECT lang, count(*)::BIGINT AS n_docs,
+        |    round(sum(sur6) * CAST(1 AS DOUBLE) / count(*) / 1000000, 6) AS avg_surprise
+        |  FROM docsur GROUP BY lang),
+        |mn AS (SELECT min(avg_surprise) AS m FROM dom),
+        |e AS (SELECT lang, n_docs, avg_surprise,
+        |    floor(exp(avg_surprise - m) * 1000000 + 0.5) / 1000000 AS ex FROM dom, mn),
+        |z AS (SELECT sum(ex) AS z, count(*)::BIGINT AS nd FROM e)
+        |SELECT lang, n_docs, avg_surprise,
+        |  round(CAST(0.9 AS DOUBLE) * ex / z + CAST(0.1 AS DOUBLE) / nd, 6) AS weight,
+        |  CAST(floor((CAST(0.9 AS DOUBLE) * ex / z + CAST(0.1 AS DOUBLE) / nd) * 1000000)
+        |    AS BIGINT) AS token_budget_ppm
+        |FROM e, z""".stripMargin) { (s, _) =>
+      val toks = s.table("documents").select(col("doc_id"), col("lang"),
+          explode(split(col("text"), " ", -1)).as("w"))
+        .filter(col("w") =!= "")
+      val vocab = toks.groupBy("w").agg(count(lit(1)).as("cnt"))
+      val tot = toks.agg(count(lit(1)).as("t"))
+      val docsur = toks.join(broadcast(vocab), "w").crossJoin(broadcast(tot))
+        .groupBy("doc_id", "lang")
+        .agg(floor((-sum(log(col("cnt").cast("double") / col("t"))) / count(lit(1)))
+          * lit(1000000.0d) + lit(0.5d)).cast("long").as("sur6"))
+      val dom = docsur.groupBy("lang").agg(count(lit(1)).as("n_docs"),
+        round(sum("sur6").cast("double") / count(lit(1)) / lit(1000000.0d), 6)
+          .as("avg_surprise"))
+      val mn = dom.agg(min("avg_surprise").as("m"))
+      val e = dom.crossJoin(broadcast(mn))
+        .withColumn("ex",
+          floor(exp(col("avg_surprise") - col("m")) * lit(1000000.0d) + lit(0.5d))
+            / lit(1000000.0d))
+      val z = e.agg(sum("ex").as("z"), count(lit(1)).as("nd"))
+      val w = lit(0.9d) * col("ex") / col("z") + lit(0.1d) / col("nd")
+      e.crossJoin(broadcast(z))
+        .select(col("lang"), col("n_docs"), col("avg_surprise"),
+          round(w, 6).as("weight"),
+          floor(w * lit(1000000.0d)).cast("long").as("token_budget_ppm"))
     })
 }
