@@ -247,11 +247,16 @@ object EventQueries extends QueryModule {
     // anomalous iff (v - mean)^2 > 9*var_pop, tested as
     // (v*n - s)^2 > n*(9*sum(v^2)) - (3s)^2 on cent-scaled values with
     // EVERY multiplication performed in DECIMAL (operands cast to
-    // DECIMAL(19,0) BEFORE multiplying; products clamp to DECIMAL(38,0)
-    // identically in Spark and DuckDB) — no BIGINT product ever forms,
-    // so the boundary cannot silently wrap on hot-valued event sets the
-    // way v*v or v*n in 64-bit would, and no float ever touches the
-    // comparison (the repo's ds-shape determinism policy).
+    // DECIMAL(19,0) BEFORE multiplying; product TYPES resolve to
+    // DECIMAL(38,0) identically in Spark and DuckDB) — no BIGINT product
+    // ever forms, so the boundary cannot silently wrap on hot-valued
+    // event sets the way v*v or v*n in 64-bit would, and no float ever
+    // touches the comparison (the repo's ds-shape determinism policy).
+    // Known residual divergence: on a genuine 38-digit OVERFLOW Spark
+    // (non-ANSI) yields NULL (event counts non-anomalous) while DuckDB
+    // throws; that needs ~1e19 scaled deviation, far beyond cent-scaled
+    // event values (|v| ≤ ~1e7 here), so it cannot fire on this data —
+    // documented rather than guarded to keep the hot path branch-free.
     // Plan: one stats agg per type (5 rows, broadcast back), flagging
     // is a codegen'd map-side CASE — two scans, zero wide shuffles.
     Q.sameSql("ev_anomaly_zscore",

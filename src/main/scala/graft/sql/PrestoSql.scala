@@ -818,11 +818,25 @@ object PrestoSql {
         }
       }
 
-      // Push + apply, rolling back EVERY pushed entry if any apply
-      // throws (e.g. an invalid zone id smuggled through X-Presto-
-      // Session, which bypasses the server's header validation): a
-      // failed request must leave no stack entry, no props residue,
-      // and no half-applied conf.
+      // client-carried catalog/schema VALIDATION (PrestoHeaders.java:
+      // 20-21 — QuerySessionSupplier builds the session's default schema
+      // from these; single-catalog engine, so catalog only validates).
+      // This MUST precede the overlay push: a require() failure after the
+      // push but outside its rollback would permanently leak every pushed
+      // conf (e.g. the client's time zone) and leave a ghost stack entry
+      // that later restores would keep reinstating.
+      headerCatalog.foreach(c =>
+        require(Seq("graft", "spark_catalog").contains(c.toLowerCase),
+          s"Catalog does not exist: $c"))
+      headerSchema.foreach(sch =>
+        require(spark.catalog.databaseExists(sch), s"Schema does not exist: $sch"))
+
+      // Push + apply, rolling back EVERY pushed entry — and every other
+      // pre-execution mutation (prepared-statement puts, the schema
+      // switch) — if anything throws (e.g. an invalid zone id smuggled
+      // through X-Presto-Session, which bypasses the server's header
+      // validation): a failed request must leave no stack entry, no
+      // props residue, no half-applied conf, and no stale database.
       val pushed = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
       try {
         overlayProps.foreach { case (k, v) =>
@@ -835,21 +849,21 @@ object PrestoSql {
           pushed += ((k, v))
           applySessionProp(spark, k, v)
         }
+        overlayStmts.foreach { case (n, s) => stmts.put(n, s) }
+        headerSchema.foreach(sch => spark.catalog.setCurrentDatabase(sch))
       } catch {
         case t: Throwable =>
           pushed.reverseIterator.foreach { case (k, v) => overlayPop(k, v, Some(v)) }
+          overlayStmts.foreach { case (n, _) =>
+            savedStmts.get(n) match {
+              case Some(orig) => stmts.put(n, orig)
+              case None => stmts.remove(n)
+            }
+          }
+          if (spark.catalog.currentDatabase != savedDb)
+            try spark.catalog.setCurrentDatabase(savedDb)
+            catch { case _: Exception => () }
           throw t
-      }
-      overlayStmts.foreach { case (n, s) => stmts.put(n, s) }
-      // client-carried catalog/schema (PrestoHeaders.java:20-21 —
-      // QuerySessionSupplier builds the session's default schema from
-      // these; single-catalog engine, so catalog only validates)
-      headerCatalog.foreach(c =>
-        require(Seq("graft", "spark_catalog").contains(c.toLowerCase),
-          s"Catalog does not exist: $c"))
-      headerSchema.foreach { sch =>
-        require(spark.catalog.databaseExists(sch), s"Schema does not exist: $sch")
-        spark.catalog.setCurrentDatabase(sch)
       }
       val eff = new Effects
       recording.set(eff)

@@ -236,10 +236,15 @@ object StatementServer {
           // (reference: TimeZoneKey.getTimeZoneKey throws for unknown
           // ids). SHORT_IDS keeps legacy three-letter zones (EST,
           // EST5EDT...) accepted, matching both Spark's getZoneId and
-          // the reference's zone-key table.
+          // the reference's zone-key table. A bad header is a CLIENT
+          // error: 400 like the empty-statement path, not the generic
+          // 500 handler (the reference's PrestoServerException maps
+          // header validation to 4xx).
           try java.time.ZoneId.of(z, java.time.ZoneId.SHORT_IDS)
           catch { case _: Exception =>
-            throw new IllegalArgumentException(s"Unknown time zone: $z") }
+            respond(ex, 400,
+              s"""{"error":${jsonString(s"Unknown time zone: $z")}}""")
+            return }
           "time_zone_id" -> z
         }.toSeq ++
       Option(ex.getRequestHeaders.getFirst("X-Presto-Language"))

@@ -318,7 +318,11 @@ class EngineSpecs extends AnyFunSuite with BeforeAndAfterAll {
     val df = SparkEntry.queries("mm_video_dedup")(spark, sfDir)
     val rows = df.collect()
     assert(rows.nonEmpty)
-    // planted overlaps: J(orig, trim) = J(orig, edit) = 4/6; J(trim, edit) = 3/7 < 0.4
+    // planted overlaps: J(orig, trim) = J(orig, edit) = 4/6; J(trim, edit)
+    // = 3/7 ≈ 0.429 ≥ 0.4 — trim/edit DO pass the candidate threshold, but
+    // best-match selection (4/6 beats 3/7) keeps each variant paired with
+    // orig; 3/7 can still surface as a reported best Jaccard when orig is
+    // the probe, hence both values are tolerated below.
     rows.foreach { r =>
       val id = r.getLong(0)
       assert(r.getLong(1) == 5L, s"every variant holds 5 distinct scenes, doc $id")

@@ -743,6 +743,44 @@ class LifecycleSpecs extends AnyFunSuite with BeforeAndAfterAll {
     } finally server.stop()
   }
 
+  test("HTTP header overlay: invalid catalog/schema rolls back a valid zone overlay; bad zone header is a 400") {
+    val server = graft.sql.StatementServer.start(spark)
+    try {
+      val sql = "SELECT CAST(from_unixtime(0) AS VARCHAR) AS t"
+      val dbBefore = spark.catalog.currentDatabase
+      // valid time-zone overlay + invalid schema: the request must fail
+      // AND the pushed zone conf must be rolled back. Pre-fix, the schema
+      // require() ran after the overlay push but outside both rollback
+      // paths, permanently leaking spark.sql.session.timeZone and a ghost
+      // overlayStacks entry (ADVICE r12, high).
+      intercept[RuntimeException](httpQuery(server.baseUri, sql,
+        Seq("X-Presto-Time-Zone" -> "Asia/Tokyo",
+          "X-Presto-Schema" -> "no_such_schema_xyz")))
+      assert(spark.conf.get("spark.sql.session.timeZone") == "UTC",
+        "failed schema validation must roll back the zone overlay")
+      assert(spark.catalog.currentDatabase == dbBefore)
+      // same for an invalid catalog
+      intercept[RuntimeException](httpQuery(server.baseUri, sql,
+        Seq("X-Presto-Time-Zone" -> "Asia/Tokyo",
+          "X-Presto-Catalog" -> "no_such_catalog")))
+      assert(spark.conf.get("spark.sql.session.timeZone") == "UTC",
+        "failed catalog validation must roll back the zone overlay")
+      // no ghost stack entry: a later overlay statement still renders in
+      // its own zone and restores the server default afterwards
+      val ny = httpQuery(server.baseUri, sql,
+        Seq("X-Presto-Time-Zone" -> "America/New_York")).head.get(0).asText()
+      assert(ny == "1969-12-31 19:00:00", s"post-failure overlay rendering: $ny")
+      assert(spark.conf.get("spark.sql.session.timeZone") == "UTC",
+        "post-failure overlay must restore the server default, not a ghost")
+      // an unparseable zone HEADER is a client error: 400 (like the
+      // empty-statement path), never the generic 500 handler
+      val (st, body) = httpSend("POST", s"${server.baseUri}/v1/statement",
+        Some("SELECT 1"), Seq("X-Presto-Time-Zone" -> "Not/AZone"))
+      assert(st == 400, s"bad zone header must be a 400, got $st: $body")
+      assert(body.contains("Unknown time zone"))
+    } finally server.stop()
+  }
+
   // ---- X-Presto-Client-Tags: tag-routed admission + observability ----
 
   test("HTTP client tags: tag-bearing requests land in tag-selected groups; untagged fall through") {
