@@ -1,6 +1,6 @@
 package graft.llm
 
-import org.apache.spark.sql.Row
+import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -144,6 +144,108 @@ object MultimodalQueries extends QueryModule {
       i += 1
     }
     bb.array()
+  }
+
+  /** Candidate scene-signature pairs between representative videos,
+    * with the stop-scene df cap (the `cappedShingleRows` convention):
+    * a signature carried by more than max(10, 10% of `nVideos`)
+    * representatives is boilerplate — black frames, title cards,
+    * shared intros at crawl scale — and would put Σ_sig c² pairs on one
+    * join key; it is dropped from PAIRING (both intersection counting
+    * and the set sizes the Jaccard denominators use), identically on
+    * the engine and oracle sides. Returns (ga, gb, ni, na, nb) for
+    * ga < gb sharing ≥1 surviving signature.
+    */
+  private[graft] def videoCandidatePairs(repSets: DataFrame, nVideos: Long): DataFrame = {
+    val cap = math.max(10L, (0.1 * nVideos).toLong)
+    val sigDf = repSets.groupBy("sig").agg(count(lit(1)).as("dfc"))
+    val capped = repSets.join(sigDf.filter(col("dfc") <= cap).select("sig"), "sig")
+    val rSizes = capped.groupBy("gmin").agg(count(lit(1)).as("n"))
+    val a = capped.select(col("gmin").as("ga"), col("sig"))
+    val b = capped.select(col("gmin").as("gb"), col("sig"))
+    a.join(b, "sig").filter(col("ga") < col("gb"))
+      .groupBy("ga", "gb").agg(count(lit(1)).as("ni"))
+      .join(rSizes.select(col("gmin").as("ga"), col("n").as("na")), "ga")
+      .join(rSizes.select(col("gmin").as("gb"), col("n").as("nb")), "gb")
+  }
+
+  /** Hamming-band candidate generation for perceptual image dedup,
+    * with a band-bucket OCCUPANCY cap (the MinHash >128-split analog,
+    * here a df-cap because exactness forbids key extension: extending
+    * a hot bucket's key with bits from other bands could separate a
+    * ≤3-flip pair whose flips sit in those bands). A 16-bit band value
+    * carried by more than max(10, 10% of `nReps`) distinct
+    * representatives is banal imagery (flat frames, template headers)
+    * and would put Σ c² candidate pairs on one key — that bucket is
+    * dropped from candidate generation, identically in the DuckDB
+    * oracle. Recall for a ≤3-bit pair survives unless EVERY band the
+    * pair agrees on is boilerplate-hot (the shingle-cap trade,
+    * documented): 3 flips touch ≤3 of the 4 disjoint bands, so ≥1
+    * agreeing band always exists. Returns distinct (h1, l1, h2, l2,
+    * rep2) signature pairs sharing ≥1 surviving band bucket.
+    */
+  private[graft] def perceptualBandCandidates(reps: DataFrame, nReps: Long): DataFrame = {
+    val cap = math.max(10L, (0.1 * nReps).toLong)
+    val banded = reps.select(col("psig_hi"), col("psig_lo"), col("rep_doc"),
+      posexplode(array(
+        col("psig_lo").bitwiseAND(lit(65535L)),
+        shiftright(col("psig_lo"), 16).bitwiseAND(lit(65535L)),
+        col("psig_hi").bitwiseAND(lit(65535L)),
+        shiftright(col("psig_hi"), 16).bitwiseAND(lit(65535L)))))
+      .select(col("psig_hi"), col("psig_lo"), col("rep_doc"),
+        col("pos").as("band"), col("col").as("bval"))
+    val occ = banded.groupBy("band", "bval").agg(count(lit(1)).as("cnt"))
+    val live = banded.join(
+      occ.filter(col("cnt") <= cap).select("band", "bval"), Seq("band", "bval"))
+    val bA = live.select(col("band"), col("bval"),
+      col("psig_hi").as("h1"), col("psig_lo").as("l1"))
+    val bB = live.select(col("band"), col("bval"),
+      col("psig_hi").as("h2"), col("psig_lo").as("l2"), col("rep_doc").as("rep2"))
+    bA.join(bB, Seq("band", "bval"))
+      .filter(col("h1") =!= col("h2") || col("l1") =!= col("l2"))
+      .select("h1", "l1", "h2", "l2", "rep2").distinct()
+  }
+
+  /** The video-dedup body downstream of frame decoding: exact-set
+    * collapse, df-capped signature-keyed candidate pairing
+    * ([[videoCandidatePairs]]), Jaccard ≥ 0.4 verify, best-match
+    * selection. Split out so specs can plant a hot shared scene
+    * directly in the (doc_id, sig) frame and pin the candidate count.
+    * NOTE: per-video n_scenes stays UNcapped — it describes the video,
+    * not the pairing graph; only the Jaccard path sees capped sets.
+    */
+  private[graft] def videoDedupFromSets(distinctSets: DataFrame, nVideos: Long): DataFrame = {
+    // sets feeds four consumers (sizes, the set fingerprint, the
+    // representative scene sets, and the final join) — materialize
+    // the 8-byte-signature rows ONCE (localCheckpoint: eager,
+    // GC-reclaimed) so the corpus-wide render+decode pass runs once,
+    // not per consumer
+    val sets = distinctSets.localCheckpoint()
+    val sizes = sets.groupBy("doc_id").agg(count(lit(1)).as("n_scenes"))
+    // exact-set collapse: order-independent fingerprint of the sorted
+    // signature list — identical videos never reach pairing
+    val setFp = sets.groupBy("doc_id")
+      .agg(xxhash64(concat_ws(",",
+        transform(sort_array(collect_list(col("sig"))), x => x.cast("string")))).as("fp"))
+    val groups = setFp.groupBy("fp").agg(min("doc_id").as("gmin"))
+    val repSets = sets.join(
+      groups.select(col("gmin").as("doc_id"), col("gmin")), "doc_id")
+      .select(col("gmin"), col("sig"))
+    val jc = videoCandidatePairs(repSets, nVideos)
+      .select(col("ga"), col("gb"),
+        (col("ni") * lit(1.0) / (col("na") + col("nb") - col("ni"))).as("jac"))
+      .filter(col("jac") >= 0.4)
+    val cand = jc.select(col("ga").as("g1"), col("gb").as("g2"), col("jac"))
+      .unionByName(jc.select(col("gb").as("g1"), col("ga").as("g2"), col("jac")))
+    val best = cand.groupBy("g1")
+      .agg(min(struct((-col("jac")).as("nj"), col("g2").as("g2"))).as("nn"))
+      .select(col("g1"), col("nn.g2").as("dup_of"),
+        round(-col("nn.nj"), 6).as("jaccard"))
+    sizes
+      .join(setFp, "doc_id").join(groups, "fp")
+      .join(best, col("gmin") === col("g1"), "left")
+      .select(col("doc_id"), col("n_scenes"), col("gmin").as("group_id"),
+        col("dup_of"), col("jaccard"))
   }
 
   def queries: Seq[Q] = Seq(
@@ -551,9 +653,12 @@ object MultimodalQueries extends QueryModule {
         |sizes AS (SELECT doc_id, count(*)::BIGINT AS n_scenes FROM sc GROUP BY 1),
         |g AS (SELECT c, t, min(doc_id) AS gmin FROM d GROUP BY 1, 2),
         |rsets AS (SELECT g.gmin, sc.scene FROM g JOIN sc ON sc.doc_id = g.gmin),
-        |rsizes AS (SELECT gmin, count(*)::BIGINT AS n FROM rsets GROUP BY 1),
+        |rdf AS (SELECT scene, count(*) AS dfc FROM rsets GROUP BY 1),
+        |rcap AS (SELECT r.gmin, r.scene FROM rsets r JOIN rdf USING (scene)
+        |         WHERE rdf.dfc <= greatest(10, CAST(0.1 * (SELECT count(*) FROM documents) AS BIGINT))),
+        |rsizes AS (SELECT gmin, count(*)::BIGINT AS n FROM rcap GROUP BY 1),
         |inter AS (SELECT a.gmin AS ga, b.gmin AS gb, count(*)::BIGINT AS ni
-        |          FROM rsets a JOIN rsets b ON a.scene = b.scene AND a.gmin < b.gmin
+        |          FROM rcap a JOIN rcap b ON a.scene = b.scene AND a.gmin < b.gmin
         |          GROUP BY 1, 2),
         |jc AS (SELECT ga, gb, ni * 1.0 / (x.n + y.n - ni) AS jac
         |       FROM inter JOIN rsizes x ON x.gmin = ga JOIN rsizes y ON y.gmin = gb),
@@ -599,45 +704,7 @@ object MultimodalQueries extends QueryModule {
           Row(r.getLong(0), hsh)
         }
       }(frameEnc)
-      // sets feeds four consumers (sizes, the set fingerprint, the
-      // representative scene sets, and the final join) — materialize
-      // the 8-byte-signature rows ONCE (localCheckpoint: eager,
-      // GC-reclaimed) so the corpus-wide render+decode pass runs once,
-      // not per consumer
-      val sets = sigs.distinct().localCheckpoint()
-      val sizes = sets.groupBy("doc_id").agg(count(lit(1)).as("n_scenes"))
-      // exact-set collapse: order-independent fingerprint of the sorted
-      // signature list — identical videos never reach pairing
-      val setFp = sets.groupBy("doc_id")
-        .agg(xxhash64(concat_ws(",",
-          transform(sort_array(collect_list(col("sig"))), x => x.cast("string")))).as("fp"))
-      val groups = setFp.groupBy("fp").agg(min("doc_id").as("gmin"))
-      val repSets = sets.join(
-        groups.select(col("gmin").as("doc_id"), col("gmin")), "doc_id")
-        .select(col("gmin"), col("sig"))
-      val rSizes = repSets.groupBy("gmin").agg(count(lit(1)).as("n"))
-      val a = repSets.select(col("gmin").as("ga"), col("sig"))
-      val b = repSets.select(col("gmin").as("gb"), col("sig"))
-      val inter = a.join(b, "sig").filter(col("ga") < col("gb"))
-        .groupBy("ga", "gb").agg(count(lit(1)).as("ni"))
-      val jc = inter
-        .join(rSizes.select(col("gmin").as("ga"), col("n").as("na")), "ga")
-        .join(rSizes.select(col("gmin").as("gb"), col("n").as("nb")), "gb")
-        .select(col("ga"), col("gb"),
-          (col("ni") * lit(1.0) / (col("na") + col("nb") - col("ni"))).as("jac"))
-        .filter(col("jac") >= 0.4)
-      val cand = jc.select(col("ga").as("g1"), col("gb").as("g2"), col("jac"))
-        .unionByName(jc.select(col("gb").as("g1"), col("ga").as("g2"), col("jac")))
-      val best = cand.groupBy("g1")
-        .agg(min(struct((-col("jac")).as("nj"), col("g2").as("g2"))).as("nn"))
-        .select(col("g1"), col("nn.g2").as("dup_of"),
-          round(-col("nn.nj"), 6).as("jaccard"))
-      d.select(col("doc_id"))
-        .join(sizes, "doc_id")
-        .join(setFp, "doc_id").join(groups, "fp")
-        .join(best, col("gmin") === col("g1"), "left")
-        .select(col("doc_id"), col("n_scenes"), col("gmin").as("group_id"),
-          col("dup_of"), col("jaccard"))
+      videoDedupFromSets(sigs.distinct(), s.table("documents").count())
     },
 
     // PERCEPTUAL near-duplicate image dedup — the signal exact-pixel
@@ -656,9 +723,13 @@ object MultimodalQueries extends QueryModule {
     // EXACT for the <=3 predicate (pigeonhole: 3 flipped bits cannot
     // touch all 4 disjoint bands), and the planted occlusion flips <=2
     // bits (one grid cell feeds two adjacent comparisons), so recall
-    // is 1 by construction, with NO all-pairs join anywhere. The
-    // oracle replays the render closed form, grid, bits, and brute
-    // rep-pairing in SQL.
+    // is 1 by construction, with NO all-pairs join anywhere. Band
+    // buckets additionally carry an OCCUPANCY cap (see
+    // perceptualBandCandidates: banal-imagery buckets with df >
+    // max(10, 10% of reps) are dropped from candidate generation,
+    // bounding Σc² on flat frames / template headers); the oracle
+    // replays the render closed form, grid, bits, banding, AND the
+    // cap in SQL, so both engines compute the identical relation.
     Q("mm_image_dedup_perceptual",
       """WITH d AS (SELECT doc_id, doc_id % 37 AS c, doc_id % 4 AS t FROM documents),
         |cells AS (
@@ -683,11 +754,23 @@ object MultimodalQueries extends QueryModule {
         |    count(*) OVER (PARTITION BY psig_hi, psig_lo)::BIGINT AS n_exact_copies
         |  FROM sig),
         |reps AS (SELECT psig_hi, psig_lo, min(doc_id) AS rep_doc FROM sig GROUP BY 1, 2),
+        |bnd AS (SELECT psig_hi, psig_lo, rep_doc, b.band,
+        |          CASE b.band WHEN 0 THEN psig_lo & 65535
+        |                      WHEN 1 THEN (psig_lo >> 16) & 65535
+        |                      WHEN 2 THEN psig_hi & 65535
+        |                      ELSE (psig_hi >> 16) & 65535 END AS bval
+        |        FROM reps, (SELECT unnest([0, 1, 2, 3]) AS band) b),
+        |occ AS (SELECT band, bval, count(*) AS cnt FROM bnd GROUP BY 1, 2),
+        |live AS (SELECT bnd.* FROM bnd JOIN occ USING (band, bval)
+        |         WHERE occ.cnt <= greatest(10, CAST(0.1 * (SELECT count(*) FROM reps) AS BIGINT))),
+        |cpairs AS (SELECT DISTINCT a.psig_hi AS h1, a.psig_lo AS l1,
+        |             b.psig_hi AS h2, b.psig_lo AS l2, b.rep_doc AS rep2
+        |           FROM live a JOIN live b ON a.band = b.band AND a.bval = b.bval
+        |             AND (a.psig_hi <> b.psig_hi OR a.psig_lo <> b.psig_lo)),
         |pairs AS (
-        |  SELECT a.psig_hi AS h1, a.psig_lo AS l1, b.rep_doc AS rep2,
-        |    bit_count(xor(a.psig_hi, b.psig_hi)) + bit_count(xor(a.psig_lo, b.psig_lo)) AS dist
-        |  FROM reps a JOIN reps b
-        |    ON a.psig_hi <> b.psig_hi OR a.psig_lo <> b.psig_lo),
+        |  SELECT h1, l1, rep2,
+        |    bit_count(xor(h1, h2)) + bit_count(xor(l1, l2)) AS dist
+        |  FROM cpairs),
         |near AS (
         |  SELECT h1, l1, rep2 AS near_dup_of, dist::BIGINT AS near_hamming FROM (
         |    SELECT h1, l1, rep2, dist,
@@ -739,26 +822,16 @@ object MultimodalQueries extends QueryModule {
           Row(docId, hi, lo)
         }
       }(sigEnc)
+      // decode runs ONCE for both consumers (the exact-collapse window
+      // and the representative set): 24-byte signature rows checkpoint
+      val sigC = sig.localCheckpoint()
       val wSig = Window.partitionBy("psig_hi", "psig_lo")
-      val withExact = sig.select(col("doc_id"), col("psig_hi"), col("psig_lo"),
+      val withExact = sigC.select(col("doc_id"), col("psig_hi"), col("psig_lo"),
         min("doc_id").over(wSig).as("exact_canonical"),
         count(lit(1)).over(wSig).cast("long").as("n_exact_copies"))
-      val reps = sig.groupBy("psig_hi", "psig_lo").agg(min("doc_id").as("rep_doc"))
-      val banded = reps.select(col("psig_hi"), col("psig_lo"), col("rep_doc"),
-        posexplode(array(
-          col("psig_lo").bitwiseAND(lit(65535L)),
-          shiftright(col("psig_lo"), 16).bitwiseAND(lit(65535L)),
-          col("psig_hi").bitwiseAND(lit(65535L)),
-          shiftright(col("psig_hi"), 16).bitwiseAND(lit(65535L)))))
-        .select(col("psig_hi"), col("psig_lo"), col("rep_doc"),
-          col("pos").as("band"), col("col").as("bval"))
-      val bA = banded.select(col("band"), col("bval"),
-        col("psig_hi").as("h1"), col("psig_lo").as("l1"))
-      val bB = banded.select(col("band"), col("bval"),
-        col("psig_hi").as("h2"), col("psig_lo").as("l2"), col("rep_doc").as("rep2"))
-      val cand = bA.join(bB, Seq("band", "bval"))
-        .filter(col("h1") =!= col("h2") || col("l1") =!= col("l2"))
-        .select("h1", "l1", "h2", "l2", "rep2").distinct()
+      val reps = sigC.groupBy("psig_hi", "psig_lo").agg(min("doc_id").as("rep_doc"))
+        .localCheckpoint()
+      val cand = perceptualBandCandidates(reps, reps.count())
       val near = cand
         .withColumn("dist",
           bit_count(col("h1").bitwiseXOR(col("h2"))) +

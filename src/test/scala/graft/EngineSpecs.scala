@@ -347,6 +347,65 @@ class EngineSpecs extends AnyFunSuite with BeforeAndAfterAll {
       "video dedup must pair through the signature join, never all pairs")
   }
 
+  test("video dedup: a hot shared scene is df-capped out of pairing, candidates stay bounded") {
+    val s = spark
+    import s.implicits._
+    // 62 videos ALL carrying one ubiquitous scene (sig 999 — the black
+    // frame / title card / shared intro of a crawl) plus 5 scenes of
+    // their own; videos 61 and 62 additionally share 4 REAL scenes.
+    // Without the stop-scene cap, sig 999 alone would put C(62,2) = 1891
+    // candidate pairs on one join key (the Σc² scale-killer); with it
+    // (df 62 > max(10, 10% of 62) = 10) pairing sees only the genuine
+    // overlap: exactly ONE candidate pair.
+    val rows =
+      (1L to 60L).flatMap(g => (0L until 5L).map(i => (g, g * 100 + i)) :+ ((g, 999L))) ++
+      Seq((61L, 7001L), (61L, 7002L), (61L, 7003L), (61L, 7004L), (61L, 6100L), (61L, 999L),
+          (62L, 7001L), (62L, 7002L), (62L, 7003L), (62L, 7004L), (62L, 6200L), (62L, 999L))
+    val repSets = rows.toDF("gmin", "sig")
+    val cand = graft.llm.MultimodalQueries.videoCandidatePairs(repSets, nVideos = 62L).collect()
+    assert(cand.length == 1, s"hot scene must not generate candidate pairs, got ${cand.length}")
+    val c = cand.head
+    assert(c.getAs[Long]("ga") == 61L && c.getAs[Long]("gb") == 62L)
+    assert(c.getAs[Long]("ni") == 4L, "intersection counts only surviving signatures")
+    assert(c.getAs[Long]("na") == 5L && c.getAs[Long]("nb") == 5L,
+      "Jaccard denominators use the CAPPED set sizes")
+    // end-to-end: capped Jaccard 4/(5+5-4) = 2/3 pairs 61<->62; n_scenes
+    // stays the UNcapped per-video count (describes the video, not the
+    // pairing graph); nobody pairs through the hot scene alone
+    val out = graft.llm.MultimodalQueries
+      .videoDedupFromSets(repSets.toDF("doc_id", "sig"), 62L).collect()
+    assert(out.length == 62)
+    out.foreach { r =>
+      assert(r.getLong(1) == 6L, s"n_scenes must stay uncapped for doc ${r.getLong(0)}")
+      if (r.getLong(0) >= 61L) {
+        assert(!r.isNullAt(3) && math.abs(r.getDouble(4) - 2.0 / 3.0) < 1e-6,
+          s"real near-dup must survive the cap: doc ${r.getLong(0)}")
+      } else assert(r.isNullAt(3),
+        s"doc ${r.getLong(0)} must not pair through the hot scene")
+    }
+  }
+
+  test("perceptual image dedup: hot band bucket is occupancy-capped; real near pair survives via other bands") {
+    val s = spark
+    import s.implicits._
+    // 42 representatives ALL sharing band 0 = 0x1234 (flat/banal imagery
+    // at crawl scale) — without the cap that one bucket yields C(42,2)
+    // = 861 candidate pairs; with it (occupancy 42 > max(10, 10% of 42)
+    // = 10) the bucket is dropped. Reps 100/101 are a REAL near pair
+    // (1 bit apart, in band 3) whose bands 1 and 2 also agree — the
+    // pair must survive through those non-hot buckets.
+    val rows = (0 until 40).map(i =>
+      ((2000L + i) | ((3000L + i) << 16), 0x1234L | ((1000L + i) << 16), i.toLong)) ++
+      Seq((0xBBBBL | (1L << 16), 0x1234L | (0xAAAAL << 16), 100L),
+          (0xBBBBL | (3L << 16), 0x1234L | (0xAAAAL << 16), 101L))
+    val reps = rows.toDF("psig_hi", "psig_lo", "rep_doc")
+    val cand = graft.llm.MultimodalQueries.perceptualBandCandidates(reps, 42L).collect()
+    assert(cand.length == 2,
+      s"hot band must be capped out of pairing, got ${cand.length} candidates")
+    assert(cand.forall(r => Set(100L, 101L).contains(r.getAs[Long]("rep2"))),
+      "surviving candidates must be the planted near pair (both directions)")
+  }
+
   test("perceptual image dedup: dHash invariances hold, occlusion flips <=2 bits, no all-pairs plan") {
     val df = SparkEntry.queries("mm_image_dedup_perceptual")(spark, sfDir)
     val rows = df.collect()
