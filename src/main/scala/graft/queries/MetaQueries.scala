@@ -233,6 +233,96 @@ object MetaQueries extends QueryModule {
           |UNION ALL
           |SELECT 'analyze', property_name, default_value, type
           |FROM system.metadata.analyze_properties""".stripMargin)
+    },
+
+    // system.jdbc.* (connector/system/jdbc/ — CatalogJdbcTable.java,
+    // SchemaJdbcTable.java, TableJdbcTable.java, TableTypeJdbcTable.java,
+    // ProcedureJdbcTable.java): the metadata schema every JDBC client's
+    // DatabaseMetaData.getTables()/getCatalogs()/getSchemas() calls
+    // resolve through. The LIKE filter on table_name is the driver's
+    // tableNamePattern argument — an ordinary predicate pruned
+    // Catalyst-side (FilterUtil.java's TupleDomain pushdown analog).
+    Q("meta_jdbc_tables",
+      """SELECT * FROM (VALUES
+        |  ('spark_catalog', 'default', 'lineitem', 'TABLE', CAST(1 AS BIGINT), CAST(2 AS BIGINT), CAST(1 AS BIGINT), CAST(0 AS BIGINT)),
+        |  ('spark_catalog', 'default', 'nation',   'TABLE', CAST(1 AS BIGINT), CAST(2 AS BIGINT), CAST(1 AS BIGINT), CAST(0 AS BIGINT)),
+        |  ('spark_catalog', 'default', 'region',   'TABLE', CAST(1 AS BIGINT), CAST(2 AS BIGINT), CAST(1 AS BIGINT), CAST(0 AS BIGINT))
+        |) AS t(table_cat, table_schem, table_name, table_type,
+        |       n_catalogs, n_table_types, n_default_schema, n_procedures)""".stripMargin) { (s, _) =>
+      fd(s,
+        """SELECT table_cat, table_schem, table_name, table_type,
+          |  (SELECT count(*) FROM system.jdbc.catalogs) AS n_catalogs,
+          |  (SELECT count(*) FROM system.jdbc.table_types) AS n_table_types,
+          |  (SELECT count(*) FROM system.jdbc.schemas WHERE table_schem = 'default') AS n_default_schema,
+          |  (SELECT count(*) FROM system.jdbc.procedures) AS n_procedures
+          |FROM system.jdbc.tables
+          |WHERE table_name LIKE '%i%'
+          |  AND table_name IN ('nation', 'region', 'orders', 'lineitem', 'documents')
+          |ORDER BY table_name""".stripMargin)
+    },
+
+    // system.jdbc.columns (ColumnJdbcTable.java:44-105): per-column JDBC
+    // metadata — java.sql.Types codes (jdbcDataType), COLUMN_SIZE /
+    // DECIMAL_DIGITS / NUM_PREC_RADIX / CHAR_OCTET_LENGTH per the
+    // reference's closed forms, columnNullableUnknown (2) nullability,
+    // 1-based ordinals. Unbounded varchar renders length as 2^31-1
+    // exactly like VarcharType.UNBOUNDED_LENGTH.
+    Q("meta_jdbc_columns",
+      """SELECT * FROM (VALUES
+        |  ('nation', 'n_nationkey',    CAST(4   AS BIGINT), 'integer',   CAST(10 AS BIGINT), CAST(NULL AS BIGINT), CAST(10 AS BIGINT), CAST(2 AS BIGINT), CAST(NULL AS BIGINT), CAST(1 AS BIGINT), ''),
+        |  ('nation', 'n_name',         CAST(12  AS BIGINT), 'varchar',   CAST(2147483647 AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(2 AS BIGINT), CAST(2147483647 AS BIGINT), CAST(2 AS BIGINT), ''),
+        |  ('nation', 'n_regionkey',    CAST(4   AS BIGINT), 'integer',   CAST(10 AS BIGINT), CAST(NULL AS BIGINT), CAST(10 AS BIGINT), CAST(2 AS BIGINT), CAST(NULL AS BIGINT), CAST(3 AS BIGINT), ''),
+        |  ('orders', 'o_orderkey',     CAST(-5  AS BIGINT), 'bigint',    CAST(19 AS BIGINT), CAST(NULL AS BIGINT), CAST(10 AS BIGINT), CAST(2 AS BIGINT), CAST(NULL AS BIGINT), CAST(1 AS BIGINT), ''),
+        |  ('orders', 'o_custkey',      CAST(-5  AS BIGINT), 'bigint',    CAST(19 AS BIGINT), CAST(NULL AS BIGINT), CAST(10 AS BIGINT), CAST(2 AS BIGINT), CAST(NULL AS BIGINT), CAST(2 AS BIGINT), ''),
+        |  ('orders', 'o_orderstatus',  CAST(12  AS BIGINT), 'varchar',   CAST(2147483647 AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(2 AS BIGINT), CAST(2147483647 AS BIGINT), CAST(3 AS BIGINT), ''),
+        |  ('orders', 'o_totalprice',   CAST(8   AS BIGINT), 'double',    CAST(53 AS BIGINT), CAST(NULL AS BIGINT), CAST(2 AS BIGINT), CAST(2 AS BIGINT), CAST(NULL AS BIGINT), CAST(4 AS BIGINT), ''),
+        |  ('orders', 'o_orderdate',    CAST(93  AS BIGINT), 'timestamp', CAST(23 AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(2 AS BIGINT), CAST(NULL AS BIGINT), CAST(5 AS BIGINT), ''),
+        |  ('orders', 'o_orderpriority',CAST(12  AS BIGINT), 'varchar',   CAST(2147483647 AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(2 AS BIGINT), CAST(2147483647 AS BIGINT), CAST(6 AS BIGINT), '')
+        |) AS t(table_name, column_name, data_type, type_name, column_size,
+        |       decimal_digits, num_prec_radix, nullable, char_octet_length,
+        |       ordinal_position, is_nullable)""".stripMargin) { (s, _) =>
+      fd(s,
+        """SELECT table_name, column_name, data_type, type_name, column_size,
+          |  decimal_digits, num_prec_radix, nullable, char_octet_length,
+          |  ordinal_position, is_nullable
+          |FROM system.jdbc.columns
+          |WHERE table_name IN ('nation', 'orders')
+          |ORDER BY table_name, ordinal_position""".stripMargin)
+    },
+
+    // system.jdbc.types (TypesJdbcTable.java): getTypeInfo()'s inventory —
+    // concrete scalar types (typeSearchable = 3, reference columnSize
+    // precisions) then the parametric constructors (null precision,
+    // typePredNone = 0), exactly the reference's two addRow families.
+    Q("meta_jdbc_types",
+      """SELECT * FROM (VALUES
+        |  ('array',                    CAST(2003 AS BIGINT), CAST(NULL AS BIGINT), CAST(1 AS BIGINT), false, CAST(0 AS BIGINT), false, CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(NULL AS BIGINT)),
+        |  ('bigint',                   CAST(-5   AS BIGINT), CAST(19   AS BIGINT), CAST(1 AS BIGINT), false, CAST(3 AS BIGINT), false, CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(10   AS BIGINT)),
+        |  ('boolean',                  CAST(16   AS BIGINT), CAST(NULL AS BIGINT), CAST(1 AS BIGINT), false, CAST(3 AS BIGINT), false, CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(NULL AS BIGINT)),
+        |  ('char',                     CAST(2000 AS BIGINT), CAST(NULL AS BIGINT), CAST(1 AS BIGINT), false, CAST(0 AS BIGINT), false, CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(NULL AS BIGINT)),
+        |  ('date',                     CAST(91   AS BIGINT), CAST(14   AS BIGINT), CAST(1 AS BIGINT), false, CAST(3 AS BIGINT), false, CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(NULL AS BIGINT)),
+        |  ('decimal',                  CAST(2000 AS BIGINT), CAST(NULL AS BIGINT), CAST(1 AS BIGINT), false, CAST(0 AS BIGINT), false, CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(NULL AS BIGINT)),
+        |  ('double',                   CAST(8    AS BIGINT), CAST(53   AS BIGINT), CAST(1 AS BIGINT), false, CAST(3 AS BIGINT), false, CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(2    AS BIGINT)),
+        |  ('integer',                  CAST(4    AS BIGINT), CAST(10   AS BIGINT), CAST(1 AS BIGINT), false, CAST(3 AS BIGINT), false, CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(10   AS BIGINT)),
+        |  ('map',                      CAST(2000 AS BIGINT), CAST(NULL AS BIGINT), CAST(1 AS BIGINT), false, CAST(0 AS BIGINT), false, CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(NULL AS BIGINT)),
+        |  ('real',                     CAST(7    AS BIGINT), CAST(24   AS BIGINT), CAST(1 AS BIGINT), false, CAST(3 AS BIGINT), false, CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(2    AS BIGINT)),
+        |  ('row',                      CAST(2000 AS BIGINT), CAST(NULL AS BIGINT), CAST(1 AS BIGINT), false, CAST(0 AS BIGINT), false, CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(NULL AS BIGINT)),
+        |  ('smallint',                 CAST(5    AS BIGINT), CAST(5    AS BIGINT), CAST(1 AS BIGINT), false, CAST(3 AS BIGINT), false, CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(10   AS BIGINT)),
+        |  ('time',                     CAST(92   AS BIGINT), CAST(8    AS BIGINT), CAST(1 AS BIGINT), false, CAST(3 AS BIGINT), false, CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(NULL AS BIGINT)),
+        |  ('time with time zone',      CAST(2013 AS BIGINT), CAST(14   AS BIGINT), CAST(1 AS BIGINT), false, CAST(3 AS BIGINT), false, CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(NULL AS BIGINT)),
+        |  ('timestamp',                CAST(93   AS BIGINT), CAST(23   AS BIGINT), CAST(1 AS BIGINT), false, CAST(3 AS BIGINT), false, CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(NULL AS BIGINT)),
+        |  ('timestamp with time zone', CAST(2014 AS BIGINT), CAST(29   AS BIGINT), CAST(1 AS BIGINT), false, CAST(3 AS BIGINT), false, CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(NULL AS BIGINT)),
+        |  ('tinyint',                  CAST(-6   AS BIGINT), CAST(3    AS BIGINT), CAST(1 AS BIGINT), false, CAST(3 AS BIGINT), false, CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(10   AS BIGINT)),
+        |  ('varbinary',                CAST(-3   AS BIGINT), CAST(2147483647 AS BIGINT), CAST(1 AS BIGINT), false, CAST(3 AS BIGINT), false, CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(NULL AS BIGINT)),
+        |  ('varchar',                  CAST(2000 AS BIGINT), CAST(NULL AS BIGINT), CAST(1 AS BIGINT), false, CAST(0 AS BIGINT), false, CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(NULL AS BIGINT))
+        |) AS t(type_name, data_type, precision, nullable, case_sensitive,
+        |       searchable, fixed_prec_scale, minimum_scale, maximum_scale,
+        |       num_prec_radix)""".stripMargin) { (s, _) =>
+      fd(s,
+        """SELECT type_name, data_type, precision, nullable, case_sensitive,
+          |  searchable, fixed_prec_scale, minimum_scale, maximum_scale,
+          |  num_prec_radix
+          |FROM system.jdbc.types ORDER BY type_name""".stripMargin)
     })
 
   /** DuckDB twin of Metadata.showStats over `orders` — the same UNION of

@@ -1205,6 +1205,8 @@ object PrestoSql {
         if (SystemTables.referencesSystemTables(rewritten)) {
           // statement-time snapshot of system.runtime.* then name rewrite
           SystemTables.refreshViews(spark)
+          if (SystemTables.referencesJdbcTables(rewritten))
+            SystemTables.refreshJdbcViews(spark)
           rewritten = SystemTables.rewriteRefs(rewritten)
         }
         AccessControl.enforce(spark, rewritten)

@@ -57,6 +57,42 @@ class MetadataSpecs extends AnyFunSuite with BeforeAndAfterAll {
     spark.catalog.dropTempView("meta_xa1")
   }
 
+  test("system.jdbc.*: getTables/getColumns metadata with LIKE pushdown; empty tables keep shape") {
+    // jdbc.tables: the JDBC driver's getTables(catalog, schemaPattern,
+    // tableNamePattern) — the pattern arrives as a LIKE conjunct
+    // (FilterUtil.java's TupleDomain pushdown analog)
+    val tabs = PrestoSql.sql(spark,
+      "SELECT table_name, table_type FROM system.jdbc.tables WHERE table_name LIKE 'ord%'")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(tabs.contains(("orders", "TABLE")), s"got $tabs")
+    assert(tabs.forall(_._1.startsWith("ord")))
+    // jdbc.columns: ordinals are 1-based and contiguous per table
+    val cols = PrestoSql.sql(spark,
+      """SELECT column_name, ordinal_position, data_type FROM system.jdbc.columns
+        |WHERE table_name = 'region' ORDER BY ordinal_position""".stripMargin).collect()
+    assert(cols.map(_.getLong(1)).toSeq == (1L to cols.length).toSeq)
+    assert(cols.exists(r => r.getString(0) == "r_name" && r.getLong(2) == 12L),
+      "varchar column must carry java.sql.Types.VARCHAR")
+    // a DDL-created table surfaces through the same snapshot
+    PrestoSql.sql(spark, "CREATE TABLE jdbc_probe_t AS SELECT 1 AS a, 'x' AS b")
+    try {
+      val probe = PrestoSql.sql(spark,
+        """SELECT column_name, type_name FROM system.jdbc.columns
+          |WHERE table_name = 'jdbc_probe_t' ORDER BY ordinal_position""".stripMargin)
+        .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+      assert(probe == Seq(("a", "integer"), ("b", "varchar")), s"got $probe")
+    } finally PrestoSql.sql(spark, "DROP TABLE jdbc_probe_t")
+    // the reference's always-empty jdbc tables answer with zero rows,
+    // correct shapes (getProcedures/getUDTs/getPseudoColumns...)
+    for (t <- Seq("procedures", "procedure_columns", "pseudo_columns",
+        "super_tables", "super_types", "udts", "attributes")) {
+      assert(PrestoSql.sql(spark, s"SELECT * FROM system.jdbc.$t").count() == 0L, t)
+    }
+    assert(PrestoSql.sql(spark,
+      "SELECT table_type FROM system.jdbc.table_types ORDER BY table_type")
+      .collect().map(_.getString(0)).toSeq == Seq("TABLE", "VIEW"))
+  }
+
   test("SHOW STATS: one row per column plus summary; summary carries row_count") {
     val df = PrestoSql.sql(spark, "SHOW STATS FOR nation")
     assert(df.columns.toSeq == Seq("column_name", "data_size", "distinct_values_count",
