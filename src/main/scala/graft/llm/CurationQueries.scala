@@ -675,9 +675,14 @@ object CurationQueries extends QueryModule {
     // coarse cell, so the k-row fine-centroid set is never broadcast.
     // Points whose probe set holds no fine centroid (rare) fall back to
     // a brute pass over only those points. Total assignment work is
-    // ~n·√k per Lloyd round instead of n·k. Seeds/rounds/6dp half-up
-    // centroid quantization follow llm_kmeans_cluster; the unrolled-CTE
-    // oracle replays the IDENTICAL probe algorithm bit-for-bit. A
+    // ~n·√k per Lloyd round instead of n·k — and since r13 the Lloyd
+    // rounds themselves train on a bounded deterministic SAMPLE
+    // (hash-mod thinning at 64/250 ≈ 64 points per centroid, the FAISS
+    // points-per-centroid convention; seeds always included), so the
+    // full corpus is touched by exactly ONE probed assign pass.
+    // Seeds/rounds/6dp half-up centroid quantization follow
+    // llm_kmeans_cluster; the unrolled-CTE oracle replays the IDENTICAL
+    // sample + probe algorithm bit-for-bit. A
     // vector is a duplicate if a LOWER-id vector in its final cell has
     // cosine >= tau, recording the lowest such keeper; the pairwise
     // join shuffles on the cell key only.
@@ -685,8 +690,11 @@ object CurationQueries extends QueryModule {
       def dSql(a: String, b: String) =
         s"list_sum(list_transform(list_zip($a, $b), z -> (z[1]-z[2])*(z[1]-z[2])))"
       val qSql = "list_transform(%s, x -> floor(x * 1000000 + 0.5) / 1000000)"
-      // one probed-assignment round: cents c{r-1} -> assignment a{r}
-      def round(r: Int) = {
+      // one probed-assignment round: cents c{r-1} -> assignment a{r}.
+      // `src` is the point set being assigned — the training SAMPLE for
+      // the Lloyd rounds, the full corpus for the final pass (mirrors
+      // the engine's assign(cents, pts)).
+      def round(r: Int, src: String) = {
         val c = s"c${r - 1}"
         s"""hq$r AS (SELECT cl, ccl FROM (
            |    SELECT $c.cl, cc1.ccl, row_number() OVER (PARTITION BY $c.cl
@@ -696,14 +704,14 @@ object CurationQueries extends QueryModule {
            |  FROM probe pr
            |  JOIN (SELECT $c.cl, $c.cent, hq$r.ccl FROM $c JOIN hq$r USING (cl)) ch
            |    ON ch.ccl = pr.ccl
-           |  JOIN v ON v.vec_id = pr.vec_id),
+           |  JOIN $src v ON v.vec_id = pr.vec_id),
            |am$r AS (SELECT vec_id, cl FROM (SELECT vec_id, cl,
            |    row_number() OVER (PARTITION BY vec_id ORDER BY dist, cl) rn FROM cand$r)
            |  WHERE rn = 1),
            |af$r AS (SELECT vec_id, cl FROM (
            |    SELECT v.vec_id, $c.cl, row_number() OVER (PARTITION BY v.vec_id
            |      ORDER BY ${dSql("v.e", s"$c.cent")}, $c.cl) rn
-           |    FROM v CROSS JOIN $c
+           |    FROM $src v CROSS JOIN $c
            |    WHERE v.vec_id NOT IN (SELECT vec_id FROM am$r)) WHERE rn = 1),
            |a$r AS (SELECT * FROM am$r UNION ALL SELECT * FROM af$r)""".stripMargin
       }
@@ -717,10 +725,12 @@ object CurationQueries extends QueryModule {
          |kk AS (SELECT greatest(8, count(*) // 250) AS k,
          |         greatest(4, CAST(floor(sqrt(greatest(8, count(*) // 250))) AS BIGINT)) AS cm
          |       FROM v),
+         |samp AS (SELECT v.vec_id, v.e FROM v, kk
+         |         WHERE (vec_id * 2654435761) % 250 < 64 OR vec_id < k),
          |cc0 AS (SELECT vec_id AS ccl, ${qSql.format("e")} AS cent
          |        FROM v, kk WHERE vec_id < cm),
          |cd1 AS (SELECT v.vec_id, cc0.ccl, ${dSql("v.e", "cc0.cent")} AS dist
-         |        FROM v CROSS JOIN cc0),
+         |        FROM samp v CROSS JOIN cc0),
          |ca1 AS (SELECT vec_id, ccl FROM (SELECT vec_id, ccl,
          |          row_number() OVER (PARTITION BY vec_id ORDER BY dist, ccl) rn FROM cd1)
          |        WHERE rn = 1),
@@ -736,11 +746,11 @@ object CurationQueries extends QueryModule {
          |          WHERE rn <= 2),
          |c0 AS (SELECT vec_id AS cl, ${qSql.format("e")} AS cent
          |       FROM v, kk WHERE vec_id < k),
-         |${round(1)},
+         |${round(1, "samp")},
          |${meansSql(1)},
-         |${round(2)},
+         |${round(2, "samp")},
          |${meansSql(2)},
-         |${round(3)},
+         |${round(3, "v")},
          |nn AS (SELECT v.vec_id, a3.cl, v.e,
          |         sqrt(list_sum(list_transform(v.e, x -> x*x))) AS nrm
          |       FROM v JOIN a3 USING (vec_id)),
@@ -754,11 +764,24 @@ object CurationQueries extends QueryModule {
       val e = vecs(s).select(col("vec_id"), col("e"))
       val kDf = e.agg(greatest(lit(8L), (count(lit(1)) / lit(250)).cast("long")).as("k"))
         .select(col("k"), greatest(lit(4L), floor(sqrt(col("k"))).cast("long")).as("cm"))
+      // FAISS-style SAMPLE training: every Lloyd round (coarse and fine)
+      // sees only a bounded deterministic sample — hash-mod thinning at
+      // rate 64/250, i.e. ~64 points per fine centroid with k = n/250
+      // (FAISS's points-per-centroid convention), seeds always included
+      // so training never sees fewer than k points. The FULL corpus is
+      // touched by exactly ONE probed assign pass (the final `cells`),
+      // which removes the n^1.5 full-corpus-training term that kept
+      // isolated sf1 CPU at x14. The multiplier hash is exact integer
+      // arithmetic, replayed verbatim by the DuckDB oracle.
+      val samp = e.crossJoin(broadcast(kDf))
+        .filter((col("vec_id") * lit(2654435761L)) % 250 < 64 ||
+          col("vec_id") < col("k"))
+        .select("vec_id", "e").localCheckpoint()
       // coarse quantizer: m seeds, one Lloyd mean round — m = sqrt(k)
       // stays broadcast-sized at any corpus (k = n/250 does not)
       val cc0 = e.crossJoin(broadcast(kDf)).filter(col("vec_id") < col("cm"))
         .select(col("vec_id").as("ccl"), quant(col("e")).as("ccent"))
-      val ca1 = e.join(broadcast(cc0))
+      val ca1 = samp.join(broadcast(cc0))
         .select(col("vec_id"), col("ccl"), sqDist(col("e"), col("ccent")).as("dist"))
         .groupBy("vec_id")
         .agg(min_by(col("ccl"), struct(col("dist"), col("ccl"))).as("ccl"))
@@ -779,8 +802,11 @@ object CurationQueries extends QueryModule {
         .select(col("vec_id").as("cl"), quant(col("e")).as("cent"))
       // probed assignment: fine centroids home to their nearest coarse
       // cell; exact distances only where point-probe and centroid-home
-      // meet, via a SHUFFLE join on the coarse cell (no k-row broadcast)
-      def assign(cents: DataFrame): DataFrame = {
+      // meet, via a SHUFFLE join on the coarse cell (no k-row
+      // broadcast). `pts` is the point set being assigned: the training
+      // SAMPLE for the Lloyd rounds, the full corpus only for the one
+      // final pass.
+      def assign(cents: DataFrame, pts: DataFrame): DataFrame = {
         val h = cents.join(broadcast(cc1))
           .select(col("cl"), col("ccl"), sqDist(col("cent"), col("ccent")).as("dist"))
           .groupBy("cl")
@@ -788,12 +814,12 @@ object CurationQueries extends QueryModule {
         val centsH = cents.join(h, "cl")
         // amain feeds both the union and the uncovered anti-join —
         // materialize the (vec_id, cl) rows once (n small rows)
-        val amain = probe.join(e, "vec_id").join(centsH, "ccl")
+        val amain = probe.join(pts, "vec_id").join(centsH, "ccl")
           .select(col("vec_id"), col("cl"), sqDist(col("e"), col("cent")).as("dist"))
           .groupBy("vec_id")
           .agg(min_by(col("cl"), struct(col("dist"), col("cl"))).as("cl"))
           .localCheckpoint()
-        val uncovered = e.join(amain, Seq("vec_id"), "left_anti")
+        val uncovered = pts.join(amain, Seq("vec_id"), "left_anti")
         val afall = cents.crossJoin(broadcast(uncovered))
           .select(col("vec_id"), col("cl"), sqDist(col("e"), col("cent")).as("dist"))
           .groupBy("vec_id")
@@ -804,9 +830,9 @@ object CurationQueries extends QueryModule {
         .groupBy("cl")
         .agg(call_udf("vec_mean", col("e")).as("m"))
         .select(col("cl"), quant(col("m")).as("cent"))
-      val c1 = means(assign(c0)).localCheckpoint()
-      val c2 = means(assign(c1)).localCheckpoint()
-      val cells = assign(c2)
+      val c1 = means(assign(c0, samp)).localCheckpoint()
+      val c2 = means(assign(c1, samp)).localCheckpoint()
+      val cells = assign(c2, e)
       val n = cells.join(e, "vec_id").select(col("vec_id"), col("cl"), col("e"),
         sqrt(aggregate(col("e"), lit(0.0d), (acc, x) => acc + x * x)).as("nrm"))
       val a = n.select(col("cl"), col("vec_id").as("ia"), col("e").as("ea"), col("nrm").as("na"))
