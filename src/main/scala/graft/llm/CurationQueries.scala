@@ -90,7 +90,12 @@ object CurationQueries extends QueryModule {
       .filter(col("term") =!= "")
     val vocab = toks.groupBy("term").agg(count(lit(1)).as("cnt"))
     val tot = toks.agg(count(lit(1)).as("t"))
-    toks.join(broadcast(vocab), "term").crossJoin(broadcast(tot))
+    // vocab is NOT broadcast-hinted: a crawl's unigram vocabulary (URLs,
+    // typos, code tokens) grows with the corpus, and a forced hint would
+    // OOM the driver at 100 TB where stats/AQE correctly fall back to a
+    // shuffle join (the repo's TPC-H hint policy). `tot` is one row —
+    // always safe to pin.
+    toks.join(vocab, "term").crossJoin(broadcast(tot))
       .groupBy("doc_id", "pidx")
       .agg(count(lit(1)).as("n_tokens"),
         round(-sum(log(col("cnt").cast("double") / col("t"))) / count(lit(1)), 6)

@@ -1228,7 +1228,10 @@ object LlmQueries extends QueryModule {
         .filter(col("term") =!= "")
       val vocab = toks.groupBy("term").agg(count(lit(1)).as("cnt"))
       val tot = toks.agg(count(lit(1)).as("t"))
-      toks.join(broadcast(vocab), "term").crossJoin(broadcast(tot))
+      // no broadcast hint on vocab — it grows with corpus vocabulary;
+      // stats/AQE pick broadcast while it fits and shuffle at 100 TB
+      // (`tot` is one row, safe to pin)
+      toks.join(vocab, "term").crossJoin(broadcast(tot))
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_tokens"),
           round(-sum(log(col("cnt").cast("double") / col("t"))) / count(lit(1)), 6)

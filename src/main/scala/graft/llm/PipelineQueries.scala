@@ -359,7 +359,10 @@ object PipelineQueries extends QueryModule {
         .filter(col("w") =!= "")
       val vocab = toks.groupBy("w").agg(count(lit(1)).as("cnt"))
       val tot = toks.agg(count(lit(1)).as("t"))
-      val docsur = toks.join(broadcast(vocab), "w").crossJoin(broadcast(tot))
+      // no broadcast hint on vocab — it grows with corpus vocabulary;
+      // stats/AQE pick broadcast while it fits and shuffle at 100 TB
+      // (`tot` is one row, safe to pin)
+      val docsur = toks.join(vocab, "w").crossJoin(broadcast(tot))
         .groupBy("doc_id", "lang")
         .agg(floor((-sum(log(col("cnt").cast("double") / col("t"))) / count(lit(1)))
           * lit(1000000.0d) + lit(0.5d)).cast("long").as("sur6"))

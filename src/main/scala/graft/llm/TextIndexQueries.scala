@@ -289,6 +289,9 @@ object TextIndexQueries extends QueryModule {
       val tf = toks.filter(col("term").isin(qTerms: _*))
         .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
       val dfs = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      // dfs is bounded by |qTerms| (tf is already filtered to the query's
+      // terms), NOT corpus vocabulary — the broadcast hint is safe at any
+      // corpus size, unlike a hint on an unfiltered vocab frame
       val contrib = tf.join(broadcast(dfs), "term")
         .join(dl, "doc_id")
         .crossJoin(broadcast(stats))
@@ -394,6 +397,7 @@ object TextIndexQueries extends QueryModule {
       val tf = toks.filter(col("term").isin(qTerms: _*))
         .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
       val dfs = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      // dfs bounded by |qTerms| (see the BM25 note above) — hint is safe
       val bm = tf.join(broadcast(dfs), "term")
         .join(dl, "doc_id")
         .crossJoin(broadcast(stats))
