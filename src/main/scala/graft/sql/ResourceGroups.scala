@@ -50,14 +50,92 @@ object ResourceGroups {
       schedulingPolicy: String = "fair",
       schedulingWeight: Int = 1)
 
+  /** Client-declared resource estimates (ResourceEstimates.java:32-34,
+    * fed by the X-Presto-Resource-Estimate header: EXECUTION_TIME /
+    * CPU_TIME as airlift durations, PEAK_MEMORY as an airlift data
+    * size). Normalized to millis / bytes. */
+  final case class ResourceEstimates(
+      executionTimeMs: Option[Long] = None,
+      cpuTimeMs: Option[Long] = None,
+      peakMemoryBytes: Option[Long] = None)
+
+  /** One bound pair of SelectorResourceEstimate.java's Range fields —
+    * left-INclusive, right-EXclusive per the reference's comment; an
+    * absent side is unbounded. */
+  final case class EstimateRange(min: Option[Long] = None, max: Option[Long] = None) {
+    def contains(v: Long): Boolean = min.forall(v >= _) && max.forall(v < _)
+  }
+
+  /** SelectorResourceEstimate.java:38-60 match semantics: every range
+    * the selector declares must be satisfied by a PRESENT estimate of
+    * that kind — a query that declared no estimate never matches an
+    * estimate-constrained selector. */
+  final case class SelectorResourceEstimate(
+      executionTime: Option[EstimateRange] = None,
+      cpuTime: Option[EstimateRange] = None,
+      peakMemory: Option[EstimateRange] = None) {
+    def matches(e: ResourceEstimates): Boolean =
+      executionTime.forall(r => e.executionTimeMs.exists(r.contains)) &&
+        cpuTime.forall(r => e.cpuTimeMs.exists(r.contains)) &&
+        peakMemory.forall(r => e.peakMemoryBytes.exists(r.contains))
+  }
+
   /** `clientTags` follows StaticSelector.java:45 subset semantics: the
     * selector matches only when EVERY configured tag is present in the
-    * query's client-tag set (an untagged selector matches any query). */
+    * query's client-tag set (an untagged selector matches any query).
+    * `queryType` (StaticSelector.java:43,75-80) matches the statement's
+    * classified kind — SELECT / INSERT / DELETE / EXPLAIN / DESCRIBE /
+    * DATA_DEFINITION per StatementUtils.java — case-insensitively; a
+    * query whose type is unknown never matches a typed selector.
+    * `resourceEstimate` gates on the client's declared estimates. */
   final case class Selector(
       user: Option[scala.util.matching.Regex],
       source: Option[scala.util.matching.Regex],
       group: String,
-      clientTags: Seq[String] = Seq.empty)
+      clientTags: Seq[String] = Seq.empty,
+      queryType: Option[String] = None,
+      resourceEstimate: Option[SelectorResourceEstimate] = None)
+
+  /** Airlift Duration.valueOf text ("100ms", "5m", "1.5h") → millis. */
+  private[graft] def parseDuration(s: String): Long = {
+    val m = "^\\s*([0-9]*\\.?[0-9]+)\\s*(ns|us|ms|s|m|h|d)\\s*$".r
+      .findFirstMatchIn(s)
+      .getOrElse(throw new IllegalArgumentException(s"Invalid duration: $s"))
+    val v = m.group(1).toDouble
+    val factor = m.group(2) match {
+      case "ns" => 1e-6; case "us" => 1e-3; case "ms" => 1.0
+      case "s" => 1e3; case "m" => 60e3; case "h" => 3600e3; case "d" => 86400e3
+    }
+    math.round(v * factor)
+  }
+
+  /** Airlift DataSize.valueOf text ("512MB", "4GB") → bytes. */
+  private[graft] def parseDataSize(s: String): Long = {
+    val m = "^\\s*([0-9]*\\.?[0-9]+)\\s*(B|kB|MB|GB|TB|PB)\\s*$".r
+      .findFirstMatchIn(s)
+      .getOrElse(throw new IllegalArgumentException(s"Invalid data size: $s"))
+    val v = m.group(1).toDouble
+    val factor = m.group(2) match {
+      case "B" => 1L; case "kB" => 1L << 10; case "MB" => 1L << 20
+      case "GB" => 1L << 30; case "TB" => 1L << 40; case "PB" => 1L << 50
+    }
+    math.round(v * factor)
+  }
+
+  /** Parse the X-Presto-Resource-Estimate header's k=v list
+    * (HttpRequestSessionContext.parseResourceEstimate: EXECUTION_TIME /
+    * CPU_TIME / PEAK_MEMORY; unknown names rejected like the
+    * reference's badRequest). */
+  def parseResourceEstimates(kvs: Seq[(String, String)]): ResourceEstimates =
+    kvs.foldLeft(ResourceEstimates()) { case (acc, (k, v)) =>
+      k.toUpperCase match {
+        case "EXECUTION_TIME" => acc.copy(executionTimeMs = Some(parseDuration(v)))
+        case "CPU_TIME" => acc.copy(cpuTimeMs = Some(parseDuration(v)))
+        case "PEAK_MEMORY" => acc.copy(peakMemoryBytes = Some(parseDataSize(v)))
+        case other =>
+          throw new IllegalArgumentException(s"Unsupported resource name $other")
+      }
+    }
 
   final case class Config(rootGroups: Seq[GroupSpec], selectors: Seq[Selector])
 
@@ -187,13 +265,53 @@ object ResourceGroups {
         arr.forEach(t => b += t.asText())
         b.result()
       }.getOrElse(Seq.empty)
+      def range(n: com.fasterxml.jackson.databind.JsonNode,
+          parse: String => Long): EstimateRange =
+        EstimateRange(
+          min = Option(n.get("min")).map(x => parse(x.asText())),
+          max = Option(n.get("max")).map(x => parse(x.asText())))
+      val est = Option(s.get("resourceEstimate")).map { n =>
+        SelectorResourceEstimate(
+          executionTime = Option(n.get("executionTime")).map(range(_, parseDuration)),
+          cpuTime = Option(n.get("cpuTime")).map(range(_, parseDuration)),
+          peakMemory = Option(n.get("peakMemory")).map(range(_, parseDataSize)))
+      }
       sels += Selector(
         user = Option(s.get("user")).map(_.asText().r),
         source = Option(s.get("source")).map(_.asText().r),
         group = s.get("group").asText(),
-        clientTags = tags)
+        clientTags = tags,
+        queryType = Option(s.get("queryType")).map(_.asText()),
+        resourceEstimate = est)
     })
     Config(groups(root.get("rootGroups")), sels.result())
+  }
+
+  /** Classify a statement into the reference's QueryType enum
+    * (StatementUtils.java:66-114, QueryType.java): SELECT (queries),
+    * INSERT (INSERT + CTAS), DELETE, EXPLAIN, DESCRIBE (SHOW family,
+    * DESCRIBE INPUT/OUTPUT), DATA_DEFINITION (DDL, session control,
+    * transaction control, PREPARE/DEALLOCATE). None when the text
+    * matches no known statement kind — a typed selector then never
+    * matches, exactly the reference's getQueryType().orElse("") path. */
+  def queryTypeOf(sql: String): Option[String] = {
+    val up = sql.trim.toUpperCase(java.util.Locale.ROOT)
+    def starts(k: String) = up.startsWith(k)
+    if (starts("SELECT") || starts("WITH") || starts("VALUES") ||
+      starts("TABLE ") || starts("(")) Some("SELECT")
+    else if (starts("EXPLAIN")) Some("EXPLAIN")
+    else if (starts("INSERT")) Some("INSERT")
+    else if (starts("CREATE TABLE") &&
+      "(?s)\\bAS\\b\\s*\\(?\\s*(SELECT|WITH|VALUES|TABLE)\\b".r.findFirstIn(up).isDefined)
+      Some("INSERT") // CreateTableAsSelect -> INSERT (StatementUtils.java:74)
+    else if (starts("DELETE")) Some("DELETE")
+    else if (starts("SHOW") || starts("DESCRIBE") || starts("DESC ")) Some("DESCRIBE")
+    else if (starts("CREATE") || starts("DROP") || starts("ALTER") ||
+      starts("USE ") || starts("USE\n") || starts("SET ") || starts("RESET") ||
+      starts("START TRANSACTION") || starts("COMMIT") || starts("ROLLBACK") ||
+      starts("CALL") || starts("GRANT") || starts("REVOKE") ||
+      starts("PREPARE") || starts("DEALLOCATE")) Some("DATA_DEFINITION")
+    else None
   }
 
   // ---- selection (StaticSelector.java semantics: first match wins) ----
@@ -202,10 +320,13 @@ object ResourceGroups {
     * expanding `${USER}`/`${SOURCE}` template segments. None = no
     * selector matched (the reference rejects the query; so do we). */
   private[graft] def selectGroup(config: Config, user: String, source: String,
-      clientTags: Seq[String] = Seq.empty): Option[String] =
+      clientTags: Seq[String] = Seq.empty, queryType: Option[String] = None,
+      estimates: ResourceEstimates = ResourceEstimates()): Option[String] =
     config.selectors.collectFirst {
       case s if s.user.forall(_.matches(user)) && s.source.forall(_.matches(source)) &&
-          s.clientTags.forall(clientTags.contains) =>
+          s.clientTags.forall(clientTags.contains) &&
+          s.queryType.forall(_.equalsIgnoreCase(queryType.getOrElse(""))) &&
+          s.resourceEstimate.forall(_.matches(estimates)) =>
         s.group.replace("${USER}", user).replace("${SOURCE}", source)
     }
 
@@ -285,12 +406,13 @@ object ResourceGroups {
     * When no configuration is installed this is free: a no-op permit. */
   def acquire(spark: SparkSession, user: String, source: String,
       onQueued: () => Unit = () => (), priority: Int = 1,
-      clientTags: Seq[String] = Seq.empty): Permit = {
+      clientTags: Seq[String] = Seq.empty, queryType: Option[String] = None,
+      estimates: ResourceEstimates = ResourceEstimates()): Permit = {
     val m = managers.get(spark)
     if (m == null || (holders.get(Thread.currentThread()) eq m))
       return new Permit(None, Seq.empty)
-    val groupId = selectGroup(m.config, user, source, clientTags).getOrElse(
-      throw new IllegalArgumentException(
+    val groupId = selectGroup(m.config, user, source, clientTags, queryType, estimates)
+      .getOrElse(throw new IllegalArgumentException(
         s"Query did not match any selector (user '$user', source '$source')"))
     val waiter = m.lock.synchronized {
       val path = pathFor(m, groupId, user, source)

@@ -71,7 +71,10 @@ object StatementServer {
       val headerSchema: Option[String],
       val clientTags: Seq[String] = Seq.empty,
       val clientInfo: Option[String] = None,
-      val traceToken: Option[String] = None) {
+      val traceToken: Option[String] = None,
+      val queryType: Option[String] = None,
+      val estimates: ResourceGroups.ResourceEstimates = ResourceGroups.ResourceEstimates(),
+      val clientCapabilities: Seq[String] = Seq.empty) {
     val state = new AtomicReference[String]("QUEUED")
     // Worker thread while the query is live — cancel() interrupts it so
     // a QUEUED waiter parked inside ResourceGroups.acquire unparks
@@ -277,12 +280,34 @@ object StatementServer {
       clientTags = Option(ex.getRequestHeaders.getFirst("X-Presto-Client-Tags"))
         .toSeq.flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty),
       clientInfo = Option(ex.getRequestHeaders.getFirst("X-Presto-Client-Info")),
-      traceToken = Option(ex.getRequestHeaders.getFirst("X-Presto-Trace-Token")))
+      traceToken = Option(ex.getRequestHeaders.getFirst("X-Presto-Trace-Token")),
+      // queryType classified from the statement text (StatementUtils
+      // .java mapping) + X-Presto-Resource-Estimate (PrestoHeaders
+      // .java:41, k=v list: EXECUTION_TIME/CPU_TIME/PEAK_MEMORY) both
+      // feed StaticSelector matching; a malformed estimate is a client
+      // error (the reference's badRequest), caught below as 400.
+      queryType = ResourceGroups.queryTypeOf(sqlText),
+      estimates =
+        try ResourceGroups.parseResourceEstimates(
+          kvHeader(ex, "X-Presto-Resource-Estimate"))
+        catch { case e: IllegalArgumentException =>
+          respond(ex, 400, s"""{"error":${jsonString(e.getMessage)}}""")
+          return },
+      // X-Presto-Client-Capabilities (PrestoHeaders.java:40): a comma
+      // set recorded on the session like the reference's
+      // HttpRequestSessionContext.parseClientCapabilities — surfaced in
+      // system.runtime.queries; the known set is {PATH} and unknown
+      // names are carried, not rejected (the reference stores the raw
+      // set too).
+      clientCapabilities =
+        Option(ex.getRequestHeaders.getFirst("X-Presto-Client-Capabilities"))
+          .toSeq.flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty))
     server.queries.put(id, q)
     // visible in system.runtime.queries from submission on, like the
     // reference's QUEUED state
     SystemTables.record(server.session, id, sqlText, "QUEUED", created, q.source, q.user,
-      clientTags = q.clientTags, clientInfo = q.clientInfo, traceToken = q.traceToken)
+      clientTags = q.clientTags, clientInfo = q.clientInfo, traceToken = q.traceToken,
+      queryType = q.queryType, clientCapabilities = q.clientCapabilities)
     server.pool.execute(() => run(server, q, created))
     respond(ex, 200, envelope(server, q, data = Seq.empty, includeNext = true))
   }
@@ -314,7 +339,8 @@ object StatementServer {
           .collectFirst { case ("query_priority", v) => v })
         .flatMap(_.toIntOption).getOrElse(1)
       permit = Some(ResourceGroups.acquire(server.session, q.user, q.source,
-        priority = priority, clientTags = q.clientTags))
+        priority = priority, clientTags = q.clientTags,
+        queryType = q.queryType, estimates = q.estimates))
       // a DELETE that landed while we were QUEUED interrupted the parked
       // acquire (rolling back the queue slot); if the promotion RACED the
       // interrupt, the slot is ours — bail before the statement executes

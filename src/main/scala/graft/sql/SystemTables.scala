@@ -25,7 +25,8 @@ object SystemTables {
   final case class QueryRecord(id: String, state: String, user: String,
       source: String, query: String, createdMs: Long, endMs: Long,
       clientTags: Seq[String] = Seq.empty, clientInfo: Option[String] = None,
-      traceToken: Option[String] = None)
+      traceToken: Option[String] = None, queryType: Option[String] = None,
+      clientCapabilities: Seq[String] = Seq.empty)
 
   private val counter = new java.util.concurrent.atomic.AtomicLong(0)
   private val logs =
@@ -58,7 +59,8 @@ object SystemTables {
   def record(spark: SparkSession, id: String, query: String, state: String,
       createdMs: Long, source: String = "graft", user: String = null,
       clientTags: Seq[String] = Seq.empty, clientInfo: Option[String] = None,
-      traceToken: Option[String] = None): Unit = {
+      traceToken: Option[String] = None, queryType: Option[String] = None,
+      clientCapabilities: Seq[String] = Seq.empty): Unit = {
     val l = logOf(spark)
     l.synchronized {
       val i = l.indexWhere(_.id == id)
@@ -67,7 +69,8 @@ object SystemTables {
         l += QueryRecord(id, state,
           Option(user).getOrElse(AccessControl.principal(spark)), source,
           query, createdMs, System.currentTimeMillis(),
-          clientTags, clientInfo, traceToken)
+          clientTags, clientInfo, traceToken,
+          queryType.orElse(ResourceGroups.queryTypeOf(query)), clientCapabilities)
         if (l.length > MaxLog) l.remove(0, l.length - MaxLog)
       }
     }
@@ -164,9 +167,11 @@ object SystemTables {
     val qs = l.synchronized { l.toSeq }
     qs.map(r => (r.id, r.state, r.user, r.source, r.query,
         new java.sql.Timestamp(r.createdMs), new java.sql.Timestamp(r.endMs),
-        r.clientTags, r.clientInfo.orNull, r.traceToken.orNull))
+        r.clientTags, r.clientInfo.orNull, r.traceToken.orNull,
+        r.queryType.orNull, r.clientCapabilities))
       .toDF("query_id", "state", "user", "source", "query", "created", "end",
-        "client_tags", "client_info", "trace_token")
+        "client_tags", "client_info", "trace_token", "query_type",
+        "client_capabilities")
       .createOrReplaceTempView("system_runtime_queries")
 
     // system.runtime.tasks (TaskSystemTable.java; Spark stage = the

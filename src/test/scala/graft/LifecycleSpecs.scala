@@ -826,4 +826,64 @@ class LifecycleSpecs extends AnyFunSuite with BeforeAndAfterAll {
       ResourceGroups.disable(spark)
     }
   }
+
+  // ---- queryType / resource-estimate selectors + client capabilities ----
+
+  test("resource groups: queryType and resource-estimate selectors route; capabilities are recorded") {
+    // StaticSelector.java:43-80: queryType matches the classified
+    // statement kind, SelectorResourceEstimate gates on the client's
+    // X-Presto-Resource-Estimate declarations (left-inclusive,
+    // right-exclusive ranges; an estimate-less query never matches).
+    ResourceGroups.configure(spark, ResourceGroups.Config(
+      rootGroups = Seq(
+        ResourceGroups.GroupSpec("etl_writes", 10, 10, Nil),
+        ResourceGroups.GroupSpec("big", 10, 10, Nil),
+        ResourceGroups.GroupSpec("adhoc", Int.MaxValue, Int.MaxValue, Nil)),
+      selectors = Seq(
+        ResourceGroups.Selector(None, None, "etl_writes", queryType = Some("INSERT")),
+        ResourceGroups.Selector(None, None, "big",
+          resourceEstimate = Some(ResourceGroups.SelectorResourceEstimate(
+            executionTime = Some(ResourceGroups.EstimateRange(
+              min = Some(ResourceGroups.parseDuration("5m")), max = None))))),
+        ResourceGroups.Selector(None, None, "adhoc"))))
+    val server = graft.sql.StatementServer.start(spark)
+    try {
+      PrestoSql.sql(spark, "CREATE TABLE qt_probe_t AS SELECT 1 AS a")
+      try {
+        // same user, same source: the INSERT routes to etl_writes, the
+        // SELECT falls through to adhoc (ops teams' DML-vs-read split)
+        httpQuery(server.baseUri, "INSERT INTO qt_probe_t SELECT 2 AS a")
+        httpQuery(server.baseUri, "SELECT 61 AS qtq")
+        // a long-estimate SELECT routes to big via the estimate selector
+        httpQuery(server.baseUri, "SELECT 62 AS qtq",
+          Seq("X-Presto-Resource-Estimate" -> "EXECUTION_TIME=10m",
+            "X-Presto-Client-Capabilities" -> "PATH"))
+        val groups = ResourceGroups.snapshot(spark).map(_._1).toSet
+        assert(groups.contains("etl_writes"), s"INSERT must instantiate etl_writes: $groups")
+        assert(groups.contains("big"), s"estimated query must instantiate big: $groups")
+        // a sub-range estimate does NOT match (right-exclusive range
+        // logic: 10m >= 5m matched above; 30s < 5m falls through)
+        httpQuery(server.baseUri, "SELECT 63 AS qtq",
+          Seq("X-Presto-Resource-Estimate" -> "EXECUTION_TIME=30s"))
+        // query_type + client_capabilities are queryable observability
+        val log = PrestoSql.sql(spark,
+          """SELECT query, query_type, array_join(client_capabilities, ',')
+            |FROM system.runtime.queries
+            |WHERE query LIKE 'SELECT 6_ AS qtq' OR query LIKE 'INSERT INTO qt_probe_t%'
+            |""".stripMargin)
+          .collect().map(r => (r.getString(0), r.getString(1), r.getString(2)))
+        assert(log.find(_._1.startsWith("INSERT")).get._2 == "INSERT")
+        val cap = log.find(_._1 == "SELECT 62 AS qtq").get
+        assert(cap._2 == "SELECT" && cap._3 == "PATH", s"capabilities row: $cap")
+        // malformed estimate header is a 400 client error
+        val (st, body) = httpSend("POST", s"${server.baseUri}/v1/statement",
+          Some("SELECT 64 AS qtq"),
+          Seq("X-Presto-Resource-Estimate" -> "WALL_TIME=5m"))
+        assert(st == 400, s"unknown estimate name must be a 400, got $st: $body")
+      } finally PrestoSql.sql(spark, "DROP TABLE qt_probe_t")
+    } finally {
+      server.stop()
+      ResourceGroups.disable(spark)
+    }
+  }
 }
