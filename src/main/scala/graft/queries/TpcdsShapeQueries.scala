@@ -20,6 +20,78 @@ object TpcdsShapeQueries extends QueryModule {
 
   private def sqlQ(name: String, sql: String): Q = Q.sameSql(name, sql)
 
+  import org.apache.spark.sql.{DataFrame, SparkSession}
+  import org.apache.spark.sql.functions._
+
+  /** ds_cross_channel_cte's cache-pinned plan (pre copy-out): the
+    * INTERSECT-built cross-items set and the one-row stats aggregate
+    * are cached and read by every branch. Returns (result frame,
+    * caches to unpersist). Specs assert plan properties on the inner
+    * frame; the Q entry wraps it with the copy-out below so the bench's
+    * min-of-2 second pass can never read a leaked InMemoryRelation
+    * (reporting honesty — the caches are query-scoped, not session
+    * state). */
+  private[graft] def crossChannelPlan(s: SparkSession): (DataFrame, Seq[DataFrame]) = {
+    import s.implicits._
+    val li = s.table("lineitem")
+    def itemsOf(flag: String) =
+      li.filter($"l_returnflag" === flag).select($"l_partkey")
+    val cross = itemsOf("A").intersect(itemsOf("N")).intersect(itemsOf("R"))
+      .withColumnRenamed("l_partkey", "item").cache()
+    val cents =
+      round(sum($"l_extendedprice".cast("decimal(18,2)")) * 100).cast("long")
+    val stats = li.agg(cents.as("total_c"), count(lit(1)).cast("long").as("cnt"))
+      .cache() // one-row threshold: built once, joined into all three branches
+    def branch(flag: String, label: String) =
+      li.filter($"l_returnflag" === flag)
+        .join(s.table("part"), $"l_partkey" === $"p_partkey")
+        .join(broadcast(cross), $"l_partkey" === $"item", "left_semi")
+        .groupBy($"p_brand")
+        .agg(count(lit(1)).cast("long").as("n"), cents.as("cents"))
+        .crossJoin(broadcast(stats))
+        .filter($"cents".cast("decimal(38,0)") * $"cnt" >
+          $"total_c".cast("decimal(38,0)") * 50)
+        .select(lit(label).as("channel"), $"p_brand", $"n",
+          ($"cents".cast("double") / 100).as("amt"))
+    (branch("A", "returned")
+      .unionAll(branch("N", "regular"))
+      .unionAll(branch("R", "refunded")), Seq(cross, stats))
+  }
+
+  /** ds_order_returns' cache-pinned plan (pre copy-out): q95's ws_wh —
+    * the distinct-supplier aggregate cached once, read twice. Returns
+    * (result frame, caches to unpersist). */
+  private[graft] def orderReturnsPlan(s: SparkSession): (DataFrame, Seq[DataFrame]) = {
+    val li = s.table("lineitem")
+    val multiSupp = li.groupBy("l_orderkey")
+      .agg(count_distinct(col("l_suppkey")).as("ns"))
+      .filter(col("ns") > 1).select("l_orderkey")
+      .cache() // q95's ws_wh: one materialization, two consumers
+    val returned = li.filter(col("l_returnflag") === "R")
+      .select("l_orderkey").distinct()
+    val multiReturned = multiSupp.join(returned, "l_orderkey")
+    (s.table("orders")
+      .join(broadcast(multiSupp),
+        col("o_orderkey") === multiSupp("l_orderkey"), "left_semi")
+      .join(broadcast(multiReturned),
+        col("o_orderkey") === multiReturned("l_orderkey"), "left_semi")
+      .groupBy(year(col("o_orderdate")).as("yr"))
+      .agg(count(lit(1)).cast("long").as("n_orders"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("total_price")),
+      Seq(multiSupp))
+  }
+
+  /** Copy-out: compute the cache-backed plan eagerly (localCheckpoint —
+    * inside the caller's timing window), then unpersist the query's
+    * caches so NOTHING outlives the statement. Without this the bench's
+    * second pass reads a warm InMemoryRelation and min-of-2 reports a
+    * phantom wall (r12: 0.81 s against an honest 2.75 s t1). */
+  private def copyOut(planAndCaches: (DataFrame, Seq[DataFrame])): DataFrame = {
+    val (out, caches) = planAndCaches
+    try out.localCheckpoint()
+    finally caches.foreach(_.unpersist())
+  }
+
   def queries: Seq[Q] = Seq(
 
     // q67 shape: wide ROLLUP aggregate -> rank() per group over the
@@ -328,31 +400,7 @@ object TpcdsShapeQueries extends QueryModule {
         |  GROUP BY p_brand
         |  HAVING CAST(CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))) * 100) AS BIGINT) AS DECIMAL(38,0))
         |       * (SELECT cnt FROM stats) > CAST((SELECT total_c FROM stats) AS DECIMAL(38,0)) * 50) u""".stripMargin) { (s, _) =>
-      import org.apache.spark.sql.functions._
-      import s.implicits._
-      val li = s.table("lineitem")
-      def itemsOf(flag: String) =
-        li.filter($"l_returnflag" === flag).select($"l_partkey")
-      val cross = itemsOf("A").intersect(itemsOf("N")).intersect(itemsOf("R"))
-        .withColumnRenamed("l_partkey", "item").cache()
-      val cents =
-        round(sum($"l_extendedprice".cast("decimal(18,2)")) * 100).cast("long")
-      val stats = li.agg(cents.as("total_c"), count(lit(1)).cast("long").as("cnt"))
-        .cache() // one-row threshold: built once, joined into all three branches
-      def branch(flag: String, label: String) =
-        li.filter($"l_returnflag" === flag)
-          .join(s.table("part"), $"l_partkey" === $"p_partkey")
-          .join(broadcast(cross), $"l_partkey" === $"item", "left_semi")
-          .groupBy($"p_brand")
-          .agg(count(lit(1)).cast("long").as("n"), cents.as("cents"))
-          .crossJoin(broadcast(stats))
-          .filter($"cents".cast("decimal(38,0)") * $"cnt" >
-            $"total_c".cast("decimal(38,0)") * 50)
-          .select(lit(label).as("channel"), $"p_brand", $"n",
-            ($"cents".cast("double") / 100).as("amt"))
-      branch("A", "returned")
-        .unionAll(branch("N", "regular"))
-        .unionAll(branch("R", "refunded"))
+      copyOut(crossChannelPlan(s))
     },
 
     // q72 stress shape (the heaviest SF10 assignment in the reference's
@@ -439,23 +487,7 @@ object TpcdsShapeQueries extends QueryModule {
         |  AND o_orderkey IN (SELECT m.l_orderkey FROM multi_supp m
         |                     JOIN returned r ON m.l_orderkey = r.l_orderkey)
         |GROUP BY year(o_orderdate)""".stripMargin) { (s, _) =>
-      import org.apache.spark.sql.functions._
-      val li = s.table("lineitem")
-      val multiSupp = li.groupBy("l_orderkey")
-        .agg(count_distinct(col("l_suppkey")).as("ns"))
-        .filter(col("ns") > 1).select("l_orderkey")
-        .cache() // q95's ws_wh: one materialization, two consumers
-      val returned = li.filter(col("l_returnflag") === "R")
-        .select("l_orderkey").distinct()
-      val multiReturned = multiSupp.join(returned, "l_orderkey")
-      s.table("orders")
-        .join(broadcast(multiSupp),
-          col("o_orderkey") === multiSupp("l_orderkey"), "left_semi")
-        .join(broadcast(multiReturned),
-          col("o_orderkey") === multiReturned("l_orderkey"), "left_semi")
-        .groupBy(year(col("o_orderdate")).as("yr"))
-        .agg(count(lit(1)).cast("long").as("n_orders"),
-          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("total_price"))
+      copyOut(orderReturnsPlan(s))
     },
 
     // q23 shape (tpcds/q23.sql "with frequent_ss_items / best_ss_customer"):

@@ -278,16 +278,29 @@ class EngineSpecs extends AnyFunSuite with BeforeAndAfterAll {
   test("ds_order_returns: the multi-supplier CTE materializes once; filters stay semi joins") {
     // q95's ws_wh contract: the expensive distinct-supplier aggregate is
     // referenced twice (plain IN + re-joined with returns) but must be
-    // computed once.
-    val df = SparkEntry.queries("ds_order_returns")(spark, sfDir)
-    val s = planString(df)
-    // the distinct-supplier agg is cached: both consumers must read the
-    // InMemoryRelation, not recompute the fact aggregate (Spark's CTE
-    // inliner would otherwise run it twice — see the query's Scaladoc)
-    assert("InMemoryTableScan|TableCacheQueryStage".r.findAllIn(s).size >= 2,
-      "multi_supp must be materialized once and read twice from cache")
-    assert("LeftSemi".r.findAllIn(s).size >= 2, "both IN filters should be semi joins")
-    assert(!s.contains("CartesianProduct"))
+    // computed once. The two-reader property is pinned on the INNER
+    // cache-backed plan; the shipped query wraps it in the copy-out
+    // (localCheckpoint + unpersist) so no cache outlives the statement.
+    val (inner, caches) = graft.queries.TpcdsShapeQueries.orderReturnsPlan(spark)
+    try {
+      val s = planString(inner)
+      // the distinct-supplier agg is cached: both consumers must read the
+      // InMemoryRelation, not recompute the fact aggregate (Spark's CTE
+      // inliner would otherwise run it twice — see the query's Scaladoc)
+      assert("InMemoryTableScan|TableCacheQueryStage".r.findAllIn(s).size >= 2,
+        "multi_supp must be materialized once and read twice from cache")
+      assert("LeftSemi".r.findAllIn(s).size >= 2, "both IN filters should be semi joins")
+      assert(!s.contains("CartesianProduct"))
+    } finally caches.foreach(_.unpersist())
+    // bench honesty: the SHIPPED query copies results out — the frame it
+    // returns is a checkpoint scan with no live InMemoryRelation, so a
+    // second build/run (the bench's min-of-2 pass) cannot read a prior
+    // pass's warm cache
+    val shipped = SparkEntry.queries("ds_order_returns")(spark, sfDir)
+    val ss = planString(shipped)
+    assert(!ss.contains("InMemoryTableScan") && !ss.contains("TableCacheQueryStage"),
+      "shipped query must copy results out of the cache-backed plan")
+    assert(shipped.count() > 0)
   }
 
   test("mm_scene_cut: cuts reproduce the closed-form scene boundaries exactly") {
