@@ -846,5 +846,80 @@ object MultimodalQueries extends QueryModule {
         .select(col("doc_id"), col("psig_hi"), col("psig_lo"),
           col("exact_canonical"), col("n_exact_copies"),
           col("near_dup_of"), col("near_hamming"))
+    },
+
+    // VOLUME-INVARIANT audio dedup — the recording-level signal exact
+    // byte hashing misses: the same content re-leveled (normalized,
+    // re-mastered, ripped at a different gain) differs in every PCM
+    // byte but is the same recording. The content signature is derived
+    // from the DECODED waveform's amplitude-independent structure:
+    // sample count + fundamental period recovered from the
+    // zero-crossing count (K whole periods flip sign exactly 2K-1
+    // times, so period = n / ((zc+1)/2) — integer-exact on the square
+    // fixture, the deterministic stand-in for a spectral fingerprint;
+    // a real corpus would swap in chroma/constellation hashes with the
+    // same plan shape). Dedup: recordings sharing (n_samples, period)
+    // are the same content; the lowest doc id is canonical and
+    // n_variants counts the distinct volume levels observed. Scale
+    // shape: decode is map-side 1:1 (no expansion), only 32-byte
+    // signature rows shuffle — ONE hash agg on the content key + a
+    // signature-keyed join back, no pairwise stage at all (the
+    // signature is exact, not banded). The oracle replays the square
+    // wave's closed forms from doc_id, so any decode/zc/period error
+    // breaks the hash.
+    Q("mm_audio_dedup",
+      """WITH p AS (
+        |  SELECT doc_id,
+        |    CAST((doc_id % 100 + 50) * 100 AS BIGINT) AS peak,
+        |    CAST(2 * (doc_id % 7 + 2) AS BIGINT) AS period,
+        |    CAST(100 + doc_id % 9 AS BIGINT) AS periods
+        |  FROM documents),
+        |sig AS (SELECT doc_id, period * periods AS n_samples, period, peak FROM p),
+        |g AS (SELECT n_samples, period, min(doc_id) AS content_id,
+        |        count(DISTINCT peak)::BIGINT AS n_variants
+        |      FROM sig GROUP BY 1, 2)
+        |SELECT s.doc_id, s.n_samples, s.period, s.peak, g.content_id, g.n_variants,
+        |  CASE WHEN s.doc_id <> g.content_id THEN g.content_id END AS dup_of
+        |FROM sig s JOIN g USING (n_samples, period)""".stripMargin) { (s, _) =>
+      val binSchema = StructType(Seq(
+        StructField("doc_id", LongType),
+        StructField("media", BinaryType)))
+      val sigSchema = StructType(Seq(
+        StructField("doc_id", LongType),
+        StructField("n_samples", LongType),
+        StructField("period", LongType),
+        StructField("peak", LongType)))
+      val binEnc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(binSchema)
+      val sigEnc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(sigSchema)
+      val binDf = s.table("documents").select(col("doc_id"))
+        .mapPartitions(rows => rows.map(r => Row(r.getLong(0), encodeWav(r.getLong(0)))))(binEnc)
+      val sig = binDf.mapPartitions { rows =>
+        rows.map { r =>
+          val docId = r.getLong(0)
+          val bb = java.nio.ByteBuffer.wrap(r.getAs[Array[Byte]](1))
+            .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+          require(bb.getInt(0) == 0x46464952 && bb.getInt(8) == 0x45564157, "not RIFF/WAVE")
+          val n = bb.getInt(40) / 2
+          var peak = 0L; var crossings = 0L
+          var prev = 0
+          var i = 0
+          while (i < n) {
+            val v = bb.getShort(44 + 2 * i).toInt
+            if (math.abs(v) > peak) peak = math.abs(v)
+            if (i > 0 && v.toLong * prev < 0) crossings += 1
+            prev = v
+            i += 1
+          }
+          val wholePeriods = (crossings + 1) / 2
+          Row(docId, n.toLong, n.toLong / wholePeriods, peak)
+        }
+      }(sigEnc)
+      val g = sig.groupBy("n_samples", "period")
+        .agg(min("doc_id").as("content_id"),
+          count_distinct(col("peak")).as("n_variants"))
+      sig.join(g, Seq("n_samples", "period"))
+        .select(col("doc_id"), col("n_samples"), col("period"), col("peak"),
+          col("content_id"), col("n_variants"),
+          when(col("doc_id") =!= col("content_id"), col("content_id")).as("dup_of"))
     })
 }

@@ -398,6 +398,31 @@ class EngineSpecs extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("audio dedup: volume variants collapse by decoded content signature; classes never cross") {
+    val rows = SparkEntry.queries("mm_audio_dedup")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      // the decode-derived signature must equal the closed form: the
+      // zero-crossing count recovers the fundamental period exactly
+      val period = 2 * (id % 7 + 2)
+      val periods = 100 + id % 9
+      assert(r.getLong(2) == period, s"decoded period for doc $id")
+      assert(r.getLong(1) == period * periods, s"decoded n_samples for doc $id")
+      assert(r.getLong(3) == (id % 100 + 50) * 100, s"decoded peak for doc $id")
+      // canonical = lowest doc id sharing (period, periods) — i.e. the
+      // same recording at ANY volume; peak plays no part in the key
+      val content = r.getLong(4)
+      assert(content % 7 == id % 7 && content % 9 == id % 9 && content <= id,
+        s"content group must be volume-invariant and canonical-min: doc $id -> $content")
+      if (content != id) assert(!r.isNullAt(6) && r.getLong(6) == content)
+      else assert(r.isNullAt(6), s"canonical doc $id must not be its own dup")
+    }
+    // real collapse happened: at least one group holds >1 volume level
+    assert(rows.exists(_.getLong(5) > 1),
+      "fixture must contain volume variants of the same content")
+  }
+
   test("perceptual image dedup: hot band bucket is occupancy-capped; real near pair survives via other bands") {
     val s = spark
     import s.implicits._
