@@ -731,7 +731,7 @@ object CurationQueries extends QueryModule {
          |         greatest(4, CAST(floor(sqrt(greatest(8, count(*) // 250))) AS BIGINT)) AS cm
          |       FROM v),
          |samp AS (SELECT v.vec_id, v.e FROM v, kk
-         |         WHERE (vec_id * 2654435761) % 250 < 64 OR vec_id < k),
+         |         WHERE (vec_id % 250) * 2654435761 % 250 < 64 OR vec_id < k),
          |cc0 AS (SELECT vec_id AS ccl, ${qSql.format("e")} AS cent
          |        FROM v, kk WHERE vec_id < cm),
          |cd1 AS (SELECT v.vec_id, cc0.ccl, ${dSql("v.e", "cc0.cent")} AS dist
@@ -776,10 +776,14 @@ object CurationQueries extends QueryModule {
       // so training never sees fewer than k points. The FULL corpus is
       // touched by exactly ONE probed assign pass (the final `cells`),
       // which removes the n^1.5 full-corpus-training term that kept
-      // isolated sf1 CPU at x14. The multiplier hash is exact integer
-      // arithmetic, replayed verbatim by the DuckDB oracle.
+      // isolated sf1 CPU at x14. The multiplier hash reduces vec_id
+      // mod 250 BEFORE multiplying — (v*C) % 250 == ((v%250)*C) % 250,
+      // and the reduced product is <= 249*C, so the arithmetic can
+      // never overflow BIGINT at any corpus size (an unreduced product
+      // wraps negative in Spark past vec_id ~3.5e9 and errors in
+      // DuckDB); the oracle replays the identical reduced form.
       val samp = e.crossJoin(broadcast(kDf))
-        .filter((col("vec_id") * lit(2654435761L)) % 250 < 64 ||
+        .filter((col("vec_id") % 250) * lit(2654435761L) % 250 < 64 ||
           col("vec_id") < col("k"))
         .select("vec_id", "e").localCheckpoint()
       // coarse quantizer: m seeds, one Lloyd mean round — m = sqrt(k)

@@ -116,7 +116,12 @@ object LlmQueries extends QueryModule {
     */
   private[graft] def cappedShingleRowsUncached(s: SparkSession): DataFrame = {
     val raw = shingleRows(s)
-    val cap = math.max(10L, (0.1 * s.table("documents").count()).toLong)
+    // INTEGER cap (n/10, never 0.1*n): .toLong truncates where DuckDB's
+    // CAST(double AS BIGINT) rounds, so a float cap diverges by 1 from
+    // the oracle whenever the doc count ends in 5-9 (latent here — the
+    // fixture counts are round — but the r13 review fixed the whole
+    // cap family to integer arithmetic)
+    val cap = math.max(10L, s.table("documents").count() / 10)
     val dfreq = raw.groupBy("sh").agg(count(lit(1)).as("dfc"))
     raw.join(dfreq.filter(col("dfc") <= cap).select("sh"), "sh")
   }
@@ -138,7 +143,7 @@ object LlmQueries extends QueryModule {
       |sh0 AS (SELECT doc_id, unnest(list_distinct([array_to_string(w[i:i+4], '_') for i in generate_series(1, len(w)-4)])) AS s FROM toks),
       |dfreq AS (SELECT s, count(*) AS dfc FROM sh0 GROUP BY s),
       |sh AS (SELECT sh0.doc_id, sh0.s FROM sh0 JOIN dfreq ON sh0.s = dfreq.s
-      |       WHERE dfreq.dfc <= greatest(10, CAST(0.1 * (SELECT count(*) FROM documents) AS BIGINT)))""".stripMargin
+      |       WHERE dfreq.dfc <= greatest(10, (SELECT count(*) FROM documents) // 10))""".stripMargin
 
   /** Transitive-dedup oracle: exact J>=0.8 pairs, recursive reachability,
     * min label per component. Shared by the exact CC path and the

@@ -157,7 +157,11 @@ object MultimodalQueries extends QueryModule {
     * ga < gb sharing ≥1 surviving signature.
     */
   private[graft] def videoCandidatePairs(repSets: DataFrame, nVideos: Long): DataFrame = {
-    val cap = math.max(10L, (0.1 * nVideos).toLong)
+    // INTEGER cap arithmetic (nVideos/10, never 0.1*n): Scala's .toLong
+    // truncates while DuckDB's CAST(double AS BIGINT) rounds, so a
+    // float cap diverges by 1 between engine and oracle whenever the
+    // count ends in 5-9 — integer division is identical on both sides
+    val cap = math.max(10L, nVideos / 10)
     val sigDf = repSets.groupBy("sig").agg(count(lit(1)).as("dfc"))
     val capped = repSets.join(sigDf.filter(col("dfc") <= cap).select("sig"), "sig")
     val rSizes = capped.groupBy("gmin").agg(count(lit(1)).as("n"))
@@ -185,7 +189,7 @@ object MultimodalQueries extends QueryModule {
     * rep2) signature pairs sharing ≥1 surviving band bucket.
     */
   private[graft] def perceptualBandCandidates(reps: DataFrame, nReps: Long): DataFrame = {
-    val cap = math.max(10L, (0.1 * nReps).toLong)
+    val cap = math.max(10L, nReps / 10) // integer cap — see videoCandidatePairs
     val banded = reps.select(col("psig_hi"), col("psig_lo"), col("rep_doc"),
       posexplode(array(
         col("psig_lo").bitwiseAND(lit(65535L)),
@@ -655,7 +659,7 @@ object MultimodalQueries extends QueryModule {
         |rsets AS (SELECT g.gmin, sc.scene FROM g JOIN sc ON sc.doc_id = g.gmin),
         |rdf AS (SELECT scene, count(*) AS dfc FROM rsets GROUP BY 1),
         |rcap AS (SELECT r.gmin, r.scene FROM rsets r JOIN rdf USING (scene)
-        |         WHERE rdf.dfc <= greatest(10, CAST(0.1 * (SELECT count(*) FROM documents) AS BIGINT))),
+        |         WHERE rdf.dfc <= greatest(10, (SELECT count(*) FROM documents) // 10)),
         |rsizes AS (SELECT gmin, count(*)::BIGINT AS n FROM rcap GROUP BY 1),
         |inter AS (SELECT a.gmin AS ga, b.gmin AS gb, count(*)::BIGINT AS ni
         |          FROM rcap a JOIN rcap b ON a.scene = b.scene AND a.gmin < b.gmin
@@ -762,7 +766,7 @@ object MultimodalQueries extends QueryModule {
         |        FROM reps, (SELECT unnest([0, 1, 2, 3]) AS band) b),
         |occ AS (SELECT band, bval, count(*) AS cnt FROM bnd GROUP BY 1, 2),
         |live AS (SELECT bnd.* FROM bnd JOIN occ USING (band, bval)
-        |         WHERE occ.cnt <= greatest(10, CAST(0.1 * (SELECT count(*) FROM reps) AS BIGINT))),
+        |         WHERE occ.cnt <= greatest(10, (SELECT count(*) FROM reps) // 10)),
         |cpairs AS (SELECT DISTINCT a.psig_hi AS h1, a.psig_lo AS l1,
         |             b.psig_hi AS h2, b.psig_lo AS l2, b.rep_doc AS rep2
         |           FROM live a JOIN live b ON a.band = b.band AND a.bval = b.bval
@@ -914,6 +918,10 @@ object MultimodalQueries extends QueryModule {
           Row(docId, n.toLong, n.toLong / wholePeriods, peak)
         }
       }(sigEnc)
+        // decode runs ONCE for both consumers (the content-group agg and
+        // the join back): 32-byte signature rows checkpoint — the same
+        // convention as the video/perceptual paths
+        .localCheckpoint()
       val g = sig.groupBy("n_samples", "period")
         .agg(min("doc_id").as("content_id"),
           count_distinct(col("peak")).as("n_variants"))

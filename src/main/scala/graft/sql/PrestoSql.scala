@@ -428,6 +428,11 @@ object PrestoSql {
       m
     }
 
+  /** The session's prepared statement for `name` (lowercased), if any —
+    * read-only view for EXECUTE queryType classification. */
+  def preparedStatement(spark: SparkSession, name: String): Option[String] =
+    stmtsOf(spark).get(name.toLowerCase)
+
   // ---- START TRANSACTION / COMMIT / ROLLBACK (reference: SqlBase.g4:
   // 34-98, StartTransactionTask/CommitTask/RollbackTask; isolation/
   // read-only modifiers accepted and — like most reference connectors —
@@ -1007,9 +1012,17 @@ object PrestoSql {
     // InternalResourceGroupManager the same way. The front door is a
     // synchronous planner, so its slot spans the statement's eager work;
     // the HTTP server holds its permit until the result is drained.
+    // queryType rides embedded statements too (typed selectors must
+    // route the same SQL identically whether it arrives over HTTP or
+    // the embedded front door); EXECUTE resolves through the session's
+    // prepared-statement map. No wire headers here, so estimates stay
+    // empty — estimate-constrained selectors correctly never match.
+    val qType = ResourceGroups.queryTypeOf(text,
+      name => stmtsOf(spark).get(name))
     val permit = ResourceGroups.acquire(spark, effectiveUser, source,
       onQueued = () => SystemTables.record(spark, queryId, text, "QUEUED",
-        created, source, effectiveUser), priority = priority)
+        created, source, effectiveUser), priority = priority,
+      queryType = qType)
     defaults.foreach { case (k, v) => applySessionProp(spark, k, v) }
     // per-query kill ceilings from the merged property view (explicit
     // over defaults) — armed for the statement's whole lifetime

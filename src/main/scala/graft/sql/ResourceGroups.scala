@@ -294,9 +294,35 @@ object ResourceGroups {
     * transaction control, PREPARE/DEALLOCATE). None when the text
     * matches no known statement kind — a typed selector then never
     * matches, exactly the reference's getQueryType().orElse("") path. */
-  def queryTypeOf(sql: String): Option[String] = {
-    val up = sql.trim.toUpperCase(java.util.Locale.ROOT)
+  def queryTypeOf(sql: String): Option[String] =
+    queryTypeOf(sql, _ => None)
+
+  /** As [[queryTypeOf]], resolving `EXECUTE name` through the caller's
+    * prepared-statement map (the reference classifies the parsed AST,
+    * where Execute resolves to its prepared statement's kind). */
+  def queryTypeOf(sql: String, prepared: String => Option[String]): Option[String] = {
+    // strip leading comments first: dbt/ORM clients routinely prefix
+    // statements with `-- model x` / `/* hints */`, which the
+    // reference's AST-based classification never sees
+    var t = sql
+    var stripped = true
+    while (stripped) {
+      val s0 = t.trim
+      t =
+        if (s0.startsWith("--")) s0.dropWhile(_ != '\n')
+        else if (s0.startsWith("/*")) {
+          val end = s0.indexOf("*/")
+          if (end >= 0) s0.substring(end + 2) else ""
+        } else s0
+      stripped = t != s0
+    }
+    val up = t.trim.toUpperCase(java.util.Locale.ROOT)
     def starts(k: String) = up.startsWith(k)
+    if (starts("EXECUTE")) {
+      val name = up.stripPrefix("EXECUTE").trim
+        .takeWhile(c => c.isLetterOrDigit || c == '_').toLowerCase
+      return prepared(name).flatMap(queryTypeOf(_, _ => None))
+    }
     if (starts("SELECT") || starts("WITH") || starts("VALUES") ||
       starts("TABLE ") || starts("(")) Some("SELECT")
     else if (starts("EXPLAIN")) Some("EXPLAIN")

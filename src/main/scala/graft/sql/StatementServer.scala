@@ -282,11 +282,16 @@ object StatementServer {
       clientInfo = Option(ex.getRequestHeaders.getFirst("X-Presto-Client-Info")),
       traceToken = Option(ex.getRequestHeaders.getFirst("X-Presto-Trace-Token")),
       // queryType classified from the statement text (StatementUtils
-      // .java mapping) + X-Presto-Resource-Estimate (PrestoHeaders
-      // .java:41, k=v list: EXECUTION_TIME/CPU_TIME/PEAK_MEMORY) both
-      // feed StaticSelector matching; a malformed estimate is a client
-      // error (the reference's badRequest), caught below as 400.
-      queryType = ResourceGroups.queryTypeOf(sqlText),
+      // .java mapping; EXECUTE resolves through the request's prepared-
+      // statement headers, then the server session's prepared map) +
+      // X-Presto-Resource-Estimate (PrestoHeaders.java:41, k=v list:
+      // EXECUTION_TIME/CPU_TIME/PEAK_MEMORY) both feed StaticSelector
+      // matching; a malformed estimate is a client error (the
+      // reference's badRequest), caught below as 400.
+      queryType = ResourceGroups.queryTypeOf(sqlText, name =>
+        kvHeader(ex, "X-Presto-Prepared-Statement")
+          .collectFirst { case (n, s) if n.equalsIgnoreCase(name) => s }
+          .orElse(PrestoSql.preparedStatement(server.session, name))),
       estimates =
         try ResourceGroups.parseResourceEstimates(
           kvHeader(ex, "X-Presto-Resource-Estimate"))

@@ -880,6 +880,21 @@ class LifecycleSpecs extends AnyFunSuite with BeforeAndAfterAll {
           Some("SELECT 64 AS qtq"),
           Seq("X-Presto-Resource-Estimate" -> "WALL_TIME=5m"))
         assert(st == 400, s"unknown estimate name must be a 400, got $st: $body")
+        // classification is comment-proof (dbt/ORM clients prefix SQL)
+        // and resolves EXECUTE through the prepared statement
+        assert(ResourceGroups.queryTypeOf(
+          "-- dbt model x\n/* hint */ INSERT INTO t SELECT 1") == Some("INSERT"))
+        assert(ResourceGroups.queryTypeOf("CREATE TABLE t2 AS SELECT 1") == Some("INSERT"))
+        assert(ResourceGroups.queryTypeOf("CREATE TABLE t2 (a INT)") == Some("DATA_DEFINITION"))
+        assert(ResourceGroups.queryTypeOf("EXECUTE myq",
+          name => if (name == "myq") Some("DELETE FROM t") else None) == Some("DELETE"))
+        // the EMBEDDED front door routes typed selectors identically to
+        // HTTP — the same INSERT must land in etl_writes, not fall
+        // through to the catch-all
+        PrestoSql.sql(spark, "INSERT INTO qt_probe_t SELECT 3 AS a")
+        val etlRuns = ResourceGroups.snapshot(spark)
+          .collectFirst { case ("etl_writes", _, _, _, _) => true }
+        assert(etlRuns.contains(true), "embedded INSERT must instantiate etl_writes")
       } finally PrestoSql.sql(spark, "DROP TABLE qt_probe_t")
     } finally {
       server.stop()
