@@ -702,6 +702,48 @@ object LlmQueries extends QueryModule {
       exactJaccardPairs(s, 0.8)
     },
 
+    // INCREMENTAL-ingest dedup — the daily-batch pattern a 100 TB
+    // pipeline actually runs: dedup a NEW batch (here the deterministic
+    // doc_id % 10 = 7 slice, ~10% of the corpus) against the EXISTING
+    // corpus without ever recomputing existing×existing pairs. The join
+    // is ASYMMETRIC: only new-side shingle rows meet old-side rows, so
+    // per-ingest work is |batch|-proportional — at 100 TB the corpus
+    // side is the standing (df-capped) shingle index and each day's
+    // batch probes it; candidates bounded by the same stop-shingle cap
+    // as the full self-join. Output is pair-level (new doc, matched
+    // existing doc, overlap, sizes, J>=0.5) — all-integer inputs to an
+    // exact-representable threshold, so no tie-break is needed and the
+    // result is engine-independent.
+    Q("llm_dedup_incremental",
+      s"""WITH $oracleShingleCtes,
+        |sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM sh GROUP BY doc_id),
+        |cp AS (SELECT nw.doc_id AS new_doc, ol.doc_id AS dup_of, CAST(count(*) AS BIGINT) AS common
+        |       FROM sh nw JOIN sh ol ON nw.s = ol.s
+        |       WHERE nw.doc_id % 10 = 7 AND ol.doc_id % 10 <> 7
+        |       GROUP BY 1, 2)
+        |SELECT new_doc, dup_of, common, s1.n AS n_new, s2.n AS n_old,
+        |  round(CAST(common AS DOUBLE) / (s1.n + s2.n - common), 6) AS jaccard
+        |FROM cp
+        |JOIN sizes s1 ON s1.doc_id = new_doc
+        |JOIN sizes s2 ON s2.doc_id = dup_of
+        |WHERE CAST(common AS DOUBLE) / (s1.n + s2.n - common) >= 0.5""".stripMargin) { (s, _) =>
+      val sh = cappedShingleRows(s)
+      val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val newSh = sh.filter(col("doc_id") % 10 === 7)
+        .select(col("doc_id").as("new_doc"), col("sh"))
+      val oldSh = sh.filter(col("doc_id") % 10 =!= 7)
+        .select(col("doc_id").as("dup_of"), col("sh"))
+      newSh.join(oldSh, "sh")
+        .groupBy("new_doc", "dup_of").agg(count(lit(1)).as("common"))
+        .join(sizes.select(col("doc_id").as("new_doc"), col("n").as("n_new")), "new_doc")
+        .join(sizes.select(col("doc_id").as("dup_of"), col("n").as("n_old")), "dup_of")
+        .filter(col("common").cast("double") /
+          (col("n_new") + col("n_old") - col("common")) >= 0.5)
+        .select(col("new_doc"), col("dup_of"), col("common"), col("n_new"), col("n_old"),
+          round(col("common").cast("double") /
+            (col("n_new") + col("n_old") - col("common")), 6).as("jaccard"))
+    },
+
     // MinHash-LSH near-dup detection — contract-checked: (a) every exact
     // pair at J>=0.8 is recovered (16x4 banding catches J=0.8 with
     // p≈0.9998), (b) every verified candidate truly has J>=0.5
