@@ -46,6 +46,7 @@ object FunctionRegistry {
       MlFunctions.install(spark)
       TimestampTzFunctions.install(spark)
       GenericMapAgg.install(spark)
+      TextScanExpressions.install(spark)
       PrestoNames.install(spark) // must be last: aliases installed names
       installed.put(spark, java.lang.Boolean.TRUE)
     }

@@ -1286,6 +1286,237 @@ object CurationQueries extends QueryModule {
         labels
           .select(col("node").as("doc_id"), col("label").as("community")).localCheckpoint()
       } finally { labels.unpersist(); sym.unpersist() }
+    },
+
+    // Blocklist phrase filtering (RefinedWeb / C4-style word+phrase
+    // blocklists, Penedo et al. 2023 / Raffel et al. 2020): count every
+    // occurrence (all start positions, overlapping included) of every
+    // blocklist phrase in one Aho-Corasick automaton pass per document
+    // (functions/TextScanExpressions.scala) — O(|text|) regardless of
+    // blocklist size, where the oracle's naive form (and a LIKE-any
+    // plan, reference operator/scalar/LikeFunctions.java one pattern at
+    // a time) is O(|text| x |patterns|). Map-only: the plan has ZERO
+    // exchanges — per-doc verdicts come straight off the scan, which is
+    // the only shape that survives a blocklist of thousands of phrases
+    // against a 100 TB crawl.
+    Q("llm_blocklist_filter", {
+      val patsSql = BLOCKLIST.map(p => s"'$p'").mkString(", ")
+      s"""WITH pats AS (SELECT unnest([$patsSql]) AS p),
+         |m AS (
+         |  SELECT d.doc_id, pats.p,
+         |    len([i for i in generate_series(1, len(d.text) - len(pats.p) + 1)
+         |         if substr(d.text, i, len(pats.p)) = pats.p]) AS cnt
+         |  FROM documents d CROSS JOIN pats),
+         |mx AS (SELECT doc_id, max(cnt) AS mc FROM m GROUP BY 1)
+         |SELECT m.doc_id,
+         |  CAST(sum(cnt) AS BIGINT) AS n_matches,
+         |  CAST(count(*) FILTER (WHERE cnt > 0) AS BIGINT) AS n_patterns,
+         |  CASE WHEN mx.mc > 0 THEN min(p) FILTER (WHERE cnt = mx.mc) END AS top_pattern,
+         |  (sum(cnt) >= 8) AS flagged
+         |FROM m JOIN mx USING (doc_id) GROUP BY m.doc_id, mx.mc""".stripMargin
+    }) { (s, _) =>
+      val patLit = array(BLOCKLIST.map(lit): _*)
+      s.table("documents")
+        .select(col("doc_id"),
+          call_udf("blocklist_counts", col("text"), patLit).as("cnts"))
+        .select(col("doc_id"), col("cnts"),
+          aggregate(col("cnts"), lit(0L), (a, x) => a + x).as("n_matches"),
+          size(filter(col("cnts"), x => x > lit(0L))).cast("long").as("n_patterns"))
+        // patterns are sorted ascending, so first-index-at-max ==
+        // lexicographically-smallest max pattern (= oracle's min(p))
+        .withColumn("top_pattern", when(array_max(col("cnts")) > 0,
+          element_at(patLit, array_position(col("cnts"), array_max(col("cnts"))).cast("int"))))
+        .withColumn("flagged", col("n_matches") >= 8)
+        .drop("cnts")
+    },
+
+    // Character-entropy quality signal (Gopher/DCLM-family filters, Rae
+    // et al. 2021): per-document Shannon entropy over the code-point
+    // histogram, one native-expression pass (char_stats), map-only with
+    // zero exchanges. Low entropy flags padding/boilerplate/junk pages;
+    // at 100 TB this runs inside the very first scan so nothing else
+    // ever reads the dropped bytes.
+    Q("llm_char_entropy",
+      """WITH ch AS (SELECT doc_id, unnest(string_split(text, '')) AS c FROM documents),
+        |h AS (SELECT doc_id, c, CAST(count(*) AS DOUBLE) AS k FROM ch GROUP BY 1, 2),
+        |n AS (SELECT doc_id, sum(k) AS n FROM h GROUP BY 1)
+        |SELECT h.doc_id,
+        |  CAST(n.n AS BIGINT) AS n_chars,
+        |  CAST(count(*) AS BIGINT) AS distinct_chars,
+        |  round(-sum((k / n.n) * ln(k / n.n)), 6) AS entropy
+        |FROM h JOIN n ON h.doc_id = n.doc_id
+        |GROUP BY h.doc_id, n.n""".stripMargin) { (s, _) =>
+      s.table("documents")
+        .select(col("doc_id"), length(col("text")).cast("long").as("n_chars"),
+          call_udf("char_stats", col("text")).as("cs"))
+        .select(col("doc_id"), col("n_chars"),
+          col("cs.distinct_chars").cast("long").as("distinct_chars"),
+          round(col("cs.entropy"), 6).as("entropy"))
+    },
+
+    // N-gram novelty (diversity / memorization-risk scoring, the
+    // corpus-frequency dual of llm_repetition_signals' intra-doc view;
+    // cf. Lee et al. 2022): fraction of a document's DISTINCT 5-gram
+    // shingles that appear in no other position of the corpus (df = 1).
+    // Two linear shuffles (gram-keyed df agg, doc-keyed reduce); the
+    // gram-df join is co-partitioned with the agg that produced it. At
+    // 100 TB the gram strings on the wire would swap for the 128-bit
+    // hashes the MinHash path uses (collision odds ~n²/2^128); strings
+    // are kept here for bit-exact oracle parity.
+    Q("llm_ngram_novelty",
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, array_to_string(w[i:i+4], '_') AS s
+        |       FROM toks, unnest(generate_series(1, len(w) - 4)) t(i)
+        |       WHERE len(w) >= 5),
+        |d AS (SELECT s, count(*) AS df FROM sh GROUP BY 1)
+        |SELECT doc_id,
+        |  CAST(count(*) AS BIGINT) AS n_shingles,
+        |  CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+        |  round(CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6)
+        |    AS novelty
+        |FROM sh JOIN d USING (s) GROUP BY doc_id""".stripMargin) { (s, _) =>
+      val w = split(col("text"), " ")
+      val sh = s.table("documents")
+        .select(col("doc_id"), w.as("w"))
+        .filter(size(col("w")) >= 5)
+        .select(col("doc_id"), explode(array_distinct(
+          transform(sequence(lit(1), size(col("w")) - lit(4)),
+            i => concat_ws("_", slice(col("w"), i, lit(5)))))).as("s"))
+      val df = sh.groupBy("s").agg(count(lit(1)).as("df"))
+      sh.join(df, "s")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_shingles"),
+          sum(when(col("df") === 1, 1L).otherwise(0L)).as("n_novel"))
+        .withColumn("novelty",
+          round(col("n_novel").cast("double") / col("n_shingles"), 6))
+    },
+
+    // Model-based quality classifier (the GPT-3/LLaMA/DCLM selection
+    // pattern — Brown et al. 2020 appendix A, Joulin et al. 2017: train
+    // a cheap linear classifier on weak labels, score the whole corpus,
+    // select by score): class-weighted logistic regression DISTILLING
+    // the Gopher rule battery (weak label = llm_quality_gopher's keep,
+    // same fixture arithmetic) from four summary features. Training is
+    // 6 full-batch GD rounds; after every round the weights are
+    // quantized to 6 decimals with the repo's half-up formula — the
+    // k-means convention — so Spark and DuckDB iterate on identical
+    // weight bits and the oracle replays training EXACTLY (6 unrolled
+    // CTE rounds). Engine plan: one persisted corpus-linear feature
+    // frame, per round ONE codegen'd partial/final avg-agg (5 doubles
+    // to the driver — bounded state), scoring is a map-side projection
+    // off weight literals. At 100 TB: training cost is R linear scans
+    // of a 40-byte/doc frame; a sampled-training variant (the SemDeDup
+    // convention) would bound it further, but full-batch keeps the
+    // oracle replay exact.
+    Q("llm_quality_classifier", {
+      val q6 = (e: String) => s"floor(($e)*1000000 + 0.5)/1000000"
+      val rounds = (1 to 6).map { r =>
+        val prev = if (r == 1) "w0" else s"w${r - 1}"
+        s"""g$r AS (SELECT avg(d) g0, avg(d*x1) g1, avg(d*x2) g2, avg(d*x3) g3, avg(d*x4) g4
+           |  FROM (SELECT ((1.0/(1.0+exp(-(b + c1*x1 + c2*x2 + c3*x3 + c4*x4)))) - y)
+           |          * (CASE WHEN y = 1.0 THEN wpos ELSE 1.0 END) AS d, x1, x2, x3, x4
+           |        FROM f CROSS JOIN $prev CROSS JOIN cw)),
+           |w$r AS (SELECT ${q6(s"b - 4.0*g0")} AS b, ${q6(s"c1 - 4.0*g1")} AS c1,
+           |  ${q6(s"c2 - 4.0*g2")} AS c2, ${q6(s"c3 - 4.0*g3")} AS c3,
+           |  ${q6(s"c4 - 4.0*g4")} AS c4 FROM $prev CROSS JOIN g$r)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH noisy AS (SELECT doc_id,
+         |    CASE WHEN doc_id % 7 = 0 THEN repeat('- bullet item' || chr(10), 10) ELSE '' END
+         |    || text
+         |    || CASE WHEN doc_id % 3 = 0 THEN ' of and that with' ELSE '' END
+         |    || CASE WHEN doc_id % 5 = 0 THEN repeat(' #', 8) ELSE '' END
+         |    || CASE WHEN doc_id % 13 = 0 THEN repeat(' 12345', 20) ELSE '' END
+         |    || CASE WHEN doc_id % 11 = 0 THEN chr(10) || 'to be continued...' || chr(10) || 'more...' ELSE '' END AS t
+         |  FROM documents),
+         |m AS (SELECT doc_id, t, string_split_regex(t, '\\s+') AS w,
+         |             string_split(t, chr(10)) AS lines FROM noisy),
+         |f AS (SELECT doc_id,
+         |    CAST(least(len(w), 300) AS DOUBLE)/300.0 AS x1,
+         |    CAST(length(regexp_replace(t, '\\s+', '', 'g')) AS DOUBLE)/len(w)/10.0 AS x2,
+         |    5.0*(length(t) - length(replace(t, '#', ''))
+         |         + len(regexp_extract_all(t, '\\.\\.\\.')))/len(w) AS x3,
+         |    len(list_distinct(list_filter(w, x -> x IN ('the','be','to','of','and','that','have','with'))))/8.0 AS x4,
+         |    CASE WHEN (len(w) BETWEEN 50 AND 100000)
+         |      AND (CAST(length(regexp_replace(t, '\\s+', '', 'g')) AS DOUBLE)/len(w) BETWEEN 3 AND 10)
+         |      AND ((length(t) - length(replace(t, '#', ''))
+         |            + len(regexp_extract_all(t, '\\.\\.\\.')))*1.0/len(w)) <= 0.1
+         |      AND (len(list_filter(lines, l -> starts_with(l, '- ') OR starts_with(l, '* ')))*1.0/len(lines)) <= 0.9
+         |      AND (len(list_filter(lines, l -> ends_with(l, '...')))*1.0/len(lines)) <= 0.3
+         |      AND (len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]')))*1.0/len(w)) >= 0.8
+         |      AND len(list_distinct(list_filter(w, x -> x IN ('the','be','to','of','and','that','have','with')))) >= 2
+         |    THEN 1.0 ELSE 0.0 END AS y
+         |  FROM m),
+         |cw AS (SELECT ${q6("sum(1.0 - y) / sum(y)")} AS wpos FROM f),
+         |w0 AS (SELECT 0.0 AS b, 0.0 AS c1, 0.0 AS c2, 0.0 AS c3, 0.0 AS c4),
+         |$rounds
+         |SELECT doc_id, round(sig, 6) AS score, round(sig, 6) >= 0.5 AS selected,
+         |  CAST(y AS BIGINT) AS label
+         |FROM (SELECT doc_id, y,
+         |        1.0/(1.0+exp(-(b + c1*x1 + c2*x2 + c3*x3 + c4*x4))) AS sig
+         |      FROM f CROSS JOIN w6)""".stripMargin
+    }) { (s, _) =>
+      def qd(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
+      val stop = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+      val t = concat(
+        when(col("doc_id") % 7 === 0, lit("- bullet item\n" * 10)).otherwise(""),
+        col("text"),
+        when(col("doc_id") % 3 === 0, lit(" of and that with")).otherwise(""),
+        when(col("doc_id") % 5 === 0, lit(" #" * 8)).otherwise(""),
+        when(col("doc_id") % 13 === 0, lit(" 12345" * 20)).otherwise(""),
+        when(col("doc_id") % 11 === 0, lit("\nto be continued...\nmore...")).otherwise(""))
+      val base = s.table("documents").select(col("doc_id"), t.as("t"),
+        split(t, "\\s+").as("w"), split(t, "\n", -1).as("lines"))
+      val nWords = size(col("w"))
+      val meanWl = length(regexp_replace(col("t"), "\\s+", "")).cast("double") / nWords
+      val symCnt = length(col("t")) - length(translate(col("t"), "#", "")) +
+        regexp_count(col("t"), lit("\\.\\.\\."))
+      val bulletFrac = size(filter(col("lines"),
+        l => l.startsWith("- ") || l.startsWith("* "))) * lit(1.0) / size(col("lines"))
+      val ellipsisFrac = size(filter(col("lines"), l => l.endsWith("..."))) * lit(1.0) /
+        size(col("lines"))
+      val alphaFrac = size(filter(col("w"), x => x.rlike("[A-Za-z]"))) * lit(1.0) / nWords
+      val nStop = size(array_distinct(filter(col("w"), x => x.isInCollection(stop))))
+      val keep = nWords.between(50, 100000) && meanWl.between(3, 10) &&
+        (symCnt * lit(1.0) / nWords) <= 0.1 && bulletFrac <= 0.9 &&
+        ellipsisFrac <= 0.3 && alphaFrac >= 0.8 && nStop >= 2
+      val feats = base.select(col("doc_id"),
+        (least(nWords, lit(300)).cast("double") / lit(300.0)).as("x1"),
+        (meanWl / lit(10.0)).as("x2"),
+        (lit(5.0) * symCnt / nWords).as("x3"),
+        (nStop / lit(8.0)).as("x4"),
+        when(keep, lit(1.0)).otherwise(lit(0.0)).as("y")).persist()
+      try {
+        val tot = feats.agg(sum(col("y")), count(lit(1))).head()
+        val np = tot.getDouble(0)
+        val wpos = qd((tot.getLong(1) - np) / np)
+        var w = Array(0.0, 0.0, 0.0, 0.0, 0.0)
+        for (_ <- 1 to 6) {
+          val z = lit(w(0)) + lit(w(1)) * col("x1") + lit(w(2)) * col("x2") +
+            lit(w(3)) * col("x3") + lit(w(4)) * col("x4")
+          val d = ((lit(1.0) / (lit(1.0) + exp(-z))) - col("y")) *
+            when(col("y") === 1.0, lit(wpos)).otherwise(lit(1.0))
+          val g = feats.agg(avg(d), avg(d * col("x1")), avg(d * col("x2")),
+            avg(d * col("x3")), avg(d * col("x4"))).head()
+          w = Array.tabulate(5)(j => qd(w(j) - 4.0 * g.getDouble(j)))
+        }
+        val z = lit(w(0)) + lit(w(1)) * col("x1") + lit(w(2)) * col("x2") +
+          lit(w(3)) * col("x3") + lit(w(4)) * col("x4")
+        val sig = lit(1.0) / (lit(1.0) + exp(-z))
+        feats.select(col("doc_id"), round(sig, 6).as("score"),
+          (round(sig, 6) >= 0.5).as("selected"), col("y").cast("long").as("label"))
+          .localCheckpoint()
+      } finally feats.unpersist()
     }
   )
+
+  /** Phrase blocklist for llm_blocklist_filter — sorted ascending so the
+    * engine's first-index-at-max tie-break equals the oracle's min(p).
+    * Includes a pattern that is a prefix of another ("table" /
+    * "table table") to exercise the automaton's output chains, and one
+    * that never matches ("zz top").
+    */
+  private val BLOCKLIST: Seq[String] = Seq(
+    "a a", "batch batch", "big table", "order scan", "scan slow",
+    "slow filter", "spark", "table", "table table", "the line",
+    "value table", "zz top").sorted
 }

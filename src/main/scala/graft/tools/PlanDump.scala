@@ -37,7 +37,9 @@ object PlanDump {
       "ds_order_returns", "llm_triangle_count", "mm_scene_cut",
       "llm_phrase_search", "llm_bigram_lm", "llm_dedup_containment",
       "llm_ccnet_buckets", "llm_pagerank", "mm_image_dedup_perceptual",
-      "llm_hybrid_retrieval_rrf", "mm_video_dedup")
+      "llm_hybrid_retrieval_rrf", "mm_video_dedup",
+      "llm_blocklist_filter", "llm_char_entropy", "llm_ngram_novelty",
+      "llm_quality_classifier")
     val spark = graft.engine.Engine.session("local[4]", shufflePartitions = 8)
     graft.engine.Engine.registerTables(spark, sfDir)
     val sb = new StringBuilder

@@ -304,4 +304,122 @@ class CurationSpecs extends AnyFunSuite with BeforeAndAfterAll {
         "every non-first %5 page must lose its three intro sentences")
     } finally df.unpersist()
   }
+
+  test("blocklist: Aho-Corasick counts every start position, incl. overlaps and nested patterns") {
+    val s = spark
+    import s.implicits._
+    graft.functions.FunctionRegistry.installAll(spark)
+    val pats = Seq("scan slow", "slow filter", "table", "table table")
+    val patLit = array(pats.map(lit): _*)
+    val fixture = Seq(
+      // "table table table": "table" at 3 starts, "table table" at 2
+      // (overlapping) — the nested-pattern output chain
+      (1L, "table table table", Seq(0L, 0L, 3L, 2L)),
+      // "scan slow filter": two patterns overlap on the shared "slow"
+      (2L, "scan slow filter", Seq(1L, 1L, 0L, 0L)),
+      (3L, "no hits here", Seq(0L, 0L, 0L, 0L)),
+      (4L, "", Seq(0L, 0L, 0L, 0L))
+    ).toDF("id", "text", "want")
+    val got = fixture.select(col("id"), col("want"),
+      call_udf("blocklist_counts", col("text"), patLit).as("got"))
+    got.collect().foreach { r =>
+      assert(r.getSeq[Long](1) == r.getSeq[Long](2),
+        s"counts wrong for id=${r.getLong(0)}: ${r.getSeq[Long](2)} vs ${r.getSeq[Long](1)}")
+    }
+    // brute-force parity on real corpus text: every start position
+    val doc = q("llm_quality_gopher").sparkSession.table("documents")
+      .select("text").limit(5).collect().map(_.getString(0))
+    val ac = new graft.functions.AhoCorasick(pats.toArray)
+    doc.foreach { t =>
+      val brute = pats.map(p => (0 to t.length - p.length)
+        .count(i => t.regionMatches(i, p, 0, p.length)).toLong)
+      assert(ac.countAll(t).toSeq == brute, "automaton diverges from brute-force scan")
+    }
+  }
+
+  test("blocklist filter: map-only plan (zero exchanges) inside whole-stage codegen") {
+    val df = q("llm_blocklist_filter")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"blocklist scan must not shuffle:\n$plan")
+    // the automaton Project must carry the `*(n)` whole-stage-codegen
+    // marker (the count HOFs above it are CodegenFallback by design —
+    // they fold a 12-element array per row, not the text scan)
+    assert(plan.linesIterator.exists(l => l.contains("blocklist_counts") && l.contains("*(")),
+      s"blocklist scan fell out of codegen:\n$plan")
+    val rows = df.cache()
+    try {
+      assert(rows.filter(col("n_matches") > 0).count() > 0)
+      // "zz top" never matches, so no doc can hit all patterns
+      val npats = rows.agg(max("n_patterns")).head().getLong(0)
+      assert(npats < 12, "the never-matching pattern must cap n_patterns")
+      assert(rows.filter(col("flagged")).count() > 0)
+      assert(rows.filter(!col("flagged")).count() > 0)
+    } finally rows.unpersist()
+  }
+
+  test("char entropy: closed-form values on planted strings; map-only corpus plan") {
+    val s = spark
+    import s.implicits._
+    graft.functions.FunctionRegistry.installAll(spark)
+    val fx = Seq("aaaa", "abcd", "aabbbc").toDF("text")
+      .select(round(call_udf("char_stats", col("text")).getField("entropy"), 6).as("e"),
+        call_udf("char_stats", col("text")).getField("distinct_chars").as("d"))
+      .collect()
+    assert(fx(0).getDouble(0) == 0.0 && fx(0).getInt(1) == 1)
+    assert(fx(1).getDouble(0) == math.floor(math.log(4.0) * 1e6 + 0.5) / 1e6
+      && fx(1).getInt(1) == 4)
+    // -[(2/6)ln(2/6) + (3/6)ln(3/6) + (1/6)ln(1/6)] = 1.011404...
+    assert(fx(2).getDouble(0) == 1.011404 && fx(2).getInt(1) == 3)
+    val plan = q("llm_char_entropy").queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"char_stats scan must not shuffle:\n$plan")
+  }
+
+  test("quality classifier: genuinely learns the rule labels; partition-count invariant") {
+    val df = q("llm_quality_classifier").cache()
+    try {
+      val n = df.count()
+      val pos = df.filter(col("label") === 1).count()
+      val majority = math.max(pos, n - pos).toDouble / n
+      val tp = df.filter(col("selected") && col("label") === 1).count()
+      val sel = df.filter(col("selected")).count()
+      val correct = tp + df.filter(!col("selected") && col("label") === 0).count()
+      // the classifier must beat always-predict-majority, with real
+      // recall/precision — not just match the label base rate
+      assert(correct.toDouble / n > majority,
+        s"accuracy ${correct.toDouble / n} does not beat majority $majority")
+      assert(tp.toDouble / pos >= 0.6, s"recall ${tp.toDouble / pos} too low")
+      assert(tp.toDouble / sel >= 0.45, s"precision ${tp.toDouble / sel} too low")
+      assert(sel > 0 && sel < n, "selection must be a proper subset")
+      // training is full-batch with 6dp weight quantization per round:
+      // the physical split of the scan must not change a single score
+      val spark2 = spark.newSession()
+      spark2.conf.set("spark.sql.shuffle.partitions", "13")
+      val b = CurationQueries.queries.find(_.name == "llm_quality_classifier")
+        .get.run(spark2, sfDir)
+      assert(df.except(b).count() + b.except(df).count() === 0,
+        "scores changed under a different partition count")
+    } finally df.unpersist()
+  }
+
+  test("ngram novelty: exact duplicates score 0, unique docs score 1, short docs excluded") {
+    val df = q("llm_ngram_novelty").cache()
+    try {
+      val n = df.count()
+      assert(n > 0)
+      // well-formed: 0 <= n_novel <= n_shingles, novelty consistent
+      assert(df.filter(col("n_novel") > col("n_shingles")).count() == 0)
+      assert(df.filter(col("novelty") < 0 || col("novelty") > 1).count() == 0)
+      assert(df.filter(
+        col("novelty") =!= round(col("n_novel").cast("double") / col("n_shingles"), 6))
+        .count() == 0)
+      // docs shorter than 5 tokens never appear
+      val short = spark.table("documents")
+        .filter(size(split(col("text"), " ")) < 5).select("doc_id")
+      assert(df.join(short, "doc_id").count() == 0)
+      // mixed outcomes on the real corpus: some shared, some novel grams
+      assert(df.filter(col("n_novel") > 0).count() > 0, "no novel grams at all")
+      assert(df.filter(col("n_novel") < col("n_shingles")).count() > 0,
+        "no shared grams at all")
+    } finally df.unpersist()
+  }
 }
