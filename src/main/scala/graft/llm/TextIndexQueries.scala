@@ -432,5 +432,70 @@ object TextIndexQueries extends QueryModule {
           round(coalesce(lit(1.0) / (lit(60) + col("rank_lex")), lit(0.0))
             + coalesce(lit(1.0) / (lit(60) + col("rank_sem")), lit(0.0)), 6).as("rrf"))
         .orderBy(col("rrf").desc, col("doc_id")).limit(10)
+    },
+
+    // PMI collocation mining (Church & Hanks 1990 — the phrase-discovery
+    // pass a tokenizer/vocabulary pipeline runs before merging multiword
+    // units): rank adjacent bigrams by pointwise mutual information
+    // log(p(ab) / (p(a)p(b))) with a min-count support filter. Ranking
+    // is INTEGER-EXACT: log is monotone, so ordering by the rational
+    // argument c_ab * N_uni^2 / (N_bi * c_a * c_b) equals ordering by
+    // PMI, and that rational is published as a floor-scaled ppm value
+    // computed with exact integer arithmetic on both engines (DECIMAL(38)
+    // `div` in Spark, HUGEINT `//` in DuckDB) — no log, no float, no
+    // cross-engine libm divergence anywhere. Numerator magnitude
+    // c_ab*N_uni^2*1e6 stays under 10^38 through ~10^12-token corpora
+    // (c_ab <= N_uni), i.e. the 100 TB point sits inside the exact range.
+    // Scale shape: bigram assembly is MAP-SIDE (zip_with over the token
+    // array — the token stream never shuffles as pairs of rows), then two
+    // linear keyed aggs (unigram + bigram counts), two shuffle joins of
+    // the bigram counts against the vocab-sized unigram frame (NO
+    // broadcast hint — vocabulary grows with the corpus, AQE decides),
+    // scalar totals cross-joined from 1-row frames, and the top-20 is a
+    // TakeOrderedAndProject heap, never a global sort.
+    Q("llm_pmi_collocations",
+      """WITH w AS (SELECT regexp_extract_all(lower(text), '[a-z]+') AS w FROM documents),
+        |uni AS (SELECT u AS term, count(*)::BIGINT AS c
+        |        FROM (SELECT unnest(w) AS u FROM w) GROUP BY 1),
+        |bi AS (SELECT bigram, count(*)::BIGINT AS c_ab FROM (
+        |         SELECT unnest([w[i] || ' ' || w[i+1]
+        |                        for i in generate_series(1, len(w) - 1)]) AS bigram
+        |         FROM w) GROUP BY 1),
+        |nu AS (SELECT sum(c)::BIGINT AS n_uni FROM uni),
+        |nb AS (SELECT sum(c_ab)::BIGINT AS n_bi FROM bi)
+        |SELECT bigram, c_ab, ua.c AS c_a, ub.c AS c_b,
+        |  CAST(CAST(c_ab AS HUGEINT) * CAST(n_uni AS HUGEINT) * CAST(n_uni AS HUGEINT)
+        |         * 1000000
+        |       // (CAST(n_bi AS HUGEINT) * CAST(ua.c AS HUGEINT) * CAST(ub.c AS HUGEINT))
+        |       AS BIGINT) AS pmi_ppm
+        |FROM bi CROSS JOIN nu CROSS JOIN nb
+        |JOIN uni ua ON string_split(bigram, ' ')[1] = ua.term
+        |JOIN uni ub ON string_split(bigram, ' ')[2] = ub.term
+        |WHERE c_ab >= 5
+        |ORDER BY pmi_ppm DESC, bigram LIMIT 20""".stripMargin) { (s, _) =>
+      val w = s.table("documents")
+        .select(regexp_extract_all(lower(col("text")), lit("[a-z]+"), lit(0)).as("w"))
+      val uni = w.select(explode(col("w")).as("term"))
+        .groupBy("term").agg(count(lit(1)).cast("long").as("c"))
+      val bi = w
+        .select(explode(zip_with(
+          slice(col("w"), lit(1), size(col("w")) - 1),
+          slice(col("w"), lit(2), size(col("w")) - 1),
+          (a, b) => concat(a, lit(" "), b))).as("bigram"))
+        .groupBy("bigram").agg(count(lit(1)).cast("long").as("c_ab"))
+      val nu = uni.agg(sum("c").cast("long").as("n_uni"))
+      val nb = bi.agg(sum("c_ab").cast("long").as("n_bi"))
+      bi.filter(col("c_ab") >= 5)
+        .crossJoin(nu).crossJoin(nb)
+        .join(uni.select(col("term").as("ta"), col("c").as("c_a")),
+          split(col("bigram"), " ").getItem(0) === col("ta"))
+        .join(uni.select(col("term").as("tb"), col("c").as("c_b")),
+          split(col("bigram"), " ").getItem(1) === col("tb"))
+        .select(col("bigram"), col("c_ab"), col("c_a"), col("c_b"),
+          expr("""CAST((CAST(c_ab AS DECIMAL(38,0)) * CAST(n_uni AS DECIMAL(38,0))
+                        * CAST(n_uni AS DECIMAL(38,0)) * 1000000)
+                      div (CAST(n_bi AS DECIMAL(38,0)) * CAST(c_a AS DECIMAL(38,0))
+                           * CAST(c_b AS DECIMAL(38,0))) AS BIGINT)""").as("pmi_ppm"))
+        .orderBy(col("pmi_ppm").desc, col("bigram")).limit(20)
     })
 }

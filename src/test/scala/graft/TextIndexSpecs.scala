@@ -207,4 +207,29 @@ class TextIndexSpecs extends AnyFunSuite with BeforeAndAfterAll {
     val row = df.collect()(0)
     assert((0 until 8).map(row.getLong).sum > 0)
   }
+
+  test("pmi collocations: closed-form ppm scores, min-count filter, exact ordering") {
+    // Planted corpus: 6 docs "strong coffee is good" + 4 docs
+    // "weak tea is fine x". N_uni = 6*4 + 4*5 = 44, N_bi = 6*3 + 4*4 = 34.
+    // Surviving bigrams (c_ab >= 5): "strong coffee" (6,6,6),
+    // "coffee is" (6,6,10), "is good" (6,10,6). All "weak tea" bigrams
+    // have c_ab = 4 and must be filtered. Closed forms:
+    //   strong coffee: floor(6*44^2*1e6 / (34*6*6))  = 9490196
+    //   coffee is:     floor(6*44^2*1e6 / (34*6*10)) = 5694117
+    //   is good:       same denominator               = 5694117
+    // Ordering: ppm DESC, bigram ASC -> coffee is before is good.
+    val s = spark.newSession()
+    graft.engine.Engine.registerTables(s, sfDir)
+    import s.implicits._
+    val docs = ((1 to 6).map(i => (i.toLong, "strong coffee is good")) ++
+      (7 to 10).map(i => (i.toLong, "weak tea is fine x"))).toDF("doc_id", "text")
+    docs.createOrReplaceTempView("documents")
+    val out = SparkEntry.queries("llm_pmi_collocations")(s, sfDir)
+      .select("bigram", "c_ab", "c_a", "c_b", "pmi_ppm")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(out.toSeq == Seq(
+      ("strong coffee", 6L, 6L, 6L, 9490196L),
+      ("coffee is", 6L, 6L, 10L, 5694117L),
+      ("is good", 6L, 10L, 6L, 5694117L)))
+  }
 }
