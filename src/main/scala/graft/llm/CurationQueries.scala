@@ -592,6 +592,68 @@ object CurationQueries extends QueryModule {
       assign(c2).select(col("vec_id"), col("cl").as("cluster"))
     },
 
+    // PCA top component via MATRIX-FREE power iteration (the embedding
+    // whitening/analysis step SemDeDup-family pipelines run before
+    // clustering): v_{r+1} = normalize(mean_i e_i * (e_i . v_r)), three
+    // rounds from the uniform start v_0 = 1/sqrt(64). The covariance
+    // matrix is never materialized — each round is ONE map-side dot
+    // product against the dims-sized vector and ONE flat vec_mean agg
+    // (double[dims] buffer per partition), so the cost per round is a
+    // single linear scan at ANY dimensionality: at production 4k dims
+    // the explicit Gram matrix is 16M entries and a dims^2 shuffle,
+    // while this stays a 4k-double accumulator. The iterate lives in a
+    // 1-row DataFrame cross-joined onto the scan (auto-broadcast; no
+    // collect anywhere), localCheckpoint()ed per round to truncate
+    // lineage. Determinism: the normalized iterate is quantized to 6
+    // decimals half-up after every round (the k-means centroid
+    // convention) and the DuckDB oracle unrolls the identical three
+    // rounds, so projections match bit-for-bit; output projections are
+    // quantized with the same explicit formula. The op is DEFINED as
+    // "3 power-iteration rounds", so its output is deterministic
+    // regardless of eigengap.
+    Q("llm_pca_power",
+      """WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings),
+        |v0 AS (SELECT list_transform(generate_series(1, 64), i -> 0.125) AS vv),
+        |t1 AS (SELECT vec_id, e, list_sum(list_transform(list_zip(e, vv), p -> p[1]*p[2])) AS t
+        |       FROM v CROSS JOIN v0),
+        |s1 AS (SELECT i.i, avg(e[i.i] * t) AS m FROM t1 CROSS JOIN generate_series(1, 64) AS i(i) GROUP BY i.i),
+        |c1 AS (SELECT list(m ORDER BY i) AS sv FROM s1),
+        |v1 AS (SELECT list_transform(sv, x -> floor(x / sqrt(list_sum(list_transform(sv, y -> y*y))) * 1000000 + 0.5) / 1000000) AS vv FROM c1),
+        |t2 AS (SELECT vec_id, e, list_sum(list_transform(list_zip(e, vv), p -> p[1]*p[2])) AS t
+        |       FROM v CROSS JOIN v1),
+        |s2 AS (SELECT i.i, avg(e[i.i] * t) AS m FROM t2 CROSS JOIN generate_series(1, 64) AS i(i) GROUP BY i.i),
+        |c2 AS (SELECT list(m ORDER BY i) AS sv FROM s2),
+        |v2 AS (SELECT list_transform(sv, x -> floor(x / sqrt(list_sum(list_transform(sv, y -> y*y))) * 1000000 + 0.5) / 1000000) AS vv FROM c2),
+        |t3 AS (SELECT vec_id, e, list_sum(list_transform(list_zip(e, vv), p -> p[1]*p[2])) AS t
+        |       FROM v CROSS JOIN v2),
+        |s3 AS (SELECT i.i, avg(e[i.i] * t) AS m FROM t3 CROSS JOIN generate_series(1, 64) AS i(i) GROUP BY i.i),
+        |c3 AS (SELECT list(m ORDER BY i) AS sv FROM s3),
+        |v3 AS (SELECT list_transform(sv, x -> floor(x / sqrt(list_sum(list_transform(sv, y -> y*y))) * 1000000 + 0.5) / 1000000) AS vv FROM c3)
+        |SELECT vec_id,
+        |  floor(list_sum(list_transform(list_zip(e, vv), p -> p[1]*p[2])) * 1000000 + 0.5) / 1000000 AS proj
+        |FROM v CROSS JOIN v3""".stripMargin) { (s, _) =>
+      val e = vecs(s).select(col("vec_id"), col("e"))
+      def dot(a: Column, b: Column): Column =
+        aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, x) => acc + x)
+      // normalize + 6dp half-up quantize, all inside the 1-row frame
+      def quantNorm(sv: Column): Column = {
+        val nrm = sqrt(aggregate(sv, lit(0.0d), (acc, x) => acc + x * x))
+        transform(sv, x => floor(x / nrm * lit(1000000.0d) + lit(0.5d)) / lit(1000000.0d))
+      }
+      val v0 = s.range(1).select(array_repeat(lit(0.125d), 64).as("vv"))
+      val v3 = (1 to 3).foldLeft(v0) { (vdf, _) =>
+        val t = e.crossJoin(vdf)
+          .select(col("vec_id"), col("e"), dot(col("e"), col("vv")).as("t"))
+        t.select(transform(col("e"), x => x * col("t")).as("et"))
+          .agg(call_udf("vec_mean", col("et")).as("sv"))
+          .select(quantNorm(col("sv")).as("vv"))
+          .localCheckpoint()
+      }
+      e.crossJoin(v3).select(col("vec_id"),
+        (floor(dot(col("e"), col("vv")) * lit(1000000.0d) + lit(0.5d))
+          / lit(1000000.0d)).as("proj"))
+    },
+
     // HTML main-content extraction (the CommonCrawl-to-text step every
     // web-scale corpus starts with): deterministic synthetic HTML is
     // built around each document's text (head/script, nav, ad div,

@@ -422,4 +422,46 @@ class CurationSpecs extends AnyFunSuite with BeforeAndAfterAll {
         "no shared grams at all")
     } finally df.unpersist()
   }
+
+  test("pca power iteration: recovers a planted dominant axis; partition-count invariant") {
+    // Planted anisotropy: 100 vectors with +-3.0 on dim 0 and +-0.1 on
+    // one rotating minor dim; the top principal direction is e_0. A
+    // probe vector = exactly e_0 is planted as vec_id 999 — its
+    // projection onto the learned component is v3[0], which must be
+    // close to +-1 after three rounds.
+    val s = spark.newSession()
+    graft.engine.Engine.registerTables(s, sfDir)
+    import s.implicits._
+    val rows = (0 until 100).map { i =>
+      val e = Array.fill(64)(0.0f)
+      e(0) = if (i % 2 == 0) 3.0f else -3.0f
+      e(i % 63 + 1) = if (i % 3 == 0) 0.1f else -0.1f
+      (i.toLong, e.toSeq, 0)
+    } :+ {
+      val probe = Array.fill(64)(0.0f); probe(0) = 1.0f
+      (999L, probe.toSeq, 0)
+    }
+    rows.toDF("vec_id", "embedding", "label").createOrReplaceTempView("embeddings")
+    val out = SparkEntry.queries("llm_pca_power")(s, sfDir)
+    val projs = out.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(projs.size == 101)
+    assert(math.abs(projs(999L)) > 0.99,
+      s"component should align with planted axis, probe proj = ${projs(999L)}")
+    // planted vectors project near +-3 with the sign of their dim-0 value
+    val sgn = math.signum(projs(999L))
+    for (i <- 0 until 100) {
+      val expectSign = if (i % 2 == 0) sgn else -sgn
+      assert(math.signum(projs(i.toLong)) == expectSign && math.abs(projs(i.toLong)) > 2.9,
+        s"vec $i proj ${projs(i.toLong)} inconsistent with planted axis")
+    }
+    // bit-identical under a different shuffle-partition count (the 6dp
+    // per-round quantization is what makes this hold)
+    val before = s.conf.get("spark.sql.shuffle.partitions")
+    try {
+      s.conf.set("spark.sql.shuffle.partitions", "7")
+      val again = SparkEntry.queries("llm_pca_power")(s, sfDir)
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      assert(again == projs, "projections changed under a different partition count")
+    } finally s.conf.set("spark.sql.shuffle.partitions", before)
+  }
 }
