@@ -166,6 +166,82 @@ object LlmQueries extends QueryModule {
       |SELECT node AS doc_id, CAST(min(lbl) AS BIGINT) AS cluster
       |FROM reach GROUP BY node""".stripMargin
 
+  /** Sorted-neighborhood candidate generation + Jaccard confirm (see
+    * llm_dedup_sorted_neighborhood). Returns (candidates(d1,d2),
+    * confirmed(doc_a,doc_b,common,n1,n2,jaccard), nDistinctSigs,
+    * nEqualSigStarPairs). Four sorted passes à la Manku/Jain/Sarma
+    * (WWW'07 §3, the simhash web-dedup scheme): pass b ROTATES the
+    * 64-bit signature left by 16*b bits so band b leads, sorts by the
+    * rotated value, and windows each record with its w=4 successors.
+    * Pigeonhole: a pair within Hamming<=3 has some clean 16-bit band,
+    * so in that band's pass the two sort into the same top-16-bit
+    * block with their remaining 48 bits nearly equal — adjacency does
+    * the rest. The window partitions by the leading 16 bits (never a
+    * single-task global sort); blocks larger than 65536 distinct sigs
+    * sub-split by the next 16 rotated bits (the image-dedup band
+    * occupancy convention) so one low-entropy band value cannot
+    * concentrate a task, trading recall only inside mega-blocks.
+    * Candidate pairs are bounded by 4*w per record by construction —
+    * no Σc² bucket term anywhere.
+    */
+  private[graft] def snmPipeline(s: SparkSession): (DataFrame, DataFrame, Long, Long) = {
+    graft.functions.FunctionRegistry.installAll(s)
+    val w = 4
+    val sig = s.table("documents").select(col("doc_id").cast("long").as("doc_id"),
+      call_udf("simhash64", col("text")).as("sig"))
+    // one materialization feeds equal-star, all four passes and the counts
+    val groups = sig.groupBy("sig").agg(min("doc_id").as("rep"),
+      collect_list("doc_id").as("members"), count(lit(1)).as("cnt")).localCheckpoint()
+    val equalStar = groups.filter(col("cnt") > 1)
+      .select(col("rep"), explode(col("members")).as("other"))
+      .filter(col("other") =!= col("rep"))
+      .select(least(col("rep"), col("other")).as("d1"),
+        greatest(col("rep"), col("other")).as("d2"))
+    val reps = groups.select(col("sig"), col("rep"))
+    def pass(b: Int): DataFrame = {
+      val rot = 16 * b
+      val k = if (rot == 0) col("sig")
+        else shiftleft(col("sig"), rot).bitwiseOR(shiftrightunsigned(col("sig"), 64 - rot))
+      val keyed = reps.select(col("sig"), col("rep"), k.as("k"))
+        .withColumn("blk0", shiftrightunsigned(col("k"), 48))
+      val occ = keyed.groupBy("blk0").agg(count(lit(1)).as("bc"))
+      val blocked = keyed.join(occ, "blk0")
+        .withColumn("blk", when(col("bc") > 65536,
+          concat(col("blk0").cast("string"), lit("_"),
+            shiftrightunsigned(col("k"), 32).bitwiseAND(lit(0xFFFFL)).cast("string")))
+          .otherwise(col("blk0").cast("string")))
+      val win = Window.partitionBy("blk").orderBy(col("k"), col("rep"))
+      val leads = (1 to w).map(i =>
+        struct(lead("sig", i).over(win).as("nsig"), lead("rep", i).over(win).as("nrep"))
+          .as(s"nb$i"))
+      blocked.select(col("sig") +: col("rep") +: leads: _*)
+        .select(col("sig"), col("rep"),
+          explode(array((1 to w).map(i => col(s"nb$i")): _*)).as("nb"))
+        .filter(col("nb.nrep").isNotNull)
+        .filter(bit_count(col("sig").bitwiseXOR(col("nb.nsig"))) <= 8)
+        .select(least(col("rep"), col("nb.nrep")).as("d1"),
+          greatest(col("rep"), col("nb.nrep")).as("d2"))
+    }
+    val cands = (0 to 3).map(pass).foldLeft(equalStar)(_ union _).distinct()
+    // Jaccard confirm over ONLY the candidate pairs' shingles
+    val sh = cappedShingleRows(s)
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val confirmed = cands
+      .join(sh.select(col("doc_id").as("d1"), col("sh")), "d1")
+      .join(sh.select(col("doc_id").as("d2"), col("sh")), Seq("d2", "sh"))
+      .groupBy("d1", "d2").agg(count(lit(1)).as("common"))
+      .join(sizes.select(col("doc_id").as("d1"), col("n").as("n1")), "d1")
+      .join(sizes.select(col("doc_id").as("d2"), col("n").as("n2")), "d2")
+      .filter(col("common").cast("double") / (col("n1") + col("n2") - col("common")) >= 0.5)
+      .select(col("d1"), col("d2"), col("common"), col("n1"), col("n2"),
+        round(col("common").cast("double") /
+          (col("n1") + col("n2") - col("common")), 6).as("jaccard"))
+    val nSigs = reps.count()
+    val nEqualStar = groups.filter(col("cnt") > 1)
+      .agg(coalesce(sum(col("cnt") - 1), lit(0L))).head().getLong(0)
+    (cands, confirmed, nSigs, nEqualStar)
+  }
+
   private def exactJaccardPairsUncached(s: SparkSession, threshold: Double): DataFrame = {
     val sh = cappedShingleRows(s)
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
@@ -742,6 +818,65 @@ object LlmQueries extends QueryModule {
         .select(col("new_doc"), col("dup_of"), col("common"), col("n_new"), col("n_old"),
           round(col("common").cast("double") /
             (col("n_new") + col("n_old") - col("common")), 6).as("jaccard"))
+    },
+
+    // Sorted-neighborhood dedup (Hernández & Stolfo 1995 merge/purge —
+    // the third candidate-generation family next to band-bucketing
+    // (MinHash/hyperplane LSH) and asymmetric joins (incremental): SORT
+    // the corpus by a compact signature and pair each record with its w
+    // nearest neighbors in sort order. Candidates are n*w by
+    // construction — no Σc² bucket term at all, the property that makes
+    // SNM the default blocking in record-linkage systems. Pipeline:
+    // 64-bit SimHash per doc (map-side), identical signatures collapse
+    // to a representative (equal-sig members pair with their rep — the
+    // exact-dup mass never reaches the window), then FOUR sorted passes
+    // over the distinct signatures (Manku/Jain/Sarma WWW'07: each pass
+    // rotates one 16-bit band to the top, so a Hamming<=3 pair's clean
+    // band puts it in a shared block by pigeonhole), each windowed
+    // WITHIN its leading-16-bit block — partitionBy(block), never a
+    // single-task global window; >65536-sig blocks sub-split by the
+    // next 16 bits. Neighbors within Hamming<=8 become candidates;
+    // candidates confirm with exact Jaccard>=0.5 computed over ONLY the
+    // candidate pairs' shingles. Contracts: every confirmed pair is a
+    // true J>=0.5 pair (precision), the candidate count respects the
+    // n*(4 passes * w)+equal-star bound (linearity), every
+    // identical-signature pair is recovered (guaranteed recall floor),
+    // and the planted near-dup slice is found (fixture sensitivity).
+    Q("llm_dedup_sorted_neighborhood",
+      """SELECT true AS precision_ok, true AS bounded_candidates,
+        |  true AS equal_sig_grouped, true AS finds_near_dups""".stripMargin) { (s, _) =>
+      import s.implicits._
+      val (cands, confirmed, nSigs, nEqualStar) = snmPipeline(s)
+      val cCands = cands.cache(); val cConf = confirmed.cache()
+      val exactAll = exactJaccardPairs(s, 0.5).cache()
+      val falsePos = cConf.select(col("d1").as("doc_a"), col("d2").as("doc_b"))
+        .join(exactAll.select("doc_a", "doc_b"), Seq("doc_a", "doc_b"), "left_anti").count()
+      val nCands = cCands.count()
+      // independent equal-sig recomputation: every identical-signature
+      // pair must be covered through its representative star
+      graft.functions.FunctionRegistry.installAll(s)
+      val sig = s.table("documents").select(col("doc_id").cast("long").as("doc_id"),
+        call_udf("simhash64", col("text")).as("sig"))
+      val star = sig.groupBy("sig")
+        .agg(min("doc_id").as("rep"), collect_list("doc_id").as("members"))
+        .select(col("rep"), explode(col("members")).as("other"))
+        .filter(col("other") =!= col("rep"))
+        .select(least(col("rep"), col("other")).as("d1"),
+          greatest(col("rep"), col("other")).as("d2"))
+      val starMissed = star.join(cCands, Seq("d1", "d2"), "left_anti").count()
+      val found08 = cConf.filter(col("jaccard") >= 0.8).count()
+      val exist08 = exactAll.filter(col("jaccard") >= 0.8).limit(1).count()
+      exactAll.unpersist(); cCands.unpersist(); cConf.unpersist()
+      Seq((falsePos == 0L,
+        nCands <= nSigs * 16 + nEqualStar,
+        starMissed == 0L,
+        exist08 == 0L || found08 > 0L))
+        .toDF("precision_ok", "bounded_candidates", "equal_sig_grouped", "finds_near_dups")
+    }.withBench { (s, _) =>
+      // Engine-side pipeline only: signature -> sorted passes ->
+      // windowed candidates -> Jaccard confirm. The exact-all-pairs
+      // recall/precision joins are Verify-only scaffolding.
+      snmPipeline(s)._2
     },
 
     // MinHash-LSH near-dup detection — contract-checked: (a) every exact

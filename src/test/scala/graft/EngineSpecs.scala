@@ -1120,6 +1120,43 @@ class EngineSpecs extends AnyFunSuite with BeforeAndAfterAll {
       "unrelated doc must not share more fingerprints than the true overlap")
   }
 
+  test("sorted-neighborhood dedup: planted dups recovered, no single-partition window, linear candidates") {
+    val s = spark.newSession()
+    graft.engine.Engine.registerTables(s, sfDir)
+    import s.implicits._
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu nu xi"
+    val docs = Seq(
+      (1L, base),                            // original
+      (2L, base),                            // exact dup of 1 (equal sig)
+      (3L, base.replace(" xi", " omega")),   // near dup of 1 (last word off:
+                                             // 1 of 10 shingles differs, J=9/11)
+      (4L, "completely unrelated text about rivers mountains and weather patterns today " +
+        "with many additional words that share nothing at all with the planted corpus"),
+      (5L, "second unrelated document discussing cooking recipes ovens and ingredients " +
+        "entirely disjoint vocabulary from every other planted document here")
+    ).toDF("doc_id", "text")
+    docs.createOrReplaceTempView("documents")
+    val (cands, confirmed, nSigs, nEqualStar) = graft.llm.LlmQueries.snmPipeline(s)
+    val candSet = cands.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // equal-sig pair (1,2) guaranteed; near-dup (1,3) within Hamming 8 of
+    // a 1-word change and adjacent among 4 distinct sigs
+    assert(candSet.contains((1L, 2L)), s"equal-sig pair missing from $candSet")
+    assert(candSet.contains((1L, 3L)) || candSet.contains((2L, 3L)),
+      s"near-dup pair missing from $candSet")
+    assert(candSet.size <= nSigs * 16 + nEqualStar, "candidate bound violated")
+    val conf = confirmed.collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(5))).toMap
+    assert(conf.contains((1L, 2L)) && conf((1L, 2L)) == 1.0, s"exact dup not confirmed: $conf")
+    assert(conf.keys.exists { case (a, b) => Set(a, b).contains(3L) },
+      "near dup not confirmed")
+    assert(!conf.keys.exists { case (a, b) => Set(a, b).intersect(Set(4L, 5L)).nonEmpty },
+      s"unrelated docs must not confirm: $conf")
+    // scale shape: the neighbor window partitions by the sig prefix —
+    // no single-partition exchange anywhere in candidate generation
+    val plan = cands.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange SinglePartition"),
+      s"SNM must not funnel through one partition:\n$plan")
+  }
+
   test("as-of join picks the at-or-before right row with one shuffle") {
     import org.apache.spark.sql.functions._
     val s = spark
