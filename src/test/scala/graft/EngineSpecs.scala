@@ -275,6 +275,19 @@ class EngineSpecs extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("ivfpq: planted recall through probed residual codes, sublinear scan, 32x compression") {
+    // All four published contract columns (see llm_knn_ivfpq): planted
+    // neighbors survive coarse probe + residual-PQ ADC + exact rerank,
+    // the ADC scan touches only probed lists (<30% of pairs), code rows
+    // are 8 subspace codes vs 64 floats (32x), and raw embeddings are
+    // read only for the bounded rerank set.
+    val r = SparkEntry.queries("llm_knn_ivfpq")(spark, sfDir).head()
+    assert(r.getBoolean(0), "ivfpq planted recall not perfect")
+    assert(r.getBoolean(1), "ivfpq ADC scan not sublinear")
+    assert(r.getBoolean(2), "ivfpq compression below 32x")
+    assert(r.getBoolean(3), "ivfpq exact-read fraction not bounded")
+  }
+
   test("ds_order_returns: the multi-supplier CTE materializes once; filters stay semi joins") {
     // q95's ws_wh contract: the expensive distinct-supplier aggregate is
     // referenced twice (plain IN + re-joined with returns) but must be
