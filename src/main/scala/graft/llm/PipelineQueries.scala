@@ -320,6 +320,32 @@ object PipelineQueries extends QueryModule {
           round(col("score"), 6).as("score"))
     },
 
+    // Deterministic stratified train/val/test split — the
+    // reproducibility primitive every training pipeline needs: a doc's
+    // split must be a pure function of its id (re-runs, backfills and
+    // incremental ingests all see the same assignment; no shared state,
+    // no coordination). Assignment: Knuth multiplicative scramble
+    // h = (doc_id * 2654435761) mod 2^32 (exact BIGINT arithmetic on
+    // both engines), then h mod 10 -> 0-7 train / 8 val / 9 test, so
+    // fractions converge to 80/10/10 per stratum without any per-domain
+    // global rank — the exact-quota alternative is a per-lang window
+    // sort, which funnels each stratum through one task at 100 TB
+    // (the WindowQueries funnel rule) for a quota error the law of
+    // large numbers already bounds at ~1/sqrt(n) per stratum. Output is
+    // the per-(lang, split) census with min/max scrambled hash as the
+    // determinism witness; the per-doc assignment is the same map-side
+    // expression. Zero joins, one linear keyed agg.
+    Q.sameSql("llm_train_val_split",
+      """WITH a AS (
+        |  SELECT doc_id, lang, (doc_id * 2654435761) % 4294967296 AS h,
+        |    CASE WHEN (doc_id * 2654435761) % 4294967296 % 10 < 8 THEN 'train'
+        |         WHEN (doc_id * 2654435761) % 4294967296 % 10 = 8 THEN 'val'
+        |         ELSE 'test' END AS split
+        |  FROM documents)
+        |SELECT lang, split, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(min(h) AS BIGINT) AS min_h, CAST(max(h) AS BIGINT) AS max_h
+        |FROM a GROUP BY lang, split""".stripMargin),
+
     // DoReMi-style domain reweighting (Xie et al. 2023): one
     // exponentiated-gradient update of the domain mixture — per-domain
     // excess loss (unigram-LM surprise vs the easiest domain, the

@@ -275,6 +275,29 @@ class EngineSpecs extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("train/val/test split: pure per-doc function, strata fractions near 80/10/10") {
+    val census = SparkEntry.queries("llm_train_val_split")(spark, sfDir)
+      .collect().map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
+    val langs = census.keys.map(_._1).toSet
+    for (l <- langs) {
+      val n = Seq("train", "val", "test").map(sp => census.getOrElse((l, sp), 0L)).sum
+      val tr = census.getOrElse((l, "train"), 0L).toDouble / n
+      if (n >= 100) assert(tr > 0.65 && tr < 0.95, s"lang $l train fraction $tr off 0.8")
+    }
+    // purity: the assignment is a function of doc_id alone — recomputing
+    // the census over a HALF of the corpus must give a sub-census (no
+    // doc changes split when the rest of the corpus changes)
+    val s2 = spark.newSession()
+    graft.engine.Engine.registerTables(s2, sfDir)
+    s2.table("documents").filter(org.apache.spark.sql.functions.col("doc_id") % 2 === 0)
+      .createOrReplaceTempView("documents")
+    val half = SparkEntry.queries("llm_train_val_split")(s2, sfDir)
+      .collect().map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
+    for (((l, sp), n) <- half)
+      assert(n <= census.getOrElse((l, sp), 0L),
+        s"half-corpus census exceeds full census for ($l,$sp)")
+  }
+
   test("ivfpq: planted recall through probed residual codes, sublinear scan, 32x compression") {
     // All four published contract columns (see llm_knn_ivfpq): planted
     // neighbors survive coarse probe + residual-PQ ADC + exact rerank,
