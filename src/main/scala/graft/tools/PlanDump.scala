@@ -39,7 +39,10 @@ object PlanDump {
       "llm_ccnet_buckets", "llm_pagerank", "mm_image_dedup_perceptual",
       "llm_hybrid_retrieval_rrf", "mm_video_dedup",
       "llm_blocklist_filter", "llm_char_entropy", "llm_ngram_novelty",
-      "llm_quality_classifier")
+      "llm_quality_classifier",
+      "llm_pmi_collocations", "llm_pca_power",
+      "llm_dedup_sorted_neighborhood", "llm_knn_ivfpq",
+      "llm_train_val_split")
     val spark = graft.engine.Engine.session("local[4]", shufflePartitions = 8)
     graft.engine.Engine.registerTables(spark, sfDir)
     val sb = new StringBuilder
