@@ -150,6 +150,19 @@ object StatementServer {
 
     def baseUri: String = s"http://127.0.0.1:$port"
 
+    // ---- monitoring-surface state (ServerInfoResource.java:55 startTime,
+    // GracefulShutdownHandler; ClusterStatsResource totals) ----
+    private[StatementServer] val startNanos = System.nanoTime()
+    private[StatementServer] val shuttingDown = new java.util.concurrent.atomic.AtomicBoolean(false)
+    // Cumulative rows served through the statement protocol — the
+    // front door's honest analog of the reference coordinator's
+    // consumed-input counters (we meter what crosses the wire; the
+    // reference meters what the scans read).
+    private[StatementServer] val rowsServed = new java.util.concurrent.atomic.AtomicLong(0L)
+    private[StatementServer] val bytesServed = new java.util.concurrent.atomic.AtomicLong(0L)
+
+    def isShuttingDown: Boolean = shuttingDown.get()
+
     /** True once the query's worker thread has fully exited (pages
       * drained or cancel observed) — the DELETE-hygiene observable. */
     def workerFinished(id: String): Boolean =
@@ -174,6 +187,17 @@ object StatementServer {
     val bound = new Server(spark, http, http.getAddress.getPort, clientTimeoutMs)
     http.createContext("/v1/statement", (ex: HttpExchange) => handle(bound, ex))
     http.createContext("/v1/query", (ex: HttpExchange) => handleQueryInfo(bound, ex))
+    // Ops/monitoring surface (the endpoints the reference web UI, load
+    // balancers and health checks poll): ServerInfoResource (/v1/info,
+    // /v1/info/state, /v1/info/coordinator), StatusResource
+    // (/v1/status), ClusterStatsResource (/v1/cluster), NodeResource
+    // (/v1/node, /v1/node/failed), QueryStateInfoResource
+    // (/v1/queryState).
+    http.createContext("/v1/info", (ex: HttpExchange) => handleInfo(bound, ex))
+    http.createContext("/v1/status", (ex: HttpExchange) => handleStatus(bound, ex))
+    http.createContext("/v1/cluster", (ex: HttpExchange) => handleCluster(bound, ex))
+    http.createContext("/v1/node", (ex: HttpExchange) => handleNode(bound, ex))
+    http.createContext("/v1/queryState", (ex: HttpExchange) => handleQueryState(bound, ex))
     http.setExecutor(Executors.newFixedThreadPool(4, r => {
       val t = new Thread(r, "graft-statement-http")
       t.setDaemon(true)
@@ -220,6 +244,11 @@ object StatementServer {
   }
 
   private def submit(server: Server, ex: HttpExchange): Unit = {
+    // GracefulShutdownHandler semantics: once SHUTTING_DOWN, in-flight
+    // queries drain but new work is refused.
+    if (server.shuttingDown.get()) {
+      respond(ex, 503, """{"error":"Server is shutting down"}"""); return
+    }
     val sqlText = new String(ex.getRequestBody.readAllBytes(), UTF_8).trim
     if (sqlText.isEmpty) { respond(ex, 400, """{"error":"empty statement"}"""); return }
     val created = System.currentTimeMillis()
@@ -482,6 +511,167 @@ object StatementServer {
         respond(ex, 500, s"""{"error":${jsonString(Option(t.getMessage).getOrElse(t.toString))}}""")
     } finally ex.close()
 
+  // ---- ops/monitoring endpoints ----
+
+  private val EngineVersion = "graft-0.13"
+  private val Environment = "graft"
+
+  private def uptimeJson(server: Server): String = {
+    val ms = (System.nanoTime() - server.startNanos) / 1e6
+    // airlift Duration renders as "<value><unit>" with two decimals
+    jsonString(f"$ms%.2fms")
+  }
+
+  /** ServerInfoResource.java — GET /v1/info (ServerInfo document),
+    * GET/PUT /v1/info/state (NodeState; PUT SHUTTING_DOWN starts a
+    * graceful drain, PUT ACTIVE/INACTIVE is a 400 invalid transition),
+    * GET /v1/info/coordinator (200 when coordinator — the load-balancer
+    * probe; this single-JVM engine is always the coordinator).
+    */
+  private def handleInfo(server: Server, ex: HttpExchange): Unit =
+    try {
+      val sub = ex.getRequestURI.getPath.stripPrefix("/v1/info")
+        .split('/').filter(_.nonEmpty).toSeq
+      (ex.getRequestMethod, sub) match {
+        case ("GET", Seq()) =>
+          respond(ex, 200,
+            s"""{"nodeVersion":{"version":${jsonString(EngineVersion)}},""" +
+            s""""environment":${jsonString(Environment)},"coordinator":true,""" +
+            s""""starting":false,"uptime":${uptimeJson(server)}}""")
+        case ("GET", Seq("state")) =>
+          val st = if (server.shuttingDown.get()) "SHUTTING_DOWN" else "ACTIVE"
+          respond(ex, 200, jsonString(st))
+        case ("PUT", Seq("state")) =>
+          val body = new String(ex.getRequestBody.readAllBytes(), UTF_8)
+            .trim.stripPrefix("\"").stripSuffix("\"")
+          body match {
+            case "SHUTTING_DOWN" =>
+              server.shuttingDown.set(true)
+              respond(ex, 200, "OK")
+            case "ACTIVE" | "INACTIVE" =>
+              respond(ex, 400, s"Invalid state transition to $body")
+            case other =>
+              respond(ex, 400, s"Invalid state $other")
+          }
+        case ("GET", Seq("coordinator")) => respond(ex, 200, "")
+        case _ => respond(ex, 404, """{"error":"not found"}""")
+      }
+    } catch {
+      case t: Throwable =>
+        respond(ex, 500, s"""{"error":${jsonString(Option(t.getMessage).getOrElse(t.toString))}}""")
+    } finally ex.close()
+
+  /** StatusResource.java — GET /v1/status: the NodeStatus document
+    * (node identity + live JVM/OS gauges) every worker exposes and the
+    * UI's node page reads. Gauges are real MXBean reads.
+    */
+  private def handleStatus(server: Server, ex: HttpExchange): Unit =
+    try {
+      val mem = java.lang.management.ManagementFactory.getMemoryMXBean
+      val os = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+      val (procLoad, sysLoad) = os match {
+        case x: com.sun.management.OperatingSystemMXBean =>
+          (x.getProcessCpuLoad, x.getCpuLoad)
+        case _ => (0.0, 0.0)
+      }
+      val heap = mem.getHeapMemoryUsage
+      val nonHeap = mem.getNonHeapMemoryUsage
+      respond(ex, 200,
+        s"""{"nodeId":${jsonString(s"graft-${server.port}")},""" +
+        s""""nodeVersion":{"version":${jsonString(EngineVersion)}},""" +
+        s""""environment":${jsonString(Environment)},"coordinator":true,""" +
+        s""""uptime":${uptimeJson(server)},""" +
+        s""""externalAddress":"127.0.0.1","internalAddress":"127.0.0.1",""" +
+        s""""processors":${Runtime.getRuntime.availableProcessors},""" +
+        s""""processCpuLoad":$procLoad,"systemCpuLoad":$sysLoad,""" +
+        s""""heapUsed":${heap.getUsed},"heapAvailable":${heap.getMax},""" +
+        s""""nonHeapUsed":${nonHeap.getUsed}}""")
+    } catch {
+      case t: Throwable =>
+        respond(ex, 500, s"""{"error":${jsonString(Option(t.getMessage).getOrElse(t.toString))}}""")
+    } finally ex.close()
+
+  /** ClusterStatsResource.java — GET /v1/cluster: the dashboard
+    * headline counters. Query-state counts come from the live registry;
+    * worker/driver gauges from Spark's status tracker; rows/bytes are
+    * the statement protocol's cumulative served totals (what crosses
+    * the wire — the single-JVM analog of the reference coordinator's
+    * consumed-input counters), CPU is the process CPU clock.
+    */
+  private def handleCluster(server: Server, ex: HttpExchange): Unit =
+    try {
+      var running = 0L; var queued = 0L
+      server.queries.values().forEach { q =>
+        q.state.get() match {
+          case "RUNNING" => running += 1
+          case "QUEUED" => queued += 1
+          case _ =>
+        }
+      }
+      val tracker = server.session.sparkContext.statusTracker
+      val workers = tracker.getExecutorInfos.length.toLong
+      val drivers = tracker.getActiveJobIds().length.toLong
+      val cpuSecs = java.lang.management.ManagementFactory.getOperatingSystemMXBean match {
+        case x: com.sun.management.OperatingSystemMXBean => x.getProcessCpuTime / 1e9
+        case _ => 0.0
+      }
+      respond(ex, 200,
+        s"""{"runningQueries":$running,"blockedQueries":0,""" +
+        s""""queuedQueries":$queued,"activeWorkers":$workers,""" +
+        s""""runningDrivers":$drivers,"reservedMemory":0.0,""" +
+        s""""totalInputRows":${server.rowsServed.get()},""" +
+        s""""totalInputBytes":${server.bytesServed.get()},""" +
+        s""""totalCpuTimeSecs":${cpuSecs.toLong}}""")
+    } catch {
+      case t: Throwable =>
+        respond(ex, 500, s"""{"error":${jsonString(Option(t.getMessage).getOrElse(t.toString))}}""")
+    } finally ex.close()
+
+  /** NodeResource.java — GET /v1/node lists OTHER nodes known to the
+    * heartbeat failure detector and /v1/node/failed the failed subset;
+    * a single-JVM coordinator has no remote nodes, so both are [] (the
+    * reference coordinator with no workers answers the same).
+    */
+  private def handleNode(server: Server, ex: HttpExchange): Unit =
+    try {
+      respond(ex, 200, "[]")
+    } catch {
+      case t: Throwable =>
+        respond(ex, 500, s"""{"error":${jsonString(Option(t.getMessage).getOrElse(t.toString))}}""")
+    } finally ex.close()
+
+  /** QueryStateInfoResource.java — GET /v1/queryState[?user=u]: one
+    * compact state document per non-finished query (the admission/
+    * debugging view: who is queued, who is running, under which
+    * resource group).
+    */
+  private def handleQueryState(server: Server, ex: HttpExchange): Unit =
+    try {
+      val userFilter = Option(ex.getRequestURI.getQuery)
+        .flatMap(_.split('&').find(_.startsWith("user=")).map(_.stripPrefix("user=")))
+      val sb = new StringBuilder("[")
+      var first = true
+      server.queries.values().forEach { q =>
+        val st = q.state.get()
+        if (st == "QUEUED" || st == "RUNNING") {
+          if (userFilter.forall(_ == q.user)) {
+            if (!first) sb.append(',')
+            first = false
+            sb.append("{\"queryId\":").append(jsonString(q.id))
+              .append(",\"queryState\":").append(jsonString(st))
+              .append(",\"user\":").append(jsonString(q.user))
+              .append(",\"query\":").append(jsonString(q.sqlText))
+              .append('}')
+          }
+        }
+      }
+      sb.append(']')
+      respond(ex, 200, sb.toString)
+    } catch {
+      case t: Throwable =>
+        respond(ex, 500, s"""{"error":${jsonString(Option(t.getMessage).getOrElse(t.toString))}}""")
+    } finally ex.close()
+
   /** Shared kill path: explicit DELETE and the abandonment reaper. */
   private def doCancel(server: Server, q: QueryExec, reason: String): Unit = {
     SystemTables.killQuery(server.session, q.id) // job-group cancel + FAILED in the log
@@ -508,6 +698,7 @@ object StatementServer {
 
   private def envelope(server: Server, q: QueryExec, data: Seq[Seq[Any]],
       includeNext: Boolean): String = {
+    if (data.nonEmpty) server.rowsServed.addAndGet(data.size.toLong)
     val sb = new StringBuilder(256)
     sb.append("{\"id\":").append(jsonString(q.id))
     sb.append(",\"infoUri\":").append(jsonString(s"${server.baseUri}/v1/query/${q.id}"))
@@ -535,7 +726,9 @@ object StatementServer {
       sb.append(",\"error\":{\"message\":").append(jsonString(e)).append('}')
     }
     sb.append(",\"stats\":{\"state\":").append(jsonString(q.state.get())).append("}}")
-    sb.toString
+    val out = sb.toString
+    if (data.nonEmpty) server.bytesServed.addAndGet(out.length.toLong)
+    out
   }
 
   /** Attach the statement's session-state effects as the reference's

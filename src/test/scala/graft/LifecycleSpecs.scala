@@ -33,6 +33,7 @@ class LifecycleSpecs extends AnyFunSuite with BeforeAndAfterAll {
     headers.foreach { case (k, v) => b = b.header(k, v) }
     val req = (method match {
       case "POST" => b.POST(java.net.http.HttpRequest.BodyPublishers.ofString(body.get))
+      case "PUT" => b.PUT(java.net.http.HttpRequest.BodyPublishers.ofString(body.get))
       case "DELETE" => b.DELETE()
       case _ => b.GET()
     }).build()
@@ -900,5 +901,48 @@ class LifecycleSpecs extends AnyFunSuite with BeforeAndAfterAll {
       server.stop()
       ResourceGroups.disable(spark)
     }
+  }
+
+  test("monitoring surface: /v1/info, /v1/status, /v1/cluster, /v1/node, /v1/queryState") {
+    val server = graft.sql.StatementServer.start(spark)
+    val base = server.baseUri
+    try {
+      // ServerInfo document (ServerInfoResource.getInfo)
+      val (ic, ib) = httpSend("GET", s"$base/v1/info")
+      assert(ic == 200)
+      val info = json(ib)
+      assert(info.get("nodeVersion").get("version").asText().nonEmpty)
+      assert(info.get("coordinator").asBoolean() && !info.get("starting").asBoolean())
+      assert(info.get("uptime").asText().endsWith("ms"))
+      // state: ACTIVE; load-balancer probe answers 200
+      assert(httpSend("GET", s"$base/v1/info/state")._2.contains("ACTIVE"))
+      assert(httpSend("GET", s"$base/v1/info/coordinator")._1 == 200)
+      // NodeStatus gauges are live reads
+      val st = json(httpSend("GET", s"$base/v1/status")._2)
+      assert(st.get("processors").asInt() > 0 && st.get("heapUsed").asLong() > 0)
+      assert(st.get("nodeId").asText().nonEmpty)
+      // node lists: single-JVM coordinator has no remote nodes
+      assert(httpSend("GET", s"$base/v1/node")._2 == "[]")
+      assert(httpSend("GET", s"$base/v1/node/failed")._2 == "[]")
+      // cluster stats move when a statement is served
+      val before = json(httpSend("GET", s"$base/v1/cluster")._2)
+      val rows = httpQuery(base, "SELECT 1 AS one")
+      assert(rows.nonEmpty)
+      val after = json(httpSend("GET", s"$base/v1/cluster")._2)
+      assert(after.get("totalInputRows").asLong() > before.get("totalInputRows").asLong())
+      assert(after.get("totalInputBytes").asLong() > before.get("totalInputBytes").asLong())
+      assert(after.get("runningQueries").asLong() >= 0 && after.get("activeWorkers").asLong() >= 1)
+      // queryState: nothing queued/running once drained
+      assert(httpSend("GET", s"$base/v1/queryState")._2 == "[]")
+      // invalid state transitions are 400s (ServerInfoResource.updateState)
+      assert(httpSend("PUT", s"$base/v1/info/state", Some("\"ACTIVE\""))._1 == 400)
+      assert(httpSend("PUT", s"$base/v1/info/state", Some("\"NONSENSE\""))._1 == 400)
+      // graceful drain: SHUTTING_DOWN flips state and refuses new work
+      assert(httpSend("PUT", s"$base/v1/info/state", Some("\"SHUTTING_DOWN\""))._1 == 200)
+      assert(httpSend("GET", s"$base/v1/info/state")._2.contains("SHUTTING_DOWN"))
+      val (sc, sb2) = httpSend("POST", s"$base/v1/statement", Some("SELECT 1"),
+        Seq("X-Presto-User" -> "u"))
+      assert(sc == 503 && sb2.contains("shutting down"))
+    } finally server.stop()
   }
 }
