@@ -497,5 +497,37 @@ object DdlQueries extends QueryModule {
         """SELECT nation_id, n_name, score FROM alter_t2
           |WHERE nation_id IN (SELECT n_nationkey FROM nation WHERE n_regionkey = 2)
           |""".stripMargin)
+    },
+
+    // CREATE SCHEMA / DROP SCHEMA (CreateSchemaTask.java /
+    // DropSchemaTask.java): schemas ride the Spark session catalog's
+    // databases, so SHOW SCHEMAS and USE see them immediately. The
+    // round trip pins: create -> visible; IF NOT EXISTS is idempotent
+    // where a bare re-create throws; USE enters it; drop -> gone; IF
+    // EXISTS tolerates the missing schema.
+    Q("ddl_create_drop_schema",
+      """SELECT CAST(1 AS BIGINT) AS visible_after_create,
+        |  CAST(1 AS BIGINT) AS idempotent_if_not_exists,
+        |  CAST(1 AS BIGINT) AS bare_recreate_throws,
+        |  CAST(0 AS BIGINT) AS visible_after_drop,
+        |  CAST(1 AS BIGINT) AS if_exists_tolerates""".stripMargin) { (s, _) =>
+      import s.implicits._
+      PrestoSql.sql(s, "DROP SCHEMA IF EXISTS graft_ddl_s1")
+      PrestoSql.sql(s, "CREATE SCHEMA graft_ddl_s1")
+      val afterCreate = PrestoSql.sql(s, "SHOW SCHEMAS LIKE 'graft_ddl_s1'").count()
+      PrestoSql.sql(s, "CREATE SCHEMA IF NOT EXISTS graft_ddl_s1") // no-op
+      val idem = PrestoSql.sql(s, "SHOW SCHEMAS LIKE 'graft_ddl_s1'").count()
+      val threw =
+        try { PrestoSql.sql(s, "CREATE SCHEMA graft_ddl_s1"); 0L }
+        catch { case e: IllegalArgumentException
+            if e.getMessage.contains("already exists") => 1L }
+      PrestoSql.sql(s, "USE graft_ddl_s1")
+      PrestoSql.sql(s, "USE default")
+      PrestoSql.sql(s, "DROP SCHEMA graft_ddl_s1")
+      val afterDrop = PrestoSql.sql(s, "SHOW SCHEMAS LIKE 'graft_ddl_s1'").count()
+      PrestoSql.sql(s, "DROP SCHEMA IF EXISTS graft_ddl_s1") // no-op
+      Seq((afterCreate, idem, threw, afterDrop, 1L))
+        .toDF("visible_after_create", "idempotent_if_not_exists",
+          "bare_recreate_throws", "visible_after_drop", "if_exists_tolerates")
     })
 }

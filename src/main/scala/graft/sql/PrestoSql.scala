@@ -586,6 +586,14 @@ object PrestoSql {
   // schemas") — same contract here, loudly rather than silently.
   private val renameSchemaRe =
     """(?is)\s*ALTER\s+SCHEMA\s+([\w.]+)\s+RENAME\s+TO\s+(\w+)\s*""".r
+  // CREATE SCHEMA / DROP SCHEMA (SqlBase.g4:37-39; CreateSchemaTask.java
+  // checks IF NOT EXISTS then metadata.createSchema, DropSchemaTask.java
+  // refuses CASCADE and delegates the non-empty check). Schemas map onto
+  // Spark session-catalog databases, so SHOW SCHEMAS / USE see them.
+  private val createSchemaRe =
+    """(?is)\s*CREATE\s+SCHEMA\s+(IF\s+NOT\s+EXISTS\s+)?(?:(\w+)\.)?(\w+)\s*""".r
+  private val dropSchemaRe =
+    """(?is)\s*DROP\s+SCHEMA\s+(IF\s+EXISTS\s+)?(?:(\w+)\.)?(\w+)\s*(RESTRICT|CASCADE)?\s*""".r
   // ALTER TABLE family (SqlBase.g4:52-58; RenameTableTask.java,
   // RenameColumnTask.java, DropColumnTask.java, AddColumnTask.java).
   // graft tables are session temp views, so each alter re-registers the
@@ -1131,6 +1139,30 @@ object PrestoSql {
       case renameSchemaRe(_, _) =>
         throw new UnsupportedOperationException(
           "This connector does not support renaming schemas")
+      case createSchemaRe(ifNotExists, catalog, schema) =>
+        if (catalog != null)
+          require(Seq("graft", "spark_catalog").contains(catalog.toLowerCase),
+            s"Catalog does not exist: $catalog")
+        // CreateSchemaTask.java: without IF NOT EXISTS an existing
+        // schema is "Schema already exists"
+        if (spark.catalog.databaseExists(schema)) {
+          if (ifNotExists == null)
+            throw new IllegalArgumentException(s"Schema already exists: $schema")
+        } else spark.sql(s"CREATE DATABASE `$schema`")
+        Seq("CREATE SCHEMA").toDF("result")
+      case dropSchemaRe(ifExists, catalog, schema, mode) =>
+        if (catalog != null)
+          require(Seq("graft", "spark_catalog").contains(catalog.toLowerCase),
+            s"Catalog does not exist: $catalog")
+        // DropSchemaTask.java: CASCADE is "not yet supported"; missing
+        // schema without IF EXISTS is "Schema does not exist"
+        if (mode != null && mode.equalsIgnoreCase("CASCADE"))
+          throw new UnsupportedOperationException("CASCADE is not yet supported for DROP SCHEMA")
+        if (!spark.catalog.databaseExists(schema)) {
+          if (ifExists == null)
+            throw new IllegalArgumentException(s"Schema does not exist: $schema")
+        } else spark.sql(s"DROP DATABASE `$schema`")
+        Seq("DROP SCHEMA").toDF("result")
       case setPathRe(path) =>
         propsOf(spark).put("path", path.trim)
         recordSet("path", path.trim)
