@@ -779,7 +779,7 @@ object LlmQueries extends QueryModule {
     * structures exist in this repo and compose here unchanged.
     */
   private def ivfpqPipeline(s: SparkSession, e: DataFrame, nProbe: Int = 4,
-      candidates: Int = 100): (DataFrame, DataFrame, DataFrame) = {
+      candidates: Int = 100): (DataFrame, DataFrame, DataFrame, DataFrame) = {
     import s.implicits._
     val M = 8; val K = 16
     val (centroids, assigned, probes, _) = ivfParts(s, e, nProbe, lloydRounds = 2)
@@ -884,7 +884,7 @@ object LlmQueries extends QueryModule {
       .select(col("q_id"), col("n_id"), Fns.cosineSim(col("qe"), col("ne")).as("sim"))
       .select(col("q_id"), col("n_id"), col("sim"), row_number().over(wTop).as("rn"))
       .filter(col("rn") <= 10)
-    (codes, probed, top)
+    (codes, probed, cands, top)
   }
 
   def queries: Seq[Q] = Seq(
@@ -973,11 +973,22 @@ object LlmQueries extends QueryModule {
     // single-task global window; >65536-sig blocks sub-split by the
     // next 16 bits. Neighbors within Hamming<=8 become candidates;
     // candidates confirm with exact Jaccard>=0.5 computed over ONLY the
-    // candidate pairs' shingles. Contracts: every confirmed pair is a
-    // true J>=0.5 pair (precision), the candidate count respects the
-    // n*(4 passes * w)+equal-star bound (linearity), every
-    // identical-signature pair is recovered (guaranteed recall floor),
-    // and the planted near-dup slice is found (fixture sensitivity).
+    // candidate pairs' shingles. OUTPUT CONTRACT — STAR SEMANTICS:
+    // confirmed pairs are an edge set whose connected components are
+    // the dup groups, NOT an exhaustive J>=0.5 pair list. Equal-sig
+    // groups emit only rep<->member star edges (a size-g group emits
+    // g-1 edges, not g*(g-1)/2): member<->member pairs are implied
+    // transitively through the rep — the same group-closure convention
+    // llm_dedup_groups consumes (pointer-jumping CC over these edges
+    // recovers every group exactly). Consumers needing the full pair
+    // list close each component; emitting the quadratic within-group
+    // pair set here would reintroduce the Σc² term SNM exists to avoid.
+    // Contracts: every confirmed pair is a true J>=0.5 pair
+    // (precision), the candidate count respects the n*(4 passes * w)+
+    // equal-star bound (linearity), every identical-signature member is
+    // star-connected to its group rep (recall floor, under the star
+    // semantics above), and the planted near-dup slice is found
+    // (fixture sensitivity).
     Q("llm_dedup_sorted_neighborhood",
       """SELECT true AS precision_ok, true AS bounded_candidates,
         |  true AS equal_sig_grouped, true AS finds_near_dups""".stripMargin) { (s, _) =>
@@ -1415,16 +1426,20 @@ object LlmQueries extends QueryModule {
       import s.implicits._
       val pe = plantedEmbeddings(s).cache()
       val nPe = pe.count()
-      val (codes, probed, pTop) = ivfpqPipeline(s, pe)
+      val (codes, probed, cands, pTop) = ivfpqPipeline(s, pe)
       val pHit = pTop.select("q_id", "n_id")
         .join(bruteTop(pe), Seq("q_id", "n_id"), "left_semi").count()
       val scanned = probed.count().toDouble
       val codeWidth = codes.select(size(col("codes"))).head().getInt(0)
       val dims = pe.select(size(col("embedding"))).head().getInt(0)
+      // bounded_exact_reads is OBSERVED: count the candidate rows the
+      // rerank actually joins against raw embeddings (not a closed-form
+      // constant — a regression to full-scan rerank flips this false)
+      val exactReads = cands.count()
       val res = Seq((pHit == 50L,
         scanned / (5.0 * (nPe - 1)) < 0.30,
         dims * 4.0 / codeWidth >= 32.0,
-        100.0 * 5 / (5.0 * (nPe - 1)) < 0.30))
+        exactReads <= 5L * 100 && exactReads.toDouble / (5.0 * (nPe - 1)) < 0.30))
         .toDF("planted_recall_perfect", "sublinear_scan",
           "compressed_32x", "bounded_exact_reads")
       pe.unpersist()
@@ -1433,7 +1448,7 @@ object LlmQueries extends QueryModule {
       // Engine-side pipeline only: coarse train/assign -> residual PQ
       // train/encode -> probed ADC -> rerank. The brute-force recall
       // join is Verify-only scaffolding.
-      ivfpqPipeline(s, s.table("embeddings"))._3
+      ivfpqPipeline(s, s.table("embeddings"))._4
     },
 
     // ---- Text analysis ----

@@ -325,8 +325,11 @@ object PipelineQueries extends QueryModule {
     // split must be a pure function of its id (re-runs, backfills and
     // incremental ingests all see the same assignment; no shared state,
     // no coordination). Assignment: Knuth multiplicative scramble
-    // h = (doc_id * 2654435761) mod 2^32 (exact BIGINT arithmetic on
-    // both engines), then h mod 10 -> 0-7 train / 8 val / 9 test, so
+    // h = ((doc_id mod 2^31) * 2654435761) mod 2^32 — the mod-2^31
+    // reduction first keeps the product under 2^63 for ANY doc_id, so
+    // the arithmetic is exact BIGINT on both engines (without it,
+    // doc_id > ~3.47e9 wraps silently in Spark but errors in DuckDB) —
+    // then h mod 10 -> 0-7 train / 8 val / 9 test, so
     // fractions converge to 80/10/10 per stratum without any per-domain
     // global rank — the exact-quota alternative is a per-lang window
     // sort, which funnels each stratum through one task at 100 TB
@@ -337,9 +340,12 @@ object PipelineQueries extends QueryModule {
     // expression. Zero joins, one linear keyed agg.
     Q.sameSql("llm_train_val_split",
       """WITH a AS (
-        |  SELECT doc_id, lang, (doc_id * 2654435761) % 4294967296 AS h,
-        |    CASE WHEN (doc_id * 2654435761) % 4294967296 % 10 < 8 THEN 'train'
-        |         WHEN (doc_id * 2654435761) % 4294967296 % 10 = 8 THEN 'val'
+        |  SELECT doc_id, lang,
+        |    ((doc_id % 2147483648) * 2654435761) % 4294967296 AS h,
+        |    CASE WHEN ((doc_id % 2147483648) * 2654435761) % 4294967296 % 10 < 8
+        |           THEN 'train'
+        |         WHEN ((doc_id % 2147483648) * 2654435761) % 4294967296 % 10 = 8
+        |           THEN 'val'
         |         ELSE 'test' END AS split
         |  FROM documents)
         |SELECT lang, split, CAST(count(*) AS BIGINT) AS n_docs,

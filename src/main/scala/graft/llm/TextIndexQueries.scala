@@ -443,9 +443,13 @@ object TextIndexQueries extends QueryModule {
     // PMI, and that rational is published as a floor-scaled ppm value
     // computed with exact integer arithmetic on both engines (DECIMAL(38)
     // `div` in Spark, HUGEINT `//` in DuckDB) — no log, no float, no
-    // cross-engine libm divergence anywhere. Numerator magnitude
-    // c_ab*N_uni^2*1e6 stays under 10^38 through ~10^12-token corpora
-    // (c_ab <= N_uni), i.e. the 100 TB point sits inside the exact range.
+    // cross-engine libm divergence anywhere. Exactness bound: the ppm
+    // scale leaves 10^32 of DECIMAL(38) headroom, so the arithmetic is
+    // exact while c_ab*N_uni^2 <= 10^32 — worst case (c_ab ~ N_uni) that
+    // guarantees ~4.6e10 tokens; for real collocations (c_ab << N_uni,
+    // e.g. c_ab <= 10^8) it holds past 10^12 tokens. Past the bound Spark
+    // non-ANSI decimal NULLs silently while DuckDB HUGEINT errors — drop
+    // the ppm scale from the numerator first if a corpus ever gets there.
     // Scale shape: bigram assembly is MAP-SIDE (zip_with over the token
     // array — the token stream never shuffles as pairs of rows), then two
     // linear keyed aggs (unigram + bigram counts), two shuffle joins of
@@ -477,7 +481,10 @@ object TextIndexQueries extends QueryModule {
         .select(regexp_extract_all(lower(col("text")), lit("[a-z]+"), lit(0)).as("w"))
       val uni = w.select(explode(col("w")).as("term"))
         .groupBy("term").agg(count(lit(1)).cast("long").as("c"))
-      val bi = w
+      // Docs with <2 tokens (all digits/punct/non-Latin) yield no bigrams;
+      // without this filter slice(w, 1, size-1) gets a negative length and
+      // throws, where the oracle's generate_series just yields empty.
+      val bi = w.filter(size(col("w")) >= 2)
         .select(explode(zip_with(
           slice(col("w"), lit(1), size(col("w")) - 1),
           slice(col("w"), lit(2), size(col("w")) - 1),

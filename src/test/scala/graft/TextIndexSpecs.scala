@@ -232,4 +232,25 @@ class TextIndexSpecs extends AnyFunSuite with BeforeAndAfterAll {
       ("coffee is", 6L, 6L, 10L, 5694117L),
       ("is good", 6L, 10L, 6L, 5694117L)))
   }
+
+  test("pmi collocations: docs with <2 latin tokens don't crash bigram assembly") {
+    // Regression: slice(w, 1, size-1) threw "length must be >= 0" on any
+    // doc whose token array was empty (digits/punct/non-Latin) or a
+    // single token; the oracle's generate_series handled those docs
+    // gracefully, so one bad doc failed the whole query engine-side only.
+    val s = spark.newSession()
+    graft.engine.Engine.registerTables(s, sfDir)
+    import s.implicits._
+    val docs = Seq(
+      (1L, "12345 67890 !!!"),        // zero latin tokens
+      (2L, "solo"),                    // one token — no bigram
+      (3L, "москва 北京 42"),          // non-Latin — zero tokens
+      (4L, "the cat"), (5L, "the cat"), (6L, "the cat"),
+      (7L, "the cat"), (8L, "the cat")) // c_ab = 5 survives the filter
+      .toDF("doc_id", "text")
+    docs.createOrReplaceTempView("documents")
+    val out = SparkEntry.queries("llm_pmi_collocations")(s, sfDir)
+      .select("bigram", "c_ab").collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(out.toSeq == Seq(("the cat", 5L)))
+  }
 }
