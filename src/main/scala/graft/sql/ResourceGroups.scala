@@ -508,4 +508,61 @@ object ResourceGroups {
           g.spec.maxQueued, g.spec.schedulingPolicy, g.spec.schedulingWeight))
     }
   }
+
+  /** The reference's ResourceGroupInfo document
+    * (server/ResourceGroupInfo.java:32-52) for one INSTANTIATED group,
+    * as served by GET /v1/resourceGroupState/{id}
+    * (server/ResourceGroupStateInfoResource.java:39-70 →
+    * InternalResourceGroup.getFullInfo:157-179). `state` follows
+    * InternalResourceGroup.getState:227-238 (CAN_RUN while a run slot
+    * is free, else CAN_QUEUE while a queue slot is free, else FULL);
+    * `subGroups` are the instantiated children with live work
+    * (running+queued > 0), SUMMARY-shaped — no grandchildren — exactly
+    * the getFullInfo filter; `numEligibleSubGroups` counts children
+    * with waiters. This engine has no per-group memory accounting
+    * (Spark's unified memory manager owns the heap), so
+    * softMemoryLimit reports the JVM max heap and memoryUsage 0 —
+    * the single-pool analog of the reference's general-pool split. */
+  final case class GroupInfo(
+      segments: Seq[String], state: String, schedulingPolicy: String,
+      schedulingWeight: Int, softMemoryLimitBytes: Long,
+      softConcurrencyLimit: Int, hardConcurrencyLimit: Int,
+      maxQueuedQueries: Int, memoryUsageBytes: Long,
+      numQueuedQueries: Int, numRunningQueries: Int,
+      numEligibleSubGroups: Int, subGroups: Seq[GroupInfo])
+
+  /** None when no manager is installed or the dotted id names no
+    * instantiated group (the resource maps both to 404, mirroring the
+    * manager's checkArgument(groups.containsKey(id))). */
+  def groupInfo(spark: SparkSession, segments: Seq[String]): Option[GroupInfo] = {
+    val m = managers.get(spark)
+    if (m == null || segments.isEmpty) None
+    else m.lock.synchronized {
+      val id = segments.mkString(".")
+      m.states.get(id).map { g =>
+        val prefix = id + "."
+        val children = m.states.values.toSeq
+          .filter(c => c.id.startsWith(prefix) && !c.id.drop(prefix.length).contains('.'))
+          .sortBy(_.id)
+        def stateOf(s: GroupState): String =
+          if (s.running < s.spec.hardConcurrencyLimit) "CAN_RUN"
+          else if (s.queued < s.spec.maxQueued) "CAN_QUEUE"
+          else "FULL"
+        def eligibleChildren(s: GroupState): Int = {
+          val p = s.id + "."
+          m.states.values.count(c =>
+            c.id.startsWith(p) && !c.id.drop(p.length).contains('.') && c.queued > 0)
+        }
+        def info(s: GroupState, subs: Seq[GroupInfo]): GroupInfo =
+          GroupInfo(s.id.split('.').toSeq, stateOf(s),
+            s.spec.schedulingPolicy.toUpperCase(java.util.Locale.ROOT),
+            s.spec.schedulingWeight, Runtime.getRuntime.maxMemory(),
+            s.spec.hardConcurrencyLimit, s.spec.hardConcurrencyLimit,
+            s.spec.maxQueued, 0L, s.queued, s.running,
+            eligibleChildren(s), subs)
+        info(g, children.filter(c => c.running + c.queued > 0)
+          .map(c => info(c, Seq.empty)))
+      }
+    }
+  }
 }

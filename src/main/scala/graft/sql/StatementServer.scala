@@ -88,6 +88,14 @@ object StatementServer {
     @volatile var lastHeartbeat: Long = System.currentTimeMillis()
     @volatile var columns: Seq[(String, String)] = Seq.empty
     @volatile var error: Option[String] = None
+    /** StandardErrorCode NAME when the failure came from an admin verb
+      * or cancel (ADMINISTRATIVELY_KILLED / ADMINISTRATIVELY_PREEMPTED /
+      * USER_CANCELED) — the race witness QueryResource.failQuery checks. */
+    @volatile var errorName: Option[String] = None
+    /** Concrete resource group this query was admitted under (None when
+      * admission control is off) — feeds /v1/queryState and
+      * /v1/resourceGroupState runningQueries. */
+    @volatile var resourceGroup: Option[String] = None
     val pages = new ArrayBlockingQueue[Slot](PageQueueCap)
     // Sequential-token contract with single-step retry: the client may
     // re-GET the token it just fetched (its POST/GET response may have
@@ -198,6 +206,13 @@ object StatementServer {
     http.createContext("/v1/cluster", (ex: HttpExchange) => handleCluster(bound, ex))
     http.createContext("/v1/node", (ex: HttpExchange) => handleNode(bound, ex))
     http.createContext("/v1/queryState", (ex: HttpExchange) => handleQueryState(bound, ex))
+    // round-14 coordinator tail: ResourceGroupStateInfoResource
+    // (/v1/resourceGroupState/{id}) and MemoryResource (/v1/memory);
+    // /v1/cluster/memory + /v1/cluster/workerMemory dispatch inside
+    // handleCluster, PUT {id}/killed|preempted inside handleQueryInfo.
+    http.createContext("/v1/resourceGroupState",
+      (ex: HttpExchange) => handleResourceGroupState(bound, ex))
+    http.createContext("/v1/memory", (ex: HttpExchange) => handleMemory(bound, ex))
     http.setExecutor(Executors.newFixedThreadPool(4, r => {
       val t = new Thread(r, "graft-statement-http")
       t.setDaemon(true)
@@ -375,6 +390,7 @@ object StatementServer {
       permit = Some(ResourceGroups.acquire(server.session, q.user, q.source,
         priority = priority, clientTags = q.clientTags,
         queryType = q.queryType, estimates = q.estimates))
+      q.resourceGroup = permit.flatMap(_.groupId)
       // a DELETE that landed while we were QUEUED interrupted the parked
       // acquire (rolling back the queue slot); if the promotion RACED the
       // interrupt, the slot is ours — bail before the statement executes
@@ -482,29 +498,58 @@ object StatementServer {
 
   /** The infoUri target — the reference's QueryResource
     * (server/QueryResource.java: GET /v1/query/{queryId} returns query
-    * info, DELETE cancels). A compact info document: id, state, the
-    * SQL text, user/source identity, and the error if failed. */
+    * info, DELETE cancels, PUT {queryId}/killed and {queryId}/preempted
+    * fail the query with an administrative error carrying the caller's
+    * message, QueryResource.java:93-130: 410 GONE for an unknown id,
+    * 409 CONFLICT when the query already finished — or when the verb
+    * lost the completion race and some other error landed first — and
+    * 200 only when THIS verb's error code is the one recorded). A
+    * compact info document: id, state, the SQL text, user/source
+    * identity, and the error (+ StandardErrorCode name) if failed. */
   private def handleQueryInfo(server: Server, ex: HttpExchange): Unit =
     try {
-      val id = ex.getRequestURI.getPath.stripPrefix("/v1/query")
-        .split('/').filter(_.nonEmpty).headOption.orNull
-      val q = if (id == null) null else server.queries.get(id)
-      if (q == null) { respond(ex, 404, """{"error":"unknown query"}"""); return }
-      ex.getRequestMethod match {
-        case "DELETE" =>
-          doCancel(server, q, "Query was canceled by user")
-          respond(ex, 204, "")
-        case _ =>
-          val sb = new StringBuilder(256)
-          sb.append("{\"queryId\":").append(jsonString(q.id))
-          sb.append(",\"state\":").append(jsonString(q.state.get()))
-          sb.append(",\"query\":").append(jsonString(q.sqlText))
-          sb.append(",\"session\":{\"user\":").append(jsonString(q.user))
-            .append(",\"source\":").append(jsonString(q.source)).append('}')
-          q.error.foreach(e =>
-            sb.append(",\"errorMessage\":").append(jsonString(e)))
-          sb.append('}')
-          respond(ex, 200, sb.toString)
+      val segs = ex.getRequestURI.getPath.stripPrefix("/v1/query")
+        .split('/').filter(_.nonEmpty).toSeq
+      (ex.getRequestMethod, segs) match {
+        case ("PUT", Seq(id, verb)) if verb == "killed" || verb == "preempted" =>
+          val q = server.queries.get(id)
+          if (q == null) { respond(ex, 410, ""); return }
+          // KillQueryProcedure.createKillQueryException:90-98 message text
+          val msg = new String(ex.getRequestBody.readAllBytes(), UTF_8).trim
+          val head = if (verb == "killed") "Query killed. " else "Query preempted. "
+          val text = head + (if (msg.isEmpty) "No message provided." else s"Message: $msg")
+          val code =
+            if (verb == "killed") "ADMINISTRATIVELY_KILLED" else "ADMINISTRATIVELY_PREEMPTED"
+          if (q.done) { respond(ex, 409, ""); return }
+          doCancel(server, q, text, code)
+          // lost-the-race check: some other terminal error beat us
+          if (q.errorName.contains(code)) respond(ex, 200, "")
+          else respond(ex, 409, "")
+        case (_, Seq()) => respond(ex, 404, """{"error":"unknown query"}""")
+        case (method, Seq(id, _*)) =>
+          val q = server.queries.get(id)
+          if (q == null) { respond(ex, 404, """{"error":"unknown query"}"""); return }
+          method match {
+            case "DELETE" =>
+              doCancel(server, q, "Query was canceled by user")
+              respond(ex, 204, "")
+            case _ =>
+              val sb = new StringBuilder(256)
+              sb.append("{\"queryId\":").append(jsonString(q.id))
+              sb.append(",\"state\":").append(jsonString(q.state.get()))
+              sb.append(",\"query\":").append(jsonString(q.sqlText))
+              sb.append(",\"session\":{\"user\":").append(jsonString(q.user))
+                .append(",\"source\":").append(jsonString(q.source)).append('}')
+              q.resourceGroup.foreach(g =>
+                sb.append(",\"resourceGroupId\":[")
+                  .append(g.split('.').map(jsonString).mkString(",")).append(']'))
+              q.error.foreach(e =>
+                sb.append(",\"errorMessage\":").append(jsonString(e)))
+              q.errorName.foreach(n =>
+                sb.append(",\"errorCode\":{\"name\":").append(jsonString(n)).append('}'))
+              sb.append('}')
+              respond(ex, 200, sb.toString)
+          }
       }
     } catch {
       case t: Throwable =>
@@ -513,7 +558,7 @@ object StatementServer {
 
   // ---- ops/monitoring endpoints ----
 
-  private val EngineVersion = "graft-0.13"
+  private val EngineVersion = "graft-0.14"
   private val Environment = "graft"
 
   private def uptimeJson(server: Server): String = {
@@ -600,6 +645,24 @@ object StatementServer {
     */
   private def handleCluster(server: Server, ex: HttpExchange): Unit =
     try {
+      ex.getRequestURI.getPath.stripPrefix("/v1/cluster")
+          .split('/').filter(_.nonEmpty).toSeq match {
+        case Seq() => () // fall through to the stats document below
+        case Seq("memory") =>
+          // ClusterStatsResource.java:99-105 — the cluster-wide pool map
+          // (ClusterMemoryManager.getMemoryPoolInfo): one general pool
+          // in a single-JVM engine
+          respond(ex, 200, s"""{"general":${memoryPoolInfoJson()}}""")
+          return
+        case Seq("workerMemory") =>
+          // ClusterStatsResource.java:107-113 — per-worker MemoryInfo
+          // keyed by node id (ClusterMemoryManager.getWorkerMemoryInfo)
+          respond(ex, 200,
+            s"""{${jsonString(s"graft-${server.port}")}:${memoryInfoJson()}}""")
+          return
+        case _ =>
+          respond(ex, 404, """{"error":"not found"}"""); return
+      }
       var running = 0L; var queued = 0L
       server.queries.values().forEach { q =>
         q.state.get() match {
@@ -640,6 +703,135 @@ object StatementServer {
         respond(ex, 500, s"""{"error":${jsonString(Option(t.getMessage).getOrElse(t.toString))}}""")
     } finally ex.close()
 
+  /** Airlift DataSize.toString rendering ("%.2f%s" in the most succinct
+    * unit) — the shape MemoryInfo/ResourceGroupInfo DataSize fields
+    * serialize to. */
+  private def succinctDataSize(bytes: Long): String = {
+    val units = Seq(("PB", 1L << 50), ("TB", 1L << 40), ("GB", 1L << 30),
+      ("MB", 1L << 20), ("kB", 1L << 10))
+    units.find(bytes >= _._2) match {
+      case Some((u, f)) => f"${bytes.toDouble / f}%.2f$u"
+      case None => f"${bytes.toDouble}%.2fB"
+    }
+  }
+
+  /** MemoryPoolInfo document (spi/memory/MemoryPoolInfo.java:27-43).
+    * The single general pool maps to the JVM heap: maxBytes = heap max,
+    * reservedBytes = live heap use. Per-query reservation maps are
+    * empty — Spark's unified memory manager does the per-operator
+    * accounting internally and doesn't attribute heap to queries; the
+    * keys exist so clients parsing the reference shape find them. */
+  private def memoryPoolInfoJson(): String = {
+    val heap = java.lang.management.ManagementFactory.getMemoryMXBean.getHeapMemoryUsage
+    s"""{"maxBytes":${heap.getMax},"reservedBytes":${heap.getUsed},""" +
+    s""""reservedRevocableBytes":0,"queryMemoryReservations":{},""" +
+    s""""queryMemoryAllocations":{},"queryMemoryRevocableReservations":{}}"""
+  }
+
+  /** MemoryInfo document (memory/MemoryInfo.java:28-50): total node
+    * memory + the pool map. */
+  private def memoryInfoJson(): String = {
+    val heap = java.lang.management.ManagementFactory.getMemoryMXBean.getHeapMemoryUsage
+    s"""{"totalNodeMemory":${jsonString(succinctDataSize(heap.getMax))},""" +
+    s""""pools":{"general":${memoryPoolInfoJson()}}}"""
+  }
+
+  /** MemoryResource.java — the worker memory endpoint: POST /v1/memory
+    * accepts a pool-assignment document and answers MemoryInfo
+    * (:50-57; assignments are meaningless in a single-JVM engine and
+    * ignored), GET /v1/memory/{poolId} answers that pool's
+    * MemoryPoolInfo or 404 (:60-76 — only `general` exists here; the
+    * reference 404s absent reserved/system pools the same way). A bare
+    * GET answers MemoryInfo too (ext — symmetric with POST). */
+  private def handleMemory(server: Server, ex: HttpExchange): Unit =
+    try {
+      val sub = ex.getRequestURI.getPath.stripPrefix("/v1/memory")
+        .split('/').filter(_.nonEmpty).toSeq
+      (ex.getRequestMethod, sub) match {
+        case ("GET", Seq()) | ("POST", Seq()) => respond(ex, 200, memoryInfoJson())
+        case ("GET", Seq("general")) => respond(ex, 200, memoryPoolInfoJson())
+        case ("GET", Seq(_)) => respond(ex, 404, "")
+        case _ => respond(ex, 404, """{"error":"not found"}""")
+      }
+    } catch {
+      case t: Throwable =>
+        respond(ex, 500, s"""{"error":${jsonString(Option(t.getMessage).getOrElse(t.toString))}}""")
+    } finally ex.close()
+
+  /** One QueryStateInfo document (server/QueryStateInfo.java:33-44) —
+    * shared by /v1/queryState and resourceGroupState runningQueries. */
+  private def queryStateInfoJson(q: QueryExec): String = {
+    val sb = new StringBuilder(128)
+    sb.append("{\"queryId\":").append(jsonString(q.id))
+      .append(",\"queryState\":").append(jsonString(q.state.get()))
+    q.resourceGroup.foreach(g =>
+      sb.append(",\"resourceGroupId\":[")
+        .append(g.split('.').map(jsonString).mkString(",")).append(']'))
+    sb.append(",\"user\":").append(jsonString(q.user))
+      .append(",\"query\":").append(jsonString(q.sqlText))
+      .append('}')
+    sb.toString
+  }
+
+  /** ResourceGroupInfo JSON (server/ResourceGroupInfo.java:32-52): id
+    * serializes as its segment list (ResourceGroupId @JsonValue),
+    * DataSize fields as airlift strings, subGroups summary-shaped,
+    * runningQueries only on the full (top-level) document. */
+  private def groupInfoJson(server: Server, gi: ResourceGroups.GroupInfo,
+      full: Boolean): String = {
+    val sb = new StringBuilder(256)
+    sb.append("{\"id\":[").append(gi.segments.map(jsonString).mkString(",")).append(']')
+      .append(",\"state\":").append(jsonString(gi.state))
+      .append(",\"schedulingPolicy\":").append(jsonString(gi.schedulingPolicy))
+      .append(",\"schedulingWeight\":").append(gi.schedulingWeight)
+      .append(",\"softMemoryLimit\":")
+      .append(jsonString(succinctDataSize(gi.softMemoryLimitBytes)))
+      .append(",\"softConcurrencyLimit\":").append(gi.softConcurrencyLimit)
+      .append(",\"hardConcurrencyLimit\":").append(gi.hardConcurrencyLimit)
+      .append(",\"maxQueuedQueries\":").append(gi.maxQueuedQueries)
+      .append(",\"memoryUsage\":")
+      .append(jsonString(succinctDataSize(gi.memoryUsageBytes)))
+      .append(",\"numQueuedQueries\":").append(gi.numQueuedQueries)
+      .append(",\"numRunningQueries\":").append(gi.numRunningQueries)
+      .append(",\"numEligibleSubGroups\":").append(gi.numEligibleSubGroups)
+    if (full) {
+      sb.append(",\"subGroups\":[")
+        .append(gi.subGroups.map(groupInfoJson(server, _, full = false)).mkString(","))
+        .append(']')
+      val gid = gi.segments.mkString(".")
+      val rq = Seq.newBuilder[String]
+      server.queries.values().forEach { q =>
+        if (q.state.get() == "RUNNING" && q.resourceGroup.contains(gid))
+          rq += queryStateInfoJson(q)
+      }
+      sb.append(",\"runningQueries\":[").append(rq.result().mkString(",")).append(']')
+    }
+    sb.append('}')
+    sb.toString
+  }
+
+  /** ResourceGroupStateInfoResource.java:39-70 — GET
+    * /v1/resourceGroupState/{id}: the group's full ResourceGroupInfo
+    * (live queue/run counts, active subgroup summaries, running
+    * queries — what the web UI's group pane polls). The id is
+    * /-separated, URL-encoded per segment (@Encoded + urlDecode); an
+    * empty id or a group that was never instantiated is 404
+    * (NoSuchElementException → NOT_FOUND). */
+  private def handleResourceGroupState(server: Server, ex: HttpExchange): Unit =
+    try {
+      val segs = ex.getRequestURI.getRawPath.stripPrefix("/v1/resourceGroupState")
+        .split('/').filter(_.nonEmpty).toSeq
+        .map(s => java.net.URLDecoder.decode(s, "UTF-8"))
+      if (segs.isEmpty) { respond(ex, 404, """{"error":"not found"}"""); return }
+      ResourceGroups.groupInfo(server.session, segs) match {
+        case Some(gi) => respond(ex, 200, groupInfoJson(server, gi, full = true))
+        case None => respond(ex, 404, """{"error":"not found"}""")
+      }
+    } catch {
+      case t: Throwable =>
+        respond(ex, 500, s"""{"error":${jsonString(Option(t.getMessage).getOrElse(t.toString))}}""")
+    } finally ex.close()
+
   /** QueryStateInfoResource.java — GET /v1/queryState[?user=u]: one
     * compact state document per non-finished query (the admission/
     * debugging view: who is queued, who is running, under which
@@ -657,11 +849,7 @@ object StatementServer {
           if (userFilter.forall(_ == q.user)) {
             if (!first) sb.append(',')
             first = false
-            sb.append("{\"queryId\":").append(jsonString(q.id))
-              .append(",\"queryState\":").append(jsonString(st))
-              .append(",\"user\":").append(jsonString(q.user))
-              .append(",\"query\":").append(jsonString(q.sqlText))
-              .append('}')
+            sb.append(queryStateInfoJson(q))
           }
         }
       }
@@ -672,11 +860,15 @@ object StatementServer {
         respond(ex, 500, s"""{"error":${jsonString(Option(t.getMessage).getOrElse(t.toString))}}""")
     } finally ex.close()
 
-  /** Shared kill path: explicit DELETE and the abandonment reaper. */
-  private def doCancel(server: Server, q: QueryExec, reason: String): Unit = {
+  /** Shared kill path: explicit DELETE, the admin killed/preempted
+    * verbs, and the abandonment reaper. First terminal error wins —
+    * `errorName` records whose, so the admin verbs can detect a lost
+    * completion race (QueryResource.failQuery's errorCode check). */
+  private def doCancel(server: Server, q: QueryExec, reason: String,
+      errorName: String = "USER_CANCELED"): Unit = {
     SystemTables.killQuery(server.session, q.id) // job-group cancel + FAILED in the log
     q.state.set("FAILED")
-    q.error = q.error.orElse(Some(reason))
+    if (q.error.isEmpty) { q.error = Some(reason); q.errorName = Some(errorName) }
     q.done = true
     // poison first, then drain: the worker re-checks `cancelled` before
     // every bounded-queue hand-off, so it can never re-park after this

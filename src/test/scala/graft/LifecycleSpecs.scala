@@ -945,4 +945,117 @@ class LifecycleSpecs extends AnyFunSuite with BeforeAndAfterAll {
       assert(sc == 503 && sb2.contains("shutting down"))
     } finally server.stop()
   }
+
+  test("coordinator REST tail: /v1/resourceGroupState, /v1/memory, cluster memory, killed/preempted") {
+    ResourceGroups.configure(spark, ResourceGroups.Config(
+      rootGroups = Seq(
+        ResourceGroups.GroupSpec("global", 10, 10, Seq(
+          ResourceGroups.GroupSpec("sub", 5, 5, Nil))),
+        ResourceGroups.GroupSpec("adhoc", Int.MaxValue, Int.MaxValue, Nil)),
+      selectors = Seq(
+        ResourceGroups.Selector(Some("alice".r), None, "global.sub"),
+        ResourceGroups.Selector(None, None, "adhoc"))))
+    val server = graft.sql.StatementServer.start(spark)
+    val base = server.baseUri
+    try {
+      spark.range(500000).selectExpr("id AS k").createOrReplaceTempView("rg_rows")
+      // park a RUNNING query in global.sub (one page fetched, worker
+      // blocks at the page-queue cap holding its admission slot)
+      def serverState(id: String): String =
+        json(httpSend("GET", s"$base/v1/query/$id")._2).get("state").asText()
+      def park(): String = {
+        val (_, b) = httpSend("POST", s"$base/v1/statement",
+          Some("SELECT k FROM rg_rows"), Seq("X-Presto-User" -> "alice"))
+        val id = json(b).get("id").asText()
+        // poll page 0 until DATA arrives: the worker is then provably
+        // inside the drain loop and parks at the 16-page cap (kills
+        // landing mid-planning would race the front door's completion
+        // record in the query log)
+        var spins = 0
+        var gotData = false
+        while (!gotData && spins < 200) {
+          val n = json(httpSend("GET", s"$base/v1/statement/$id/0")._2)
+          gotData = n.has("data") && n.get("data").size() > 0
+          if (!gotData) { Thread.sleep(50); spins += 1 }
+        }
+        assert(gotData && serverState(id) == "RUNNING",
+          s"query must be RUNNING with data flowing: ${serverState(id)}")
+        id
+      }
+      val id1 = park()
+      // ResourceGroupStateInfoResource: full info of an inner node —
+      // live counts, FAIR policy name, active-subgroup summary
+      val (gc, gb) = httpSend("GET", s"$base/v1/resourceGroupState/global")
+      assert(gc == 200)
+      val gi = json(gb)
+      assert(gi.get("id").get(0).asText() == "global")
+      assert(gi.get("state").asText() == "CAN_RUN")
+      assert(gi.get("schedulingPolicy").asText() == "FAIR")
+      assert(gi.get("numRunningQueries").asInt() == 1)
+      assert(gi.get("maxQueuedQueries").asInt() == 10)
+      assert(gi.get("softMemoryLimit").asText().nonEmpty)
+      val subs = gi.get("subGroups")
+      assert(subs.size() == 1, s"one active subgroup: $subs")
+      assert(subs.get(0).get("id").get(1).asText() == "sub")
+      assert(subs.get(0).get("numRunningQueries").asInt() == 1)
+      // leaf: the running query's QueryStateInfo appears
+      val li = json(httpSend("GET", s"$base/v1/resourceGroupState/global/sub")._2)
+      val rq = li.get("runningQueries")
+      assert(rq.size() == 1 && rq.get(0).get("queryId").asText() == id1)
+      assert(rq.get(0).get("resourceGroupId").get(1).asText() == "sub")
+      // /v1/queryState now carries resourceGroupId
+      val qs = json(httpSend("GET", s"$base/v1/queryState?user=alice")._2)
+      assert(qs.size() == 1 && qs.get(0).get("resourceGroupId").get(0).asText() == "global")
+      // unknown / never-instantiated / empty ids are 404
+      assert(httpSend("GET", s"$base/v1/resourceGroupState/nosuch")._1 == 404)
+      assert(httpSend("GET", s"$base/v1/resourceGroupState/adhoc")._1 == 404)
+      assert(httpSend("GET", s"$base/v1/resourceGroupState")._1 == 404)
+      // MemoryResource: MemoryInfo + general pool; absent pools are 404
+      val mi = json(httpSend("GET", s"$base/v1/memory")._2)
+      assert(mi.get("totalNodeMemory").asText().nonEmpty)
+      assert(mi.get("pools").get("general").get("maxBytes").asLong() > 0)
+      val gp = json(httpSend("GET", s"$base/v1/memory/general")._2)
+      assert(gp.get("reservedBytes").asLong() > 0)
+      assert(gp.get("queryMemoryReservations").isObject)
+      assert(httpSend("GET", s"$base/v1/memory/reserved")._1 == 404)
+      // ClusterStatsResource memory subresources
+      val cm = json(httpSend("GET", s"$base/v1/cluster/memory")._2)
+      assert(cm.get("general").get("maxBytes").asLong() > 0)
+      val wm = json(httpSend("GET", s"$base/v1/cluster/workerMemory")._2)
+      val worker = wm.fields().next()
+      assert(worker.getKey.startsWith("graft-"))
+      assert(worker.getValue.get("pools").get("general").get("maxBytes").asLong() > 0)
+      assert(httpSend("GET", s"$base/v1/cluster/bogus")._1 == 404)
+      // PUT {id}/killed: fails the query with ADMINISTRATIVELY_KILLED
+      // and the caller's message (KillQueryProcedure text shape)
+      assert(httpSend("PUT", s"$base/v1/query/$id1/killed", Some("cost cap"))._1 == 200)
+      assert(serverState(id1) == "FAILED")
+      val logDl = System.currentTimeMillis() + 10000
+      while (logState(id1) != "FAILED" && System.currentTimeMillis() < logDl)
+        Thread.sleep(100)
+      assert(logState(id1) == "FAILED")
+      val qi = json(httpSend("GET", s"$base/v1/query/$id1")._2)
+      assert(qi.get("errorMessage").asText() == "Query killed. Message: cost cap")
+      assert(qi.get("errorCode").get("name").asText() == "ADMINISTRATIVELY_KILLED")
+      // on an already-done query the verb is a 409 CONFLICT; unknown 410
+      assert(httpSend("PUT", s"$base/v1/query/$id1/killed", Some("again"))._1 == 409)
+      assert(httpSend("PUT", s"$base/v1/query/nope/killed", Some("x"))._1 == 410)
+      // preempted verb, empty message -> "No message provided."
+      val id2 = park()
+      assert(httpSend("PUT", s"$base/v1/query/$id2/preempted", Some(""))._1 == 200)
+      val qi2 = json(httpSend("GET", s"$base/v1/query/$id2")._2)
+      assert(qi2.get("errorMessage").asText() == "Query preempted. No message provided.")
+      assert(qi2.get("errorCode").get("name").asText() == "ADMINISTRATIVELY_PREEMPTED")
+      // admin-failed workers exit and release their admission slots
+      val deadline = System.currentTimeMillis() + 10000
+      while (!(server.workerFinished(id1) && server.workerFinished(id2)) &&
+        System.currentTimeMillis() < deadline) Thread.sleep(100)
+      assert(server.workerFinished(id1) && server.workerFinished(id2))
+      assert(ResourceGroups.snapshot(spark).forall { case (_, r, q, _, _) => r == 0 && q == 0 },
+        s"counters drained: ${ResourceGroups.snapshot(spark)}")
+    } finally {
+      server.stop()
+      ResourceGroups.disable(spark)
+    }
+  }
 }
