@@ -211,6 +211,83 @@ object RecordLog {
     df.select(df.columns.map(col).toSeq ++ cols: _*)
   }
 
+  /** Temporal field decoders for json payloads — the per-field
+    * `dataFormat` dispatch of JsonRowDecoderFactory.java:65-78, the
+    * decoder surface real Kafka topics (epoch-millis timestamps
+    * everywhere) hit first:
+    *
+    *   - "iso8601"                    ISO8601JsonFieldDecoder: ISO
+    *     date-time text, parsed as a zone-free local datetime (the
+    *     reference's EPOCH_DAY+MILLI_OF_DAY arithmetic; sessions here
+    *     run UTC so to_timestamp is that same map)
+    *   - "rfc2822"                    RFC2822JsonFieldDecoder: the
+    *     reference's "EEE MMM dd HH:mm:ss Z yyyy" English-locale
+    *     pattern (what it calls rfc2822 — Twitter's created_at shape)
+    *   - "seconds-since-epoch"        SecondsSinceEpochJsonFieldDecoder:
+    *     integral node or numeric text, x1000 to millis
+    *   - "milliseconds-since-epoch"   MillisecondsSinceEpochJsonFieldDecoder
+    *   - "custom-date-time"           CustomDateTimeJsonFieldDecoder:
+    *     caller-supplied pattern via the formatHint (mapped to Java
+    *     time patterns; the reference takes joda, same syntax for the
+    *     letters this engine accepts)
+    *   - ""                           DefaultJsonFieldDecoder — plain
+    *     cast, decodeJson's existing behavior
+    *
+    * `fields` maps output name -> (slash path, dataFormat, formatHint).
+    * Output columns are TIMESTAMP. Error contract: a present-but-
+    * unparseable value RAISES the reference's
+    * DECODER_CONVERSION_NOT_SUPPORTED text ("could not parse value
+    * '<v>' as '<type>' for column '<name>'") instead of silently
+    * nulling — FieldValueProvider throws, a row can't quietly drop its
+    * timestamp. Missing/null nodes stay NULL (isNull in the
+    * reference). Everything is from_json + codegen'd conditional
+    * expressions: one parse pass, no UDFs, whole-stage codegen. */
+  def decodeJsonTime(df: DataFrame,
+      fields: Seq[(String, String, String, String)]): DataFrame = {
+    // parse every referenced path as STRING once (numeric nodes read
+    // back as their literal text, exactly asText())
+    val base = decodeJson(df, fields.map { case (n, p, _, _) => (n, p, "STRING") })
+    val out = fields.foldLeft(base) { case (d, (name, _, dataFormat, hint)) =>
+      val raw = col(name)
+      def failUnless(parsed: Column): Column =
+        when(raw.isNull, lit(null).cast("timestamp"))
+          .when(parsed.isNull, raise_error(format_string(
+            s"could not parse value '%s' as 'timestamp' for column '$name'", raw))
+            .cast("timestamp"))
+          .otherwise(parsed)
+      // try_* variants null (never throw) on malformed input under any
+      // ANSI setting, so the raised error is always the reference's text
+      def tryLong: Column = raw.try_cast(LongType)
+      val decoded = dataFormat match {
+        case "iso8601" =>
+          failUnless(try_to_timestamp(raw, lit("yyyy-MM-dd'T'HH:mm:ss[.SSS]")))
+        case "rfc2822" =>
+          // Spark's corrected-mode formatter treats day-of-week letters
+          // as format-only (refuses 'E' when parsing); the instant is
+          // fully determined by the remaining fields, so the redundant
+          // leading "EEE " token is stripped — same result joda reaches
+          // by letting the later-set absolute fields win.
+          failUnless(try_to_timestamp(
+            regexp_replace(raw, "^[A-Za-z]{3} ", ""), lit("MMM dd HH:mm:ss Z yyyy")))
+        case "seconds-since-epoch" =>
+          failUnless(when(tryLong.isNull, lit(null).cast("timestamp"))
+            .otherwise(timestamp_seconds(tryLong)))
+        case "milliseconds-since-epoch" =>
+          failUnless(when(tryLong.isNull, lit(null).cast("timestamp"))
+            .otherwise(timestamp_millis(tryLong)))
+        case "custom-date-time" =>
+          require(hint != null && hint.nonEmpty,
+            s"format hint not defined for column '$name'") // CustomDateTimeJsonFieldDecoder checkArgument
+          failUnless(try_to_timestamp(raw, lit(hint)))
+        case "" => raw.cast("timestamp")
+        case other =>
+          throw new IllegalArgumentException(s"unknown data format: $other")
+      }
+      d.withColumn(name, decoded)
+    }
+    out
+  }
+
   /** csv decoder (CsvRowDecoder): positional mapping. `fields` maps
     * output name -> (0-based index, SQL type). */
   def decodeCsv(df: DataFrame, fields: Seq[(String, Int, String)]): DataFrame = {

@@ -381,6 +381,71 @@ object SourceQueries extends QueryModule {
         .orderBy("partition_id")
     },
 
+    // Temporal json field decoders (JsonRowDecoderFactory.java:65-78
+    // dataFormat dispatch -> ISO8601/RFC2822/SecondsSinceEpoch/
+    // MillisecondsSinceEpoch/CustomDateTime JsonFieldDecoders): the
+    // same log fixture, but every payload carries ONE instant
+    // (1700000000 + o_orderkey seconds) rendered five ways — ISO text,
+    // the reference's "EEE MMM dd HH:mm:ss Z yyyy" shape, integral
+    // seconds, integral millis, and a custom yyyy/MM/dd pattern. All
+    // five decode through decodeJsonTime's codegen'd expressions;
+    // n_consistent pins that every format recovered the identical
+    // TIMESTAMP on every row. The oracle recomputes the instant from
+    // orderkey arithmetic alone (make_timestamp micros — zone-free on
+    // both engines; sessions run UTC).
+    Q("src_kafka_decoder_time",
+      """WITH base AS (SELECT o_orderkey FROM orders ORDER BY o_orderkey LIMIT 4000),
+        |log AS (SELECT o_orderkey % 4 AS p,
+        |    row_number() OVER (PARTITION BY o_orderkey % 4 ORDER BY o_orderkey) - 1 AS off,
+        |    make_timestamp((1700000000 + o_orderkey) * 1000000) AS ts FROM base)
+        |SELECT CAST(p AS BIGINT) AS partition_id, CAST(count(*) AS BIGINT) AS n,
+        |  min(ts) AS min_ts, max(ts) AS max_ts,
+        |  CAST(count(*) AS BIGINT) AS n_consistent
+        |FROM log WHERE off BETWEEN 50 AND 249
+        |GROUP BY p ORDER BY partition_id""".stripMargin) { (s, _) =>
+      val dir = "tmp/graft_recordlog_time"
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+      val utc = java.time.ZoneOffset.UTC
+      val fIso = java.time.format.DateTimeFormatter
+        .ofPattern("yyyy-MM-dd'T'HH:mm:ss").withZone(utc)
+      val fRfc = java.time.format.DateTimeFormatter
+        .ofPattern("EEE MMM dd HH:mm:ss Z yyyy", java.util.Locale.ENGLISH).withZone(utc)
+      val fCustom = java.time.format.DateTimeFormatter
+        .ofPattern("yyyy/MM/dd HH:mm:ss").withZone(utc)
+      val slice = s.table("orders").select("o_orderkey")
+        .orderBy("o_orderkey").limit(4000).collect()
+      (0 until 4).foreach { p =>
+        val recs = slice.filter(_.getLong(0) % 4 == p).sortBy(_.getLong(0))
+          .zipWithIndex.map { case (r, i) =>
+            val k = r.getLong(0)
+            val sec = 1700000000L + k
+            val inst = java.time.Instant.ofEpochSecond(sec)
+            val key = java.nio.ByteBuffer.allocate(8).putLong(k).array()
+            val payload =
+              s"""{"t_iso":"${fIso.format(inst)}","t_rfc":"${fRfc.format(inst)}",""" +
+              s""""t_sec":$sec,"t_ms":${sec * 1000L},""" +
+              s""""t_custom":"${fCustom.format(inst)}"}"""
+            (i.toLong, key, payload.getBytes("UTF-8"))
+          }.toSeq
+        RecordLog.writePartition(dir, "orders_time", p, recs, 250)
+      }
+      val scanned = RecordLog.readTopic(s, dir, "orders_time", offsetMin = 50, offsetMax = 249)
+      val decoded = RecordLog.decodeJsonTime(scanned, Seq(
+        ("t_iso", "t_iso", "iso8601", ""),
+        ("t_rfc", "t_rfc", "rfc2822", ""),
+        ("t_sec", "t_sec", "seconds-since-epoch", ""),
+        ("t_ms", "t_ms", "milliseconds-since-epoch", ""),
+        ("t_custom", "t_custom", "custom-date-time", "yyyy/MM/dd HH:mm:ss")))
+      decoded
+        .withColumn("consistent",
+          col("t_iso") === col("t_rfc") && col("t_iso") === col("t_sec") &&
+          col("t_iso") === col("t_ms") && col("t_iso") === col("t_custom"))
+        .groupBy(col("_partition_id").as("partition_id"))
+        .agg(count(lit(1)).as("n"), min("t_iso").as("min_ts"), max("t_ms").as("max_ts"),
+          sum(when(col("consistent"), 1L).otherwise(0L)).as("n_consistent"))
+        .orderBy("partition_id")
+    },
+
     // Avro record decoder (AvroRowDecoder.java:59-66 — each payload is a
     // schema-embedded Avro DATA FILE read through DataFileStream /
     // GenericDatumReader): same log-coordinate fixture as

@@ -889,6 +889,62 @@ class EngineSpecs extends AnyFunSuite with BeforeAndAfterAll {
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
   }
 
+  test("json temporal decoders: five dataFormats round-trip; malformed values raise the reference error") {
+    import graft.sources.RecordLog
+    import org.apache.spark.sql.functions._
+    val dir = "tmp/graft_recordlog_time_spec"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    // epoch 1700000000 = 2023-11-14T22:13:20Z; offset 3 adds 3 s
+    val good = (0L until 5L).map { i =>
+      val sec = 1700000000L + i
+      val inst = java.time.Instant.ofEpochSecond(sec)
+      val utc = java.time.ZoneOffset.UTC
+      def f(p: String) = java.time.format.DateTimeFormatter
+        .ofPattern(p, java.util.Locale.ENGLISH).withZone(utc).format(inst)
+      val payload =
+        s"""{"t_iso":"${f("yyyy-MM-dd'T'HH:mm:ss")}","t_rfc":"${f("EEE MMM dd HH:mm:ss Z yyyy")}",""" +
+        s""""t_sec":$sec,"t_ms":${sec * 1000},"t_custom":"${f("yyyy/MM/dd HH:mm:ss")}"}"""
+      (i, null: Array[Byte], payload.getBytes("UTF-8"))
+    } :+ ((5L, null: Array[Byte], """{"t_sec":42}""".getBytes("UTF-8"))) // others missing -> NULL
+    RecordLog.writePartition(dir, "tt", 0, good, 100)
+    val fields = Seq(
+      ("t_iso", "t_iso", "iso8601", ""),
+      ("t_rfc", "t_rfc", "rfc2822", ""),
+      ("t_sec", "t_sec", "seconds-since-epoch", ""),
+      ("t_ms", "t_ms", "milliseconds-since-epoch", ""),
+      ("t_custom", "t_custom", "custom-date-time", "yyyy/MM/dd HH:mm:ss"))
+    val dec = RecordLog.decodeJsonTime(RecordLog.readTopic(spark, dir, "tt"), fields)
+    // all five formats recover the identical instant on every full row
+    assert(dec.filter(col("_partition_offset") < 5)
+      .filter(col("t_iso") =!= col("t_rfc") || col("t_iso") =!= col("t_sec") ||
+        col("t_iso") =!= col("t_ms") || col("t_iso") =!= col("t_custom")).count() == 0)
+    val r3 = dec.filter(col("_partition_offset") === 3)
+      .select(col("t_iso").cast("string")).head().getString(0)
+    assert(r3 == "2023-11-14 22:13:23", s"offset-3 instant: $r3")
+    // missing nodes are NULL (FieldValueProvider.isNull), present ones decode
+    val r5 = dec.filter(col("_partition_offset") === 5).head()
+    assert(r5.isNullAt(r5.fieldIndex("t_iso")) && !r5.isNullAt(r5.fieldIndex("t_sec")))
+    // malformed present value: DECODER_CONVERSION_NOT_SUPPORTED text,
+    // not a silent NULL (the engine/oracle-divergence trap)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    RecordLog.writePartition(dir, "tb", 0,
+      Seq((0L, null: Array[Byte], """{"t_iso":"not a date"}""".getBytes("UTF-8"))), 100)
+    val bad = RecordLog.decodeJsonTime(RecordLog.readTopic(spark, dir, "tb"),
+      Seq(("t_iso", "t_iso", "iso8601", "")))
+    val err = intercept[Exception](bad.collect())
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(err).exists(_.contains(
+      "could not parse value 'not a date' as 'timestamp' for column 't_iso'")),
+      s"reference error text expected, got: ${messages(err)}")
+    // custom-date-time without a format hint is rejected at build time
+    val noHint = intercept[IllegalArgumentException](
+      RecordLog.decodeJsonTime(RecordLog.readTopic(spark, dir, "tb"),
+        Seq(("t_iso", "t_iso", "custom-date-time", ""))))
+    assert(noHint.getMessage.contains("format hint not defined"))
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+  }
+
   test("doc store: projection pushdown length-skips unrequested subtrees; filters reject in-cursor") {
     import graft.sources.DocStore
     val dir = "/tmp/graft_docstore_spec"
