@@ -1471,10 +1471,18 @@ object CurationQueries extends QueryModule {
     // CTE rounds). Engine plan: one persisted corpus-linear feature
     // frame, per round ONE codegen'd partial/final avg-agg (5 doubles
     // to the driver — bounded state), scoring is a map-side projection
-    // off weight literals. At 100 TB: training cost is R linear scans
-    // of a 40-byte/doc frame; a sampled-training variant (the SemDeDup
-    // convention) would bound it further, but full-batch keeps the
-    // oracle replay exact.
+    // off weight literals. Training runs on the SemDeDup-convention
+    // DETERMINISTIC SAMPLE (hash-mod 64/250 of doc_id, the overflow-
+    // safe reduced form (doc_id%250)*2654435761%250 < 64): the class
+    // weight and every gradient average over ~26% of docs, which the
+    // oracle replays bit-exactly off the same predicate — so at 100 TB
+    // training is R linear scans of a SAMPLE-sized frame while the
+    // scoring pass (one map-side projection) stays corpus-linear, the
+    // same training/apply asymmetry fastText-style quality filters run
+    // in production. Spec pins that the sample-trained model still
+    // clears the full-batch model's quality bars (beats-majority,
+    // recall/precision floors — unchanged from the full-batch round)
+    // and that scores are invariant to the physical partition count.
     Q("llm_quality_classifier", {
       val q6 = (e: String) => s"floor(($e)*1000000 + 0.5)/1000000"
       val rounds = (1 to 6).map { r =>
@@ -1482,7 +1490,7 @@ object CurationQueries extends QueryModule {
         s"""g$r AS (SELECT avg(d) g0, avg(d*x1) g1, avg(d*x2) g2, avg(d*x3) g3, avg(d*x4) g4
            |  FROM (SELECT ((1.0/(1.0+exp(-(b + c1*x1 + c2*x2 + c3*x3 + c4*x4)))) - y)
            |          * (CASE WHEN y = 1.0 THEN wpos ELSE 1.0 END) AS d, x1, x2, x3, x4
-           |        FROM f CROSS JOIN $prev CROSS JOIN cw)),
+           |        FROM fs CROSS JOIN $prev CROSS JOIN cw)),
            |w$r AS (SELECT ${q6(s"b - 4.0*g0")} AS b, ${q6(s"c1 - 4.0*g1")} AS c1,
            |  ${q6(s"c2 - 4.0*g2")} AS c2, ${q6(s"c3 - 4.0*g3")} AS c3,
            |  ${q6(s"c4 - 4.0*g4")} AS c4 FROM $prev CROSS JOIN g$r)""".stripMargin
@@ -1513,7 +1521,8 @@ object CurationQueries extends QueryModule {
          |      AND len(list_distinct(list_filter(w, x -> x IN ('the','be','to','of','and','that','have','with')))) >= 2
          |    THEN 1.0 ELSE 0.0 END AS y
          |  FROM m),
-         |cw AS (SELECT ${q6("sum(1.0 - y) / sum(y)")} AS wpos FROM f),
+         |fs AS (SELECT * FROM f WHERE (doc_id % 250) * 2654435761 % 250 < 64),
+         |cw AS (SELECT ${q6("sum(1.0 - y) / sum(y)")} AS wpos FROM fs),
          |w0 AS (SELECT 0.0 AS b, 0.0 AS c1, 0.0 AS c2, 0.0 AS c3, 0.0 AS c4),
          |$rounds
          |SELECT doc_id, round(sig, 6) AS score, round(sig, 6) >= 0.5 AS selected,
@@ -1552,8 +1561,12 @@ object CurationQueries extends QueryModule {
         (lit(5.0) * symCnt / nWords).as("x3"),
         (nStop / lit(8.0)).as("x4"),
         when(keep, lit(1.0)).otherwise(lit(0.0)).as("y")).persist()
+      // deterministic training sample (SemDeDup hash-mod convention;
+      // reduced-before-multiply form can never overflow BIGINT)
+      val samp = feats
+        .filter((col("doc_id") % 250) * lit(2654435761L) % 250 < 64).persist()
       try {
-        val tot = feats.agg(sum(col("y")), count(lit(1))).head()
+        val tot = samp.agg(sum(col("y")), count(lit(1))).head()
         val np = tot.getDouble(0)
         val wpos = qd((tot.getLong(1) - np) / np)
         var w = Array(0.0, 0.0, 0.0, 0.0, 0.0)
@@ -1562,7 +1575,7 @@ object CurationQueries extends QueryModule {
             lit(w(3)) * col("x3") + lit(w(4)) * col("x4")
           val d = ((lit(1.0) / (lit(1.0) + exp(-z))) - col("y")) *
             when(col("y") === 1.0, lit(wpos)).otherwise(lit(1.0))
-          val g = feats.agg(avg(d), avg(d * col("x1")), avg(d * col("x2")),
+          val g = samp.agg(avg(d), avg(d * col("x1")), avg(d * col("x2")),
             avg(d * col("x3")), avg(d * col("x4"))).head()
           w = Array.tabulate(5)(j => qd(w(j) - 4.0 * g.getDouble(j)))
         }
@@ -1572,7 +1585,7 @@ object CurationQueries extends QueryModule {
         feats.select(col("doc_id"), round(sig, 6).as("score"),
           (round(sig, 6) >= 0.5).as("selected"), col("y").cast("long").as("label"))
           .localCheckpoint()
-      } finally feats.unpersist()
+      } finally { samp.unpersist(); feats.unpersist() }
     }
   )
 

@@ -1660,6 +1660,90 @@ object LlmQueries extends QueryModule {
           round(avg(-log(p)), 6).as("bigram_nll"))
     },
 
+    // Interpolated Kneser-Ney trigram LM (Kneser & Ney 1995; Chen &
+    // Goodman 1998's interpolated form — the actual CCNet/KenLM
+    // perplexity-filter model family; Wenzek et al. 2020 score with a
+    // 5-gram KenLM, and KenLM's estimator IS interpolated modified KN):
+    //   P(w3|w1w2) = (c(w1w2w3)-D)/c(w1w2·)
+    //              + (D·N1+(w1w2·)/c(w1w2·)) · Pkn(w3|w2)
+    //   Pkn(w3|w2) = (N1+(·w2w3)-D)/N1+(·w2·)
+    //              + (D·N1+(w2·)/N1+(·w2·)) · N1+(·w3)/N1+(··)
+    // with one absolute discount D = 0.75 and all continuation counts
+    // (the "novel-context" counts that make KN KN) read off the
+    // DISTINCT trigram-type table. Every scored trigram is attested in
+    // the corpus (c >= 1 > D), so the max(·,0) clamps are vacuous and
+    // every probability is strictly positive — no OOV branch needed.
+    // Exactness: counts are exact integers on both engines; the
+    // probability expression is written in the identical shape/order
+    // both sides and the per-doc mean NLL rounds at 6dp (the repo's
+    // libm-boundary policy for ln). Scale shape: trigram assembly is
+    // MAP-SIDE (transform over the token array — positions never
+    // shuffle as rows), then FOUR linear gram-keyed hash aggs build the
+    // model (trigram types, contexts, continuation bigrams, middles —
+    // each partial-agg'd map-side) plus a unigram-continuation agg; the
+    // scoring joins are token-type-sized model tables with NO broadcast
+    // hints (vocabulary grows with the corpus — AQE/stats decide, as
+    // llm_bigram_lm); the only pinned broadcast is the 1-row type
+    // total; one doc-keyed reduce emits the score. No window, no
+    // pairwise stage — everything is linear in positions + types.
+    Q("llm_kn_trigram_lm",
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |tri AS (SELECT doc_id, w[i] AS w1, w[i+1] AS w2, w[i+2] AS w3
+        |        FROM toks, unnest(generate_series(1, len(w) - 2)) t(i)
+        |        WHERE len(w) >= 3),
+        |c3 AS (SELECT w1, w2, w3, CAST(count(*) AS DOUBLE) AS c FROM tri GROUP BY 1, 2, 3),
+        |ctx3 AS (SELECT w1, w2, CAST(sum(c) AS DOUBLE) AS ctot,
+        |         CAST(count(*) AS DOUBLE) AS n1p FROM c3 GROUP BY 1, 2),
+        |cont2 AS (SELECT w2, w3, CAST(count(*) AS DOUBLE) AS cc FROM c3 GROUP BY 1, 2),
+        |mid AS (SELECT w2, CAST(sum(cc) AS DOUBLE) AS mtot,
+        |        CAST(count(*) AS DOUBLE) AS nfol FROM cont2 GROUP BY 1),
+        |u AS (SELECT w3, CAST(count(*) AS DOUBLE) AS uc FROM cont2 GROUP BY 1),
+        |bt AS (SELECT CAST(count(*) AS DOUBLE) AS bt FROM cont2)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_trigrams,
+        |  round(avg(-ln((c - 0.75) / ctot
+        |    + (0.75 * n1p / ctot) * ((cc - 0.75) / mtot
+        |        + (0.75 * nfol / mtot) * (uc / bt)))), 6) AS kn_nll
+        |FROM tri
+        |JOIN c3 USING (w1, w2, w3) JOIN ctx3 USING (w1, w2)
+        |JOIN cont2 USING (w2, w3) JOIN mid USING (w2)
+        |JOIN u ON tri.w3 = u.w3, bt
+        |GROUP BY doc_id""".stripMargin) { (s, _) =>
+      val w = split(col("text"), " ", -1)
+      val tri = s.table("documents")
+        .filter(size(w) >= 3)
+        .select(col("doc_id"), explode(transform(sequence(lit(1), size(w) - 2),
+          i => struct(element_at(w, i).as("w1"),
+            element_at(w, i + 1).as("w2"),
+            element_at(w, i + 2).as("w3")))).as("t"))
+        .select(col("doc_id"), col("t.w1").as("w1"), col("t.w2").as("w2"),
+          col("t.w3").as("w3"))
+      val c3 = tri.groupBy("w1", "w2", "w3")
+        .agg(count(lit(1)).cast("double").as("c"))
+      val ctx3 = c3.groupBy("w1", "w2")
+        .agg(sum("c").cast("double").as("ctot"), count(lit(1)).cast("double").as("n1p"))
+      val cont2 = c3.groupBy("w2", "w3")
+        .agg(count(lit(1)).cast("double").as("cc"))
+      val mid = cont2.groupBy("w2")
+        .agg(sum("cc").cast("double").as("mtot"), count(lit(1)).cast("double").as("nfol"))
+      val u = cont2.groupBy(col("w3").as("uw3"))
+        .agg(count(lit(1)).cast("double").as("uc"))
+      val bt = cont2.agg(count(lit(1)).cast("double").as("bt"))
+      val p2 = (col("cc") - lit(0.75)) / col("mtot") +
+        (lit(0.75) * col("nfol") / col("mtot")) * (col("uc") / col("bt"))
+      val p3 = (col("c") - lit(0.75)) / col("ctot") +
+        (lit(0.75) * col("n1p") / col("ctot")) * p2
+      tri
+        .join(c3, Seq("w1", "w2", "w3"))
+        .join(ctx3, Seq("w1", "w2"))
+        .join(cont2, Seq("w2", "w3"))
+        .join(mid, Seq("w2"))
+        .join(u, col("w3") === col("uw3"))
+        .crossJoin(broadcast(bt))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).cast("long").as("n_trigrams"),
+          round(avg(-log(p3)), 6).as("kn_nll"))
+    },
+
     Q("llm_fingerprint",
       """SELECT doc_id,
         |  md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp

@@ -171,6 +171,18 @@ object StatementServer {
 
     def isShuttingDown: Boolean = shuttingDown.get()
 
+    // ---- password authentication (PasswordAuthenticatorManager role:
+    // once an authenticator is set, the statement endpoint REQUIRES
+    // Basic credentials; the authenticated principal then rides the
+    // existing identity path) ----
+    @volatile private[StatementServer] var authenticator
+      : Option[PasswordAuth.Authenticator] = None
+
+    /** Install (or clear) the password authenticator — the
+      * PasswordAuthenticatorManager.setRequired + factory wiring. */
+    def setPasswordAuthenticator(a: Option[PasswordAuth.Authenticator]): Unit =
+      authenticator = a
+
     /** True once the query's worker thread has fully exited (pages
       * drained or cancel observed) — the DELETE-hygiene observable. */
     def workerFinished(id: String): Boolean =
@@ -226,6 +238,32 @@ object StatementServer {
 
   private def handle(server: Server, ex: HttpExchange): Unit =
     try {
+      // AuthenticationFilter.doFilter: when a password authenticator is
+      // installed, every statement-protocol request authenticates first;
+      // failures are 401s carrying the Basic challenge/message. The
+      // principal-match rule (QuerySessionSupplier.java:63
+      // checkCanSetUser): an explicit X-Presto-User must equal the
+      // authenticated principal — impersonation is denied (403); an
+      // absent user header inherits the principal.
+      server.authenticator.foreach { auth =>
+        PasswordAuth.authenticate(auth,
+          Option(ex.getRequestHeaders.getFirst("Authorization"))) match {
+          case Left(fail) =>
+            fail.challenge.foreach(c =>
+              ex.getResponseHeaders.set("WWW-Authenticate", c))
+            respond(ex, 401,
+              fail.message.map(m => s"""{"error":${jsonString(m)}}""").getOrElse(""))
+            return
+          case Right(principal) =>
+            val hdrUser = Option(ex.getRequestHeaders.getFirst("X-Presto-User"))
+            if (hdrUser.exists(_ != principal)) {
+              respond(ex, 403, s"""{"error":${jsonString(
+                s"Access Denied: Authenticated user $principal cannot become user ${hdrUser.get}")}}""")
+              return
+            }
+            ex.setAttribute("graft.principal", principal)
+        }
+      }
       val path = ex.getRequestURI.getPath.stripPrefix("/v1/statement")
       (ex.getRequestMethod, path.split('/').filter(_.nonEmpty).toSeq) match {
         case ("POST", Seq()) => submit(server, ex)
@@ -311,6 +349,10 @@ object StatementServer {
       // statement. Absent header falls back to the server session's
       // principal (the pre-r11 single-tenant behavior).
       user = Option(ex.getRequestHeaders.getFirst("X-Presto-User"))
+        // Basic-authenticated requests without an explicit user header
+        // act as their authenticated principal (the filter has already
+        // enforced the principal-match rule when the header is present)
+        .orElse(Option(ex.getAttribute("graft.principal")).map(_.toString))
         .getOrElse(AccessControl.principal(server.session)),
       // catalog/schema context (PrestoHeaders.java:20-21); USE answers
       // Set-Catalog/Set-Schema for the client to echo back here

@@ -390,8 +390,12 @@ class CurationSpecs extends AnyFunSuite with BeforeAndAfterAll {
       assert(tp.toDouble / pos >= 0.6, s"recall ${tp.toDouble / pos} too low")
       assert(tp.toDouble / sel >= 0.45, s"precision ${tp.toDouble / sel} too low")
       assert(sel > 0 && sel < n, "selection must be a proper subset")
-      // training is full-batch with 6dp weight quantization per round:
-      // the physical split of the scan must not change a single score
+      // training runs on the deterministic hash-mod 64/250 sample (the
+      // SemDeDup convention) — the quality bars above are the SAME ones
+      // the full-batch model cleared, so sampled training provably
+      // doesn't degrade the filter on this fixture. 6dp weight
+      // quantization per round keeps the oracle replay exact, and the
+      // physical split of the scan must not change a single score
       val spark2 = spark.newSession()
       spark2.conf.set("spark.sql.shuffle.partitions", "13")
       val b = CurationQueries.queries.find(_.name == "llm_quality_classifier")

@@ -564,6 +564,44 @@ class EngineSpecs extends AnyFunSuite with BeforeAndAfterAll {
     assert(biMean < uniMean, s"bigram NLL $biMean should beat unigram $uniMean")
   }
 
+  test("KN trigram LM: closed-form smoothed probabilities on planted n-grams; beats the bigram LM") {
+    import org.apache.spark.sql.functions.{avg, col}
+    // Planted corpus: doc1 "a b c a b c" (trigrams abc, bca, cab, abc),
+    // doc2 "a b d". Model counts: c3 = {abc:2, bca:1, cab:1, abd:1};
+    // ctx(a,b) = (ctot 3, n1p 2); cont2 types (b,c),(c,a),(a,b),(b,d)
+    // all cc=1; mid(b) = (mtot 2, nfol 2); every N1+(.w3) = 1; bt = 4.
+    // With D = 3/4 the interpolated-KN closed forms are exact rationals:
+    //   P2(c|b) = (1/4)/2 + (3/4)(2/2)(1/4)      = 5/16
+    //   P(c|a,b) = (5/4)/3 + ((3/4)(2)/3)(5/16)  = 55/96
+    //   P(a|b,c) = 1/4 + (3/4)(7/16)             = 37/64  (= P(b|c,a))
+    //   P(d|a,b) = (1/4)/3 + (1/2)(5/16)         = 23/96
+    val s = spark.newSession()
+    graft.engine.Engine.registerTables(s, sfDir)
+    import s.implicits._
+    Seq((1L, "a b c a b c"), (2L, "a b d")).toDF("doc_id", "text")
+      .createOrReplaceTempView("documents")
+    val out = SparkEntry.queries("llm_kn_trigram_lm")(s, sfDir)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    def r6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    val d1 = r6((2 * -math.log(55.0 / 96) + 2 * -math.log(37.0 / 64)) / 4)
+    val d2 = r6(-math.log(23.0 / 96))
+    assert(out(1L)._1 == 4L && out(2L)._1 == 1L, s"trigram position counts: $out")
+    assert(math.abs(out(1L)._2 - d1) < 2e-6, s"doc1 expected $d1 got ${out(1L)._2}")
+    assert(math.abs(out(2L)._2 - d2) < 2e-6, s"doc2 expected $d2 got ${out(2L)._2}")
+    // corpus-wide on the real fixture: a KN trigram model conditioned on
+    // two words of context must fit its own corpus better than the
+    // Jelinek-Mercer bigram LM (the model it supersedes in the CCNet
+    // quality-filter role)
+    val kn = SparkEntry.queries("llm_kn_trigram_lm")(spark, sfDir)
+      .select(col("doc_id"), col("kn_nll"))
+    val bi = SparkEntry.queries("llm_bigram_lm")(spark, sfDir)
+      .select(col("doc_id"), col("bigram_nll"))
+    val both = kn.join(bi, "doc_id")
+      .agg(avg("kn_nll").as("k"), avg("bigram_nll").as("b")).head()
+    assert(both.getDouble(0) < both.getDouble(1),
+      s"KN trigram NLL ${both.getDouble(0)} should beat bigram ${both.getDouble(1)}")
+  }
+
   test("anomaly z-score: BigInt replay confirms every per-type count exactly") {
     import org.apache.spark.sql.functions.{col, round => sround}
     val got = SparkEntry.queries("ev_anomaly_zscore")(spark, sfDir)

@@ -1058,4 +1058,85 @@ class LifecycleSpecs extends AnyFunSuite with BeforeAndAfterAll {
       ResourceGroups.disable(spark)
     }
   }
+
+  test("password authenticator: Basic challenge, malformed credentials, principal feeds groups and grants") {
+    import graft.sql.PasswordAuth
+    ResourceGroups.configure(spark, ResourceGroups.Config(
+      rootGroups = Seq(
+        ResourceGroups.GroupSpec("global", 100, 100, Seq(
+          ResourceGroups.GroupSpec("${USER}", 10, 10, Nil)))),
+      selectors = Seq(ResourceGroups.Selector(None, None, "global.${USER}"))))
+    PrestoSql.sql(spark, "GRANT SELECT, INSERT ON pw_target TO carol")
+    val pwFile = java.nio.file.Files.createTempFile("graft_pw", ".txt")
+    java.nio.file.Files.write(pwFile,
+      (s"carol:${PasswordAuth.sha256Hex("carolpw")}\n" +
+        "# comment line\n\n" +
+        s"dave:${PasswordAuth.sha256Hex("davepw")}\n").getBytes("UTF-8"))
+    val server = graft.sql.StatementServer.start(spark)
+    server.setPasswordAuthenticator(Some(PasswordAuth.fromFile(pwFile.toString)))
+    val base = server.baseUri
+    try {
+      def basic(u: String, p: String) = "Basic " + java.util.Base64.getEncoder
+        .encodeToString(s"$u:$p".getBytes(java.nio.charset.StandardCharsets.ISO_8859_1))
+      def sendRaw(auth: Option[String], extra: Seq[(String, String)] = Seq.empty)
+          : java.net.http.HttpResponse[String] = {
+        var b = java.net.http.HttpRequest.newBuilder(java.net.URI.create(s"$base/v1/statement"))
+          .POST(java.net.http.HttpRequest.BodyPublishers.ofString("SELECT 1 AS one"))
+        auth.foreach(a => b = b.header("Authorization", a))
+        extra.foreach { case (k, v) => b = b.header(k, v) }
+        java.net.http.HttpClient.newHttpClient()
+          .send(b.build(), java.net.http.HttpResponse.BodyHandlers.ofString())
+      }
+      // no credentials: 401 with the RFC 7617 Basic challenge
+      val r0 = sendRaw(None)
+      assert(r0.statusCode() == 401)
+      assert(r0.headers().firstValue("WWW-Authenticate").orElse("") == "Basic realm=\"Presto\"",
+        s"challenge: ${r0.headers().map()}")
+      // wrong scheme is a challenge too
+      assert(sendRaw(Some("Bearer xyz")).statusCode() == 401)
+      // wrong password: 401 with the access-denied message AND challenge
+      val r1 = sendRaw(Some(basic("carol", "wrong")))
+      assert(r1.statusCode() == 401 && r1.body().contains("Access Denied: Invalid credentials"))
+      assert(r1.headers().firstValue("WWW-Authenticate").isPresent)
+      // unknown user: same denial (no user-existence oracle)
+      assert(sendRaw(Some(basic("mallory", "x"))).statusCode() == 401)
+      // invalid base64 / missing password part: the reference's texts
+      val r2 = sendRaw(Some("Basic !!!not-base64!!!"))
+      assert(r2.statusCode() == 401 && r2.body().contains("Invalid base64 encoded credentials"))
+      val r3 = sendRaw(Some("Basic " + java.util.Base64.getEncoder
+        .encodeToString("carol".getBytes(java.nio.charset.StandardCharsets.ISO_8859_1))))
+      assert(r3.statusCode() == 401 && r3.body().contains("Malformed decoded credentials"))
+      // impersonation: authenticated carol cannot become dave (403)
+      val r4 = sendRaw(Some(basic("carol", "carolpw")), Seq("X-Presto-User" -> "dave"))
+      assert(r4.statusCode() == 403 && r4.body().contains("cannot become user dave"))
+      // right password: the statement runs AS the principal — lands in
+      // carol's ${USER} group and the query log records carol
+      val creds = Seq("Authorization" -> basic("carol", "carolpw"))
+      assert(httpQuery(base, "SELECT 1 AS one", creds).head.get(0).asInt() == 1)
+      val groups = ResourceGroups.snapshot(spark).map(_._1).toSet
+      assert(groups.contains("global.carol"), s"principal group must exist: $groups")
+      val users = PrestoSql.sql(spark,
+        "SELECT DISTINCT user FROM system.runtime.queries WHERE query = 'SELECT 1 AS one'")
+        .collect().map(_.getString(0)).toSet
+      assert(users.contains("carol"), s"log users: $users")
+      // grants enforce against the authenticated principal: carol may
+      // create/read pw_target, dave is denied
+      httpQuery(base, "CREATE TABLE pw_target AS SELECT 7 AS x", creds)
+      try {
+        assert(httpQuery(base, "SELECT x FROM pw_target", creds).head.get(0).asInt() == 7)
+        val dave = Seq("Authorization" -> basic("dave", "davepw"))
+        val denied = intercept[RuntimeException](
+          httpQuery(base, "SELECT x FROM pw_target", dave))
+        assert(denied.getMessage.contains("Access Denied"), denied.getMessage)
+      } finally PrestoSql.sql(spark, "DROP TABLE IF EXISTS pw_target")
+      // clearing the authenticator reopens unauthenticated access
+      server.setPasswordAuthenticator(None)
+      assert(sendRaw(None).statusCode() == 200)
+    } finally {
+      server.stop()
+      ResourceGroups.disable(spark)
+      AccessControl.clear()
+      java.nio.file.Files.deleteIfExists(pwFile)
+    }
+  }
 }
