@@ -929,5 +929,115 @@ object MultimodalQueries extends QueryModule {
         .select(col("doc_id"), col("n_samples"), col("period"), col("peak"),
           col("content_id"), col("n_variants"),
           when(col("doc_id") =!= col("content_id"), col("content_id")).as("dup_of"))
+    },
+
+    // Text-in-image (OCR-shape) dedup — the last multimodal-column
+    // pattern: binary -> TEXT column. Each doc renders a real PNG of
+    // its label text ("DOC<doc_id%50>") in a 3x5 glyph-grid font; the
+    // extraction kernel decodes the PNG through javax.imageio and READS
+    // THE TEXT BACK FROM PIXELS ALONE (per-cell bit pattern -> injective
+    // glyph table — the deterministic stand-in for an OCR model, which
+    // this container cannot ship; the Spark-side plumbing — binary
+    // column, mapPartitions batch decode, text-typed output — is the
+    // real surface). Dedup then runs on the EXTRACTED text: one hash
+    // agg (group -> size + min-doc representative), no pairwise stage,
+    // map-side render+decode with zero exchanges before the single
+    // keyed agg. The oracle never sees pixels: it recomputes the label
+    // arithmetic directly, so any extraction error breaks the match.
+    Q("mm_text_extract_dedup",
+      """SELECT 'DOC' || CAST(doc_id % 50 AS VARCHAR) AS text_extracted,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(min(doc_id) AS BIGINT) AS rep_doc
+        |FROM documents GROUP BY 1""".stripMargin) { (s, _) =>
+      val binSchema = StructType(Seq(
+        StructField("doc_id", LongType),
+        StructField("image", BinaryType)))
+      val txtSchema = StructType(Seq(
+        StructField("doc_id", LongType),
+        StructField("text_extracted", StringType)))
+      val binEnc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(binSchema)
+      val txtEnc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(txtSchema)
+      val media = s.table("documents").select(col("doc_id"))
+        .mapPartitions(rows => rows.map(r =>
+          Row(r.getLong(0), encodeTextPng(s"DOC${r.getLong(0) % 50}"))))(binEnc)
+      val extracted = media.mapPartitions(rows => rows.map { r =>
+        Row(r.getLong(0), extractTextFromPng(r.getAs[Array[Byte]](1)))
+      })(txtEnc)
+      extracted.groupBy("text_extracted")
+        .agg(count(lit(1)).as("n_docs"), min("doc_id").as("rep_doc"))
     })
+
+  /** 3x5 bit-grid glyph font for the OCR-shape queries — every pattern
+    * distinct (spec-checked injective), so pixel->char recovery is
+    * exact. 'O' and '0' deliberately differ (rounded vs square). */
+  private[graft] val Glyphs: Map[Char, Seq[String]] = Map(
+    'D' -> Seq("110", "101", "101", "101", "110"),
+    'O' -> Seq("010", "101", "101", "101", "010"),
+    'C' -> Seq("011", "100", "100", "100", "011"),
+    '0' -> Seq("111", "101", "101", "101", "111"),
+    '1' -> Seq("010", "110", "010", "010", "111"),
+    '2' -> Seq("111", "001", "111", "100", "111"),
+    '3' -> Seq("111", "001", "011", "001", "111"),
+    '4' -> Seq("101", "101", "111", "001", "001"),
+    '5' -> Seq("111", "100", "111", "001", "111"),
+    '6' -> Seq("111", "100", "111", "101", "111"),
+    '7' -> Seq("111", "001", "010", "010", "010"),
+    '8' -> Seq("111", "101", "111", "101", "111"),
+    '9' -> Seq("111", "101", "111", "001", "111"))
+
+  private val GlyphLookup: Map[String, Char] =
+    Glyphs.map { case (c, rows) => rows.mkString -> c }
+
+  /** Render `text` as a real PNG: 1-px margin, each char a 3x5 black-
+    * on-white glyph cell with a 1-px gap (cell pitch 4). Layout is
+    * self-describing: width = 4*len + 1, so the reader derives the
+    * character count from the decoded image alone. */
+  def encodeTextPng(text: String): Array[Byte] = {
+    val w = 4 * text.length + 1
+    val h = 7
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { img.setRGB(x, y, 0xFFFFFF); x += 1 }
+      y += 1
+    }
+    text.zipWithIndex.foreach { case (ch, i) =>
+      val rows = Glyphs.getOrElse(ch,
+        throw new IllegalArgumentException(s"no glyph for '$ch'"))
+      for (r <- 0 until 5; c <- 0 until 3)
+        if (rows(r).charAt(c) == '1') img.setRGB(1 + 4 * i + c, 1 + r, 0x000000)
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
+  /** OCR the glyph grid back out of a PNG: decode via javax.imageio,
+    * threshold each 3x5 cell to a bit pattern, look it up in the
+    * injective glyph table. Pure function of the PIXELS. */
+  def extractTextFromPng(png: Array[Byte]): String = {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+    val n = (img.getWidth - 1) / 4
+    val sb = new StringBuilder(n)
+    var i = 0
+    while (i < n) {
+      val pat = new StringBuilder(15)
+      var r = 0
+      while (r < 5) {
+        var c = 0
+        while (c < 3) {
+          val dark = (img.getRGB(1 + 4 * i + c, 1 + r) & 0xFF) < 128
+          pat.append(if (dark) '1' else '0')
+          c += 1
+        }
+        r += 1
+      }
+      sb.append(GlyphLookup.getOrElse(pat.toString,
+        throw new IllegalArgumentException(s"unrecognized glyph at cell $i")))
+      i += 1
+    }
+    sb.toString
+  }
 }

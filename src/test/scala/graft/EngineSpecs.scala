@@ -564,6 +564,36 @@ class EngineSpecs extends AnyFunSuite with BeforeAndAfterAll {
     assert(biMean < uniMean, s"bigram NLL $biMean should beat unigram $uniMean")
   }
 
+  test("OCR-shape text extraction: glyph font injective, pixels-only round-trip, one-agg dedup plan") {
+    import graft.llm.MultimodalQueries
+    import org.apache.spark.sql.functions.col
+    // the glyph table must be injective or pixel->char recovery is lossy
+    val pats = MultimodalQueries.Glyphs.values.map(_.mkString).toSeq
+    assert(pats.distinct.size == pats.size, "glyph bit patterns must be distinct")
+    // round-trip through the REAL PNG codec recovers the text from
+    // pixels alone — including the O-vs-0 distinction
+    for (t <- Seq("DOC0", "DOC49", "D1C0", "OO00", "9876543210"))
+      assert(MultimodalQueries.extractTextFromPng(MultimodalQueries.encodeTextPng(t)) == t)
+    // a flipped pixel is a detected extraction failure, not a silent
+    // wrong character
+    val png = MultimodalQueries.encodeTextPng("DOC7")
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+    img.setRGB(2, 2, 0x123456) // corrupt one glyph pixel ambiguously
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    intercept[Exception](MultimodalQueries.extractTextFromPng(out.toByteArray))
+    // dedup output: every doc lands in exactly one group keyed by its
+    // extracted text; group sizes sum to the corpus; plan carries no
+    // join (render -> decode -> ONE hash agg)
+    val df = SparkEntry.queries("mm_text_extract_dedup")(spark, sfDir)
+    val nDocs = spark.table("documents").count()
+    val agg = df.agg(org.apache.spark.sql.functions.sum("n_docs")).head().getLong(0)
+    assert(agg == nDocs, s"group sizes must sum to corpus: $agg vs $nDocs")
+    assert(df.filter(col("text_extracted").rlike("^DOC[0-9]+$")).count() == df.count())
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.toLowerCase.contains("join"), s"dedup must be one agg, no join:\n$plan")
+  }
+
   test("KN trigram LM: closed-form smoothed probabilities on planted n-grams; beats the bigram LM") {
     import org.apache.spark.sql.functions.{avg, col}
     // Planted corpus: doc1 "a b c a b c" (trigrams abc, bca, cab, abc),
