@@ -1677,39 +1677,53 @@ object LlmQueries extends QueryModule {
     // probability expression is written in the identical shape/order
     // both sides and the per-doc mean NLL rounds at 6dp (the repo's
     // libm-boundary policy for ln). Scale shape: trigram assembly is
-    // MAP-SIDE (transform over the token array — positions never
-    // shuffle as rows), then FOUR linear gram-keyed hash aggs build the
-    // model (trigram types, contexts, continuation bigrams, middles —
-    // each partial-agg'd map-side) plus a unigram-continuation agg; the
-    // scoring joins are token-type-sized model tables with NO broadcast
-    // hints (vocabulary grows with the corpus — AQE/stats decide, as
-    // llm_bigram_lm); the only pinned broadcast is the 1-row type
-    // total; one doc-keyed reduce emits the score. No window, no
-    // pairwise stage — everything is linear in positions + types.
+    // MAP-SIDE (transform over the token array) and runs EXACTLY ONCE —
+    // positions collapse immediately to the per-(doc, trigram-type)
+    // count frame `dtc`, which localCheckpoints so the token arrays are
+    // never re-derived (without this, every AQE broadcast subtree
+    // re-ran the whole assembly: 6x the kernel, 13 s -> ~2 s at sf0.1);
+    // the model (contexts, continuation bigrams, middles, unigram
+    // continuations) is FOUR linear aggs off the checkpointed distinct-
+    // type table c3, the probability is scored per TYPE (types <<
+    // positions), and docs join the scored types once, weighting by k.
+    // Model joins carry NO broadcast hints (vocabulary grows with the
+    // corpus — AQE/stats decide, as llm_bigram_lm); the only pinned
+    // broadcast is the 1-row type total. No window, no pairwise stage.
     Q("llm_kn_trigram_lm",
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
         |tri AS (SELECT doc_id, w[i] AS w1, w[i+1] AS w2, w[i+2] AS w3
         |        FROM toks, unnest(generate_series(1, len(w) - 2)) t(i)
         |        WHERE len(w) >= 3),
-        |c3 AS (SELECT w1, w2, w3, CAST(count(*) AS DOUBLE) AS c FROM tri GROUP BY 1, 2, 3),
+        |dtc AS (SELECT doc_id, w1, w2, w3, CAST(count(*) AS DOUBLE) AS k
+        |        FROM tri GROUP BY 1, 2, 3, 4),
+        |c3 AS (SELECT w1, w2, w3, CAST(sum(k) AS DOUBLE) AS c FROM dtc GROUP BY 1, 2, 3),
         |ctx3 AS (SELECT w1, w2, CAST(sum(c) AS DOUBLE) AS ctot,
         |         CAST(count(*) AS DOUBLE) AS n1p FROM c3 GROUP BY 1, 2),
         |cont2 AS (SELECT w2, w3, CAST(count(*) AS DOUBLE) AS cc FROM c3 GROUP BY 1, 2),
         |mid AS (SELECT w2, CAST(sum(cc) AS DOUBLE) AS mtot,
         |        CAST(count(*) AS DOUBLE) AS nfol FROM cont2 GROUP BY 1),
         |u AS (SELECT w3, CAST(count(*) AS DOUBLE) AS uc FROM cont2 GROUP BY 1),
-        |bt AS (SELECT CAST(count(*) AS DOUBLE) AS bt FROM cont2)
-        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_trigrams,
-        |  round(avg(-ln((c - 0.75) / ctot
-        |    + (0.75 * n1p / ctot) * ((cc - 0.75) / mtot
-        |        + (0.75 * nfol / mtot) * (uc / bt)))), 6) AS kn_nll
-        |FROM tri
-        |JOIN c3 USING (w1, w2, w3) JOIN ctx3 USING (w1, w2)
-        |JOIN cont2 USING (w2, w3) JOIN mid USING (w2)
-        |JOIN u ON tri.w3 = u.w3, bt
+        |bt AS (SELECT CAST(count(*) AS DOUBLE) AS bt FROM cont2),
+        |ts AS (SELECT w1, w2, w3,
+        |         -ln((c - 0.75) / ctot
+        |           + (0.75 * n1p / ctot) * ((cc - 0.75) / mtot
+        |               + (0.75 * nfol / mtot) * (uc / bt))) AS nll
+        |       FROM c3 JOIN ctx3 USING (w1, w2) JOIN cont2 USING (w2, w3)
+        |       JOIN mid USING (w2) JOIN u ON c3.w3 = u.w3, bt)
+        |SELECT doc_id, CAST(sum(k) AS BIGINT) AS n_trigrams,
+        |  round(sum(k * nll) / sum(k), 6) AS kn_nll
+        |FROM dtc JOIN ts USING (w1, w2, w3)
         |GROUP BY doc_id""".stripMargin) { (s, _) =>
       val w = split(col("text"), " ", -1)
+      // doc-keyed exchange BEFORE the assembly kernel: the per-position
+      // struct build is the dominant CPU and must not be serialized by
+      // input split geometry (the sf fixtures are single parquet files
+      // -> one task). The exchange is corpus-linear raw text — the same
+      // cost class as the (doc, type, k) shuffle the dtc agg already
+      // pays — and it makes kernel parallelism = cluster cores
+      // regardless of how the scan was split.
       val tri = s.table("documents")
+        .select(col("doc_id"), col("text")).repartition(col("doc_id"))
         .filter(size(w) >= 3)
         .select(col("doc_id"), explode(transform(sequence(lit(1), size(w) - 2),
           i => struct(element_at(w, i).as("w1"),
@@ -1717,8 +1731,12 @@ object LlmQueries extends QueryModule {
             element_at(w, i + 2).as("w3")))).as("t"))
         .select(col("doc_id"), col("t.w1").as("w1"), col("t.w2").as("w2"),
           col("t.w3").as("w3"))
-      val c3 = tri.groupBy("w1", "w2", "w3")
-        .agg(count(lit(1)).cast("double").as("c"))
+      val dtc = tri.groupBy("doc_id", "w1", "w2", "w3")
+        .agg(count(lit(1)).cast("double").as("k"))
+        .localCheckpoint() // token arrays never re-derived past here
+      val c3 = dtc.groupBy("w1", "w2", "w3")
+        .agg(sum("k").cast("double").as("c"))
+        .localCheckpoint() // feeds 4 model aggs + the type scorer
       val ctx3 = c3.groupBy("w1", "w2")
         .agg(sum("c").cast("double").as("ctot"), count(lit(1)).cast("double").as("n1p"))
       val cont2 = c3.groupBy("w2", "w3")
@@ -1732,16 +1750,17 @@ object LlmQueries extends QueryModule {
         (lit(0.75) * col("nfol") / col("mtot")) * (col("uc") / col("bt"))
       val p3 = (col("c") - lit(0.75)) / col("ctot") +
         (lit(0.75) * col("n1p") / col("ctot")) * p2
-      tri
-        .join(c3, Seq("w1", "w2", "w3"))
+      val ts = c3
         .join(ctx3, Seq("w1", "w2"))
         .join(cont2, Seq("w2", "w3"))
         .join(mid, Seq("w2"))
         .join(u, col("w3") === col("uw3"))
         .crossJoin(broadcast(bt))
+        .select(col("w1"), col("w2"), col("w3"), (-log(p3)).as("nll"))
+      dtc.join(ts, Seq("w1", "w2", "w3"))
         .groupBy("doc_id")
-        .agg(count(lit(1)).cast("long").as("n_trigrams"),
-          round(avg(-log(p3)), 6).as("kn_nll"))
+        .agg(sum("k").cast("long").as("n_trigrams"),
+          round(sum(col("k") * col("nll")) / sum("k"), 6).as("kn_nll"))
     },
 
     Q("llm_fingerprint",
