@@ -216,10 +216,11 @@ object RecordLog {
     * decoder surface real Kafka topics (epoch-millis timestamps
     * everywhere) hit first:
     *
-    *   - "iso8601"                    ISO8601JsonFieldDecoder: ISO
-    *     date-time text, parsed as a zone-free local datetime (the
-    *     reference's EPOCH_DAY+MILLI_OF_DAY arithmetic; sessions here
-    *     run UTC so to_timestamp is that same map)
+    *   - "iso8601"                    ISO8601JsonFieldDecoder: full
+    *     ISO_DATE_TIME text (optional seconds/fraction/offset/[zone]),
+    *     read as EPOCH_DAY+MILLI_OF_DAY — a trailing offset is
+    *     parsed-and-IGNORED for TIMESTAMP (sessions here run UTC so
+    *     to_timestamp of the zone-free core is that same map)
     *   - "rfc2822"                    RFC2822JsonFieldDecoder: the
     *     reference's "EEE MMM dd HH:mm:ss Z yyyy" English-locale
     *     pattern (what it calls rfc2822 — Twitter's created_at shape)
@@ -251,6 +252,17 @@ object RecordLog {
       val raw = col(name)
       def failUnless(parsed: Column): Column =
         when(raw.isNull, lit(null).cast("timestamp"))
+          // a {…}/[…] node is not a value node: the reference raises the
+          // distinct "non-value node" text before ever looking at the
+          // characters (FieldValueProvider.getLong's isValueNode guard).
+          // from_json hands back the raw node text for a STRING field, so
+          // the leading brace discriminates. (Known corner: a json STRING
+          // whose content itself starts with '{' — the reference would
+          // give the value-text error; indistinguishable post-extract and
+          // both raise DECODER_CONVERSION_NOT_SUPPORTED.)
+          .when(raw.rlike("^\\s*[\\[{]"), raise_error(lit(
+            s"could not parse non-value node as 'timestamp' for column '$name'"))
+            .cast("timestamp"))
           .when(parsed.isNull, raise_error(format_string(
             s"could not parse value '%s' as 'timestamp' for column '$name'", raw))
             .cast("timestamp"))
@@ -260,15 +272,49 @@ object RecordLog {
       def tryLong: Column = raw.try_cast(LongType)
       val decoded = dataFormat match {
         case "iso8601" =>
-          failUnless(try_to_timestamp(raw, lit("yyyy-MM-dd'T'HH:mm:ss[.SSS]")))
+          // ISO_DATE_TIME semantics (ISO8601JsonFieldDecoder.java:107-109):
+          // for TIMESTAMP the reference parses the full ISO form — hour:
+          // minute with optional seconds, an optional fraction of 1-9
+          // digits (after seconds only), an optional offset Z/+HH[:mm[:ss]]
+          // with an optional [zone] suffix — then reads ONLY
+          // EPOCH_DAY+MILLI_OF_DAY: the offset is parsed-and-IGNORED
+          // ("…09:20:11", "…09:20:11Z" and "…09:20:11+10:00" all decode to
+          // the same local instant, TestISO8601JsonFieldDecoder.java:35-37).
+          // One regex shape-validates and splits core/fraction; the
+          // zone-free core parses with an optional-seconds pattern; the
+          // fraction is truncated to millis (MILLI_OF_DAY semantics).
+          val isoRe = "^(\\d{4}-\\d{2}-\\d{2}T\\d{2}:\\d{2}(?::\\d{2})?)" +
+            "(?:(?<=:\\d{2}:\\d{2})\\.(\\d{1,9}))?" +
+            "(?:Z|[+-]\\d{2}(?::\\d{2}(?::\\d{2})?)?(?:\\[[^\\]]+\\])?)?$"
+          val core = regexp_extract(raw, isoRe, 1)
+          val frac = regexp_extract(raw, isoRe, 2)
+          val baseTs = try_to_timestamp(core, lit("yyyy-MM-dd'T'HH:mm[:ss]"))
+          val fracMs = when(frac === "", lit(0L))
+            .otherwise(substring(rpad(frac, 3, "0"), 1, 3).cast(LongType))
+          failUnless(when(core === "", lit(null).cast("timestamp"))
+            .otherwise(timestamp_millis(unix_millis(baseTs) + fracMs)))
         case "rfc2822" =>
-          // Spark's corrected-mode formatter treats day-of-week letters
-          // as format-only (refuses 'E' when parsing); the instant is
-          // fully determined by the remaining fields, so the redundant
-          // leading "EEE " token is stripped — same result joda reaches
-          // by letting the later-set absolute fields win.
-          failUnless(try_to_timestamp(
-            regexp_replace(raw, "^[A-Za-z]{3} ", ""), lit("MMM dd HH:mm:ss Z yyyy")))
+          // Joda "EEE MMM dd HH:mm:ss Z yyyy" (RFC2822JsonFieldDecoder.
+          // java:51), English locale, UTC — and unlike the ISO TIMESTAMP
+          // path the offset IS applied ("15:15:19 +02:00" == "13:15:19" Z,
+          // TestRFC2822JsonFieldDecoder.java:40). Joda's Z parse token
+          // accepts a literal "Z" (test :38), colon and compact numeric
+          // offsets, and rejects zone NAMES (:65-66). Spark's corrected-
+          // mode formatter refuses day-of-week letters when parsing and
+          // its Z letter is numeric-only, so: require-and-strip the
+          // (redundant — joda lets the absolute fields win) dow token,
+          // normalize the zone token to the XXX-parseable +HH:mm form,
+          // parse. A missing/unknown dow, missing zone, or zone name all
+          // fall through to the raised conversion error.
+          val dowStripped = regexp_replace(raw,
+            "^(?:Mon|Tue|Wed|Thu|Fri|Sat|Sun) ", "")
+          val zoneNorm = regexp_replace(regexp_replace(regexp_replace(
+            dowStripped,
+            " ([+-]\\d{2}):?(\\d{2}) ", " $1:$2 "),
+            " ([+-]\\d{2}) ", " $1:00 "),
+            " Z ", " +00:00 ")
+          val shaped = when(raw.rlike("^(?:Mon|Tue|Wed|Thu|Fri|Sat|Sun) "), zoneNorm)
+          failUnless(try_to_timestamp(shaped, lit("MMM dd HH:mm:ss XXX yyyy")))
         case "seconds-since-epoch" =>
           failUnless(when(tryLong.isNull, lit(null).cast("timestamp"))
             .otherwise(timestamp_seconds(tryLong)))

@@ -410,6 +410,11 @@ object SourceQueries extends QueryModule {
         .ofPattern("yyyy-MM-dd'T'HH:mm:ss").withZone(utc)
       val fRfc = java.time.format.DateTimeFormatter
         .ofPattern("EEE MMM dd HH:mm:ss Z yyyy", java.util.Locale.ENGLISH).withZone(utc)
+      val fRfcZ = java.time.format.DateTimeFormatter
+        .ofPattern("EEE MMM dd HH:mm:ss 'Z' yyyy", java.util.Locale.ENGLISH).withZone(utc)
+      val fRfcColon = java.time.format.DateTimeFormatter
+        .ofPattern("EEE MMM dd HH:mm:ss XXX yyyy", java.util.Locale.ENGLISH)
+        .withZone(java.time.ZoneOffset.ofHours(2))
       val fCustom = java.time.format.DateTimeFormatter
         .ofPattern("yyyy/MM/dd HH:mm:ss").withZone(utc)
       val slice = s.table("orders").select("o_orderkey")
@@ -421,8 +426,24 @@ object SourceQueries extends QueryModule {
             val sec = 1700000000L + k
             val inst = java.time.Instant.ofEpochSecond(sec)
             val key = java.nio.ByteBuffer.allocate(8).putLong(k).array()
+            // rotate the reference's accepted zone shapes through the
+            // corpus: iso offsets are parsed-and-IGNORED for TIMESTAMP
+            // (TestISO8601JsonFieldDecoder.java:35-37 — same local text,
+            // any suffix, same instant), rfc2822 offsets are APPLIED
+            // (literal Z / compact +0000 / colon +02:00 with the local
+            // time shifted accordingly, TestRFC2822JsonFieldDecoder.java:
+            // 38-41) — all rows must still agree with the epoch columns.
+            val isoSuffix = k % 3 match {
+              case 0 => ""; case 1 => "Z"; case _ => "+10:00"
+            }
+            val rfcText = k % 3 match {
+              case 0 => fRfc.format(inst)
+              case 1 => fRfcZ.format(inst)
+              case _ => fRfcColon.format(inst)
+            }
             val payload =
-              s"""{"t_iso":"${fIso.format(inst)}","t_rfc":"${fRfc.format(inst)}",""" +
+              s"""{"t_iso":"${fIso.format(inst)}$isoSuffix","t_rfc":"$rfcText",""" +
+              s""""t_isof":"${fIso.format(inst)}.250$isoSuffix",""" +
               s""""t_sec":$sec,"t_ms":${sec * 1000L},""" +
               s""""t_custom":"${fCustom.format(inst)}"}"""
             (i.toLong, key, payload.getBytes("UTF-8"))
@@ -433,13 +454,15 @@ object SourceQueries extends QueryModule {
       val decoded = RecordLog.decodeJsonTime(scanned, Seq(
         ("t_iso", "t_iso", "iso8601", ""),
         ("t_rfc", "t_rfc", "rfc2822", ""),
+        ("t_isof", "t_isof", "iso8601", ""),
         ("t_sec", "t_sec", "seconds-since-epoch", ""),
         ("t_ms", "t_ms", "milliseconds-since-epoch", ""),
         ("t_custom", "t_custom", "custom-date-time", "yyyy/MM/dd HH:mm:ss")))
       decoded
         .withColumn("consistent",
           col("t_iso") === col("t_rfc") && col("t_iso") === col("t_sec") &&
-          col("t_iso") === col("t_ms") && col("t_iso") === col("t_custom"))
+          col("t_iso") === col("t_ms") && col("t_iso") === col("t_custom") &&
+          col("t_isof") === col("t_iso") + expr("INTERVAL '0.25' SECOND"))
         .groupBy(col("_partition_id").as("partition_id"))
         .agg(count(lit(1)).as("n"), min("t_iso").as("min_ts"), max("t_ms").as("max_ts"),
           sum(when(col("consistent"), 1L).otherwise(0L)).as("n_consistent"))

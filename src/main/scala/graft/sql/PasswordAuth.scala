@@ -43,23 +43,78 @@ object PasswordAuth {
     d.map(b => f"$b%02x").mkString
   }
 
+  private def hexBytes(hex: String): Array[Byte] =
+    hex.grouped(2).map(java.lang.Integer.parseInt(_, 16).toByte).toArray
+
+  /** A stored credential. Both verifications compare with
+    * MessageDigest.isEqual — constant-time over the full digest, no
+    * hex-prefix timing side channel (ordinary String.equals bails at
+    * the first differing character). */
+  sealed trait Credential { def verify(password: String): Boolean }
+
+  /** Legacy line shape `user:sha256hex` — unsalted single round, kept
+    * readable for existing files. */
+  final case class Sha256(hashHex: String) extends Credential {
+    def verify(password: String): Boolean =
+      java.security.MessageDigest.isEqual(
+        hexBytes(hashHex),
+        java.security.MessageDigest.getInstance("SHA-256")
+          .digest(password.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+  }
+
+  /** Salted iterated PBKDF2-HMAC-SHA256 — the shape file-based password
+    * authenticators in the reference ecosystem store, resistant to
+    * offline rainbow/brute-force if the credential file leaks. */
+  final case class Pbkdf2(iterations: Int, saltHex: String, hashHex: String)
+      extends Credential {
+    def verify(password: String): Boolean =
+      java.security.MessageDigest.isEqual(
+        hexBytes(hashHex),
+        Pbkdf2.derive(password, hexBytes(saltHex), iterations, hashHex.length * 4))
+  }
+
+  object Pbkdf2 {
+    def derive(password: String, salt: Array[Byte], iterations: Int,
+        bits: Int): Array[Byte] = {
+      val spec = new javax.crypto.spec.PBEKeySpec(
+        password.toCharArray, salt, iterations, bits)
+      javax.crypto.SecretKeyFactory.getInstance("PBKDF2WithHmacSHA256")
+        .generateSecret(spec).getEncoded
+    }
+
+    /** Render a password-file line `user:pbkdf2:<iter>:<saltHex>:<hashHex>`
+      * with a fresh random salt. */
+    def line(user: String, password: String, iterations: Int = 100000): String = {
+      val salt = new Array[Byte](16)
+      new java.security.SecureRandom().nextBytes(salt)
+      val hash = derive(password, salt, iterations, 256)
+      s"$user:pbkdf2:$iterations:${salt.map(b => f"$b%02x").mkString}:" +
+        hash.map(b => f"$b%02x").mkString
+    }
+  }
+
   /** The SPI: user+password -> principal name, or AccessDeniedException
     * (here SecurityException with the access-denied text). */
-  final case class Authenticator(users: Map[String, String]) {
+  final case class Authenticator(users: Map[String, Credential]) {
     def createAuthenticatedPrincipal(user: String, password: String): String =
-      if (users.get(user).contains(sha256Hex(password))) user
+      if (users.get(user).exists(_.verify(password))) user
       else throw new SecurityException("Access Denied: Invalid credentials")
   }
 
-  /** File provider: one `user:sha256hex` per line; blank lines and
-    * #-comments ignored (the password-file layout). */
+  /** File provider: one credential per line — either the legacy
+    * `user:sha256hex` or salted `user:pbkdf2:<iter>:<saltHex>:<hashHex>`;
+    * blank lines and #-comments ignored (the password-file layout). */
   def fromFile(path: String): Authenticator = {
     import scala.jdk.CollectionConverters._
     val users = java.nio.file.Files.readAllLines(java.nio.file.Paths.get(path))
       .asScala.map(_.trim).filter(l => l.nonEmpty && !l.startsWith("#"))
       .map { l =>
-        l.split(":", 2) match {
-          case Array(u, h) if u.nonEmpty && h.nonEmpty => u -> h.toLowerCase
+        l.split(":").toSeq match {
+          case Seq(u, "pbkdf2", iter, salt, hash)
+              if u.nonEmpty && iter.forall(_.isDigit) && salt.nonEmpty && hash.nonEmpty =>
+            (u, Pbkdf2(iter.toInt, salt.toLowerCase, hash.toLowerCase): Credential)
+          case Seq(u, h) if u.nonEmpty && h.nonEmpty =>
+            (u, Sha256(h.toLowerCase): Credential)
           case _ => throw new IllegalArgumentException(s"malformed credential line: $l")
         }
       }.toMap

@@ -236,16 +236,20 @@ object StatementServer {
 
   // ---- request routing ----
 
-  private def handle(server: Server, ex: HttpExchange): Unit =
-    try {
-      // AuthenticationFilter.doFilter: when a password authenticator is
-      // installed, every statement-protocol request authenticates first;
-      // failures are 401s carrying the Basic challenge/message. The
-      // principal-match rule (QuerySessionSupplier.java:63
-      // checkCanSetUser): an explicit X-Presto-User must equal the
-      // authenticated principal — impersonation is denied (403); an
-      // absent user header inherits the principal.
-      server.authenticator.foreach { auth =>
+  /** AuthenticationFilter.doFilter analog — the reference binds the
+    * filter to the WHOLE servlet (AuthenticationFilter.java:61-106), not
+    * just /v1/statement, so once a password authenticator is installed
+    * EVERY /v1 context authenticates before its handler runs: an
+    * anonymous caller must not read another query's SQL text via
+    * /v1/query, nor kill/preempt via the admin verbs, nor walk
+    * /v1/queryState//v1/cluster//v1/memory//v1/resourceGroupState.
+    * Returns the principal (None = response already written, caller
+    * must abandon the exchange). No authenticator installed = open, the
+    * reference's !request.isSecure()/empty-authenticators passthrough. */
+  private def authGate(server: Server, ex: HttpExchange): Either[Unit, Option[String]] =
+    server.authenticator match {
+      case None => Right(None)
+      case Some(auth) =>
         PasswordAuth.authenticate(auth,
           Option(ex.getRequestHeaders.getFirst("Authorization"))) match {
           case Left(fail) =>
@@ -253,16 +257,33 @@ object StatementServer {
               ex.getResponseHeaders.set("WWW-Authenticate", c))
             respond(ex, 401,
               fail.message.map(m => s"""{"error":${jsonString(m)}}""").getOrElse(""))
-            return
+            Left(())
           case Right(principal) =>
+            ex.setAttribute("graft.principal", principal)
+            Right(Some(principal))
+        }
+    }
+
+  private def handle(server: Server, ex: HttpExchange): Unit =
+    try {
+      // when a password authenticator is installed, every
+      // statement-protocol request authenticates first; failures are
+      // 401s carrying the Basic challenge/message. The principal-match
+      // rule (QuerySessionSupplier.java:63 checkCanSetUser): an explicit
+      // X-Presto-User must equal the authenticated principal —
+      // impersonation is denied (403); an absent user header inherits
+      // the principal.
+      authGate(server, ex) match {
+        case Left(()) => return
+        case Right(principalOpt) =>
+          principalOpt.foreach { principal =>
             val hdrUser = Option(ex.getRequestHeaders.getFirst("X-Presto-User"))
             if (hdrUser.exists(_ != principal)) {
               respond(ex, 403, s"""{"error":${jsonString(
                 s"Access Denied: Authenticated user $principal cannot become user ${hdrUser.get}")}}""")
               return
             }
-            ex.setAttribute("graft.principal", principal)
-        }
+          }
       }
       val path = ex.getRequestURI.getPath.stripPrefix("/v1/statement")
       (ex.getRequestMethod, path.split('/').filter(_.nonEmpty).toSeq) match {
@@ -474,9 +495,13 @@ object StatementServer {
         // a DELETE-initiated job-group cancel lands here too; the
         // reference reports user cancellation as a FAILED query. A
         // limit-enforcement kill surfaces its own PrestoException-shaped
-        // text, not Spark's generic cancelled-job message.
-        q.error = q.error.orElse(QueryLimits.errorFor(q.id))
-          .orElse(Some(Option(t.getMessage).getOrElse(t.toString)))
+        // text, not Spark's generic cancelled-job message. Under the
+        // query lock: doCancel's first-error-wins check-then-act races
+        // this assignment otherwise.
+        q.synchronized {
+          q.error = q.error.orElse(QueryLimits.errorFor(q.id))
+            .orElse(Some(Option(t.getMessage).getOrElse(t.toString)))
+        }
         q.state.set("FAILED")
         SystemTables.updateState(server.session, q.id, "FAILED")
         q.pages.clear()
@@ -550,6 +575,7 @@ object StatementServer {
     * identity, and the error (+ StandardErrorCode name) if failed. */
   private def handleQueryInfo(server: Server, ex: HttpExchange): Unit =
     try {
+      if (authGate(server, ex).isLeft) return
       val segs = ex.getRequestURI.getPath.stripPrefix("/v1/query")
         .split('/').filter(_.nonEmpty).toSeq
       (ex.getRequestMethod, segs) match {
@@ -562,10 +588,16 @@ object StatementServer {
           val text = head + (if (msg.isEmpty) "No message provided." else s"Message: $msg")
           val code =
             if (verb == "killed") "ADMINISTRATIVELY_KILLED" else "ADMINISTRATIVELY_PREEMPTED"
-          if (q.done) { respond(ex, 409, ""); return }
-          doCancel(server, q, text, code)
-          // lost-the-race check: some other terminal error beat us
-          if (q.errorName.contains(code)) respond(ex, 200, "")
+          // the reference's failQuery 409s on ANY terminal state — and a
+          // query whose results are fully produced is FINISHED even while
+          // the client is still mid-drain (q.done only flips once the
+          // EndSlot is consumed), so check the state machine too
+          val st = q.state.get()
+          if (q.done || st == "FINISHED" || st == "FAILED") { respond(ex, 409, ""); return }
+          // doCancel reports whether THIS call recorded the terminal
+          // error (assignment + comparison under the query lock — two
+          // racing admin verbs can't both see 200 or swap texts)
+          if (doCancel(server, q, text, code)) respond(ex, 200, "")
           else respond(ex, 409, "")
         case (_, Seq()) => respond(ex, 404, """{"error":"unknown query"}""")
         case (method, Seq(id, _*)) =>
@@ -617,6 +649,7 @@ object StatementServer {
     */
   private def handleInfo(server: Server, ex: HttpExchange): Unit =
     try {
+      if (authGate(server, ex).isLeft) return
       val sub = ex.getRequestURI.getPath.stripPrefix("/v1/info")
         .split('/').filter(_.nonEmpty).toSeq
       (ex.getRequestMethod, sub) match {
@@ -654,6 +687,7 @@ object StatementServer {
     */
   private def handleStatus(server: Server, ex: HttpExchange): Unit =
     try {
+      if (authGate(server, ex).isLeft) return
       val mem = java.lang.management.ManagementFactory.getMemoryMXBean
       val os = java.lang.management.ManagementFactory.getOperatingSystemMXBean
       val (procLoad, sysLoad) = os match {
@@ -687,6 +721,7 @@ object StatementServer {
     */
   private def handleCluster(server: Server, ex: HttpExchange): Unit =
     try {
+      if (authGate(server, ex).isLeft) return
       ex.getRequestURI.getPath.stripPrefix("/v1/cluster")
           .split('/').filter(_.nonEmpty).toSeq match {
         case Seq() => () // fall through to the stats document below
@@ -739,6 +774,7 @@ object StatementServer {
     */
   private def handleNode(server: Server, ex: HttpExchange): Unit =
     try {
+      if (authGate(server, ex).isLeft) return
       respond(ex, 200, "[]")
     } catch {
       case t: Throwable =>
@@ -787,6 +823,7 @@ object StatementServer {
     * GET answers MemoryInfo too (ext — symmetric with POST). */
   private def handleMemory(server: Server, ex: HttpExchange): Unit =
     try {
+      if (authGate(server, ex).isLeft) return
       val sub = ex.getRequestURI.getPath.stripPrefix("/v1/memory")
         .split('/').filter(_.nonEmpty).toSeq
       (ex.getRequestMethod, sub) match {
@@ -861,6 +898,7 @@ object StatementServer {
     * (NoSuchElementException → NOT_FOUND). */
   private def handleResourceGroupState(server: Server, ex: HttpExchange): Unit =
     try {
+      if (authGate(server, ex).isLeft) return
       val segs = ex.getRequestURI.getRawPath.stripPrefix("/v1/resourceGroupState")
         .split('/').filter(_.nonEmpty).toSeq
         .map(s => java.net.URLDecoder.decode(s, "UTF-8"))
@@ -881,6 +919,7 @@ object StatementServer {
     */
   private def handleQueryState(server: Server, ex: HttpExchange): Unit =
     try {
+      if (authGate(server, ex).isLeft) return
       val userFilter = Option(ex.getRequestURI.getQuery)
         .flatMap(_.split('&').find(_.startsWith("user=")).map(_.stripPrefix("user=")))
       val sb = new StringBuilder("[")
@@ -905,12 +944,20 @@ object StatementServer {
   /** Shared kill path: explicit DELETE, the admin killed/preempted
     * verbs, and the abandonment reaper. First terminal error wins —
     * `errorName` records whose, so the admin verbs can detect a lost
-    * completion race (QueryResource.failQuery's errorCode check). */
+    * completion race (QueryResource.failQuery's errorCode check).
+    * Returns whether THIS call's error was the one recorded: the
+    * check-then-act on error/errorName runs under the query lock, so
+    * two racing verbs can never interleave a mismatched message/code
+    * pair or both claim the win. */
   private def doCancel(server: Server, q: QueryExec, reason: String,
-      errorName: String = "USER_CANCELED"): Unit = {
+      errorName: String = "USER_CANCELED"): Boolean = {
     SystemTables.killQuery(server.session, q.id) // job-group cancel + FAILED in the log
-    q.state.set("FAILED")
-    if (q.error.isEmpty) { q.error = Some(reason); q.errorName = Some(errorName) }
+    val won = q.synchronized {
+      q.state.set("FAILED")
+      val first = q.error.isEmpty
+      if (first) { q.error = Some(reason); q.errorName = Some(errorName) }
+      first
+    }
     q.done = true
     // poison first, then drain: the worker re-checks `cancelled` before
     // every bounded-queue hand-off, so it can never re-park after this
@@ -926,6 +973,7 @@ object StatementServer {
     q.synchronized {
       if (q.workerThread != null) q.workerThread.interrupt()
     }
+    won
   }
 
   // ---- response rendering ----

@@ -1013,6 +1013,73 @@ class EngineSpecs extends AnyFunSuite with BeforeAndAfterAll {
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
   }
 
+  test("json temporal decoders: reference TIMESTAMP vectors verbatim (offset ignored for iso8601, applied for rfc2822)") {
+    import graft.sources.RecordLog
+    import org.apache.spark.sql.functions._
+    val dir = "tmp/graft_recordlog_time_vec"
+    def run(format: String, jsonValue: String): Either[Seq[String], Option[String]] = {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+      RecordLog.writePartition(dir, "v", 0,
+        Seq((0L, null: Array[Byte], s"""{"t":$jsonValue}""".getBytes("UTF-8"))), 100)
+      val dec = RecordLog.decodeJsonTime(RecordLog.readTopic(spark, dir, "v"),
+        Seq(("t", "t", format, "")))
+      def messages(t: Throwable): Seq[String] =
+        if (t == null) Seq.empty else Option(t.getMessage).toSeq ++ messages(t.getCause)
+      try Right(Option(dec.select(col("t").cast("string")).head().getString(0)))
+      catch { case e: Exception => Left(messages(e)) }
+    }
+    def decodes(format: String, jsonValue: String, utcText: String): Unit = {
+      val got = run(format, jsonValue)
+      assert(got == Right(Some(utcText)), s"$format $jsonValue: $got")
+    }
+    def raises(format: String, jsonValue: String, errText: String): Unit = {
+      val got = run(format, jsonValue)
+      assert(got.isLeft && got.swap.toOption.get.exists(_.contains(errText)),
+        s"$format $jsonValue expected '$errText', got $got")
+    }
+    // TestISO8601JsonFieldDecoder.java:35-37 — TIMESTAMP 1519032011000 for
+    // the zone-free, Z-suffixed AND +10:00-suffixed forms alike (the
+    // reference reads EPOCH_DAY+MILLI_OF_DAY only; offset parsed-and-ignored)
+    decodes("iso8601", "\"2018-02-19T09:20:11\"", "2018-02-19 09:20:11")
+    decodes("iso8601", "\"2018-02-19T09:20:11Z\"", "2018-02-19 09:20:11")
+    decodes("iso8601", "\"2018-02-19T09:20:11+10:00\"", "2018-02-19 09:20:11")
+    // ISO_DATE_TIME also accepts minute precision, wide fractions (millis
+    // kept — MILLI_OF_DAY), offset-with-seconds, and a [zone] suffix
+    decodes("iso8601", "\"2018-02-19T09:20\"", "2018-02-19 09:20:00")
+    decodes("iso8601", "\"2018-02-19T09:20:11.123456789\"", "2018-02-19 09:20:11.123")
+    decodes("iso8601", "\"2018-02-19T09:20:11.5Z\"", "2018-02-19 09:20:11.5")
+    decodes("iso8601", "\"2018-02-19T09:20:11+01:00[Europe/Paris]\"", "2018-02-19 09:20:11")
+    // TestISO8601JsonFieldDecoder.java:63-66 — invalid TIMESTAMP inputs,
+    // reference error texts byte-for-byte
+    raises("iso8601", "1", "could not parse value '1' as 'timestamp' for column 't'")
+    raises("iso8601", "{}", "could not parse non-value node as 'timestamp' for column 't'")
+    raises("iso8601", "\"a\"", "could not parse value 'a' as 'timestamp' for column 't'")
+    // date-only / time-only are NOT ISO_DATE_TIME (need date+time)
+    raises("iso8601", "\"2018-02-19\"", "could not parse value '2018-02-19' as 'timestamp' for column 't'")
+    raises("iso8601", "\"09:20:11Z\"", "could not parse value '09:20:11Z' as 'timestamp' for column 't'")
+    // fraction is only legal after seconds (ISO_LOCAL_TIME grammar)
+    raises("iso8601", "\"2018-02-19T09:20.5\"", "could not parse value '2018-02-19T09:20.5' as 'timestamp' for column 't'")
+
+    // TestRFC2822JsonFieldDecoder.java:38-41 — literal Z zone token and a
+    // +02:00 offset that IS applied (15:15:19+02:00 == 13:15:19 UTC)
+    decodes("rfc2822", "\"Fri Feb 09 13:15:19 Z 2018\"", "2018-02-09 13:15:19")
+    decodes("rfc2822", "\"Fri Feb 09 15:15:19 +02:00 2018\"", "2018-02-09 13:15:19")
+    decodes("rfc2822", "\"Fri Feb 09 15:15:19 +0200 2018\"", "2018-02-09 13:15:19")
+    // TestRFC2822JsonFieldDecoder.java:56-66 — every invalid shape raises
+    raises("rfc2822", "{}", "could not parse non-value node as 'timestamp' for column 't'")
+    raises("rfc2822", "\"a\"", "could not parse value 'a' as 'timestamp' for column 't'")
+    raises("rfc2822", "2018", "could not parse value '2018' as 'timestamp' for column 't'")
+    raises("rfc2822", "\"Mon Feb 12 13:15:16 Z\"", "as 'timestamp' for column 't'")
+    raises("rfc2822", "\"Mon Feb 12 13:15:16 2018\"", "as 'timestamp' for column 't'")
+    raises("rfc2822", "\"Mon Feb 12 Z 2018\"", "as 'timestamp' for column 't'")
+    raises("rfc2822", "\"Mon Feb 13:15:16 Z 2018\"", "as 'timestamp' for column 't'")
+    raises("rfc2822", "\"Mon 12 13:15:16 Z 2018\"", "as 'timestamp' for column 't'")
+    raises("rfc2822", "\"Feb 12 13:15:16 Z 2018\"", "as 'timestamp' for column 't'")
+    raises("rfc2822", "\"Fri Feb 09 13:15:19 Europe/Warsaw 2018\"", "as 'timestamp' for column 't'")
+    raises("rfc2822", "\"Fri Feb 09 13:15:19 EST 2018\"", "as 'timestamp' for column 't'")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+  }
+
   test("doc store: projection pushdown length-skips unrequested subtrees; filters reject in-cursor") {
     import graft.sources.DocStore
     val dir = "/tmp/graft_docstore_spec"

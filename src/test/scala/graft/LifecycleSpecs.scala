@@ -1129,6 +1129,42 @@ class LifecycleSpecs extends AnyFunSuite with BeforeAndAfterAll {
           httpQuery(base, "SELECT x FROM pw_target", dave))
         assert(denied.getMessage.contains("Access Denied"), denied.getMessage)
       } finally PrestoSql.sql(spark, "DROP TABLE IF EXISTS pw_target")
+      // salted PBKDF2 credential line (user:pbkdf2:<iter>:<salt>:<hash>)
+      // authenticates the same way — and a wrong password still denies
+      java.nio.file.Files.write(pwFile,
+        s"\nerin:${PasswordAuth.Pbkdf2.line("erin", "erinpw", 10000).split(":", 2)(1)}\n"
+          .getBytes("UTF-8"), java.nio.file.StandardOpenOption.APPEND)
+      server.setPasswordAuthenticator(Some(PasswordAuth.fromFile(pwFile.toString)))
+      assert(httpQuery(base, "SELECT 2 AS two",
+        Seq("Authorization" -> basic("erin", "erinpw"))).head.get(0).asInt() == 2)
+      assert(sendRaw(Some(basic("erin", "wrong"))).statusCode() == 401)
+      // the filter binds to the WHOLE /v1 surface (reference
+      // AuthenticationFilter is servlet-wide): with auth installed,
+      // anonymous callers cannot read query info/SQL, walk the ops
+      // endpoints, or use the admin verbs
+      val carolH = Seq("Authorization" -> basic("carol", "carolpw"))
+      for (p <- Seq("/v1/queryState", "/v1/cluster", "/v1/cluster/memory",
+          "/v1/memory", "/v1/info", "/v1/status", "/v1/node",
+          "/v1/resourceGroupState/global")) {
+        assert(httpSend("GET", s"$base$p")._1 == 401, s"anonymous GET $p must 401")
+        assert(httpSend("GET", s"$base$p", headers = carolH)._1 == 200,
+          s"authenticated GET $p must pass")
+      }
+      assert(httpSend("PUT", s"$base/v1/query/any/killed", Some("x"))._1 == 401)
+      // FINISHED-but-undrained query: the admin verb 409s (reference
+      // failQuery rejects ANY terminal state; q.done alone is not the
+      // terminal witness — it only flips when the client eats EndSlot)
+      val undrained = json(httpSend("POST", s"$base/v1/statement",
+        Some("SELECT 3 AS three"), carolH)._2).get("id").asText()
+      val finDl = System.currentTimeMillis() + 10000
+      def infoState() = json(httpSend("GET", s"$base/v1/query/$undrained",
+        headers = carolH)._2).get("state").asText()
+      while (infoState() != "FINISHED" && System.currentTimeMillis() < finDl)
+        Thread.sleep(50)
+      assert(infoState() == "FINISHED")
+      assert(httpSend("PUT", s"$base/v1/query/$undrained/killed", Some("late"),
+        carolH)._1 == 409, "killed on a FINISHED (mid-drain) query must 409")
+      assert(infoState() == "FINISHED", "the lost verb must not flip FINISHED to FAILED")
       // clearing the authenticator reopens unauthenticated access
       server.setPasswordAuthenticator(None)
       assert(sendRaw(None).statusCode() == 200)
