@@ -188,6 +188,69 @@ class EngineSpecs extends AnyFunSuite with BeforeAndAfterAll {
     assert(inter.contains("LeftSemi"), "INTERSECT plans as semi-joins over distinct inputs")
   }
 
+  test("TPC-DS round-15 shapes: single-scan probe, ExistenceJoin OR, broadcast stars, no cartesians") {
+    import org.apache.spark.sql.execution.adaptive.QueryStageExec
+    def countNodes(p: SparkPlan)(pred: SparkPlan => Boolean): Int = {
+      val self = if (pred(p)) 1 else 0
+      self + (p match {
+        case q: QueryStageExec => countNodes(q.plan)(pred)
+        case other => other.children.map(countNodes(_)(pred)).sum
+      })
+    }
+    // q9 shape: the 15 scalar subqueries fold into ONE pass — lineitem
+    // must be scanned exactly once (the only other scan is the 1-row
+    // region dim).
+    val probe = executedPlan(SparkEntry.queries("ds_case_bucket_probe")(spark, sfDir))
+    assert(countNodes(probe)(p =>
+        p.nodeName.contains("Scan") && p.toString.contains("lineitem")) == 1,
+      "all five banded probes must come from one lineitem scan")
+    // q93 shape: the compound-key returns join stays an equi hash join,
+    // the reason dim broadcasts, nothing degrades to a cartesian.
+    val rec = SparkEntry.queries("ds_returns_reconcile")(spark, sfDir)
+    val recStr = planString(rec)
+    assert(!recStr.contains("CartesianProduct") && !recStr.contains("BroadcastNestedLoop"),
+      "returns reconciliation must stay equi-join only")
+    assert(countNodes(executedPlan(rec))(_.nodeName.contains("BroadcastHashJoin")) >= 1,
+      "the reason dim must broadcast")
+    // q78 shape: three channel aggregates (one agg exchange each on the
+    // compound key), no cartesian anywhere.
+    val ratio = SparkEntry.queries("ds_three_channel_ratio")(spark, sfDir)
+    val ratioStr = planString(ratio)
+    assert(!ratioStr.contains("CartesianProduct") && !ratioStr.contains("BroadcastNestedLoop"))
+    assert(countNodes(executedPlan(ratio))(_.nodeName.contains("HashAggregate")) >= 6,
+      "three channels must each partial+final aggregate")
+    // q1 shape: both correlated scalar aggregates decorrelate to
+    // equi-joined aggregates over the CTE — never a nested loop.
+    val aar = planString(SparkEntry.queries("ds_above_avg_returns")(spark, sfDir))
+    assert(!aar.contains("CartesianProduct") && !aar.contains("BroadcastNestedLoop"),
+      "correlated scalar aggs must decorrelate to equi-joins")
+    // q10/q35 shape: the OR-of-EXISTS must plan as ExistenceJoins whose
+    // boolean outputs feed the filter (no row-duplicating IN rewrite).
+    val any = planString(SparkEntry.queries("ds_exists_any_channel")(spark, sfDir))
+    assert(any.contains("ExistenceJoin"),
+      "disjunctive EXISTS must plan as ExistenceJoin")
+    assert(!any.contains("CartesianProduct"))
+    // q58 parity + q64 double self-join star: dims broadcast, no
+    // cartesian; each q64 self-join side prunes its own year.
+    val parity = planString(SparkEntry.queries("ds_channel_parity")(spark, sfDir))
+    assert(!parity.contains("CartesianProduct") && !parity.contains("BroadcastNestedLoop"))
+    val star = SparkEntry.queries("ds_double_self_join_star")(spark, sfDir)
+    val starStr = planString(star)
+    assert(!starStr.contains("CartesianProduct") && !starStr.contains("BroadcastNestedLoop"))
+    assert(countNodes(executedPlan(star))(_.nodeName.contains("BroadcastHashJoin")) >= 6,
+      "the star dims must broadcast on both self-join sides")
+    // q31 share-of-growth: the SHIPPED literal SQL re-scans the fact six
+    // times (Presto inlines WITH; so does Spark) — the cache-pinned plan
+    // aggregates ONCE and six readers hit the InMemoryRelation.
+    val (inner, caches) = graft.queries.TpcdsShapeQueries.shareOfGrowthPlan(spark)
+    try {
+      val s = planString(inner)
+      assert("InMemoryTableScan|TableCacheQueryStage".r.findAllIn(s).size >= 6,
+        "sales must materialize once and feed all six aliases from cache")
+      assert(!s.contains("CartesianProduct"))
+    } finally caches.foreach(_.unpersist())
+  }
+
   test("key-predicate propagation reaches the fact scan under a decorrelated LATERAL") {
     // Spark's own constraint inference stops at the decorrelation's
     // null-safe domain join, so the outer `o_orderkey <= 2000` used to
