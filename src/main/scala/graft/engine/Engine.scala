@@ -17,6 +17,41 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object Engine {
 
+  /** Materialization pin for iterative / multi-reader frames — the
+    * engine-wide seam between the two checkpoint durabilities:
+    *
+    *   - default: `localCheckpoint()` — eager, executor-local block
+    *     storage, lineage truncated. The right call at local[32] (zero
+    *     filesystem traffic) and the plan-stability workhorse (an
+    *     iterative loop's plan otherwise doubles per round and a cached
+    *     CTE's copy-out would leak InMemoryRelations into bench passes).
+    *     The trade: on a REAL cluster an executor loss mid-query loses
+    *     blocks that cannot be recomputed — the query fails and restarts.
+    *   - `graft.checkpoint.reliable=true`: `checkpoint()` against the
+    *     reliable checkpoint dir (`graft.checkpoint.dir`, default
+    *     tmp/graft_checkpoints — point it at DFS on a cluster). Survives
+    *     executor loss: long-running jobs recompute from checkpoint
+    *     files instead of failing. Costs a filesystem write per pin.
+    *
+    * Every long-job path in the engine pins through here, so the swap is
+    * one session conf — results are identical under both modes
+    * (spec-pinned on the KN trigram LM).
+    */
+  def pin[T](ds: org.apache.spark.sql.Dataset[T]): org.apache.spark.sql.Dataset[T] = {
+    val spark = ds.sparkSession
+    if (spark.conf.getOption("graft.checkpoint.reliable").exists(_.toBoolean)) {
+      if (spark.sparkContext.getCheckpointDir.isEmpty)
+        spark.sparkContext.setCheckpointDir(
+          spark.conf.getOption("graft.checkpoint.dir").getOrElse("tmp/graft_checkpoints"))
+      ds.checkpoint()
+    } else ds.localCheckpoint()
+  }
+
+  /** `.pinned()` postfix form of [[Engine.pin]] — import `Engine.PinOps`. */
+  implicit class PinOps[T](private val ds: org.apache.spark.sql.Dataset[T]) extends AnyVal {
+    def pinned(): org.apache.spark.sql.Dataset[T] = pin(ds)
+  }
+
   /** Fixture tables the driver generates (TESTDATA.md). */
   val tableNames: Seq[String] = Seq(
     "region", "nation", "customer", "supplier", "part",

@@ -1,5 +1,7 @@
 package graft.llm
 
+import graft.engine.Engine.PinOps
+
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.queries.{Q, QueryModule}
@@ -587,8 +589,8 @@ object CurationQueries extends QueryModule {
         .groupBy("cl")
         .agg(call_udf("vec_mean", col("e")).as("m"))
         .select(col("cl"), quant(col("m")).as("cent"))
-      val c1 = means(assign(c0)).localCheckpoint()
-      val c2 = means(assign(c1)).localCheckpoint()
+      val c1 = means(assign(c0)).pinned()
+      val c2 = means(assign(c1)).pinned()
       assign(c2).select(col("vec_id"), col("cl").as("cluster"))
     },
 
@@ -647,7 +649,7 @@ object CurationQueries extends QueryModule {
         t.select(transform(col("e"), x => x * col("t")).as("et"))
           .agg(call_udf("vec_mean", col("et")).as("sv"))
           .select(quantNorm(col("sv")).as("vv"))
-          .localCheckpoint()
+          .pinned()
       }
       e.crossJoin(v3).select(col("vec_id"),
         (floor(dot(col("e"), col("vv")) * lit(1000000.0d) + lit(0.5d))
@@ -847,7 +849,7 @@ object CurationQueries extends QueryModule {
       val samp = e.crossJoin(broadcast(kDf))
         .filter((col("vec_id") % 250) * lit(2654435761L) % 250 < 64 ||
           col("vec_id") < col("k"))
-        .select("vec_id", "e").localCheckpoint()
+        .select("vec_id", "e").pinned()
       // coarse quantizer: m seeds, one Lloyd mean round — m = sqrt(k)
       // stays broadcast-sized at any corpus (k = n/250 does not)
       val cc0 = e.crossJoin(broadcast(kDf)).filter(col("vec_id") < col("cm"))
@@ -859,7 +861,7 @@ object CurationQueries extends QueryModule {
       val cc1 = ca1.join(e, "vec_id").groupBy("ccl")
         .agg(call_udf("vec_mean", col("e")).as("m"))
         .select(col("ccl"), quant(col("m")).as("ccent"))
-        .localCheckpoint()
+        .pinned()
       // top-2 probed coarse cells per point: the rn <= 2 filter plans as
       // a WindowGroupLimit, so only ~2 rows per point survive the
       // exchange (never the full n·m distance table)
@@ -868,7 +870,7 @@ object CurationQueries extends QueryModule {
         .withColumn("rn", row_number().over(
           Window.partitionBy("vec_id").orderBy(col("dist"), col("ccl"))))
         .filter(col("rn") <= 2).select("vec_id", "ccl")
-        .localCheckpoint()
+        .pinned()
       val c0 = e.crossJoin(broadcast(kDf)).filter(col("vec_id") < col("k"))
         .select(col("vec_id").as("cl"), quant(col("e")).as("cent"))
       // probed assignment: fine centroids home to their nearest coarse
@@ -889,7 +891,7 @@ object CurationQueries extends QueryModule {
           .select(col("vec_id"), col("cl"), sqDist(col("e"), col("cent")).as("dist"))
           .groupBy("vec_id")
           .agg(min_by(col("cl"), struct(col("dist"), col("cl"))).as("cl"))
-          .localCheckpoint()
+          .pinned()
         val uncovered = pts.join(amain, Seq("vec_id"), "left_anti")
         val afall = cents.crossJoin(broadcast(uncovered))
           .select(col("vec_id"), col("cl"), sqDist(col("e"), col("cent")).as("dist"))
@@ -901,8 +903,8 @@ object CurationQueries extends QueryModule {
         .groupBy("cl")
         .agg(call_udf("vec_mean", col("e")).as("m"))
         .select(col("cl"), quant(col("m")).as("cent"))
-      val c1 = means(assign(c0, samp)).localCheckpoint()
-      val c2 = means(assign(c1, samp)).localCheckpoint()
+      val c1 = means(assign(c0, samp)).pinned()
+      val c2 = means(assign(c1, samp)).pinned()
       val cells = assign(c2, e)
       val n = cells.join(e, "vec_id").select(col("vec_id"), col("cl"), col("e"),
         sqrt(aggregate(col("e"), lit(0.0d), (acc, x) => acc + x * x)).as("nrm"))
@@ -1021,7 +1023,7 @@ object CurationQueries extends QueryModule {
       sp.withColumn("bucket",
         when(col("surprise") <= t1, "head")
           .when(col("surprise") <= t2, "middle").otherwise("tail"))
-        .localCheckpoint()
+        .pinned()
       } finally sp.unpersist()
     },
 
@@ -1183,7 +1185,7 @@ object CurationQueries extends QueryModule {
         // localCheckpoint copies the final iterate out of the cache so
         // the last loop frame can be unpersisted (no session-lifetime
         // cache residue) while the returned plan stays materialized.
-        ranks.select(col("doc_id"), col("r").as("pr")).localCheckpoint()
+        ranks.select(col("doc_id"), col("r").as("pr")).pinned()
       } finally {
         // covers mid-loop failure too (double-unpersist is a no-op)
         ranks.unpersist(); edges.unpersist(); nodes.unpersist()
@@ -1260,7 +1262,7 @@ object CurationQueries extends QueryModule {
       val und = raw.filter(col("src") =!= col("dst"))
         .select(least(col("src"), col("dst")).as("u"),
           greatest(col("src"), col("dst")).as("v"))
-        .distinct().localCheckpoint()
+        .distinct().pinned()
       val deg = und.select(col("u").as("node"))
         .unionAll(und.select(col("v").as("node")))
         .groupBy("node").agg(count(lit(1)).as("d"))
@@ -1273,7 +1275,7 @@ object CurationQueries extends QueryModule {
       val ori = und.join(du, "u").join(dv, "v")
         .select(when(uFirst, col("u")).otherwise(col("v")).as("a"),
           when(uFirst, col("v")).otherwise(col("u")).as("b"))
-        .localCheckpoint()
+        .pinned()
       val e2 = ori.select(col("a").as("a2"), col("b").as("y"))
       val wedge = ori.join(e2, col("a") === col("a2") && col("b") < col("y"))
         .select(col("a").as("w"), col("b").as("x"), col("y"))
@@ -1346,7 +1348,7 @@ object CurationQueries extends QueryModule {
           labels = next
         }
         labels
-          .select(col("node").as("doc_id"), col("label").as("community")).localCheckpoint()
+          .select(col("node").as("doc_id"), col("label").as("community")).pinned()
       } finally { labels.unpersist(); sym.unpersist() }
     },
 
@@ -1584,7 +1586,7 @@ object CurationQueries extends QueryModule {
         val sig = lit(1.0) / (lit(1.0) + exp(-z))
         feats.select(col("doc_id"), round(sig, 6).as("score"),
           (round(sig, 6) >= 0.5).as("selected"), col("y").cast("long").as("label"))
-          .localCheckpoint()
+          .pinned()
       } finally { samp.unpersist(); feats.unpersist() }
     }
   )

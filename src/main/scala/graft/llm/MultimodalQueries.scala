@@ -1,5 +1,7 @@
 package graft.llm
 
+import graft.engine.Engine.PinOps
+
 import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -224,7 +226,7 @@ object MultimodalQueries extends QueryModule {
     // the 8-byte-signature rows ONCE (localCheckpoint: eager,
     // GC-reclaimed) so the corpus-wide render+decode pass runs once,
     // not per consumer
-    val sets = distinctSets.localCheckpoint()
+    val sets = distinctSets.pinned()
     val sizes = sets.groupBy("doc_id").agg(count(lit(1)).as("n_scenes"))
     // exact-set collapse: order-independent fingerprint of the sorted
     // signature list — identical videos never reach pairing
@@ -828,13 +830,13 @@ object MultimodalQueries extends QueryModule {
       }(sigEnc)
       // decode runs ONCE for both consumers (the exact-collapse window
       // and the representative set): 24-byte signature rows checkpoint
-      val sigC = sig.localCheckpoint()
+      val sigC = sig.pinned()
       val wSig = Window.partitionBy("psig_hi", "psig_lo")
       val withExact = sigC.select(col("doc_id"), col("psig_hi"), col("psig_lo"),
         min("doc_id").over(wSig).as("exact_canonical"),
         count(lit(1)).over(wSig).cast("long").as("n_exact_copies"))
       val reps = sigC.groupBy("psig_hi", "psig_lo").agg(min("doc_id").as("rep_doc"))
-        .localCheckpoint()
+        .pinned()
       val cand = perceptualBandCandidates(reps, reps.count())
       val near = cand
         .withColumn("dist",
@@ -921,7 +923,7 @@ object MultimodalQueries extends QueryModule {
         // decode runs ONCE for both consumers (the content-group agg and
         // the join back): 32-byte signature rows checkpoint — the same
         // convention as the video/perceptual paths
-        .localCheckpoint()
+        .pinned()
       val g = sig.groupBy("n_samples", "period")
         .agg(min("doc_id").as("content_id"),
           count_distinct(col("peak")).as("n_variants"))

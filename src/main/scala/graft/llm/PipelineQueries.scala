@@ -1,5 +1,7 @@
 package graft.llm
 
+import graft.engine.Engine.PinOps
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.queries.{Q, QueryModule}
@@ -100,7 +102,7 @@ object PipelineQueries extends QueryModule {
         |GROUP BY g.doc_id""".stripMargin) { (s, _) =>
       val grams = ngramHashRows(s, 13, distinct = true)
       val ev = grams.filter(col("doc_id") % 20 === 0).select("gh").distinct()
-        .localCheckpoint() // bloom build + verify join reuse one materialization
+        .pinned() // bloom build + verify join reuse one materialization
       val nEval = ev.count()
       val bloom = ev.stat.bloomFilter("gh", math.max(1000L, nEval), 0.01)
       val bc = s.sparkContext.broadcast(bloom)

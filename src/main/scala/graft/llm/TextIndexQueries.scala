@@ -1,5 +1,7 @@
 package graft.llm
 
+import graft.engine.Engine.PinOps
+
 import scala.collection.mutable.ArrayBuffer
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
@@ -215,7 +217,7 @@ object TextIndexQueries extends QueryModule {
       // trainBpe's caching exists to avoid.
       val seg = vocab.select(
         col("word"), size(split(trim(col("s")), " ")).cast("long").as("n_sub"))
-        .localCheckpoint()
+        .pinned()
       vocab.unpersist()
       s.table("documents")
         .select(col("doc_id"), wordCol.as("w"))

@@ -1,5 +1,7 @@
 package graft.operators
 
+import graft.engine.Engine.PinOps
+
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -53,7 +55,7 @@ object ConnectedComponents {
     // re-ANALYZES the sym plan it references: measured minutes of pure
     // Catalyst analysis per CC call at sf0.1. A LogicalRDD makes each
     // round's plan O(1) regardless of how the edges were produced.
-    val e0 = edges.select(col(cols(0)).as("a"), col(cols(1)).as("b")).localCheckpoint()
+    val e0 = edges.select(col(cols(0)).as("a"), col(cols(1)).as("b")).pinned()
     if (createdRddIds != null) createdRddIds ++= ckptRdds(e0).map(_.id)
     val sym = e0.union(e0.select(col("b").as("a"), col("a").as("b")))
     var labels = sym.select(col("a").as("node")).distinct()
@@ -80,7 +82,7 @@ object ConnectedComponents {
       val prop = labels.select(col("node"), col("cluster"), col("cluster").as("prev"))
         .union(viaNeighbor)
         .groupBy("node").agg(min("cluster").as("cluster"), max("prev").as("prev"))
-        .localCheckpoint()
+        .pinned()
       val mine = ckptRdds(prop)
       if (createdRddIds != null) createdRddIds ++= mine.map(_.id)
       // The jump is an identity in round 0 (labels are self) and only

@@ -1,5 +1,7 @@
 package graft.queries
 
+import graft.engine.Engine.PinOps
+
 /** TPC-DS-shaped plan coverage (the reference's second benchmark suite,
   * presto-benchto-benchmarks/src/main/resources/benchmarks/presto/
   * tpcds.yaml + sql/presto/tpcds/q*.sql): four plan shapes TPC-H never
@@ -133,7 +135,7 @@ object TpcdsShapeQueries extends QueryModule {
     * phantom wall (r12: 0.81 s against an honest 2.75 s t1). */
   private def copyOut(planAndCaches: (DataFrame, Seq[DataFrame])): DataFrame = {
     val (out, caches) = planAndCaches
-    try out.localCheckpoint()
+    try out.pinned()
     finally caches.foreach(_.unpersist())
   }
 

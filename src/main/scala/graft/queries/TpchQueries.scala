@@ -1,5 +1,7 @@
 package graft.queries
 
+import graft.engine.Engine.PinOps
+
 import org.apache.spark.sql.functions._
 
 /** TPC-H-style headline queries restated for the driver's fixture schema
@@ -107,7 +109,7 @@ object TpchQueries extends QueryModule {
         .filter(expr("l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'"))
         .groupBy(col("l_suppkey"))
         .agg(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("total_revenue"))
-        .localCheckpoint()
+        .pinned()
       val mx = revenue.agg(max(col("total_revenue")).as("mx"))
       val top = revenue.join(broadcast(mx), col("total_revenue") === col("mx")).drop("mx")
       s.table("supplier").join(top, col("s_suppkey") === col("l_suppkey"))

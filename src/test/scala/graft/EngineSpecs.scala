@@ -251,6 +251,38 @@ class EngineSpecs extends AnyFunSuite with BeforeAndAfterAll {
     } finally caches.foreach(_.unpersist())
   }
 
+  test("reliable-checkpoint knob: graft.checkpoint.reliable swaps every pin to DFS-backed checkpoints, results identical") {
+    // The localCheckpoint idiom trades recomputability for plan
+    // stability: executor-local blocks are gone if an executor dies
+    // mid-query (fine at local[32], a query-restart on a cluster).
+    // Engine.pin is the one seam all long-job paths go through;
+    // graft.checkpoint.reliable=true swaps in reliable checkpoint()
+    // files under graft.checkpoint.dir. Contract: bit-identical results
+    // under both modes, and reliable mode actually writes rdd
+    // checkpoint files.
+    val ckDir = "tmp/graft_checkpoints_spec"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckDir))
+    def render(rows: Array[org.apache.spark.sql.Row]): Seq[String] =
+      rows.map(_.toString).sorted.toSeq
+    val q = SparkEntry.queries("llm_kn_trigram_lm")
+    val local = render(q(spark, sfDir).collect())
+    spark.conf.set("graft.checkpoint.reliable", "true")
+    spark.conf.set("graft.checkpoint.dir", ckDir)
+    try {
+      val reliable = render(q(spark, sfDir).collect())
+      assert(reliable == local,
+        "KN trigram LM must be bit-identical under reliable checkpointing")
+      assert(spark.sparkContext.getCheckpointDir.exists(_.contains(ckDir)))
+      val files = org.apache.commons.io.FileUtils
+        .listFiles(new java.io.File(ckDir), null, true)
+      assert(!files.isEmpty, "reliable mode must write checkpoint files")
+    } finally {
+      spark.conf.unset("graft.checkpoint.reliable")
+      spark.conf.unset("graft.checkpoint.dir")
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckDir))
+    }
+  }
+
   test("key-predicate propagation reaches the fact scan under a decorrelated LATERAL") {
     // Spark's own constraint inference stops at the decorrelation's
     // null-safe domain join, so the outer `o_orderkey <= 2000` used to
@@ -693,6 +725,42 @@ class EngineSpecs extends AnyFunSuite with BeforeAndAfterAll {
       .agg(avg("kn_nll").as("k"), avg("bigram_nll").as("b")).head()
     assert(both.getDouble(0) < both.getDouble(1),
       s"KN trigram NLL ${both.getDouble(0)} should beat bigram ${both.getDouble(1)}")
+  }
+
+  test("modified Kneser-Ney: held-out corpus NLL beats single-discount KN; discounts validated or fall back") {
+    import org.apache.spark.sql.functions.{col, sum => ssum}
+    // Chen & Goodman 1998's claim, checkable because the query scores
+    // BOTH estimators on the same held-out split: per-count-level
+    // discounts fit held-out text at least as well as the single
+    // D=0.75. (On training text the inequality reverses — discounting
+    // only moves mass off attested counts — which is why the query
+    // scores a held-out split, like the CCNet wiki-LM-scores-crawl
+    // setup it models.)
+    val out = SparkEntry.queries("llm_kn_modified_lm")(spark, sfDir)
+    val w = out.agg(
+      (ssum(col("n_trigrams") * col("mkn_nll")) / ssum(col("n_trigrams"))).as("mkn"),
+      (ssum(col("n_trigrams") * col("kn_nll")) / ssum(col("n_trigrams"))).as("kn")).head()
+    val (mkn, kn) = (w.getDouble(0), w.getDouble(1))
+    assert(mkn <= kn,
+      s"modified-KN held-out NLL $mkn must not exceed interpolated-KN $kn")
+    assert(mkn > 0 && java.lang.Double.isFinite(mkn) && java.lang.Double.isFinite(kn),
+      "every held-out probability must be strictly positive (full backoff chain)")
+    // KenLM's discount validation: a degenerate count-of-counts (the
+    // lmplz BadDiscountException precondition) must select the
+    // --discount_fallback defaults, not produce a negative discount.
+    // Reproduce with a corpus whose trigram counts are all equal (n1=0).
+    val s = spark.newSession()
+    graft.engine.Engine.registerTables(s, sfDir)
+    import s.implicits._
+    Seq((1L, "x y z x y z"), (5L, "x y z")).toDF("doc_id", "text")
+      .createOrReplaceTempView("documents")
+    // train = doc 1 (counts {xyz:2, yzx:1, zxy:1} -> n2=1, n3=0 -> invalid)
+    // test = doc 5; with fallback D1=0.5: P(z|x,y) = (2-1.0)/2 + ((0.5+1.0+0)/2)*P2
+    // the exact value matters less than: finite, positive, and NOT NaN
+    val r = SparkEntry.queries("llm_kn_modified_lm")(s, sfDir).collect()
+    assert(r.length == 1 && r(0).getLong(1) == 1L)
+    assert(java.lang.Double.isFinite(r(0).getDouble(2)) && r(0).getDouble(2) > 0,
+      s"fallback discounts must keep probabilities positive: ${r.toSeq}")
   }
 
   test("anomaly z-score: BigInt replay confirms every per-type count exactly") {
