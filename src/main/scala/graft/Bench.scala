@@ -77,18 +77,24 @@ object Bench {
     // one unmeasured pass: their TypedImperativeAggregate inner loops
     // are the most JIT-sensitive code in the suite, and r2→r3 showed
     // 3-5x run-order jitter on exactly this group until compiled.
+    // Dev convenience mirroring Verify: SPARK_GRAFT_BENCH_ONLY=prefix1,prefix2
+    // times only matching queries (the driver never sets it).
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSeq)
+
     graft.engine.Engine.registerTables(spark, sfDir)
     spark.table("lineitem").write.format("noop").mode("overwrite").save()
+    // Sketch prewarm only when a sketch query will actually be timed:
+    // on a filtered probe run (e.g. the ×100 scale probes) these four
+    // unmeasured passes were the dominant UNTIMED cost — minutes of
+    // sketch aggregation over a corpus whose sketches are never timed.
+    // Driver runs (no filter) are unchanged.
     Seq("sketch_hll_merge", "sketch_qdigest", "sketch_setdigest_jaccard", "sketch_heavy_hitters")
+      .filter(q => only.forall(_.exists(q.startsWith)))
       .foreach { q =>
         try SparkEntry.benchQueries(q)(spark, sfDir)
           .write.format("noop").mode("overwrite").save()
         catch { case scala.util.control.NonFatal(_) => () }
       }
-
-    // Dev convenience mirroring Verify: SPARK_GRAFT_BENCH_ONLY=prefix1,prefix2
-    // times only matching queries (the driver never sets it).
-    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSeq)
     var sinceGc = 0
 
     // Host steal accounting (/proc/stat cpu line, field 8 = steal

@@ -39,6 +39,53 @@ object MultimodalQueries extends QueryModule {
   // cluster (the encode/decode kernels are methods of this object).
   javax.imageio.ImageIO.setUseCache(false)
 
+  /** Allocation-free ImageInputStream over an in-memory payload —
+    * ImageIO's own MemoryCacheImageInputStream allocates a cache and
+    * registers a Disposer record PER DECODE; at the ×100 probe volume
+    * that JVM housekeeping (registry scans, disposer queue) measured
+    * ~2× the actual pixel work on the corpus's small frames. */
+  private final class ByteArrayImageInputStream(buf: Array[Byte])
+      extends javax.imageio.stream.ImageInputStreamImpl {
+    override def read(): Int =
+      if (streamPos >= buf.length) -1
+      else { bitOffset = 0; val b = buf(streamPos.toInt) & 0xFF; streamPos += 1; b }
+    override def read(b: Array[Byte], off: Int, len: Int): Int =
+      if (streamPos >= buf.length) -1
+      else {
+        bitOffset = 0
+        val n = math.min(len, buf.length - streamPos.toInt)
+        System.arraycopy(buf, streamPos.toInt, b, off, n)
+        streamPos += n
+        n
+      }
+    override def length(): Long = buf.length.toLong
+    override def isCachedMemory: Boolean = true
+  }
+
+  /** Reader reuse: ImageIO.read runs a ServiceRegistry provider scan
+    * and builds a fresh reader per call. Decoders are not thread-safe,
+    * so each executor thread keeps ONE png reader for its lifetime —
+    * the per-frame cost drops to setInput + parse, which is the
+    * irreducible codec work. Decoded pixels are bit-identical to
+    * ImageIO.read (same PNGImageReader underneath). */
+  private val pngReader = new ThreadLocal[javax.imageio.ImageReader] {
+    override def initialValue(): javax.imageio.ImageReader =
+      javax.imageio.ImageIO.getImageReadersByFormatName("png").next()
+  }
+
+  /** Decode one PNG payload through the thread-cached reader. */
+  def readImage(bytes: Array[Byte]): java.awt.image.BufferedImage = {
+    val reader = pngReader.get()
+    val iis = new ByteArrayImageInputStream(bytes)
+    try {
+      reader.setInput(iis, true, true)
+      reader.read(0)
+    } finally {
+      reader.setInput(null)
+      iis.close()
+    }
+  }
+
   /** Render the deterministic test image for `doc_id` and return its
     * PNG encoding: w×h RGB, gray value (doc_id + 7x + 13y) % 256 at
     * pixel (x, y) — exactly encodeFrame at scene 0 (one shared render
@@ -367,8 +414,7 @@ object MultimodalQueries extends QueryModule {
       binDf.mapPartitions { rows =>
         rows.map { r =>
           val docId = r.getLong(0)
-          val img = javax.imageio.ImageIO.read(
-            new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](1)))
+          val img = readImage(r.getAs[Array[Byte]](1))
           val w = img.getWidth; val h = img.getHeight
           val (w2, h2) = (3, 2)
           def at(x2: Int, y2: Int): Long =
@@ -447,7 +493,7 @@ object MultimodalQueries extends QueryModule {
         rows.map { r =>
           val docId = r.getLong(0)
           val bytes = r.getAs[Array[Byte]](1)
-          val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+          val img = readImage(bytes)
           val w = img.getWidth; val h = img.getHeight
           var sum = 0L
           var y = 0
@@ -495,7 +541,7 @@ object MultimodalQueries extends QueryModule {
         rows.map { r =>
           val docId = r.getLong(0)
           val bytes = r.getAs[Array[Byte]](1)
-          val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+          val img = readImage(bytes)
           val w = img.getWidth; val h = img.getHeight
           var hsh = 0xcbf29ce484222325L // FNV-1a 64 offset basis
           def mix(b: Int): Unit = { hsh ^= (b & 0xFF); hsh *= 0x100000001b3L }
@@ -571,8 +617,7 @@ object MultimodalQueries extends QueryModule {
       }(binEnc)
       val sigs = frames.mapPartitions { rows =>
         rows.map { r =>
-          val img = javax.imageio.ImageIO.read(
-            new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](2)))
+          val img = readImage(r.getAs[Array[Byte]](2))
           var sum = 0L
           var y = 0
           while (y < img.getHeight) {
@@ -683,8 +728,16 @@ object MultimodalQueries extends QueryModule {
         StructField("doc_id", LongType),
         StructField("sig", LongType)))
       val frameEnc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(frameSchema)
+      // doc-keyed exchange BEFORE the render/decode kernel (the KN-LM
+      // lesson): the per-frame PNG deflate+inflate is the dominant CPU
+      // and must not be serialized by input split geometry — the ×100
+      // probe ran this stage 8-wide on a 32-core box because the
+      // scaled-up fixture ships 8 parquet splits. The exchange is a
+      // doc_id/c/t projection (16 bytes/row), far below the kernel cost
+      // it parallelizes; kernel width = cluster cores at any scale.
       val d = s.table("documents").select(col("doc_id"),
         (col("doc_id") % 29).as("c"), (col("doc_id") % 3).as("t"))
+        .repartition(col("doc_id"))
       val frames = d.select(col("doc_id"), col("c"), col("t"),
           explode(sequence(lit(0L), lit(9L))).as("f"))
         .withColumn("s0", expr("(f + CASE WHEN t = 1 THEN 2 ELSE 0 END) div 2"))
@@ -696,7 +749,7 @@ object MultimodalQueries extends QueryModule {
       val sigs = frames.mapPartitions { rows =>
         rows.map { r =>
           val bytes = encodeFrame(r.getLong(1), r.getLong(2))
-          val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+          val img = readImage(bytes)
           val w = img.getWidth; val h = img.getHeight
           var hsh = 0xcbf29ce484222325L
           def mix(b: Int): Unit = { hsh ^= (b & 0xFF); hsh *= 0x100000001b3L }
@@ -799,8 +852,7 @@ object MultimodalQueries extends QueryModule {
       val sig = binDf.mapPartitions { rows =>
         rows.map { r =>
           val docId = r.getLong(0)
-          val img = javax.imageio.ImageIO.read(
-            new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](1)))
+          val img = readImage(r.getAs[Array[Byte]](1))
           val w = img.getWidth; val h = img.getHeight
           val cell = Array.ofDim[Int](9, 8)
           var i = 0
@@ -1020,7 +1072,7 @@ object MultimodalQueries extends QueryModule {
     * threshold each 3x5 cell to a bit pattern, look it up in the
     * injective glyph table. Pure function of the PIXELS. */
   def extractTextFromPng(png: Array[Byte]): String = {
-    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+    val img = readImage(png)
     val n = (img.getWidth - 1) / 4
     val sb = new StringBuilder(n)
     var i = 0

@@ -830,6 +830,191 @@ object TpcdsShapeQueries extends QueryModule {
         |            AND (a.rev_c + n.rev_c + r.rev_c) * 5
         |ORDER BY a.p_brand""".stripMargin),
 
+    // q97 shape (tpcds/q97.sql): cross-channel customer-item overlap —
+    // two DISTINCT (customer, item) channel projections FULL JOINed on
+    // the compound key, three CASE-flag sums (store-only / catalog-only
+    // / both) off the join's null pattern. Channels = line bands. Plan:
+    // two distinct-aggregates sharing the (cust, item) hash
+    // distribution feed one full-outer sort-merge join, then a single
+    // global count row — counts only, nothing float anywhere.
+    sqlQ("ds_channel_overlap",
+      """WITH ssci AS (
+        |  SELECT DISTINCT o_custkey AS customer_sk, l_partkey AS item_sk
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  WHERE l_linenumber = 1),
+        |csci AS (
+        |  SELECT DISTINCT o_custkey AS customer_sk, l_partkey AS item_sk
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  WHERE l_linenumber >= 2)
+        |SELECT
+        |  CAST(sum(CASE WHEN ssci.customer_sk IS NOT NULL AND csci.customer_sk IS NULL
+        |       THEN 1 ELSE 0 END) AS BIGINT) AS store_only,
+        |  CAST(sum(CASE WHEN ssci.customer_sk IS NULL AND csci.customer_sk IS NOT NULL
+        |       THEN 1 ELSE 0 END) AS BIGINT) AS catalog_only,
+        |  CAST(sum(CASE WHEN ssci.customer_sk IS NOT NULL AND csci.customer_sk IS NOT NULL
+        |       THEN 1 ELSE 0 END) AS BIGINT) AS store_and_catalog
+        |FROM ssci
+        |FULL JOIN csci ON ssci.customer_sk = csci.customer_sk
+        |  AND ssci.item_sk = csci.item_sk""".stripMargin),
+
+    // q39 shape (tpcds/q39_1.sql): inventory coefficient-of-variation —
+    // per-(warehouse, item, month) stddev/mean over quantities, a
+    // cov > 1 gate, then a SELF-JOIN on adjacent months. The float
+    // hazard is the gate: stddev_samp's accumulation order differs
+    // between engines, so the filter is restated INTEGER-EXACT:
+    // stdev/mean > 1 == var_samp > mean^2 == n*(n*Q - S^2) > (n-1)*S^2
+    // over exact BIGINT power sums (quantities are integers). The
+    // projected cov itself is sqrt/division of exact-int-derived
+    // doubles — IEEE-correctly-rounded on both engines, no round()
+    // needed. Warehouse = supplier (the ds_inventory_gap convention).
+    sqlQ("ds_inventory_cov",
+      """WITH inv AS (
+        |  SELECT l_suppkey AS w, l_partkey AS item, month(l_shipdate) AS moy,
+        |    CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS s,
+        |    CAST(sum(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)) AS BIGINT) AS q
+        |  FROM lineitem
+        |  GROUP BY l_suppkey, l_partkey, month(l_shipdate)
+        |  HAVING count(*) >= 2),
+        |cov AS (
+        |  SELECT w, item, moy,
+        |    CAST(s AS DOUBLE) / n AS mean,
+        |    sqrt(CAST(n * q - s * s AS DOUBLE) / (n * (n - 1))) / (CAST(s AS DOUBLE) / n) AS cov
+        |  FROM inv
+        |  WHERE n * (n * q - s * s) > (n - 1) * s * s)
+        |SELECT inv1.w, inv1.item, inv1.moy AS moy1, inv1.mean AS mean1, inv1.cov AS cov1,
+        |  inv2.moy AS moy2, inv2.mean AS mean2, inv2.cov AS cov2
+        |FROM cov inv1
+        |JOIN cov inv2 ON inv1.item = inv2.item AND inv1.w = inv2.w
+        |WHERE inv1.moy = 3 AND inv2.moy = 4
+        |ORDER BY inv1.w, inv1.item""".stripMargin),
+
+    // q65 shape (tpcds/q65.sql): items selling BELOW a tenth of their
+    // store's average item revenue — a per-(store, item) revenue
+    // aggregate consumed twice: once re-aggregated per store (the
+    // aggregate-of-aggregate), once row-wise against that average.
+    // Membership is integer-exact (rev * 10 * n <= tot cross-multiplied
+    // in DECIMAL(38,0), never 0.1 * avg in floats); store/item dims
+    // broadcast onto the survivors. (store, item) unique -> total
+    // ORDER+LIMIT.
+    sqlQ("ds_below_store_avg",
+      """WITH sc AS (
+        |  SELECT l_suppkey AS store_sk, l_partkey AS item_sk,
+        |    CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))) * 100) AS BIGINT) AS rev_c
+        |  FROM lineitem GROUP BY l_suppkey, l_partkey),
+        |sb AS (
+        |  SELECT store_sk, CAST(sum(rev_c) AS BIGINT) AS tot, CAST(count(*) AS BIGINT) AS n
+        |  FROM sc GROUP BY store_sk)
+        |SELECT s_name, p_name, CAST(sc.rev_c AS DOUBLE) / 100 AS revenue,
+        |  CAST(sb.tot AS DOUBLE) / (100 * sb.n) AS store_avg
+        |FROM sc
+        |JOIN sb ON sc.store_sk = sb.store_sk
+        |JOIN supplier ON sc.store_sk = s_suppkey
+        |JOIN part ON sc.item_sk = p_partkey
+        |WHERE CAST(sc.rev_c AS DECIMAL(38,0)) * 10 * sb.n <= sb.tot
+        |ORDER BY s_name, p_name, sc.item_sk
+        |LIMIT 100""".stripMargin),
+
+    // q49 shape (tpcds/q49.sql): per-channel return ratios with DUAL
+    // global ranks (quantity ratio and currency ratio), rank <= 10 OR
+    // rank <= 10 kept, channels UNIONed (set semantics — the reference
+    // text uses UNION, not UNION ALL). Ratios are IEEE divisions of
+    // exact cents/quantities (the reference's DECIMAL(15,4) division
+    // rounds at engine-specific scales — the double form is
+    // bit-identical across engines). Items are bounded surrogates
+    // (l_partkey % 1000) so the global rank windows run over a
+    // dimension-bounded frame at any corpus size — the q49 semantic
+    // (rank items, items << corpus).
+    sqlQ("ds_return_ratio_rank",
+      """WITH rets AS (
+        |  SELECT l_orderkey AS r_ok, l_partkey AS r_pk,
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS BIGINT) AS rq,
+        |    CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+        |         * CAST(l_discount AS DECIMAL(18,2))) * 100) AS BIGINT) AS ra_c
+        |  FROM lineitem WHERE l_discount >= 0.06
+        |  GROUP BY l_orderkey, l_partkey),
+        |chan AS (
+        |  SELECT CASE WHEN l_linenumber = 1 THEN 'store'
+        |              WHEN l_linenumber IN (2, 3) THEN 'web'
+        |              ELSE 'catalog' END AS channel,
+        |    l_partkey % 1000 AS item,
+        |    CAST(sum(coalesce(rq, 0)) AS BIGINT) AS ret_qty,
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS BIGINT) AS qty,
+        |    CAST(sum(coalesce(ra_c, 0)) AS BIGINT) AS ret_c,
+        |    CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))) * 100) AS BIGINT) AS paid_c
+        |  FROM lineitem
+        |  LEFT JOIN rets ON r_ok = l_orderkey AND r_pk = l_partkey
+        |  GROUP BY CASE WHEN l_linenumber = 1 THEN 'store'
+        |                WHEN l_linenumber IN (2, 3) THEN 'web'
+        |                ELSE 'catalog' END, l_partkey % 1000),
+        |ranked AS (
+        |  SELECT channel, item,
+        |    CAST(ret_qty AS DOUBLE) / qty AS return_ratio,
+        |    CAST(rank() OVER (PARTITION BY channel
+        |      ORDER BY CAST(ret_qty AS DOUBLE) / qty, item) AS BIGINT) AS return_rank,
+        |    CAST(rank() OVER (PARTITION BY channel
+        |      ORDER BY CAST(ret_c AS DOUBLE) / paid_c, item) AS BIGINT) AS currency_rank
+        |  FROM chan)
+        |SELECT channel, item, return_ratio, return_rank, currency_rank
+        |FROM ranked
+        |WHERE return_rank <= 10 OR currency_rank <= 10
+        |ORDER BY channel, return_rank, currency_rank, item""".stripMargin),
+
+    // q2/q59 shape (tpcds/q02.sql, q59.sql): period-over-period pivot —
+    // per-period aggregates spread into per-subperiod COLUMNS (FILTER
+    // aggs; the reference pivots weekly sales into 7 weekday columns),
+    // SELF-JOINed on the shifted period key, one ratio column per
+    // subperiod. Periods are year*12+month (weekofyear straddles year
+    // boundaries differently across engines; month arithmetic is
+    // identical), subperiods are four day-of-month bands. Ratios are
+    // IEEE divisions of exact cents. One agg shuffle + one self-join on
+    // the 1-shifted key (the spend-CTE ReusedExchange family).
+    sqlQ("ds_period_pivot_ratio",
+      """WITH monthly AS (
+        |  SELECT year(l_shipdate) * 12 + month(l_shipdate) AS mo,
+        |    CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2)))
+        |         FILTER (WHERE day(l_shipdate) <= 7) * 100) AS BIGINT) AS wk1_c,
+        |    CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2)))
+        |         FILTER (WHERE day(l_shipdate) BETWEEN 8 AND 14) * 100) AS BIGINT) AS wk2_c,
+        |    CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2)))
+        |         FILTER (WHERE day(l_shipdate) BETWEEN 15 AND 21) * 100) AS BIGINT) AS wk3_c,
+        |    CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2)))
+        |         FILTER (WHERE day(l_shipdate) >= 22) * 100) AS BIGINT) AS wk4_c
+        |  FROM lineitem GROUP BY year(l_shipdate) * 12 + month(l_shipdate))
+        |SELECT m1.mo AS mo,
+        |  CAST(m2.wk1_c AS DOUBLE) / m1.wk1_c AS wk1_ratio,
+        |  CAST(m2.wk2_c AS DOUBLE) / m1.wk2_c AS wk2_ratio,
+        |  CAST(m2.wk3_c AS DOUBLE) / m1.wk3_c AS wk3_ratio,
+        |  CAST(m2.wk4_c AS DOUBLE) / m1.wk4_c AS wk4_ratio
+        |FROM monthly m1 JOIN monthly m2 ON m2.mo = m1.mo + 1
+        |WHERE m1.wk1_c > 0 AND m1.wk2_c > 0 AND m1.wk3_c > 0 AND m1.wk4_c > 0
+        |ORDER BY m1.mo""".stripMargin),
+
+    // q46/q68 shape (tpcds/q46.sql): dimension-mismatch tickets — sales
+    // whose ship-side dim differs from the customer's home dim (the
+    // reference's "bought in a city other than where they live"),
+    // aggregated per ticket, then joined back to the customer for
+    // output. The mismatch is an INEQUALITY BETWEEN TWO DIM ALIASES
+    // (supplier nation vs customer nation) riding equi-joins — never a
+    // join condition. Per-ticket agg keys on the orders join key (one
+    // shared hash distribution); customer/supplier/nation broadcast.
+    sqlQ("ds_dim_mismatch_tickets",
+      """WITH t AS (
+        |  SELECT o_orderkey, o_custkey,
+        |    CAST(count(*) AS BIGINT) AS cross_lines,
+        |    CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))) * 100) AS BIGINT) AS amt_c
+        |  FROM lineitem
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  WHERE s_nationkey <> c_nationkey
+        |  GROUP BY o_orderkey, o_custkey
+        |  HAVING count(*) >= 3)
+        |SELECT c_name, o_orderkey, cross_lines, CAST(amt_c AS DOUBLE) / 100 AS amount
+        |FROM t JOIN customer ON o_custkey = c_custkey
+        |ORDER BY c_name, o_orderkey
+        |LIMIT 100""".stripMargin),
+
     // q64 shape (tpcds/q64.sql): the double self-joined multi-channel
     // star — a HAVING-gated reconciliation CTE (catalog sales whose
     // refunds stay under half the sale) gates a WIDE star aggregate

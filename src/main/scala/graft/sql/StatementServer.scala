@@ -225,6 +225,9 @@ object StatementServer {
     http.createContext("/v1/resourceGroupState",
       (ex: HttpExchange) => handleResourceGroupState(bound, ex))
     http.createContext("/v1/memory", (ex: HttpExchange) => handleMemory(bound, ex))
+    // round-15: TaskResource's read-only observability slice (tasks =
+    // live Spark stages; the data-plane verbs adjudicate 405).
+    http.createContext("/v1/task", (ex: HttpExchange) => handleTask(bound, ex))
     http.setExecutor(Executors.newFixedThreadPool(4, r => {
       val t = new Thread(r, "graft-statement-http")
       t.setDaemon(true)
@@ -911,6 +914,77 @@ object StatementServer {
       case t: Throwable =>
         respond(ex, 500, s"""{"error":${jsonString(Option(t.getMessage).getOrElse(t.toString))}}""")
     } finally ex.close()
+
+  /** TaskResource.java (`@Path "/v1/task"`) — the READ-ONLY
+    * observability slice of the worker task surface: GET /v1/task (all
+    * TaskInfo), GET /v1/task/{id} and GET /v1/task/{id}/status. Tasks
+    * here are Spark STAGES off the live status tracker — the same
+    * adjudication as system.runtime.tasks (a Presto task = stage x
+    * node; this engine's stage runs on the one "driver" node). The
+    * data-plane verbs (POST createOrUpdateTask, DELETE abort, the
+    * results buffer protocol at {id}/results/{bufferId}/{token}) ARE
+    * Spark's executor/shuffle machinery and answer 405 with that
+    * adjudication, completing the last reference REST family.
+    */
+  private def handleTask(server: Server, ex: HttpExchange): Unit =
+    try {
+      if (authGate(server, ex).isLeft) return
+      val segs = ex.getRequestURI.getPath.stripPrefix("/v1/task")
+        .split('/').filter(_.nonEmpty).toSeq
+      if (ex.getRequestMethod != "GET") {
+        respond(ex, 405, """{"error":"task data plane is engine-internal: """ +
+          """tasks are Spark stages; updates/results ride Spark's scheduler and shuffle"}""")
+        return
+      }
+      val tracker = server.session.sparkContext.statusTracker
+      def taskJson(id: Int, statusOnly: Boolean): Option[String] =
+        tracker.getStageInfo(id).map { s =>
+          val taskId = s"stage-$id.${s.currentAttemptId}"
+          val state =
+            if (s.numFailedTasks > 0 && s.numActiveTasks == 0) "FAILED"
+            else if (s.numActiveTasks == 0 && s.numCompletedTasks >= s.numTasks) "FINISHED"
+            else "RUNNING"
+          val status = s"""{"taskId":${jsonString(taskId)},"state":${jsonString(state)},""" +
+            s""""self":${jsonString(s"${server.baseUri}/v1/task/$id")},""" +
+            s""""nodeId":"driver","queuedPartitionedDrivers":0,""" +
+            s""""runningPartitionedDrivers":${s.numActiveTasks}}"""
+          if (statusOnly) status
+          else s"""{"taskId":${jsonString(taskId)},"taskStatus":$status,""" +
+            s""""lastHeartbeat":${jsonString(java.time.Instant.now.toString)},""" +
+            s""""stats":{"totalDrivers":${s.numTasks},""" +
+            s""""queuedDrivers":${math.max(0, s.numTasks - s.numActiveTasks - s.numCompletedTasks - s.numFailedTasks)},""" +
+            s""""runningDrivers":${s.numActiveTasks},""" +
+            s""""completedDrivers":${s.numCompletedTasks},""" +
+            s""""failedDrivers":${s.numFailedTasks}},"needsPlan":false}"""
+        }
+      segs match {
+        case Seq() =>
+          val docs = tracker.getActiveStageIds.toSeq.sorted
+            .flatMap(id => taskJson(id, statusOnly = false))
+          respond(ex, 200, docs.mkString("[", ",", "]"))
+        case Seq(id) =>
+          idOf(id).flatMap(taskJson(_, statusOnly = false)) match {
+            case Some(doc) => respond(ex, 200, doc)
+            case None => respond(ex, 404, """{"error":"unknown task"}""")
+          }
+        case Seq(id, "status") =>
+          idOf(id).flatMap(taskJson(_, statusOnly = true)) match {
+            case Some(doc) => respond(ex, 200, doc)
+            case None => respond(ex, 404, """{"error":"unknown task"}""")
+          }
+        case _ => respond(ex, 404, """{"error":"not found"}""")
+      }
+    } catch {
+      case t: Throwable =>
+        respond(ex, 500, s"""{"error":${jsonString(Option(t.getMessage).getOrElse(t.toString))}}""")
+    } finally ex.close()
+
+  /** Accept both the bare stage id ("7") and the rendered task id
+    * ("stage-7.0"). */
+  private def idOf(seg: String): Option[Int] = {
+    val core = seg.stripPrefix("stage-").takeWhile(_ != '.')
+    core.toIntOption
+  }
 
   /** QueryStateInfoResource.java — GET /v1/queryState[?user=u]: one
     * compact state document per non-finished query (the admission/

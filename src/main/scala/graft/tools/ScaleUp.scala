@@ -110,15 +110,23 @@ object ScaleUp {
             (w, i) => when(i % 2 === 1, concat(w, lit("~r"), col("rep")))
               .otherwise(w)),
           " ")).as("text")), 8)
-    // Rotate the vector by `rep` positions: near-orthogonal to the original
-    // for pseudo-random embeddings, preserving norms and per-dim stats.
+    // Rotate the vector by `rep % dims` positions: near-orthogonal to the
+    // original for pseudo-random embeddings, preserving norms and per-dim
+    // stats. Past one full rotation cycle (copies > dims — the ×100 probe
+    // over 64-dim vectors), the second cycle is SIGN-FLIPPED: a repeated
+    // rotation would be an exact duplicate (cosine 1.0) of an earlier
+    // replica and would quadratically inflate dup clusters; the negated
+    // vector sits at cosine -1, far from every near-dup threshold.
+    val dims = size(col("embedding"))
+    val rot = pmod(col("rep"), dims.cast("long")).cast("int")
+    val rotated = when(rot === 0, col("embedding")).otherwise(
+      concat(
+        slice(col("embedding"), rot + 1, dims - rot),
+        slice(col("embedding"), lit(1), rot)))
     replicate("embeddings", Map(
       "vec_id" -> shift("vec_id", vecSpan),
-      "embedding" -> when(col("rep") === 0, col("embedding")).otherwise(
-        concat(
-          slice(col("embedding"), col("rep") + 1,
-            size(col("embedding")) - col("rep")),
-          slice(col("embedding"), lit(1), col("rep")))).as("embedding")), 8)
+      "embedding" -> when(col("rep") < dims.cast("long"), rotated)
+        .otherwise(transform(rotated, x => -x)).as("embedding")), 8)
 
     spark.stop()
   }

@@ -1059,6 +1059,50 @@ class LifecycleSpecs extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("task observability: /v1/task lists live stages, serves {id} and {id}/status, 405s the data plane") {
+    val server = graft.sql.StatementServer.start(spark)
+    val base = server.baseUri
+    try {
+      // idle tracker: an empty task list, unknown ids 404
+      val (c0, b0) = httpSend("GET", s"$base/v1/task")
+      assert(c0 == 200 && b0 == "[]", s"idle task list: $c0 $b0")
+      assert(httpSend("GET", s"$base/v1/task/999999")._1 == 404)
+      assert(httpSend("GET", s"$base/v1/task/999999/status")._1 == 404)
+      // the data plane (POST update, DELETE abort, results buffers) IS
+      // Spark's scheduler/shuffle — adjudicated 405, never 500
+      assert(httpSend("POST", s"$base/v1/task/1", Some("{}"))._1 == 405)
+      assert(httpSend("DELETE", s"$base/v1/task/1")._1 == 405)
+      // drive a real stage and read it through the endpoint while live
+      val done = new java.util.concurrent.CountDownLatch(1)
+      val t = new Thread(() => {
+        try spark.range(64).repartition(8).foreachPartition {
+          (_: Iterator[java.lang.Long]) => Thread.sleep(1500)
+        } finally done.countDown()
+      })
+      t.start()
+      var listed: Option[com.fasterxml.jackson.databind.JsonNode] = None
+      val deadline = System.currentTimeMillis() + 20000
+      while (listed.isEmpty && System.currentTimeMillis() < deadline) {
+        val arr = json(httpSend("GET", s"$base/v1/task")._2)
+        if (arr.size() > 0) listed = Some(arr.get(0))
+        else Thread.sleep(50)
+      }
+      assert(listed.nonEmpty, "a live stage must appear in /v1/task")
+      val doc = listed.get
+      val taskId = doc.get("taskId").asText()
+      assert(taskId.startsWith("stage-"), s"taskId shape: $taskId")
+      assert(doc.get("taskStatus").get("state").asText() == "RUNNING")
+      assert(doc.get("stats").get("totalDrivers").asLong() > 0)
+      // both the bare stage id and the rendered task id resolve
+      val (cs, bs) = httpSend("GET", s"$base/v1/task/$taskId/status")
+      assert(cs == 200 && json(bs).get("taskId").asText() == taskId, s"$cs $bs")
+      val bare = taskId.stripPrefix("stage-").takeWhile(_ != '.')
+      assert(httpSend("GET", s"$base/v1/task/$bare")._1 == 200)
+      done.await(30, java.util.concurrent.TimeUnit.SECONDS)
+      t.join(5000)
+    } finally server.stop()
+  }
+
   test("password authenticator: Basic challenge, malformed credentials, principal feeds groups and grants") {
     import graft.sql.PasswordAuth
     ResourceGroups.configure(spark, ResourceGroups.Config(
