@@ -858,36 +858,39 @@ object TpcdsShapeQueries extends QueryModule {
         |  AND ssci.item_sk = csci.item_sk""".stripMargin),
 
     // q39 shape (tpcds/q39_1.sql): inventory coefficient-of-variation —
-    // per-(warehouse, item, month) stddev/mean over quantities, a
-    // cov > 1 gate, then a SELF-JOIN on adjacent months. The float
-    // hazard is the gate: stddev_samp's accumulation order differs
-    // between engines, so the filter is restated INTEGER-EXACT:
-    // stdev/mean > 1 == var_samp > mean^2 == n*(n*Q - S^2) > (n-1)*S^2
-    // over exact BIGINT power sums (quantities are integers). The
-    // projected cov itself is sqrt/division of exact-int-derived
-    // doubles — IEEE-correctly-rounded on both engines, no round()
-    // needed. Warehouse = supplier (the ds_inventory_gap convention).
+    // per-(warehouse, item, month) stddev/mean over quantities, a cov
+    // gate, then a SELF-JOIN on adjacent months. The float hazard is
+    // the gate: stddev_samp's accumulation order differs between
+    // engines, so the filter is restated INTEGER-EXACT over BIGINT
+    // power sums (quantities are integers): stdev/mean > 0.6 ==
+    // 25*n*(n*Q - S^2) > 9*(n-1)*S^2. (The reference's cov > 1 is
+    // tuned to skewed DS inventory; this fixture's uniform quantities
+    // concentrate cov at ~0.57, so the band sits just above typical —
+    // same selectivity role.) The projected cov is sqrt/division of
+    // exact-int-derived doubles — IEEE-correctly-rounded both engines,
+    // no round() needed. Warehouse = supplier, item = a part group
+    // (the month-adjacency join needs co-occupied cells at small SF).
     sqlQ("ds_inventory_cov",
       """WITH inv AS (
-        |  SELECT l_suppkey AS w, l_partkey AS item, month(l_shipdate) AS moy,
+        |  SELECT l_suppkey AS w, l_partkey % 50 AS item, month(l_shipdate) AS moy,
         |    CAST(count(*) AS BIGINT) AS n,
         |    CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS s,
         |    CAST(sum(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)) AS BIGINT) AS q
         |  FROM lineitem
-        |  GROUP BY l_suppkey, l_partkey, month(l_shipdate)
+        |  GROUP BY l_suppkey, l_partkey % 50, month(l_shipdate)
         |  HAVING count(*) >= 2),
         |cov AS (
         |  SELECT w, item, moy,
         |    CAST(s AS DOUBLE) / n AS mean,
         |    sqrt(CAST(n * q - s * s AS DOUBLE) / (n * (n - 1))) / (CAST(s AS DOUBLE) / n) AS cov
         |  FROM inv
-        |  WHERE n * (n * q - s * s) > (n - 1) * s * s)
+        |  WHERE 25 * n * (n * q - s * s) > 9 * (n - 1) * s * s)
         |SELECT inv1.w, inv1.item, inv1.moy AS moy1, inv1.mean AS mean1, inv1.cov AS cov1,
         |  inv2.moy AS moy2, inv2.mean AS mean2, inv2.cov AS cov2
         |FROM cov inv1
         |JOIN cov inv2 ON inv1.item = inv2.item AND inv1.w = inv2.w
-        |WHERE inv1.moy = 3 AND inv2.moy = 4
-        |ORDER BY inv1.w, inv1.item""".stripMargin),
+        |  AND inv2.moy = inv1.moy + 1
+        |ORDER BY inv1.w, inv1.item, inv1.moy""".stripMargin),
 
     // q65 shape (tpcds/q65.sql): items selling BELOW a tenth of their
     // store's average item revenue — a per-(store, item) revenue
