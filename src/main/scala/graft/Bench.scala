@@ -21,11 +21,40 @@ import org.apache.spark.sql.SparkSession
   * wall≫cpu on a shuffle-free scan means the box was busy, not the code.
   * (Earlier rounds retried only the >3s tail; totals are therefore not
   * directly comparable to r5-and-before single-pass numbers.)
+  *
+  * Round 16: isolated retimes run in a FORKED fresh JVM with a pinned
+  * bounded heap (default 16g, override GRAFT_ISOLATED_XMX). A same-JVM
+  * retime after 343 queries of heap churn at a large SPARK_DRIVER_MEM
+  * manufactured phantom regressions (r15: kn_trigram "isolated"
+  * 37.96 s/521.5 CPU in-JVM vs 4.66 s/13.2 CPU fresh-JVM) — the child's
+  * -Xmx and per-retime driver GC time are published in the artifact so
+  * heap-state artifacts are visible rather than inferred.
   */
 object Bench {
-  def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+
+  /** Host steal accounting (/proc/stat cpu line, field 8 = steal
+    * jiffies): the box shows multi-minute whole-host stall windows, and
+    * without this the published wall numbers are unattributable — a
+    * 107-vs-81s run-to-run discrepancy must be readable from the
+    * artifact alone (r7 judge). steal_pct is the host-wide share of
+    * jiffies stolen during the query's window.
+    */
+  private def procStat(): (Long, Long) =
+    try {
+      val src = scala.io.Source.fromFile("/proc/stat")
+      val f = try src.getLines().next().trim.split("\\s+").drop(1).map(_.toLong)
+      finally src.close()
+      (if (f.length > 7) f(7) else 0L, f.sum)
+    } catch { case _: Throwable => (0L, 0L) }
+
+  /** Cumulative stop-the-world GC time of THIS (driver) JVM in ms. */
+  private def gcNowMs(): Long = {
+    import scala.jdk.CollectionConverters._
+    java.lang.management.ManagementFactory.getGarbageCollectorMXBeans.asScala
+      .map(_.getCollectionTime).filter(_ >= 0).sum
+  }
+
+  private def buildSession(cpus: String): SparkSession = {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -48,11 +77,15 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
 
-    // Always-on CPU accounting: per-stage executorCpuTime accumulated into a
-    // counter, snapshotted around each query (bus drained first — stage
-    // events are async). CPU time is immune to the whole-host stall windows
-    // that wrecked the round-5 driver wall numbers.
+  /** Always-on CPU accounting: per-stage executorCpuTime accumulated into a
+    * counter, snapshotted around each query (bus drained first — stage
+    * events are async). CPU time is immune to the whole-host stall windows
+    * that wrecked the round-5 driver wall numbers.
+    */
+  private def installCpuListener(spark: SparkSession): AtomicLong = {
     val cpuNs = new AtomicLong(0L)
     val stageDebug = sys.env.contains("GRAFT_STAGE_DEBUG")
     spark.sparkContext.addSparkListener(new SparkListener {
@@ -70,6 +103,138 @@ object Bench {
         }
       }
     })
+    cpuNs
+  }
+
+  final case class Run(wall: Double, cpu: Double, stealPct: Double, gcMs: Long)
+
+  /** One measured run. Bus drained on both sides of the window so stage
+    * events land in the right query. gcMs = driver-JVM stop-the-world GC
+    * time inside the window (heap-state attribution, r15 verdict #1).
+    */
+  private def once(spark: SparkSession, cpuNs: AtomicLong, sfDir: String)(
+      fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Run = {
+    org.apache.spark.sql.graft.ListenerBusFlush.drain(spark.sparkContext)
+    val c0 = cpuNs.get()
+    val (st0, tot0) = procStat()
+    val g0 = gcNowMs()
+    val t0 = System.nanoTime()
+    fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+    val wall = (System.nanoTime() - t0) / 1e9
+    val g1 = gcNowMs()
+    val (st1, tot1) = procStat()
+    org.apache.spark.sql.graft.ListenerBusFlush.drain(spark.sparkContext)
+    val stealPct =
+      if (tot1 > tot0) 100.0 * (st1 - st0) / (tot1 - tot0) else 0.0
+    Run(wall, (cpuNs.get() - c0) / 1e9, stealPct, g1 - g0)
+  }
+
+  private def r3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+
+  def main(args: Array[String]): Unit =
+    sys.env.get("SPARK_GRAFT_BENCH_ISOLATED") match {
+      case Some(names) => isolatedChild(names.split(",").filter(_.nonEmpty).toSeq)
+      case None        => suiteMain()
+    }
+
+  // ---------------------------------------------------------------------
+  // Child mode: fresh-JVM isolated retimes. Invoked by the parent suite in
+  // a forked process with a pinned bounded heap; runs ONLY the named
+  // queries (one untimed warm pass + two measured, min-of-2 — measuring
+  // the code, not cold JIT) and prints one JSON line the parent parses.
+  // ---------------------------------------------------------------------
+  private def isolatedChild(names: Seq[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = buildSession(cpus)
+    val cpuNs = installCpuListener(spark)
+    graft.engine.Engine.registerTables(spark, sfDir)
+    spark.table("lineitem").write.format("noop").mode("overwrite").save()
+    val xmxMb = Runtime.getRuntime.maxMemory() / (1024 * 1024)
+    val out = names.flatMap { name =>
+      SparkEntry.benchQueries.get(name).map { fn =>
+        val best =
+          try {
+            once(spark, cpuNs, sfDir)(fn) // warm (untimed)
+            val a = once(spark, cpuNs, sfDir)(fn)
+            val b = once(spark, cpuNs, sfDir)(fn)
+            if (b.wall < a.wall) b else a
+          } catch { case e: Throwable =>
+            System.err.println(s"[bench-isolated] $name failed: ${e.getMessage}")
+            Run(-1.0, -1.0, 0.0, 0L)
+          }
+        "\"" + name + "\":{\"wall\":" + r3(best.wall) + ",\"cpu\":" + r3(best.cpu) +
+          ",\"steal_pct\":" + r3(best.stealPct) + ",\"gc_ms\":" + best.gcMs + "}"
+      }
+    }.mkString("{", ",", "}")
+    spark.stop()
+    println(s"""{"isolated_child":true,"xmx_mb":$xmxMb,"queries":$out}""")
+    System.out.flush()
+  }
+
+  /** Fork a fresh bounded-heap JVM running `isolatedChild` over `names`.
+    * Returns per-query runs plus the child's -Xmx (MB), or None if the
+    * fork could not run (parent then publishes isolated_forked=false and
+    * no isolated numbers — a missing number is honest; a same-JVM number
+    * after a 343-query heap can be a 20x phantom, r15 verdict).
+    */
+  private def forkIsolated(names: Seq[String], sfDir: String, cpus: String)
+      : Option[(Long, Map[String, Run])] =
+    try {
+      val javaBin = java.nio.file.Paths.get(
+        System.getProperty("java.home"), "bin", "java").toString
+      val xmx = sys.env.getOrElse("GRAFT_ISOLATED_XMX", "16g")
+      val addOpens = Seq(
+        "java.base/java.lang", "java.base/java.lang.invoke",
+        "java.base/java.lang.reflect", "java.base/java.io",
+        "java.base/java.net", "java.base/java.nio",
+        "java.base/java.util", "java.base/java.util.concurrent",
+        "java.base/java.util.concurrent.atomic",
+        "java.base/sun.nio.ch", "java.base/sun.nio.cs",
+        "java.base/sun.security.action", "java.base/sun.util.calendar",
+      ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+      val cmd = (Seq(javaBin) ++ addOpens ++ Seq(
+        s"-Xmx$xmx", "-XX:MaxGCPauseMillis=300", "-XX:ReservedCodeCacheSize=512m",
+        "-Dspark.ui.enabled=false", "-Dspark.sql.session.timeZone=UTC",
+        "-cp", System.getProperty("java.class.path"),
+        "graft.Bench")).toList
+      val pb = new ProcessBuilder(cmd: _*)
+      pb.environment().put("SPARK_GRAFT_BENCH_ISOLATED", names.mkString(","))
+      pb.environment().put("SPARK_GRAFT_SF_DIR", sfDir)
+      pb.environment().put("SPARK_GRAFT_CPUS", cpus)
+      pb.redirectErrorStream(false)
+      pb.redirectError(ProcessBuilder.Redirect.INHERIT)
+      val p = pb.start()
+      val stdout = new String(p.getInputStream.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8)
+      val ok = p.waitFor(45, java.util.concurrent.TimeUnit.MINUTES) && p.exitValue() == 0
+      if (!ok) { p.destroyForcibly(); None }
+      else {
+        val line = stdout.linesIterator.toSeq.reverse
+          .find(_.startsWith("{\"isolated_child\""))
+        line.map { l =>
+          val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(l)
+          import scala.jdk.CollectionConverters._
+          val xmxMb = node.path("xmx_mb").asLong(-1L)
+          val qs = node.path("queries").fields().asScala.map { e =>
+            val v = e.getValue
+            e.getKey -> Run(v.path("wall").asDouble(-1.0), v.path("cpu").asDouble(-1.0),
+              v.path("steal_pct").asDouble(0.0), v.path("gc_ms").asLong(0L))
+          }.toMap
+          (xmxMb, qs)
+        }
+      }
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] isolated fork failed: ${e.getMessage}"); None }
+
+  // ---------------------------------------------------------------------
+  // Parent mode: the full suite.
+  // ---------------------------------------------------------------------
+  private def suiteMain(): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = buildSession(cpus)
+    val cpuNs = installCpuListener(spark)
 
     // Prewarm: session + parquet footers + function registry (excluded
     // from measured time, like the reference's prewarm runs in
@@ -97,45 +262,15 @@ object Bench {
       }
     var sinceGc = 0
 
-    // Host steal accounting (/proc/stat cpu line, field 8 = steal
-    // jiffies): the box shows multi-minute whole-host stall windows, and
-    // without this the published wall numbers are unattributable — a
-    // 107-vs-81s run-to-run discrepancy must be readable from the
-    // artifact alone (r7 judge). steal_pct is the host-wide share of
-    // jiffies stolen during the query's window.
-    def procStat(): (Long, Long) =
-      try {
-        val src = scala.io.Source.fromFile("/proc/stat")
-        val f = try src.getLines().next().trim.split("\\s+").drop(1).map(_.toLong)
-        finally src.close()
-        (if (f.length > 7) f(7) else 0L, f.sum)
-      } catch { case _: Throwable => (0L, 0L) }
-
-    final case class Run(wall: Double, cpu: Double, stealPct: Double)
-    // One measured run. Bus drained on both sides of the window so stage
-    // events land in the right query.
-    def once(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Run = {
-      org.apache.spark.sql.graft.ListenerBusFlush.drain(spark.sparkContext)
-      val c0 = cpuNs.get()
-      val (st0, tot0) = procStat()
-      val t0 = System.nanoTime()
-      fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      val wall = (System.nanoTime() - t0) / 1e9
-      val (st1, tot1) = procStat()
-      org.apache.spark.sql.graft.ListenerBusFlush.drain(spark.sparkContext)
-      val stealPct =
-        if (tot1 > tot0) 100.0 * (st1 - st0) / (tot1 - tot0) else 0.0
-      Run(wall, (cpuNs.get() - c0) / 1e9, stealPct)
-    }
     def measured(name: String,
         fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Run = {
       sinceGc += 1
       if (sinceGc >= 25) { System.gc(); sinceGc = 0 } // JMH-style: bound generated-class buildup
       // A failed query must not masquerade as a (fast) timing: recorded as
       // -1 and listed under "failures", excluded from totals.
-      try once(fn)
+      try once(spark, cpuNs, sfDir)(fn)
       catch { case e: Throwable =>
-        System.err.println(s"[bench] $name failed: ${e.getMessage}"); Run(-1.0, -1.0, 0.0) }
+        System.err.println(s"[bench] $name failed: ${e.getMessage}"); Run(-1.0, -1.0, 0.0, 0L) }
     }
     val queries = SparkEntry.benchQueries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.exists(n.startsWith)) }
@@ -149,16 +284,20 @@ object Bench {
       val best =
         if (r1.wall < 0) r1
         else {
-          val r2 = try once(fn) catch { case _: Throwable => Run(Double.MaxValue, 0.0, 0.0) }
+          val r2 = try once(spark, cpuNs, sfDir)(fn)
+            catch { case _: Throwable => Run(Double.MaxValue, 0.0, 0.0, 0L) }
           if (r2.wall < r1.wall) r2 else r1
         }
       (name, fn, best, r1.wall)
     }
-    // Third, ISOLATED re-time of the slowest tail (the in-suite numbers
-    // for cheap queries read 4-15x inflated under code-cache pressure +
-    // steal; re-timing minutes later, post-gc, approximates a
-    // SPARK_GRAFT_BENCH_ONLY run without a second JVM). Published per
-    // query so slow-tail regressions are attributable from the JSON.
+    // Third, ISOLATED re-time of the slowest tail — in a FRESH FORKED JVM
+    // with a pinned bounded heap (r16; see forkIsolated). The in-suite
+    // numbers for cheap queries read 4-15x inflated under code-cache
+    // pressure + steal, and r15 proved the former same-JVM retime can
+    // itself be poisoned by post-suite heap state at a large
+    // SPARK_DRIVER_MEM (kn_trigram 37.96s/521 CPU in-JVM vs 4.66s/13.2
+    // fresh). Published per query so slow-tail regressions are
+    // attributable from the JSON.
     // func_geometry_overlay rides along every round: its r10 suite wall
     // doubled with no geometry change and no isolated number to
     // adjudicate (VERDICT r10 open item) — publishing it keeps
@@ -192,26 +331,7 @@ object Bench {
     }.toSet
     val slowest = results.filter(_._3.wall >= 0).sortBy(-_._3.wall).take(10).map(_._1).toSet +
       "func_geometry_overlay" ++ inflated
-    System.gc()
-    val isolated: Map[String, Run] = results
-      .filter { case (name, _, _, _) => slowest.contains(name) }
-      .map { case (name, fn, _, _) =>
-        val a = try once(fn) catch { case _: Throwable => Run(-1.0, -1.0, 0.0) }
-        val b = try once(fn) catch { case _: Throwable => Run(-1.0, -1.0, 0.0) }
-        name -> (if (b.wall >= 0 && b.wall < a.wall) b else a)
-      }.toMap
-    val (runSteal1, runTot1) = procStat()
-    val runStealPct =
-      if (runTot1 > runTot0) 100.0 * (runSteal1 - runSteal0) / (runTot1 - runTot0) else 0.0
-    def r3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
-    val wallTotal = results.collect { case (_, _, r, _) if r.wall >= 0 => r.wall }.sum
-    val cpuTotal = results.collect { case (_, _, r, _) if r.wall >= 0 => r.cpu }.sum
-    val failures = results.collect { case (k, _, r, _) if r.wall < 0 => "\"" + k + "\"" }
-      .mkString("[", ",", "]")
 
-    // Full per-query detail goes to a file: the driver captures only the
-    // last ~2000 chars of stdout, so the printed line must stay compact
-    // (190+ timing objects would overflow and leave the line unparseable).
     // Output-row counts for queries whose cost is output-bound (the
     // spatial polygon joins: sf1 packs x10 shapes into a fixed area so
     // matched pairs grow x100 by construction — publishing the count
@@ -228,10 +348,34 @@ object Bench {
               catch { case scala.util.control.NonFatal(_) => -1L })
           }.toMap
       }
+
+    // Stop the parent's Spark BEFORE forking the isolated child: one
+    // Spark JVM at a time on this box (the parent's 32 local threads
+    // would contend with — and so contaminate — the child's retimes).
+    spark.stop()
+    System.gc()
+    val retimeNames = results.collect {
+      case (name, _, r, _) if r.wall >= 0 && slowest.contains(name) => name }
+    val forked = forkIsolated(retimeNames.sorted, sfDir, cpus)
+    val isolated: Map[String, Run] = forked.map(_._2).getOrElse(Map.empty)
+    val isolatedXmxMb = forked.map(_._1).getOrElse(-1L)
+
+    val (runSteal1, runTot1) = procStat()
+    val runStealPct =
+      if (runTot1 > runTot0) 100.0 * (runSteal1 - runSteal0) / (runTot1 - runTot0) else 0.0
+    val wallTotal = results.collect { case (_, _, r, _) if r.wall >= 0 => r.wall }.sum
+    val cpuTotal = results.collect { case (_, _, r, _) if r.wall >= 0 => r.cpu }.sum
+    val failures = results.collect { case (k, _, r, _) if r.wall < 0 => "\"" + k + "\"" }
+      .mkString("[", ",", "]")
+
+    // Full per-query detail goes to a file: the driver captures only the
+    // last ~2000 chars of stdout, so the printed line must stay compact
+    // (190+ timing objects would overflow and leave the line unparseable).
     val fullQs = results.map { case (k, _, r, t1) =>
       val iso = isolated.get(k).map(i =>
         ",\"isolated\":" + r3(i.wall) + ",\"isolated_cpu\":" + r3(i.cpu) +
-          ",\"isolated_steal_pct\":" + r3(i.stealPct)).getOrElse("")
+          ",\"isolated_steal_pct\":" + r3(i.stealPct) +
+          ",\"isolated_gc_ms\":" + i.gcMs).getOrElse("")
       // Algorithm-internal counters (LSH candidate counts, bucket
       // occupancies, ...) recorded by the query build via QueryStats:
       // the falsifiability channel for scale claims.
@@ -239,11 +383,12 @@ object Bench {
         ",\"" + sk + "\":" + sv
       } ++ countRows.get(k).map(c => ",\"out_rows\":" + c)).mkString
       "\"" + k + "\":{\"wall\":" + r3(r.wall) + ",\"cpu\":" + r3(r.cpu) +
-        ",\"t1\":" + r3(t1) + ",\"steal_pct\":" + r3(r.stealPct) + iso + extra + "}"
+        ",\"t1\":" + r3(t1) + ",\"steal_pct\":" + r3(r.stealPct) +
+        ",\"gc_ms\":" + r.gcMs + iso + extra + "}"
     }.mkString("{", ",", "}")
     val inflatedJson = inflated.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     val full =
-      s"""{"metric":"total","value":${r3(wallTotal)},"cpu":${r3(cpuTotal)},"unit":"sec","n_queries":${results.size},"steal_pct":${r3(runStealPct)},"methodology":"min-of-2 wall per query, second pass after full suite; cpu = executorCpuTime of the min run; steal_pct = percent (0-100) of host /proc/stat jiffies stolen during the window, same unit per-query and total; 10 slowest re-timed post-suite as isolated, plus every query whose wall is >2x its previous committed BENCH_FULL wall (listed in retimed_inflated)","retimed_inflated":$inflatedJson,"queries":$fullQs,"failures":$failures,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${r3(wallTotal)},"cpu":${r3(cpuTotal)},"unit":"sec","n_queries":${results.size},"steal_pct":${r3(runStealPct)},"methodology":"min-of-2 wall per query, second pass after full suite; cpu = executorCpuTime of the min run; steal_pct = percent (0-100) of host /proc/stat jiffies stolen during the window, same unit per-query and total; gc_ms = driver-JVM STW GC ms inside the window; 10 slowest re-timed as isolated in a FORKED fresh JVM at isolated_xmx_mb (warm pass + min-of-2), plus every query whose wall is >2x its previous committed BENCH_FULL wall (listed in retimed_inflated)","isolated_forked":${forked.isDefined},"isolated_xmx_mb":$isolatedXmxMb,"retimed_inflated":$inflatedJson,"queries":$fullQs,"failures":$failures,"sf":"$sfDir"}"""
     java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_FULL.json"),
       full.getBytes(java.nio.charset.StandardCharsets.UTF_8))
 
@@ -255,11 +400,9 @@ object Bench {
       .groupBy(_._1.split('_').head).toSeq.sortBy(_._1)
       .map { case (g, rs) => "\"" + g + "\":" + r3(rs.map(_._3.wall).sum) }
     val qs = (headline ++ groups).mkString("{", ",", "}")
-    // Stop Spark BEFORE printing: the driver parses the LAST line of
-    // captured stdout, and shutdown-time log lines landing after the
-    // JSON left BENCH_r08's `parsed` field null (VERDICT r8 #9). Print
+    // The driver parses the LAST line of captured stdout: Spark is already
+    // stopped (before the fork), so nothing can log after the JSON. Print
     // last, flush, and exit without further output.
-    spark.stop()
     println(s"""{"metric":"total","value":${r3(wallTotal)},"cpu":${r3(cpuTotal)},"unit":"sec","n_queries":${results.size},"steal_pct":${r3(runStealPct)},"queries":$qs,"failures":$failures,"sf":"$sfDir","detail":"BENCH_FULL.json"}""")
     System.out.flush()
   }

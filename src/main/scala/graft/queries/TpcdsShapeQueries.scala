@@ -1141,5 +1141,340 @@ object TpcdsShapeQueries extends QueryModule {
         }
         s.table("events").agg(aggs.head, aggs.tail: _*)
       }
-    })
+    },
+
+    // q44 shape (tpcds/q44.sql): best/worst performers — one per-item
+    // aggregate, TWO rank windows over it (ascending and descending),
+    // joined ON RANK, top-10, each side re-joined to the item dim for
+    // names. Rank order is total (exact cents, then partkey), so the
+    // best/worst pairing is engine-stable. Scale: the windows run over
+    // the ITEM-LEVEL aggregate (dimension-bounded, not the fact), the
+    // rk <= 10 filter hits the window-group-limit fast path, and both
+    // part joins broadcast.
+    sqlQ("ds_best_worst_rank_join",
+      """WITH perf AS (
+        |  SELECT l_partkey,
+        |    CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))) * 100) AS BIGINT) AS rev_c
+        |  FROM lineitem GROUP BY l_partkey),
+        |best AS (
+        |  SELECT l_partkey, CAST(rank() OVER (ORDER BY rev_c DESC, l_partkey) AS BIGINT) AS rnk
+        |  FROM perf),
+        |worst AS (
+        |  SELECT l_partkey, CAST(rank() OVER (ORDER BY rev_c ASC, l_partkey) AS BIGINT) AS rnk
+        |  FROM perf)
+        |SELECT b.rnk AS rnk, pb.p_name AS best_performing, pw.p_name AS worst_performing
+        |FROM best b JOIN worst w ON b.rnk = w.rnk
+        |JOIN part pb ON b.l_partkey = pb.p_partkey
+        |JOIN part pw ON w.l_partkey = pw.p_partkey
+        |WHERE b.rnk <= 10
+        |ORDER BY b.rnk""".stripMargin),
+
+    // q32/q92 shape: "excess discount" — fact rows whose discount
+    // exceeds 1.3x the average discount of THAT item over the same
+    // period (a correlated scalar average in the reference text). The
+    // restatement joins the fact to its own per-item aggregate: both
+    // sides hash on l_partkey, so ONE distribution serves the agg and
+    // the join. Membership is integer-exact (discount hundredths x 10 x
+    // count > 13 x sum), so no row flips on float drift.
+    sqlQ("ds_excess_discount",
+      """WITH davg AS (
+        |  SELECT l_partkey AS dp,
+        |    CAST(sum(CAST(round(l_discount * 100) AS BIGINT)) AS BIGINT) AS disc_sum_c,
+        |    CAST(count(*) AS BIGINT) AS cnt
+        |  FROM lineitem
+        |  WHERE l_shipdate BETWEEN DATE '1994-01-01' AND DATE '1994-12-31'
+        |  GROUP BY l_partkey)
+        |SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS excess_revenue,
+        |  CAST(count(*) AS BIGINT) AS n_lines
+        |FROM lineitem JOIN davg ON l_partkey = dp
+        |WHERE l_shipdate BETWEEN DATE '1994-01-01' AND DATE '1994-12-31'
+        |  AND CAST(round(l_discount * 100) AS BIGINT) * 10 * cnt > 13 * disc_sum_c""".stripMargin),
+
+    // q16/q94 shape: the semi + ANTI chain — orders shipped by at least
+    // two distinct suppliers (EXISTS against another alias of the same
+    // fact) that were NEVER returned (NOT EXISTS). The anti-join is what
+    // ds_reachability_semi does not cover: both subqueries key on
+    // l_orderkey/o_orderkey, so the semi, the anti and the outer fact
+    // share ONE hash distribution; neither EXISTS duplicates order rows
+    // the way an IN-to-inner rewrite would.
+    sqlQ("ds_semi_anti_chain",
+      """SELECT year(o_orderdate) AS yr, CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+        |FROM orders
+        |WHERE EXISTS (
+        |    SELECT 1 FROM lineitem l1
+        |    WHERE l1.l_orderkey = o_orderkey AND EXISTS (
+        |      SELECT 1 FROM lineitem l2
+        |      WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey))
+        |  AND NOT EXISTS (
+        |    SELECT 1 FROM lineitem lr
+        |    WHERE lr.l_orderkey = o_orderkey AND lr.l_returnflag = 'R')
+        |GROUP BY year(o_orderdate)""".stripMargin),
+
+    // q36/q70/q86 shape: rank WITHIN the rollup hierarchy — a two-level
+    // ROLLUP whose rank() partitions on (lochierarchy, parent): leaf
+    // rows rank against siblings under the same p_type, the p_type
+    // subtotals rank against each other. One Expand + one agg shuffle +
+    // one window shuffle; rank keys are exact cents with a total
+    // tie-break, so sibling order is engine-stable.
+    sqlQ("ds_hierarchy_rank",
+      """WITH agg AS (
+        |  SELECT p_type, p_brand,
+        |    CAST(grouping(p_type) + grouping(p_brand) AS BIGINT) AS lochierarchy,
+        |    CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))) * 100) AS BIGINT) AS rev_c
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE p_size <= 15
+        |  GROUP BY ROLLUP (p_type, p_brand))
+        |SELECT p_type, p_brand, lochierarchy, CAST(rev_c AS DOUBLE) / 100 AS revenue,
+        |  rank_within_parent
+        |FROM (
+        |  SELECT *, CAST(rank() OVER (
+        |      PARTITION BY lochierarchy, CASE WHEN lochierarchy = 0 THEN p_type END
+        |      ORDER BY rev_c DESC, p_brand NULLS FIRST, p_type NULLS FIRST)
+        |    AS BIGINT) AS rank_within_parent
+        |  FROM agg) t
+        |WHERE rank_within_parent <= 5""".stripMargin),
+
+    // q12/q20/q98 shape: revenue share within class — a (class, item)
+    // aggregate, then each item's share of its class total via
+    // sum() OVER (PARTITION BY class). The share is a final-projection
+    // division of exact cents rounded to 6dp; the window runs over the
+    // dimension-bounded aggregate, partitioned (no global window).
+    sqlQ("ds_class_share_window",
+      """WITH itemrev AS (
+        |  SELECT p_type, p_brand,
+        |    CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))) * 100) AS BIGINT) AS rev_c
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE l_shipdate BETWEEN DATE '1995-01-01' AND DATE '1995-01-31'
+        |  GROUP BY p_type, p_brand)
+        |SELECT p_type, p_brand, CAST(rev_c AS DOUBLE) / 100 AS itemrevenue,
+        |  round(CAST(rev_c AS DOUBLE) * 100 /
+        |    CAST(sum(rev_c) OVER (PARTITION BY p_type) AS DOUBLE), 6) AS revenueratio
+        |FROM itemrev""".stripMargin),
+
+    // q47/q57 proper (beyond ds_moving_avg's centered ROWS frame): the
+    // NEIGHBOR columns — lag/lead of the monthly series next to a
+    // full-partition year average, keeping months deviating >10% from
+    // their year mean and reporting the preceding/following months.
+    // Membership is integer cross-multiplication; two window specs
+    // (brand-ordered and brand-year) over ONE dimension-bounded
+    // aggregate.
+    sqlQ("ds_lag_lead_neighbors",
+      """WITH monthly AS (
+        |  SELECT p_brand, year(l_shipdate) AS yr, month(l_shipdate) AS moy,
+        |    CAST(round(sum(CAST(l_quantity AS DECIMAL(18,2))) * 100) AS BIGINT) AS qty_c
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  GROUP BY p_brand, year(l_shipdate), month(l_shipdate)),
+        |v AS (
+        |  SELECT p_brand, yr, moy, qty_c,
+        |    lag(qty_c) OVER (PARTITION BY p_brand ORDER BY yr, moy) AS psum,
+        |    lead(qty_c) OVER (PARTITION BY p_brand ORDER BY yr, moy) AS nsum,
+        |    sum(qty_c) OVER (PARTITION BY p_brand, yr) AS ysum,
+        |    CAST(count(*) OVER (PARTITION BY p_brand, yr) AS BIGINT) AS ymonths
+        |  FROM monthly)
+        |SELECT p_brand, yr, moy, qty_c,
+        |  CAST(psum AS BIGINT) AS psum, CAST(nsum AS BIGINT) AS nsum,
+        |  round(CAST(qty_c * ymonths AS DOUBLE) / CAST(ysum AS DOUBLE), 6) AS ratio_to_year_avg
+        |FROM v
+        |WHERE psum IS NOT NULL AND nsum IS NOT NULL
+        |  AND abs(qty_c * ymonths - ysum) * 10 > ysum""".stripMargin),
+
+    // q21 shape: before/after a pivot date — per (supplier, brand)
+    // quantity shipped in the window before vs after, kept when the two
+    // sides are within a 2/3..3/2 band (integer cross-multiplication).
+    // ONE scan with conditional sums (no self-join); supplier and part
+    // broadcast.
+    sqlQ("ds_stock_before_after",
+      """SELECT s_name, p_brand, qty_before_c, qty_after_c
+        |FROM (
+        |  SELECT s_name, p_brand,
+        |    CAST(round(sum(CASE WHEN l_shipdate < DATE '1995-06-01'
+        |      THEN CAST(l_quantity AS DECIMAL(18,2)) ELSE CAST(0 AS DECIMAL(18,2)) END) * 100) AS BIGINT) AS qty_before_c,
+        |    CAST(round(sum(CASE WHEN l_shipdate >= DATE '1995-06-01'
+        |      THEN CAST(l_quantity AS DECIMAL(18,2)) ELSE CAST(0 AS DECIMAL(18,2)) END) * 100) AS BIGINT) AS qty_after_c
+        |  FROM lineitem
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN part ON l_partkey = p_partkey
+        |  WHERE l_shipdate BETWEEN DATE '1995-03-01' AND DATE '1995-09-01'
+        |  GROUP BY s_name, p_brand) t
+        |WHERE qty_before_c > 0
+        |  AND qty_after_c * 2 <= qty_before_c * 3
+        |  AND qty_after_c * 3 >= qty_before_c * 2""".stripMargin),
+
+    // q17/q25/q29 shape: the sold -> returned -> re-bought chain —
+    // three aggregates of the same fact keyed on the SAME composite
+    // (customer-nation, item) key, 3-way inner join, rolled up per
+    // brand. All three aggs and both joins share one (nation, partkey)
+    // hash distribution (the fixture's A/R flags live pre-mid-1994 and
+    // N after, so the three flags ARE a temporal chain); part
+    // broadcasts into the final rollup.
+    sqlQ("ds_repeat_return_chain",
+      """WITH sold AS (
+        |  SELECT c_nationkey AS nk, l_partkey AS pk,
+        |    CAST(round(sum(CAST(l_quantity AS DECIMAL(18,2))) * 100) AS BIGINT) AS sold_q_c
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  WHERE l_returnflag = 'A' GROUP BY c_nationkey, l_partkey),
+        |returned AS (
+        |  SELECT c_nationkey AS nk, l_partkey AS pk,
+        |    CAST(round(sum(CAST(l_quantity AS DECIMAL(18,2))) * 100) AS BIGINT) AS ret_q_c
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  WHERE l_returnflag = 'R' GROUP BY c_nationkey, l_partkey),
+        |rebought AS (
+        |  SELECT c_nationkey AS nk, l_partkey AS pk,
+        |    CAST(round(sum(CAST(l_quantity AS DECIMAL(18,2))) * 100) AS BIGINT) AS rebuy_q_c
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  WHERE l_returnflag = 'N' GROUP BY c_nationkey, l_partkey)
+        |SELECT p_brand, CAST(count(*) AS BIGINT) AS n_chains,
+        |  CAST(sum(s.sold_q_c) AS BIGINT) AS sold_q_c,
+        |  CAST(sum(r.ret_q_c) AS BIGINT) AS returned_q_c,
+        |  CAST(sum(b.rebuy_q_c) AS BIGINT) AS rebought_q_c
+        |FROM sold s
+        |JOIN returned r ON s.nk = r.nk AND s.pk = r.pk
+        |JOIN rebought b ON s.nk = b.nk AND s.pk = b.pk
+        |JOIN part ON s.pk = p_partkey
+        |GROUP BY p_brand""".stripMargin),
+
+    // q28 shape: per-band count / DISTINCT count / exact sum over ONE
+    // scan — the mixed distinct-and-plain aggregate set that drives
+    // Spark's RewriteDistinctAggregates Expand (the reference text is
+    // six scalar subqueries; the fold is the q9/q88 precedent). Sums
+    // are coalesced so an empty band reads 0, not NULL, in both
+    // engines.
+    sqlQ("ds_band_distinct_probe",
+      """SELECT
+        |  CAST(count(*) FILTER (WHERE l_quantity BETWEEN 1 AND 10) AS BIGINT) AS b1_cnt,
+        |  CAST(count(DISTINCT l_extendedprice) FILTER (WHERE l_quantity BETWEEN 1 AND 10) AS BIGINT) AS b1_prices,
+        |  CAST(coalesce(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))) FILTER (WHERE l_quantity BETWEEN 1 AND 10) * 100), 0) AS BIGINT) AS b1_rev_c,
+        |  CAST(count(*) FILTER (WHERE l_quantity BETWEEN 11 AND 20) AS BIGINT) AS b2_cnt,
+        |  CAST(count(DISTINCT l_extendedprice) FILTER (WHERE l_quantity BETWEEN 11 AND 20) AS BIGINT) AS b2_prices,
+        |  CAST(coalesce(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))) FILTER (WHERE l_quantity BETWEEN 11 AND 20) * 100), 0) AS BIGINT) AS b2_rev_c,
+        |  CAST(count(*) FILTER (WHERE l_quantity BETWEEN 21 AND 35) AS BIGINT) AS b3_cnt,
+        |  CAST(count(DISTINCT l_extendedprice) FILTER (WHERE l_quantity BETWEEN 21 AND 35) AS BIGINT) AS b3_prices,
+        |  CAST(coalesce(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))) FILTER (WHERE l_quantity BETWEEN 21 AND 35) * 100), 0) AS BIGINT) AS b3_rev_c,
+        |  CAST(count(*) FILTER (WHERE l_quantity BETWEEN 36 AND 50) AS BIGINT) AS b4_cnt,
+        |  CAST(count(DISTINCT l_extendedprice) FILTER (WHERE l_quantity BETWEEN 36 AND 50) AS BIGINT) AS b4_prices,
+        |  CAST(coalesce(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))) FILTER (WHERE l_quantity BETWEEN 36 AND 50) * 100), 0) AS BIGINT) AS b4_rev_c
+        |FROM lineitem""".stripMargin),
+
+    // q66 shape: the WIDE month pivot — 12 conditional cent-sums per
+    // (warehouse=supplier, carrier=line-band, year) in ONE pass (the
+    // reference text unions two carrier-filtered copies; the fold is
+    // the q76 precedent — partials push below everything, one agg
+    // shuffle regardless of pivot width).
+    sqlQ("ds_carrier_month_pivot",
+      """SELECT s_name,
+        |  CASE WHEN l_linenumber = 1 THEN 'DIAMOND' ELSE 'GERBIL' END AS carrier,
+        |  year(l_shipdate) AS yr,
+        |  CAST(sum(CASE WHEN month(l_shipdate) = 1 THEN CAST(round(CAST(l_extendedprice AS DECIMAL(18,2)) * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS jan_c,
+        |  CAST(sum(CASE WHEN month(l_shipdate) = 2 THEN CAST(round(CAST(l_extendedprice AS DECIMAL(18,2)) * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS feb_c,
+        |  CAST(sum(CASE WHEN month(l_shipdate) = 3 THEN CAST(round(CAST(l_extendedprice AS DECIMAL(18,2)) * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS mar_c,
+        |  CAST(sum(CASE WHEN month(l_shipdate) = 4 THEN CAST(round(CAST(l_extendedprice AS DECIMAL(18,2)) * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS apr_c,
+        |  CAST(sum(CASE WHEN month(l_shipdate) = 5 THEN CAST(round(CAST(l_extendedprice AS DECIMAL(18,2)) * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS may_c,
+        |  CAST(sum(CASE WHEN month(l_shipdate) = 6 THEN CAST(round(CAST(l_extendedprice AS DECIMAL(18,2)) * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS jun_c,
+        |  CAST(sum(CASE WHEN month(l_shipdate) = 7 THEN CAST(round(CAST(l_extendedprice AS DECIMAL(18,2)) * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS jul_c,
+        |  CAST(sum(CASE WHEN month(l_shipdate) = 8 THEN CAST(round(CAST(l_extendedprice AS DECIMAL(18,2)) * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS aug_c,
+        |  CAST(sum(CASE WHEN month(l_shipdate) = 9 THEN CAST(round(CAST(l_extendedprice AS DECIMAL(18,2)) * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS sep_c,
+        |  CAST(sum(CASE WHEN month(l_shipdate) = 10 THEN CAST(round(CAST(l_extendedprice AS DECIMAL(18,2)) * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS oct_c,
+        |  CAST(sum(CASE WHEN month(l_shipdate) = 11 THEN CAST(round(CAST(l_extendedprice AS DECIMAL(18,2)) * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS nov_c,
+        |  CAST(sum(CASE WHEN month(l_shipdate) = 12 THEN CAST(round(CAST(l_extendedprice AS DECIMAL(18,2)) * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS dec_c
+        |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |GROUP BY s_name, CASE WHEN l_linenumber = 1 THEN 'DIAMOND' ELSE 'GERBIL' END,
+        |  year(l_shipdate)""".stripMargin),
+
+    // q54 shape: customer revenue segmentation — a per-customer
+    // aggregate re-aggregated into $5,000 revenue bands. Two stacked
+    // aggs: one fact shuffle on custkey, then a tiny shuffle on the
+    // band. The band edge is floor() of an exact-cents double
+    // (cents < 2^53 keeps it exact in both engines).
+    sqlQ("ds_customer_value_band",
+      """WITH per_cust AS (
+        |  SELECT o_custkey,
+        |    CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))) * 100) AS BIGINT) AS rev_c
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  GROUP BY o_custkey)
+        |SELECT CAST(floor(CAST(rev_c AS DOUBLE) / 500000) AS BIGINT) AS segment,
+        |  CAST(count(*) AS BIGINT) AS num_customers
+        |FROM per_cust
+        |GROUP BY 1""".stripMargin),
+
+    // q6 shape: items priced above their category average — the
+    // reference's correlated scalar AVG over the item dim (q6 uses
+    // 1.2x; the fixture's retail prices sit within ~1% of their type
+    // mean, so the premium band here is 1.005x = 201/200 — same shape,
+    // non-degenerate selectivity). The average lives entirely in the
+    // DIMENSION (part), so the threshold frame is a per-type aggregate
+    // of part alone — tiny, broadcast into the fact scan; the test is
+    // integer cross-multiplication.
+    sqlQ("ds_category_premium",
+      """WITH type_avg AS (
+        |  SELECT p_type AS t_type,
+        |    CAST(sum(CAST(round(p_retailprice * 100) AS BIGINT)) AS BIGINT) AS price_sum_c,
+        |    CAST(count(*) AS BIGINT) AS n_items
+        |  FROM part GROUP BY p_type)
+        |SELECT n_name, CAST(count(*) AS BIGINT) AS n_premium_lines,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS premium_revenue
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN type_avg ON p_type = t_type
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE CAST(round(p_retailprice * 100) AS BIGINT) * 200 * n_items > 201 * price_sum_c
+        |GROUP BY n_name""".stripMargin),
+
+    // q5/q77/q80 shape: per-channel profit-and-loss — sales and returns
+    // aggregated separately per (channel, location), FULL OUTER joined
+    // (a location can have returns with no sales in-window), then a
+    // ROLLUP over the joined frame for channel and grand totals.
+    // Exactly two fact passes (one per side), each ONE agg shuffle; the
+    // outer join and rollup run over dimension-bounded frames.
+    sqlQ("ds_channel_profit_rollup",
+      """WITH sales AS (
+        |  SELECT CASE WHEN l_linenumber = 1 THEN 'first_line'
+        |              WHEN l_linenumber <= 3 THEN 'mid_lines' ELSE 'tail_lines' END AS channel,
+        |    CAST(s_nationkey AS BIGINT) AS loc,
+        |    CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))) * 100) AS BIGINT) AS sales_c
+        |  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |  WHERE l_returnflag <> 'R' GROUP BY 1, 2),
+        |rets AS (
+        |  SELECT CASE WHEN l_linenumber = 1 THEN 'first_line'
+        |              WHEN l_linenumber <= 3 THEN 'mid_lines' ELSE 'tail_lines' END AS channel,
+        |    CAST(s_nationkey AS BIGINT) AS loc,
+        |    CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))) * 100) AS BIGINT) AS returns_c
+        |  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |  WHERE l_returnflag = 'R' GROUP BY 1, 2),
+        |j AS (
+        |  SELECT coalesce(s.channel, r.channel) AS channel, coalesce(s.loc, r.loc) AS loc,
+        |    coalesce(s.sales_c, 0) AS sales_c, coalesce(r.returns_c, 0) AS returns_c
+        |  FROM sales s FULL OUTER JOIN rets r ON s.channel = r.channel AND s.loc = r.loc)
+        |SELECT channel, loc,
+        |  CAST(grouping(channel) * 2 + grouping(loc) AS BIGINT) AS gid,
+        |  CAST(sum(sales_c) AS BIGINT) AS sales_c,
+        |  CAST(sum(returns_c) AS BIGINT) AS returns_c,
+        |  CAST(sum(sales_c) - sum(returns_c) AS BIGINT) AS profit_c
+        |FROM j GROUP BY ROLLUP (channel, loc)""".stripMargin),
+
+    // q50 shape: return-lag buckets — returned lines bucketed by how
+    // long after the order they shipped (30/60/90/120/120+ days), per
+    // supplier. The lag test is date-vs-date+INTERVAL (portable, no
+    // datediff dialect split); one fact-dim join and one agg shuffle,
+    // supplier broadcast.
+    sqlQ("ds_return_lag_buckets",
+      """SELECT s_name,
+        |  CAST(count(*) FILTER (WHERE l_shipdate <= o_orderdate + INTERVAL 30 DAY) AS BIGINT) AS d30,
+        |  CAST(count(*) FILTER (WHERE l_shipdate > o_orderdate + INTERVAL 30 DAY
+        |    AND l_shipdate <= o_orderdate + INTERVAL 60 DAY) AS BIGINT) AS d60,
+        |  CAST(count(*) FILTER (WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY
+        |    AND l_shipdate <= o_orderdate + INTERVAL 90 DAY) AS BIGINT) AS d90,
+        |  CAST(count(*) FILTER (WHERE l_shipdate > o_orderdate + INTERVAL 90 DAY
+        |    AND l_shipdate <= o_orderdate + INTERVAL 120 DAY) AS BIGINT) AS d120,
+        |  CAST(count(*) FILTER (WHERE l_shipdate > o_orderdate + INTERVAL 120 DAY) AS BIGINT) AS d120plus
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE l_returnflag = 'R'
+        |GROUP BY s_name""".stripMargin))
 }

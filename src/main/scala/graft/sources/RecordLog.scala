@@ -283,9 +283,13 @@ object RecordLog {
           // One regex shape-validates and splits core/fraction; the
           // zone-free core parses with an optional-seconds pattern; the
           // fraction is truncated to millis (MILLI_OF_DAY semantics).
+          // the [zone] suffix stands alone in ISO_DATE_TIME's grammar
+          // (optional offset THEN optional bracketed zone), so it is
+          // accepted after Z, after a numeric offset, or with no offset
+          // at all ("…T09:20:11Z[UTC]", "…T09:20:11[Europe/Paris]")
           val isoRe = "^(\\d{4}-\\d{2}-\\d{2}T\\d{2}:\\d{2}(?::\\d{2})?)" +
             "(?:(?<=:\\d{2}:\\d{2})\\.(\\d{1,9}))?" +
-            "(?:Z|[+-]\\d{2}(?::\\d{2}(?::\\d{2})?)?(?:\\[[^\\]]+\\])?)?$"
+            "(?:Z|[+-]\\d{2}(?::\\d{2}(?::\\d{2})?)?)?(?:\\[[^\\]]+\\])?$"
           val core = regexp_extract(raw, isoRe, 1)
           val frac = regexp_extract(raw, isoRe, 2)
           val baseTs = try_to_timestamp(core, lit("yyyy-MM-dd'T'HH:mm[:ss]"))

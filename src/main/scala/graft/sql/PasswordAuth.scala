@@ -109,11 +109,17 @@ object PasswordAuth {
     val users = java.nio.file.Files.readAllLines(java.nio.file.Paths.get(path))
       .asScala.map(_.trim).filter(l => l.nonEmpty && !l.startsWith("#"))
       .map { l =>
+        // hex shape is validated at LOAD: a malformed line must fail
+        // server start as "malformed credential line", not turn a login
+        // attempt into a 500 when hexBytes throws at verify time
+        def isHex(s: String) =
+          s.nonEmpty && s.length % 2 == 0 && s.forall(c => "0123456789abcdef".indexOf(c) >= 0)
         l.split(":").toSeq match {
           case Seq(u, "pbkdf2", iter, salt, hash)
-              if u.nonEmpty && iter.forall(_.isDigit) && salt.nonEmpty && hash.nonEmpty =>
+              if u.nonEmpty && iter.nonEmpty && iter.forall(_.isDigit) &&
+                isHex(salt.toLowerCase) && isHex(hash.toLowerCase) =>
             (u, Pbkdf2(iter.toInt, salt.toLowerCase, hash.toLowerCase): Credential)
-          case Seq(u, h) if u.nonEmpty && h.nonEmpty =>
+          case Seq(u, h) if u.nonEmpty && isHex(h.toLowerCase) =>
             (u, Sha256(h.toLowerCase): Credential)
           case _ => throw new IllegalArgumentException(s"malformed credential line: $l")
         }

@@ -491,8 +491,14 @@ object StatementServer {
       if (q.cancelled) throw new InterruptedException("Query was canceled by user")
       if (buf.nonEmpty) putSlot(PageSlot(buf.toSeq))
       putSlot(EndSlot)
-      q.state.set("FINISHED")
-      SystemTables.updateState(server.session, q.id, "FINISHED")
+      // Terminal transition under the query lock: an admin kill racing
+      // natural completion must not flip FINISHED->FAILED (doCancel
+      // re-checks state inside the same lock); conversely a kill that
+      // already recorded FAILED must not be overwritten to FINISHED here.
+      val finished = q.synchronized {
+        if (q.state.get() == "FAILED") false else { q.state.set("FINISHED"); true }
+      }
+      if (finished) SystemTables.updateState(server.session, q.id, "FINISHED")
     } catch {
       case t: Throwable =>
         // a DELETE-initiated job-group cancel lands here too; the
@@ -500,12 +506,14 @@ object StatementServer {
         // limit-enforcement kill surfaces its own PrestoException-shaped
         // text, not Spark's generic cancelled-job message. Under the
         // query lock: doCancel's first-error-wins check-then-act races
-        // this assignment otherwise.
+        // this assignment otherwise; state moves inside the same lock so
+        // a FINISHED query (exception thrown post-completion) is never
+        // demoted.
         q.synchronized {
           q.error = q.error.orElse(QueryLimits.errorFor(q.id))
             .orElse(Some(Option(t.getMessage).getOrElse(t.toString)))
+          if (q.state.get() != "FINISHED") q.state.set("FAILED")
         }
-        q.state.set("FAILED")
         SystemTables.updateState(server.session, q.id, "FAILED")
         q.pages.clear()
         while (!q.cancelled && !q.pages.offer(EndSlot)) q.pages.clear()
@@ -652,7 +660,13 @@ object StatementServer {
     */
   private def handleInfo(server: Server, ex: HttpExchange): Unit =
     try {
-      if (authGate(server, ex).isLeft) return
+      // read-only health probes are exempt from the auth gate: the
+      // reference skips authentication entirely on non-secure requests
+      // (AuthenticationFilter.java:68-71) and load-balancer/liveness
+      // checks hit GET /v1/info without credentials. The mutating PUT
+      // /v1/info/state (graceful-drain verb) still authenticates —
+      // stricter than the reference's plain-HTTP behavior, deliberately.
+      if (ex.getRequestMethod != "GET" && authGate(server, ex).isLeft) return
       val sub = ex.getRequestURI.getPath.stripPrefix("/v1/info")
         .split('/').filter(_.nonEmpty).toSeq
       (ex.getRequestMethod, sub) match {
@@ -690,7 +704,9 @@ object StatementServer {
     */
   private def handleStatus(server: Server, ex: HttpExchange): Unit =
     try {
-      if (authGate(server, ex).isLeft) return
+      // health probe: exempt from authGate like GET /v1/info (the
+      // reference skips auth on non-secure requests; Trino's equivalent
+      // resources are public) — read-only MXBean gauges, no query data
       val mem = java.lang.management.ManagementFactory.getMemoryMXBean
       val os = java.lang.management.ManagementFactory.getOperatingSystemMXBean
       val (procLoad, sysLoad) = os match {
@@ -940,9 +956,12 @@ object StatementServer {
       def taskJson(id: Int, statusOnly: Boolean): Option[String] =
         tracker.getStageInfo(id).map { s =>
           val taskId = s"stage-$id.${s.currentAttemptId}"
+          // completed-first: a stage that succeeded after per-task
+          // retries has numFailedTasks > 0 AND numCompletedTasks >=
+          // numTasks — it is FINISHED, not FAILED
           val state =
-            if (s.numFailedTasks > 0 && s.numActiveTasks == 0) "FAILED"
-            else if (s.numActiveTasks == 0 && s.numCompletedTasks >= s.numTasks) "FINISHED"
+            if (s.numActiveTasks == 0 && s.numCompletedTasks >= s.numTasks) "FINISHED"
+            else if (s.numFailedTasks > 0 && s.numActiveTasks == 0) "FAILED"
             else "RUNNING"
           val status = s"""{"taskId":${jsonString(taskId)},"state":${jsonString(state)},""" +
             s""""self":${jsonString(s"${server.baseUri}/v1/task/$id")},""" +
@@ -1025,13 +1044,23 @@ object StatementServer {
     * pair or both claim the win. */
   private def doCancel(server: Server, q: QueryExec, reason: String,
       errorName: String = "USER_CANCELED"): Boolean = {
-    SystemTables.killQuery(server.session, q.id) // job-group cancel + FAILED in the log
-    val won = q.synchronized {
-      q.state.set("FAILED")
-      val first = q.error.isEmpty
-      if (first) { q.error = Some(reason); q.errorName = Some(errorName) }
-      first
+    // Terminal transition is atomic with the worker's FINISHED set (same
+    // lock): a kill that loses the completion race sees FINISHED here and
+    // reports won=false (handleQueryInfo then 409s, the reference
+    // failQuery contract) instead of demoting a completed query.
+    val (finishedAlready, won) = q.synchronized {
+      if (q.state.get() == "FINISHED") (true, false)
+      else {
+        q.state.set("FAILED")
+        val first = q.error.isEmpty
+        if (first) { q.error = Some(reason); q.errorName = Some(errorName) }
+        (false, first)
+      }
     }
+    // job-group cancel + FAILED in the log — skipped when the query
+    // already finished (nothing to cancel; the log must not read FAILED
+    // for a query whose server state is FINISHED)
+    if (!finishedAlready) SystemTables.killQuery(server.session, q.id)
     q.done = true
     // poison first, then drain: the worker re-checks `cancelled` before
     // every bounded-queue hand-off, so it can never re-park after this

@@ -63,7 +63,12 @@ object VerifyConfig {
   private def runCorpus(spark: SparkSession, sfDir: String)
       : Map[String, Either[String, Array[Row]]] = {
     graft.engine.Engine.registerTables(spark, sfDir)
-    graft.SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // dev convenience mirroring Verify: SPARK_GRAFT_ONLY=prefix1,prefix2
+    // sweeps only matching queries (the driver never sets it)
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSeq)
+    graft.SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.exists(n.startsWith)) }
+      .map { case (name, fn) =>
       name -> (try Right(fn(spark, sfDir).collect().sortBy(sortKey))
         catch { case e: Throwable =>
           Left(Option(e.getMessage).getOrElse(e.toString).take(300)) })

@@ -251,6 +251,75 @@ class EngineSpecs extends AnyFunSuite with BeforeAndAfterAll {
     } finally caches.foreach(_.unpersist())
   }
 
+  test("TPC-DS round-16 shapes: rank-join fast path, semi+anti chain, distinct-probe single scan, hierarchy rollup, full-outer P&L") {
+    import org.apache.spark.sql.execution.adaptive.QueryStageExec
+    def countNodes(p: SparkPlan)(pred: SparkPlan => Boolean): Int = {
+      val self = if (pred(p)) 1 else 0
+      self + (p match {
+        case q: QueryStageExec => countNodes(q.plan)(pred)
+        case other => other.children.map(countNodes(_)(pred)).sum
+      })
+    }
+    // q44: both rank windows must hit the window-group-limit fast path
+    // (rk <= 10 prunes per-partition BEFORE the single-partition sort,
+    // so the global window never materializes the item aggregate), and
+    // both part lookups broadcast.
+    val bw = SparkEntry.queries("ds_best_worst_rank_join")(spark, sfDir)
+    val bwStr = planString(bw)
+    assert(bwStr.contains("WindowGroupLimit"),
+      "rank<=10 must prune per-partition before the global window")
+    assert(!bwStr.contains("CartesianProduct") && !bwStr.contains("BroadcastNestedLoop"))
+    assert(countNodes(executedPlan(bw))(_.nodeName.contains("BroadcastHashJoin")) >= 2,
+      "both part name lookups must broadcast")
+    // q16/q94: the EXISTS chain is semi, the NOT EXISTS is ANTI — both
+    // equi hash joins, no row duplication, no nested loop.
+    val sac = planString(SparkEntry.queries("ds_semi_anti_chain")(spark, sfDir))
+    assert(sac.contains("LeftSemi"), "EXISTS must plan as a left-semi join")
+    assert(sac.contains("LeftAnti"), "NOT EXISTS must plan as a left-anti join")
+    assert(!sac.contains("CartesianProduct") && !sac.contains("BroadcastNestedLoop"))
+    // q28: the folded band/distinct probe reads lineitem ONCE (the
+    // distinct rewrite Expands that one scan; it must not re-scan per
+    // band or per aggregate).
+    val bdp = executedPlan(SparkEntry.queries("ds_band_distinct_probe")(spark, sfDir))
+    assert(countNodes(bdp)(p =>
+        p.nodeName.contains("Scan") && p.toString.contains("lineitem")) == 1,
+      "all four bands x three aggregates must come from one lineitem scan")
+    assert(countNodes(bdp)(_.nodeName.contains("Expand")) >= 1,
+      "mixed distinct aggregates rewrite through Expand")
+    // q66: the 12-month pivot is ONE scan + ONE aggregate (partials
+    // below the exchange), supplier broadcasts.
+    val cmp = executedPlan(SparkEntry.queries("ds_carrier_month_pivot")(spark, sfDir))
+    assert(countNodes(cmp)(p =>
+        p.nodeName.contains("Scan") && p.toString.contains("lineitem")) == 1,
+      "the wide pivot must stay a single fact pass")
+    assert(countNodes(cmp)(_.nodeName.contains("BroadcastHashJoin")) >= 1,
+      "supplier must broadcast")
+    // q36/q70/q86: one Expand (the rollup), then rank within the
+    // hierarchy — no second fact scan for the subtotal levels.
+    val hr = executedPlan(SparkEntry.queries("ds_hierarchy_rank")(spark, sfDir))
+    assert(countNodes(hr)(_.nodeName.contains("Expand")) == 1,
+      "ROLLUP must be one Expand, not one aggregation pass per level")
+    assert(countNodes(hr)(p =>
+        p.nodeName.contains("Scan") && p.toString.contains("lineitem")) == 1)
+    // q5/q77/q80: the P&L join is a true FULL OUTER equi-join over the
+    // two channel aggregates, then ONE rollup Expand; never a cartesian.
+    val pnl = SparkEntry.queries("ds_channel_profit_rollup")(spark, sfDir)
+    val pnlStr = planString(pnl)
+    assert(pnlStr.contains("FullOuter"), "sales/returns must full-outer join")
+    assert(!pnlStr.contains("CartesianProduct") && !pnlStr.contains("BroadcastNestedLoop"))
+    assert(countNodes(executedPlan(pnl))(_.nodeName.contains("Expand")) == 1)
+    // q6: the category-average threshold frame is dimension-only —
+    // it must BROADCAST into the fact (with part/customer/nation),
+    // never shuffle the fact against it.
+    val cp = SparkEntry.queries("ds_category_premium")(spark, sfDir)
+    assert(!planString(cp).contains("CartesianProduct"))
+    assert(countNodes(executedPlan(cp))(_.nodeName.contains("BroadcastHashJoin")) >= 3,
+      "part, the type-average frame, and nation must broadcast")
+    // q32/q92: the fact-vs-own-aggregate threshold join stays equi.
+    val ed = planString(SparkEntry.queries("ds_excess_discount")(spark, sfDir))
+    assert(!ed.contains("CartesianProduct") && !ed.contains("BroadcastNestedLoop"))
+  }
+
   test("reliable-checkpoint knob: graft.checkpoint.reliable swaps every pin to DFS-backed checkpoints, results identical") {
     // The localCheckpoint idiom trades recomputability for plan
     // stability: executor-local blocks are gone if an executor dies
@@ -1180,6 +1249,10 @@ class EngineSpecs extends AnyFunSuite with BeforeAndAfterAll {
     decodes("iso8601", "\"2018-02-19T09:20:11.123456789\"", "2018-02-19 09:20:11.123")
     decodes("iso8601", "\"2018-02-19T09:20:11.5Z\"", "2018-02-19 09:20:11.5")
     decodes("iso8601", "\"2018-02-19T09:20:11+01:00[Europe/Paris]\"", "2018-02-19 09:20:11")
+    // the [zone] suffix is independent of the offset in ISO_DATE_TIME's
+    // grammar: legal after the literal Z and with no offset at all
+    decodes("iso8601", "\"2018-02-19T09:20:11Z[UTC]\"", "2018-02-19 09:20:11")
+    decodes("iso8601", "\"2018-02-19T09:20:11[Europe/Paris]\"", "2018-02-19 09:20:11")
     // TestISO8601JsonFieldDecoder.java:63-66 — invalid TIMESTAMP inputs,
     // reference error texts byte-for-byte
     raises("iso8601", "1", "could not parse value '1' as 'timestamp' for column 't'")

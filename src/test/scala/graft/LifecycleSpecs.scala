@@ -1116,6 +1116,15 @@ class LifecycleSpecs extends AnyFunSuite with BeforeAndAfterAll {
       (s"carol:${PasswordAuth.sha256Hex("carolpw")}\n" +
         "# comment line\n\n" +
         s"dave:${PasswordAuth.sha256Hex("davepw")}\n").getBytes("UTF-8"))
+    // a credential line whose hash is not even-length lowercase hex is
+    // rejected at LOAD (malformed line), never deferred to verify time
+    // where hexBytes would turn a login attempt into a 500
+    for (bad <- Seq("eve:nothex!!", "eve:abc", "eve:pbkdf2:1000:xyz:aabb")) {
+      val badFile = java.nio.file.Files.createTempFile("graft_pw_bad", ".txt")
+      java.nio.file.Files.write(badFile, s"$bad\n".getBytes("UTF-8"))
+      intercept[IllegalArgumentException](PasswordAuth.fromFile(badFile.toString))
+      java.nio.file.Files.delete(badFile)
+    }
     val server = graft.sql.StatementServer.start(spark)
     server.setPasswordAuthenticator(Some(PasswordAuth.fromFile(pwFile.toString)))
     val base = server.baseUri
@@ -1188,12 +1197,21 @@ class LifecycleSpecs extends AnyFunSuite with BeforeAndAfterAll {
       // endpoints, or use the admin verbs
       val carolH = Seq("Authorization" -> basic("carol", "carolpw"))
       for (p <- Seq("/v1/queryState", "/v1/cluster", "/v1/cluster/memory",
-          "/v1/memory", "/v1/info", "/v1/status", "/v1/node",
+          "/v1/memory", "/v1/node",
           "/v1/resourceGroupState/global")) {
         assert(httpSend("GET", s"$base$p")._1 == 401, s"anonymous GET $p must 401")
         assert(httpSend("GET", s"$base$p", headers = carolH)._1 == 200,
           s"authenticated GET $p must pass")
       }
+      // read-only health probes stay open (the reference skips auth on
+      // non-secure requests entirely, AuthenticationFilter.java:68-71;
+      // load balancers probe /v1/info uncredentialed) — but the mutating
+      // drain verb PUT /v1/info/state still authenticates
+      for (p <- Seq("/v1/info", "/v1/status", "/v1/info/state", "/v1/info/coordinator")) {
+        assert(httpSend("GET", s"$base$p")._1 == 200, s"anonymous GET $p is a health probe")
+      }
+      assert(httpSend("PUT", s"$base/v1/info/state", Some("\"SHUTTING_DOWN\""))._1 == 401,
+        "anonymous PUT /v1/info/state (drain) must 401")
       assert(httpSend("PUT", s"$base/v1/query/any/killed", Some("x"))._1 == 401)
       // FINISHED-but-undrained query: the admin verb 409s (reference
       // failQuery rejects ANY terminal state; q.done alone is not the
