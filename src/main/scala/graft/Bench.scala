@@ -77,6 +77,16 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Dev knob: GRAFT_SESSION_CONF=k=v,k=v applies session confs (e.g.
+    // graft.checkpoint.reliable=true) — lets an isolated-child run
+    // profile a query under a non-default engine mode. Driver never
+    // sets it.
+    sys.env.get("GRAFT_SESSION_CONF").foreach(_.split(",").foreach { kv =>
+      kv.split("=", 2) match {
+        case Array(k, v) if k.nonEmpty => spark.conf.set(k, v)
+        case _ => ()
+      }
+    })
     spark
   }
 

@@ -95,6 +95,18 @@ object TpcdsShapeQueries extends QueryModule {
     * divisions of exact cents. */
   private[graft] def shareOfGrowthPlan(s: SparkSession): (DataFrame, Seq[DataFrame]) = {
     import s.implicits._
+    // Plan note (r16 ×100 probe): the sf1→sf10 CPU step (×14.5/decade)
+    // is the broadcast→shuffle TRANSITION on the lineitem-orders join —
+    // at sf1 orders-1995 broadcasts (zero fact shuffles), past the
+    // threshold the fact legitimately shuffles on orderkey. Two
+    // pre-aggregation-through-join rewrites were measured and REJECTED:
+    // grouping lines by (orderkey, flag) keys the agg exchange off the
+    // join key (second full-fact shuffle, 4.5× worse at sf10), and a
+    // flag-pivoted per-orderkey aggregate reuses the join distribution
+    // but pays a ~6M-key hash table that costs more than shuffling the
+    // narrow raw rows (×2 worse at sf10). Same-plan-either-side scaling
+    // (broadcast disabled at BOTH SFs) measures ×7.7 CPU/decade —
+    // linear; the step is a one-time plan transition, not an asymptote.
     val cents =
       round(sum($"l_extendedprice".cast("decimal(18,2)")) * 100).cast("long")
     val sales = s.table("lineitem")

@@ -385,6 +385,8 @@ object RecordLog {
       case "DOUBLE" => DoubleType
       case "BOOLEAN" => BooleanType
       case "STRING" | "VARCHAR" => StringType
+      case "TIMESTAMP" => TimestampType
+      case "DATE" => DateType
       case other => throw new IllegalArgumentException(s"unsupported avro target type: $other")
     }
     val outSchema = StructType(
@@ -397,8 +399,32 @@ object RecordLog {
     }
     df.mapPartitions { it =>
       // Reader schema parsed once per partition, not per row/field.
-      val reader = new GenericDatumReader[GenericRecord](
-        AvroSchemas.parse(readerSchemaJson))
+      val parsedSchema = AvroSchemas.parse(readerSchemaJson)
+      val reader = new GenericDatumReader[GenericRecord](parsedSchema)
+      // Avro logical types (timestamp-millis / timestamp-micros / date)
+      // are schema annotations on the primitive long/int — resolve each
+      // requested path's annotation once per partition so TIMESTAMP/DATE
+      // targets decode the annotated unit (the reference's Kafka avro
+      // column decoders surface these logical temporal types; a bare
+      // long decoding to TIMESTAMP defaults to millis).
+      def unwrapUnion(s: org.apache.avro.Schema): org.apache.avro.Schema =
+        if (s.getType == org.apache.avro.Schema.Type.UNION) {
+          import scala.jdk.CollectionConverters._
+          s.getTypes.asScala.find(_.getType != org.apache.avro.Schema.Type.NULL).getOrElse(s)
+        } else s
+      def logicalTypeAt(path: Seq[String]): Option[String] = {
+        var s = parsedSchema
+        path.foreach { step =>
+          s = unwrapUnion(s)
+          if (s.getType != org.apache.avro.Schema.Type.RECORD) return None
+          val f = s.getField(step)
+          if (f == null) return None
+          s = f.schema()
+        }
+        Option(unwrapUnion(s).getProp("logicalType"))
+      }
+      val logicals: Seq[Option[String]] =
+        fieldSpecs.map { case (path, _) => logicalTypeAt(path) }
       def navigate(rec: GenericRecord, path: Seq[String]): Any = {
         var cur: Any = rec
         path.foreach { step =>
@@ -409,7 +435,7 @@ object RecordLog {
         }
         cur
       }
-      def convert(v: Any, tpe: String): Any = tpe match {
+      def convert(v: Any, tpe: String, logical: Option[String]): Any = tpe match {
         case "LONG" | "BIGINT" => v match {
           case n: Number => java.lang.Long.valueOf(n.longValue()); case _ => null
         }
@@ -417,6 +443,24 @@ object RecordLog {
           case n: Number => java.lang.Double.valueOf(n.doubleValue()); case _ => null
         }
         case "BOOLEAN" => v match { case b: java.lang.Boolean => b; case _ => null }
+        case "TIMESTAMP" => v match {
+          case n: Number =>
+            val x = n.longValue()
+            val instant =
+              if (logical.contains("timestamp-micros"))
+                java.time.Instant.ofEpochSecond(
+                  java.lang.Math.floorDiv(x, 1000000L),
+                  java.lang.Math.floorMod(x, 1000000L) * 1000L)
+              else java.time.Instant.ofEpochMilli(x) // timestamp-millis or bare long
+            java.sql.Timestamp.from(instant) // RowEncoder's TimestampType external type
+          case _ => null
+        }
+        case "DATE" => v match {
+          // valueOf(LocalDate) + fromJavaDate round-trip through the JVM
+          // zone consistently: the y/m/d fields survive unchanged
+          case n: Number => java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(n.longValue()))
+          case _ => null
+        }
         case _ => if (v == null) null else v.toString
       }
       it.map { row =>
@@ -429,8 +473,8 @@ object RecordLog {
               new java.io.ByteArrayInputStream(bytes), reader)
             try { if (dfs.hasNext) dfs.next() else null } finally dfs.close()
           }
-        val extracted = fieldSpecs.map { case (path, tpe) =>
-          if (rec == null) null else convert(navigate(rec, path), tpe)
+        val extracted = fieldSpecs.zip(logicals).map { case ((path, tpe), logical) =>
+          if (rec == null) null else convert(navigate(rec, path), tpe, logical)
         }
         Row.fromSeq(row.toSeq ++ extracted)
       }

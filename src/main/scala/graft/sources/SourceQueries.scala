@@ -474,6 +474,11 @@ object SourceQueries extends QueryModule {
     // GenericDatumReader): same log-coordinate fixture as
     // src_kafka_decoder but avro-container payloads with a nested
     // record, scanned over the complementary offset range [0, 99].
+    // Logical temporal types ride the same container (r16): ts is a
+    // long annotated timestamp-millis, tus the SAME instant +0.25 s as
+    // timestamp-micros, day an int annotated date — decoded to
+    // TIMESTAMP/TIMESTAMP/DATE columns; n_consistent pins the
+    // micros-vs-millis unit handling row by row (a unit bug zeroes it).
     Q("src_kafka_avro",
       """WITH base AS (SELECT o_orderkey, o_custkey FROM orders ORDER BY o_orderkey LIMIT 4000),
         |log AS (SELECT o_orderkey % 4 AS p,
@@ -481,7 +486,11 @@ object SourceQueries extends QueryModule {
         |    o_orderkey AS k, o_custkey AS ck FROM base)
         |SELECT CAST(p AS BIGINT) AS partition_id, CAST(count(*) AS BIGINT) AS n,
         |  CAST(sum(k) AS BIGINT) AS key_sum, CAST(sum(ck) AS BIGINT) AS cust_sum,
-        |  CAST(max(off) AS BIGINT) AS max_off
+        |  CAST(max(off) AS BIGINT) AS max_off,
+        |  min(epoch_ms(800000000000 + k * 1000)) AS min_ts,
+        |  max(epoch_ms(800000000000 + k * 1000) + INTERVAL '0.25' SECOND) AS max_ts,
+        |  max(CAST(DATE '1970-01-01' + CAST(k % 20000 AS INTEGER) AS TIMESTAMP)) AS max_day,
+        |  CAST(count(*) AS BIGINT) AS n_consistent
         |FROM log WHERE off <= 99
         |GROUP BY p ORDER BY partition_id""".stripMargin) { (s, _) =>
       val dir = "tmp/graft_recordlog_avro"
@@ -489,6 +498,9 @@ object SourceQueries extends QueryModule {
       val schemaJson =
         """{"type":"record","name":"msg","fields":[
           |  {"name":"k","type":"long"},
+          |  {"name":"ts","type":{"type":"long","logicalType":"timestamp-millis"}},
+          |  {"name":"tus","type":{"type":"long","logicalType":"timestamp-micros"}},
+          |  {"name":"day","type":{"type":"int","logicalType":"date"}},
           |  {"name":"d","type":{"type":"record","name":"dim","fields":[
           |    {"name":"ck","type":"long"}]}}]}""".stripMargin
       val slice = s.table("orders").select("o_orderkey", "o_custkey")
@@ -497,7 +509,12 @@ object SourceQueries extends QueryModule {
         val recs = slice.filter(_.getLong(0) % 4 == p).sortBy(_.getLong(0))
           .zipWithIndex.map { case (r, i) =>
             val payload = RecordLog.avroDataFile(schemaJson) { rec =>
-              rec.put("k", r.getLong(0))
+              val k = r.getLong(0)
+              rec.put("k", k)
+              val ms = 800000000000L + k * 1000L
+              rec.put("ts", ms)                       // millis-unit long
+              rec.put("tus", ms * 1000L + 250000L)    // micros-unit long, +0.25 s
+              rec.put("day", (k % 20000L).toInt)      // epoch days
               val d = new org.apache.avro.generic.GenericData.Record(
                 graft.sources.AvroSchemas.parse(schemaJson).getField("d").schema())
               d.put("ck", r.getLong(1))
@@ -509,10 +526,21 @@ object SourceQueries extends QueryModule {
       }
       val scanned = RecordLog.readTopic(s, dir, "orders", offsetMin = 0, offsetMax = 99)
       RecordLog.decodeAvro(scanned, schemaJson,
-          Seq(("k", "k", "LONG"), ("ck", "d/ck", "LONG")))
+          Seq(("k", "k", "LONG"), ("ck", "d/ck", "LONG"),
+            ("t_ms", "ts", "TIMESTAMP"), ("t_us", "tus", "TIMESTAMP"),
+            ("d_day", "day", "DATE")))
+        .withColumn("consistent",
+          col("t_us") === col("t_ms") + expr("INTERVAL '0.25' SECOND"))
         .groupBy(col("_partition_id").as("partition_id"))
         .agg(count(lit(1)).as("n"), sum("k").as("key_sum"), sum("ck").as("cust_sum"),
-          max("_partition_offset").as("max_off"))
+          max("_partition_offset").as("max_off"),
+          min("t_ms").as("min_ts"), max("t_us").as("max_ts"),
+          // projected as midnight TIMESTAMP: DuckDB DATEs come back to
+          // the comparator as datetime64 anyway, and no oracle query
+          // emits a raw DATE column (pandas dtype split); the DateType
+          // decode itself is exercised by the max over decoded days
+          max("d_day").cast("timestamp").as("max_day"),
+          sum(when(col("consistent"), 1L).otherwise(0L)).as("n_consistent"))
         .orderBy("partition_id")
     },
 

@@ -139,8 +139,13 @@ object ResourceGroups {
 
   final case class Config(rootGroups: Seq[GroupSpec], selectors: Seq[Selector])
 
-  /** Runtime counters of one concrete (template-expanded) group. */
-  private final class GroupState(val id: String, val spec: GroupSpec) {
+  /** Runtime counters of one concrete (template-expanded) group. `spec`
+    * is a var: a hot reload re-points live groups at their new limits
+    * in place, counters intact (the reference's
+    * configureChangedGroups — DbResourceGroupConfigurationManager
+    * reconfigures existing InternalResourceGroups rather than
+    * recreating them). Reads/writes under the manager lock. */
+  private final class GroupState(val id: String, var spec: GroupSpec) {
     var running: Int = 0
     var queued: Int = 0
   }
@@ -159,7 +164,7 @@ object ResourceGroups {
     val Queued = 0; val Promoted = 1; val Disabled = 2
   }
 
-  private final class Manager(val config: Config) {
+  private final class Manager(@volatile var config: Config) {
     val lock = new Object
     val states = scala.collection.mutable.Map.empty[String, GroupState]
     val waiters = new java.util.ArrayDeque[Waiter]()
@@ -214,6 +219,87 @@ object ResourceGroups {
 
   def configure(spark: SparkSession, config: Config): Unit =
     managers.put(spark, new Manager(config))
+
+  /** HOT reload (DbResourceGroupConfigurationManager.load semantics,
+    * DbResourceGroupConfigurationManager.java:193-247): swap selectors
+    * and group limits WITHOUT a restart and WITHOUT dropping live
+    * counters. Every instantiated group whose template survives is
+    * re-pointed at its new spec in place (running/queued intact — the
+    * reference reconfigures existing InternalResourceGroups, it never
+    * recreates them); groups whose template was deleted are dropped if
+    * idle and frozen (old limits, no new routing — selectors no longer
+    * name them) while draining otherwise; raised concurrency limits
+    * promote parked waiters immediately. Falls back to configure()
+    * when no manager is installed. */
+  def reconfigure(spark: SparkSession, config: Config): Unit = {
+    val m = managers.get(spark)
+    if (m == null) { configure(spark, config); return }
+    m.lock.synchronized {
+      m.config = config
+      val dead = Seq.newBuilder[String]
+      m.states.foreach { case (id, st) =>
+        specForId(config, id) match {
+          case Some(sp) => st.spec = sp
+          case None => if (st.running == 0 && st.queued == 0) dead += id
+        }
+      }
+      dead.result().foreach(m.states.remove)
+      promoteLocked(m)
+    }
+  }
+
+  /** Resolve a concrete instantiated group id against a (possibly new)
+    * config tree: a segment matches its spec by exact name or by being
+    * an expansion of a `${USER}`/`${SOURCE}` template at that level
+    * (exact wins — mirrors pathFor's resolution order). */
+  private def specForId(config: Config, id: String): Option[GroupSpec] = {
+    var specs = config.rootGroups
+    var found: Option[GroupSpec] = None
+    id.split('.').foreach { seg =>
+      specs.find(_.name == seg).orElse(specs.find(_.name.contains("${"))) match {
+        case Some(s) => found = Some(s); specs = s.subGroups
+        case None => return None
+      }
+    }
+    found
+  }
+
+  /** File-based hot reload: installs the config at `jsonPath` and polls
+    * its mtime (default every second — the reference's
+    * configExecutor.scheduleWithFixedDelay(this::load, 1, 1, SECONDS)),
+    * re-parsing and [[reconfigure]]-ing on change. A malformed edit
+    * keeps the previous configuration running (the reference logs the
+    * load error and retains the last good spec). Returns a handle that
+    * stops the watcher; the daemon thread never outlives it. */
+  def watch(spark: SparkSession, jsonPath: String,
+      intervalMs: Long = 1000L): AutoCloseable = {
+    configure(spark, jsonPath)
+    val p = java.nio.file.Paths.get(jsonPath)
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    @volatile var lastStamp =
+      try java.nio.file.Files.getLastModifiedTime(p).toMillis catch { case _: Throwable => 0L }
+    val t = new Thread(() => {
+      while (!stop.get()) {
+        try {
+          Thread.sleep(intervalMs)
+          val stamp = java.nio.file.Files.getLastModifiedTime(p).toMillis
+          if (stamp != lastStamp) {
+            lastStamp = stamp
+            reconfigure(spark, parseConfig(new String(
+              java.nio.file.Files.readAllBytes(p),
+              java.nio.charset.StandardCharsets.UTF_8)))
+          }
+        } catch {
+          case _: InterruptedException => // stop() interrupting the sleep
+          case t: Throwable => // malformed edit or transient IO: keep last good config
+            System.err.println(s"[resource-groups] reload of $jsonPath failed: ${t.getMessage}")
+        }
+      }
+    }, s"graft-rg-watch-${p.getFileName}")
+    t.setDaemon(true)
+    t.start()
+    () => { stop.set(true); t.interrupt() }
+  }
 
   /** Remove admission control (the default: every query runs at once).
     * Parked waiters are drained and admitted as no-op permits — tearing

@@ -686,6 +686,63 @@ class LifecycleSpecs extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("resource groups hot reload: a config-file edit re-points live limits and promotes parked waiters, no restart") {
+    // DbResourceGroupConfigurationManager.load() semantics: the watcher
+    // re-reads the file, existing instantiated groups keep their
+    // counters but take the new limits, and a raised concurrency limit
+    // admits parked waiters immediately.
+    def cfg(limit: Int) =
+      s"""{"rootGroups":[{"name":"global","hardConcurrencyLimit":$limit,"maxQueued":10}],
+         | "selectors":[{"group":"global"}]}""".stripMargin
+    val f = java.nio.file.Files.createTempFile("graft_rg_reload", ".json")
+    java.nio.file.Files.write(f, cfg(1).getBytes("UTF-8"))
+    val handle = ResourceGroups.watch(spark, f.toString, intervalMs = 100)
+    val server = graft.sql.StatementServer.start(spark)
+    try {
+      // occupy the single slot, park a second acquire on another thread
+      val p1 = ResourceGroups.acquire(spark, "alice", "cli")
+      val admitted = new java.util.concurrent.CountDownLatch(1)
+      @volatile var p2: ResourceGroups.Permit = null
+      val t2 = new Thread(() => {
+        p2 = ResourceGroups.acquire(spark, "bob", "cli")
+        admitted.countDown()
+      })
+      t2.start()
+      val qDl = System.currentTimeMillis() + 10000
+      def row() = PrestoSql.sql(spark,
+        "SELECT running, queued, hard_concurrency_limit " +
+          "FROM system.runtime.resource_groups WHERE group_id = 'global'").head()
+      while ({ val r = row(); r.getInt(1) != 1 } && System.currentTimeMillis() < qDl)
+        Thread.sleep(50)
+      assert((row().getInt(0), row().getInt(1), row().getInt(2)) == ((1, 1, 1)),
+        "one running, one queued, limit 1 before the edit")
+      val before = json(httpSend("GET",
+        s"${server.baseUri}/v1/resourceGroupState/global")._2)
+      assert(before.get("hardConcurrencyLimit").asInt() == 1)
+      // EDIT the file (mtime bumped explicitly — same-millisecond writes
+      // are invisible to a stamp poll) and wait for the watcher
+      java.nio.file.Files.write(f, cfg(3).getBytes("UTF-8"))
+      java.nio.file.Files.setLastModifiedTime(f,
+        java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis() + 2000))
+      assert(admitted.await(10, java.util.concurrent.TimeUnit.SECONDS),
+        "raising the limit must promote the parked waiter without any release")
+      val after = row()
+      assert((after.getInt(0), after.getInt(1), after.getInt(2)) == ((2, 0, 3)),
+        s"post-reload: counters intact, limit re-pointed in place: $after")
+      val rest = json(httpSend("GET",
+        s"${server.baseUri}/v1/resourceGroupState/global")._2)
+      assert(rest.get("hardConcurrencyLimit").asInt() == 3 &&
+        rest.get("numRunningQueries").asInt() == 2,
+        "REST surface reflects the reloaded limits without a restart")
+      p1.release(); if (p2 != null) p2.release()
+      t2.join(5000)
+    } finally {
+      handle.close()
+      server.stop()
+      ResourceGroups.disable(spark)
+    }
+  }
+
   // ---- X-Presto-Time-Zone: the session zone over the wire ----
 
   test("HTTP time zone: concurrent clients with different zone headers get their own renderings") {
