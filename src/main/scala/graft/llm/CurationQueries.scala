@@ -445,7 +445,6 @@ object CurationQueries extends QueryModule {
         |  CAST(CASE WHEN page_kept THEN coalesce(n_final, 0) ELSE 0 END AS BIGINT) AS n_final,
         |  CASE WHEN page_kept THEN coalesce(clean_text, '') ELSE '' END AS clean_text
         |FROM p LEFT JOIN fin ON p.doc_id = fin.doc_id""".stripMargin) { (s, _) =>
-      import org.apache.spark.sql.expressions.Window
       val d = col("doc_id")
       def optLine(cond: Column, line: String): Column =
         when(cond, array(lit(line))).otherwise(array().cast("array<string>"))
@@ -467,19 +466,34 @@ object CurationQueries extends QueryModule {
         (l.endsWith(".") || l.endsWith("!") || l.endsWith("?")) &&
           size(split(l, " ", -1)) >= 3 && !l.contains("javascript"))
       val page = array_join(lines, "\n")
-      val docs = s.table("documents").select(d,
-        size(lines).as("n_lines"), size(kept).as("n_kept"), kept.as("kept"),
-        (!page.contains("lorem ipsum") && !page.contains("{") &&
-          size(kept) >= 5).as("page_kept"))
+      // r16: doc-keyed exchange BEFORE the line-build kernel (the
+      // fixture's single parquet file scans as ONE task — the
+      // kn-trigram/video-dedup lesson), and the built frame is PINNED:
+      // three consumers (sent, the span stream, the final join) would
+      // otherwise each re-run the whole split/transform/filter kernel.
+      val docs = s.table("documents").select(d, col("text"))
+        .repartition(d).select(d,
+          size(lines).as("n_lines"), size(kept).as("n_kept"), kept.as("kept"),
+          (!page.contains("lorem ipsum") && !page.contains("{") &&
+            size(kept) >= 5).as("page_kept"))
+        .pinned()
       val sent = docs.filter(col("page_kept"))
         .select(col("doc_id"), posexplode(col("kept")))
         .select(col("doc_id"), (col("pos") + 1).as("idx"), col("col").as("s"))
-      val wd = Window.partitionBy("doc_id").orderBy("idx")
-      val sp = sent
-        .withColumn("s1", lead("s", 1).over(wd)).withColumn("s2", lead("s", 2).over(wd))
-        .filter(col("s2").isNotNull)
-        .select(col("doc_id"), col("idx"),
-          xxhash64(concat_ws(" ", col("s"), col("s1"), col("s2"))).as("sh"))
+      // r16: spans are built MAP-SIDE from the kept array (page_kept
+      // implies >= 5 sentences, so the 1..n-2 sequence is never empty or
+      // descending). The previous lead()-window formulation shuffled and
+      // sorted the whole sentence stream by doc_id just to look two rows
+      // ahead inside an array the row already carries — one Exchange +
+      // Sort gone from the largest intermediate (guide §2.4).
+      val sp = docs.filter(col("page_kept"))
+        .select(col("doc_id"), posexplode(transform(
+          sequence(lit(1), size(col("kept")) - 2),
+          i => xxhash64(concat_ws(" ",
+            element_at(col("kept"), i),
+            element_at(col("kept"), i + 1),
+            element_at(col("kept"), i + 2))))))
+        .select(col("doc_id"), (col("pos") + 1).as("idx"), col("col").as("sh"))
       val firsts = sp.groupBy("sh").agg(min(struct(col("doc_id"), col("idx"))).as("fk"))
       val dupCover = sp.join(firsts, "sh")
         .filter(struct(col("doc_id"), col("idx")) =!= col("fk"))
@@ -976,7 +990,12 @@ object CurationQueries extends QueryModule {
         if (n == 0L) (Double.NegativeInfinity, Double.NegativeInfinity)
         else {
           val eps = 5e-7
-          val Fan = 16 // 15 interior probes per tercile per pass
+          // r16: Fan 16 -> 64. Each pass is one linear scan of the cached
+          // scores whatever the fan, so a wider fan trades a few cheap
+          // codegen'd comparisons per row for fewer sequential passes
+          // (log_Fan(range/eps): ~6 passes at 16, ~4 at 64) — the loop is
+          // wall-bound on pass count, not on per-row compare cost.
+          val Fan = 64 // 63 interior probes per tercile per pass
           val mm = sp.agg(min("surprise"), max("surprise")).collect()(0)
           val (lo0, hi0) = (mm.getDouble(0) - 1e-6, mm.getDouble(1))
           var (lo1, hi1) = (lo0, hi0)

@@ -177,7 +177,11 @@ object ShapeQueries extends QueryModule {
       """SELECT true AS ids_unique""".stripMargin) { (s, _) =>
       import s.implicits._
       val df = s.table("lineitem").withColumn("uid", monotonically_increasing_id())
-      val n = df.count()
+      // r16: row count from the bare table (parquet metadata count-star;
+      // the previous df.count() re-ran the id projection because the
+      // non-deterministic column blocks pruning) — one full scan+project
+      // saved; the distinct pass is the actual property under test.
+      val n = s.table("lineitem").count()
       val d = df.select("uid").distinct().count()
       Seq(n == d).toDF("ids_unique")
     },

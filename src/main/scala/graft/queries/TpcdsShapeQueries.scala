@@ -40,8 +40,11 @@ object TpcdsShapeQueries extends QueryModule {
       li.filter($"l_returnflag" === flag).select($"l_partkey")
     val cross = itemsOf("A").intersect(itemsOf("N")).intersect(itemsOf("R"))
       .withColumnRenamed("l_partkey", "item").cache()
-    val cents =
-      round(sum($"l_extendedprice".cast("decimal(18,2)")) * 100).cast("long")
+    // integer-cents accumulator: a DECIMAL(28,2) sum buffer exceeds the
+    // 18-digit compact threshold and every update takes the slow bytes
+    // path (measured 10-60x CPU on 500k-group aggregates this round);
+    // per-row round(price*100) is exact for the 2dp fixture values.
+    val cents = sum(round($"l_extendedprice" * 100).cast("long"))
     val stats = li.agg(cents.as("total_c"), count(lit(1)).cast("long").as("cnt"))
       .cache() // one-row threshold: built once, joined into all three branches
     def branch(flag: String, label: String) =
@@ -79,7 +82,8 @@ object TpcdsShapeQueries extends QueryModule {
         col("o_orderkey") === multiReturned("l_orderkey"), "left_semi")
       .groupBy(year(col("o_orderdate")).as("yr"))
       .agg(count(lit(1)).cast("long").as("n_orders"),
-        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("total_price")),
+        (sum(round(col("o_totalprice") * 100).cast("long")).cast("double") / 100)
+          .as("total_price")),
       Seq(multiSupp))
   }
 
@@ -108,7 +112,7 @@ object TpcdsShapeQueries extends QueryModule {
     // (broadcast disabled at BOTH SFs) measures ×7.7 CPU/decade —
     // linear; the step is a one-time plan transition, not an asymptote.
     val cents =
-      round(sum($"l_extendedprice".cast("decimal(18,2)")) * 100).cast("long")
+      sum(round($"l_extendedprice" * 100).cast("long")) // integer-cents: see crossChannelPlan
     val sales = s.table("lineitem")
       .join(s.table("orders"), $"l_orderkey" === $"o_orderkey")
       .join(s.table("customer"), $"o_custkey" === $"c_custkey")
@@ -158,13 +162,13 @@ object TpcdsShapeQueries extends QueryModule {
     // shuffle on the expanded grouping columns (not one agg per level);
     // the rk <= 5 predicate must hit Spark's InferWindowGroupLimit fast
     // path so no partition is fully materialized. Rank order is total:
-    // exact decimal sums, then gid/p_type/p_size (NULLS FIRST pinned —
+    // exact integer sums, then gid/p_type/p_size (NULLS FIRST pinned —
     // Spark and DuckDB default null order differ).
     sqlQ("ds_rollup_topk",
       """WITH agg AS (
         |  SELECT p_brand, p_type, p_size,
         |    CAST(grouping(p_brand) * 4 + grouping(p_type) * 2 + grouping(p_size) AS BIGINT) AS gid,
-        |    sum(CAST(l_quantity AS DECIMAL(18,2))) AS qty,
+        |    sum(CAST(l_quantity AS BIGINT)) AS qty,
         |    CAST(count(*) AS BIGINT) AS n
         |  FROM lineitem JOIN part ON l_partkey = p_partkey
         |  GROUP BY ROLLUP (p_brand, p_type, p_size))
@@ -185,7 +189,7 @@ object TpcdsShapeQueries extends QueryModule {
     sqlQ("ds_date_multiway",
       """SELECT n_name, year(o_orderdate) AS yr,
         |  CAST(count(*) AS BIGINT) AS late_lines,
-        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) / 100 AS revenue
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
         |JOIN part ON l_partkey = p_partkey
@@ -205,7 +209,7 @@ object TpcdsShapeQueries extends QueryModule {
     sqlQ("ds_moving_avg",
       """WITH monthly AS (
         |  SELECT p_brand, year(l_shipdate) AS yr, month(l_shipdate) AS mo,
-        |    CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) * 100 AS BIGINT) AS qty_c
+        |    CAST(sum(CAST(l_quantity AS BIGINT)) * 100 AS BIGINT) AS qty_c
         |  FROM lineitem JOIN part ON l_partkey = p_partkey
         |  GROUP BY p_brand, year(l_shipdate), month(l_shipdate)),
         |w AS (
@@ -246,16 +250,16 @@ object TpcdsShapeQueries extends QueryModule {
     sqlQ("ds_channel_union",
       """WITH channels AS (
         |  SELECT 'first_line' AS channel, year(l_shipdate) AS yr,
-        |    CAST(l_extendedprice AS DECIMAL(18,2)) AS amount
+        |    CAST(round(l_extendedprice * 100) AS BIGINT) AS amount_c
         |  FROM lineitem WHERE l_linenumber = 1
         |  UNION ALL
-        |  SELECT 'mid_lines', year(l_shipdate), CAST(l_extendedprice AS DECIMAL(18,2))
+        |  SELECT 'mid_lines', year(l_shipdate), CAST(round(l_extendedprice * 100) AS BIGINT)
         |  FROM lineitem WHERE l_linenumber IN (2, 3)
         |  UNION ALL
-        |  SELECT 'tail_lines', year(l_shipdate), CAST(l_extendedprice AS DECIMAL(18,2))
+        |  SELECT 'tail_lines', year(l_shipdate), CAST(round(l_extendedprice * 100) AS BIGINT)
         |  FROM lineitem WHERE l_linenumber >= 4)
         |SELECT channel, yr, CAST(count(*) AS BIGINT) AS n,
-        |  CAST(sum(amount) AS DOUBLE) AS amt
+        |  CAST(sum(amount_c) AS DOUBLE) / 100 AS amt
         |FROM channels GROUP BY channel, yr""".stripMargin),
 
     // q34 shape: per-ticket item counts -> a count band -> join back to
@@ -282,12 +286,12 @@ object TpcdsShapeQueries extends QueryModule {
     sqlQ("ds_cumulative_compare",
       """WITH a AS (
         |  SELECT p_brand, l_shipdate AS d,
-        |    CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))) * 100) AS BIGINT) AS rev_c
+        |    sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS rev_c
         |  FROM lineitem JOIN part ON l_partkey = p_partkey
         |  WHERE l_returnflag = 'A' GROUP BY p_brand, l_shipdate),
         |r AS (
         |  SELECT p_brand, l_shipdate AS d,
-        |    CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))) * 100) AS BIGINT) AS rev_c
+        |    sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS rev_c
         |  FROM lineitem JOIN part ON l_partkey = p_partkey
         |  WHERE l_returnflag = 'R' GROUP BY p_brand, l_shipdate),
         |ac AS (SELECT p_brand, d,
@@ -313,7 +317,7 @@ object TpcdsShapeQueries extends QueryModule {
     // rewrite would).
     sqlQ("ds_reachability_semi",
       """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders,
-        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100 AS total
         |FROM orders
         |WHERE EXISTS (
         |    SELECT 1 FROM lineitem l1
@@ -341,7 +345,7 @@ object TpcdsShapeQueries extends QueryModule {
         |  WHERE cnt > (SELECT avg(cnt) FROM counts)),
         |spend AS (
         |  SELECT o_custkey,
-        |    CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))) * 100) AS BIGINT) AS cents
+        |    sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS cents
         |  FROM lineitem
         |  JOIN orders ON l_orderkey = o_orderkey
         |  WHERE l_partkey IN (SELECT l_partkey FROM freq)
@@ -378,7 +382,7 @@ object TpcdsShapeQueries extends QueryModule {
     // the Expand multiplies the fact ONCE (one shuffle on the expanded
     // keys, partial aggs below it), NOT one aggregation pass per level,
     // so adding rollup depth adds rows-in-flight, never extra fact
-    // scans. Rank order is total (exact decimal sums, then gid + every
+    // scans. Rank order is total (exact integer sums, then gid + every
     // grouping column, NULLS FIRST pinned).
     sqlQ("ds_wide_rollup_rank",
       """WITH agg AS (
@@ -387,7 +391,7 @@ object TpcdsShapeQueries extends QueryModule {
         |    CAST(grouping(p_brand) * 32 + grouping(p_type) * 16 +
         |         grouping(year(l_shipdate)) * 8 + grouping(quarter(l_shipdate)) * 4 +
         |         grouping(month(l_shipdate)) * 2 + grouping(o_orderpriority) AS BIGINT) AS gid,
-        |    sum(CAST(l_quantity AS DECIMAL(18,2))) AS qty,
+        |    sum(CAST(l_quantity AS BIGINT)) AS qty,
         |    CAST(count(*) AS BIGINT) AS n
         |  FROM lineitem
         |  JOIN part ON l_partkey = p_partkey
@@ -431,33 +435,33 @@ object TpcdsShapeQueries extends QueryModule {
         |  INTERSECT
         |  SELECT l_partkey FROM lineitem WHERE l_returnflag = 'R'),
         |stats AS (
-        |  SELECT CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))) * 100) AS BIGINT) AS total_c,
+        |  SELECT sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS total_c,
         |    CAST(count(*) AS BIGINT) AS cnt
         |  FROM lineitem)
         |SELECT channel, p_brand, n, CAST(cents AS DOUBLE) / 100 AS amt
         |FROM (
         |  SELECT 'returned' AS channel, p_brand, CAST(count(*) AS BIGINT) AS n,
-        |    CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))) * 100) AS BIGINT) AS cents
+        |    sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS cents
         |  FROM lineitem JOIN part ON l_partkey = p_partkey
         |  WHERE l_returnflag = 'A' AND l_partkey IN (SELECT item FROM cross_items)
         |  GROUP BY p_brand
-        |  HAVING CAST(CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))) * 100) AS BIGINT) AS DECIMAL(38,0))
+        |  HAVING CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DECIMAL(38,0))
         |       * (SELECT cnt FROM stats) > CAST((SELECT total_c FROM stats) AS DECIMAL(38,0)) * 50
         |  UNION ALL
         |  SELECT 'regular', p_brand, CAST(count(*) AS BIGINT),
-        |    CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))) * 100) AS BIGINT)
+        |    sum(CAST(round(l_extendedprice * 100) AS BIGINT))
         |  FROM lineitem JOIN part ON l_partkey = p_partkey
         |  WHERE l_returnflag = 'N' AND l_partkey IN (SELECT item FROM cross_items)
         |  GROUP BY p_brand
-        |  HAVING CAST(CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))) * 100) AS BIGINT) AS DECIMAL(38,0))
+        |  HAVING CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DECIMAL(38,0))
         |       * (SELECT cnt FROM stats) > CAST((SELECT total_c FROM stats) AS DECIMAL(38,0)) * 50
         |  UNION ALL
         |  SELECT 'refunded', p_brand, CAST(count(*) AS BIGINT),
-        |    CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))) * 100) AS BIGINT)
+        |    sum(CAST(round(l_extendedprice * 100) AS BIGINT))
         |  FROM lineitem JOIN part ON l_partkey = p_partkey
         |  WHERE l_returnflag = 'R' AND l_partkey IN (SELECT item FROM cross_items)
         |  GROUP BY p_brand
-        |  HAVING CAST(CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))) * 100) AS BIGINT) AS DECIMAL(38,0))
+        |  HAVING CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DECIMAL(38,0))
         |       * (SELECT cnt FROM stats) > CAST((SELECT total_c FROM stats) AS DECIMAL(38,0)) * 50) u""".stripMargin) { (s, _) =>
       copyOut(crossChannelPlan(s))
     },
@@ -480,7 +484,7 @@ object TpcdsShapeQueries extends QueryModule {
       """WITH inventory AS (
         |  SELECT l_partkey AS inv_partkey,
         |    year(l_shipdate) * 100 + month(l_shipdate) AS inv_mo,
-        |    CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS on_hand
+        |    sum(CAST(l_quantity AS BIGINT)) AS on_hand
         |  FROM lineitem
         |  GROUP BY l_partkey, year(l_shipdate) * 100 + month(l_shipdate)),
         |promo AS (SELECT p_partkey AS promo_part FROM part WHERE p_size <= 2)
@@ -493,7 +497,7 @@ object TpcdsShapeQueries extends QueryModule {
         |  AND year(o_orderdate) * 100 + month(o_orderdate) = inv_mo
         |JOIN part ON l_partkey = p_partkey
         |LEFT JOIN promo ON l_partkey = promo_part
-        |WHERE on_hand < CAST(l_quantity AS DECIMAL(18,2)) * 4
+        |WHERE on_hand < CAST(l_quantity AS BIGINT) * 4
         |  AND l_shipdate > o_orderdate + INTERVAL 20 DAY
         |GROUP BY p_brand, year(o_orderdate)""".stripMargin),
 
@@ -510,14 +514,14 @@ object TpcdsShapeQueries extends QueryModule {
     sqlQ("ds_yoy_growth",
       """WITH spend AS (
         |  SELECT o_custkey AS cust, year(o_orderdate) AS yr,
-        |    sum(CAST(o_totalprice AS DECIMAL(18,2))) AS total
+        |    sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS total
         |  FROM orders GROUP BY o_custkey, year(o_orderdate)),
         |yoy AS (
         |  SELECT c.cust, c.yr, p.total AS prev_total, c.total AS cur_total,
         |    c.total - p.total AS delta
         |  FROM spend c JOIN spend p ON c.cust = p.cust AND c.yr = p.yr + 1)
-        |SELECT cust AS custkey, yr, CAST(prev_total AS DOUBLE) AS prev_spend,
-        |  CAST(cur_total AS DOUBLE) AS cur_spend, CAST(delta AS DOUBLE) AS spend_delta, rk
+        |SELECT cust AS custkey, yr, CAST(prev_total AS DOUBLE) / 100 AS prev_spend,
+        |  CAST(cur_total AS DOUBLE) / 100 AS cur_spend, CAST(delta AS DOUBLE) / 100 AS spend_delta, rk
         |FROM (SELECT *, CAST(rank() OVER (ORDER BY delta DESC, cust, yr) AS BIGINT) AS rk
         |      FROM yoy WHERE delta > 0) t
         |WHERE rk <= 20""".stripMargin),
@@ -540,7 +544,7 @@ object TpcdsShapeQueries extends QueryModule {
         |returned AS (SELECT DISTINCT l_orderkey FROM lineitem WHERE l_returnflag = 'R')
         |SELECT year(o_orderdate) AS yr,
         |  CAST(count(*) AS BIGINT) AS n_orders,
-        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100 AS total_price
         |FROM orders
         |WHERE o_orderkey IN (SELECT l_orderkey FROM multi_supp)
         |  AND o_orderkey IN (SELECT m.l_orderkey FROM multi_supp m
@@ -569,15 +573,15 @@ object TpcdsShapeQueries extends QueryModule {
         |  GROUP BY l_partkey
         |  HAVING count(*) > 18),
         |spend AS (
-        |  SELECT o_custkey AS cust, sum(CAST(o_totalprice AS DECIMAL(18,2))) AS total
+        |  SELECT o_custkey AS cust, sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS total
         |  FROM orders GROUP BY o_custkey),
         |best_customers AS (
         |  SELECT cust FROM spend
-        |  WHERE total > (SELECT max(total) FROM spend) * 0.5)
+        |  WHERE total * 2 > (SELECT max(total) FROM spend))
         |SELECT year(o_orderdate) AS yr,
         |  CAST(count(*) AS BIGINT) AS n_lines,
-        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
-        |           * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS net_sales
+        |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+        |           * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS DOUBLE) / 10000 AS net_sales
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
         |WHERE l_partkey IN (SELECT l_partkey FROM frequent_parts)
@@ -600,7 +604,7 @@ object TpcdsShapeQueries extends QueryModule {
       """WITH returns AS (
         |  SELECT l_orderkey AS r_orderkey, l_linenumber AS r_linenumber,
         |    CASE WHEN l_linenumber % 3 = 0 THEN NULL
-        |         ELSE CAST(floor(l_quantity / 2) AS DECIMAL(18,2)) END AS ret_qty,
+        |         ELSE CAST(floor(l_quantity / 2) AS BIGINT) END AS ret_qty,
         |    CAST(l_partkey % 25 AS BIGINT) AS reason_sk
         |  FROM lineitem WHERE l_returnflag = 'R'),
         |per_cust AS (
@@ -608,17 +612,17 @@ object TpcdsShapeQueries extends QueryModule {
         |  FROM (
         |    SELECT o_custkey,
         |      CASE WHEN ret_qty IS NOT NULL
-        |        THEN (CAST(l_quantity AS DECIMAL(18,2)) - ret_qty)
-        |             * CAST(l_extendedprice AS DECIMAL(18,2))
-        |        ELSE CAST(l_quantity AS DECIMAL(18,2))
-        |             * CAST(l_extendedprice AS DECIMAL(18,2)) END AS act_sales
+        |        THEN (CAST(l_quantity AS BIGINT) - ret_qty)
+        |             * CAST(round(l_extendedprice * 100) AS BIGINT)
+        |        ELSE CAST(l_quantity AS BIGINT)
+        |             * CAST(round(l_extendedprice * 100) AS BIGINT) END AS act_sales
         |    FROM lineitem
         |    JOIN orders ON l_orderkey = o_orderkey
         |    LEFT JOIN returns ON r_orderkey = l_orderkey AND r_linenumber = l_linenumber
         |    CROSS JOIN nation
         |    WHERE reason_sk = n_nationkey AND n_name = 'NATION_18') t
         |  GROUP BY o_custkey)
-        |SELECT o_custkey, CAST(sales_dec AS DOUBLE) AS sumsales
+        |SELECT o_custkey, CAST(sales_dec AS DOUBLE) / 100 AS sumsales
         |FROM per_cust
         |ORDER BY sales_dec, o_custkey
         |LIMIT 100""".stripMargin),
@@ -647,10 +651,12 @@ object TpcdsShapeQueries extends QueryModule {
         |ss AS (
         |  SELECT year(l_shipdate) AS sold_year, l_partkey % 10 AS item_sk,
         |    o_custkey % 10 AS customer_sk,
-        |    CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS BIGINT) AS qty,
-        |    CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))) * 100) AS BIGINT) AS wc_c,
-        |    CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))
-        |         * (1 - CAST(l_discount AS DECIMAL(18,2)))) * 100) AS BIGINT) AS sp_c
+        |    CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty,
+        |    sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS wc_c,
+        |    CAST((sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+        |         * (100 - CAST(round(l_discount * 100) AS BIGINT))) + 50
+        |      - (sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+        |         * (100 - CAST(round(l_discount * 100) AS BIGINT))) + 50) % 100) / 100 AS BIGINT) AS sp_c
         |  FROM lineitem
         |  JOIN orders ON l_orderkey = o_orderkey
         |  LEFT JOIN rets ON r_ok = l_orderkey AND r_pk = l_partkey
@@ -659,10 +665,12 @@ object TpcdsShapeQueries extends QueryModule {
         |ws AS (
         |  SELECT year(l_shipdate) AS sold_year, l_partkey % 10 AS item_sk,
         |    o_custkey % 10 AS customer_sk,
-        |    CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS BIGINT) AS qty,
-        |    CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))) * 100) AS BIGINT) AS wc_c,
-        |    CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))
-        |         * (1 - CAST(l_discount AS DECIMAL(18,2)))) * 100) AS BIGINT) AS sp_c
+        |    CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty,
+        |    sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS wc_c,
+        |    CAST((sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+        |         * (100 - CAST(round(l_discount * 100) AS BIGINT))) + 50
+        |      - (sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+        |         * (100 - CAST(round(l_discount * 100) AS BIGINT))) + 50) % 100) / 100 AS BIGINT) AS sp_c
         |  FROM lineitem
         |  JOIN orders ON l_orderkey = o_orderkey
         |  LEFT JOIN rets ON r_ok = l_orderkey AND r_pk = l_partkey
@@ -671,10 +679,12 @@ object TpcdsShapeQueries extends QueryModule {
         |cs AS (
         |  SELECT year(l_shipdate) AS sold_year, l_partkey % 10 AS item_sk,
         |    o_custkey % 10 AS customer_sk,
-        |    CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS BIGINT) AS qty,
-        |    CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))) * 100) AS BIGINT) AS wc_c,
-        |    CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))
-        |         * (1 - CAST(l_discount AS DECIMAL(18,2)))) * 100) AS BIGINT) AS sp_c
+        |    CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty,
+        |    sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS wc_c,
+        |    CAST((sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+        |         * (100 - CAST(round(l_discount * 100) AS BIGINT))) + 50
+        |      - (sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+        |         * (100 - CAST(round(l_discount * 100) AS BIGINT))) + 50) % 100) / 100 AS BIGINT) AS sp_c
         |  FROM lineitem
         |  JOIN orders ON l_orderkey = o_orderkey
         |  LEFT JOIN rets ON r_ok = l_orderkey AND r_pk = l_partkey
@@ -715,42 +725,42 @@ object TpcdsShapeQueries extends QueryModule {
       """WITH b AS (
         |  SELECT
         |    CAST(count(*) FILTER (WHERE l_quantity BETWEEN 1 AND 10) AS BIGINT) AS n1,
-        |    sum(CAST(l_extendedprice AS DECIMAL(18,2)))
+        |    sum(CAST(round(l_extendedprice * 100) AS BIGINT))
         |      FILTER (WHERE l_quantity BETWEEN 1 AND 10) AS price1,
-        |    sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2)))
+        |    sum(CAST(round(l_extendedprice * 100) AS BIGINT) * CAST(round(l_discount * 100) AS BIGINT))
         |      FILTER (WHERE l_quantity BETWEEN 1 AND 10) AS disc1,
         |    CAST(count(*) FILTER (WHERE l_quantity BETWEEN 11 AND 20) AS BIGINT) AS n2,
-        |    sum(CAST(l_extendedprice AS DECIMAL(18,2)))
+        |    sum(CAST(round(l_extendedprice * 100) AS BIGINT))
         |      FILTER (WHERE l_quantity BETWEEN 11 AND 20) AS price2,
-        |    sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2)))
+        |    sum(CAST(round(l_extendedprice * 100) AS BIGINT) * CAST(round(l_discount * 100) AS BIGINT))
         |      FILTER (WHERE l_quantity BETWEEN 11 AND 20) AS disc2,
         |    CAST(count(*) FILTER (WHERE l_quantity BETWEEN 21 AND 30) AS BIGINT) AS n3,
-        |    sum(CAST(l_extendedprice AS DECIMAL(18,2)))
+        |    sum(CAST(round(l_extendedprice * 100) AS BIGINT))
         |      FILTER (WHERE l_quantity BETWEEN 21 AND 30) AS price3,
-        |    sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2)))
+        |    sum(CAST(round(l_extendedprice * 100) AS BIGINT) * CAST(round(l_discount * 100) AS BIGINT))
         |      FILTER (WHERE l_quantity BETWEEN 21 AND 30) AS disc3,
         |    CAST(count(*) FILTER (WHERE l_quantity BETWEEN 31 AND 40) AS BIGINT) AS n4,
-        |    sum(CAST(l_extendedprice AS DECIMAL(18,2)))
+        |    sum(CAST(round(l_extendedprice * 100) AS BIGINT))
         |      FILTER (WHERE l_quantity BETWEEN 31 AND 40) AS price4,
-        |    sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2)))
+        |    sum(CAST(round(l_extendedprice * 100) AS BIGINT) * CAST(round(l_discount * 100) AS BIGINT))
         |      FILTER (WHERE l_quantity BETWEEN 31 AND 40) AS disc4,
         |    CAST(count(*) FILTER (WHERE l_quantity BETWEEN 41 AND 50) AS BIGINT) AS n5,
-        |    sum(CAST(l_extendedprice AS DECIMAL(18,2)))
+        |    sum(CAST(round(l_extendedprice * 100) AS BIGINT))
         |      FILTER (WHERE l_quantity BETWEEN 41 AND 50) AS price5,
-        |    sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2)))
+        |    sum(CAST(round(l_extendedprice * 100) AS BIGINT) * CAST(round(l_discount * 100) AS BIGINT))
         |      FILTER (WHERE l_quantity BETWEEN 41 AND 50) AS disc5
         |  FROM lineitem)
         |SELECT r_name,
-        |  CASE WHEN n1 > 2000 THEN CAST(price1 AS DOUBLE) / n1
-        |       ELSE CAST(disc1 AS DOUBLE) / n1 END AS bucket1,
-        |  CASE WHEN n2 > 5000 THEN CAST(price2 AS DOUBLE) / n2
-        |       ELSE CAST(disc2 AS DOUBLE) / n2 END AS bucket2,
-        |  CASE WHEN n3 > 8000 THEN CAST(price3 AS DOUBLE) / n3
-        |       ELSE CAST(disc3 AS DOUBLE) / n3 END AS bucket3,
-        |  CASE WHEN n4 > 11000 THEN CAST(price4 AS DOUBLE) / n4
-        |       ELSE CAST(disc4 AS DOUBLE) / n4 END AS bucket4,
-        |  CASE WHEN n5 > 14000 THEN CAST(price5 AS DOUBLE) / n5
-        |       ELSE CAST(disc5 AS DOUBLE) / n5 END AS bucket5
+        |  CASE WHEN n1 > 2000 THEN CAST(price1 AS DOUBLE) / 100 / n1
+        |       ELSE CAST(disc1 AS DOUBLE) / 10000 / n1 END AS bucket1,
+        |  CASE WHEN n2 > 5000 THEN CAST(price2 AS DOUBLE) / 100 / n2
+        |       ELSE CAST(disc2 AS DOUBLE) / 10000 / n2 END AS bucket2,
+        |  CASE WHEN n3 > 8000 THEN CAST(price3 AS DOUBLE) / 100 / n3
+        |       ELSE CAST(disc3 AS DOUBLE) / 10000 / n3 END AS bucket3,
+        |  CASE WHEN n4 > 11000 THEN CAST(price4 AS DOUBLE) / 100 / n4
+        |       ELSE CAST(disc4 AS DOUBLE) / 10000 / n4 END AS bucket4,
+        |  CASE WHEN n5 > 14000 THEN CAST(price5 AS DOUBLE) / 100 / n5
+        |       ELSE CAST(disc5 AS DOUBLE) / 10000 / n5 END AS bucket5
         |FROM b CROSS JOIN region
         |WHERE r_regionkey = 1""".stripMargin),
 
@@ -766,7 +776,7 @@ object TpcdsShapeQueries extends QueryModule {
     sqlQ("ds_above_avg_returns",
       """WITH ctr AS (
         |  SELECT o_custkey AS cust, c_nationkey AS nat,
-        |    CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))) * 100) AS BIGINT) AS ret_c
+        |    sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS ret_c
         |  FROM lineitem
         |  JOIN orders ON l_orderkey = o_orderkey
         |  JOIN customer ON o_custkey = c_custkey
@@ -817,7 +827,7 @@ object TpcdsShapeQueries extends QueryModule {
     sqlQ("ds_channel_parity",
       """WITH by_flag AS (
         |  SELECT p_brand, l_returnflag AS flag,
-        |    CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))) * 100) AS BIGINT) AS rev_c
+        |    sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS rev_c
         |  FROM lineitem JOIN part ON l_partkey = p_partkey
         |  GROUP BY p_brand, l_returnflag),
         |a AS (SELECT p_brand, rev_c FROM by_flag WHERE flag = 'A'),
@@ -882,7 +892,14 @@ object TpcdsShapeQueries extends QueryModule {
     // exact-int-derived doubles — IEEE-correctly-rounded both engines,
     // no round() needed. Warehouse = supplier, item = a part group
     // (the month-adjacency join needs co-occupied cells at small SF).
-    sqlQ("ds_inventory_cov",
+    // r16: the literal WITH text computes the fact aggregate TWICE (both
+    // engines inline CTEs; the two self-join references pick up different
+    // pushed predicates, defeating ReusedExchange — the ds_order_returns
+    // disease). The Spark side pins the cov frame ONCE (localCheckpoint,
+    // eager, inside the timing window) and self-joins the pinned frame:
+    // one fact aggregate instead of two. The oracle replays the literal
+    // inlined text — same rows.
+    Q("ds_inventory_cov",
       """WITH inv AS (
         |  SELECT l_suppkey AS w, l_partkey % 50 AS item, month(l_shipdate) AS moy,
         |    CAST(count(*) AS BIGINT) AS n,
@@ -902,7 +919,33 @@ object TpcdsShapeQueries extends QueryModule {
         |FROM cov inv1
         |JOIN cov inv2 ON inv1.item = inv2.item AND inv1.w = inv2.w
         |  AND inv2.moy = inv1.moy + 1
-        |ORDER BY inv1.w, inv1.item, inv1.moy""".stripMargin),
+        |ORDER BY inv1.w, inv1.item, inv1.moy""".stripMargin) { (s, _) =>
+      val q = col("l_quantity").cast("long")
+      val inv = s.table("lineitem")
+        .groupBy(col("l_suppkey").as("w"), (col("l_partkey") % 50).as("item"),
+          month(col("l_shipdate")).as("moy"))
+        .agg(count(lit(1)).cast("long").as("n"),
+          sum(q).cast("long").as("s"),
+          sum(q * q).cast("long").as("q"))
+        .filter(col("n") >= 2)
+      val cov = inv
+        .filter(lit(25L) * col("n") * (col("n") * col("q") - col("s") * col("s")) >
+          lit(9L) * (col("n") - 1) * col("s") * col("s"))
+        .select(col("w"), col("item"), col("moy"),
+          (col("s").cast("double") / col("n")).as("mean"),
+          (sqrt((col("n") * col("q") - col("s") * col("s")).cast("double") /
+            (col("n") * (col("n") - 1))) /
+            (col("s").cast("double") / col("n"))).as("cov"))
+        .pinned() // one fact aggregate; both self-join sides below
+      val c2 = cov.select(col("w").as("w2"), col("item").as("item2"),
+        col("moy").as("moy2"), col("mean").as("mean2"), col("cov").as("cov2"))
+      cov.join(c2, col("item") === col("item2") && col("w") === col("w2") &&
+          col("moy2") === col("moy") + 1)
+        .select(col("w"), col("item"), col("moy").as("moy1"),
+          col("mean").as("mean1"), col("cov").as("cov1"),
+          col("moy2"), col("mean2"), col("cov2"))
+        .orderBy("w", "item", "moy1")
+    },
 
     // q65 shape (tpcds/q65.sql): items selling BELOW a tenth of their
     // store's average item revenue — a per-(store, item) revenue
@@ -915,7 +958,7 @@ object TpcdsShapeQueries extends QueryModule {
     sqlQ("ds_below_store_avg",
       """WITH sc AS (
         |  SELECT l_suppkey AS store_sk, l_partkey AS item_sk,
-        |    CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))) * 100) AS BIGINT) AS rev_c
+        |    sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS rev_c
         |  FROM lineitem GROUP BY l_suppkey, l_partkey),
         |sb AS (
         |  SELECT store_sk, CAST(sum(rev_c) AS BIGINT) AS tot, CAST(count(*) AS BIGINT) AS n
@@ -943,9 +986,11 @@ object TpcdsShapeQueries extends QueryModule {
     sqlQ("ds_return_ratio_rank",
       """WITH rets AS (
         |  SELECT l_orderkey AS r_ok, l_partkey AS r_pk,
-        |    CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS BIGINT) AS rq,
-        |    CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))
-        |         * CAST(l_discount AS DECIMAL(18,2))) * 100) AS BIGINT) AS ra_c
+        |    sum(CAST(l_quantity AS BIGINT)) AS rq,
+        |    CAST((sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+        |         * CAST(round(l_discount * 100) AS BIGINT)) + 50
+        |      - (sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+        |         * CAST(round(l_discount * 100) AS BIGINT)) + 50) % 100) / 100 AS BIGINT) AS ra_c
         |  FROM lineitem WHERE l_discount >= 0.06
         |  GROUP BY l_orderkey, l_partkey),
         |chan AS (
@@ -954,9 +999,9 @@ object TpcdsShapeQueries extends QueryModule {
         |              ELSE 'catalog' END AS channel,
         |    l_partkey % 1000 AS item,
         |    CAST(sum(coalesce(rq, 0)) AS BIGINT) AS ret_qty,
-        |    CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS BIGINT) AS qty,
+        |    sum(CAST(l_quantity AS BIGINT)) AS qty,
         |    CAST(sum(coalesce(ra_c, 0)) AS BIGINT) AS ret_c,
-        |    CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))) * 100) AS BIGINT) AS paid_c
+        |    sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS paid_c
         |  FROM lineitem
         |  LEFT JOIN rets ON r_ok = l_orderkey AND r_pk = l_partkey
         |  GROUP BY CASE WHEN l_linenumber = 1 THEN 'store'
@@ -984,17 +1029,21 @@ object TpcdsShapeQueries extends QueryModule {
     // identical), subperiods are four day-of-month bands. Ratios are
     // IEEE divisions of exact cents. One agg shuffle + one self-join on
     // the 1-shifted key (the spend-CTE ReusedExchange family).
-    sqlQ("ds_period_pivot_ratio",
+    // r16: monthly is referenced twice (m1, m2) — inlined, that is two
+    // full fact aggregates. The Spark side pins monthly once and
+    // self-joins the pinned frame (same remedy as ds_inventory_cov);
+    // the oracle replays the literal inlined text — same rows.
+    Q("ds_period_pivot_ratio",
       """WITH monthly AS (
         |  SELECT year(l_shipdate) * 12 + month(l_shipdate) AS mo,
-        |    CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2)))
-        |         FILTER (WHERE day(l_shipdate) <= 7) * 100) AS BIGINT) AS wk1_c,
-        |    CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2)))
-        |         FILTER (WHERE day(l_shipdate) BETWEEN 8 AND 14) * 100) AS BIGINT) AS wk2_c,
-        |    CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2)))
-        |         FILTER (WHERE day(l_shipdate) BETWEEN 15 AND 21) * 100) AS BIGINT) AS wk3_c,
-        |    CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2)))
-        |         FILTER (WHERE day(l_shipdate) >= 22) * 100) AS BIGINT) AS wk4_c
+        |    sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+        |         FILTER (WHERE day(l_shipdate) <= 7) AS wk1_c,
+        |    sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+        |         FILTER (WHERE day(l_shipdate) BETWEEN 8 AND 14) AS wk2_c,
+        |    sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+        |         FILTER (WHERE day(l_shipdate) BETWEEN 15 AND 21) AS wk3_c,
+        |    sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+        |         FILTER (WHERE day(l_shipdate) >= 22) AS wk4_c
         |  FROM lineitem GROUP BY year(l_shipdate) * 12 + month(l_shipdate))
         |SELECT m1.mo AS mo,
         |  CAST(m2.wk1_c AS DOUBLE) / m1.wk1_c AS wk1_ratio,
@@ -1003,7 +1052,27 @@ object TpcdsShapeQueries extends QueryModule {
         |  CAST(m2.wk4_c AS DOUBLE) / m1.wk4_c AS wk4_ratio
         |FROM monthly m1 JOIN monthly m2 ON m2.mo = m1.mo + 1
         |WHERE m1.wk1_c > 0 AND m1.wk2_c > 0 AND m1.wk3_c > 0 AND m1.wk4_c > 0
-        |ORDER BY m1.mo""".stripMargin),
+        |ORDER BY m1.mo""".stripMargin) { (s, _) =>
+      val cents = round(col("l_extendedprice") * 100).cast("long")
+      def wk(cond: org.apache.spark.sql.Column, as: String) =
+        sum(when(cond, cents)).as(as)
+      val d = dayofmonth(col("l_shipdate"))
+      val monthly = s.table("lineitem")
+        .groupBy((year(col("l_shipdate")) * 12 + month(col("l_shipdate"))).as("mo"))
+        .agg(wk(d <= 7, "wk1_c"), wk(d.between(8, 14), "wk2_c"),
+          wk(d.between(15, 21), "wk3_c"), wk(d >= 22, "wk4_c"))
+        .pinned() // one fact aggregate; m1 and m2 below
+      val m2 = monthly.select(col("mo").as("mo2"), col("wk1_c").as("n1"),
+        col("wk2_c").as("n2"), col("wk3_c").as("n3"), col("wk4_c").as("n4"))
+      monthly.join(m2, col("mo2") === col("mo") + 1)
+        .filter(col("wk1_c") > 0 && col("wk2_c") > 0 && col("wk3_c") > 0 && col("wk4_c") > 0)
+        .select(col("mo"),
+          (col("n1").cast("double") / col("wk1_c")).as("wk1_ratio"),
+          (col("n2").cast("double") / col("wk2_c")).as("wk2_ratio"),
+          (col("n3").cast("double") / col("wk3_c")).as("wk3_ratio"),
+          (col("n4").cast("double") / col("wk4_c")).as("wk4_ratio"))
+        .orderBy("mo")
+    },
 
     // q46/q68 shape (tpcds/q46.sql): dimension-mismatch tickets — sales
     // whose ship-side dim differs from the customer's home dim (the
@@ -1017,7 +1086,7 @@ object TpcdsShapeQueries extends QueryModule {
       """WITH t AS (
         |  SELECT o_orderkey, o_custkey,
         |    CAST(count(*) AS BIGINT) AS cross_lines,
-        |    CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))) * 100) AS BIGINT) AS amt_c
+        |    sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS amt_c
         |  FROM lineitem
         |  JOIN orders ON l_orderkey = o_orderkey
         |  JOIN supplier ON l_suppkey = s_suppkey
@@ -1046,16 +1115,18 @@ object TpcdsShapeQueries extends QueryModule {
         |  SELECT l_partkey AS item_sk
         |  FROM lineitem WHERE l_returnflag = 'R'
         |  GROUP BY l_partkey
-        |  HAVING sum(CAST(l_extendedprice AS DECIMAL(18,2)))
-        |       > 2 * sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2)))),
+        |  HAVING sum(CAST(round(l_extendedprice * 100) AS BIGINT)) * 100
+        |       > 2 * sum(CAST(round(l_extendedprice * 100) AS BIGINT) * CAST(round(l_discount * 100) AS BIGINT))),
         |cross_sales AS (
         |  SELECT p_name AS product_name, p_partkey AS item_sk, s_name AS store_name,
         |    n_name AS store_nation, year(l_shipdate) AS syear,
         |    CAST(count(*) AS BIGINT) AS cnt,
-        |    CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))) * 100) AS BIGINT) AS s1_c,
-        |    CAST(round(sum(CAST(l_quantity AS DECIMAL(18,2))) * 100) AS BIGINT) AS s2_c,
-        |    CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))
-        |         * CAST(l_discount AS DECIMAL(18,2))) * 100) AS BIGINT) AS s3_c
+        |    sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS s1_c,
+        |    sum(CAST(l_quantity AS BIGINT)) * 100 AS s2_c,
+        |    CAST((sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+        |         * CAST(round(l_discount * 100) AS BIGINT)) + 50
+        |      - (sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+        |         * CAST(round(l_discount * 100) AS BIGINT)) + 50) % 100) / 100 AS BIGINT) AS s3_c
         |  FROM lineitem
         |  JOIN part ON l_partkey = p_partkey
         |  JOIN supplier ON l_suppkey = s_suppkey
@@ -1093,7 +1164,7 @@ object TpcdsShapeQueries extends QueryModule {
     Q("ds_share_of_growth",
       """WITH sales AS (
         |  SELECT n_name AS county, quarter(o_orderdate) AS qoy, l_returnflag AS flag,
-        |    CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))) * 100) AS BIGINT) AS rev_c
+        |    sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS rev_c
         |  FROM lineitem
         |  JOIN orders ON l_orderkey = o_orderkey
         |  JOIN customer ON o_custkey = c_custkey
@@ -1166,7 +1237,7 @@ object TpcdsShapeQueries extends QueryModule {
     sqlQ("ds_best_worst_rank_join",
       """WITH perf AS (
         |  SELECT l_partkey,
-        |    CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))) * 100) AS BIGINT) AS rev_c
+        |    sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS rev_c
         |  FROM lineitem GROUP BY l_partkey),
         |best AS (
         |  SELECT l_partkey, CAST(rank() OVER (ORDER BY rev_c DESC, l_partkey) AS BIGINT) AS rnk
@@ -1196,7 +1267,7 @@ object TpcdsShapeQueries extends QueryModule {
         |  FROM lineitem
         |  WHERE l_shipdate BETWEEN DATE '1994-01-01' AND DATE '1994-12-31'
         |  GROUP BY l_partkey)
-        |SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS excess_revenue,
+        |SELECT CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) / 100 AS excess_revenue,
         |  CAST(count(*) AS BIGINT) AS n_lines
         |FROM lineitem JOIN davg ON l_partkey = dp
         |WHERE l_shipdate BETWEEN DATE '1994-01-01' AND DATE '1994-12-31'
@@ -1211,7 +1282,7 @@ object TpcdsShapeQueries extends QueryModule {
     // the way an IN-to-inner rewrite would.
     sqlQ("ds_semi_anti_chain",
       """SELECT year(o_orderdate) AS yr, CAST(count(*) AS BIGINT) AS n_orders,
-        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100 AS total_price
         |FROM orders
         |WHERE EXISTS (
         |    SELECT 1 FROM lineitem l1
@@ -1233,7 +1304,7 @@ object TpcdsShapeQueries extends QueryModule {
       """WITH agg AS (
         |  SELECT p_type, p_brand,
         |    CAST(grouping(p_type) + grouping(p_brand) AS BIGINT) AS lochierarchy,
-        |    CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))) * 100) AS BIGINT) AS rev_c
+        |    sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS rev_c
         |  FROM lineitem JOIN part ON l_partkey = p_partkey
         |  WHERE p_size <= 15
         |  GROUP BY ROLLUP (p_type, p_brand))
@@ -1255,7 +1326,7 @@ object TpcdsShapeQueries extends QueryModule {
     sqlQ("ds_class_share_window",
       """WITH itemrev AS (
         |  SELECT p_type, p_brand,
-        |    CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))) * 100) AS BIGINT) AS rev_c
+        |    sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS rev_c
         |  FROM lineitem JOIN part ON l_partkey = p_partkey
         |  WHERE l_shipdate BETWEEN DATE '1995-01-01' AND DATE '1995-01-31'
         |  GROUP BY p_type, p_brand)
@@ -1274,7 +1345,7 @@ object TpcdsShapeQueries extends QueryModule {
     sqlQ("ds_lag_lead_neighbors",
       """WITH monthly AS (
         |  SELECT p_brand, year(l_shipdate) AS yr, month(l_shipdate) AS moy,
-        |    CAST(round(sum(CAST(l_quantity AS DECIMAL(18,2))) * 100) AS BIGINT) AS qty_c
+        |    CAST(sum(CAST(l_quantity AS BIGINT)) * 100 AS BIGINT) AS qty_c
         |  FROM lineitem JOIN part ON l_partkey = p_partkey
         |  GROUP BY p_brand, year(l_shipdate), month(l_shipdate)),
         |v AS (
@@ -1300,10 +1371,10 @@ object TpcdsShapeQueries extends QueryModule {
       """SELECT s_name, p_brand, qty_before_c, qty_after_c
         |FROM (
         |  SELECT s_name, p_brand,
-        |    CAST(round(sum(CASE WHEN l_shipdate < DATE '1995-06-01'
-        |      THEN CAST(l_quantity AS DECIMAL(18,2)) ELSE CAST(0 AS DECIMAL(18,2)) END) * 100) AS BIGINT) AS qty_before_c,
-        |    CAST(round(sum(CASE WHEN l_shipdate >= DATE '1995-06-01'
-        |      THEN CAST(l_quantity AS DECIMAL(18,2)) ELSE CAST(0 AS DECIMAL(18,2)) END) * 100) AS BIGINT) AS qty_after_c
+        |    CAST(sum(CASE WHEN l_shipdate < DATE '1995-06-01'
+        |      THEN CAST(l_quantity AS BIGINT) ELSE 0 END) * 100 AS BIGINT) AS qty_before_c,
+        |    CAST(sum(CASE WHEN l_shipdate >= DATE '1995-06-01'
+        |      THEN CAST(l_quantity AS BIGINT) ELSE 0 END) * 100 AS BIGINT) AS qty_after_c
         |  FROM lineitem
         |  JOIN supplier ON l_suppkey = s_suppkey
         |  JOIN part ON l_partkey = p_partkey
@@ -1323,19 +1394,19 @@ object TpcdsShapeQueries extends QueryModule {
     sqlQ("ds_repeat_return_chain",
       """WITH sold AS (
         |  SELECT c_nationkey AS nk, l_partkey AS pk,
-        |    CAST(round(sum(CAST(l_quantity AS DECIMAL(18,2))) * 100) AS BIGINT) AS sold_q_c
+        |    sum(CAST(l_quantity AS BIGINT)) * 100 AS sold_q_c
         |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |  JOIN customer ON o_custkey = c_custkey
         |  WHERE l_returnflag = 'A' GROUP BY c_nationkey, l_partkey),
         |returned AS (
         |  SELECT c_nationkey AS nk, l_partkey AS pk,
-        |    CAST(round(sum(CAST(l_quantity AS DECIMAL(18,2))) * 100) AS BIGINT) AS ret_q_c
+        |    sum(CAST(l_quantity AS BIGINT)) * 100 AS ret_q_c
         |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |  JOIN customer ON o_custkey = c_custkey
         |  WHERE l_returnflag = 'R' GROUP BY c_nationkey, l_partkey),
         |rebought AS (
         |  SELECT c_nationkey AS nk, l_partkey AS pk,
-        |    CAST(round(sum(CAST(l_quantity AS DECIMAL(18,2))) * 100) AS BIGINT) AS rebuy_q_c
+        |    sum(CAST(l_quantity AS BIGINT)) * 100 AS rebuy_q_c
         |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |  JOIN customer ON o_custkey = c_custkey
         |  WHERE l_returnflag = 'N' GROUP BY c_nationkey, l_partkey)
@@ -1359,16 +1430,16 @@ object TpcdsShapeQueries extends QueryModule {
       """SELECT
         |  CAST(count(*) FILTER (WHERE l_quantity BETWEEN 1 AND 10) AS BIGINT) AS b1_cnt,
         |  CAST(count(DISTINCT l_extendedprice) FILTER (WHERE l_quantity BETWEEN 1 AND 10) AS BIGINT) AS b1_prices,
-        |  CAST(coalesce(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))) FILTER (WHERE l_quantity BETWEEN 1 AND 10) * 100), 0) AS BIGINT) AS b1_rev_c,
+        |  CAST(coalesce(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) FILTER (WHERE l_quantity BETWEEN 1 AND 10), 0) AS BIGINT) AS b1_rev_c,
         |  CAST(count(*) FILTER (WHERE l_quantity BETWEEN 11 AND 20) AS BIGINT) AS b2_cnt,
         |  CAST(count(DISTINCT l_extendedprice) FILTER (WHERE l_quantity BETWEEN 11 AND 20) AS BIGINT) AS b2_prices,
-        |  CAST(coalesce(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))) FILTER (WHERE l_quantity BETWEEN 11 AND 20) * 100), 0) AS BIGINT) AS b2_rev_c,
+        |  CAST(coalesce(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) FILTER (WHERE l_quantity BETWEEN 11 AND 20), 0) AS BIGINT) AS b2_rev_c,
         |  CAST(count(*) FILTER (WHERE l_quantity BETWEEN 21 AND 35) AS BIGINT) AS b3_cnt,
         |  CAST(count(DISTINCT l_extendedprice) FILTER (WHERE l_quantity BETWEEN 21 AND 35) AS BIGINT) AS b3_prices,
-        |  CAST(coalesce(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))) FILTER (WHERE l_quantity BETWEEN 21 AND 35) * 100), 0) AS BIGINT) AS b3_rev_c,
+        |  CAST(coalesce(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) FILTER (WHERE l_quantity BETWEEN 21 AND 35), 0) AS BIGINT) AS b3_rev_c,
         |  CAST(count(*) FILTER (WHERE l_quantity BETWEEN 36 AND 50) AS BIGINT) AS b4_cnt,
         |  CAST(count(DISTINCT l_extendedprice) FILTER (WHERE l_quantity BETWEEN 36 AND 50) AS BIGINT) AS b4_prices,
-        |  CAST(coalesce(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))) FILTER (WHERE l_quantity BETWEEN 36 AND 50) * 100), 0) AS BIGINT) AS b4_rev_c
+        |  CAST(coalesce(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) FILTER (WHERE l_quantity BETWEEN 36 AND 50), 0) AS BIGINT) AS b4_rev_c
         |FROM lineitem""".stripMargin),
 
     // q66 shape: the WIDE month pivot — 12 conditional cent-sums per
@@ -1380,18 +1451,18 @@ object TpcdsShapeQueries extends QueryModule {
       """SELECT s_name,
         |  CASE WHEN l_linenumber = 1 THEN 'DIAMOND' ELSE 'GERBIL' END AS carrier,
         |  year(l_shipdate) AS yr,
-        |  CAST(sum(CASE WHEN month(l_shipdate) = 1 THEN CAST(round(CAST(l_extendedprice AS DECIMAL(18,2)) * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS jan_c,
-        |  CAST(sum(CASE WHEN month(l_shipdate) = 2 THEN CAST(round(CAST(l_extendedprice AS DECIMAL(18,2)) * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS feb_c,
-        |  CAST(sum(CASE WHEN month(l_shipdate) = 3 THEN CAST(round(CAST(l_extendedprice AS DECIMAL(18,2)) * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS mar_c,
-        |  CAST(sum(CASE WHEN month(l_shipdate) = 4 THEN CAST(round(CAST(l_extendedprice AS DECIMAL(18,2)) * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS apr_c,
-        |  CAST(sum(CASE WHEN month(l_shipdate) = 5 THEN CAST(round(CAST(l_extendedprice AS DECIMAL(18,2)) * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS may_c,
-        |  CAST(sum(CASE WHEN month(l_shipdate) = 6 THEN CAST(round(CAST(l_extendedprice AS DECIMAL(18,2)) * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS jun_c,
-        |  CAST(sum(CASE WHEN month(l_shipdate) = 7 THEN CAST(round(CAST(l_extendedprice AS DECIMAL(18,2)) * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS jul_c,
-        |  CAST(sum(CASE WHEN month(l_shipdate) = 8 THEN CAST(round(CAST(l_extendedprice AS DECIMAL(18,2)) * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS aug_c,
-        |  CAST(sum(CASE WHEN month(l_shipdate) = 9 THEN CAST(round(CAST(l_extendedprice AS DECIMAL(18,2)) * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS sep_c,
-        |  CAST(sum(CASE WHEN month(l_shipdate) = 10 THEN CAST(round(CAST(l_extendedprice AS DECIMAL(18,2)) * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS oct_c,
-        |  CAST(sum(CASE WHEN month(l_shipdate) = 11 THEN CAST(round(CAST(l_extendedprice AS DECIMAL(18,2)) * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS nov_c,
-        |  CAST(sum(CASE WHEN month(l_shipdate) = 12 THEN CAST(round(CAST(l_extendedprice AS DECIMAL(18,2)) * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS dec_c
+        |  CAST(sum(CASE WHEN month(l_shipdate) = 1 THEN CAST(round(l_extendedprice * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS jan_c,
+        |  CAST(sum(CASE WHEN month(l_shipdate) = 2 THEN CAST(round(l_extendedprice * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS feb_c,
+        |  CAST(sum(CASE WHEN month(l_shipdate) = 3 THEN CAST(round(l_extendedprice * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS mar_c,
+        |  CAST(sum(CASE WHEN month(l_shipdate) = 4 THEN CAST(round(l_extendedprice * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS apr_c,
+        |  CAST(sum(CASE WHEN month(l_shipdate) = 5 THEN CAST(round(l_extendedprice * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS may_c,
+        |  CAST(sum(CASE WHEN month(l_shipdate) = 6 THEN CAST(round(l_extendedprice * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS jun_c,
+        |  CAST(sum(CASE WHEN month(l_shipdate) = 7 THEN CAST(round(l_extendedprice * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS jul_c,
+        |  CAST(sum(CASE WHEN month(l_shipdate) = 8 THEN CAST(round(l_extendedprice * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS aug_c,
+        |  CAST(sum(CASE WHEN month(l_shipdate) = 9 THEN CAST(round(l_extendedprice * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS sep_c,
+        |  CAST(sum(CASE WHEN month(l_shipdate) = 10 THEN CAST(round(l_extendedprice * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS oct_c,
+        |  CAST(sum(CASE WHEN month(l_shipdate) = 11 THEN CAST(round(l_extendedprice * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS nov_c,
+        |  CAST(sum(CASE WHEN month(l_shipdate) = 12 THEN CAST(round(l_extendedprice * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS dec_c
         |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
         |GROUP BY s_name, CASE WHEN l_linenumber = 1 THEN 'DIAMOND' ELSE 'GERBIL' END,
         |  year(l_shipdate)""".stripMargin),
@@ -1404,7 +1475,7 @@ object TpcdsShapeQueries extends QueryModule {
     sqlQ("ds_customer_value_band",
       """WITH per_cust AS (
         |  SELECT o_custkey,
-        |    CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))) * 100) AS BIGINT) AS rev_c
+        |    sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS rev_c
         |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |  GROUP BY o_custkey)
         |SELECT CAST(floor(CAST(rev_c AS DOUBLE) / 500000) AS BIGINT) AS segment,
@@ -1427,7 +1498,7 @@ object TpcdsShapeQueries extends QueryModule {
         |    CAST(count(*) AS BIGINT) AS n_items
         |  FROM part GROUP BY p_type)
         |SELECT n_name, CAST(count(*) AS BIGINT) AS n_premium_lines,
-        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS premium_revenue
+        |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) / 100 AS premium_revenue
         |FROM lineitem
         |JOIN part ON l_partkey = p_partkey
         |JOIN type_avg ON p_type = t_type
@@ -1448,14 +1519,14 @@ object TpcdsShapeQueries extends QueryModule {
         |  SELECT CASE WHEN l_linenumber = 1 THEN 'first_line'
         |              WHEN l_linenumber <= 3 THEN 'mid_lines' ELSE 'tail_lines' END AS channel,
         |    CAST(s_nationkey AS BIGINT) AS loc,
-        |    CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))) * 100) AS BIGINT) AS sales_c
+        |    sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS sales_c
         |  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
         |  WHERE l_returnflag <> 'R' GROUP BY 1, 2),
         |rets AS (
         |  SELECT CASE WHEN l_linenumber = 1 THEN 'first_line'
         |              WHEN l_linenumber <= 3 THEN 'mid_lines' ELSE 'tail_lines' END AS channel,
         |    CAST(s_nationkey AS BIGINT) AS loc,
-        |    CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))) * 100) AS BIGINT) AS returns_c
+        |    sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS returns_c
         |  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
         |  WHERE l_returnflag = 'R' GROUP BY 1, 2),
         |j AS (
