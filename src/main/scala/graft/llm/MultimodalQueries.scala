@@ -86,6 +86,19 @@ object MultimodalQueries extends QueryModule {
     }
   }
 
+  /** Doc-keyed exchange with an EXPLICIT partition count (cluster
+    * parallelism) ahead of a render/decode kernel. Explicit because the
+    * exchange carries only ids: AQE's byte-based coalescing folds a
+    * ~50 KB id shuffle into ONE post-shuffle partition and serializes
+    * the compute-dense kernel behind it (measured this round: the
+    * scene-cut and video-dedup kernels ran as 1-task stages of
+    * 2.7-3.7 s behind byte-coalesced exchanges). A REPARTITION_BY_NUM
+    * shuffle is not AQE-coalescible, and the count tracks
+    * defaultParallelism — cluster cores — at any scale.
+    */
+  private def spread(df: DataFrame): DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism, col("doc_id"))
+
   /** Render the deterministic test image for `doc_id` and return its
     * PNG encoding: w×h RGB, gray value (doc_id + 7x + 13y) % 256 at
     * pixel (x, y) — exactly encodeFrame at scene 0 (one shared render
@@ -345,7 +358,7 @@ object MultimodalQueries extends QueryModule {
         StructField("zero_crossings", LongType)))
       val binEnc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(binSchema)
       val featEnc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(featSchema)
-      val binDf = s.table("documents").select(col("doc_id"))
+      val binDf = spread(s.table("documents").select(col("doc_id")))
         .mapPartitions(rows => rows.map(r => Row(r.getLong(0), encodeWav(r.getLong(0)))))(binEnc)
       binDf.mapPartitions { rows =>
         rows.map { r =>
@@ -409,7 +422,7 @@ object MultimodalQueries extends QueryModule {
         StructField("media", BinaryType)))
       val binEnc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(binSchema)
       val outEnc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema)
-      val binDf = s.table("documents").select(col("doc_id"))
+      val binDf = spread(s.table("documents").select(col("doc_id")))
         .mapPartitions(rows => rows.map(r => Row(r.getLong(0), encodePng(r.getLong(0)))))(binEnc)
       binDf.mapPartitions { rows =>
         rows.map { r =>
@@ -485,7 +498,7 @@ object MultimodalQueries extends QueryModule {
       val binEnc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(binSchema)
       val statEnc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(statSchema)
       // Stage 1: the "ingest" side — opaque PNG bytes in a binary column.
-      val binDf = s.table("documents").select(col("doc_id"))
+      val binDf = spread(s.table("documents").select(col("doc_id")))
         .mapPartitions(rows => rows.map(r => Row(r.getLong(0), encodePng(r.getLong(0)))))(binEnc)
       // Stage 2: the decode batch — ImageIO initialized per partition
       // (per-batch), not per row; only small stats leave the stage.
@@ -535,7 +548,7 @@ object MultimodalQueries extends QueryModule {
         StructField("ihash", LongType)))
       val binEnc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(binSchema)
       val hashEnc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(hashSchema)
-      val binDf = s.table("documents").select(col("doc_id"))
+      val binDf = spread(s.table("documents").select(col("doc_id")))
         .mapPartitions(rows => rows.map(r => Row(r.getLong(0), encodePng(r.getLong(0) % 37))))(binEnc)
       val hashed = binDf.mapPartitions { rows =>
         rows.map { r =>
@@ -605,7 +618,7 @@ object MultimodalQueries extends QueryModule {
         StructField("psum", LongType)))
       val binEnc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(binSchema)
       val sigEnc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(sigSchema)
-      val frames = s.table("documents").select(col("doc_id")).mapPartitions { rows =>
+      val frames = spread(s.table("documents").select(col("doc_id"))).mapPartitions { rows =>
         rows.flatMap { r =>
           val id = r.getLong(0)
           val nFrames = (id % 5 + 8).toInt
@@ -735,9 +748,8 @@ object MultimodalQueries extends QueryModule {
       // scaled-up fixture ships 8 parquet splits. The exchange is a
       // doc_id/c/t projection (16 bytes/row), far below the kernel cost
       // it parallelizes; kernel width = cluster cores at any scale.
-      val d = s.table("documents").select(col("doc_id"),
-        (col("doc_id") % 29).as("c"), (col("doc_id") % 3).as("t"))
-        .repartition(col("doc_id"))
+      val d = spread(s.table("documents").select(col("doc_id"),
+        (col("doc_id") % 29).as("c"), (col("doc_id") % 3).as("t")))
       val frames = d.select(col("doc_id"), col("c"), col("t"),
           explode(sequence(lit(0L), lit(9L))).as("f"))
         .withColumn("s0", expr("(f + CASE WHEN t = 1 THEN 2 ELSE 0 END) div 2"))
@@ -847,7 +859,7 @@ object MultimodalQueries extends QueryModule {
         StructField("psig_lo", LongType)))
       val binEnc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(binSchema)
       val sigEnc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(sigSchema)
-      val binDf = s.table("documents").select(col("doc_id"))
+      val binDf = spread(s.table("documents").select(col("doc_id")))
         .mapPartitions(rows => rows.map(r => Row(r.getLong(0), encodeVariantPng(r.getLong(0)))))(binEnc)
       val sig = binDf.mapPartitions { rows =>
         rows.map { r =>
@@ -949,7 +961,7 @@ object MultimodalQueries extends QueryModule {
         StructField("peak", LongType)))
       val binEnc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(binSchema)
       val sigEnc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(sigSchema)
-      val binDf = s.table("documents").select(col("doc_id"))
+      val binDf = spread(s.table("documents").select(col("doc_id")))
         .mapPartitions(rows => rows.map(r => Row(r.getLong(0), encodeWav(r.getLong(0)))))(binEnc)
       val sig = binDf.mapPartitions { rows =>
         rows.map { r =>
@@ -1011,7 +1023,7 @@ object MultimodalQueries extends QueryModule {
         StructField("text_extracted", StringType)))
       val binEnc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(binSchema)
       val txtEnc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(txtSchema)
-      val media = s.table("documents").select(col("doc_id"))
+      val media = spread(s.table("documents").select(col("doc_id")))
         .mapPartitions(rows => rows.map(r =>
           Row(r.getLong(0), encodeTextPng(s"DOC${r.getLong(0) % 50}"))))(binEnc)
       val extracted = media.mapPartitions(rows => rows.map { r =>
