@@ -955,7 +955,11 @@ object TpcdsShapeQueries extends QueryModule {
     // in DECIMAL(38,0), never 0.1 * avg in floats); store/item dims
     // broadcast onto the survivors. (store, item) unique -> total
     // ORDER+LIMIT.
-    sqlQ("ds_below_store_avg",
+    // r16: sc is referenced twice (the row side and the per-store
+    // re-aggregate) — inlined, that is two full fact aggregates. The
+    // Spark side pins sc once (the ds_inventory_cov remedy); the oracle
+    // replays the literal inlined text — same rows.
+    Q("ds_below_store_avg",
       """WITH sc AS (
         |  SELECT l_suppkey AS store_sk, l_partkey AS item_sk,
         |    sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS rev_c
@@ -971,7 +975,25 @@ object TpcdsShapeQueries extends QueryModule {
         |JOIN part ON sc.item_sk = p_partkey
         |WHERE CAST(sc.rev_c AS DECIMAL(38,0)) * 10 * sb.n <= sb.tot
         |ORDER BY s_name, p_name, sc.item_sk
-        |LIMIT 100""".stripMargin),
+        |LIMIT 100""".stripMargin) { (s, _) =>
+      val sc = s.table("lineitem")
+        .groupBy(col("l_suppkey").as("store_sk"), col("l_partkey").as("item_sk"))
+        .agg(sum(round(col("l_extendedprice") * 100).cast("long")).as("rev_c"))
+        .pinned() // one fact aggregate; the row side and sb both read it
+      val sb = sc.groupBy("store_sk")
+        .agg(sum("rev_c").cast("long").as("tot"), count(lit(1)).cast("long").as("n"))
+      sc.join(sb, "store_sk")
+        .join(s.table("supplier"), col("store_sk") === col("s_suppkey"))
+        .join(s.table("part"), col("item_sk") === col("p_partkey"))
+        .filter(col("rev_c").cast("decimal(38,0)") * 10 * col("n") <= col("tot"))
+        .select(col("s_name"), col("p_name"),
+          (col("rev_c").cast("double") / 100).as("revenue"),
+          (col("tot").cast("double") / (lit(100) * col("n"))).as("store_avg"),
+          col("item_sk"))
+        .orderBy(col("s_name"), col("p_name"), col("item_sk"))
+        .limit(100)
+        .drop("item_sk")
+    },
 
     // q49 shape (tpcds/q49.sql): per-channel return ratios with DUAL
     // global ranks (quantity ratio and currency ratio), rank <= 10 OR
