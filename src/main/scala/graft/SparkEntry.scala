@@ -43,4 +43,14 @@ object SparkEntry {
     */
   def oracleSql: Map[String, String] =
     all.flatMap(q => q.oracle.map(o => q.name -> o)).toMap
+
+  /** Hand-translated plans: queries whose Spark build is NOT the literal
+    * oracle SQL text (every `Q(name, sql){plan}` form). The oracle hash
+    * verifies the SQL; the strictcheck gate (tools/strictcheck.py over
+    * this list, VERDICT r16 item 9) is what pins the hand translation to
+    * driver-exact equality every round. Verify dumps the list alongside
+    * oracle_sql.json so the gate's coverage is auditable from artifacts.
+    */
+  def handPlanQueries: Seq[String] =
+    all.filter(q => q.oracle.isDefined && !q.isSameSql).map(_.name).sorted
 }

@@ -41,6 +41,13 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // Standing strictcheck gate (VERDICT r16 item 9): the set of queries
+    // whose Spark build is a hand translation of the oracle SQL. The
+    // round's verification runs tools/strictcheck.py over exactly this
+    // list so Spark-vs-oracle drift in a hand plan cannot hide behind
+    // the non-strict comparator.
+    Files.writeString(Paths.get(s"$outDir/hand_plans.json"),
+      SparkEntry.handPlanQueries.map(q).mkString("[", ",", "]"))
     spark.stop()
   }
 }

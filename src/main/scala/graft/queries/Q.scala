@@ -11,7 +11,8 @@ final case class Q(
     name: String,
     build: (SparkSession, String) => DataFrame,
     oracle: Option[String],
-    benchBuild: Option[(SparkSession, String) => DataFrame] = None) {
+    benchBuild: Option[(SparkSession, String) => DataFrame] = None,
+    isSameSql: Boolean = false) {
   def run(spark: SparkSession, dir: String): DataFrame = {
     graft.engine.Engine.registerTables(spark, dir)
     build(spark, dir)
@@ -43,7 +44,8 @@ object Q {
   /** The SAME SQL text runs on Spark and DuckDB — the strongest oracle
     * form (any dialect shim or semantic delta fails the hash).
     */
-  def sameSql(name: String, sql: String): Q = Q(name, sql)((s, _) => s.sql(sql))
+  def sameSql(name: String, sql: String): Q =
+    Q(name, sql)((s, _) => s.sql(sql)).copy(isSameSql = true)
 }
 
 /** A module of queries (one per SURVEY §2 area). */

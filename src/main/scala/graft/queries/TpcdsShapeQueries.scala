@@ -45,7 +45,16 @@ object TpcdsShapeQueries extends QueryModule {
     // path (measured 10-60x CPU on 500k-group aggregates this round);
     // per-row round(price*100) is exact for the 2dp fixture values.
     val cents = sum(round($"l_extendedprice" * 100).cast("long"))
-    val stats = li.agg(cents.as("total_c"), count(lit(1)).cast("long").as("cnt"))
+    // r17 (VERDICT r16 item 1): total_c is a GLOBAL cents sum (~3.2e18 at
+    // 100 TB, thin inside int64). Two-level: per-(orderkey % 4096) BIGINT
+    // partials, DECIMAL(38,0) final merge over the 4096 group rows — the
+    // oracle's literal text keeps the single sum (DuckDB sums BIGINT in
+    // HUGEINT, so it has no boundary to close) and the filter below is
+    // the same exact-integer comparison either way.
+    val stats = li.groupBy(($"l_orderkey" % 4096).as("g"))
+      .agg(cents.as("c"), count(lit(1)).cast("long").as("n"))
+      .agg(sum($"c".cast("decimal(38,0)")).as("total_c"),
+        sum($"n").cast("long").as("cnt"))
       .cache() // one-row threshold: built once, joined into all three branches
     def branch(flag: String, label: String) =
       li.filter($"l_returnflag" === flag)
@@ -721,35 +730,63 @@ object TpcdsShapeQueries extends QueryModule {
     // thresholds are literals like q9's, so which branch fires varies
     // with SF — both engines agree at each SF, and the sf ladder
     // exercises both branches.
+    // r17 (VERDICT r16 item 1): the band sums are GLOBAL, and a global
+    // ×10⁴ price·discount sum reaches ~3e18 at 100 TB — only ~3× inside
+    // int64. TWO-LEVEL SUM: per-(l_orderkey % 4096) BIGINT partials
+    // (per-group ceiling = int64 → total boundary ~4096×9.2e18 product
+    // units ≈ 1.2 EB-equivalent rows), merged in DECIMAL(38,0) over the
+    // 4096 group rows (decimal cost is per-merge-row, not per fact
+    // row). Same integers, same correctly-rounded doubles: addition is
+    // associative over any grouping, and CAST(DECIMAL(38,0) AS DOUBLE)
+    // of the same integer equals CAST(BIGINT AS DOUBLE).
     sqlQ("ds_case_bucket_probe",
-      """WITH b AS (
-        |  SELECT
+      """WITH p AS (
+        |  SELECT l_orderkey % 4096 AS g,
         |    CAST(count(*) FILTER (WHERE l_quantity BETWEEN 1 AND 10) AS BIGINT) AS n1,
-        |    sum(CAST(round(l_extendedprice * 100) AS BIGINT))
-        |      FILTER (WHERE l_quantity BETWEEN 1 AND 10) AS price1,
-        |    sum(CAST(round(l_extendedprice * 100) AS BIGINT) * CAST(round(l_discount * 100) AS BIGINT))
-        |      FILTER (WHERE l_quantity BETWEEN 1 AND 10) AS disc1,
+        |    CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+        |      FILTER (WHERE l_quantity BETWEEN 1 AND 10) AS BIGINT) AS price1,
+        |    CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) * CAST(round(l_discount * 100) AS BIGINT))
+        |      FILTER (WHERE l_quantity BETWEEN 1 AND 10) AS BIGINT) AS disc1,
         |    CAST(count(*) FILTER (WHERE l_quantity BETWEEN 11 AND 20) AS BIGINT) AS n2,
-        |    sum(CAST(round(l_extendedprice * 100) AS BIGINT))
-        |      FILTER (WHERE l_quantity BETWEEN 11 AND 20) AS price2,
-        |    sum(CAST(round(l_extendedprice * 100) AS BIGINT) * CAST(round(l_discount * 100) AS BIGINT))
-        |      FILTER (WHERE l_quantity BETWEEN 11 AND 20) AS disc2,
+        |    CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+        |      FILTER (WHERE l_quantity BETWEEN 11 AND 20) AS BIGINT) AS price2,
+        |    CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) * CAST(round(l_discount * 100) AS BIGINT))
+        |      FILTER (WHERE l_quantity BETWEEN 11 AND 20) AS BIGINT) AS disc2,
         |    CAST(count(*) FILTER (WHERE l_quantity BETWEEN 21 AND 30) AS BIGINT) AS n3,
-        |    sum(CAST(round(l_extendedprice * 100) AS BIGINT))
-        |      FILTER (WHERE l_quantity BETWEEN 21 AND 30) AS price3,
-        |    sum(CAST(round(l_extendedprice * 100) AS BIGINT) * CAST(round(l_discount * 100) AS BIGINT))
-        |      FILTER (WHERE l_quantity BETWEEN 21 AND 30) AS disc3,
+        |    CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+        |      FILTER (WHERE l_quantity BETWEEN 21 AND 30) AS BIGINT) AS price3,
+        |    CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) * CAST(round(l_discount * 100) AS BIGINT))
+        |      FILTER (WHERE l_quantity BETWEEN 21 AND 30) AS BIGINT) AS disc3,
         |    CAST(count(*) FILTER (WHERE l_quantity BETWEEN 31 AND 40) AS BIGINT) AS n4,
-        |    sum(CAST(round(l_extendedprice * 100) AS BIGINT))
-        |      FILTER (WHERE l_quantity BETWEEN 31 AND 40) AS price4,
-        |    sum(CAST(round(l_extendedprice * 100) AS BIGINT) * CAST(round(l_discount * 100) AS BIGINT))
-        |      FILTER (WHERE l_quantity BETWEEN 31 AND 40) AS disc4,
+        |    CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+        |      FILTER (WHERE l_quantity BETWEEN 31 AND 40) AS BIGINT) AS price4,
+        |    CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) * CAST(round(l_discount * 100) AS BIGINT))
+        |      FILTER (WHERE l_quantity BETWEEN 31 AND 40) AS BIGINT) AS disc4,
         |    CAST(count(*) FILTER (WHERE l_quantity BETWEEN 41 AND 50) AS BIGINT) AS n5,
-        |    sum(CAST(round(l_extendedprice * 100) AS BIGINT))
-        |      FILTER (WHERE l_quantity BETWEEN 41 AND 50) AS price5,
-        |    sum(CAST(round(l_extendedprice * 100) AS BIGINT) * CAST(round(l_discount * 100) AS BIGINT))
-        |      FILTER (WHERE l_quantity BETWEEN 41 AND 50) AS disc5
-        |  FROM lineitem)
+        |    CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+        |      FILTER (WHERE l_quantity BETWEEN 41 AND 50) AS BIGINT) AS price5,
+        |    CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) * CAST(round(l_discount * 100) AS BIGINT))
+        |      FILTER (WHERE l_quantity BETWEEN 41 AND 50) AS BIGINT) AS disc5
+        |  FROM lineitem
+        |  GROUP BY l_orderkey % 4096),
+        |b AS (
+        |  SELECT
+        |    CAST(coalesce(sum(n1), 0) AS BIGINT) AS n1,
+        |    sum(CAST(price1 AS DECIMAL(38,0))) AS price1,
+        |    sum(CAST(disc1 AS DECIMAL(38,0))) AS disc1,
+        |    CAST(coalesce(sum(n2), 0) AS BIGINT) AS n2,
+        |    sum(CAST(price2 AS DECIMAL(38,0))) AS price2,
+        |    sum(CAST(disc2 AS DECIMAL(38,0))) AS disc2,
+        |    CAST(coalesce(sum(n3), 0) AS BIGINT) AS n3,
+        |    sum(CAST(price3 AS DECIMAL(38,0))) AS price3,
+        |    sum(CAST(disc3 AS DECIMAL(38,0))) AS disc3,
+        |    CAST(coalesce(sum(n4), 0) AS BIGINT) AS n4,
+        |    sum(CAST(price4 AS DECIMAL(38,0))) AS price4,
+        |    sum(CAST(disc4 AS DECIMAL(38,0))) AS disc4,
+        |    CAST(coalesce(sum(n5), 0) AS BIGINT) AS n5,
+        |    sum(CAST(price5 AS DECIMAL(38,0))) AS price5,
+        |    sum(CAST(disc5 AS DECIMAL(38,0))) AS disc5
+        |  FROM p)
         |SELECT r_name,
         |  CASE WHEN n1 > 2000 THEN CAST(price1 AS DOUBLE) / 100 / n1
         |       ELSE CAST(disc1 AS DOUBLE) / 10000 / n1 END AS bucket1,
@@ -855,11 +892,20 @@ object TpcdsShapeQueries extends QueryModule {
     // q97 shape (tpcds/q97.sql): cross-channel customer-item overlap —
     // two DISTINCT (customer, item) channel projections FULL JOINed on
     // the compound key, three CASE-flag sums (store-only / catalog-only
-    // / both) off the join's null pattern. Channels = line bands. Plan:
-    // two distinct-aggregates sharing the (cust, item) hash
-    // distribution feed one full-outer sort-merge join, then a single
-    // global count row — counts only, nothing float anywhere.
-    sqlQ("ds_channel_overlap",
+    // / both) off the join's null pattern. Channels = line bands.
+    // r17 (VERDICT r16 item 5, guide §2.4): the literal text pays the
+    // lineitem⋈orders fact join TWICE (one per CTE), two distinct
+    // shuffles on (cust, item), and a full-outer SMJ of the two distinct
+    // sets (18.9 CPU-s steady at sf0.1). The FULL JOIN's null pattern is
+    // just the per-(cust, item) channel membership, so the Spark plan
+    // computes it in ONE fact pass: join once, aggregate per (cust,
+    // item) with two boolean channel flags (partial agg below the
+    // exchange — the distinct pass collapsed into it), then one global
+    // flag-count row. Identical partition of the pair set (keys are
+    // NOT NULL in this fixture, so FULL JOIN matching == flag
+    // conjunction); strictcheck-pinned like every hand plan. The oracle
+    // replays the literal two-CTE text — same counts.
+    Q("ds_channel_overlap",
       """WITH ssci AS (
         |  SELECT DISTINCT o_custkey AS customer_sk, l_partkey AS item_sk
         |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
@@ -877,7 +923,22 @@ object TpcdsShapeQueries extends QueryModule {
         |       THEN 1 ELSE 0 END) AS BIGINT) AS store_and_catalog
         |FROM ssci
         |FULL JOIN csci ON ssci.customer_sk = csci.customer_sk
-        |  AND ssci.item_sk = csci.item_sk""".stripMargin),
+        |  AND ssci.item_sk = csci.item_sk""".stripMargin) { (s, _) =>
+      val flags = s.table("lineitem")
+        .select(col("l_orderkey"), col("l_partkey"), col("l_linenumber"))
+        .join(s.table("orders").select(col("o_orderkey"), col("o_custkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_custkey").as("customer_sk"), col("l_partkey").as("item_sk"))
+        .agg(max(col("l_linenumber") === 1).as("in_store"),
+          max(col("l_linenumber") >= 2).as("in_catalog"))
+      flags.agg(
+        sum(when(col("in_store") && !col("in_catalog"), 1L).otherwise(0L))
+          .cast("long").as("store_only"),
+        sum(when(!col("in_store") && col("in_catalog"), 1L).otherwise(0L))
+          .cast("long").as("catalog_only"),
+        sum(when(col("in_store") && col("in_catalog"), 1L).otherwise(0L))
+          .cast("long").as("store_and_catalog"))
+    },
 
     // q39 shape (tpcds/q39_1.sql): inventory coefficient-of-variation —
     // per-(warehouse, item, month) stddev/mean over quantities, a cov
@@ -1281,6 +1342,15 @@ object TpcdsShapeQueries extends QueryModule {
     // sides hash on l_partkey, so ONE distribution serves the agg and
     // the join. Membership is integer-exact (discount hundredths x 10 x
     // count > 13 x sum), so no row flips on float drift.
+    // r17 (VERDICT r16 item 1): the excess-revenue sum is GLOBAL cents —
+    // ~3.2e18 at 100 TB, thin inside int64. TWO-LEVEL SUM keyed on
+    // l_partkey: the per-partkey partial rides the SAME hash
+    // distribution the join/davg already established (no extra fact
+    // exchange — per-partkey row counts are corpus-bounded constants),
+    // and the final merge over the partkey rows is DECIMAL(38,0).
+    // Identical integers; CAST(DECIMAL AS DOUBLE) of the same integer ==
+    // CAST(BIGINT AS DOUBLE); coalesce pins the empty-input n_lines to
+    // the 0 the old count(*) produced.
     sqlQ("ds_excess_discount",
       """WITH davg AS (
         |  SELECT l_partkey AS dp,
@@ -1288,12 +1358,18 @@ object TpcdsShapeQueries extends QueryModule {
         |    CAST(count(*) AS BIGINT) AS cnt
         |  FROM lineitem
         |  WHERE l_shipdate BETWEEN DATE '1994-01-01' AND DATE '1994-12-31'
-        |  GROUP BY l_partkey)
-        |SELECT CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) / 100 AS excess_revenue,
-        |  CAST(count(*) AS BIGINT) AS n_lines
-        |FROM lineitem JOIN davg ON l_partkey = dp
-        |WHERE l_shipdate BETWEEN DATE '1994-01-01' AND DATE '1994-12-31'
-        |  AND CAST(round(l_discount * 100) AS BIGINT) * 10 * cnt > 13 * disc_sum_c""".stripMargin),
+        |  GROUP BY l_partkey),
+        |ex AS (
+        |  SELECT dp,
+        |    CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS rev_c,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM lineitem JOIN davg ON l_partkey = dp
+        |  WHERE l_shipdate BETWEEN DATE '1994-01-01' AND DATE '1994-12-31'
+        |    AND CAST(round(l_discount * 100) AS BIGINT) * 10 * cnt > 13 * disc_sum_c
+        |  GROUP BY dp)
+        |SELECT CAST(sum(CAST(rev_c AS DECIMAL(38,0))) AS DOUBLE) / 100 AS excess_revenue,
+        |  CAST(coalesce(sum(n), 0) AS BIGINT) AS n_lines
+        |FROM ex""".stripMargin),
 
     // q16/q94 shape: the semi + ANTI chain — orders shipped by at least
     // two distinct suppliers (EXISTS against another alias of the same
