@@ -1716,7 +1716,6 @@ object LlmQueries extends QueryModule {
         |  round(sum(k * nll) / sum(k), 6) AS kn_nll
         |FROM dtc JOIN ts USING (w1, w2, w3)
         |GROUP BY doc_id""".stripMargin) { (s, _) =>
-      val w = split(col("text"), " ", -1)
       // doc-keyed exchange BEFORE the assembly kernel: the per-position
       // struct build is the dominant CPU and must not be serialized by
       // input split geometry (the sf fixtures are single parquet files
@@ -1724,13 +1723,28 @@ object LlmQueries extends QueryModule {
       // cost class as the (doc, type, k) shuffle the dtc agg already
       // pays — and it makes kernel parallelism = cluster cores
       // regardless of how the scan was split.
+      // r17: `w` is MATERIALIZED as a column before the explode:
+      // higher-order functions are CodegenFallback, so a lambda body
+      // that inlines the split(text) subtree re-evaluates the split per
+      // element (O(len^2) tokenizer work per doc) — an attribute
+      // reference indexes the array built once per row (isolated CPU
+      // 7.0 -> 5.0 s at sf0.1). The exchange stays REPARTITION_BY_COL:
+      // the FULL corpus flows through it, its bytes are proportional to
+      // the assembly compute, so AQE's byte coalescing sizes it
+      // correctly (an explicit 32-way count was measured at +5.7
+      // CPU-s of per-task overhead for the same wall — contrast
+      // kn_modified_lm's per-SPLIT exchanges below, where the 20% test
+      // slice coalesces to 2 tasks and the explicit count wins).
       val tri = s.table("documents")
-        .select(col("doc_id"), col("text")).repartition(col("doc_id"))
-        .filter(size(w) >= 3)
-        .select(col("doc_id"), explode(transform(sequence(lit(1), size(w) - 2),
-          i => struct(element_at(w, i).as("w1"),
-            element_at(w, i + 1).as("w2"),
-            element_at(w, i + 2).as("w3")))).as("t"))
+        .select(col("doc_id"), col("text"))
+        .repartition(col("doc_id"))
+        .select(col("doc_id"), split(col("text"), " ", -1).as("w"))
+        .filter(size(col("w")) >= 3)
+        .select(col("doc_id"),
+          explode(transform(sequence(lit(1), size(col("w")) - 2),
+            i => struct(element_at(col("w"), i).as("w1"),
+              element_at(col("w"), i + 1).as("w2"),
+              element_at(col("w"), i + 2).as("w3")))).as("t"))
         .select(col("doc_id"), col("t.w1").as("w1"), col("t.w2").as("w2"),
           col("t.w3").as("w3"))
       val dtc = tri.groupBy("doc_id", "w1", "w2", "w3")
@@ -1869,14 +1883,21 @@ object LlmQueries extends QueryModule {
         |  round(sum(k * knll) / sum(k), 6) AS kn_nll
         |FROM sdtc JOIN sc USING (w1, w2, w3)
         |GROUP BY doc_id""".stripMargin) { (s, _) =>
-      val w = split(col("text"), " ", -1)
+      // r17: same two fixes as llm_kn_trigram_lm's assembly — explicit
+      // repartition count (the test split's BY_COL exchange was
+      // AQE-coalesced to 2 tasks carrying 10.9 CPU-s of assembly), and
+      // `w` materialized as a column so the CodegenFallback lambda
+      // indexes the array instead of re-running split(text) per element.
       def assemble(docs: DataFrame, withDoc: Boolean): DataFrame = {
-        val base = docs.select(col("doc_id"), col("text")).repartition(col("doc_id"))
-          .filter(size(w) >= 3)
-          .select(col("doc_id"), explode(transform(sequence(lit(1), size(w) - 2),
-            i => struct(element_at(w, i).as("w1"),
-              element_at(w, i + 1).as("w2"),
-              element_at(w, i + 2).as("w3")))).as("t"))
+        val base = docs.select(col("doc_id"), col("text"))
+          .repartition(docs.sparkSession.sparkContext.defaultParallelism, col("doc_id"))
+          .select(col("doc_id"), split(col("text"), " ", -1).as("w"))
+          .filter(size(col("w")) >= 3)
+          .select(col("doc_id"),
+            explode(transform(sequence(lit(1), size(col("w")) - 2),
+              i => struct(element_at(col("w"), i).as("w1"),
+                element_at(col("w"), i + 1).as("w2"),
+                element_at(col("w"), i + 2).as("w3")))).as("t"))
         val cols = (if (withDoc) Seq(col("doc_id")) else Nil) ++
           Seq(col("t.w1").as("w1"), col("t.w2").as("w2"), col("t.w3").as("w3"))
         base.select(cols: _*)
