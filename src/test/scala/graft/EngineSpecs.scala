@@ -1993,6 +1993,43 @@ class EngineSpecs extends AnyFunSuite with BeforeAndAfterAll {
     assert(kept >= trueHits, "bloom must never drop a true hit")
   }
 
+  test("every rank-then-filter query keeps its WindowGroupLimit pushdown (VERDICT r16 item 3)") {
+    // These queries rank over a single (or near-single) partition and
+    // keep rk <= K: correctness at 100 TB rests on Spark's
+    // InferWindowGroupLimit pruning each upstream partition to ~K rows
+    // before the single-partition merge (the TopNRowNumberOperator
+    // analog). r16 relied on this implicitly; this spec turns a future
+    // conf change or rewrite that drops the fast path into a failing
+    // test instead of a silent full-partition sort.
+    val topK = Seq("ds_rollup_topk", "ds_wide_rollup_rank",
+      "ds_best_worst_rank_join", "ds_hierarchy_rank", "ds_yoy_growth",
+      "win_topk_per_group")
+    for (q <- topK) {
+      val s = planString(SparkEntry.queries(q)(spark, sfDir))
+      assert(s.contains("WindowGroupLimit"),
+        s"$q: rank()<=K filter should plan a WindowGroupLimit below the window")
+    }
+    // ds_return_ratio_rank filters on an OR of two ranks —
+    // InferWindowGroupLimit cannot prune for either window alone (a row
+    // may survive via the other rank). That is safe ONLY because the
+    // window input is the dimension-bounded (channel, item % 1000)
+    // aggregate: assert the windows consume an aggregate, not the fact.
+    val rrr = SparkEntry.queries("ds_return_ratio_rank")(spark, sfDir)
+    val rrrPlan = executedPlan(rrr)
+    def firstWindowChild(p: org.apache.spark.sql.execution.SparkPlan): Option[String] = {
+      import org.apache.spark.sql.execution.adaptive.QueryStageExec
+      p match {
+        case w: org.apache.spark.sql.execution.window.WindowExec =>
+          Some(w.child.toString)
+        case q: QueryStageExec => firstWindowChild(q.plan)
+        case other => other.children.flatMap(firstWindowChild).headOption
+      }
+    }
+    val below = firstWindowChild(rrrPlan)
+    assert(below.exists(_.contains("HashAggregate")),
+      "ds_return_ratio_rank's windows must rank the bounded (channel,item) aggregate, not fact rows")
+  }
+
   test("ds_yoy_growth: self-joined spend CTE reuses one exchange; rank rides WindowGroupLimit") {
     val df = SparkEntry.queries("ds_yoy_growth")(spark, sfDir)
     val s = planString(df)
