@@ -153,6 +153,11 @@ object VerifyConfig {
     json.append(s""" "n_queries": ${names.size},""")
     json.append(s""" "n_match_all_configs": ${names.size - mismatches.size},""")
     json.append(s""" "mismatches": [${mismatches.map(js).mkString(", ")}],\n""")
+    // Hand-translated plans (Spark build != literal oracle SQL): the set
+    // tools/strictcheck.py must driver-exact-pass every round (VERDICT
+    // r16 item 9). Published here so the gate's coverage is auditable.
+    json.append(s""" "hand_plan_queries": [${
+      graft.SparkEntry.handPlanQueries.map(js).mkString(", ")}],\n""")
     json.append(" \"queries\": {\n  ")
     json.append(perQuery.mkString(",\n  "))
     json.append("\n }}\n")
