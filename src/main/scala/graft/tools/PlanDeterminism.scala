@@ -65,6 +65,14 @@ object PlanDeterminism {
   private val expectedVariance: Map[String, String] = Map(
     "agg_distinct" -> ("RewriteDistinctAggregates gid assignment iterates an " +
       "expr-id-keyed map (Spark-internal); gids swap consistently between " +
+      "Expand and FILTER, results unchanged"),
+    // Same Spark-internal gid lottery, surfaced by the r17 sf0.1 sweep
+    // (expr-id dependent, so which queries show it varies with session
+    // history): the two count-distinct branches swap gid 1<->2 between
+    // plannings, consistently across Expand and FILTER. Results proven
+    // identical by the VERIFY_CONFIG sf0.1 sweep + oracle hash.
+    "ev_retention" -> ("RewriteDistinctAggregates gid assignment iterates an " +
+      "expr-id-keyed map (Spark-internal); gids swap consistently between " +
       "Expand and FILTER, results unchanged"))
 
   def main(args: Array[String]): Unit = {
